@@ -1,0 +1,430 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+import graft.functions.Cols._
+
+/** Core relational operator suite — the Spark-first re-expression of the
+  * reference's capability surface (reference docs/3–8 and
+  * tests/opt_parallel_execution.rs). Every query is a pure
+  * `(SparkSession, sfDir) => DataFrame` built with the DataFrame API so
+  * Catalyst owns pushdown, join strategy, and two-phase aggregation;
+  * results are deterministically ordered with a total tie-break key.
+  *
+  * Scale notes are inline per query: what broadcasts, what shuffles, and
+  * why the plan survives 1000 executors / 100 TB.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  /** q01 — projection; column pruning must reach the scan (ReadSchema
+    * carries only 4 of 11 lineitem columns). Reference docs/4 "Projection". */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q02 — filter; predicate pushdown must reach the scan (PushedFilters).
+    * Reference docs/5 "Filter Push Down". */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .where(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q03 — full sort of an unsorted table (reference docs/4): a real
+    * range-partitioned shuffle sort at scale, no pre-existing order. */
+  private def q03(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+
+  /** q04 — top-K: sort + limit collapses to TakeOrderedAndProject (per-
+    * partition heaps, no full shuffle) — the scale-correct plan. */
+  private def q04(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** q05 — multi-key hash aggregate (TPC-H Q1 shape); Spark plans
+    * partial+final automatically (reference docs/7 "Multi-step
+    * Aggregation: Partial & Final"). */
+  private def q05(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("avg_qty", col("sum_qty") / col("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q06 — global aggregate, no groups (TPC-H Q6 shape): partial agg per
+    * partition, single final reduce — no keyed shuffle at all. */
+  private def q06(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** q07 — distinct aggregate: count(distinct) expands to a two-level
+    * aggregate; stays fully distributed. */
+  private def q07(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderstatus")
+
+  /** q08 — SELECT DISTINCT = hash aggregate on all columns. */
+  private def q08(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select("c_mktsegment", "c_nationkey")
+      .distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** q09 — star join: customer ⋈ nation ⋈ region with the dims explicitly
+    * broadcast — the Spark analog of the reference's
+    * `HashJoinExec mode=CollectLeft` (docs/8). At 100 TB the fact side
+    * streams, dims ship once per executor. */
+  private def q09(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("r_name", "n_name")
+
+  /** q10 — big ⋈ big join on the shared key: at scale this is a shuffle
+    * (sort-merge) join on l_orderkey/o_orderkey; the post-join aggregate
+    * reuses no partitioning, so Spark plans partial aggs before the final
+    * 5-group reduce. */
+  private def q10(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+
+  /** q11 — left outer join keeping customers with zero orders; count(col)
+    * (not count(*)) so unmatched rows count 0. */
+  private def q11(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** q12 — left semi join (EXISTS): customers with at least one big order. */
+  private def q12(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(
+        t(s, d, "orders").where(col("o_totalprice") > 400000),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** q13 — left anti join (NOT EXISTS): customers with no orders at all. */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_nationkey")
+      .orderBy("c_custkey")
+
+  /** q14 — union all of two filtered streams, then aggregate; the union is
+    * free (no shuffle), only the final groupBy shuffles. */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    ev.where(col("event_type") === "click").select("user_id")
+      .unionAll(ev.where(col("event_type") === "purchase").select("user_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
+  /** q15 — window functions: row_number + running decimal sum per
+    * customer. One shuffle on the partition key, then sorted windows. */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("rn"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("run_total"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q16 — date_bin: 5-minute epoch-aligned buckets over the events
+    * stream table (reference docs/7's date_bin pipeline). */
+  private def q16(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(timeBin("ts", 300).as("ts_bin"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value"), 4).as("sum_val"))
+      .orderBy("ts_bin", "event_type")
+
+  /** q17 — the reference flagship (tests/opt_parallel_execution.rs:33):
+    * filtered dimension ⋈ fact, 30-second date_bin, max per bin, final
+    * sort. Dimension (customer, post-filter) is broadcast = CollectLeft;
+    * the fact (events) never shuffles before the aggregate's own
+    * partial/final split. */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val dim = t(s, d, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_nationkey")
+    t(s, d, "events")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("user_id"), timeBin("ts", 30).as("time_bin"), col("c_nationkey"))
+      .agg(max(col("value")).as("max_bin_val"))
+      .orderBy("user_id", "time_bin", "c_nationkey")
+  }
+
+  /** q18 — HAVING: post-aggregation filter. */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 13)
+      .orderBy("o_custkey")
+
+  /** q19 — scalar subquery: rows above 1.8× the global (deterministic,
+    * decimal-computed) average; the 1-row aggregate is broadcast. */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val thr = li.agg(davg(col("l_quantity")).as("t"))
+    li.crossJoin(broadcast(thr))
+      .where(col("l_quantity") > col("t") * 1.8)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** q20 — conditional aggregation via CASE WHEN inside count. */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_totalprice") > 300000, lit(1))).as("n_big"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderpriority")
+
+  /** q21 — ROLLUP multi-level aggregate; NULLS FIRST ordering pinned
+    * explicitly (Spark and DuckDB disagree on the default). */
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    // SQL form: rollup's Expand duplicates attribute ids, and sorting the
+    // Dataset-API result by the (nullable) grouping columns trips the
+    // ambiguous-self-join check in Spark 4.1. The SQL path resolves fine
+    // and plans identically (broadcast joins + Expand + hash agg).
+    Tables.ensure(s, d)
+    s.sql(
+      """SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+        |  r_name, n_name, COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** q22 — string ops (LIKE, substr, concat, IN-list); all codegen'd
+    * builtins, no UDFs. */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .where(col("p_name").like("%widget%") || col("p_brand").isin("Brand#13", "Brand#19"))
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("pre8"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("bt"))
+      .orderBy("p_partkey")
+
+  /** q23 — sessionization (gaps-and-islands): 30-minute inactivity gap
+    * via lag + running sum of session-break flags. Two window passes over
+    * one shuffle-by-user partitioning. */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s", when(col("gap_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(w))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_trunc("second", min(col("ts"))).as("session_start"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** q24 — top-N per key via ranked window + filter; Catalyst rewrites
+    * the rn<=3 filter into a per-partition limit (WindowGroupLimit). */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, d, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL (DuckDB). Aliases match the Spark output column names
+  // exactly; float discipline per SURVEY.md §5.
+  // ---------------------------------------------------------------------
+
+  private val binUs30 = "make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 30000000 * 30000000)"
+  private val binUs300 = "make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 * 300000000)"
+
+  val all: Seq[Q] = Seq(
+    Q("q01_project", Some(
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin), q01),
+    Q("q02_filter", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin), q02),
+    Q("q03_sort", Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey""".stripMargin), q03),
+    Q("q04_topk", Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin), q04),
+    Q("q05_agg", Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MIN(l_quantity) AS min_qty,
+        |  MAX(l_quantity) AS max_qty,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin), q05),
+    Q("q06_agg_global", Some(
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin), q06),
+    Q("q07_agg_distinct", Some(
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_rows
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin), q07),
+    Q("q08_distinct", Some(
+      """SELECT DISTINCT c_mktsegment, c_nationkey
+        |FROM customer ORDER BY c_mktsegment, c_nationkey""".stripMargin), q08),
+    Q("q09_join_broadcast", Some(
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin), q09),
+    Q("q10_join_shuffle", Some(
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin), q10),
+    Q("q11_join_left", Some(
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin), q11),
+    Q("q12_join_semi", Some(
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin), q12),
+    Q("q13_join_anti", Some(
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin), q13),
+    Q("q14_union", Some(
+      """SELECT user_id, COUNT(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin), q14),
+    Q("q15_window", Some(
+      """SELECT o_orderkey, o_custkey,
+        |  ROW_NUMBER() OVER w AS rn,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin), q15),
+    Q("q16_date_bin", Some(
+      s"""SELECT $binUs300 AS ts_bin, event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+         |FROM events GROUP BY ts_bin, event_type
+         |ORDER BY ts_bin, event_type""".stripMargin), q16),
+    Q("q17_flagship", Some(
+      s"""SELECT user_id, $binUs30 AS time_bin, c_nationkey,
+         |  MAX(value) AS max_bin_val
+         |FROM events JOIN customer ON user_id = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY user_id, time_bin, c_nationkey
+         |ORDER BY user_id, time_bin, c_nationkey""".stripMargin), q17),
+    Q("q18_having", Some(
+      """SELECT o_custkey, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 13
+        |ORDER BY o_custkey""".stripMargin), q18),
+    Q("q19_subquery", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > (
+        |  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM lineitem) * 1.8
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin), q19),
+    Q("q20_case", Some(
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_totalprice > 300000 THEN 1 END) AS n_big,
+        |  COUNT(*) AS n_rows
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin), q20),
+    Q("q21_rollup", Some(
+      """SELECT r_name, n_name, COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin), q21),
+    Q("q22_strings", Some(
+      """SELECT p_partkey, UPPER(SUBSTR(p_name, 1, 8)) AS pre8,
+        |  CONCAT(p_brand, '#', p_type) AS bt
+        |FROM part
+        |WHERE p_name LIKE '%widget%' OR p_brand IN ('Brand#13', 'Brand#19')
+        |ORDER BY p_partkey""".stripMargin), q22),
+    Q("q23_sessionize", Some(
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |           - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |             (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin), q23),
+    Q("q24_topn_per_key", Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin), q24)
+  )
+}
