@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over `documents` / `embeddings`.
+  *
+  * Scale design: no operator ever materializes the global cross-product.
+  * Exact dedup shuffles 32-byte digests, not document bodies; the near-
+  * dup family (Jaccard / MinHash-LSH / SimHash / embedding) first maps
+  * every document into small blocking keys (shared shingle, LSH band,
+  * SimHash prefix, cluster label) so the pairwise work is confined to
+  * per-bucket blocks — the classic band-blocking bound on candidate
+  * pairs. All token/hash math is codegen'd builtins (xxhash64,
+  * higher-order array functions); no UDFs.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.df(s, d, "documents")
+
+  private val tokExpr = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+
+  /** Distinct 3-token shingles per doc (docs shorter than 3 tokens drop
+    * out — they cannot have a 3-shingle). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("toks", expr(tokExpr))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+        .as("shingle"))
+
+  /** d01 — exact dedup: group by SHA-256 of the content so the shuffle
+    * key is a fixed 64-char digest, never the document body. */
+  private def d01(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  private val d01Oracle: String =
+    """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin
+
+  /** d02 — n-gram Jaccard near-dup: candidate pairs via the inverted
+    * shingle index (docs sharing ≥1 shingle), exact Jaccard from
+    * intersection/union counts, threshold 0.3. The self-join key is the
+    * shingle — at 100 TB you cap hot shingles (stop-shingle removal) or
+    * switch to d03's banding, which bounds candidates by construction. */
+  private def d02(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= 0.3)
+      .select("a_id", "b_id", "inter", "na", "nb", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val d02Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT a_id, b_id, inter, sa.n_sh AS na, sb.n_sh AS nb,
+      |  inter / (sa.n_sh + sb.n_sh - inter) AS jac
+      |FROM pr
+      |JOIN sz sa ON a_id = sa.doc_id
+      |JOIN sz sb ON b_id = sb.doc_id
+      |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** d03 — MinHash + LSH banding (rows-only: xxhash64 is Spark-specific).
+    * 32-permutation signature via min over salted shingle hashes; 8 bands
+    * × 4 rows; candidates = pairs sharing a band bucket; output the
+    * signature-estimated Jaccard. Banding bounds candidate pairs by
+    * bucket occupancy — the scale path for near-dup at 100 TB. */
+  private def d03(s: SparkSession, d: String): DataFrame = {
+    val sig = docs(s, d)
+      .withColumn("toks", expr(tokExpr))
+      .where(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3))))"))
+      .withColumn("sig", expr(
+        "transform(sequence(0, 31), i -> array_min(transform(sh, x -> xxhash64(x, i))))"))
+      .select("doc_id", "sig")
+    val bands = sig.select(
+      col("doc_id"), col("sig"),
+      explode(expr(
+        "transform(sequence(0, 7), j -> named_struct('band', j, 'bh', xxhash64(slice(sig, j * 4 + 1, 4))))"))
+        .as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))").as("n_eq"))
+      .distinct()
+      .withColumn("est_jac", col("n_eq") / 32.0)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** d04 — SimHash near-dup (rows-only): 64-bit signature from signed
+    * bit votes of token hashes; blocking on the four 16-bit quadrants
+    * (any pair within Hamming ≤ 3 shares at least one quadrant by
+    * pigeonhole... for ≤3 differing bits across 4 blocks); verify with
+    * bit_count(xor) ≤ 3. */
+  private def d04(s: SparkSession, d: String): DataFrame = {
+    val sig = docs(s, d)
+      .withColumn("toks", expr(tokExpr))
+      .where(size(col("toks")) >= 1)
+      .withColumn("votes", expr(
+        """aggregate(toks, transform(sequence(0, 63), b -> 0L),
+          |  (acc, t) -> zip_with(acc,
+          |    transform(sequence(0, 63), b ->
+          |      CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1L ELSE -1L END),
+          |    (x, y) -> x + y))""".stripMargin))
+      .withColumn("simhash", expr(
+        "aggregate(transform(sequence(0, 63), b -> CASE WHEN votes[b] > 0 THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc | x)"))
+      .select("doc_id", "simhash")
+    val blocks = sig.select(
+      col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), q -> named_struct('q', q, 'bits', shiftright(simhash, q * 16) & 65535))"))
+        .as("blk"))
+      .select(col("doc_id"), col("simhash"), col("blk.q").as("q"), col("blk.bits").as("bits"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.q") === col("b.q") && col("a.bits") === col("b.bits")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** d05 — embedding-cosine near-dup: blocked by cluster label (metadata
+    * blocking), pairwise cosine in double precision via zip_with +
+    * aggregate fold, threshold 0.3 (this synthetic set has no tight
+    * dup clusters; the operator semantics are threshold-parametric). */
+  private def d05(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.df(s, d, "embeddings")
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr("sqrt(aggregate(transform(e, x -> x * x), 0D, (acc, x) -> acc + x))"))
+      .select("vec_id", "label", "e", "nrm")
+    n.as("a")
+      .join(n.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos", col("dot") / (col("a.nrm") * col("b.nrm")))
+      .where(col("cos") >= 0.3)
+      .select(
+        col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.label").as("label"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val d05Oracle: String =
+    """WITH n AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x)) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+      |  round(list_reduce(list_transform(list_zip(a.e, b.e), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, x) -> a + x)
+      |    / (a.nrm * b.nrm), 6) AS cos_r
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_reduce(list_transform(list_zip(a.e, b.e), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, x) -> a + x)
+      |    / (a.nrm * b.nrm) >= 0.3
+      |ORDER BY a_id, b_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("d01_dedup_exact", Some(d01Oracle), d01),
+    Q("d02_dedup_jaccard", Some(d02Oracle), d02),
+    Q("d03_dedup_minhash", None, d03),
+    Q("d04_dedup_simhash", None, d04),
+    Q("d05_dedup_embed", Some(d05Oracle), d05))
+}

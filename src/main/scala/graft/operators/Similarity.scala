@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Vector math is double-precision via higher-order functions
+  * (zip_with product + left-fold sum) — codegen'd, no UDFs. The
+  * brute-force scan is the exactness baseline: one narrow pass +
+  * TakeOrderedAndProject (per-partition top-k heaps, no full sort) — at
+  * 100 TB it reads every vector once but shuffles only k rows per
+  * partition. The LSH variant is the scale path: candidates confined to
+  * one hyperplane-sign bucket.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "embeddings")
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(e, x -> x * x), 0D, (acc, x) -> acc + x))"))
+
+  /** s01 — brute-force cosine top-10 for the query vector (vec_id 0).
+    * Ranking uses the 6-decimal-rounded cosine + vec_id so the cut at
+    * k is stable across engines. */
+  private def s01(s: SparkSession, d: String): DataFrame = {
+    val all = emb(s, d)
+    val q = all.where(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("nrm").as("qnrm"))
+    all.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos_r", round(col("dot") / (col("nrm") * col("qnrm")), 6))
+      .select("vec_id", "label", "cos_r")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val s01Oracle: String =
+    """WITH n AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT e AS qe, nrm AS qnrm FROM n WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  round(list_reduce(list_transform(list_zip(e, qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |    / (nrm * qnrm), 6) AS cos_r
+      |FROM n, q WHERE vec_id <> 0
+      |ORDER BY cos_r DESC, vec_id LIMIT 10""".stripMargin
+
+  /** s02 — LSH-bucketed ANN (rows-only: hyperplanes are seeded from
+    * Spark's xxhash64). 8 deterministic pseudo-random hyperplanes give an
+    * 8-bit sign bucket; the query's bucket plus all 1-bit-flip probes
+    * (multi-probe LSH) bound the candidate set; exact cosine re-ranks.
+    * At 100 TB: bucket id is the shuffle/cluster key, so each probe
+    * touches a ~1/2^8 slice instead of the full table. */
+  private def s02(s: SparkSession, d: String): DataFrame = {
+    val planes =
+      """transform(sequence(0, 7), p ->
+        |  transform(sequence(0, 63), j ->
+        |    CAST(pmod(xxhash64(p * 64 + j), 2000003L) AS DOUBLE) / 1000001.5D - 1.0D))""".stripMargin
+    val withBucket = emb(s, d)
+      .withColumn("planes", expr(planes))
+      .withColumn("bucket", expr(
+        """aggregate(sequence(0, 7), 0L, (acc, p) ->
+          |  acc | CASE WHEN aggregate(zip_with(e, planes[p], (x, y) -> x * y), 0D, (a2, x) -> a2 + x) > 0D
+          |        THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin))
+      .select("vec_id", "label", "e", "nrm", "bucket")
+    val q = withBucket.where(col("vec_id") === 0)
+      .withColumn("probes", expr(
+        "array_union(array(bucket), transform(sequence(0, 7), p -> bucket ^ shiftleft(1L, p)))"))
+      .select(explode(col("probes")).as("qbucket"),
+        col("e").as("qe"), col("nrm").as("qnrm"))
+    withBucket.where(col("vec_id") =!= 0)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .withColumn("dot", expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos_r", round(col("dot") / (col("nrm") * col("qnrm")), 6))
+      .select("vec_id", "label", "bucket", "cos_r")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("s01_ann_brute", Some(s01Oracle), s01),
+    Q("s02_ann_lsh", None, s02))
+}

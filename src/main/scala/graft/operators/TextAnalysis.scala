@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table. Everything is built from codegen'd builtins
+  * (regexp_extract_all, higher-order array functions) — no UDFs — so the
+  * whole pipeline stays inside whole-stage codegen and scales linearly
+  * with document bytes (narrow, no shuffle until the final sort).
+  */
+object TextAnalysis {
+
+  /** Disjoint per-language stopword lists for the n-gram/stopword
+    * language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "los", "que", "por", "con", "una", "para", "como"),
+    "fr" -> Seq("le", "les", "des", "est", "dans", "pour", "une", "sur"),
+    "zh" -> Seq("zhe", "shi", "bu", "wo", "ni", "ta", "men", "hen"))
+
+  private val langs = stopwords.keys.toSeq.sorted // de, en, es, fr, zh
+
+  private def sqlList(ws: Seq[String]) = ws.mkString("'", "', '", "'")
+
+  /** t01 — language ID: distinct-stopword hit count per language, argmax
+    * with alphabetical tie-break (expressed as an ordered CASE). */
+  private def t01(s: SparkSession, d: String): DataFrame = {
+    val scored = langs.foldLeft(
+      Tables.df(s, d, "documents")
+        .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))) {
+      (df, l) =>
+        df.withColumn(s"s_$l",
+          size(array_intersect(col("toks"), array(stopwords(l).map(lit): _*))))
+    }
+    val pred = langs.init.foldRight(lit(langs.last): org.apache.spark.sql.Column) {
+      (l, elseCol) =>
+        val geAll = langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o"))
+          .reduce(_ && _)
+        when(geAll, lit(l)).otherwise(elseCol)
+    }
+    val outCols = ("doc_id" +: langs.map(l => s"s_$l")) :+ "pred"
+    scored
+      .withColumn("pred", pred)
+      .select(outCols.map(col): _*)
+      .orderBy("doc_id")
+  }
+
+  private val t01Oracle: String = {
+    val scoreCols = langs.map { l =>
+      s"len(list_intersect(regexp_extract_all(lower(text), '[a-z]+'), [${sqlList(stopwords(l))}])) AS s_$l"
+    }.mkString(",\n  ")
+    val caseArms = langs.init.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |  $scoreCols
+       |  FROM documents)
+       |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+       |  CASE $caseArms ELSE '${langs.last}' END AS pred
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** t02 — quality scoring: token/punctuation/stopword ratios + a
+    * weighted quality score. Ratios are single divisions of identical
+    * integers, so they are bit-identical cross-engine. */
+  private def t02(s: SparkSession, d: String): DataFrame = {
+    val allStops = langs.flatMap(stopwords).distinct
+    Tables.df(s, d, "documents")
+      .withColumn("n_chars_m", length(col("text")))
+      .withColumn("n_tok", expr("size(regexp_extract_all(lower(text), '[a-z]+', 0))"))
+      .withColumn("n_punct", expr("size(regexp_extract_all(text, '[.,;:!?]', 0))"))
+      .withColumn("n_stop", expr(
+        s"size(filter(regexp_extract_all(lower(text), '[a-z]+', 0), " +
+          s"x -> array_contains(array(${sqlList(allStops)}), x)))"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tok"))
+      .withColumn("punct_ratio", col("n_punct") / col("n_chars_m"))
+      .withColumn("quality_score",
+        col("stop_ratio") * 0.5 + col("punct_ratio") * 0.2
+          + (col("n_tok") / col("n_chars_m")) * 0.3)
+      .select("doc_id", "n_chars_m", "n_tok", "n_punct", "n_stop",
+        "stop_ratio", "punct_ratio", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  private val t02Oracle: String = {
+    val allStops = langs.flatMap(stopwords).distinct
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    length(text) AS n_chars_m,
+       |    len(regexp_extract_all(lower(text), '[a-z]+')) AS n_tok,
+       |    len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       |    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+       |        x -> list_contains([${sqlList(allStops)}], x))) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_chars_m, n_tok, n_punct, n_stop,
+       |  n_stop / n_tok AS stop_ratio,
+       |  n_punct / n_chars_m AS punct_ratio,
+       |  (n_stop / n_tok) * 0.5 + (n_punct / n_chars_m) * 0.2
+       |    + (n_tok / n_chars_m) * 0.3 AS quality_score
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  /** t03 — token counting: whitespace tokens and a BPE-ish regex
+    * (word pieces + individual punctuation marks). */
+  private def t03(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "documents")
+      .select(
+        col("doc_id"),
+        expr("size(regexp_extract_all(text, '\\\\S+', 0))").as("n_ws_tokens"),
+        expr("size(regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0))").as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_m"))
+      .orderBy("doc_id")
+
+  private val t03Oracle: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+      |  length(text) AS n_chars_m
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t04 — document fingerprinting (rows-only): rolling polynomial hash
+    * over token xxhash64s mod 1e9+7 (modular, not wrap-around — ANSI
+    * mode is on and long overflow would throw), plus a winnowed min-hash
+    * over 8-token windows (robust to local edits). Deterministic;
+    * asserted in TextSpec. */
+  private def t04(s: SparkSession, d: String): DataFrame = {
+    val poly = "(acc, x) -> pmod(acc * 31L + pmod(x, 1000000007L), 1000000007L)"
+    Tables.df(s, d, "documents")
+      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .withColumn("hs", expr("transform(toks, x -> xxhash64(x))"))
+      .withColumn("fp64", expr(s"aggregate(hs, 0L, $poly)"))
+      .withColumn("win_fp", expr(
+        s"""CASE WHEN size(hs) >= 8 THEN
+           |  array_min(transform(sequence(0, size(hs) - 8),
+           |    i -> aggregate(slice(hs, i + 1, 8), 0L, $poly)))
+           |ELSE fp64 END""".stripMargin))
+      .select("doc_id", "fp64", "win_fp")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("t01_lang_id", Some(t01Oracle), t01),
+    Q("t02_quality", Some(t02Oracle), t02),
+    Q("t03_tokens", Some(t03Oracle), t03),
+    Q("t04_fingerprint", None, t04))
+}
