@@ -93,13 +93,11 @@ object Dedup {
     * signature-estimated Jaccard. Banding bounds candidate pairs by
     * bucket occupancy — the scale path for near-dup at 100 TB. */
   private def d03(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val sig = docs(s, d)
       .withColumn("toks", expr(tokExpr))
       .where(size(col("toks")) >= 3)
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3))))"))
-      .withColumn("sig", expr(
-        "transform(sequence(0, 31), i -> array_min(transform(sh, x -> xxhash64(x, i))))"))
+      .withColumn("sig", expr("minhash_shingle32(toks)"))
       .select("doc_id", "sig")
     val bands = sig.select(
       col("doc_id"), col("sig"),
@@ -125,17 +123,11 @@ object Dedup {
     * pigeonhole... for ≤3 differing bits across 4 blocks); verify with
     * bit_count(xor) ≤ 3. */
   private def d04(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val sig = docs(s, d)
       .withColumn("toks", expr(tokExpr))
       .where(size(col("toks")) >= 1)
-      .withColumn("votes", expr(
-        """aggregate(toks, transform(sequence(0, 63), b -> 0L),
-          |  (acc, t) -> zip_with(acc,
-          |    transform(sequence(0, 63), b ->
-          |      CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1L ELSE -1L END),
-          |    (x, y) -> x + y))""".stripMargin))
-      .withColumn("simhash", expr(
-        "aggregate(transform(sequence(0, 63), b -> CASE WHEN votes[b] > 0 THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc | x)"))
+      .withColumn("simhash", expr("simhash64(toks)"))
       .select("doc_id", "simhash")
     val blocks = sig.select(
       col("doc_id"), col("simhash"),
@@ -160,13 +152,13 @@ object Dedup {
     * aggregate fold, threshold 0.3 (this synthetic set has no tight
     * dup clusters; the operator semantics are threshold-parametric). */
   private def d05(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val n = Tables.df(s, d, "embeddings")
-      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(e, x -> x * x), 0D, (acc, x) -> acc + x))"))
-      .select("vec_id", "label", "e", "nrm")
+      .withColumn("nrm", expr("vec_norm(embedding)"))
+      .select(col("vec_id"), col("label"), col("embedding").as("e"), col("nrm"))
     n.as("a")
       .join(n.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("vec_dot(a.e, b.e)"))
       .withColumn("cos", col("dot") / (col("a.nrm") * col("b.nrm")))
       .where(col("cos") >= 0.3)
       .select(

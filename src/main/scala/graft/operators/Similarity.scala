@@ -4,24 +4,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
-  * Vector math is double-precision via higher-order functions
-  * (zip_with product + left-fold sum) — codegen'd, no UDFs. The
+  * Vector math runs in the native vec_dot/vec_norm expressions
+  * (graft.functions.VecExprs): double-precision left-to-right folds,
+  * bit-identical to the DuckDB oracle, at tight-loop speed. The
   * brute-force scan is the exactness baseline: one narrow pass +
   * TakeOrderedAndProject (per-partition top-k heaps, no full sort) — at
   * 100 TB it reads every vector once but shuffles only k rows per
   * partition. The LSH variant is the scale path: candidates confined to
-  * one hyperplane-sign bucket.
+  * hyperplane-sign buckets.
   */
 object Similarity {
 
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables.df(s, d, "embeddings")
-      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(transform(e, x -> x * x), 0D, (acc, x) -> acc + x))"))
+      .withColumn("nrm", expr("vec_norm(embedding)"))
+  }
 
   /** s01 — brute-force cosine top-10 for the query vector (vec_id 0).
     * Ranking uses the 6-decimal-rounded cosine + vec_id so the cut at
@@ -29,11 +31,10 @@ object Similarity {
   private def s01(s: SparkSession, d: String): DataFrame = {
     val all = emb(s, d)
     val q = all.where(col("vec_id") === 0)
-      .select(col("e").as("qe"), col("nrm").as("qnrm"))
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
     all.where(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("dot", expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
-      .withColumn("cos_r", round(col("dot") / (col("nrm") * col("qnrm")), 6))
+      .withColumn("cos_r", round(expr("vec_dot(embedding, qe)") / (col("nrm") * col("qnrm")), 6))
       .select("vec_id", "label", "cos_r")
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(10)
@@ -41,8 +42,7 @@ object Similarity {
 
   private val s01Oracle: String =
     """WITH n AS (
-      |  SELECT vec_id, label,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |  SELECT vec_id, label, embedding AS e,
       |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm
       |  FROM embeddings),
       |q AS (SELECT e AS qe, nrm AS qnrm FROM n WHERE vec_id = 0)
@@ -67,9 +67,9 @@ object Similarity {
       .withColumn("planes", expr(planes))
       .withColumn("bucket", expr(
         """aggregate(sequence(0, 7), 0L, (acc, p) ->
-          |  acc | CASE WHEN aggregate(zip_with(e, planes[p], (x, y) -> x * y), 0D, (a2, x) -> a2 + x) > 0D
+          |  acc | CASE WHEN vec_dot(embedding, planes[p]) > 0D
           |        THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin))
-      .select("vec_id", "label", "e", "nrm", "bucket")
+      .select(col("vec_id"), col("label"), col("embedding").as("e"), col("nrm"), col("bucket"))
     val q = withBucket.where(col("vec_id") === 0)
       .withColumn("probes", expr(
         "array_union(array(bucket), transform(sequence(0, 7), p -> bucket ^ shiftleft(1L, p)))"))
@@ -77,8 +77,7 @@ object Similarity {
         col("e").as("qe"), col("nrm").as("qnrm"))
     withBucket.where(col("vec_id") =!= 0)
       .join(broadcast(q), col("bucket") === col("qbucket"))
-      .withColumn("dot", expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
-      .withColumn("cos_r", round(col("dot") / (col("nrm") * col("qnrm")), 6))
+      .withColumn("cos_r", round(expr("vec_dot(e, qe)") / (col("nrm") * col("qnrm")), 6))
       .select("vec_id", "label", "bucket", "cos_r")
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(10)

@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan inspection — the Spark analog of the reference's EXPLAIN
+  * workflows (reference docs/3_cli_query_plans.md: tree/indent explain,
+  * explain analyze/verbose) plus the assertions the reference makes by
+  * reading plans: pushdown reached the scan, the join chose
+  * CollectLeft/broadcast, aggregation is two-phase, codegen covers the
+  * hot path. Used by PlanSpec and by the bench tuning loop.
+  */
+object PlanInspector {
+
+  /** EXPLAIN (tree format analog). */
+  def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  /** EXPLAIN VERBOSE analog: parsed → analyzed → optimized → physical. */
+  def extended(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExtendedMode)
+
+  /** The physical plan with AQE's wrapper unwrapped (pre-execution
+    * initial plan; AQE may re-plan at runtime). */
+  def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+
+  private def nodes(df: DataFrame): Seq[SparkPlan] = {
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ p.subqueries).flatMap(walk)
+    walk(physical(df))
+  }
+
+  def nodeNames(df: DataFrame): Seq[String] = nodes(df).map(_.nodeName)
+
+  /** PushedFilters strings from every parquet scan in the plan. */
+  def pushedFilters(df: DataFrame): Seq[String] =
+    "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(formatted(df)).toSeq
+
+  /** ReadSchema strings — proves column pruning reached the scan. */
+  def readSchemas(df: DataFrame): Seq[String] =
+    "ReadSchema: [^\\n]*".r.findAllIn(formatted(df)).toSeq
+
+  def usesBroadcastHashJoin(df: DataFrame): Boolean =
+    nodeNames(df).exists(_.contains("BroadcastHashJoin"))
+
+  def usesShuffleJoin(df: DataFrame): Boolean =
+    nodeNames(df).exists(n => n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin"))
+
+  /** Two-phase aggregation (reference docs/7 Partial & Final): at least
+    * two HashAggregate nodes on the path. */
+  def hasTwoPhaseAgg(df: DataFrame): Boolean =
+    nodeNames(df).count(_.contains("HashAggregate")) >= 2
+
+  /** Number of WholeStageCodegen spans — wider is better for the hot
+    * path (SURVEY.md §4). Forces codegen planning via CodegenMode: under
+    * AQE the pre-execution plan string hides codegen wrapping. */
+  def codegenSpans(df: DataFrame): Int =
+    "WholeStageCodegen".r
+      .findAllIn(df.queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode))
+      .length
+
+  /** Top-K plan check: sort+limit must collapse to TakeOrderedAndProject. */
+  def usesTakeOrdered(df: DataFrame): Boolean =
+    nodeNames(df).exists(_.contains("TakeOrderedAndProject"))
+}

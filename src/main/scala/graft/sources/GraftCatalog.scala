@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/catalog surface — the Spark analog of the reference's external
+  * tables + information schema (reference: docs/1_cli_information_schema.md,
+  * docs/2_cli_create_tables.md, tests/setup_tables.rs:26).
+  *
+  * The reference registers CSV/Parquet files (single or directory) with
+  * an optional declared sort order; in Spark the scan-order contract is
+  * carried by bucketed+sorted tables (`writeBucketedSorted`), which let
+  * the planner skip the shuffle/sort for joins and aggregations on the
+  * bucket key — the same optimization `WITH ORDER` + prefer_existing_sort
+  * buys DataFusion.
+  */
+object GraftCatalog {
+
+  /** CREATE EXTERNAL TABLE ... STORED AS PARQUET LOCATION <dir>:
+    * single file or whole directory (docs/2 "Create tables for many
+    * files in a folder"). */
+  def registerParquet(spark: SparkSession, name: String, location: String): DataFrame = {
+    val df = spark.read.parquet(location)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** CREATE EXTERNAL TABLE ... STORED AS CSV with header + schema
+    * inference (docs/2 "From CSV file"). */
+  def registerCsv(spark: SparkSession, name: String, location: String,
+      header: Boolean = true, inferSchema: Boolean = true): DataFrame = {
+    val df = spark.read
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .csv(location)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** In-memory table + INSERT analog (docs/2 "Create tables & Insert
+    * data"): a local DataFrame registered as a view; "insert" = union +
+    * re-register. */
+  def registerValues(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  def insertInto(spark: SparkSession, name: String, rows: DataFrame): DataFrame = {
+    val merged = spark.table(name).unionByName(rows)
+    merged.createOrReplaceTempView(name)
+    merged
+  }
+
+  /** The `WITH ORDER (...)` analog: persist as a bucketed + sorted
+    * managed table. Scans of this table expose the bucketing to the
+    * planner, so joins/aggs keyed on `bucketCol` skip their shuffle —
+    * DataFusion's prefer_existing_sort, Spark-first. */
+  def writeBucketedSorted(df: DataFrame, table: String, bucketCol: String,
+      sortCols: Seq[String], buckets: Int = 32): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  // -------------------------------------------------------------------
+  // Information schema (docs/1): SHOW TABLES / columns / df_settings.
+  // -------------------------------------------------------------------
+
+  /** information_schema.tables analog. */
+  def tables(spark: SparkSession): DataFrame =
+    spark.sql("SHOW TABLES")
+
+  /** information_schema.columns / DESCRIBE analog. */
+  def columns(spark: SparkSession, table: String): DataFrame =
+    spark.sql(s"DESCRIBE TABLE $table")
+
+  /** information_schema.df_settings analog: session SQL configs as a
+    * (name, value) relation, optionally substring-filtered. */
+  def settings(spark: SparkSession, contains: String = ""): DataFrame = {
+    import spark.implicits._
+    spark.conf.getAll.toSeq.toDF("name", "value")
+      .where(col("name").contains(contains))
+      .orderBy("name")
+  }
+
+  // -------------------------------------------------------------------
+  // Sinks.
+  // -------------------------------------------------------------------
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

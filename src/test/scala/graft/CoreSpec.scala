@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.plans.PlanInspector._
+
+/** Core relational operators: every SURVEY §2.B query runs at sf0.001,
+  * plus the §2.C plan-shape assertions the reference makes by reading
+  * EXPLAIN output. */
+class CoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("every declared query runs and the non-filter ones return rows") {
+    val mayBeEmpty = Set("q13_join_anti", "d02_dedup_jaccard", "d03_dedup_minhash",
+      "d04_dedup_simhash", "d05_dedup_embed")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry (flagship) smoke-checks rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracles without queries: $extra")
+  }
+
+  test("q01: column pruning reaches the parquet scan") {
+    val schemas = readSchemas(SparkEntry.queries("q01_project")(spark, sf))
+    assert(schemas.nonEmpty)
+    assert(schemas.head.contains("l_orderkey") && !schemas.head.contains("l_returnflag"),
+      s"scan not pruned: ${schemas.head}")
+  }
+
+  test("q02: predicate pushdown reaches the parquet scan") {
+    val pushed = pushedFilters(SparkEntry.queries("q02_filter")(spark, sf))
+    assert(pushed.exists(p => p.contains("l_quantity") && p.contains("l_returnflag")),
+      s"filters not pushed: $pushed")
+  }
+
+  test("q04: top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(usesTakeOrdered(SparkEntry.queries("q04_topk")(spark, sf)))
+  }
+
+  test("q05: aggregation is two-phase (partial + final)") {
+    assert(hasTwoPhaseAgg(SparkEntry.queries("q05_agg")(spark, sf)))
+  }
+
+  test("q09/q17: dimension joins broadcast (CollectLeft analog)") {
+    assert(usesBroadcastHashJoin(SparkEntry.queries("q09_join_broadcast")(spark, sf)))
+    assert(usesBroadcastHashJoin(SparkEntry.queries("q17_flagship")(spark, sf)))
+  }
+
+  test("q10: big-big join shuffles when broadcast is off") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(usesShuffleJoin(SparkEntry.queries("q10_join_shuffle")(spark, sf)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("hot queries stay inside whole-stage codegen") {
+    assert(codegenSpans(SparkEntry.queries("q05_agg")(spark, sf)) > 0)
+    assert(codegenSpans(SparkEntry.queries("q17_flagship")(spark, sf)) > 0)
+  }
+
+  test("explain formats render") {
+    val df = SparkEntry.queries("q05_agg")(spark, sf)
+    assert(formatted(df).contains("HashAggregate"))
+    assert(extended(df).contains("== Physical Plan =="))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.D pipeline operators: determinism and cross-operator
+  * consistency checks that the rows-only (no-oracle) ops rely on. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, sf).collect().toSeq
+
+  test("d03 minhash-LSH candidates cover the high-Jaccard exact pairs") {
+    val exact = rows("d02_dedup_jaccard")
+      .filter(_.getAs[Double]("jac") >= 0.7)
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val lsh = rows("d03_dedup_minhash")
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(exact.subsetOf(lsh),
+      s"LSH missed high-similarity pairs: ${exact -- lsh}")
+  }
+
+  test("d03 estimated jaccard is a valid fraction and deterministic") {
+    val a = rows("d03_dedup_minhash")
+    val b = rows("d03_dedup_minhash")
+    assert(a == b)
+    assert(a.forall { r =>
+      val j = r.getAs[Double]("est_jac"); j >= 0.0 && j <= 1.0
+    })
+  }
+
+  test("d04 simhash pairs are within the declared Hamming bound") {
+    assert(rows("d04_dedup_simhash").forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("s01 brute-force top-k is sorted and sized") {
+    val r = rows("s01_ann_brute")
+    assert(r.size == 10)
+    val cs = r.map(_.getAs[Double]("cos_r"))
+    assert(cs == cs.sorted.reverse)
+  }
+
+  test("s02 LSH ANN overlaps the exact top-k") {
+    val exact = rows("s01_ann_brute").map(_.getAs[Long]("vec_id")).toSet
+    val approx = rows("s02_ann_lsh").map(_.getAs[Long]("vec_id")).toSet
+    assert(approx.nonEmpty)
+    assert((exact & approx).nonEmpty, "LSH found none of the true top-k")
+  }
+
+  test("t01 predictions come from the language set") {
+    val langs = operators.TextAnalysis.stopwords.keySet
+    assert(rows("t01_lang_id").forall(r => langs(r.getAs[String]("pred"))))
+  }
+
+  test("t02 ratios are in [0,1]") {
+    assert(rows("t02_quality").forall { r =>
+      val sr = r.getAs[Double]("stop_ratio"); val pr = r.getAs[Double]("punct_ratio")
+      sr >= 0 && sr <= 1 && pr >= 0 && pr <= 1
+    })
+  }
+
+  test("t04 fingerprints are deterministic and in modular range") {
+    val a = rows("t04_fingerprint")
+    assert(a == rows("t04_fingerprint"))
+    assert(a.forall { r =>
+      val f = r.getAs[Long]("fp64"); f >= 0 && f < 1000000007L
+    })
+  }
+
+  test("m01 multimodal features match the payload") {
+    val docs = Tables.df(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val feats = rows("m01_multimodal")
+    assert(feats.size == docs.size)
+    assert(feats.forall { r =>
+      val mb = r.getAs[Double]("mean_byte")
+      docs(r.getAs[Long]("doc_id")) == r.getAs[Int]("n_bytes") && mb > 0 && mb < 256
+    })
+  }
+}
