@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions._
+
+/** Session-extension entry point: makes the native graft expressions
+  * available on any session via
+  * `spark.sql.extensions=graft.GraftExtensions` — the deployment path
+  * for a cluster where users can't call
+  * [[graft.functions.GraftFunctions.register]] themselves (e.g. pure-SQL
+  * clients over Thrift/Connect).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash of a token array"),
+      es => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("minhash32"),
+      info("minhash32", "minhash32(array<string>) - 32-permutation MinHash signature"),
+      es => MinHash32(es.head)))
+    e.injectFunction((FunctionIdentifier("minhash_shingle32"),
+      info("minhash_shingle32",
+        "minhash_shingle32(array<string>) - MinHash32 over 3-token shingles"),
+      es => MinHashShingle32(es.head)))
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(array<float|double>, array<float|double>) - dot product"),
+      es => VecDot(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(array<float|double>) - L2 norm"),
+      es => VecNorm(es.head)))
+  }
+}

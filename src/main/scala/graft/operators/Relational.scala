@@ -280,6 +280,71 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** q25 — full outer join: per-nation customer counts ⋈ per-nation
+    * supplier counts, preserving unmatched sides. */
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val cs = t(s, d, "customer").groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sp = t(s, d, "supplier").groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    cs.join(sp, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"), col("n_cust"), col("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** q26 — set operations: INTERSECT and EXCEPT of the customer/supplier
+    * nation-key sets, tagged and unioned. */
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").select(col("c_nationkey").as("k"))
+    val p = t(s, d, "supplier").select(col("s_nationkey").as("k"))
+    c.intersect(p).withColumn("tag", lit("both"))
+      .unionAll(c.except(p).withColumn("tag", lit("cust_only")))
+      .select("tag", "k")
+      .orderBy("tag", "k")
+  }
+
+  /** q27 — cross join (small × small): every region × market segment. */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    t(s, d, "region").select("r_name")
+      .crossJoin(t(s, d, "customer").select("c_mktsegment").distinct())
+      .orderBy("r_name", "c_mktsegment")
+
+  /** q28 — pivot: order counts by priority × status. na.fill(0) aligns
+    * Spark's null-for-empty-cell with COUNT's 0. */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0)
+      .orderBy("o_orderpriority")
+
+  /** q29 — IN-subquery through the SQL path (plans as a left semi join,
+    * like q12's DataFrame form). */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    Tables.ensure(s, d)
+    s.sql(
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q30 — exact percentiles per group (sort-based within group). */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      .orderBy("o_orderpriority")
+
+  /** q31 — date-part extraction + aggregation. */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("y", "m")
+
   // ---------------------------------------------------------------------
   // Oracle SQL (DuckDB). Aliases match the Spark output column names
   // exactly; float discipline per SURVEY.md §5.
@@ -425,6 +490,43 @@ object Relational {
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin), q24)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin), q24),
+    Q("q25_join_full", Some(
+      """SELECT COALESCE(ck, sk) AS nationkey, n_cust, n_supp FROM
+        |  (SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+        |FULL OUTER JOIN
+        |  (SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+        |ON ck = sk ORDER BY nationkey""".stripMargin), q25),
+    Q("q26_setops", Some(
+      """SELECT 'both' AS tag, k FROM
+        |  (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, k FROM
+        |  (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+        |ORDER BY tag, k""".stripMargin), q26),
+    Q("q27_cross", Some(
+      """SELECT r_name, c_mktsegment FROM region
+        |CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+        |ORDER BY r_name, c_mktsegment""".stripMargin), q27),
+    Q("q28_pivot", Some(
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin), q28),
+    Q("q29_in_subquery", Some(
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin), q29),
+    Q("q30_percentile", Some(
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin), q30),
+    Q("q31_date_parts", Some(
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin), q31)
   )
 }

@@ -67,4 +67,15 @@ object PlanInspector {
   /** Top-K plan check: sort+limit must collapse to TakeOrderedAndProject. */
   def usesTakeOrdered(df: DataFrame): Boolean =
     nodeNames(df).exists(_.contains("TakeOrderedAndProject"))
+
+  final case class Analyzed(rows: Long, wallSec: Double, finalPlan: String)
+
+  /** EXPLAIN ANALYZE analog (reference docs/3): execute, then report
+    * row count, wall time, and the post-AQE final plan. */
+  def analyze(df: DataFrame): Analyzed = {
+    val t0 = System.nanoTime()
+    val rows = df.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Analyzed(rows, wall, df.queryExecution.executedPlan.toString)
+  }
 }
