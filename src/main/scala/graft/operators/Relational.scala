@@ -345,6 +345,43 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy("y", "m")
 
+  /** q32 — window frames: lead, first_value, and a 3-row moving sum
+    * (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    t(s, d, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("nxt"),
+        first(col("o_orderkey")).over(w).as("fst"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w3)
+          .cast(DoubleType).as("mov3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q33 — JSON extraction from the events props column + aggregation;
+    * get_json_object stays codegen'd (no UDF JSON parsing). */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("int")).as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** q34 — sketch aggregates (rows-only: HLL/quantile-sketch values are
+    * engine-specific): approx_count_distinct + approx_percentile — the
+    * 100 TB path where exact distinct/percentile shuffles would be
+    * prohibitive. PipelineSpec bounds the error vs the exact answers. */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        expr("approx_percentile(o_totalprice, 0.5)").as("approx_p50"))
+      .orderBy("o_orderstatus")
+
   // ---------------------------------------------------------------------
   // Oracle SQL (DuckDB). Aliases match the Spark output column names
   // exactly; float discipline per SURVEY.md §5.
@@ -527,6 +564,22 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin), q31)
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin), q31),
+    Q("q32_window_frames", Some(
+      """SELECT o_custkey, o_orderkey,
+        |  lead(o_orderkey) OVER w AS nxt,
+        |  first_value(o_orderkey) OVER w AS fst,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin), q32),
+    Q("q33_json", Some(
+      """SELECT event_type,
+        |  CAST(SUM(CAST((props ->> '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin), q33),
+    Q("q34_approx", None, q34)
   )
 }

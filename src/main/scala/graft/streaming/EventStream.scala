@@ -35,6 +35,15 @@ object EventStream {
         col("window.start").as("win_start"),
         col("event_type"), col("n"), col("sum_val"))
 
+  /** Streaming deduplication: drop re-delivered events by event_id. The
+    * watermark bounds the dedup state — ids older than the lateness
+    * horizon are evicted, so state stays finite on an unbounded stream
+    * (the streaming twin of batch d01_dedup_exact). */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom state machine: per-user session counting with a 30-minute
     * inactivity gap, via flatMapGroupsWithState — the streaming twin of
     * batch q23_sessionize. State is bounded by the active-user set; an

@@ -69,6 +69,17 @@ class PipelineSpec extends AnyFunSuite {
     })
   }
 
+  test("q34 sketch aggregates land within 5% of exact") {
+    val exact = SparkEntry.queries("q07_agg_distinct")(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("n_cust")).toMap
+    rows("q34_approx").foreach { r =>
+      val st = r.getAs[String]("o_orderstatus")
+      val approx = r.getAs[Long]("approx_cust").toDouble
+      val truth = exact(st).toDouble
+      assert(math.abs(approx - truth) / truth <= 0.05, s"$st: $approx vs $truth")
+    }
+  }
+
   test("m01 multimodal features match the payload") {
     val docs = Tables.df(spark, sf, "documents")
       .select(col("doc_id"), length(col("text")).as("len")).collect()

@@ -41,6 +41,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventStream.dedupStream(ms.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2 re-delivers event 1 within the watermark
+      ms.addData(Event(1, ts(0), 1, "click", 1.0), Event(3, ts(2), 2, "view", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateful session counting across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
