@@ -370,6 +370,31 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** q35 — as-of join (an operator Spark lacks natively, composed from
+    * existing ops): for each event, the user's most recent order at or
+    * before the event time. Orders are first collapsed to one row per
+    * (custkey, orderdate) so the as-of pick is deterministic; the
+    * range-join expands to the per-user candidate set and a descending
+    * row_number keeps the latest. At 100 TB the same plan co-partitions
+    * both sides on the key, and the candidate fan-out stays bounded by
+    * orders-per-user; DuckDB's native ASOF JOIN is the oracle. */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val ord = t(s, d, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val ev = t(s, d, "events").select("event_id", "user_id", "ts")
+    val w = Window.partitionBy("event_id").orderBy(col("o_orderdate").desc)
+    ev.join(ord,
+        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(
+        col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        col("o_orderkey"), col("o_orderdate"))
+      .orderBy("event_id")
+  }
+
   /** q34 — sketch aggregates (rows-only: HLL/quantile-sketch values are
     * engine-specific): approx_count_distinct + approx_percentile — the
     * 100 TB path where exact distinct/percentile shuffles would be
@@ -580,6 +605,16 @@ object Relational {
         |  CAST(SUM(CAST((props ->> '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin), q33),
-    Q("q34_approx", None, q34)
+    Q("q34_approx", None, q34),
+    Q("q35_asof_join", Some(
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT event_id, user_id,
+        |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+        |  o_orderkey, o_orderdate
+        |FROM events ASOF JOIN ord
+        |  ON user_id = o_custkey AND ts >= o_orderdate
+        |ORDER BY event_id""".stripMargin), q35)
   )
 }
