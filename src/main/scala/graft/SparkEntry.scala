@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** Every coverage entry from SURVEY.md §2, in inventory order. */
   def allQs: Seq[Q] =
-    Relational.all ++ Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all
+    Relational.all ++ TopK.all ++ Dedup.all ++ Similarity.all ++
+      TextAnalysis.all ++ Multimodal.all
 
   /** Flagship query (the reference's opt_parallel_execution.rs test shape)
     * on sf0.001; driver smoke-checks rows>0. */

@@ -83,7 +83,38 @@ object Similarity {
       .limit(10)
   }
 
+  /** s03 — IVF-style ANN (rows-only): coarse quantizer = per-label mean
+    * vectors (computed distributively via posexplode + per-dimension
+    * avg); the query probes its 3 nearest centroids and brute-forces
+    * only those inverted lists. At 100 TB the lists are the partition/
+    * cluster key, so a probe touches nprobe/nlist of the data; recall
+    * is bounded in PipelineSpec against the exact scan. */
+  private def s03(s: SparkSession, d: String): DataFrame = {
+    val all = emb(s, d)
+    val centroids = all
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(avg(col("v")).as("cv"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
+      .withColumn("cnrm", expr("vec_norm(ce)"))
+    val q = all.where(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .withColumn("ccos", expr("vec_dot(ce, qe)") / (col("cnrm") * col("qnrm")))
+      .orderBy(col("ccos").desc, col("label"))
+      .limit(3)
+      .select(col("label").as("plabel"), col("qe"), col("qnrm"))
+    all.where(col("vec_id") =!= 0)
+      .join(broadcast(probed), col("label") === col("plabel"))
+      .withColumn("cos_r", round(expr("vec_dot(embedding, qe)") / (col("nrm") * col("qnrm")), 6))
+      .select("vec_id", "label", "cos_r")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_ann_brute", Some(s01Oracle), s01),
-    Q("s02_ann_lsh", None, s02))
+    Q("s02_ann_lsh", None, s02),
+    Q("s03_ann_ivf", None, s03))
 }

@@ -49,6 +49,21 @@ class PipelineSpec extends AnyFunSuite {
     assert((exact & approx).nonEmpty, "LSH found none of the true top-k")
   }
 
+  test("s03 IVF ANN overlaps the exact top-k") {
+    val exact = rows("s01_ann_brute").map(_.getAs[Long]("vec_id")).toSet
+    val ivf = rows("s03_ann_ivf").map(_.getAs[Long]("vec_id")).toSet
+    assert(ivf.size == 10)
+    assert((exact & ivf).nonEmpty, "IVF found none of the true top-k")
+  }
+
+  test("q36 aggregator top-k equals q24 window top-k") {
+    val a = rows("q24_topn_per_key").map(r =>
+      (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"), r.getAs[Int]("rn")))
+    val b = rows("q36_topn_agg").map(r =>
+      (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"), r.getAs[Int]("rn")))
+    assert(a == b)
+  }
+
   test("t01 predictions come from the language set") {
     val langs = operators.TextAnalysis.stopwords.keySet
     assert(rows("t01_lang_id").forall(r => langs(r.getAs[String]("pred"))))
