@@ -407,6 +407,25 @@ object Relational {
         expr("approx_percentile(o_totalprice, 0.5)").as("approx_p50"))
       .orderBy("o_orderstatus")
 
+  /** q37 — salted two-stage aggregation: the explicit skew-mitigation
+    * pattern (prompt: "salting for skew"). Stage 1 aggregates on
+    * (key, salt) so a hot key spreads over 16 reducers; stage 2 merges
+    * the partials. Decimal partial-sums merge exactly, so the result is
+    * identical to the direct aggregation — same oracle shape as any
+    * plain GROUP BY. AQE's skew-join handles the join-side analog
+    * (GraftSession). */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_custkey"), pmod(xxhash64(col("o_orderkey")), lit(16)).as("salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("psum"))
+      .groupBy("o_custkey")
+      .agg(
+        sum(col("pn")).as("n_orders"),
+        sum(col("psum")).cast(DoubleType).as("sum_price"))
+      .orderBy("o_custkey")
+
   // ---------------------------------------------------------------------
   // Oracle SQL (DuckDB). Aliases match the Spark output column names
   // exactly; float discipline per SURVEY.md §5.
@@ -615,6 +634,10 @@ object Relational {
         |  o_orderkey, o_orderdate
         |FROM events ASOF JOIN ord
         |  ON user_id = o_custkey AND ts >= o_orderdate
-        |ORDER BY event_id""".stripMargin), q35)
+        |ORDER BY event_id""".stripMargin), q35),
+    Q("q37_salted_agg", Some(
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin), q37)
   )
 }

@@ -70,6 +70,16 @@ class CoreSpec extends AnyFunSuite {
     assert(codegenSpans(SparkEntry.queries("q17_flagship")(spark, sf)) > 0)
   }
 
+  test("repartition/coalesce surface (reference docs/5)") {
+    val li = Tables.df(spark, sf, "lineitem")
+    val rep = li.repartition(8, col("l_orderkey"))
+    assert(plans.PlanInspector.physical(rep).toString.contains("hashpartitioning(l_orderkey"))
+    val co = li.coalesce(2)
+    assert(co.rdd.getNumPartitions <= 2)
+    // AQE partition coalescing is on (target_partitions analog)
+    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+  }
+
   test("explain formats render") {
     val df = SparkEntry.queries("q05_agg")(spark, sf)
     assert(formatted(df).contains("HashAggregate"))
