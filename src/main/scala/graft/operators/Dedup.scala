@@ -51,6 +51,12 @@ object Dedup {
     * shingle — at 100 TB you cap hot shingles (stop-shingle removal) or
     * switch to d03's banding, which bounds candidates by construction. */
   private def d02(s: SparkSession, d: String): DataFrame = {
+    // The inverted index feeds three plan branches (both self-join sides
+    // + the per-doc sizes). Recomputing it is cheaper than caching: the
+    // tokenize+shingle stage is narrow and codegen-adjacent, while
+    // persisting the exploded index forces a full materialization
+    // (measured slower at sf0.1). At 100 TB a dedup pipeline would
+    // checkpoint the index to parquet instead.
     val sh = shingles(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
