@@ -95,6 +95,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p03 stratified sample rates are near the requested fractions") {
+    val totals = Tables.df(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val want = Map("en" -> 0.1, "de" -> 0.4, "es" -> 0.4, "fr" -> 0.4, "zh" -> 0.4)
+    val a = rows("p03_sample_stratified")
+    assert(a == rows("p03_sample_stratified"), "sampleBy not deterministic for fixed seed")
+    a.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val got = r.getAs[Long]("n_sampled").toDouble / totals(lang)
+      // 3-sigma binomial bound on the small sf0.001 strata
+      val n = totals(lang).toDouble
+      val sigma = math.sqrt(want(lang) * (1 - want(lang)) / n)
+      assert(math.abs(got - want(lang)) <= 3 * sigma + 0.02, s"$lang: rate $got vs ${want(lang)}")
+    }
+  }
+
   test("m01 multimodal features match the payload") {
     val docs = Tables.df(spark, sf, "documents")
       .select(col("doc_id"), length(col("text")).as("len")).collect()
