@@ -60,6 +60,20 @@ class SourcesCatalogSpec extends AnyFunSuite {
       s"bucket pruning failed, plan still shuffles:\n$plan")
   }
 
+  test("hive-partitioned layout prunes partitions at the scan") {
+    val ev = Tables.df(spark, sf, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(s"$tmp/events_by_day")
+    val part = spark.read.parquet(s"$tmp/events_by_day")
+      .where(col("day") === "2024-01-05")
+    val plan = plans.PlanInspector.formatted(part)
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"no partition filter in scan:\n$plan")
+    // pruned read touches exactly the one day
+    val expected = ev.where(col("day") === "2024-01-05").count()
+    assert(part.count() == expected && expected > 0)
+  }
+
   test("information schema: tables, columns, settings") {
     Tables.ensure(spark, sf)
     val tbls = GraftCatalog.tables(spark).collect().map(_.getAs[String]("tableName")).toSet
