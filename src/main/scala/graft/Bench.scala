@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is fully materialized through the `noop` sink — a bare
   * count() would let Catalyst prune the query down to a metadata scan
-  * and time nothing. One warm-up query amortizes session/codegen
-  * startup out of the first measurement.
+  * and time nothing. Each query runs 3 times and reports the MEDIAN:
+  * round-1's single-shot harness attributed one-off GC/compile storms
+  * to whichever query ran next (63 s of phantom regression). Failures
+  * are reported explicitly in a "failed" list — a -1 can't silently
+  * shrink the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -16,21 +19,28 @@ object Bench {
     val spark: SparkSession = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
 
-    // JIT/codegen/session warm-up (not reported)
-    run(SparkEntry.queries("q05_agg"))
+    def median3(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val ts = Seq.fill(3)(once(fn))
+      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
+    }
 
-    val results = SparkEntry.allQs.map(q => q.name -> run(q.run))
+    // JIT/codegen/session warm-up (not reported)
+    once(SparkEntry.queries("q05_agg"))
+
+    val results = SparkEntry.allQs.map(q => q.name -> median3(q.run))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

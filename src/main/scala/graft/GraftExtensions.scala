@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_norm"),
       info("vec_norm", "vec_norm(array<float|double>) - L2 norm"),
       es => VecNorm(es.head)))
+    e.injectFunction((FunctionIdentifier("lsh_bucket64"),
+      info("lsh_bucket64",
+        "lsh_bucket64(array<float|double>) - random-hyperplane LSH bucket id"),
+      es => LshBucket64(es.head)))
   }
 }

@@ -22,14 +22,17 @@ object Tables {
     * `events.ts` column is nanosecond-precision in parquet, which Spark
     * rejects ([PARQUET_TYPE_ILLEGAL]); we read it as a long via the
     * nanosAsLong legacy conf and floor-convert to a microsecond
-    * timestamp. Queries that output raw timestamps truncate to whole
+    * timestamp. `ts div 1000` stays in long arithmetic — a double-
+    * routed division (`/`) would lose integer precision above 2^53
+    * (epoch-ns ulp = 256 ns) and drift ±1 µs from the oracle's integer
+    * truncation. Queries that output raw timestamps truncate to whole
     * seconds so the DuckDB oracle (which keeps ns) agrees (SURVEY.md §5).
     */
   def df(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(path(sfDir, name))
-        .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else spark.read.parquet(path(sfDir, name))
 

@@ -156,5 +156,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_shingle32", es => MinHashShingle32(es.head), "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
+    reg.createOrReplaceTempFunction("lsh_bucket64", es => LshBucket64(es.head), "built-in")
   }
 }

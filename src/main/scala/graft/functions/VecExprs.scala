@@ -55,6 +55,116 @@ object VecOps {
   }
 }
 
+/** Random-hyperplane LSH over embedding vectors (the scale path for
+  * ANN, reference-free: sign-of-projection bucketing is the classic
+  * SimHash-for-vectors construction).
+  *
+  * The hyperplane matrix is a deterministic pseudo-random constant —
+  * derived from xxhash64 at class load, identical on every executor —
+  * so the per-row work is exactly NumPlanes dot products in a tight
+  * JVM loop. This replaces the round-1 formulation that rebuilt the
+  * matrix per row inside interpreted HOFs (measured 6-9× slower than
+  * the brute-force scan it was meant to beat).
+  */
+object LshOps {
+  val NumPlanes = 8
+  private val MaxDim = 2048
+
+  /** Flat NumPlanes × MaxDim matrix, values uniform-ish in [-1, 1):
+    * planes(p * MaxDim + j) is plane p's coefficient for dimension j. */
+  val planes: Array[Double] = {
+    val a = new Array[Double](NumPlanes * MaxDim)
+    var i = 0
+    while (i < a.length) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(i.toLong, 42L)
+      a(i) = java.lang.Math.floorMod(h, 2000003L).toDouble / 1000001.5 - 1.0
+      i += 1
+    }
+    a
+  }
+
+  /** Query-side multi-probe plan: the `budget` XOR masks with the
+    * smallest flipped-margin mass (sum of squared projections over the
+    * flipped planes), applied to the query's own bucket. Mask 0 scores
+    * 0, so the query bucket is always probed first. Driver-side by
+    * design — the probe list is O(2^NumPlanes) query metadata, exactly
+    * what an ANN library's query planner computes before touching the
+    * index; it never sees table data. */
+  def probePlan(q: Array[Float], budget: Int): Array[Long] = {
+    val n = math.min(q.length, MaxDim)
+    val proj = new Array[Double](NumPlanes)
+    var p = 0
+    while (p < NumPlanes) {
+      val off = p * MaxDim
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += q(j) * planes(off + j); j += 1 }
+      proj(p) = acc
+      p += 1
+    }
+    var qb = 0L
+    p = 0
+    while (p < NumPlanes) { if (proj(p) > 0) qb |= 1L << p; p += 1 }
+    (0 until (1 << NumPlanes)).map { m =>
+      var sc = 0.0
+      var i = 0
+      while (i < NumPlanes) {
+        if (((m >> i) & 1) == 1) sc += proj(i) * proj(i)
+        i += 1
+      }
+      (m, sc)
+    }.sortBy { case (m, sc) => (sc, m) }
+      .take(budget)
+      .map { case (m, _) => m.toLong ^ qb }
+      .toArray
+  }
+
+  /** Sign-bit bucket: bit p of the result is 1 iff v · plane_p > 0.
+    * Called from generated code. */
+  def bucket(v: ArrayData, isFloat: Boolean): Long = {
+    val n = math.min(v.numElements(), MaxDim)
+    var out = 0L
+    var p = 0
+    while (p < NumPlanes) {
+      val off = p * MaxDim
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        acc += x * planes(off + j)
+        j += 1
+      }
+      if (acc > 0) out |= 1L << p
+      p += 1
+    }
+    out
+  }
+}
+
+/** lsh_bucket64(a): NumPlanes-bit random-hyperplane LSH bucket id. */
+final case class LshBucket64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecOps.isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket64 needs array<float|double>, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket64"
+
+  override def nullSafeEval(input: Any): Any =
+    LshOps.bucket(input.asInstanceOf[ArrayData], VecOps.isFloat(child.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = VecOps.isFloat(child.dataType).toString
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.LshOps.bucket($a, $f);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket64 =
+    copy(child = newChild)
+}
+
 /** vec_dot(a, b): Σ a_i·b_i in double, left-to-right. */
 final case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
