@@ -24,13 +24,34 @@ object Dedup {
 
   /** Distinct 3-token shingles per doc (docs shorter than 3 tokens drop
     * out — they cannot have a 3-shingle). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+  private[graft] def shingleIndex(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("toks", expr(tokExpr))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
         .as("shingle"))
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shingleIndex(docs(s, d))
+
+  /** The inverted index with stop-shingles removed: any shingle in more
+    * than max(dfFloor, maxDfShare·N) docs is dropped before candidate
+    * generation. This bounds every self-join block at the cap — without
+    * it one hot shingle ("the quick brown") makes a quadratic block and
+    * the 100 TB posture collapses. The hot set is found with one
+    * partial-aggregated pass (map-side combine shrinks it to distinct
+    * shingles per partition) and is tiny by construction, so removal is
+    * a broadcast anti-join — the raw index is never shuffled. */
+  private[graft] def cappedShingleIndex(docsDf: DataFrame,
+      maxDfShare: Double = 0.01, dfFloor: Long = 20): DataFrame = {
+    val sh = shingleIndex(docsDf)
+    val cap = math.max(dfFloor, (docsDf.count() * maxDfShare).toLong)
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > cap)
+      .select("shingle")
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
 
   /** d01 — exact dedup: group by SHA-256 of the content so the shuffle
     * key is a fixed 64-char digest, never the document body. */
@@ -47,9 +68,12 @@ object Dedup {
 
   /** d02 — n-gram Jaccard near-dup: candidate pairs via the inverted
     * shingle index (docs sharing ≥1 shingle), exact Jaccard from
-    * intersection/union counts, threshold 0.3. The self-join key is the
-    * shingle — at 100 TB you cap hot shingles (stop-shingle removal) or
-    * switch to d03's banding, which bounds candidates by construction. */
+    * intersection/union counts, threshold 0.3. The self-join runs on
+    * the frequency-CAPPED index (cappedShingleIndex) so no block
+    * exceeds the stop-shingle cap; denominators (na/nb) come from the
+    * full index, so Jaccard stays exact whenever no hot shingle exists
+    * (true of this corpus at the verify SF) and is a documented slight
+    * underestimate for pairs whose only overlap is stop-shingles. */
   private def d02(s: SparkSession, d: String): DataFrame = {
     // The inverted index feeds three plan branches (both self-join sides
     // + the per-doc sizes). Recomputing it is cheaper than caching: the
@@ -57,8 +81,8 @@ object Dedup {
     // persisting the exploded index forces a full materialization
     // (measured slower at sf0.1). At 100 TB a dedup pipeline would
     // checkpoint the index to parquet instead.
-    val sh = shingles(s, d)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sh = cappedShingleIndex(docs(s, d))
+    val sizes = shingles(s, d).groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -79,6 +79,12 @@ object Similarity {
   private[graft] def lshIndex(s: SparkSession, d: String): DataFrame =
     idxCache.computeIfAbsent((s, d), _ => buildLshIndex(s, d))
 
+  private def queryVec(s: SparkSession, d: String): (Array[Float], Double) =
+    qCache.computeIfAbsent(d, _ => {
+      val q = emb(s, d).where(col("vec_id") === 0).select("embedding", "nrm").head()
+      (q.getAs[scala.collection.Seq[Float]]("embedding").toArray, q.getAs[Double]("nrm"))
+    })
+
   private def buildLshIndex(s: SparkSession, d: String): DataFrame = {
     val dir = new java.io.File(
       "target/graft-index", "lsh-" + Integer.toHexString(d.hashCode))
@@ -110,12 +116,9 @@ object Similarity {
     * harder. */
   private def s02(s: SparkSession, d: String): DataFrame = {
     val idx = lshIndex(s, d)
-    val (qe, qnrm) = qCache.computeIfAbsent(d, _ => {
-      val q = emb(s, d).where(col("vec_id") === 0).select("embedding", "nrm").head()
-      (q.getAs[scala.collection.Seq[Float]]("embedding").toArray, q.getAs[Double]("nrm"))
-    })
+    val (qe, qnrm) = queryVec(s, d)
     val probes = LshOps.probePlan(qe, budget = 96)
-    idx.where(col("bucket").isin(probes.map(_.toInt): _*))
+    idx.where(col("bucket").isin(probes.map(_.toInt): _*) && col("vec_id") =!= 0)
       .withColumn("qe", typedlit(qe.toSeq))
       .withColumn("cos_r", round(expr("vec_dot(e, qe)") / (col("nrm") * lit(qnrm)), 6))
       .withColumn("bucket", col("bucket").cast("long"))
@@ -124,31 +127,112 @@ object Similarity {
       .limit(10)
   }
 
-  /** s03 — IVF-style ANN (rows-only): coarse quantizer = per-label mean
-    * vectors (computed distributively via posexplode + per-dimension
-    * avg); the query probes its 3 nearest centroids and brute-forces
-    * only those inverted lists. At 100 TB the lists are the partition/
-    * cluster key, so a probe touches nprobe/nlist of the data; recall
-    * is bounded in PipelineSpec against the exact scan. */
+  /** IVF build parameters. nlist=16 keeps inverted lists executor-sized
+    * at the test SFs; at 100 TB nlist scales with the data so each list
+    * stays a few partitions. Spherical k-means (assign by cosine,
+    * recompute by per-dimension mean) matches the query metric. */
+  private val NList = 16
+  private val NProbe = 5 // IvfCalib: recall 6-7/10 at ~31% scan on this corpus
+  private val LloydIters = 3
+
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Array[(Int, Array[Double], Double)])]()
+
+  private def dotD(a: Array[Float], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** s03's index: a REAL coarse quantizer (Lloyd's k-means, not the
+    * round-1 per-label proxy), trained distributively in DataFrames —
+    * assignment is a broadcast crossJoin + partial-aggregated argmax
+    * per vector, recomputation is posexplode + per-dimension avg; only
+    * the nlist centroid rows ever reach the driver (they ARE the model
+    * parameters). The final assignment is materialized partitioned by
+    * cluster id, same build-once/prune-on-query shape as the LSH index. */
+  private[graft] def ivfIndex(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double], Double)]) =
+    ivfCache.computeIfAbsent((s, d), _ => buildIvfIndex(s, d))
+
+  private def buildIvfIndex(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double], Double)]) = {
+    import s.implicits._
+    val root = new java.io.File(
+      "target/graft-index", "ivf-" + Integer.toHexString(d.hashCode))
+    if (!root.exists()) {
+      val data = emb(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").as("e"), col("nrm"))
+      // deterministic pseudo-random seeds: nlist vectors by hash order
+      var cents: Array[(Int, Array[Double], Double)] = data
+        .orderBy(expr("xxhash64(vec_id)")).limit(NList)
+        .select("e", "nrm").collect()
+        .zipWithIndex.map { case (r, i) =>
+          (i, r.getAs[scala.collection.Seq[Float]]("e").toArray.map(_.toDouble),
+            r.getAs[Double]("nrm"))
+        }
+      def centDf = s.createDataset(cents.toSeq.map { case (cl, ce, cn) => (cl, ce.toSeq, cn) })
+        .toDF("cl", "ce", "cnrm")
+      def assigned = data.crossJoin(broadcast(centDf))
+        .withColumn("cos", expr("vec_dot(e, ce)") / (col("nrm") * col("cnrm")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cos"), col("cl"))).as("m"), first(col("e")).as("e"))
+        .select(col("vec_id"), col("m.cl").as("cl"), col("e"))
+      for (_ <- 1 to LloydIters) {
+        val recomputed = assigned
+          .select(col("cl"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy("cl", "pos").agg(avg(col("v")).as("cv"))
+          .groupBy("cl")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
+          .collect()
+          .map { r =>
+            val ce = r.getAs[scala.collection.Seq[Double]]("ce").toArray
+            r.getAs[Int]("cl") -> ((ce, math.sqrt(ce.map(x => x * x).sum)))
+          }.toMap
+        // clusters that lost every member keep their previous centroid
+        cents = cents.map { case prev @ (cl, _, _) =>
+          recomputed.get(cl).map { case (ce, cn) => (cl, ce, cn) }.getOrElse(prev)
+        }
+      }
+      val tmp = new java.io.File(root.getParent, root.getName + ".tmp" + System.nanoTime())
+      data.join(assigned.select("vec_id", "cl"), "vec_id")
+        .repartition(col("cl"))
+        .write.partitionBy("cl").mode("overwrite")
+        .parquet(new java.io.File(tmp, "index").getAbsolutePath)
+      s.createDataset(cents.toSeq.map { case (cl, ce, cn) => (cl, ce.toSeq, cn) })
+        .toDF("cl", "ce", "cnrm")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(new java.io.File(tmp, "centroids").getAbsolutePath)
+      if (!tmp.renameTo(root)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(tmp)
+      }
+    }
+    val cents = s.read.parquet(new java.io.File(root, "centroids").getAbsolutePath)
+      .collect()
+      .map(r => (r.getAs[Int]("cl"),
+        r.getAs[scala.collection.Seq[Double]]("ce").toArray,
+        r.getAs[Double]("cnrm")))
+    (s.read.parquet(new java.io.File(root, "index").getAbsolutePath), cents)
+  }
+
+  /** s03 — IVF ANN over the k-means index (rows-only). The query ranks
+    * the nlist centroids driver-side (nlist dot products — query
+    * planning, not a scan), probes its nprobe nearest inverted lists
+    * via partition pruning, exact cosine re-ranks. At 100 TB a probe
+    * touches nprobe/nlist of the data. */
   private def s03(s: SparkSession, d: String): DataFrame = {
-    val all = emb(s, d)
-    val centroids = all
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos")
-      .agg(avg(col("v")).as("cv"))
-      .groupBy("label")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
-      .withColumn("cnrm", expr("vec_norm(ce)"))
-    val q = all.where(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
-    val probed = centroids.crossJoin(broadcast(q))
-      .withColumn("ccos", expr("vec_dot(ce, qe)") / (col("cnrm") * col("qnrm")))
-      .orderBy(col("ccos").desc, col("label"))
-      .limit(3)
-      .select(col("label").as("plabel"), col("qe"), col("qnrm"))
-    all.where(col("vec_id") =!= 0)
-      .join(broadcast(probed), col("label") === col("plabel"))
-      .withColumn("cos_r", round(expr("vec_dot(embedding, qe)") / (col("nrm") * col("qnrm")), 6))
+    val (idx, cents) = ivfIndex(s, d)
+    val (qe, qnrm) = queryVec(s, d)
+    val probes = cents
+      .map { case (cl, ce, cn) => (cl, dotD(qe, ce) / (qnrm * cn)) }
+      .sortBy { case (cl, ccos) => (-ccos, cl) }
+      .take(NProbe).map(_._1)
+    idx.where(col("cl").isin(probes: _*) && col("vec_id") =!= 0)
+      .withColumn("qe", typedlit(qe.toSeq))
+      .withColumn("cos_r", round(expr("vec_dot(e, qe)") / (col("nrm") * lit(qnrm)), 6))
       .select("vec_id", "label", "cos_r")
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(10)

@@ -35,6 +35,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows("d04_dedup_simhash").forall(_.getAs[Int]("hamming") <= 3))
   }
 
+  test("d02 stop-shingle cap bounds every candidate block") {
+    import spark.implicits._
+    // adversarial corpus: one shingle shared by ALL 100 docs, plus a
+    // unique tail per doc — uncapped, the hot shingle alone makes a
+    // 100x100 join block
+    // (tokenizer keeps [a-z]+ only, so the unique tail must be letters)
+    def w(p: String, i: Int) = p + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+    val docs = (0 until 100).map(i =>
+      (i.toLong, s"the quick brown ${w("u", i)} ${w("t", i)} ${w("m", i)}")).toDF("doc_id", "text")
+    val capped = graft.operators.Dedup.cappedShingleIndex(docs)
+    val dfCounts = capped.groupBy("shingle").count()
+    val maxDf = dfCounts.agg(max("count")).head().getLong(0)
+    assert(maxDf <= 20, s"a shingle with doc-frequency $maxDf survived the cap")
+    assert(capped.where(col("shingle") === "the quick brown").isEmpty,
+      "the hot stop-shingle was not removed")
+    assert(capped.where(col("shingle") === "uah tah mah").count() == 1,
+      "a rare shingle was wrongly removed")
+  }
+
   test("s01 brute-force top-k is sorted and sized") {
     val r = rows("s01_ann_brute")
     assert(r.size == 10)
@@ -63,6 +82,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.size == 10)
     assert((exact & ivf).size >= 5,
       s"IVF recall ${(exact & ivf).size}/10 below floor; missed ${exact -- ivf}")
+  }
+
+  test("s03 probes are partition-pruned to the nprobe inverted lists") {
+    val plan = SparkEntry.queries("s03_ann_ivf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cl"),
+      "s03 scan is not pruned to the probed clusters:\n" + plan)
   }
 
   test("q36 aggregator top-k equals q24 window top-k") {

@@ -60,6 +60,47 @@ class SourcesCatalogSpec extends AnyFunSuite {
       s"bucket pruning failed, plan still shuffles:\n$plan")
   }
 
+  test("bucketed+sorted tables sort-merge join with neither Exchange nor Sort (WITH ORDER sort elimination)") {
+    // The reference's WITH ORDER lets a sorted scan replace SortExec
+    // entirely (docs/4, docs/6 SortPreservingMergeExec). Spark's analog:
+    // both join sides bucketed AND sorted on the key, one file per
+    // bucket (repartition(8, key) aligns with the bucket hash, so each
+    // writer task owns exactly one bucket) -> the scan reports its
+    // ordering and SortMergeJoin plans with no Sort children.
+    for ((src, tbl, key) <- Seq(("orders", "orders_srt", "o_custkey"),
+                                ("customer", "cust_srt", "c_custkey"))) {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft-warehouse/$tbl"))
+      GraftCatalog.writeBucketedSorted(
+        Tables.df(spark, sf, src).repartition(8, col(key)),
+        tbl, key, Seq(key), buckets = 8)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // scans only report their on-disk sort order behind this flag
+      // (off by default since 3.0 because the one-file-per-bucket
+      // precondition costs a listing check) — it is exactly the
+      // prefer_existing_sort switch of the reference
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val j = spark.table("orders_srt").join(
+        spark.table("cust_srt"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = plans.PlanInspector.physical(j).toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      val noSmj = plan.replace("SortMergeJoin", "SMJ")
+      assert(!noSmj.contains("Sort ["),
+        s"sort was not eliminated by the on-disk order:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"shuffle was not eliminated by bucketing:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
+
   test("hive-partitioned layout prunes partitions at the scan") {
     val ev = Tables.df(spark, sf, "events")
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
