@@ -152,13 +152,12 @@ object Dedup {
     * (any pair within Hamming ≤ 3 shares at least one quadrant by
     * pigeonhole... for ≤3 differing bits across 4 blocks); verify with
     * bit_count(xor) ≤ 3. */
-  private def d04(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val sig = docs(s, d)
-      .withColumn("toks", expr(tokExpr))
-      .where(size(col("toks")) >= 1)
-      .withColumn("simhash", expr("simhash64(toks)"))
-      .select("doc_id", "simhash")
+  /** The quadrant-blocking candidate join on (doc_id, simhash) rows —
+    * factored out so the pigeonhole-completeness property (any pair
+    * within Hamming ≤ 3 shares at least one of the four 16-bit
+    * quadrants) is testable against adversarial synthetic signatures,
+    * not just whatever the corpus happens to contain. */
+  private[graft] def simhashPairs(sig: DataFrame): DataFrame = {
     val blocks = sig.select(
       col("doc_id"), col("simhash"),
       explode(expr(
@@ -175,6 +174,15 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= 3)
       .orderBy("a_id", "b_id")
+  }
+
+  private def d04(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    simhashPairs(docs(s, d)
+      .withColumn("toks", expr(tokExpr))
+      .where(size(col("toks")) >= 1)
+      .withColumn("simhash", expr("simhash64(toks)"))
+      .select("doc_id", "simhash"))
   }
 
   /** d05 — embedding-cosine near-dup: blocked by cluster label (metadata

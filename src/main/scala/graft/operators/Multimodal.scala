@@ -1,23 +1,28 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
   * decoded/feature-extracted in partition-sized batches.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked deterministic stub (`fakeDecode`); everything Spark-
-  * side is real and load-bearing: the binary column, the metadata
-  * struct, the typed `Dataset` batch boundary (`mapPartitions` — the
-  * Scala analog of a vectorized/Pandas batch UDF), and the output
-  * schema. Swapping `fakeDecode` for a JNI/codec call changes nothing
-  * about the plan. Binary payloads stay in executor memory one
+  * The decode is REAL: payloads are valid 24-bpp BMP images (the one
+  * raster format a bare JVM can encode and parse without codecs) and
+  * `decodeBmp` genuinely parses them — magic, little-endian header
+  * fields, bottom-up padded pixel rows — so a corrupt payload fails
+  * loudly, exactly like a production decode stage. Formats that need
+  * native codecs (JPEG/webp/audio) would drop into the same
+  * `mapPartitions` slot without touching the plan: the binary column,
+  * the metadata struct, the typed `Dataset` batch boundary (the Scala
+  * analog of a vectorized/Pandas batch UDF) and the output schema are
+  * the load-bearing pieces. Payloads stay in executor memory one
   * partition at a time; nothing is collected to the driver.
   */
 object Multimodal {
 
-  /** One "image" row entering the decode stage. */
+  /** One image row entering the decode stage. */
   final case class MediaRow(
       doc_id: Long, payload: Array[Byte], width: Int, height: Int, fmt: String)
 
@@ -26,38 +31,90 @@ object Multimodal {
       doc_id: Long, n_bytes: Int, width: Int, height: Int, fmt: String,
       mean_byte: Double, byte_entropy_q: Long)
 
-  /** STUB — stands in for a real image decode + feature extraction.
-    * Deterministic: mean byte value and a quantized byte-histogram
-    * "entropy". A real implementation would decode `payload` with a
-    * codec here; the Spark plumbing around it is unchanged.
-    */
-  def fakeDecode(r: MediaRow): MediaFeatures = {
-    val bytes = r.payload
-    val mean =
-      if (bytes.isEmpty) 0.0
-      else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-    val hist = new Array[Long](16)
-    bytes.foreach(b => hist((b & 0xff) / 16) += 1)
-    val q = hist.foldLeft(0L)((a, c) => a * 31 + c % 97)
-    MediaFeatures(r.doc_id, bytes.length, r.width, r.height, r.fmt, mean, q)
+  /** Encode a real 24-bpp bottom-up BMP (54-byte header + BGR rows
+    * padded to 4 bytes). `px(x, y)` returns (r, g, b) for the pixel at
+    * image coordinates (x, y), y = 0 at the top. */
+  def encodeBmp(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val dataSize = stride * h
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // bottom-up: last image row is stored first
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var p = w * 3
+      while (p < stride) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
   }
 
-  /** m01 — synthesize binary payloads + metadata from `documents` (the
-    * container ships no real media), push them through the typed
-    * batch-decode boundary, return features. Rows-only oracle; the
-    * semantics are pinned by MultimodalSpec. */
+  /** Parse a 24-bpp BMP payload and extract features: dimensions from
+    * the header (trusted over the row's metadata only after
+    * validation), mean channel byte over the un-padded pixels, and a
+    * quantized 16-bin histogram fingerprint. Throws on bad magic /
+    * depth — a decode stage that silently passes garbage is worse
+    * than one that fails the task. */
+  def decodeBmp(r: MediaRow): MediaFeatures = {
+    val bytes = r.payload
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      s"doc ${r.doc_id}: not a BMP payload")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val off = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val bpp = buf.getShort(28)
+    require(bpp == 24, s"doc ${r.doc_id}: unsupported bit depth $bpp")
+    val stride = (w * 3 + 3) / 4 * 4
+    require(bytes.length >= off + stride * h, s"doc ${r.doc_id}: truncated pixel data")
+    var sum = 0L
+    val hist = new Array[Long](16)
+    var y = 0
+    while (y < h) {
+      var i = off + y * stride
+      val end = i + w * 3
+      while (i < end) {
+        val v = bytes(i) & 0xff
+        sum += v
+        hist(v / 16) += 1
+        i += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h * 3
+    val mean = if (n == 0) 0.0 else sum.toDouble / n
+    val q = hist.foldLeft(0L)((a, c) => a * 31 + c % 97)
+    MediaFeatures(r.doc_id, bytes.length, w, h, "bmp", mean, q)
+  }
+
+  /** m01 — synthesize real BMP payloads + metadata from `documents`
+    * (deterministic pixels seeded by doc_id), push them through the
+    * typed batch-decode boundary, return features. Rows-only oracle;
+    * the decode semantics are pinned by the golden BMP test in
+    * PipelineSpec. */
   private def m01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media: Dataset[MediaRow] = graft.Tables.df(s, d, "documents")
       .select(
         col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        (pmod(xxhash64(col("doc_id")), lit(1024)) + 64).cast("int").as("width"),
-        (pmod(xxhash64(col("doc_id"), lit(1)), lit(768)) + 64).cast("int").as("height"),
-        when(pmod(col("doc_id"), lit(2)) === 0, "png").otherwise("jpeg").as("fmt"))
-      .as[MediaRow]
+        (pmod(xxhash64(col("doc_id")), lit(24)) + 8).cast("int").as("width"),
+        (pmod(xxhash64(col("doc_id"), lit(1)), lit(24)) + 8).cast("int").as("height"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        MediaRow(id, encodeBmp(w, h, (x, y) =>
+          (((id + x) % 256).toInt, ((id + y) % 256).toInt, ((id + x + y) % 256).toInt)),
+          w, h, "bmp")
+      })
     media
-      .mapPartitions(_.map(fakeDecode))
+      .mapPartitions(_.map(decodeBmp))
       .toDF()
       .orderBy("doc_id")
   }

@@ -374,24 +374,26 @@ object Relational {
     * existing ops): for each event, the user's most recent order at or
     * before the event time. Orders are first collapsed to one row per
     * (custkey, orderdate) so the as-of pick is deterministic; the
-    * range-join expands to the per-user candidate set and a descending
-    * row_number keeps the latest. At 100 TB the same plan co-partitions
-    * both sides on the key, and the candidate fan-out stays bounded by
-    * orders-per-user; DuckDB's native ASOF JOIN is the oracle. */
+    * range-join expands to the per-user candidate set and a struct-max
+    * aggregation keeps the latest — unlike a row_number window, the
+    * argmax gets PARTIAL aggregation, so each map task sends one
+    * candidate per event into the shuffle instead of the whole expanded
+    * set. At 100 TB the same plan co-partitions both sides on the key,
+    * and the candidate fan-out stays bounded by orders-per-user;
+    * DuckDB's native ASOF JOIN is the oracle. */
   private def q35(s: SparkSession, d: String): DataFrame = {
     val ord = t(s, d, "orders")
       .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max(col("o_orderkey")).as("o_orderkey"))
     val ev = t(s, d, "events").select("event_id", "user_id", "ts")
-    val w = Window.partitionBy("event_id").orderBy(col("o_orderdate").desc)
     ev.join(ord,
         col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
       .select(
         col("event_id"), col("user_id"),
         date_trunc("second", col("ts")).as("ts_s"),
-        col("o_orderkey"), col("o_orderdate"))
+        col("m.o_orderkey").as("o_orderkey"), col("m.o_orderdate").as("o_orderdate"))
       .orderBy("event_id")
   }
 

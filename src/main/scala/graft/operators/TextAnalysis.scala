@@ -129,9 +129,14 @@ object TextAnalysis {
     * mode is on and long overflow would throw), plus a winnowed min-hash
     * over 8-token windows (robust to local edits). Deterministic;
     * asserted in TextSpec. */
-  private def t04(s: SparkSession, d: String): DataFrame = {
+  private def t04(s: SparkSession, d: String): DataFrame =
+    fingerprint(Tables.df(s, d, "documents"))
+
+  /** Factored on a docs DataFrame so TextSpec can pin golden values for
+    * constructed texts, not just determinism on the corpus. */
+  private[graft] def fingerprint(docsDf: DataFrame): DataFrame = {
     val poly = "(acc, x) -> pmod(acc * 31L + pmod(x, 1000000007L), 1000000007L)"
-    Tables.df(s, d, "documents")
+    docsDf
       .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
       .withColumn("hs", expr("transform(toks, x -> xxhash64(x))"))
       .withColumn("fp64", expr(s"aggregate(hs, 0L, $poly)"))

@@ -25,13 +25,38 @@ object TopK {
   final case class Buf(items: Seq[(Double, Long)])
 
   final class TopKOrders(k: Int) extends Aggregator[OrderRow, Buf, Seq[(Long, Double)]] {
-    private def trim(items: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      items.sortBy { case (p, o) => (-p, o) }.take(k)
+    // rank order: higher price first, then lower orderkey
+    private def before(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
     override def zero: Buf = Buf(Nil)
-    override def reduce(b: Buf, r: OrderRow): Buf =
-      Buf(trim(b.items :+ ((r.o_totalprice, r.o_orderkey))))
-    override def merge(a: Buf, b: Buf): Buf = Buf(trim(a.items ++ b.items))
+
+    /** O(K) insertion into the already-sorted buffer — the per-row hot
+      * path; re-sorting the whole buffer per input row would pay
+      * O(K log K) on every single row of a 100 TB scan. A row that
+      * can't beat the current k-th is rejected in O(1). */
+    override def reduce(b: Buf, r: OrderRow): Buf = {
+      val x = (r.o_totalprice, r.o_orderkey)
+      if (b.items.size >= k && !before(x, b.items.last)) b
+      else {
+        val (pre, post) = b.items.span(before(_, x))
+        Buf((pre ++ (x +: post)).take(k))
+      }
+    }
+
+    /** O(K) two-pointer merge of two sorted buffers (combiner path). */
+    override def merge(a: Buf, b: Buf): Buf = {
+      val xs = a.items.toIndexedSeq
+      val ys = b.items.toIndexedSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      var i = 0
+      var j = 0
+      while (out.size < k && (i < xs.size || j < ys.size)) {
+        if (j >= ys.size || (i < xs.size && before(xs(i), ys(j)))) { out += xs(i); i += 1 }
+        else { out += ys(j); j += 1 }
+      }
+      Buf(out.toSeq)
+    }
     override def finish(b: Buf): Seq[(Long, Double)] =
       b.items.map { case (p, o) => (o, p) }
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming operators over the events schema.
   *
@@ -20,7 +21,38 @@ object EventStream {
 
   final case class UserSessionState(sessionCount: Long, lastTs: Long)
 
-  final case class SessionUpdate(user_id: Long, session_count: Long)
+  final case class SessionUpdate(user_id: Long, session_count: Long, closed: Boolean)
+
+  /** Streaming file source: tail a directory of parquet drops — the
+    * production shape for event pipelines landing files from an
+    * upstream writer. `maxFilesPerTrigger` bounds per-batch work so a
+    * backlog replays incrementally instead of as one giant batch. */
+  def fromParquetDir(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Watermarked stream-stream inner join: views attributed to the
+    * click they followed within 10 minutes, per user. Both sides carry
+    * watermarks and the join condition bounds event time, so each
+    * side's buffered state is evictable — the requirements for Spark
+    * to run an unbounded join in finite memory. */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame =
+    clicks.select(
+        col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+      .join(
+        views.select(
+            col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "10 minutes"),
+        expr("""c_user = v_user AND
+                v_ts >= c_ts AND v_ts <= c_ts + INTERVAL 10 MINUTES"""))
+      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
+        col("c_ts"), col("v_ts"))
 
   /** Tumbling-window event-type counts with a watermark: the canonical
     * streaming windowed aggregation (10-minute lateness bound keeps
@@ -46,29 +78,41 @@ object EventStream {
 
   /** Custom state machine: per-user session counting with a 30-minute
     * inactivity gap, via flatMapGroupsWithState — the streaming twin of
-    * batch q23_sessionize. State is bounded by the active-user set; an
-    * event-time timeout would release idle users' state in a production
-    * deployment (processing-time timeouts force idle re-triggering,
-    * which breaks drain-to-quiescence semantics in tests). */
-  def userSessionCounts(events: Dataset[Event]): Dataset[SessionUpdate] = {
+    * batch q23_sessionize. State is bounded two ways: the watermark
+    * bounds how late events may arrive, and an EVENT-TIME TIMEOUT
+    * evicts idle users' state once the watermark passes 30 minutes
+    * beyond their last event — without it, every user ever seen stays
+    * in the state store forever, which is fatal on an unbounded
+    * 100 TB-scale stream. A timed-out group emits a final
+    * `closed = true` update before its state is removed. */
+  def userSessionCounts(events: Dataset[Event],
+      watermark: String = "10 minutes"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserSessionState, SessionUpdate](
         org.apache.spark.sql.streaming.OutputMode.Update,
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[UserSessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          if (sorted.isEmpty) Iterator.empty
-          else {
-            val init = state.getOption.getOrElse(UserSessionState(0L, Long.MinValue))
-            val next = sorted.foldLeft(init) { (st, e) =>
-              val gapMs = e.ts.getTime - st.lastTs
-              val isNew = st.lastTs == Long.MinValue || gapMs > 30L * 60 * 1000
-              UserSessionState(st.sessionCount + (if (isNew) 1 else 0), e.ts.getTime)
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, last.sessionCount, closed = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              val init = state.getOption.getOrElse(UserSessionState(0L, Long.MinValue))
+              val next = sorted.foldLeft(init) { (st, e) =>
+                val isNew = st.lastTs == Long.MinValue || e.ts.getTime - st.lastTs > gapMs
+                UserSessionState(st.sessionCount + (if (isNew) 1 else 0), e.ts.getTime)
+              }
+              state.update(next)
+              state.setTimeoutTimestamp(next.lastTs + gapMs)
+              Iterator.single(SessionUpdate(userId, next.sessionCount, closed = false))
             }
-            state.update(next)
-            Iterator.single(SessionUpdate(userId, next.sessionCount))
           }
       }
   }

@@ -85,4 +85,45 @@ class CoreSpec extends AnyFunSuite {
     assert(formatted(df).contains("HashAggregate"))
     assert(extended(df).contains("== Physical Plan =="))
   }
+
+  test("explain-analyze analog executes and reports the post-AQE plan") {
+    val a = plans.PlanInspector.analyze(SparkEntry.queries("q05_agg")(spark, sf))
+    assert(a.rows == 6)
+    assert(a.wallSec > 0.0)
+    assert(a.finalPlan.contains("HashAggregate"))
+  }
+
+  test("GraftExtensions injects the native functions into a fresh session") {
+    // the production wiring: users opt in at session construction
+    // (spark.sql.extensions=graft.GraftExtensions on a fresh cluster;
+    // Builder.withExtensions here, because the extensions static conf
+    // is only read when the SparkContext is created and the suites
+    // share one). No imperative register() call anywhere. The session
+    // shares the SparkContext and must NOT be stopped (that would kill
+    // the context for every suite).
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new graft.GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .getOrCreate()
+    try {
+      val out = s2.sql(
+        """SELECT simhash64(array('alpha', 'beta')) AS sh,
+          |  lsh_bucket64(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT))) AS bk,
+          |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS vd""".stripMargin)
+        .head()
+      assert(out.getAs[Double]("vd") == 11.0)
+      assert(out.getAs[Long]("bk") >= 0L && out.getAs[Long]("bk") < 256L)
+      // deterministic engine constant: same input, same signature
+      assert(out.getAs[Long]("sh") ==
+        s2.sql("SELECT simhash64(array('alpha', 'beta')) AS sh").head().getAs[Long]("sh"))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
 }

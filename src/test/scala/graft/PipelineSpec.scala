@@ -111,6 +111,52 @@ class PipelineSpec extends AnyFunSuite {
     })
   }
 
+  test("d04 quadrant blocking captures 100% of synthetic Hamming<=3 pairs") {
+    import spark.implicits._
+    // base signatures plus a partner with exactly k (= i mod 4) bits
+    // flipped; pigeonhole over the four 16-bit quadrants must catch
+    // every one — a broken blocking key silently drops pairs
+    val base = (0L until 64L).map(i => (i, new java.util.Random(i).nextLong()))
+    val partners = base.map { case (i, s) =>
+      val k = (i % 4).toInt
+      val r = new java.util.Random(1000 + i)
+      val flips = scala.collection.mutable.Set[Int]()
+      while (flips.size < k) flips += r.nextInt(64)
+      (1000L + i, flips.foldLeft(s)((acc, p) => acc ^ (1L << p)), k)
+    }
+    // far partners (20 bits flipped) must NOT be reported
+    val far = base.take(8).map { case (i, s) =>
+      val r = new java.util.Random(2000 + i)
+      val flips = scala.collection.mutable.Set[Int]()
+      while (flips.size < 20) flips += r.nextInt(64)
+      (5000L + i, flips.foldLeft(s)((acc, p) => acc ^ (1L << p)))
+    }
+    val sig = (base ++ partners.map(p => (p._1, p._2)) ++ far).toDF("doc_id", "simhash")
+    val out = graft.operators.Dedup.simhashPairs(sig).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Int]("hamming"))).toSet
+    for (((pid, _, k), (i, _)) <- partners.zip(base))
+      assert(out.contains((i, pid, k)),
+        s"missed pair ($i, $pid) at Hamming $k — blocking is not pigeonhole-complete")
+    for (((fid, _), (i, _)) <- far.zip(base))
+      assert(!out.exists(p => p._1 == i && p._2 == fid),
+        s"far pair ($i, $fid) wrongly reported")
+  }
+
+  test("t04 fingerprint golden values on constructed texts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog while the dog sleeps near the quiet river bank every single day"),
+      (2L, "a b c"),
+      (3L, "Pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.fingerprint(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1 exercises the winnowed-window path (win_fp != fp64); docs
+    // 2-3 are shorter than a window and must fall back to fp64
+    assert(out(1L) == ((725885015L, 45329127L)))
+    assert(out(2L) == ((568098855L, 568098855L)))
+    assert(out(3L) == ((539531220L, 539531220L)))
+  }
+
   test("t04 fingerprints are deterministic and in modular range") {
     val a = rows("t04_fingerprint")
     assert(a == rows("t04_fingerprint"))
@@ -147,15 +193,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("m01 multimodal features match the payload") {
-    val docs = Tables.df(spark, sf, "documents")
-      .select(col("doc_id"), length(col("text")).as("len")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+  test("m01 decode parses real BMP headers and pixel data end-to-end") {
+    import graft.operators.Multimodal
+    val nDocs = Tables.df(spark, sf, "documents").count()
     val feats = rows("m01_multimodal")
-    assert(feats.size == docs.size)
+    assert(feats.size == nDocs)
+    // decoded dims come from the parsed header; n_bytes must equal the
+    // exact BMP size for those dims (54-byte header + padded stride)
     assert(feats.forall { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
       val mb = r.getAs[Double]("mean_byte")
-      docs(r.getAs[Long]("doc_id")) == r.getAs[Int]("n_bytes") && mb > 0 && mb < 256
+      r.getAs[Int]("n_bytes") == 54 + (w * 3 + 3) / 4 * 4 * h &&
+        w >= 8 && w < 32 && h >= 8 && h < 32 && mb > 0 && mb < 256
     })
+  }
+
+  test("m01 golden BMP: known pixels decode to exact mean and dims") {
+    import graft.operators.Multimodal._
+    val pixels = Map(
+      (0, 0) -> ((10, 20, 30)), (1, 0) -> ((40, 50, 60)),
+      (0, 1) -> ((70, 80, 90)), (1, 1) -> ((100, 110, 120)))
+    val bmp = encodeBmp(2, 2, (x, y) => pixels((x, y)))
+    val f = decodeBmp(MediaRow(7L, bmp, 2, 2, "bmp"))
+    assert(f.width == 2 && f.height == 2)
+    assert(f.mean_byte == (10 + 20 + 30 + 40 + 50 + 60 + 70 + 80 + 90 + 100 + 110 + 120) / 12.0)
+    assert(f.n_bytes == 54 + 8 * 2) // stride pads 6 -> 8 bytes per row
+    // corrupt magic must fail, not pass garbage through
+    val bad = bmp.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException] { decodeBmp(MediaRow(8L, bad, 2, 2, "bmp")) }
   }
 }

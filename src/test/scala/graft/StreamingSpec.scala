@@ -59,6 +59,84 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parquet file source streams a directory of drops incrementally") {
+    import spark.implicits._
+    val dir = "/tmp/graft-stream-src"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    def drop(name: String, evs: Event*): Unit =
+      evs.toDS().write.mode("overwrite").parquet(s"$dir/$name")
+    // the source schema comes from a batch sample of the same shape
+    val schema = Seq.empty[Event].toDS().schema
+    drop("f1", Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 2.0))
+    val q = EventStream.windowedTypeCounts(
+        EventStream.fromParquetDir(spark, s"$dir/*", schema))
+      .writeStream.format("memory").queryName("file_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_counts").collect()
+        .map(_.getAs[Long]("n")).sum == 2)
+      // a second file lands later; the tail picks it up without restart
+      drop("f2", Event(3, ts(2), 2, "view", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("file_counts").collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+      assert(out("click") == 2 && out("view") == 1)
+    } finally q.stop()
+  }
+
+  test("watermarked stream-stream join attributes views to clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = EventStream.clickViewJoin(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Event(10, ts(0), 1, "click", 1.0), Event(11, ts(0), 2, "click", 1.0))
+      views.addData(
+        Event(20, ts(5), 1, "view", 1.0),   // within 10 min of click 10
+        Event(21, ts(25), 1, "view", 1.0),  // too late for click 10
+        Event(22, ts(3), 3, "view", 1.0))   // no click for user 3
+      q.processAllAvailable()
+      // advance both watermarks so joinable pairs are final
+      clicks.addData(Event(12, ts(59), 9, "click", 1.0))
+      views.addData(Event(23, ts(59), 9, "other", 1.0))
+      q.processAllAvailable()
+      val pairs = spark.table("attrib").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("view_id"))).toSet
+      assert(pairs.contains((10L, 20L)), s"missing attribution: $pairs")
+      assert(!pairs.exists(_._2 == 21L), "view outside the 10-minute bound was joined")
+      assert(!pairs.exists(_._2 == 22L), "view with no matching click was joined")
+    } finally q.stop()
+  }
+
+  test("event-time timeout evicts idle session state past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventStream.userSessionCounts(ms.toDS())
+      .writeStream.format("memory").queryName("evicted")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(Event(1, ts(0), 7, "click", 1.0))
+      q.processAllAvailable()
+      // watermark (10 min lateness) must pass 7's timeout (last event
+      // + 30 min gap): an event at +60 min pushes it to +50 min
+      ms.addData(Event(2, Timestamp.valueOf("2024-01-01 11:00:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      // the timed-out group fires on the following batch
+      ms.addData(Event(3, Timestamp.valueOf("2024-01-01 11:01:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("evicted").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_count"),
+          r.getAs[Boolean]("closed")))
+      assert(out.contains((7L, 1L, true)),
+        s"user 7's state was never evicted by the event-time timeout: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateful session counting across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
