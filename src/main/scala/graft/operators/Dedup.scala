@@ -74,19 +74,30 @@ object Dedup {
     * full index, so Jaccard stays exact whenever no hot shingle exists
     * (true of this corpus at the verify SF) and is a documented slight
     * underestimate for pairs whose only overlap is stop-shingles. */
-  private def d02(s: SparkSession, d: String): DataFrame = {
-    // The inverted index feeds three plan branches (both self-join sides
-    // + the per-doc sizes). Recomputing it is cheaper than caching: the
-    // tokenize+shingle stage is narrow and codegen-adjacent, while
-    // persisting the exploded index forces a full materialization
-    // (measured slower at sf0.1). At 100 TB a dedup pipeline would
-    // checkpoint the index to parquet instead.
-    val sh = cappedShingleIndex(docs(s, d))
-    val sizes = shingles(s, d).groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+  private def d02(s: SparkSession, d: String): DataFrame = jaccardPairs(docs(s, d))
+
+  private[graft] def jaccardPairs(docsDf: DataFrame): DataFrame = {
+    // Candidate generation is ONE aggregation over the inverted index:
+    // group by shingle, collect the posting list, drop stop-shingles
+    // (list longer than the cap — the same bound cappedShingleIndex
+    // enforces, applied where the list is already in hand), and expand
+    // ordered pairs per bucket. Compared to the naive two-sided
+    // self-join this shuffles the index once instead of twice, and the
+    // per-bucket pair fan-out is bounded at cap·(cap-1)/2 by
+    // construction. Per-doc sizes reuse the same narrow shingle stage
+    // (tokenize+explode is codegen-adjacent; recomputing it beats
+    // persisting the exploded index, measured at sf0.1).
+    val cap = math.max(20L, (docsDf.count() * 0.01).toLong)
+    val sizes = shingleIndex(docsDf).groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = shingleIndex(docsDf)
+      .groupBy("shingle")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) <= cap && size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, x ->
+          |  transform(filter(ids, y -> y > x),
+          |    y -> named_struct('a_id', x, 'b_id', y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
@@ -129,19 +140,25 @@ object Dedup {
       .where(size(col("toks")) >= 3)
       .withColumn("sig", expr("minhash_shingle32(toks)"))
       .select("doc_id", "sig")
-    val bands = sig.select(
-      col("doc_id"), col("sig"),
-      explode(expr(
-        "transform(sequence(0, 7), j -> named_struct('band', j, 'bh', xxhash64(slice(sig, j * 4 + 1, 4))))"))
-        .as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))").as("n_eq"))
+    // one aggregation per band bucket instead of a two-sided self-join:
+    // collect the bucket's (doc_id, sig) postings and expand ordered
+    // pairs in place — the index is shuffled once, and bucket fan-out
+    // is whatever the banding bounds it to
+    sig.select(
+        col("doc_id"), col("sig"),
+        explode(expr(
+          "transform(sequence(0, 7), j -> named_struct('band', j, 'bh', xxhash64(slice(sig, j * 4 + 1, 4))))"))
+          .as("b"))
+      .groupBy(col("b.band"), col("b.bh"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("xs"))
+      .where(size(col("xs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(xs, x ->
+          |  transform(filter(xs, y -> y.doc_id > x.doc_id),
+          |    y -> named_struct('a_id', x.doc_id, 'b_id', y.doc_id,
+          |      'n_eq', size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), v -> v))))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.n_eq").as("n_eq"))
       .distinct()
       .withColumn("est_jac", col("n_eq") / 32.0)
       .orderBy("a_id", "b_id")

@@ -52,6 +52,11 @@ class PipelineSpec extends AnyFunSuite {
       "the hot stop-shingle was not removed")
     assert(capped.where(col("shingle") === "uah tah mah").count() == 1,
       "a rare shingle was wrongly removed")
+    // and d02's own pair generator: docs share ONLY the hot shingle,
+    // so with the cap applied there are no candidate pairs at all —
+    // uncapped, this corpus would expand 100*99/2 pairs
+    assert(graft.operators.Dedup.jaccardPairs(docs).isEmpty,
+      "stop-shingle-only overlap still produced candidate pairs")
   }
 
   test("s01 brute-force top-k is sorted and sized") {

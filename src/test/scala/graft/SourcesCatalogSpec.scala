@@ -115,6 +115,30 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(part.count() == expected && expected > 0)
   }
 
+  test("file-per-partition placement (with_repartition_file_scans(false) analog)") {
+    // The reference keeps probe files in separate partitions for
+    // locality + preserved per-file order. Spark's knob is the file
+    // open cost: raising it above maxPartitionBytes makes the
+    // bin-packer refuse to coalesce files, so each file maps to
+    // exactly one input partition.
+    val nation = Tables.df(spark, sf, "nation")
+    for (i <- 0 until 4)
+      nation.where(pmod(col("n_nationkey"), lit(4)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/nation_4files/f$i")
+    val prev = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.openCostInBytes", (256L << 20).toString)
+      val scan = spark.read.parquet(s"$tmp/nation_4files/f*")
+      assert(scan.rdd.getNumPartitions == 4,
+        s"expected one partition per file, got ${scan.rdd.getNumPartitions}")
+      assert(scan.count() == nation.count())
+      // (the inverse — default bin-packing coalescing many files per
+      // partition — only shows when files outnumber cores; with 32
+      // local cores and 4 files both settings give 4 partitions, so
+      // the locality direction is the one asserted here)
+    } finally spark.conf.set("spark.sql.files.openCostInBytes", prev)
+  }
+
   test("information schema: tables, columns, settings") {
     Tables.ensure(spark, sf)
     val tbls = GraftCatalog.tables(spark).collect().map(_.getAs[String]("tableName")).toSet
