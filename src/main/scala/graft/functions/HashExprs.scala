@@ -147,6 +147,61 @@ final case class MinHashShingle32(child: Expression)
     copy(child = newChild)
 }
 
+/** Document fingerprint: polynomial rolling hash over token xxhash64s
+  * mod 1e9+7 (`fp64`), plus a winnowed min over all 8-token window
+  * folds (`win_fp`, robust to local edits; short docs fall back to
+  * fp64). Bit-identical to the HOF formulation it replaces (golden
+  * values pinned in PipelineSpec) at tight-loop speed: one hash pass,
+  * O(8n) window folds, no per-token allocation. */
+final case class Fingerprint64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 1000000007L
+  private val W = 8
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"fingerprint64 needs array<string>, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("fp64", LongType, nullable = false),
+    StructField("win_fp", LongType, nullable = false)))
+  override def prettyName: String = "fingerprint64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val hm = new Array[Long](n) // token hashes pre-reduced mod P
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      hm(i) = java.lang.Math.floorMod(
+        XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L), P)
+      i += 1
+    }
+    var fp = 0L
+    i = 0
+    while (i < n) { fp = java.lang.Math.floorMod(fp * 31L + hm(i), P); i += 1 }
+    var win = fp
+    if (n >= W) {
+      win = Long.MaxValue
+      var w = 0
+      while (w <= n - W) {
+        var acc = 0L
+        var j = w
+        while (j < w + W) { acc = java.lang.Math.floorMod(acc * 31L + hm(j), P); j += 1 }
+        if (acc < win) win = acc
+        w += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](fp, win))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+}
+
 /** Registration: makes the native expressions available to SQL/expr(). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -157,5 +212,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("lsh_bucket64", es => LshBucket64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "built-in")
   }
 }

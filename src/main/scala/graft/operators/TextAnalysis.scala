@@ -132,20 +132,17 @@ object TextAnalysis {
   private def t04(s: SparkSession, d: String): DataFrame =
     fingerprint(Tables.df(s, d, "documents"))
 
-  /** Factored on a docs DataFrame so TextSpec can pin golden values for
-    * constructed texts, not just determinism on the corpus. */
+  /** Factored on a docs DataFrame so the spec can pin golden values for
+    * constructed texts, not just determinism on the corpus. The rolling
+    * math runs in the native `fingerprint64` expression — the HOF
+    * formulation it replaces (nested aggregate-inside-transform) ran
+    * interpreted and dominated t04's bench time. */
   private[graft] def fingerprint(docsDf: DataFrame): DataFrame = {
-    val poly = "(acc, x) -> pmod(acc * 31L + pmod(x, 1000000007L), 1000000007L)"
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
     docsDf
-      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
-      .withColumn("hs", expr("transform(toks, x -> xxhash64(x))"))
-      .withColumn("fp64", expr(s"aggregate(hs, 0L, $poly)"))
-      .withColumn("win_fp", expr(
-        s"""CASE WHEN size(hs) >= 8 THEN
-           |  array_min(transform(sequence(0, size(hs) - 8),
-           |    i -> aggregate(slice(hs, i + 1, 8), 0L, $poly)))
-           |ELSE fp64 END""".stripMargin))
-      .select("doc_id", "fp64", "win_fp")
+      .withColumn("fp", expr(
+        "fingerprint64(regexp_extract_all(lower(text), '[a-z]+', 0))"))
+      .select(col("doc_id"), col("fp.fp64").as("fp64"), col("fp.win_fp").as("win_fp"))
       .orderBy("doc_id")
   }
 
