@@ -63,8 +63,80 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** p04 — context packing (the concat-and-chunk step before
+    * pretraining): docs are laid out in stable-hash order WITHIN a
+    * shard, a running token count assigns each doc to the 512-token
+    * chunk its first token lands in, and the result is the per-chunk
+    * manifest. The window is PARTITIONED by shard — a global
+    * ORDER BY-window would serialize 100 TB through one task; per-shard
+    * packing is how distributed pipelines actually do it, and the
+    * shard is itself the stable hash, so the layout is reproducible on
+    * any engine. */
+  private def p04(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables.df(s, d, "documents")
+      .select(
+        col("doc_id"),
+        expr("size(regexp_extract_all(text, '\\\\S+', 0))").as("n_tok"),
+        expr(hashCol).as("h"))
+      .withColumn("shard", expr("pmod(h, 8L)"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum - n_tok) div 512"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("shard", "bin")
+  }
+
+  private val p04Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tok,
+      |    (doc_id * 2654435761 + 104729) % 1000000 AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok, h % 8 AS shard,
+      |    SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS cum
+      |  FROM t)
+      |SELECT shard, (cum - n_tok) // 512 AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
+  /** p05 — benchmark-contamination screen: training docs sharing any
+    * 3-token shingle with the held-out set (stand-in: doc_id % 97 = 0)
+    * are flagged with their overlap count. The benchmark shingle set is
+    * tiny relative to the corpus, so the probe is a BROADCAST join —
+    * at 100 TB the training side streams once and nothing shuffles. */
+  private[graft] def contamination(docsDf: DataFrame): DataFrame = {
+    val sh = Dedup.shingleIndex(docsDf)
+    val bench = sh.where(expr("pmod(doc_id, 97L) = 0"))
+      .select("shingle").distinct()
+    sh.where(expr("pmod(doc_id, 97L) <> 0"))
+      .join(broadcast(bench), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  private def p05(s: SparkSession, d: String): DataFrame =
+    contamination(Tables.df(s, d, "documents"))
+
+  private val p05Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+      |SELECT a.doc_id AS doc_id, COUNT(*) AS n_shared
+      |FROM sh a JOIN bench b USING (shingle)
+      |WHERE a.doc_id % 97 <> 0
+      |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
-    Q("p03_sample_stratified", None, p03))
+    Q("p03_sample_stratified", None, p03),
+    Q("p04_pack_contexts", Some(p04Oracle), p04),
+    Q("p05_contamination", Some(p05Oracle), p05))
 }

@@ -146,9 +146,72 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t05 — PII redaction: count and strip emails / phone numbers /
+    * IPv4 addresses (the regex subset shared by Java and RE2, so the
+    * DuckDB oracle runs the identical patterns). This corpus contains
+    * no PII, so the oracle pins the all-zero profile; the redaction
+    * semantics are pinned on injected text in PipelineSpec. */
+  private[graft] def redactPii(docsDf: DataFrame): DataFrame =
+    docsDf
+      .withColumn("clean", expr(
+        """regexp_replace(regexp_replace(regexp_replace(text,
+          |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]'),
+          |  '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '[PHONE]'),
+          |  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]')""".stripMargin))
+      .select(
+        col("doc_id"),
+        expr("size(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}', 0))").as("n_emails"),
+        expr("size(regexp_extract_all(text, '\\\\b\\\\d{3}[-. ]\\\\d{3}[-. ]\\\\d{4}\\\\b', 0))").as("n_phones"),
+        expr("size(regexp_extract_all(text, '\\\\b\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3}\\\\b', 0))").as("n_ips"),
+        length(col("clean")).as("clean_len"),
+        col("clean"))
+      .orderBy("doc_id")
+
+  private def t05(s: SparkSession, d: String): DataFrame =
+    redactPii(Tables.df(s, d, "documents")).drop("clean")
+
+  private val t05Oracle: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phones,
+      |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+      |  length(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS clean_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t06 — corpus bigram frequencies (contamination screens and n-gram
+    * LM features start here): explode token bigrams, count, keep the
+    * deterministic top 50. Partial aggregation collapses each
+    * partition's bigrams before the shuffle; the final top-N is a
+    * TakeOrdered, never a global sort. */
+  private def t06(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "documents")
+      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+
+  private val t06Oracle: String =
+    """WITH toks AS (
+      |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+      |bg AS (
+      |  SELECT unnest([t[i+1] || ' ' || t[i+2] for i in range(len(t) - 1)]) AS bigram
+      |  FROM toks WHERE len(t) >= 2)
+      |SELECT bigram, COUNT(*) AS n FROM bg
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
     Q("t03_tokens", Some(t03Oracle), t03),
-    Q("t04_fingerprint", None, t04))
+    Q("t04_fingerprint", None, t04),
+    Q("t05_pii_redact", Some(t05Oracle), t05),
+    Q("t06_bigram_freq", Some(t06Oracle), t06))
 }

@@ -198,6 +198,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t05 redacts injected emails, phones and IPs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact jane.doe+x@example.co.uk or call 555-123-4567 now"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 pinged 999-888-7777"),
+      (3L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.redactPii(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"), r.getAs[Int]("n_ips"),
+          r.getAs[String]("clean")))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1 && out(1L)._3 == 0)
+    assert(out(1L)._4 == "contact [EMAIL] or call [PHONE] now")
+    assert(out(2L)._3 == 2 && out(2L)._2 == 1)
+    assert(out(2L)._4 == "server at [IP] and [IP] pinged [PHONE]")
+    assert(out(3L) == ((0, 0, 0, "nothing sensitive here at all")))
+  }
+
+  test("p04 packing preserves every doc and fills chunks in order") {
+    val chunks = rows("p04_pack_contexts")
+    val nDocs = Tables.df(spark, sf, "documents").count()
+    assert(chunks.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // bins within a shard are contiguous from 0 (no empty chunk gaps)
+    chunks.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val bins = rs.map(_.getAs[Long]("bin")).sorted
+      assert(bins == (0L until bins.size).toSeq, s"bin gap: $bins")
+    }
+  }
+
   test("m01 decode parses real BMP headers and pixel data end-to-end") {
     import graft.operators.Multimodal
     val nDocs = Tables.df(spark, sf, "documents").count()
