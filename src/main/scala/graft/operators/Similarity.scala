@@ -86,8 +86,11 @@ object Similarity {
     })
 
   private def buildLshIndex(s: SparkSession, d: String): DataFrame = {
+    // the plane count is baked into the path: a parameter change must
+    // rebuild, never silently probe a stale layout
     val dir = new java.io.File(
-      "target/graft-index", "lsh-" + Integer.toHexString(d.hashCode))
+      "target/graft-index",
+      s"lsh-p${LshOps.NumPlanes}-" + Integer.toHexString(d.hashCode))
     if (!dir.exists()) {
       val tmp = new java.io.File(dir.getParent, dir.getName + ".tmp" + System.nanoTime())
       emb(s, d).withColumn("bucket", expr("lsh_bucket64(embedding)"))
@@ -158,8 +161,11 @@ object Similarity {
 
   private def buildIvfIndex(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double], Double)]) = {
     import s.implicits._
+    // quantizer parameters baked into the path, same staleness rule as
+    // the LSH index
     val root = new java.io.File(
-      "target/graft-index", "ivf-" + Integer.toHexString(d.hashCode))
+      "target/graft-index",
+      s"ivf-k$NList-i$LloydIters-" + Integer.toHexString(d.hashCode))
     if (!root.exists()) {
       val data = emb(s, d)
         .select(col("vec_id"), col("label"), col("embedding").as("e"), col("nrm"))
