@@ -226,6 +226,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p04 window is per-shard: no single-partition exchange in the plan") {
+    val plan = SparkEntry.queries("p04_pack_contexts")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "packing serializes the corpus through one task:\n" + plan)
+  }
+
+  test("p05 probes the benchmark shingle set via broadcast") {
+    val plan = SparkEntry.queries("p05_contamination")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "contamination screen shuffles instead of broadcasting:\n" + plan)
+  }
+
+  test("lsh probePlan is deterministic, budget-bounded, query-bucket-first") {
+    val qe = Array.tabulate(64)(i => (math.sin(i + 1) * 2).toFloat)
+    val p1 = graft.functions.LshOps.probePlan(qe, budget = 96)
+    val p2 = graft.functions.LshOps.probePlan(qe, budget = 96)
+    assert(p1.toSeq == p2.toSeq)
+    assert(p1.length == 96 && p1.distinct.length == 96)
+    assert(p1.forall(b => b >= 0 && b < 256))
+    // mask 0 scores 0, so the first probe is the query's own bucket
+    val qb = graft.functions.LshOps.bucket(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(qe), true)
+    assert(p1.head == qb)
+  }
+
   test("m01 decode parses real BMP headers and pixel data end-to-end") {
     import graft.operators.Multimodal
     val nDocs = Tables.df(spark, sf, "documents").count()
