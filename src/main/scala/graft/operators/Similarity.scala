@@ -52,18 +52,6 @@ object Similarity {
       |FROM n, q WHERE vec_id <> 0
       |ORDER BY cos_r DESC, vec_id LIMIT 10""".stripMargin
 
-  /** Materialized LSH index: the embeddings table with its
-    * `lsh_bucket64` bucket as a parquet PARTITION column, built once
-    * per sf-dir and reused by every s02 query. This is the piece the
-    * round-1 formulation got structurally wrong — computing the bucket
-    * over all rows at query time can never beat a 64-MAC brute-force
-    * dot product. Real ANN engines amortize: build the index once,
-    * then every query reads only the probed slice. In Spark terms the
-    * bucket is a hive partition dir, so the probe filter becomes
-    * `PartitionFilters: bucket IN (...)` — pruned BEFORE any file is
-    * opened. At 100 TB that is the whole win: a probe plan covering
-    * ~1/3 of buckets reads ~1/3 of the bytes, and NumPlanes scales the
-    * bucket count to keep partitions executor-sized. */
   /** Open-index handles and the query vector, cached per (session,
     * sf-dir). An ANN deployment holds the index resident (FAISS/Annoy
     * load it once per process) and receives the query embedding in the
@@ -85,6 +73,18 @@ object Similarity {
       (q.getAs[scala.collection.Seq[Float]]("embedding").toArray, q.getAs[Double]("nrm"))
     })
 
+  /** Materialized LSH index: the embeddings table with its
+    * `lsh_bucket64` bucket as a parquet PARTITION column, built once
+    * per sf-dir and reused by every s02 query. This is the piece the
+    * round-1 formulation got structurally wrong — computing the bucket
+    * over all rows at query time can never beat a 64-MAC brute-force
+    * dot product. Real ANN engines amortize: build the index once,
+    * then every query reads only the probed slice. In Spark terms the
+    * bucket is a hive partition dir, so the probe filter becomes
+    * `PartitionFilters: bucket IN (...)` — pruned BEFORE any file is
+    * opened. At 100 TB that is the whole win: a probe plan covering
+    * ~1/3 of buckets reads ~1/3 of the bytes, and NumPlanes scales the
+    * bucket count to keep partitions executor-sized. */
   private def buildLshIndex(s: SparkSession, d: String): DataFrame = {
     // the plane count is baked into the path: a parameter change must
     // rebuild, never silently probe a stale layout
