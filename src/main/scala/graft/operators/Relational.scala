@@ -428,6 +428,61 @@ object Relational {
         sum(col("psum")).cast(DoubleType).as("sum_price"))
       .orderBy("o_custkey")
 
+  /** q38 — CUBE multi-dimensional aggregation (all four grouping sets
+    * of status × priority). Same Expand-based plan family as ROLLUP:
+    * one pass over orders fans each row into its grouping sets, then
+    * two-phase hash agg — no per-grouping rescans at any scale. SQL
+    * path for the same Spark 4.1 nullable-grouping reason as q21. */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    Tables.ensure(s, d)
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** q39 — UNPIVOT (wide metrics → long (metric, value) rows) via the
+    * native Dataset.unpivot — a narrow per-row expansion, no shuffle;
+    * the oracle states the same relation as a UNION ALL. */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "metric",
+        valueColumnName = "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  /** q40 — banded range join (the batch twin of the streaming
+    * click/view attribution): per click, how many of the same user's
+    * views land within the following hour. The equality key (user_id)
+    * makes this a plain hash join with a residual time-band filter —
+    * never a nested-loop — so it shuffles exactly like q10 at scale,
+    * and the band bounds the per-key fan-out. Timestamps compared at
+    * second granularity (the ns-vs-us parquet rule, SURVEY §5). */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("c_user"), col("ts_s").as("c_ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_s").as("v_ts"))
+    clicks
+      .join(views,
+        col("c_user") === col("v_user") &&
+          col("v_ts") >= col("c_ts") &&
+          col("v_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_views"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------------
   // Oracle SQL (DuckDB). Aliases match the Spark output column names
   // exactly; float discipline per SURVEY.md §5.
@@ -640,6 +695,30 @@ object Relational {
     Q("q37_salted_agg", Some(
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin), q37)
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin), q37),
+    Q("q38_cube", Some(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin), q38),
+    Q("q39_unpivot", Some(
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin), q39),
+    Q("q40_range_join", Some(
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s
+        |  FROM events)
+        |SELECT c.event_id AS event_id, COUNT(*) AS n_views
+        |FROM e c JOIN e v
+        |  ON c.user_id = v.user_id
+        | AND v.ts_s >= c.ts_s AND v.ts_s <= c.ts_s + INTERVAL 1 HOUR
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |GROUP BY c.event_id ORDER BY event_id""".stripMargin), q40)
   )
 }

@@ -207,11 +207,44 @@ object TextAnalysis {
       |SELECT bigram, COUNT(*) AS n FROM bg
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin
 
+  /** t07 — repetition / boilerplate signals (the Gopher-style filters
+    * a pretraining pipeline thresholds on): duplicate-token fraction,
+    * most-frequent-token share, mean word length. All per-row array
+    * math over the token list — narrow, no shuffle, and the divisions
+    * are integer-exact doubles so the oracle matches bit-for-bit. */
+  private def t07(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "documents")
+      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .where(size(col("toks")) >= 1)
+      .select(
+        col("doc_id"),
+        expr("size(toks)").as("n_tok"),
+        expr("size(array_distinct(toks))").as("n_uniq"),
+        expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))").as("top_n"),
+        expr("aggregate(toks, 0, (a, x) -> a + length(x))").as("n_letters"))
+      .withColumn("dup_frac", lit(1.0) - col("n_uniq") / col("n_tok"))
+      .withColumn("top_share", col("top_n") / col("n_tok"))
+      .withColumn("mean_word_len", col("n_letters") / col("n_tok"))
+      .select("doc_id", "n_tok", "n_uniq", "dup_frac", "top_share", "mean_word_len")
+      .orderBy("doc_id")
+
+  private val t07Oracle: String =
+    """WITH c AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents)
+      |SELECT doc_id,
+      |  len(t) AS n_tok,
+      |  len(list_distinct(t)) AS n_uniq,
+      |  1.0 - len(list_distinct(t)) / len(t) AS dup_frac,
+      |  list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x)))) / len(t) AS top_share,
+      |  list_sum(list_transform(t, x -> length(x))) / len(t) AS mean_word_len
+      |FROM c WHERE len(t) >= 1 ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
     Q("t03_tokens", Some(t03Oracle), t03),
     Q("t04_fingerprint", None, t04),
     Q("t05_pii_redact", Some(t05Oracle), t05),
-    Q("t06_bigram_freq", Some(t06Oracle), t06))
+    Q("t06_bigram_freq", Some(t06Oracle), t06),
+    Q("t07_repetition", Some(t07Oracle), t07))
 }

@@ -34,6 +34,13 @@ object EventStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** Stream-static enrichment: the event stream joined to a batch
+    * dimension table. The static side is broadcast, so enrichment adds
+    * no shuffle and no state store — each micro-batch streams through
+    * the same hash map, the canonical dim-join shape at any scale. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), "user_id")
+
   /** Watermarked stream-stream inner join: views attributed to the
     * click they followed within 10 minutes, per user. Both sides carry
     * watermarks and the join condition bounds event time, so each

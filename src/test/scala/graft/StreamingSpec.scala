@@ -85,6 +85,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment joins events to a dim table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStream.enrich(ms.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "view", 1.0),
+        Event(3, ts(2), 99, "view", 1.0)) // no dim row -> dropped (inner)
+      q.processAllAvailable()
+      val out = spark.table("enriched").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("tier"))).toSet
+      assert(out == Set((1L, "gold"), (2L, "basic")))
+    } finally q.stop()
+  }
+
   test("watermarked stream-stream join attributes views to clicks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
