@@ -139,6 +139,31 @@ class SourcesCatalogSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.openCostInBytes", prev)
   }
 
+  test("dynamic partition pruning: a dim filter prunes the fact scan at runtime") {
+    import spark.implicits._
+    // fact partitioned by day; the filter arrives via a JOIN, not a
+    // literal — static pruning can't help, DPP injects a runtime
+    // subquery into the fact scan's PartitionFilters
+    val ev = Tables.df(spark, sf, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(s"$tmp/events_dpp")
+    val fact = spark.read.parquet(s"$tmp/events_dpp")
+    // the dim must be a file relation with a live filter: a local
+    // relation folds the predicate away and the pruning rule sees no
+    // selective filter to reuse
+    Seq(("2024-01-05", "promo"), ("2024-01-06", "launch"))
+      .toDF("day", "campaign")
+      .write.mode("overwrite").parquet(s"$tmp/campaign_dim")
+    val dim = spark.read.parquet(s"$tmp/campaign_dim")
+      .where(col("campaign") === "promo")
+    val joined = fact.join(dim, Seq("day"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no runtime pruning subquery in the fact scan:\n$plan")
+    val expected = ev.where(col("day") === "2024-01-05").count()
+    assert(joined.count() == expected && expected > 0)
+  }
+
   test("information schema: tables, columns, settings") {
     Tables.ensure(spark, sf)
     val tbls = GraftCatalog.tables(spark).collect().map(_.getAs[String]("tableName")).toSet
