@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("fingerprint64",
         "fingerprint64(array<string>) - struct(fp64, win_fp) rolling document fingerprint"),
       es => Fingerprint64(es.head)))
+    e.injectFunction((FunctionIdentifier("token_stats"),
+      info("token_stats",
+        "token_stats(array<string>) - struct(n_tok, n_uniq, top_n, n_letters)"),
+      es => TokenStats(es.head)))
   }
 }

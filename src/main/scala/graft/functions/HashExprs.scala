@@ -202,6 +202,47 @@ final case class Fingerprint64(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-document token statistics in one pass: total tokens, distinct
+  * tokens, the highest single-token count, and total letters. The HOF
+  * formulation (a filter scan per distinct token) is O(distinct·n)
+  * interpreted; this is O(n) over one hash map. Values are exact
+  * integers, so any downstream ratio matches the oracle bit-for-bit. */
+final case class TokenStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"token_stats needs array<string>, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("n_uniq", IntegerType, nullable = false),
+    StructField("top_n", IntegerType, nullable = false),
+    StructField("n_letters", IntegerType, nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var letters = 0
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      letters += t.numChars()
+      val c = counts.merge(t, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size(), top, letters))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
 /** Registration: makes the native expressions available to SQL/expr(). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -213,5 +254,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("lsh_bucket64", es => LshBucket64(es.head), "built-in")
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("token_stats", es => TokenStats(es.head), "built-in")
   }
 }

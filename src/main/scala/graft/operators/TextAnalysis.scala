@@ -212,21 +212,26 @@ object TextAnalysis {
     * most-frequent-token share, mean word length. All per-row array
     * math over the token list — narrow, no shuffle, and the divisions
     * are integer-exact doubles so the oracle matches bit-for-bit. */
-  private def t07(s: SparkSession, d: String): DataFrame =
+  private def t07(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.df(s, d, "documents")
       .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
       .where(size(col("toks")) >= 1)
+      // one-pass native stats: the HOF formulation pays O(distinct*n)
+      // interpreted lambda dispatches per document
+      .withColumn("st", expr("token_stats(toks)"))
       .select(
         col("doc_id"),
-        expr("size(toks)").as("n_tok"),
-        expr("size(array_distinct(toks))").as("n_uniq"),
-        expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))").as("top_n"),
-        expr("aggregate(toks, 0, (a, x) -> a + length(x))").as("n_letters"))
+        col("st.n_tok").as("n_tok"),
+        col("st.n_uniq").as("n_uniq"),
+        col("st.top_n").as("top_n"),
+        col("st.n_letters").as("n_letters"))
       .withColumn("dup_frac", lit(1.0) - col("n_uniq") / col("n_tok"))
       .withColumn("top_share", col("top_n") / col("n_tok"))
       .withColumn("mean_word_len", col("n_letters") / col("n_tok"))
       .select("doc_id", "n_tok", "n_uniq", "dup_frac", "top_share", "mean_word_len")
       .orderBy("doc_id")
+  }
 
   private val t07Oracle: String =
     """WITH c AS (
