@@ -78,4 +78,16 @@ object PlanInspector {
     val wall = (System.nanoTime() - t0) / 1e9
     Analyzed(rows, wall, df.queryExecution.executedPlan.toString)
   }
+
+  /** In-flight metric collection via Dataset.observe — the runtime half
+    * of EXPLAIN ANALYZE: named aggregates are accumulated DURING the
+    * run (zero extra passes, works identically under streaming) and
+    * read back after the action. Returns the observed row as a map. */
+  def observed(df: DataFrame, name: String,
+      first: org.apache.spark.sql.Column,
+      rest: org.apache.spark.sql.Column*): Map[String, Any] = {
+    val obs = new org.apache.spark.sql.Observation(name)
+    df.observe(obs, first, rest: _*).write.format("noop").mode("overwrite").save()
+    obs.get
+  }
 }

@@ -37,6 +37,14 @@ object GraftCatalog {
     df
   }
 
+  /** CREATE EXTERNAL TABLE ... STORED AS JSON analog (line-delimited,
+    * schema inferred or supplied). */
+  def registerJson(spark: SparkSession, name: String, location: String): DataFrame = {
+    val df = spark.read.json(location)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** In-memory table + INSERT analog (docs/2 "Create tables & Insert
     * data"): a local DataFrame registered as a view; "insert" = union +
     * re-register. */

@@ -32,6 +32,22 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(df.count() == nation.count())
   }
 
+  test("json sink + source round-trip") {
+    val nation = Tables.df(spark, sf, "nation")
+    GraftCatalog.writeJson(nation, s"$tmp/nation_json")
+    val back = GraftCatalog.registerJson(spark, "nation_json", s"$tmp/nation_json")
+    assert(back.count() == nation.count())
+    assert(spark.table("nation_json").where(col("n_nationkey") === 0).count() == 1)
+  }
+
+  test("observed runtime metrics accumulate during the run") {
+    val m = plans.PlanInspector.observed(
+      Tables.df(spark, sf, "orders"), "orders_obs",
+      count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+    assert(m("n") == Tables.df(spark, sf, "orders").count())
+    assert(m("total").asInstanceOf[Double] > 0)
+  }
+
   test("values + insert analog") {
     import spark.implicits._
     GraftCatalog.registerValues(spark, "manual",
