@@ -64,6 +64,11 @@ object Similarity {
   private val qCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Float], Double)]()
 
+  /** Index root: absolute so the build works regardless of the
+    * invoking process's working directory (the driver may run Verify
+    * from anywhere). */
+  private val IndexRoot = "/tmp/graft-index"
+
   private[graft] def lshIndex(s: SparkSession, d: String): DataFrame =
     idxCache.computeIfAbsent((s, d), _ => buildLshIndex(s, d))
 
@@ -89,8 +94,7 @@ object Similarity {
     // the plane count is baked into the path: a parameter change must
     // rebuild, never silently probe a stale layout
     val dir = new java.io.File(
-      "target/graft-index",
-      s"lsh-p${LshOps.NumPlanes}-" + Integer.toHexString(d.hashCode))
+      IndexRoot, s"lsh-p${LshOps.NumPlanes}-" + Integer.toHexString(d.hashCode))
     if (!dir.exists()) {
       val tmp = new java.io.File(dir.getParent, dir.getName + ".tmp" + System.nanoTime())
       emb(s, d).withColumn("bucket", expr("lsh_bucket64(embedding)"))
@@ -164,8 +168,7 @@ object Similarity {
     // quantizer parameters baked into the path, same staleness rule as
     // the LSH index
     val root = new java.io.File(
-      "target/graft-index",
-      s"ivf-k$NList-i$LloydIters-" + Integer.toHexString(d.hashCode))
+      IndexRoot, s"ivf-k$NList-i$LloydIters-" + Integer.toHexString(d.hashCode))
     if (!root.exists()) {
       val data = emb(s, d)
         .select(col("vec_id"), col("label"), col("embedding").as("e"), col("nrm"))
