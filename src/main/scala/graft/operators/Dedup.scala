@@ -88,6 +88,12 @@ object Dedup {
     // (tokenize+explode is codegen-adjacent; recomputing it beats
     // persisting the exploded index, measured at sf0.1).
     val cap = math.max(20L, (docsDf.count() * 0.01).toLong)
+    // sizes deliberately go through the exploded-index groupBy even
+    // though a narrow per-row size(array_distinct(...)) exists: the
+    // sizes subtree feeds BOTH pair-join branches, and Catalyst's
+    // ReuseExchange computes the shuffled aggregate once — the
+    // shuffle-free formulation re-runs the interpreted shingle-array
+    // build per branch and measured ~1.7x slower at sf0.1
     val sizes = shingleIndex(docsDf).groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = shingleIndex(docsDf)
       .groupBy("shingle")
