@@ -31,8 +31,12 @@ object Bench {
       if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
     }
 
-    // JIT/codegen/session warm-up (not reported)
-    once(SparkEntry.queries("q05_agg"))
+    // JIT/codegen/session warm-up (not reported): one query per major
+    // execution family — agg, window, join, regex/text — so the first
+    // reported member of each family doesn't absorb its family's
+    // one-time codegen/JIT cost
+    Seq("q05_agg", "q15_window", "q10_join_shuffle", "t02_quality")
+      .foreach(q => once(SparkEntry.queries(q)))
 
     val results = SparkEntry.allQs.map(q => q.name -> median3(q.run))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
