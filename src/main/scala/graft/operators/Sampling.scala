@@ -88,6 +88,10 @@ object Sampling {
       .orderBy("shard", "bin")
   }
 
+  // DuckDB window SUM(int) yields HUGEINT; anything derived from it
+  // (bin) surfaces as decimal128 to the driver's hasher and
+  // mismatches Spark's int64 even when values are equal — cast to
+  // BIGINT inside the oracle.
   private val p04Oracle: String =
     """WITH t AS (
       |  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tok,
@@ -95,7 +99,8 @@ object Sampling {
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, n_tok, h % 8 AS shard,
-      |    SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS cum
+      |    CAST(SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+      |      AS BIGINT) AS cum
       |  FROM t)
       |SELECT shard, (cum - n_tok) // 512 AS bin,
       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
