@@ -147,6 +147,99 @@ final case class MinHashShingle32(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct 3-token shingle hashes straight from the token array —
+  * array<long> of the chain-mixed window hashes (the same per-window
+  * base hash MinHashShingle32 permutes), deduplicated in place. This is
+  * d02's scale unit: the exploded inverted index shuffles 8-byte longs
+  * instead of reconstructed shingle STRINGS, and the per-doc shingle
+  * count is just size(result) — a narrow projection, no second
+  * aggregation. Collision risk of 64-bit hashes is ~n²/2⁶⁵ per corpus —
+  * negligible against the oracle at any verify SF. */
+final case class ShingleHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingle_hashes needs array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 3) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val th = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val t = arr.getUTF8String(i)
+        th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+        i += 1
+      }
+      val seen = new java.util.HashSet[java.lang.Long](n * 2)
+      val out = new Array[Long](n - 2)
+      var m = 0
+      var w = 0
+      while (w <= n - 3) {
+        val h = XXH64.hashLong(th(w + 2), XXH64.hashLong(th(w + 1), th(w)))
+        if (seen.add(h)) { out(m) = h; m += 1 }
+        w += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, m))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** All ordered pairs (a < b) from a bucket's posting list — the pair-
+  * expansion unit of the dedup family's single-aggregation candidate
+  * generation. The HOF formulation (flatten ∘ transform ∘ filter)
+  * dispatches an interpreted lambda per emitted struct — ~1.3M times at
+  * sf0.1 — where this is one tight O(k²) loop per bucket (k already
+  * bounded by the stop-shingle cap upstream). Each pair is emitted as
+  * (min, max) regardless of input order, so the downstream groupBy key
+  * is canonical without a sort. */
+final case class OrderedPairs64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"ordered_pairs64 needs array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a_id", LongType, nullable = false),
+    StructField("b_id", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "ordered_pairs64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = arr.toLongArray()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = ids(i)
+        val b = ids(j)
+        out(m) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          if (a < b) Array[Any](a, b) else Array[Any](b, a))
+        m += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedPairs64 =
+    copy(child = newChild)
+}
+
 /** Document fingerprint: polynomial rolling hash over token xxhash64s
   * mod 1e9+7 (`fp64`), plus a winnowed min over all 8-token window
   * folds (`win_fp`, robust to local edits; short docs fall back to
@@ -250,6 +343,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash32", es => MinHash32(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_shingle32", es => MinHashShingle32(es.head), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashes(es.head), "built-in")
+    reg.createOrReplaceTempFunction("ordered_pairs64", es => OrderedPairs64(es.head), "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("lsh_bucket64", es => LshBucket64(es.head), "built-in")

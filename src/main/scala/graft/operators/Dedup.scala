@@ -68,46 +68,48 @@ object Dedup {
 
   /** d02 — n-gram Jaccard near-dup: candidate pairs via the inverted
     * shingle index (docs sharing ≥1 shingle), exact Jaccard from
-    * intersection/union counts, threshold 0.3. The self-join runs on
-    * the frequency-CAPPED index (cappedShingleIndex) so no block
-    * exceeds the stop-shingle cap; denominators (na/nb) come from the
-    * full index, so Jaccard stays exact whenever no hot shingle exists
-    * (true of this corpus at the verify SF) and is a documented slight
-    * underestimate for pairs whose only overlap is stop-shingles. */
+    * intersection/union counts, threshold 0.3. Stop-shingle buckets
+    * (doc-frequency above the cap, the same bound cappedShingleIndex
+    * enforces) are dropped before pair expansion, so no block is ever
+    * quadratic in a hot shingle; Jaccard stays exact whenever no hot
+    * shingle exists (true of this corpus at the verify SF) and is a
+    * documented slight underestimate for pairs whose only overlap is
+    * stop-shingles. */
   private def d02(s: SparkSession, d: String): DataFrame = jaccardPairs(docs(s, d))
 
   private[graft] def jaccardPairs(docsDf: DataFrame): DataFrame = {
-    // Candidate generation is ONE aggregation over the inverted index:
-    // group by shingle, collect the posting list, drop stop-shingles
-    // (list longer than the cap — the same bound cappedShingleIndex
-    // enforces, applied where the list is already in hand), and expand
-    // ordered pairs per bucket. Compared to the naive two-sided
-    // self-join this shuffles the index once instead of twice, and the
-    // per-bucket pair fan-out is bounded at cap·(cap-1)/2 by
-    // construction. Per-doc sizes reuse the same narrow shingle stage
-    // (tokenize+explode is codegen-adjacent; recomputing it beats
-    // persisting the exploded index, measured at sf0.1).
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
     val cap = math.max(20L, (docsDf.count() * 0.01).toLong)
-    // sizes deliberately go through the exploded-index groupBy even
-    // though a narrow per-row size(array_distinct(...)) exists: the
-    // sizes subtree feeds BOTH pair-join branches, and Catalyst's
-    // ReuseExchange computes the shuffled aggregate once — the
-    // shuffle-free formulation re-runs the interpreted shingle-array
-    // build per branch and measured ~1.7x slower at sf0.1
-    val sizes = shingleIndex(docsDf).groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = shingleIndex(docsDf)
-      .groupBy("shingle")
+    // One narrow pass hashes each doc's distinct 3-shingles to longs
+    // (native shingle_hashes — no shingle strings are ever built): the
+    // inverted index shuffles 8-byte hashes instead of shingle strings,
+    // per-doc sizes are just size(shs) — a 1-row-per-doc dim that
+    // BROADCASTS to both denominator joins (round-2 shuffled a separate
+    // aggregate for them) — and per-bucket pair expansion is the native
+    // ordered_pairs64 tight loop, not an interpreted HOF lambda per
+    // emitted pair (~1.3M at sf0.1).
+    val hashed = docsDf
+      .withColumn("shs", expr(s"shingle_hashes($tokExpr)"))
+      .where(size(col("shs")) >= 1) // <3-token docs have no 3-shingle
+      .select(col("doc_id"), col("shs"))
+    val sizes = hashed.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+    val pairs = hashed
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .groupBy("sh")
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) <= cap && size(col("ids")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ids, x ->
-          |  transform(filter(ids, y -> y > x),
-          |    y -> named_struct('a_id', x, 'b_id', y))))""".stripMargin)).as("p"))
+      .select(explode(expr("ordered_pairs64(ids)")).as("p"))
       .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
+    // both denominator joins broadcast the IDENTICAL sizes subplan (the
+    // rename happens above the join, not inside the build side), so
+    // ReuseExchange materializes it once — a per-branch rename would
+    // re-run the tokenize+hash scan per join
     pairs
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .join(broadcast(sizes), col("a_id") === sizes("doc_id"))
+      .drop("doc_id").withColumnRenamed("n_sh", "na")
+      .join(broadcast(sizes), col("b_id") === sizes("doc_id"))
+      .drop("doc_id").withColumnRenamed("n_sh", "nb")
       .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
       .where(col("jac") >= 0.3)
       .select("a_id", "b_id", "inter", "na", "nb", "jac")

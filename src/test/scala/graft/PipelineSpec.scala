@@ -59,6 +59,32 @@ class PipelineSpec extends AnyFunSuite {
       "stop-shingle-only overlap still produced candidate pairs")
   }
 
+  test("shingle_hashes matches the string-shingle formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    // per doc: |distinct hashed 3-shingles| == |distinct string 3-shingles|
+    // (collision-free on this corpus), and equal token windows hash equal
+    val df = graft.Tables.df(spark, sf, "documents")
+      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .where(size(col("toks")) >= 3)
+      .select(
+        size(expr("shingle_hashes(toks)")).as("n_hashed"),
+        size(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+          .as("n_str"))
+    assert(df.where(col("n_hashed") =!= col("n_str")).isEmpty,
+      "hashed shingle count diverged from string shingle count")
+    // determinism + cross-doc equality: identical texts share all hashes
+    import spark.implicits._
+    val two = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b x d"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), expr("shingle_hashes(regexp_extract_all(text, '[a-z]+', 0))").as("shs"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Long]]("shs").toSeq)
+      .toMap
+    assert(two(1L) == two(2L))
+    assert(two(1L).intersect(two(3L)).isEmpty) // every window differs
+  }
+
   test("s01 brute-force top-k is sorted and sized") {
     val r = rows("s01_ann_brute")
     assert(r.size == 10)
