@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 
@@ -247,10 +248,128 @@ object Dedup {
       |    / (a.nrm * b.nrm) >= 0.3
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Connected components by iterative hash-min label propagation: every
+    * node starts labeled with its own id; each round every node takes
+    * the min label over itself and its neighbors; converged when no
+    * label changed. O(graph diameter) rounds, each one shuffle bounded
+    * by |E| — dup graphs are unions of small cliques, so diameter (and
+    * the round count) stays tiny even at 100 TB. The driver loop is
+    * iteration CONTROL only — no edge or label data ever reaches the
+    * driver; the big-diameter escalation path is the published
+    * large-star/small-star variant, same per-round plan shape. Edges
+    * are persisted across rounds (recomputing the Jaccard candidate
+    * pipeline per round would dominate) and labels are persisted per
+    * round so each iteration reads a materialized parent, not the
+    * whole lineage. */
+  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val fwd = pairs.toDF("u", "v")
+    val edges = fwd.union(fwd.select(col("v"), col("u"))).toDF("u", "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.toDF("id").select(col("id"), col("id").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = edges.join(labels, edges("v") === labels("id"))
+        .select(edges("u").as("id"), col("lbl"))
+      val next = labels.union(prop).groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .where(col("lbl") < col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** d06 — dedup-cluster assignment: connected components over the d02
+    * Jaccard candidate graph. Near-dup pairs are not transitive — A~B
+    * and B~C does not imply A~C — so keep-one-per-pair dedup either
+    * over- or under-deletes; the standard fix (what any production
+    * near-dedup does before choosing keepers) is to cluster the pair
+    * graph and keep one representative per component. Output: every
+    * doc with its component id (min doc_id in the component) and the
+    * component size; singletons are their own representative. */
+  private def d06(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    val labels = connectedComponents(
+      ds.select(col("doc_id")),
+      jaccardPairs(ds).select(col("a_id"), col("b_id")))
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle states the same fixpoint as a transitive closure
+    * (recursive CTE): reachable-min == hash-min's converged label. */
+  private val d06Oracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM pr
+      |  JOIN sz sa ON a_id = sa.doc_id
+      |  JOIN sz sb ON b_id = sb.doc_id
+      |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3),
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(u, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+      |lab AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+      |SELECT l.doc_id, l.cluster_id, c.cluster_size
+      |FROM lab l JOIN (
+      |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id) c
+      |  USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** d07 — embedding near-dup, LSH-blocked (rows-only): the capped-block
+    * scale variant of d05 (SURVEY §9.2). Blocking key is (label,
+    * lsh_bucket64 >> 4) — metadata label refined by a 4-plane sign
+    * bucket — so the largest pairwise block shrinks ~16× vs d05's
+    * per-label blocks while same-bucket near-dups are preserved
+    * (sign-agreement probability rises with cosine). Same
+    * single-aggregation pair expansion as d02/d03; lossy by design
+    * (cross-bucket pairs are missed) — PipelineSpec bounds block size
+    * and asserts found pairs ⊆ d05's exact pairs. */
+  private def d07(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val n = Tables.df(s, d, "embeddings")
+      .withColumn("nrm", expr("vec_norm(embedding)"))
+      .withColumn("blk", expr("CAST(lsh_bucket64(embedding) AS INT) >> 4"))
+      .select(col("vec_id"), col("label"), col("blk"), col("embedding").as("e"), col("nrm"))
+    n.as("a")
+      .join(n.as("b"),
+        col("a.label") === col("b.label") && col("a.blk") === col("b.blk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", expr("vec_dot(a.e, b.e)") / (col("a.nrm") * col("b.nrm")))
+      .where(col("cos") >= 0.3)
+      .select(
+        col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.label").as("label"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
     Q("d03_dedup_minhash", None, d03),
     Q("d04_dedup_simhash", None, d04),
-    Q("d05_dedup_embed", Some(d05Oracle), d05))
+    Q("d05_dedup_embed", Some(d05Oracle), d05),
+    Q("d06_dedup_cluster", Some(d06Oracle), d06),
+    Q("d07_dedup_embed_lsh", None, d07))
 }
