@@ -47,5 +47,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("token_stats",
         "token_stats(array<string>) - struct(n_tok, n_uniq, top_n, n_letters)"),
       es => TokenStats(es.head)))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(array<string>) - distinct 3-token shingle hashes"),
+      es => ShingleHashes(es.head)))
+    e.injectFunction((FunctionIdentifier("ordered_pairs64"),
+      info("ordered_pairs64",
+        "ordered_pairs64(array<bigint>) - all ordered (a<b) id pairs"),
+      es => OrderedPairs64(es.head)))
+    e.injectFunction((FunctionIdentifier("bigrams"),
+      info("bigrams", "bigrams(array<string>) - adjacent-token bigram strings"),
+      es => Bigrams(es.head)))
+    e.injectFunction((FunctionIdentifier("sig_pairs"),
+      info("sig_pairs",
+        "sig_pairs(array<struct<bigint,array<bigint>>>) - pairs with signature-agreement counts"),
+      es => SigPairs(es.head)))
   }
 }

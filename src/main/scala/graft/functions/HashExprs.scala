@@ -295,6 +295,110 @@ final case class Fingerprint64(child: Expression)
     copy(child = newChild)
 }
 
+/** Adjacent-token bigram strings ("a b") from a token array. The HOF
+  * formulation (`transform(sequence(...), i -> concat(...))`) dispatches
+  * an interpreted lambda per bigram — ~1.5M times at sf0.1 in t06 — and
+  * re-indexes the array per element; this is one linear pass with a
+  * single UTF8String concat per window. */
+final case class Bigrams(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bigrams needs array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bigrams"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](n - 1)
+      var prev = arr.getUTF8String(0)
+      var i = 1
+      while (i < n) {
+        val cur = arr.getUTF8String(i)
+        out(i - 1) = UTF8String.concat(prev, space, cur)
+        prev = cur
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Bigrams =
+    copy(child = newChild)
+}
+
+/** All ordered pairs with signature-agreement counts from an LSH band
+  * bucket's postings — array<struct<doc_id, sig>> in, array<struct<a_id,
+  * b_id, n_eq>> out. This is d03's pair-expansion unit: the HOF
+  * formulation (flatten ∘ transform ∘ filter with a zip_with equality
+  * fold inside) dispatches interpreted lambdas per candidate pair AND
+  * per signature element; this is one O(k²·|sig|) tight loop per bucket
+  * (k bounded by band-bucket occupancy). Pairs are canonical (a < b)
+  * so the downstream distinct needs no normalization. */
+final case class SigPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _),
+      StructField(_, ArrayType(LongType, _), _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sig_pairs needs array<struct<bigint, array<bigint>>>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a_id", LongType, nullable = false),
+    StructField("b_id", LongType, nullable = false),
+    StructField("n_eq", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "sig_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val sigs = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      sigs(i) = row.getArray(1).toLongArray()
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var m = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val si = sigs(i)
+        val sj = sigs(j)
+        var eq = 0
+        var p = 0
+        val len = math.min(si.length, sj.length)
+        while (p < len) { if (si(p) == sj(p)) eq += 1; p += 1 }
+        val a = ids(i)
+        val b = ids(j)
+        out(m) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          if (a < b) Array[Any](a, b, eq) else Array[Any](b, a, eq))
+        m += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SigPairs =
+    copy(child = newChild)
+}
+
 /** Per-document token statistics in one pass: total tokens, distinct
   * tokens, the highest single-token count, and total letters. The HOF
   * formulation (a filter scan per distinct token) is O(distinct·n)
@@ -350,5 +454,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("lsh_bucket64", es => LshBucket64(es.head), "built-in")
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "built-in")
     reg.createOrReplaceTempFunction("token_stats", es => TokenStats(es.head), "built-in")
+    reg.createOrReplaceTempFunction("bigrams", es => Bigrams(es.head), "built-in")
+    reg.createOrReplaceTempFunction("sig_pairs", es => SigPairs(es.head), "built-in")
   }
 }

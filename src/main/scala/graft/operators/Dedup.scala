@@ -152,7 +152,9 @@ object Dedup {
     // one aggregation per band bucket instead of a two-sided self-join:
     // collect the bucket's (doc_id, sig) postings and expand ordered
     // pairs in place — the index is shuffled once, and bucket fan-out
-    // is whatever the banding bounds it to
+    // is whatever the banding bounds it to. Pair expansion + signature
+    // agreement is the native sig_pairs tight loop, not an interpreted
+    // lambda per pair per signature element.
     sig.select(
         col("doc_id"), col("sig"),
         explode(expr(
@@ -161,12 +163,7 @@ object Dedup {
       .groupBy(col("b.band"), col("b.bh"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("xs"))
       .where(size(col("xs")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(xs, x ->
-          |  transform(filter(xs, y -> y.doc_id > x.doc_id),
-          |    y -> named_struct('a_id', x.doc_id, 'b_id', y.doc_id,
-          |      'n_eq', size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), v -> v))))))""".stripMargin))
-        .as("p"))
+      .select(explode(expr("sig_pairs(xs)")).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.n_eq").as("n_eq"))
       .distinct()
       .withColumn("est_jac", col("n_eq") / 32.0)
@@ -256,33 +253,50 @@ object Dedup {
     * the round count) stays tiny even at 100 TB. The driver loop is
     * iteration CONTROL only — no edge or label data ever reaches the
     * driver; the big-diameter escalation path is the published
-    * large-star/small-star variant, same per-round plan shape. Edges
-    * are persisted across rounds (recomputing the Jaccard candidate
-    * pipeline per round would dominate) and labels are persisted per
-    * round so each iteration reads a materialized parent, not the
-    * whole lineage. */
+    * large-star/small-star variant, same per-round plan shape.
+    *
+    * Scale shape (round-4 rework): only edge-touched nodes enter the
+    * loop — at 100 TB the near-dup edge set is orders of magnitude
+    * smaller than the corpus, and the singleton majority (which can
+    * never change label) rejoins as its own component once, after
+    * convergence. The previous label rides through the aggregation as
+    * `old`, so ONE action per round both materializes the new labels
+    * and answers the convergence test — the round-3 shape paid a second
+    * join+action per round for the check. Labels are min-monotone, so
+    * `lbl < old` is exactly "changed". */
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
     val fwd = pairs.toDF("u", "v")
     val edges = fwd.union(fwd.select(col("v"), col("u"))).toDF("u", "v")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.toDF("id").select(col("id"), col("id").as("lbl"))
+    // cached = the DataFrame persist() was called on (unpersist must see
+    // the identical plan); labels = the 2-col view the joins consume
+    var cached = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val prop = edges.join(labels, edges("v") === labels("id"))
-        .select(edges("u").as("id"), col("lbl"))
-      val next = labels.union(prop).groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .select(edges("u").as("id"), col("lbl"), lit(null).cast("long").as("old"))
+      val self = labels.select(col("id"), col("lbl"), col("lbl").as("old"))
+      val next = self.union(prop).groupBy("id")
+        .agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .where(col("lbl") < col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+      converged = next.where(col("lbl") < col("old")).isEmpty
+      cached.unpersist()
+      cached = next
+      labels = next.select("id", "lbl")
       iter += 1
     }
     edges.unpersist()
-    labels
+    // the final round's cache stays live for the caller's downstream
+    // jobs — a few rows per edge-node, the price of not recomputing the
+    // whole candidate pipeline when the result is consumed
+    nodes.toDF("id")
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
 
   /** d06 — dedup-cluster assignment: connected components over the d02

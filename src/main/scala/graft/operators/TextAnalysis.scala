@@ -186,17 +186,18 @@ object TextAnalysis {
     * deterministic top 50. Partial aggregation collapses each
     * partition's bigrams before the shuffle; the final top-N is a
     * TakeOrdered, never a global sort. */
-  private def t06(s: SparkSession, d: String): DataFrame =
+  private def t06(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.df(s, d, "documents")
       .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
       .where(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
-        .as("bigram"))
+      // native bigrams: one linear pass, no interpreted lambda per window
+      .select(explode(expr("bigrams(toks)")).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(50)
+  }
 
   private val t06Oracle: String =
     """WITH toks AS (
