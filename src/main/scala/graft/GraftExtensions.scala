@@ -62,5 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sig_pairs",
         "sig_pairs(array<struct<bigint,array<bigint>>>) - pairs with signature-agreement counts"),
       es => SigPairs(es.head)))
+    e.injectFunction((FunctionIdentifier("token_entropy"),
+      info("token_entropy",
+        "token_entropy(array<string>) - Shannon entropy (nats) of the token distribution"),
+      es => TokenEntropy(es.head)))
   }
 }

@@ -440,6 +440,46 @@ final case class TokenStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Shannon entropy (nats) of the token distribution in one pass:
+  * H = ln(n) − (Σ c·ln c)/n over per-token counts c. The shuffle-free
+  * alternative to explode + two aggregations per document; exact to
+  * double precision, so downstream rounding to 6 decimals matches any
+  * engine computing the same formula. */
+final case class TokenEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"token_entropy needs array<string>, got $t")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "token_entropy"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) 0.0
+    else {
+      val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+      var i = 0
+      while (i < n) {
+        counts.merge(arr.getUTF8String(i), 1, (a, b) => a + b)
+        i += 1
+      }
+      var s = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().toDouble
+        s += c * math.log(c)
+      }
+      math.log(n.toDouble) - s / n
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropy =
+    copy(child = newChild)
+}
+
 /** Registration: makes the native expressions available to SQL/expr(). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -456,5 +496,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("token_stats", es => TokenStats(es.head), "built-in")
     reg.createOrReplaceTempFunction("bigrams", es => Bigrams(es.head), "built-in")
     reg.createOrReplaceTempFunction("sig_pairs", es => SigPairs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("token_entropy", es => TokenEntropy(es.head), "built-in")
   }
 }

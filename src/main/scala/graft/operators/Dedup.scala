@@ -378,6 +378,74 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** d08 — keep-best representative per dup cluster: the step after d06
+    * that an actual dedup pipeline ships — for every connected component
+    * of the near-dup graph, keep the highest-quality member (t02's
+    * quality score, min doc_id on ties) and report what was dropped.
+    * The champion pick is a partial-aggregating max_by over a
+    * lexicographic (quality, −doc_id) struct — no per-cluster window
+    * sort, so clusters of any size reduce map-side first. */
+  private def d08(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    val labels = connectedComponents(
+      ds.select(col("doc_id")),
+      jaccardPairs(ds).select(col("a_id"), col("b_id")))
+      .toDF("doc_id", "cluster_id")
+    labels
+      .join(graft.operators.TextAnalysis.qualityScore(ds), "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max_by(col("doc_id"), struct(col("quality_score"), -col("doc_id"))).as("keep_id"),
+        count(lit(1)).as("cluster_size"),
+        round(max(col("quality_score")), 6).as("best_q"))
+      .orderBy("cluster_id")
+  }
+
+  /** Oracle: the d06 transitive-closure fixpoint + the t02 quality
+    * formula (NULL-guarded to −1 exactly as the Spark side), champion
+    * via ORDER BY inside first(). */
+  private val d08Oracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM pr
+      |  JOIN sz sa ON a_id = sa.doc_id
+      |  JOIN sz sb ON b_id = sb.doc_id
+      |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3),
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(u, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+      |lab AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+      |q AS (
+      |  SELECT doc_id, COALESCE(
+      |    (len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      |       x -> list_contains([%STOPS%], x)))
+      |      / len(regexp_extract_all(lower(text), '[a-z]+'))) * 0.5
+      |    + (len(regexp_extract_all(text, '[.,;:!?]')) / length(text)) * 0.2
+      |    + (len(regexp_extract_all(lower(text), '[a-z]+')) / length(text)) * 0.3,
+      |    -1.0) AS quality_score
+      |  FROM documents)
+      |SELECT l.cluster_id,
+      |  first(l.doc_id ORDER BY q.quality_score DESC, l.doc_id ASC) AS keep_id,
+      |  COUNT(*) AS cluster_size,
+      |  round(MAX(q.quality_score), 6) AS best_q
+      |FROM lab l JOIN q USING (doc_id)
+      |GROUP BY l.cluster_id ORDER BY l.cluster_id""".stripMargin
+      .replace("%STOPS%", graft.operators.TextAnalysis.allStopsSql)
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
@@ -385,5 +453,6 @@ object Dedup {
     Q("d04_dedup_simhash", None, d04),
     Q("d05_dedup_embed", Some(d05Oracle), d05),
     Q("d06_dedup_cluster", Some(d06Oracle), d06),
-    Q("d07_dedup_embed_lsh", None, d07))
+    Q("d07_dedup_embed_lsh", None, d07),
+    Q("d08_dedup_keep_best", Some(d08Oracle), d08))
 }

@@ -483,6 +483,49 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q41 — explicit GROUPING SETS (the general form behind ROLLUP/CUBE):
+    * three hand-picked grouping sets in one pass. Same Expand + two-phase
+    * hash-agg plan family as q21/q38 — the fact table is scanned once
+    * regardless of how many sets are requested. SQL path for the same
+    * Spark 4.1 nullable-grouping reason as q21. */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    Tables.ensure(s, d)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** q42 — lateral explode (Spark's Generate operator): split each part
+    * name into words and aggregate word frequencies. The expansion is
+    * narrow (per-row, no shuffle until the count), so it pipelines
+    * inside whole-stage codegen at any scale. */
+  private def q42(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("first_key"))
+      .orderBy("word")
+
+  /** q43 — distribution-analytic window functions (ntile / percent_rank
+    * / cume_dist) per order-priority partition. The composite
+    * (o_totalprice, o_orderkey) sort key is total, so every rank is
+    * deterministic; one shuffle by partition key, one sort per
+    * partition. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
   // ---------------------------------------------------------------------
   // Oracle SQL (DuckDB). Aliases match the Spark output column names
   // exactly; float discipline per SURVEY.md §5.
@@ -719,6 +762,24 @@ object Relational {
         |  ON c.user_id = v.user_id
         | AND v.ts_s >= c.ts_s AND v.ts_s <= c.ts_s + INTERVAL 1 HOUR
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
-        |GROUP BY c.event_id ORDER BY event_id""".stripMargin), q40)
+        |GROUP BY c.event_id ORDER BY event_id""".stripMargin), q40),
+    Q("q41_grouping_sets", Some(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin), q41),
+    Q("q42_explode_words", Some(
+      """SELECT word, COUNT(*) AS n, MIN(p_partkey) AS first_key
+        |FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part)
+        |GROUP BY word ORDER BY word""".stripMargin), q42),
+    Q("q43_window_dist", Some(
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin), q43)
   )
 }

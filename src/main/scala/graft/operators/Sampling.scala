@@ -138,10 +138,44 @@ object Sampling {
       |WHERE a.doc_id % 97 <> 0
       |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin
 
+  /** p06 — temperature sampling across sources (the multilingual/
+    * multi-source rebalance step: keep-rate ∝ n_s^(α−1), α = 0.5, scaled
+    * so the smallest source keeps everything). The per-source rate table
+    * is a tiny broadcast dim; membership is the same reproducible id
+    * hash as p01, so the selected set is engine- and partitioning-
+    * independent and the oracle can verify it exactly. floor() pins the
+    * threshold (Spark CAST truncates where DuckDB rounds); sqrt/division
+    * are IEEE-exact in both engines. */
+  private[graft] def temperatureSample(docsDf: DataFrame): DataFrame = {
+    val counts = docsDf.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_s")).as("n_min"))))
+      .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_s").cast("double")))
+      .select("source", "rate")
+    docsDf
+      .join(broadcast(rates), "source")
+      .where(expr(s"$hashCol < floor(rate * 1000000)"))
+      .select(col("doc_id"), col("source"), round(col("rate"), 6).as("rate_r"))
+      .orderBy("doc_id")
+  }
+
+  private def p06(s: SparkSession, d: String): DataFrame =
+    temperatureSample(Tables.df(s, d, "documents"))
+
+  private val p06Oracle: String =
+    """WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+      |m AS (SELECT MIN(n_s) AS n_min FROM c),
+      |r AS (SELECT source, sqrt(CAST(n_min AS DOUBLE) / CAST(n_s AS DOUBLE)) AS rate FROM c, m)
+      |SELECT d.doc_id AS doc_id, d.source AS source, round(r.rate, 6) AS rate_r
+      |FROM documents d JOIN r USING (source)
+      |WHERE (doc_id * 2654435761 + 104729) % 1000000 < floor(rate * 1000000)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
     Q("p03_sample_stratified", None, p03),
     Q("p04_pack_contexts", Some(p04Oracle), p04),
-    Q("p05_contamination", Some(p05Oracle), p05))
+    Q("p05_contamination", Some(p05Oracle), p05),
+    Q("p06_sample_temperature", Some(p06Oracle), p06))
 }

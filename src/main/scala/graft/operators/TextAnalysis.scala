@@ -26,6 +26,10 @@ object TextAnalysis {
 
   private def sqlList(ws: Seq[String]) = ws.mkString("'", "', '", "'")
 
+  /** The combined stopword list as a SQL array body — shared with d08's
+    * oracle so the quality formula stays textually identical. */
+  private[graft] val allStopsSql: String = sqlList(langs.flatMap(stopwords).distinct)
+
   /** t01 — language ID: distinct-stopword hit count per language, argmax
     * with alphabetical tie-break (expressed as an ordered CASE). */
   private def t01(s: SparkSession, d: String): DataFrame = {
@@ -64,6 +68,26 @@ object TextAnalysis {
        |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
        |  CASE $caseArms ELSE '${langs.last}' END AS pred
        |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** The t02 quality score as a reusable per-doc projection (d08 keeps
+    * the best-quality representative per dup cluster with it). NULL-free
+    * by construction: zero-token docs get score -1 so cross-engine
+    * ordering never hits engine-specific NULL placement. */
+  private[graft] def qualityScore(docsDf: DataFrame): DataFrame = {
+    val allStops = langs.flatMap(stopwords).distinct
+    docsDf
+      .withColumn("n_chars_m", length(col("text")))
+      .withColumn("n_tok", expr("size(regexp_extract_all(lower(text), '[a-z]+', 0))"))
+      .withColumn("n_punct", expr("size(regexp_extract_all(text, '[.,;:!?]', 0))"))
+      .withColumn("n_stop", expr(
+        s"size(filter(regexp_extract_all(lower(text), '[a-z]+', 0), " +
+          s"x -> array_contains(array(${sqlList(allStops)}), x)))"))
+      .withColumn("quality_score", coalesce(
+        (col("n_stop") / col("n_tok")) * 0.5 + (col("n_punct") / col("n_chars_m")) * 0.2
+          + (col("n_tok") / col("n_chars_m")) * 0.3,
+        lit(-1.0)))
+      .select(col("doc_id"), col("quality_score"))
   }
 
   /** t02 — quality scoring: token/punctuation/stopword ratios + a
@@ -245,6 +269,38 @@ object TextAnalysis {
       |  list_sum(list_transform(t, x -> length(x))) / len(t) AS mean_word_len
       |FROM c WHERE len(t) >= 1 ORDER BY doc_id""".stripMargin
 
+  /** t08 — token-distribution entropy (a repetition/diversity signal
+    * complementary to t07's ratios: boilerplate has low entropy even at
+    * a high unique-token count). One narrow pass via the native
+    * `token_entropy` expression — no explode, no per-doc aggregation
+    * shuffle; rounded to 6 decimals so double summation order across
+    * engines cannot surface. */
+  private def t08(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.df(s, d, "documents")
+      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .where(size(col("toks")) >= 1)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tok"),
+        round(expr("token_entropy(toks)"), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  private val t08Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS c
+      |  FROM tok GROUP BY doc_id, t),
+      |agg AS (
+      |  SELECT doc_id, SUM(c * ln(c)) AS s, CAST(SUM(c) AS BIGINT) AS n
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS INT) AS n_tok,
+      |  round(ln(CAST(n AS DOUBLE)) - s / n, 6) AS entropy
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -252,5 +308,6 @@ object TextAnalysis {
     Q("t04_fingerprint", None, t04),
     Q("t05_pii_redact", Some(t05Oracle), t05),
     Q("t06_bigram_freq", Some(t06Oracle), t06),
-    Q("t07_repetition", Some(t07Oracle), t07))
+    Q("t07_repetition", Some(t07Oracle), t07),
+    Q("t08_entropy", Some(t08Oracle), t08))
 }

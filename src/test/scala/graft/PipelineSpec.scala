@@ -35,6 +35,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows("d04_dedup_simhash").forall(_.getAs[Int]("hamming") <= 3))
   }
 
+  test("connected components label chains, cliques, and singletons correctly") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 forces several propagation rounds),
+    // clique {10,11,12}, singleton 99
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 99L)).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val got = graft.operators.Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(got(_) == 1L), s"chain mislabeled: $got")
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L), s"clique mislabeled: $got")
+    assert(got(99L) == 99L, "singleton must be its own component")
+  }
+
+  test("d08 keeps exactly one representative per d06 cluster") {
+    val clusters = rows("d06_dedup_cluster")
+      .map(r => r.getAs[Long]("cluster_id")).toSet
+    val best = rows("d08_dedup_keep_best")
+    assert(best.map(_.getAs[Long]("cluster_id")).toSet == clusters)
+    // the champion is a member of its own cluster
+    val member = rows("d06_dedup_cluster")
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toMap
+    assert(best.forall(r =>
+      member(r.getAs[Long]("keep_id")) == r.getAs[Long]("cluster_id")))
+  }
+
+  test("p06 temperature sampling downsamples large sources, keeps the smallest whole") {
+    import spark.implicits._
+    // 400 docs from source "big", 25 from "small": rate(small)=1,
+    // rate(big)=sqrt(25/400)=0.25 — the kept share must be near 25%
+    val docs = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (1000 until 1025).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val kept = graft.operators.Sampling.temperatureSample(docs).collect()
+    val bySrc = kept.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(bySrc("small") == 25, s"smallest source must be kept whole: $bySrc")
+    val bigShare = bySrc("big") / 400.0
+    assert(bigShare > 0.15 && bigShare < 0.35,
+      s"big-source share $bigShare far from the 0.25 target rate")
+    assert(kept.filter(_.getAs[String]("source") == "big")
+      .forall(_.getAs[Double]("rate_r") == 0.25))
+  }
+
+  test("native expr goldens: bigrams, token_entropy, sig_pairs") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("a", "b", "c"))).toDF("t")
+    assert(df.select(expr("bigrams(t)")).head().getSeq[String](0) == Seq("a b", "b c"))
+    assert(Seq(Tuple1(Seq("x"))).toDF("t")
+      .select(expr("bigrams(t)")).head().getSeq[String](0).isEmpty)
+    // H(["a","a","b","b"]) = ln 2
+    val h = Seq(Tuple1(Seq("a", "a", "b", "b"))).toDF("t")
+      .select(expr("token_entropy(t)")).head().getDouble(0)
+    assert(math.abs(h - math.log(2.0)) < 1e-12)
+    // sig agreement: sigs [1,2,3] vs [1,9,3] agree on 2 positions
+    val p = Seq(Tuple1(Seq((7L, Seq(1L, 2L, 3L)), (3L, Seq(1L, 9L, 3L)))))
+      .toDF("xs")
+      .select(expr("inline(sig_pairs(xs))")).head()
+    assert((p.getLong(0), p.getLong(1), p.getInt(2)) == ((3L, 7L, 2)))
+  }
+
   test("d02 stop-shingle cap bounds every candidate block") {
     import spark.implicits._
     // adversarial corpus: one shingle shared by ALL 100 docs, plus a
