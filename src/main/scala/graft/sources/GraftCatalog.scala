@@ -45,6 +45,16 @@ object GraftCatalog {
     df
   }
 
+  /** CREATE EXTERNAL TABLE ... STORED AS ORC analog — the other columnar
+    * format a warehouse migration meets in practice; same pushdown/
+    * pruning machinery as parquet (Spark's OrcScan reports PushedFilters
+    * the same way). */
+  def registerOrc(spark: SparkSession, name: String, location: String): DataFrame = {
+    val df = spark.read.orc(location)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** In-memory table + INSERT analog (docs/2 "Create tables & Insert
     * data"): a local DataFrame registered as a view; "insert" = union +
     * re-register. */
@@ -105,4 +115,7 @@ object GraftCatalog {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

@@ -40,6 +40,20 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(spark.table("nation_json").where(col("n_nationkey") === 0).count() == 1)
   }
 
+  test("orc sink + source round-trip with predicate pushdown") {
+    val orders = Tables.df(spark, sf, "orders")
+    GraftCatalog.writeOrc(orders, s"$tmp/orders_orc")
+    val back = GraftCatalog.registerOrc(spark, "orders_orc", s"$tmp/orders_orc")
+    assert(back.count() == orders.count())
+    assert(back.columns.toSeq == orders.columns.toSeq)
+    // the same pushdown contract as parquet: the filter must reach the scan
+    val plan = spark.table("orders_orc").where(col("o_orderkey") === 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]")
+      || plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7"),
+      s"ORC scan did not receive the pushed filter:\n$plan")
+  }
+
   test("observed runtime metrics accumulate during the run") {
     val m = plans.PlanInspector.observed(
       Tables.df(spark, sf, "orders"), "orders_obs",
