@@ -66,5 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("token_entropy",
         "token_entropy(array<string>) - Shannon entropy (nats) of the token distribution"),
       es => TokenEntropy(es.head)))
+    e.injectFunction((FunctionIdentifier("hamming_pairs"),
+      info("hamming_pairs",
+        "hamming_pairs(array<struct<bigint,bigint>>) - pairs with Hamming distances"),
+      es => HammingPairs(es.head)))
   }
 }

@@ -440,6 +440,63 @@ final case class TokenStats(child: Expression)
     copy(child = newChild)
 }
 
+/** All ordered pairs with Hamming distances from a SimHash quadrant
+  * bucket's postings — array<struct<doc_id, simhash>> in,
+  * array<struct<a_id, b_id, hamming>> out. d04's pair-expansion unit,
+  * same shape as SigPairs: one tight O(k²) loop per bucket instead of
+  * an interpreted lambda per candidate pair. */
+final case class HammingPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _),
+      StructField(_, LongType, _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hamming_pairs needs array<struct<bigint, bigint>>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a_id", LongType, nullable = false),
+    StructField("b_id", LongType, nullable = false),
+    StructField("hamming", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "hamming_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val sigs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      sigs(i) = row.getLong(1)
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var m = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+        val a = ids(i)
+        val b = ids(j)
+        out(m) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          if (a < b) Array[Any](a, b, h) else Array[Any](b, a, h))
+        m += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HammingPairs =
+    copy(child = newChild)
+}
+
 /** Shannon entropy (nats) of the token distribution in one pass:
   * H = ln(n) − (Σ c·ln c)/n over per-token counts c. The shuffle-free
   * alternative to explode + two aggregations per document; exact to
@@ -497,5 +554,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("bigrams", es => Bigrams(es.head), "built-in")
     reg.createOrReplaceTempFunction("sig_pairs", es => SigPairs(es.head), "built-in")
     reg.createOrReplaceTempFunction("token_entropy", es => TokenEntropy(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hamming_pairs", es => HammingPairs(es.head), "built-in")
   }
 }

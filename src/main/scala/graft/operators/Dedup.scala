@@ -180,27 +180,25 @@ object Dedup {
     * within Hamming ≤ 3 shares at least one of the four 16-bit
     * quadrants) is testable against adversarial synthetic signatures,
     * not just whatever the corpus happens to contain. */
-  private[graft] def simhashPairs(sig: DataFrame): DataFrame =
+  private[graft] def simhashPairs(sig: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(sig.sparkSession)
     sig.select(
         col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), q -> named_struct('q', q, 'bits', shiftright(simhash, q * 16) & 65535))"))
           .as("blk"))
       // same single-aggregation shape as d02/d03: one shuffle of the
-      // blocked index, pairs expanded per quadrant bucket in place
+      // blocked index, pairs expanded per quadrant bucket by the native
+      // hamming_pairs tight loop
       .groupBy(col("blk.q"), col("blk.bits"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))
       .where(size(col("xs")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(xs, x ->
-          |  transform(filter(xs, y -> y.doc_id > x.doc_id),
-          |    y -> named_struct('a_id', x.doc_id, 'b_id', y.doc_id,
-          |      'hamming', bit_count(x.simhash ^ y.simhash)))))""".stripMargin))
-        .as("p"))
+      .select(explode(expr("hamming_pairs(xs)")).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.hamming").as("hamming"))
       .distinct()
       .where(col("hamming") <= 3)
       .orderBy("a_id", "b_id")
+  }
 
   private def d04(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)

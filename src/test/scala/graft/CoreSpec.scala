@@ -80,6 +80,25 @@ class CoreSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
   }
 
+  test("q41: all grouping sets plan as one Expand over a single scan") {
+    val plan = physical(SparkEntry.queries("q41_grouping_sets")(spark, sf)).toString
+    assert(plan.contains("Expand"), s"no Expand node:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"grouping sets rescanned the fact table:\n$plan")
+  }
+
+  test("p06: the per-source rate table joins as a broadcast, docs never shuffle") {
+    assert(usesBroadcastHashJoin(
+      SparkEntry.queries("p06_sample_temperature")(spark, sf)))
+  }
+
+  test("d08: champion pick is a partial-aggregating max_by, not a window sort") {
+    val plan = physical(SparkEntry.queries("d08_dedup_keep_best")(spark, sf)).toString
+    assert(plan.contains("partial_max_by") || plan.contains("partial max_by")
+      || (plan.contains("max_by") && !plan.contains("Window")),
+      s"keep-best is not a partial aggregation:\n$plan")
+  }
+
   test("explain formats render") {
     val df = SparkEntry.queries("q05_agg")(spark, sf)
     assert(formatted(df).contains("HashAggregate"))
