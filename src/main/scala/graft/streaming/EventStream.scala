@@ -83,6 +83,24 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** foreachBatch sink: the general-purpose streaming-write shape when
+    * the target has no native streaming connector. Each micro-batch is
+    * an ordinary batch DataFrame; idempotence under replay comes from
+    * keying the write on batchId — a re-delivered batch OVERWRITES its
+    * own `batch_id=` directory instead of appending duplicates, which
+    * is what turns at-least-once micro-batch delivery into an
+    * effectively-once table. */
+  def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/batch_id=$batchId")
+
+  def toIdempotentParquet(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeBatch(batch.toDF(), batchId, outDir)
+    }
+
   /** Custom state machine: per-user session counting with a 30-minute
     * inactivity gap, via flatMapGroupsWithState — the streaming twin of
     * batch q23_sessionize. State is bounded two ways: the watermark
