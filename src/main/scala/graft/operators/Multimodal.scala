@@ -119,5 +119,109 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(Q("m01_multimodal", None, m01))
+  /** One video-like row: an ordered run of opaque frame payloads. */
+  final case class VideoRow(doc_id: Long, frames: Array[Array[Byte]])
+
+  /** Features for one SAMPLED frame. */
+  final case class FrameFeatures(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int,
+      mean_byte: Double, ahash64: Long)
+
+  /** Decode a 24-bpp BMP to top-down row-major luminance (integer
+    * (r+g+b)/3 per pixel). The pixel-level accessor `resize`/`aHash64`
+    * build on. */
+  def bmpGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      "not a BMP payload")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val off = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    require(buf.getShort(28) == 24, "unsupported bit depth")
+    val stride = (w * 3 + 3) / 4 * 4
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val src = off + (h - 1 - y) * stride // stored bottom-up
+      var x = 0
+      while (x < w) {
+        val i = src + x * 3
+        gray(y * w + x) =
+          ((bytes(i) & 0xff) + (bytes(i + 1) & 0xff) + (bytes(i + 2) & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, gray)
+  }
+
+  /** Nearest-neighbor resize of a luminance raster — the thumbnail step
+    * of any image feature pipeline; pure integer index math. */
+  def resizeNearest(w: Int, h: Int, gray: Array[Int], w2: Int, h2: Int): Array[Int] = {
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      val sy = y * h / h2
+      var x = 0
+      while (x < w2) {
+        out(y * w2 + x) = gray(sy * w + (x * w / w2))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64-bit average hash: resize to 8×8, set bit (y*8+x) where the cell
+    * is brighter than the thumbnail mean — the classic perceptual
+    * near-dup fingerprint for images/frames. */
+  def aHash64(w: Int, h: Int, gray: Array[Int]): Long = {
+    val t = resizeNearest(w, h, gray, 8, 8)
+    val mean = t.sum.toDouble / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (t(i) > mean) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** m02 — frame sampling over video-like media: each doc carries an
+    * ordered array of frame payloads (real BMPs); every 2nd frame is
+    * decoded, thumbnailed (nearest-neighbor resize) and fingerprinted
+    * (average hash). The sample-then-decode order is the load-bearing
+    * scale property — at 100 TB the skipped frames are never parsed,
+    * and frames stay inside their partition (one task owns a video's
+    * frame run; no per-frame shuffle). Rows-only; decode/resize/hash
+    * semantics are golden-pinned in PipelineSpec. */
+  private def m02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val videos: Dataset[VideoRow] = graft.Tables.df(s, d, "documents")
+      .where(col("doc_id") % 10 === 0) // a video corpus subset
+      .select(col("doc_id"),
+        (pmod(xxhash64(col("doc_id")), lit(4)) + 3).cast("int").as("n_frames"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, nf) =>
+        VideoRow(id, Array.tabulate(nf) { f =>
+          encodeBmp(16, 16, (x, y) =>
+            (((id + f * 7 + x) % 256).toInt, ((id + f * 7 + y) % 256).toInt,
+              ((id + f * 7 + x + y) % 256).toInt))
+        })
+      })
+    videos
+      .flatMap { v =>
+        v.frames.indices.by(2).map { f => // sample BEFORE decoding
+          val (w, h, gray) = bmpGray(v.frames(f))
+          FrameFeatures(v.doc_id, f, w, h,
+            gray.sum.toDouble / gray.length, aHash64(w, h, gray))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("m01_multimodal", None, m01),
+    Q("m02_frame_sample", None, m02))
 }

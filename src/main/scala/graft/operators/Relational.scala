@@ -526,6 +526,57 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** q44 — deterministic array aggregation: per-region nation roster as
+    * a sorted, comma-joined list. `sort_array ∘ collect_list` pins the
+    * element order (collect_list alone is partition-order-dependent —
+    * never comparable across engines or runs), and the string join makes
+    * the output hash-stable for the oracle. */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+
+  /** q46 — correlated scalar subquery: orders priced far above their own
+    * customer's average. Catalyst de-correlates this into an aggregate +
+    * join — one pass to build per-customer averages, one hash join —
+    * never a per-row re-execution; the decimal-routed average keeps the
+    * threshold bit-identical cross-engine. */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    Tables.ensure(s, d)
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q47 — time-series gap filling: the dense (event_type × 5-minute
+    * bin) grid between the observed bounds, zero-filled where no events
+    * landed. The grid generates from a broadcast 1-row bounds aggregate
+    * (sequence + explode — no driver loop), so the only shuffle is the
+    * count aggregation; missing-bin detection is a left join against
+    * the generated spine, the standard dense-timeline shape. */
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("event_type"), timeBin("ts", 300).as("bin"))
+    val counts = e.groupBy("event_type", "bin").agg(count(lit(1)).as("n_raw"))
+    val bounds = e.agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"))
+    val grid = e.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 5 minutes)")).as("bin"))
+    grid.join(counts, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("n_raw"), lit(0L)).as("n"))
+      .orderBy("event_type", "bin")
+  }
+
   // ---------------------------------------------------------------------
   // Oracle SQL (DuckDB). Aliases match the Spark output column names
   // exactly; float discipline per SURVEY.md §5.
@@ -780,6 +831,33 @@ object Relational {
         |  round(cume_dist() OVER w, 6) AS cd
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin), q43)
+        |ORDER BY o_orderkey""".stripMargin), q43),
+    Q("q44_array_agg", Some(
+      """SELECT r_name,
+        |  array_to_string(list(n_name ORDER BY n_name), ',') AS nations,
+        |  COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin), q44),
+    Q("q46_correlated_subquery", Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin), q46),
+    Q("q47_gap_fill", Some(
+      """WITH e AS (
+        |  SELECT event_type,
+        |    make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 * 300000000) AS bin
+        |  FROM events),
+        |b AS (SELECT MIN(bin) AS lo, MAX(bin) AS hi FROM e),
+        |grid AS (
+        |  SELECT t.event_type, g.bin
+        |  FROM (SELECT DISTINCT event_type FROM e) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS bin FROM b) g),
+        |c AS (SELECT event_type, bin, COUNT(*) AS n_raw FROM e GROUP BY event_type, bin)
+        |SELECT grid.event_type, grid.bin, COALESCE(c.n_raw, 0) AS n
+        |FROM grid LEFT JOIN c USING (event_type, bin)
+        |ORDER BY event_type, bin""".stripMargin), q47)
   )
 }

@@ -95,6 +95,38 @@ class PipelineSpec extends AnyFunSuite {
     assert((p.getLong(0), p.getLong(1), p.getInt(2)) == ((3L, 7L, 2)))
   }
 
+  test("m02 golden: gray decode, nearest resize, average hash on a known image") {
+    import graft.operators.Multimodal
+    // left half black, right half white
+    val bmp = Multimodal.encodeBmp(16, 16,
+      (x, _) => if (x < 8) (0, 0, 0) else (255, 255, 255))
+    val (w, h, gray) = Multimodal.bmpGray(bmp)
+    assert((w, h) == ((16, 16)))
+    assert(gray(0) == 0 && gray(15) == 255)
+    val thumb = Multimodal.resizeNearest(w, h, gray, 8, 8)
+    assert(thumb.count(_ == 0) == 32 && thumb.count(_ == 255) == 32)
+    val hash = Multimodal.aHash64(w, h, gray)
+    // exactly the 32 right-half cells are brighter than the mean
+    assert(java.lang.Long.bitCount(hash) == 32)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val bit = (hash >>> (y * 8 + x)) & 1L
+      assert(bit == (if (x < 4) 0L else 1L), s"cell ($x,$y) wrong in ahash")
+    }
+  }
+
+  test("m02 samples every 2nd frame and never decodes the rest") {
+    val out = rows("m02_frame_sample")
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Int]("frame_idx") % 2 == 0),
+      "an unsampled (odd) frame was decoded")
+    assert(out.forall { r =>
+      r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 16
+    })
+    // every video contributes ceil(n_frames/2) sampled frames >= 2
+    val perDoc = out.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length)
+    assert(perDoc.values.forall(n => n >= 2 && n <= 4))
+  }
+
   test("d02 stop-shingle cap bounds every candidate block") {
     import spark.implicits._
     // adversarial corpus: one shingle shared by ALL 100 docs, plus a
