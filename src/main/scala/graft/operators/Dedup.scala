@@ -245,13 +245,14 @@ object Dedup {
 
   /** Connected components by iterative hash-min label propagation: every
     * node starts labeled with its own id; each round every node takes
-    * the min label over itself and its neighbors; converged when no
-    * label changed. O(graph diameter) rounds, each one shuffle bounded
-    * by |E| — dup graphs are unions of small cliques, so diameter (and
-    * the round count) stays tiny even at 100 TB. The driver loop is
-    * iteration CONTROL only — no edge or label data ever reaches the
-    * driver; the big-diameter escalation path is the published
-    * large-star/small-star variant, same per-round plan shape.
+    * the min label over itself and its neighbors, then follows one hop
+    * through the label graph (pointer jumping / shortcutting: lbl ←
+    * label-of-lbl). The jump halves the unresolved distance to the
+    * component minimum each round, so convergence is O(log diameter)
+    * rounds — maxIters = 20 covers any realistic component, and the
+    * loop FAILS LOUDLY rather than return silently-wrong labels if it
+    * somehow doesn't converge. The driver loop is iteration CONTROL
+    * only — no edge or label data ever reaches the driver.
     *
     * Scale shape (round-4 rework): only edge-touched nodes enter the
     * loop — at 100 TB the near-dup edge set is orders of magnitude
@@ -267,28 +268,41 @@ object Dedup {
     val fwd = pairs.toDF("u", "v")
     val edges = fwd.union(fwd.select(col("v"), col("u"))).toDF("u", "v")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // cached = the DataFrame persist() was called on (unpersist must see
-    // the identical plan); labels = the 2-col view the joins consume
-    var cached = edges.select(col("u").as("id")).distinct()
+    // Each round ends in an EAGER localCheckpoint: the jump's self-join
+    // references the round's plan twice, so an un-truncated lineage
+    // doubles every round (exponential plan trees — Catalyst itself
+    // OOMs long before execution does). The checkpoint replaces the
+    // round's plan with its materialized RDD — constant-size lineage,
+    // one job per round, and the convergence test reads the
+    // already-materialized result. (On a real cluster with executor
+    // churn, swap for reliable checkpoint(dir) — same plan shape.)
+    var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = cached
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val prop = edges.join(labels, edges("v") === labels("id"))
         .select(edges("u").as("id"), col("lbl"), lit(null).cast("long").as("old"))
       val self = labels.select(col("id"), col("lbl"), col("lbl").as("old"))
-      val next = self.union(prop).groupBy("id")
+      val stepped = self.union(prop).groupBy("id")
         .agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer jump: a label is itself an edge-node id, so follow it
+      // one hop (left join — the coalesce only fires mid-round while
+      // labels are in flight)
+      val lookup = stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
+      val next = stepped.join(lookup, stepped("lbl") === lookup("jid"), "left")
+        .select(stepped("id"),
+          least(stepped("lbl"), coalesce(col("jlbl"), stepped("lbl"))).as("lbl"),
+          stepped("old"))
+        .localCheckpoint()
       converged = next.where(col("lbl") < col("old")).isEmpty
-      cached.unpersist()
-      cached = next
       labels = next.select("id", "lbl")
       iter += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds")
     // the final round's cache stays live for the caller's downstream
     // jobs — a few rows per edge-node, the price of not recomputing the
     // whole candidate pipeline when the result is consumed

@@ -37,16 +37,19 @@ class PipelineSpec extends AnyFunSuite {
 
   test("connected components label chains, cliques, and singletons correctly") {
     import spark.implicits._
-    // chain 1-2-3-4-5 (diameter 4 forces several propagation rounds),
-    // clique {10,11,12}, singleton 99
-    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 99L)).toDF("id")
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
-      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    // 40-node chain: diameter 39 exceeds maxIters=20 under plain
+    // hash-min, so this passes ONLY because pointer jumping gives
+    // O(log d) rounds — the 100 TB big-diameter guarantee, tested.
+    // Plus clique {100,101,102} and singleton 999.
+    val chain = (1L to 40L)
+    val nodes = (chain ++ Seq(100L, 101L, 102L, 999L)).toDF("id")
+    val pairs = (chain.init.map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (101L, 102L))).toDF("a", "b")
     val got = graft.operators.Dedup.connectedComponents(nodes, pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(got(_) == 1L), s"chain mislabeled: $got")
-    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L), s"clique mislabeled: $got")
-    assert(got(99L) == 99L, "singleton must be its own component")
+    assert(chain.forall(got(_) == 1L), s"chain mislabeled: $got")
+    assert(Seq(100L, 101L, 102L).forall(got(_) == 100L), s"clique mislabeled: $got")
+    assert(got(999L) == 999L, "singleton must be its own component")
   }
 
   test("d08 keeps exactly one representative per d06 cluster") {
