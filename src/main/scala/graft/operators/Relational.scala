@@ -540,6 +540,26 @@ object Relational {
         count(lit(1)).as("n_nations"))
       .orderBy("r_name")
 
+  /** q45 — map-typed columns: per-user event-type counts built into a
+    * real MapType (map_from_entries over sorted entries), consumed via
+    * element_at lookup and flattened to a sorted "k=v" string. The map
+    * is carried through the plan — the output is flattened only so the
+    * oracle (which states the same relation without maps) can
+    * hash-compare it engine-neutrally. */
+  private def q45(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(
+        col("user_id"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+        array_join(expr(
+          "transform(map_entries(m), e -> concat(e.key, '=', e.value))"), ",").as("kv"))
+      .orderBy("user_id")
+
   /** q46 — correlated scalar subquery: orders priced far above their own
     * customer's average. Catalyst de-correlates this into an aggregate +
     * join — one pass to build per-customer averages, one hash join —
@@ -838,6 +858,14 @@ object Relational {
         |  COUNT(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin), q44),
+    Q("q45_map_ops", Some(
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  COALESCE(MAX(CASE WHEN event_type = 'click' THEN n END), 0) AS n_click,
+        |  string_agg(event_type || '=' || n, ',' ORDER BY event_type) AS kv
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin), q45),
     Q("q46_correlated_subquery", Some(
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o
