@@ -597,6 +597,25 @@ object Relational {
       .orderBy("event_type", "bin")
   }
 
+  /** q48 — latest record per key (the SCD/"current state" staple):
+    * each user's most recent event. max_by over a (ts, event_id) struct
+    * is a partial-aggregating reduction — every partition keeps one
+    * candidate per user before the shuffle — where the textbook
+    * ROW_NUMBER()=1 window would shuffle and sort every row. Ordering
+    * uses second-truncated timestamps (the ns-vs-µs parquet rule) with
+    * the event_id tie-break, so the pick is total and engine-exact. */
+  private def q48(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"),
+        col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("ts_s"), col("event_id"), col("event_type")),
+        struct(col("ts_s"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.ts_s").as("ts_s"),
+        col("last.event_id").as("event_id"), col("last.event_type").as("event_type"))
+      .orderBy("user_id")
+
   // ---------------------------------------------------------------------
   // Oracle SQL (DuckDB). Aliases match the Spark output column names
   // exactly; float discipline per SURVEY.md §5.
@@ -886,6 +905,16 @@ object Relational {
         |c AS (SELECT event_type, bin, COUNT(*) AS n_raw FROM e GROUP BY event_type, bin)
         |SELECT grid.event_type, grid.bin, COALESCE(c.n_raw, 0) AS n
         |FROM grid LEFT JOIN c USING (event_type, bin)
-        |ORDER BY event_type, bin""".stripMargin), q47)
+        |ORDER BY event_type, bin""".stripMargin), q47),
+    Q("q48_latest_per_key", Some(
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts_s,
+        |    event_id, event_type,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY date_trunc('second', CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts_s, event_id, event_type
+        |FROM e WHERE rn = 1 ORDER BY user_id""".stripMargin), q48)
   )
 }
