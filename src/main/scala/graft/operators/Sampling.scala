@@ -171,11 +171,40 @@ object Sampling {
       |WHERE (doc_id * 2654435761 + 104729) % 1000000 < floor(rate * 1000000)
       |ORDER BY doc_id""".stripMargin
 
+  /** p07 — the end-to-end training-data pipeline as ONE DataFrame
+    * program (the composability proof: every stage is a §2.D operator
+    * reused verbatim): near-dup cluster → keep the best-quality
+    * representative per cluster (d08's champion pick) → rebalance
+    * sources by temperature (p06) → assign reproducible folds (p02's
+    * hash). One job, no intermediate materialization — Catalyst fuses
+    * the stages; the only shuffles are the ones each stage already
+    * owns. Rows-only: PipelineSpec asserts stage-consistency against
+    * the standalone operators instead of a (gigantic) SQL restatement. */
+  private def p07(s: SparkSession, d: String): DataFrame = {
+    val ds = Tables.df(s, d, "documents")
+    val labels = Dedup.connectedComponents(
+      ds.select(col("doc_id")),
+      Dedup.jaccardPairs(ds).select(col("a_id"), col("b_id")))
+      .toDF("doc_id", "cluster_id")
+    val keepers = labels
+      .join(TextAnalysis.qualityScore(ds), "doc_id")
+      .groupBy("cluster_id")
+      .agg(max_by(col("doc_id"), struct(col("quality_score"), -col("doc_id"))).as("doc_id"))
+      .select("doc_id")
+    val deduped = ds.join(keepers, Seq("doc_id"), "left_semi")
+    temperatureSample(deduped)
+      .join(deduped.select("doc_id", "lang", "n_chars"), "doc_id")
+      .withColumn("fold", expr(s"pmod($hashCol, 10L)"))
+      .select("doc_id", "source", "lang", "fold", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
     Q("p03_sample_stratified", None, p03),
     Q("p04_pack_contexts", Some(p04Oracle), p04),
     Q("p05_contamination", Some(p05Oracle), p05),
-    Q("p06_sample_temperature", Some(p06Oracle), p06))
+    Q("p06_sample_temperature", Some(p06Oracle), p06),
+    Q("p07_e2e_pipeline", None, p07))
 }

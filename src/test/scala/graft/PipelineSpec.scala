@@ -80,6 +80,29 @@ class PipelineSpec extends AnyFunSuite {
       .forall(_.getAs[Double]("rate_r") == 0.25))
   }
 
+  test("p07 e2e pipeline agrees with its standalone stages") {
+    val out = rows("p07_e2e_pipeline")
+    assert(out.nonEmpty)
+    val outIds = out.map(_.getAs[Long]("doc_id")).toSet
+    // stage 1: every surviving doc is a d08 cluster champion, and every
+    // champion survives up to the sampling stage
+    val keepers = rows("d08_dedup_keep_best").map(_.getAs[Long]("keep_id")).toSet
+    assert(outIds.subsetOf(keepers), "a non-champion doc survived the pipeline")
+    // stage 2: fold assignment matches p02's reproducible hash formula
+    assert(out.forall { r =>
+      val id = r.getAs[Long]("doc_id")
+      r.getAs[Long]("fold") == ((id * 2654435761L + 104729L) % 1000000L) % 10L
+    })
+    // stage 3: the per-source keep decision matches temperatureSample
+    // run standalone on the deduped subset
+    import spark.implicits._
+    val ds = Tables.df(spark, sf, "documents")
+    val deduped = ds.where(col("doc_id").isin(keepers.toSeq: _*))
+    val expected = graft.operators.Sampling.temperatureSample(deduped)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(outIds == expected, "sampled set diverges from the standalone stage")
+  }
+
   test("native expr goldens: bigrams, token_entropy, sig_pairs") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
