@@ -616,6 +616,23 @@ object Relational {
         col("last.event_id").as("event_id"), col("last.event_type").as("event_type"))
       .orderBy("user_id")
 
+  /** q49 — event-time RANGE window frame: per user, how many of their
+    * events landed in the sliding hour ending at each event — the
+    * un-binned continuous twin of q16/q47's fixed bins (q32's frames
+    * are ROWS-based; RANGE bounds by VALUE distance and includes
+    * peers, so ties in ts cannot make the result order-dependent).
+    * One shuffle by user, one sort per partition — same cost envelope
+    * as any window. */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts_s")) / 1000000L)
+      .rangeBetween(-3600, 0)
+    t(s, d, "events")
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"), col("event_id"))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .orderBy("user_id", "ts_s", "event_id")
+  }
+
   // ---------------------------------------------------------------------
   // Oracle SQL (DuckDB). Aliases match the Spark output column names
   // exactly; float discipline per SURVEY.md §5.
@@ -915,6 +932,16 @@ object Relational {
         |      ORDER BY date_trunc('second', CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
         |  FROM events)
         |SELECT user_id, ts_s, event_id, event_type
-        |FROM e WHERE rn = 1 ORDER BY user_id""".stripMargin), q48)
+        |FROM e WHERE rn = 1 ORDER BY user_id""".stripMargin), q48),
+    Q("q49_range_frame", Some(
+      """SELECT user_id,
+        |  CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts_s,
+        |  event_id,
+        |  COUNT(*) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events
+        |ORDER BY user_id, ts_s, event_id""".stripMargin), q49)
   )
 }
