@@ -55,6 +55,19 @@ object GraftCatalog {
     df
   }
 
+  /** Schema-evolution read: one table over parquet files written at
+    * different schema versions (columns added over time). mergeSchema
+    * unions the per-file schemas at planning time; files missing a
+    * column surface NULLs for it — how a long-lived 100 TB table
+    * actually looks after a year of producers. (Reconciliation is
+    * footer-metadata work at planning; the data path still prunes and
+    * pushes down per file.) */
+  def registerParquetMerged(spark: SparkSession, name: String, location: String): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(location)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** In-memory table + INSERT analog (docs/2 "Create tables & Insert
     * data"): a local DataFrame registered as a view; "insert" = union +
     * re-register. */

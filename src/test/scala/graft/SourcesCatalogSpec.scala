@@ -40,6 +40,20 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(spark.table("nation_json").where(col("n_nationkey") === 0).count() == 1)
   }
 
+  test("schema evolution: mergeSchema unions file versions, old files read NULL") {
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v1col")
+      .write.mode("overwrite").parquet(s"$tmp/evolve/gen=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1col", "v2col")
+      .write.mode("overwrite").parquet(s"$tmp/evolve/gen=2")
+    val df = GraftCatalog.registerParquetMerged(spark, "evolved", s"$tmp/evolve")
+    assert(df.columns.toSet == Set("id", "v1col", "v2col", "gen"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2col")),
+      "old-generation file must surface NULL for the added column")
+    assert(rows(1).getDouble(rows(1).fieldIndex("v2col")) == 9.5)
+  }
+
   test("orc sink + source round-trip with predicate pushdown") {
     val orders = Tables.df(spark, sf, "orders")
     GraftCatalog.writeOrc(orders, s"$tmp/orders_orc")
