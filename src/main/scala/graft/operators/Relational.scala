@@ -585,9 +585,16 @@ object Relational {
   private def q47(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events")
       .select(col("event_type"), timeBin("ts", 300).as("bin"))
+    // bounds and the type roster derive from the aggregated counts, not
+    // the raw table, and the tiny per-bin aggregate is lazily
+    // checkpointed so its three consumers share ONE materialization —
+    // events is scanned exactly once (plain plan sharing does not
+    // dedupe here: each consumer's column pruning specializes its copy
+    // of the subtree, so ReuseExchange never fires)
     val counts = e.groupBy("event_type", "bin").agg(count(lit(1)).as("n_raw"))
-    val bounds = e.agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"))
-    val grid = e.select("event_type").distinct()
+      .localCheckpoint(false)
+    val bounds = counts.agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"))
+    val grid = counts.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(expr("sequence(lo, hi, interval 5 minutes)")).as("bin"))

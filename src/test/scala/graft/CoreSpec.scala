@@ -99,6 +99,13 @@ class CoreSpec extends AnyFunSuite {
       s"keep-best is not a partial aggregation:\n$plan")
   }
 
+  test("q47: gap-fill scans events once; spine and bounds read the checkpointed agg") {
+    val a = plans.PlanInspector.analyze(SparkEntry.queries("q47_gap_fill")(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(a.finalPlan).size
+    assert(scans <= 1,
+      s"events scanned $scans times — the per-bin aggregate is not shared:\n${a.finalPlan}")
+  }
+
   test("explain formats render") {
     val df = SparkEntry.queries("q05_agg")(spark, sf)
     assert(formatted(df).contains("HashAggregate"))
