@@ -103,6 +103,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(outIds == expected, "sampled set diverges from the standalone stage")
   }
 
+  test("dedup/sampling operators are total on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(graft.operators.Dedup.jaccardPairs(empty).isEmpty)
+    assert(graft.operators.Sampling.temperatureSample(empty).isEmpty)
+    val cc = graft.operators.Dedup.connectedComponents(
+      empty.select("doc_id"), Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(cc.isEmpty)
+    // and with nodes but no edges: everyone is their own singleton
+    val lone = Seq(5L, 9L).toDF("id")
+    val got = graft.operators.Dedup.connectedComponents(
+      lone, Seq.empty[(Long, Long)].toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 9L -> 9L))
+  }
+
   test("native expr goldens: bigrams, token_entropy, sig_pairs") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
