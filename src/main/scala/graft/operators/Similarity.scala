@@ -247,8 +247,92 @@ object Similarity {
       .limit(10)
   }
 
+  /** One (query, candidate) cosine pair entering the batch top-k. */
+  final case class QCand(q_id: Long, vec_id: Long, cos_r: Double)
+
+  /** Bounded top-k buffer per query — same O(K)-insert/merge shape as
+    * TopK.TopKOrders, ranked by (cos_r desc, vec_id asc). */
+  final class TopKByCos(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[QCand, TopK.Buf, Seq[(Long, Double)]] {
+    private def before(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    override def zero: TopK.Buf = TopK.Buf(Nil)
+    override def reduce(b: TopK.Buf, r: QCand): TopK.Buf = {
+      val x = (r.cos_r, r.vec_id)
+      if (b.items.size >= k && !before(x, b.items.last)) b
+      else {
+        val (pre, post) = b.items.span(before(_, x))
+        TopK.Buf((pre ++ (x +: post)).take(k))
+      }
+    }
+    override def merge(a: TopK.Buf, b: TopK.Buf): TopK.Buf = {
+      val xs = a.items.toIndexedSeq
+      val ys = b.items.toIndexedSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      var i = 0
+      var j = 0
+      while (out.size < k && (i < xs.size || j < ys.size)) {
+        if (j >= ys.size || (i < xs.size && before(xs(i), ys(j)))) { out += xs(i); i += 1 }
+        else { out += ys(j); j += 1 }
+      }
+      TopK.Buf(out.toSeq)
+    }
+    override def finish(b: TopK.Buf): Seq[(Long, Double)] =
+      b.items.map { case (c, v) => (v, c) }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[TopK.Buf] =
+      org.apache.spark.sql.Encoders.product[TopK.Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
+  /** s04 — batch ANN: exact top-5 neighbors for EVERY query in a query
+    * set (vec_ids 0–4), in one pass. The query set broadcasts; each
+    * corpus partition computes its cosines and keeps a bounded top-5
+    * buffer PER QUERY (typed Aggregator partial agg), so the shuffle
+    * carries at most 5 rows per (query, partition) — a window-rank
+    * formulation would shuffle every (query × corpus) pair to the
+    * query's partition. This is the retrieval shape: index-build cost
+    * zero, scan amortized across the whole query batch. */
+  private def s04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, d)
+    val qs = all.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qnrm"))
+    all.where(col("vec_id") >= 5)
+      .crossJoin(broadcast(qs))
+      .withColumn("cos_r", round(expr("vec_dot(embedding, qe)") / (col("nrm") * col("qnrm")), 6))
+      .select(col("q_id"), col("vec_id"), col("cos_r"))
+      .as[QCand]
+      .groupByKey(_.q_id)
+      .agg(new TopKByCos(5).toColumn.name("top"))
+      .flatMap { case (qid, items) =>
+        items.zipWithIndex.map { case ((vid, cos), i) => (qid, i + 1, vid, cos) }
+      }
+      .toDF("q_id", "rank", "vec_id", "cos_r")
+      .orderBy("q_id", "rank")
+  }
+
+  private val s04Oracle: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding AS e,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qnrm FROM n WHERE vec_id < 5),
+      |pairs AS (
+      |  SELECT q.q_id, n.vec_id,
+      |    round(list_reduce(list_transform(list_zip(n.e, q.qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |      / (n.nrm * q.qnrm), 6) AS cos_r
+      |  FROM n, q WHERE n.vec_id >= 5),
+      |r AS (
+      |  SELECT q_id, vec_id, cos_r,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rank
+      |  FROM pairs)
+      |SELECT q_id, rank, vec_id, cos_r FROM r WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_ann_brute", Some(s01Oracle), s01),
     Q("s02_ann_lsh", None, s02),
-    Q("s03_ann_ivf", None, s03))
+    Q("s03_ann_ivf", None, s03),
+    Q("s04_ann_batch", Some(s04Oracle), s04))
 }
