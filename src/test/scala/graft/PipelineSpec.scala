@@ -119,6 +119,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(5L -> 5L, 9L -> 9L))
   }
 
+  test("native exprs match their HOF reference formulations on a seeded corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // seeded token arrays of varied length (0,1,2,…,40) over a small
+    // vocabulary (collisions guaranteed — the interesting case for
+    // entropy and pair agreement)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0 until 200).map { i =>
+      val n = if (i < 5) i else rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))))
+    }.toDF("id", "toks")
+    docs.createOrReplaceTempView("eq_docs")
+
+    // bigrams == the interpreted transform() it replaced
+    val bg = spark.sql(
+      """SELECT id, bigrams(toks) AS a,
+        |  CASE WHEN size(toks) < 2 THEN array()
+        |    ELSE transform(sequence(0, size(toks) - 2),
+        |                   i -> concat(toks[i], ' ', toks[i + 1])) END AS b
+        |FROM eq_docs""".stripMargin)
+    assert(bg.where(expr("NOT (a <=> b)")).isEmpty, "bigrams diverged from HOF form")
+
+    // token_entropy == the explode/groupBy formulation (to 1e-9)
+    val ent = spark.sql(
+      """WITH c AS (
+        |  SELECT id, t, CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM (SELECT id, explode(toks) AS t FROM eq_docs) GROUP BY id, t),
+        |agg AS (SELECT id, SUM(c * ln(c)) AS s, SUM(c) AS n FROM c GROUP BY id)
+        |SELECT e.id, token_entropy(e.toks) AS a, ln(agg.n) - agg.s / agg.n AS b
+        |FROM eq_docs e JOIN agg ON e.id = agg.id WHERE size(e.toks) >= 1""".stripMargin)
+    assert(ent.where(expr("abs(a - b) > 1e-9")).isEmpty,
+      "token_entropy diverged from the explode/groupBy form")
+
+    // hamming_pairs == the HOF expansion it replaced, on seeded buckets
+    val sigs = (0 until 50).map(i => (i.toLong, rnd.nextLong())).toDF("doc_id", "simhash")
+      .groupBy(expr("pmod(doc_id, 5)")).agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))
+    sigs.createOrReplaceTempView("eq_buckets")
+    val hp = spark.sql(
+      """SELECT
+        |  array_sort(hamming_pairs(xs)) AS a,
+        |  array_sort(flatten(transform(xs, x ->
+        |    transform(filter(xs, y -> y.doc_id > x.doc_id),
+        |      y -> named_struct('a_id', x.doc_id, 'b_id', y.doc_id,
+        |        'hamming', CAST(bit_count(x.simhash ^ y.simhash) AS INT)))))) AS b
+        |FROM eq_buckets""".stripMargin)
+    assert(hp.where(expr("NOT (a <=> b)")).isEmpty,
+      "hamming_pairs diverged from HOF form")
+  }
+
   test("native expr goldens: bigrams, token_entropy, sig_pairs") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
