@@ -32,10 +32,12 @@ object Bench {
     }
 
     // JIT/codegen/session warm-up (not reported): one query per major
-    // execution family — agg, window, join, regex/text — so the first
-    // reported member of each family doesn't absorb its family's
-    // one-time codegen/JIT cost
-    Seq("q05_agg", "q15_window", "q10_join_shuffle", "t02_quality")
+    // execution family — agg, window, join, regex/text, typed
+    // Dataset/Aggregator encoders, iterative CC (localCheckpoint/RDD
+    // machinery) — so the first reported member of each family doesn't
+    // absorb its family's one-time codegen/JIT cost
+    Seq("q05_agg", "q15_window", "q10_join_shuffle", "t02_quality",
+      "q36_topn_agg", "d06_dedup_cluster")
       .foreach(q => once(SparkEntry.queries(q)))
 
     val results = SparkEntry.allQs.map(q => q.name -> median3(q.run))
