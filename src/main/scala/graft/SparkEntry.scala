@@ -8,8 +8,8 @@ object SparkEntry {
 
   /** Every coverage entry from SURVEY.md §2, in inventory order. */
   def allQs: Seq[Q] =
-    Relational.all ++ TopK.all ++ Dedup.all ++ Similarity.all ++
-      TextAnalysis.all ++ Multimodal.all ++ Sampling.all
+    Relational.all ++ Analytic.all ++ TopK.all ++ Dedup.all ++
+      Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++ Sampling.all
 
   /** Flagship query (the reference's opt_parallel_execution.rs test shape)
     * on sf0.001; driver smoke-checks rows>0. */

@@ -199,6 +199,22 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** p08 — fixed-size deterministic sample: EXACTLY k rows, the k
+    * smallest under the reproducible id hash — the complement to p01's
+    * rate-based membership when a downstream stage needs a hard row
+    * budget (eval slices, human-review batches). Sort+limit collapses
+    * to TakeOrderedAndProject: per-partition k-heaps, k rows per
+    * partition into the final merge — no global sort at 100 TB. */
+  private def p08(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"), expr(hashCol).as("h"), col("source"))
+      .orderBy("h", "doc_id")
+      .limit(100)
+
+  private val p08Oracle: String =
+    """SELECT doc_id, (doc_id * 2654435761 + 104729) % 1000000 AS h, source
+      |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -206,5 +222,6 @@ object Sampling {
     Q("p04_pack_contexts", Some(p04Oracle), p04),
     Q("p05_contamination", Some(p05Oracle), p05),
     Q("p06_sample_temperature", Some(p06Oracle), p06),
-    Q("p07_e2e_pipeline", None, p07))
+    Q("p07_e2e_pipeline", None, p07),
+    Q("p08_sample_fixed", Some(p08Oracle), p08))
 }

@@ -301,6 +301,33 @@ object TextAnalysis {
       |  round(ln(CAST(n AS DOUBLE)) - s / n, 6) AS entropy
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** t09 — text normalization (the canonicalization step ahead of
+    * exact dedup: lowercase, strip non-alphanumerics, collapse runs of
+    * whitespace) plus the sha256 of the canonical form — the dedup key
+    * d01 would group on in a normalized pipeline. Regexes stay in the
+    * Java∩RE2 common subset (t05's rule); everything is a codegen'd
+    * projection, no shuffle. */
+  private def t09(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.df(s, d, "documents")
+      .select(
+        col("doc_id"),
+        size(split(norm, " ")).cast("long").as("n_tok"),
+        substring(sha2(norm, 256), 1, 16).as("norm_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val t09Oracle: String =
+    """WITH n AS (
+      |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tok,
+      |  substr(sha256(norm), 1, 16) AS norm_hash
+      |FROM n ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -309,5 +336,6 @@ object TextAnalysis {
     Q("t05_pii_redact", Some(t05Oracle), t05),
     Q("t06_bigram_freq", Some(t06Oracle), t06),
     Q("t07_repetition", Some(t07Oracle), t07),
-    Q("t08_entropy", Some(t08Oracle), t08))
+    Q("t08_entropy", Some(t08Oracle), t08),
+    Q("t09_normalize", Some(t09Oracle), t09))
 }
