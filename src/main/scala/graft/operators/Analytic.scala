@@ -213,9 +213,12 @@ object Analytic {
         count(lit(1)).as("n_rows"))
       .orderBy("l_linestatus")
 
+  // DuckDB's count_if returns HUGEINT (int128) — a typed-hash mismatch vs
+  // Spark's BIGINT even when values agree — so the oracle uses the
+  // standard-SQL FILTER form, which returns BIGINT.
   private val q56Oracle: String =
     """SELECT l_linestatus,
-      |  count_if(l_quantity > 25) AS n_big,
+      |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
       |  bool_and(l_discount <= 0.1) AS all_low_disc,
       |  bool_or(l_tax > 0.07) AS any_high_tax,
       |  COUNT(*) AS n_rows
