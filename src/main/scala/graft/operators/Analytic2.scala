@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Third analytic wave: ordered string aggregation, lateral top-k,
+  * IGNORE NULLS gap carry-forward, fixed-width histograms, discrete
+  * percentiles, and NOT IN null semantics.
+  *
+  * These are deliberately SQL-expressed (`spark.sql`): each one
+  * exercises a parser/analyzer surface the DataFrame API reaches only
+  * awkwardly (WITHIN GROUP, LATERAL, IGNORE NULLS, null-aware NOT IN),
+  * and Catalyst plans them onto the same physical families as the rest
+  * of the library — no new operator machinery needed.
+  */
+object Analytic2 {
+
+  private def sql(s: SparkSession, d: String, q: String): DataFrame = {
+    Tables.ensure(s, d)
+    s.sql(q)
+  }
+
+  /** q58 — ordered string aggregation (listagg WITHIN GROUP): each
+    * customer's order-status lifecycle as a date-ordered string. The
+    * aggregate collects within groups bounded by orders-per-customer,
+    * so partial aggregation and group size both stay sane at 100 TB —
+    * unlike a global listagg, which would be a single-reducer
+    * anti-pattern. */
+  private def q58(s: SparkSession, d: String): DataFrame =
+    sql(s, d,
+      """SELECT o_custkey,
+        |  listagg(o_orderstatus, '') WITHIN GROUP (ORDER BY o_orderdate, o_orderkey) AS lifecycle,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+
+  private val q58Oracle: String =
+    """SELECT o_custkey,
+      |  string_agg(o_orderstatus, '' ORDER BY o_orderdate, o_orderkey) AS lifecycle,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** q59 — lateral top-k (correlated LATERAL subquery with ORDER BY +
+    * LIMIT): the top 3 customers by balance per nation. A third top-N
+    * plan shape next to q24 (window filter) and q36 (typed heap
+    * aggregator): Catalyst decorrelates the lateral into a
+    * rank-over-partition, so the per-group K-cut happens inside one
+    * shuffle rather than per-row re-execution — the property that makes
+    * LATERAL survive a 1000-executor fan-out. */
+  private def q59(s: SparkSession, d: String): DataFrame =
+    sql(s, d,
+      """SELECT n_name, c.c_name, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 3) c
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+
+  private val q59Oracle: String =
+    """SELECT n_name, c.c_name, c.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 3) c
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+
+  /** q60 — last-observation-carried-forward (time-series gap repair):
+    * click events carry a numeric payload, every other event inherits
+    * the user's most recent one via last_value IGNORE NULLS over an
+    * unbounded-preceding frame. One window pass partitioned by user —
+    * state per partition is a single scalar, so the frame never
+    * buffers, and the partition key shards the 100 TB case. */
+  private def q60(s: SparkSession, d: String): DataFrame =
+    sql(s, d,
+      """WITH e AS (
+        |  SELECT event_id, user_id, date_trunc('second', ts) AS ts_s,
+        |    CASE WHEN event_type = 'click'
+        |      THEN CAST(get_json_object(props, '$.k') AS INT) END AS k
+        |  FROM events)
+        |SELECT event_id, user_id, ts_s, k,
+        |  last_value(k) IGNORE NULLS OVER (
+        |    PARTITION BY user_id ORDER BY ts_s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k_locf
+        |FROM e ORDER BY user_id, ts_s, event_id""".stripMargin)
+
+  private val q60Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s,
+      |    CASE WHEN event_type = 'click'
+      |      THEN CAST(props ->> '$.k' AS INT) END AS k
+      |  FROM events)
+      |SELECT event_id, user_id, ts_s, k,
+      |  last_value(k IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts_s, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k_locf
+      |FROM e ORDER BY user_id, ts_s, event_id""".stripMargin
+
+  /** q61 — fixed-width histogram: 12 × 50k bins over order totals,
+    * clamped at both ends (width_bucket exists in Spark but not DuckDB,
+    * so both sides state the arithmetic directly — identical IEEE
+    * double division + floor, so bin assignment is bit-deterministic).
+    * Binning is a pure projection feeding one partial+final count —
+    * the shuffled row count equals the bin count, not the data. */
+  private def q61(s: SparkSession, d: String): DataFrame =
+    sql(s, d,
+      """SELECT CAST(least(greatest(floor(o_totalprice / 50000.0), 0), 11) AS BIGINT) AS bin,
+        |  COUNT(*) AS n,
+        |  min(o_totalprice) AS lo,
+        |  max(o_totalprice) AS hi
+        |FROM orders GROUP BY bin ORDER BY bin""".stripMargin)
+
+  private val q61Oracle: String =
+    """SELECT CAST(least(greatest(floor(o_totalprice / 50000.0), 0), 11) AS BIGINT) AS bin,
+      |  COUNT(*) AS n,
+      |  min(o_totalprice) AS lo,
+      |  max(o_totalprice) AS hi
+      |FROM orders GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** q62 — discrete percentiles (percentile_disc WITHIN GROUP): unlike
+    * q30's interpolating percentile, the discrete form returns an
+    * actual data value (smallest value whose cume_dist ≥ p — both
+    * engines agree on that definition), which is what quantile-based
+    * data-quality cuts want: a real document length, not a synthetic
+    * average of two. */
+  private def q62(s: SparkSession, d: String): DataFrame =
+    sql(s, d,
+      """SELECT o_orderpriority,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  private val q62Oracle: String =
+    """SELECT o_orderpriority,
+      |  quantile_disc(o_totalprice, 0.25) AS p25,
+      |  quantile_disc(o_totalprice, 0.5)  AS p50,
+      |  quantile_disc(o_totalprice, 0.75) AS p75,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q63 — NOT IN vs NOT EXISTS against a NULL-containing key set:
+    * three-valued logic makes NOT IN return nothing once the subquery
+    * holds a NULL (Spark plans it as a null-aware anti join to honor
+    * exactly that), while NOT EXISTS is the plain anti join that keeps
+    * matching rows. Shipping both side by side pins the semantics the
+    * optimizer must preserve — the classic silent-wrong-answer trap in
+    * dedup-by-exclusion pipelines. */
+  private def q63(s: SparkSession, d: String): DataFrame =
+    sql(s, d,
+      """WITH keys AS (SELECT NULLIF(o_custkey, 13) AS k FROM orders),
+        |a AS (SELECT COUNT(*) AS n FROM customer
+        |      WHERE c_custkey NOT IN (SELECT k FROM keys)),
+        |b AS (SELECT COUNT(*) AS n FROM customer c
+        |      WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c.c_custkey))
+        |SELECT 'not_in' AS variant, n FROM a
+        |UNION ALL
+        |SELECT 'not_exists' AS variant, n FROM b
+        |ORDER BY variant""".stripMargin)
+
+  private val q63Oracle: String =
+    """WITH keys AS (SELECT NULLIF(o_custkey, 13) AS k FROM orders),
+      |a AS (SELECT COUNT(*) AS n FROM customer
+      |      WHERE c_custkey NOT IN (SELECT k FROM keys)),
+      |b AS (SELECT COUNT(*) AS n FROM customer c
+      |      WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c.c_custkey))
+      |SELECT 'not_in' AS variant, n FROM a
+      |UNION ALL
+      |SELECT 'not_exists' AS variant, n FROM b
+      |ORDER BY variant""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q58_listagg", Some(q58Oracle), q58),
+    Q("q59_lateral_topk", Some(q59Oracle), q59),
+    Q("q60_locf", Some(q60Oracle), q60),
+    Q("q61_histogram", Some(q61Oracle), q61),
+    Q("q62_percentile_disc", Some(q62Oracle), q62),
+    Q("q63_not_in_nulls", Some(q63Oracle), q63))
+}
