@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("lsh_bucket64",
         "lsh_bucket64(array<float|double>) - random-hyperplane LSH bucket id"),
       es => LshBucket64(es.head)))
+    e.injectFunction((FunctionIdentifier("vec_sign64"),
+      info("vec_sign64",
+        "vec_sign64(array<float|double>) - 64-bit random-hyperplane sign signature"),
+      es => VecSign64(es.head)))
     e.injectFunction((FunctionIdentifier("fingerprint64"),
       info("fingerprint64",
         "fingerprint64(array<string>) - struct(fp64, win_fp) rolling document fingerprint"),

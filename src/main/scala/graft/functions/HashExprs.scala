@@ -549,6 +549,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("lsh_bucket64", es => LshBucket64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("vec_sign64", es => VecSign64(es.head), "built-in")
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "built-in")
     reg.createOrReplaceTempFunction("token_stats", es => TokenStats(es.head), "built-in")
     reg.createOrReplaceTempFunction("bigrams", es => Bigrams(es.head), "built-in")

@@ -141,6 +141,91 @@ object LshOps {
   }
 }
 
+/** 64-plane sign signature for sketch-scan ANN (s05): an 8-byte
+  * Hamming proxy for angle, precomputed at index-build time so the
+  * query-time stage-1 scan reads 8 bytes per row (plus the id) and
+  * ranks by XOR+popcount instead of a 64-MAC dot product. Distinct
+  * from LshOps (8 planes → 256 partition buckets): the signature is a
+  * per-row payload column, not a partition key. Plane seed differs
+  * from LshOps so the two sketches are independent.
+  */
+object SignOps {
+  val NumPlanes = 64
+  private val MaxDim = 2048
+
+  val planes: Array[Double] = {
+    val a = new Array[Double](NumPlanes * MaxDim)
+    var i = 0
+    while (i < a.length) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(i.toLong, 4242L)
+      a(i) = java.lang.Math.floorMod(h, 2000003L).toDouble / 1000001.5 - 1.0
+      i += 1
+    }
+    a
+  }
+
+  /** Bit p of the result is 1 iff v · plane_p > 0. Called from
+    * generated code. */
+  def sign(v: ArrayData, isFloat: Boolean): Long = {
+    val n = math.min(v.numElements(), MaxDim)
+    var out = 0L
+    var p = 0
+    while (p < NumPlanes) {
+      val off = p * MaxDim
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        acc += x * planes(off + j)
+        j += 1
+      }
+      if (acc > 0) out |= 1L << p
+      p += 1
+    }
+    out
+  }
+
+  /** Driver-side signature of the query vector (same math as sign). */
+  def signOf(q: Array[Float]): Long = {
+    val n = math.min(q.length, MaxDim)
+    var out = 0L
+    var p = 0
+    while (p < NumPlanes) {
+      val off = p * MaxDim
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += q(j) * planes(off + j); j += 1 }
+      if (acc > 0) out |= 1L << p
+      p += 1
+    }
+    out
+  }
+}
+
+/** vec_sign64(a): 64-bit random-hyperplane sign signature. */
+final case class VecSign64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecOps.isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_sign64 needs array<float|double>, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_sign64"
+
+  override def nullSafeEval(input: Any): Any =
+    SignOps.sign(input.asInstanceOf[ArrayData], VecOps.isFloat(child.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = VecOps.isFloat(child.dataType).toString
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SignOps.sign($a, $f);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecSign64 =
+    copy(child = newChild)
+}
+
 /** lsh_bucket64(a): NumPlanes-bit random-hyperplane LSH bucket id. */
 final case class LshBucket64(child: Expression) extends UnaryExpression {
 

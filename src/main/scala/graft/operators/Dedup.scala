@@ -142,9 +142,14 @@ object Dedup {
     * × 4 rows; candidates = pairs sharing a band bucket; output the
     * signature-estimated Jaccard. Banding bounds candidate pairs by
     * bucket occupancy — the scale path for near-dup at 100 TB. */
-  private def d03(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val sig = docs(s, d)
+  private def d03(s: SparkSession, d: String): DataFrame =
+    bandEstimates(docs(s, d)).orderBy("a_id", "b_id")
+
+  /** d03's candidate generation + signature-estimated Jaccard, factored
+    * on a docs DataFrame so d09 can calibrate the estimates. */
+  private[graft] def bandEstimates(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    val sig = docsDf
       .withColumn("toks", expr(tokExpr))
       .where(size(col("toks")) >= 3)
       .withColumn("sig", expr("minhash_shingle32(toks)"))
@@ -167,6 +172,34 @@ object Dedup {
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.n_eq").as("n_eq"))
       .distinct()
       .withColumn("est_jac", col("n_eq") / 32.0)
+  }
+
+  /** d09 — sketch-calibration (rows-only): the signature-estimated
+    * Jaccard next to the EXACT value for every band-candidate pair —
+    * the query a pipeline runs before trusting a minhash threshold at
+    * 100 TB (pick τ_sig so est ≥ τ_sig captures exact ≥ τ). Candidate
+    * pairs are banding-bounded and tiny, so they broadcast; the exact
+    * side re-reads only the shingle-hash sets of paired docs (two
+    * broadcast joins, no second inverted index). DedupSpec bounds the
+    * mean |est − exact| by the 32-permutation binomial error. */
+  private def d09(s: SparkSession, d: String): DataFrame = {
+    val est = bandEstimates(docs(s, d)).select("a_id", "b_id", "est_jac")
+    val hashed = docs(s, d)
+      .withColumn("shs", expr(s"shingle_hashes($tokExpr)"))
+      .where(size(col("shs")) >= 1)
+      .select(col("doc_id"), col("shs"))
+    hashed
+      .join(broadcast(est), col("doc_id") === col("a_id"))
+      .withColumnRenamed("shs", "a_shs").drop("doc_id")
+      .join(hashed, col("doc_id") === col("b_id"))
+      .withColumnRenamed("shs", "b_shs").drop("doc_id")
+      .withColumn("inter", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
+      .withColumn("jac",
+        col("inter") / (size(col("a_shs")) + size(col("b_shs")) - col("inter")))
+      .select(
+        col("a_id"), col("b_id"), col("est_jac"),
+        round(col("jac"), 6).as("jac"),
+        round(abs(col("est_jac") - col("jac")), 6).as("abs_err"))
       .orderBy("a_id", "b_id")
   }
 
@@ -466,5 +499,6 @@ object Dedup {
     Q("d05_dedup_embed", Some(d05Oracle), d05),
     Q("d06_dedup_cluster", Some(d06Oracle), d06),
     Q("d07_dedup_embed_lsh", None, d07),
-    Q("d08_dedup_keep_best", Some(d08Oracle), d08))
+    Q("d08_dedup_keep_best", Some(d08Oracle), d08),
+    Q("d09_dedup_calibrate", None, d09))
 }

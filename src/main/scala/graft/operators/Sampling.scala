@@ -215,6 +215,30 @@ object Sampling {
     """SELECT doc_id, (doc_id * 2654435761 + 104729) % 1000000 AS h, source
       |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin
 
+  /** p09 — weighted reproducible sampling: keep-probability proportional
+    * to (capped) document length — the char-budget-aware variant of
+    * p01. Membership is still pure id arithmetic (h(id) < w·1e6), so
+    * the SAME rows are kept on any engine or partitioning, and longer
+    * docs are kept proportionally more — the sampled set approximates
+    * a uniform sample of CHARACTERS, not documents. The weight compare
+    * is one double multiply against the integer hash: identical IEEE
+    * arithmetic in both engines, no RNG anywhere. */
+  private def p09(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "documents")
+      .where(expr(hashCol) <
+        least(col("n_chars"), lit(2000)).cast("double") / 2000.0 * 1000000.0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      .orderBy("source")
+
+  private val p09Oracle: String =
+    """SELECT source, COUNT(*) AS n_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+      |FROM documents
+      |WHERE (doc_id * 2654435761 + 104729) % 1000000
+      |      < least(n_chars, 2000) / 2000.0 * 1000000.0
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -223,5 +247,6 @@ object Sampling {
     Q("p05_contamination", Some(p05Oracle), p05),
     Q("p06_sample_temperature", Some(p06Oracle), p06),
     Q("p07_e2e_pipeline", None, p07),
-    Q("p08_sample_fixed", Some(p08Oracle), p08))
+    Q("p08_sample_fixed", Some(p08Oracle), p08),
+    Q("p09_sample_weighted", Some(p09Oracle), p09))
 }

@@ -93,12 +93,17 @@ object Similarity {
   private def buildLshIndex(s: SparkSession, d: String): DataFrame = {
     // the plane count is baked into the path: a parameter change must
     // rebuild, never silently probe a stale layout
+    // "lsh2": layout v2 adds the vec_sign64 sketch column for s05 — the
+    // version bump keeps a stale v1 dir from being probed with the new
+    // schema
     val dir = new java.io.File(
-      IndexRoot, s"lsh-p${LshOps.NumPlanes}-" + Integer.toHexString(d.hashCode))
+      IndexRoot, s"lsh2-p${LshOps.NumPlanes}-" + Integer.toHexString(d.hashCode))
     if (!dir.exists()) {
       val tmp = new java.io.File(dir.getParent, dir.getName + ".tmp" + System.nanoTime())
       emb(s, d).withColumn("bucket", expr("lsh_bucket64(embedding)"))
-        .select(col("vec_id"), col("label"), col("embedding").as("e"), col("nrm"), col("bucket"))
+        .withColumn("sig", expr("vec_sign64(embedding)"))
+        .select(col("vec_id"), col("label"), col("embedding").as("e"), col("nrm"),
+          col("sig"), col("bucket"))
         .repartition(col("bucket")) // one file per bucket dir
         .write.partitionBy("bucket").mode("overwrite").parquet(tmp.getAbsolutePath)
       if (!tmp.renameTo(dir)) { // concurrent builder won the race; ours is redundant
@@ -330,9 +335,40 @@ object Similarity {
       |SELECT q_id, rank, vec_id, cos_r FROM r WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
+  /** s05 — sketch-scan + exact re-rank ANN (rows-only: the signature is
+    * an engine constant). Stage 1 ranks EVERY row by Hamming distance
+    * between its precomputed vec_sign64 sketch and the query's — but
+    * reads only (vec_id, sig), 16 bytes a row against the 260-byte
+    * vector, and the ranking is XOR+popcount in a TakeOrdered (no full
+    * sort). Stage 2 broadcasts the 250-candidate shortlist back against
+    * the index and re-ranks exactly. Complements s02/s03: those prune
+    * WHICH FILES are read (partition pruning) and miss whatever the
+    * probe plan skips; the sketch scan reads every row cheaply and
+    * never misses a candidate the sketch ranks well — the right tool
+    * when recall matters more than scan avoidance. At 100 TB stage 1
+    * is a 16-byte-per-row columnar scan (~6% of the full-vector bytes),
+    * stage 2 a broadcast hash semi-fetch of 250 rows. */
+  private def s05(s: SparkSession, d: String): DataFrame = {
+    val idx = lshIndex(s, d)
+    val (qe, qnrm) = queryVec(s, d)
+    val qsig = graft.functions.SignOps.signOf(qe)
+    val shortlist = idx.where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        expr(s"bit_count(sig ^ CAST($qsig AS BIGINT))").as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(250)
+    idx.join(broadcast(shortlist), "vec_id")
+      .withColumn("qe", typedlit(qe.toSeq))
+      .withColumn("cos_r", round(expr("vec_dot(e, qe)") / (col("nrm") * lit(qnrm)), 6))
+      .select("vec_id", "label", "hamming", "cos_r")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_ann_brute", Some(s01Oracle), s01),
     Q("s02_ann_lsh", None, s02),
     Q("s03_ann_ivf", None, s03),
-    Q("s04_ann_batch", Some(s04Oracle), s04))
+    Q("s04_ann_batch", Some(s04Oracle), s04),
+    Q("s05_ann_rerank", None, s05))
 }

@@ -328,6 +328,32 @@ object TextAnalysis {
       |  substr(sha256(norm), 1, 16) AS norm_hash
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** t10 — pattern-term extraction (the grep-shaped corpus question:
+    * which taxonomy terms appear, how often, in how many documents):
+    * regexp_extract_all pulls every taxonomy match, a Generate explodes
+    * them, and one partial+final aggregation counts occurrences and
+    * document reach. The regex stays in the Java∩RE2 subset (t05's
+    * rule) so the oracle runs the identical pattern; COUNT(DISTINCT
+    * doc_id) is exact here, and at 100 TB the same query swaps in
+    * q34's approx_count_distinct. */
+  private def t10(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"),
+        explode(expr(
+          "regexp_extract_all(lower(text), '(join|merge|sort|scan|filter|hash)', 0)"))
+          .as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("term")
+
+  private val t10Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '(join|merge|sort|scan|filter|hash)')) AS term
+      |  FROM documents)
+      |SELECT term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM m GROUP BY term ORDER BY term""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -337,5 +363,6 @@ object TextAnalysis {
     Q("t06_bigram_freq", Some(t06Oracle), t06),
     Q("t07_repetition", Some(t07Oracle), t07),
     Q("t08_entropy", Some(t08Oracle), t08),
-    Q("t09_normalize", Some(t09Oracle), t09))
+    Q("t09_normalize", Some(t09Oracle), t09),
+    Q("t10_term_extract", Some(t10Oracle), t10))
 }

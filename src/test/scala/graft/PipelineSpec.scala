@@ -284,6 +284,36 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH recall ${(exact & approx).size}/10 below floor; missed ${exact -- approx}")
   }
 
+  test("s05 sketch+rerank ANN recall >= 0.7 vs the exact top-k") {
+    val exact = rows("s01_ann_brute").map(_.getAs[Long]("vec_id")).toSet
+    val rer = rows("s05_ann_rerank").map(_.getAs[Long]("vec_id")).toSet
+    assert(rer.nonEmpty)
+    assert((exact & rer).size >= 7,
+      s"rerank recall ${(exact & rer).size}/10 below floor; missed ${exact -- rer}")
+  }
+
+  test("s05 stage-1 sketch scan reads only the id and signature columns") {
+    // the shortlist subplan must NOT read the 64-float vector — the
+    // whole point of the sketch column is a 16-byte-per-row stage 1
+    val plan = graft.plans.PlanInspector.formatted(
+      SparkEntry.queries("s05_ann_rerank")(spark, sf))
+    val sketchScans = "ReadSchema: [^\\n]*sig[^\\n]*".r.findAllIn(plan).toSeq
+    assert(sketchScans.nonEmpty, s"no sketch-column scan in:\n$plan")
+    assert(sketchScans.exists(!_.contains("e:")),
+      s"stage-1 scan also reads the full vector:\n$sketchScans")
+  }
+
+  test("d09 minhash estimates calibrate against exact Jaccard") {
+    val cal = rows("d09_dedup_calibrate")
+    assert(cal.nonEmpty)
+    val errs = cal.map(_.getAs[Double]("abs_err"))
+    // 32-permutation binomial: σ ≤ sqrt(0.25/32) ≈ 0.088; the mean
+    // over ≥20 pairs should sit well inside one σ, each pair inside 4σ
+    assert(errs.sum / errs.size <= 0.09,
+      f"mean |est-exact| ${errs.sum / errs.size}%.4f above binomial bound")
+    assert(errs.max <= 0.36, f"worst pair error ${errs.max}%.4f")
+  }
+
   test("s02 probes are partition-pruned, never a full index scan") {
     val plan = SparkEntry.queries("s02_ann_lsh")(spark, sf)
       .queryExecution.executedPlan.toString
