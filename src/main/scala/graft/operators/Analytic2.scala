@@ -170,11 +170,92 @@ object Analytic2 {
       |SELECT 'not_exists' AS variant, n FROM b
       |ORDER BY variant""".stripMargin
 
+  /** q64 — time-weighted average (the IoT/finance aggregate plain AVG
+    * gets wrong): each carried-forward payload value is weighted by how
+    * long it was in force (seconds to the next event), per user. Two
+    * window passes over one partitioning (locf + lead share the same
+    * shuffle) feeding one partial+final aggregation; the weighted sums
+    * are exact integer arithmetic, so only the final single division is
+    * floating point. */
+  private def q64(s: SparkSession, d: String): DataFrame =
+    sql(s, d,
+      """WITH e AS (
+        |  SELECT event_id, user_id, date_trunc('second', ts) AS ts_s,
+        |    CASE WHEN event_type = 'click'
+        |      THEN CAST(get_json_object(props, '$.k') AS INT) END AS k
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id,
+        |    last_value(k) IGNORE NULLS OVER (
+        |      PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kv,
+        |    timestampdiff(SECOND, ts_s,
+        |      lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS dt
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(SUM(kv * dt) AS BIGINT) AS wsum,
+        |  CAST(SUM(dt) AS BIGINT) AS tsum,
+        |  round(CAST(SUM(kv * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6) AS twa
+        |FROM l WHERE kv IS NOT NULL AND dt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+
+  private val q64Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s,
+      |    CASE WHEN event_type = 'click'
+      |      THEN CAST(props ->> '$.k' AS INT) END AS k
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id,
+      |    last_value(k IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts_s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kv,
+      |    date_diff('second', ts_s,
+      |      lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS dt
+      |  FROM e)
+      |SELECT user_id,
+      |  CAST(SUM(kv * dt) AS BIGINT) AS wsum,
+      |  CAST(SUM(dt) AS BIGINT) AS tsum,
+      |  round(CAST(SUM(kv * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6) AS twa
+      |FROM l WHERE kv IS NOT NULL AND dt IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q65 — typed JSON decode (JsonToStructs): parse props ONCE with a
+    * declared schema, then aggregate the typed field — q33's per-path
+    * get_json_object re-parses the document per extraction; from_json
+    * amortizes the parse across every downstream use and fails typed
+    * (NULL on malformed), the shape JSON event pipelines want at scale. */
+  private def q65(s: SparkSession, d: String): DataFrame =
+    sql(s, d,
+      """WITH p AS (
+        |  SELECT event_type, from_json(props, 'k INT').k AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(k) AS n_parsed,
+        |  CAST(MIN(k) AS INT) AS min_k,
+        |  CAST(MAX(k) AS INT) AS max_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  private val q65Oracle: String =
+    """WITH p AS (
+      |  SELECT event_type, CAST(props ->> '$.k' AS INT) AS k
+      |  FROM events)
+      |SELECT event_type,
+      |  COUNT(k) AS n_parsed,
+      |  CAST(MIN(k) AS INT) AS min_k,
+      |  CAST(MAX(k) AS INT) AS max_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q58_listagg", Some(q58Oracle), q58),
     Q("q59_lateral_topk", Some(q59Oracle), q59),
     Q("q60_locf", Some(q60Oracle), q60),
     Q("q61_histogram", Some(q61Oracle), q61),
     Q("q62_percentile_disc", Some(q62Oracle), q62),
-    Q("q63_not_in_nulls", Some(q63Oracle), q63))
+    Q("q63_not_in_nulls", Some(q63Oracle), q63),
+    Q("q64_time_weighted_avg", Some(q64Oracle), q64),
+    Q("q65_json_typed", Some(q65Oracle), q65))
 }

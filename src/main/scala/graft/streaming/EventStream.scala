@@ -74,6 +74,47 @@ object EventStream {
         col("window.start").as("win_start"),
         col("event_type"), col("n"), col("sum_val"))
 
+  /** Sliding-window event-type counts: windows of `windowLen` advancing
+    * every `slide` — each event contributes to windowLen/slide
+    * overlapping windows (the trend-detection shape tumbling windows
+    * can't express). State cost scales by the same factor, so the
+    * watermark matters even more than in the tumbling case. */
+  def slidingTypeCounts(events: DataFrame,
+      windowLen: String = "10 minutes", slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n"))
+
+  /** Rate-limited synthetic source: `rate-micro-batch` emits exactly
+    * `rowsPerBatch` rows per trigger with deterministic timestamps —
+    * the load-generator / backpressure-drill shape (the production
+    * throttle is the same option surface: maxFilesPerTrigger /
+    * maxOffsetsPerTrigger bound per-batch work so a backlog drains at
+    * a controlled rate instead of as one giant batch). Mapped onto the
+    * events schema so every downstream EventStream operator runs
+    * unchanged against it. */
+  def rateEvents(spark: SparkSession, rowsPerBatch: Int = 100,
+      startTsMs: Long = 1704067200000L): DataFrame =
+    spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startTimestamp", startTsMs)
+      .load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(50)).as("user_id"),
+        element_at(
+          typedLit(Seq("click", "view", "purchase", "error", "login")),
+          (pmod(col("value"), lit(5)) + 1).cast("int")).as("event_type"),
+        (pmod(col("value"), lit(100)) / 10.0).as("value"))
+
   /** Streaming deduplication: drop re-delivered events by event_id. The
     * watermark bounds the dedup state — ids older than the lateness
     * horizon are evicted, so state stays finite on an unbounded stream

@@ -81,6 +81,24 @@ class Analytic2Spec extends AnyFunSuite {
     }
   }
 
+  test("q64: time-weighted average stays inside the payload range with positive time") {
+    SparkEntry.queries("q64_time_weighted_avg")(spark, sf).collect().foreach { r =>
+      val twa = r.getAs[Double]("twa")
+      assert(twa >= 0.0 && twa <= 99.0, s"twa $twa outside payload range [0,99]")
+      assert(r.getAs[Long]("tsum") > 0)
+      assert(math.abs(twa - r.getAs[Long]("wsum").toDouble / r.getAs[Long]("tsum")) < 1e-6)
+    }
+  }
+
+  test("q65: typed JSON parse succeeds for every event (COUNT(k) = group size)") {
+    val parsed = SparkEntry.queries("q65_json_typed")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_parsed")).toMap
+    val raw = graft.Tables.df(spark, sf, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    assert(parsed == raw, s"malformed-JSON drops: $parsed vs $raw")
+  }
+
   test("q63: NOT IN goes null-aware (empty), NOT EXISTS anti-joins normally") {
     val df = SparkEntry.queries("q63_not_in_nulls")(spark, sf)
     val plan = physical(df).toString

@@ -201,4 +201,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.contains((9L, 1L)))
     } finally q.stop()
   }
+
+  test("sliding windows count each event in every overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    // 10:07 lies in [10:00,10:10) and [10:05,10:15) — both must count it
+    ms.addData(Event(1, ts(7), 1, "click", 1.0))
+    val q = EventStream.slidingTypeCounts(ms.toDF())
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      val wins = spark.table("slide_counts").collect()
+        .map(r => r.getAs[Timestamp]("win_start").toString -> r.getAs[Long]("n"))
+        .toMap
+      assert(wins == Map(
+        "2024-01-01 10:00:00.0" -> 1L,
+        "2024-01-01 10:05:00.0" -> 1L), s"got $wins")
+    } finally q.stop()
+  }
+
+  test("rate-limited source emits exactly rowsPerBatch deterministic events per trigger") {
+    val q = EventStream.rateEvents(spark, rowsPerBatch = 20)
+      .writeStream.format("memory").queryName("rate_events")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val rows = spark.table("rate_events").collect()
+      assert(rows.length == 20, s"expected one 20-row batch, got ${rows.length}")
+      val ids = rows.map(_.getAs[Long]("event_id")).sorted
+      assert(ids.sameElements(0L until 20L), "ids must be the dense batch range")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("user_id") == r.getAs[Long]("event_id") % 50)
+        assert(Set("click", "view", "purchase", "error", "login")
+          .contains(r.getAs[String]("event_type")))
+      }
+    } finally q.stop()
+  }
 }
