@@ -249,6 +249,25 @@ object Analytic2 {
       |  CAST(SUM(k) AS BIGINT) AS sum_k
       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q66 — ratio-to-report (percent-of-total window): each order's share
+    * of its customer's lifetime spend — a whole-partition window frame
+    * (no ORDER BY), the one window shape q15/q32/q43/q49 don't cover.
+    * The partition total is computed once per customer partition and
+    * broadcast down its rows; the decimal-cast sum keeps the
+    * denominator order-independent (SURVEY §5). */
+  private def q66(s: SparkSession, d: String): DataFrame =
+    sql(s, d,
+      """SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS spend_share
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+
+  private val q66Oracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |  round(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS spend_share
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q58_listagg", Some(q58Oracle), q58),
     Q("q59_lateral_topk", Some(q59Oracle), q59),
@@ -257,5 +276,6 @@ object Analytic2 {
     Q("q62_percentile_disc", Some(q62Oracle), q62),
     Q("q63_not_in_nulls", Some(q63Oracle), q63),
     Q("q64_time_weighted_avg", Some(q64Oracle), q64),
-    Q("q65_json_typed", Some(q65Oracle), q65))
+    Q("q65_json_typed", Some(q65Oracle), q65),
+    Q("q66_ratio_to_report", Some(q66Oracle), q66))
 }

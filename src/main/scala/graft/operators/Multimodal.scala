@@ -221,7 +221,104 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** One audio row entering the decode stage. */
+  final case class AudioRow(doc_id: Long, payload: Array[Byte])
+
+  /** Waveform features leaving the decode stage. */
+  final case class AudioFeatures(
+      doc_id: Long, sample_rate: Int, n_samples: Int,
+      peak: Int, rms_q: Long, zero_crossings: Int, clip_frac: Double)
+
+  /** Encode a canonical 44-byte-header RIFF/WAVE, PCM 16-bit LE mono —
+    * the one audio container a bare JVM can write and parse without
+    * codecs (the BMP of audio). `sample(i)` returns the i-th PCM
+    * sample. */
+  def encodeWav(sampleRate: Int, n: Int, sample: Int => Short): Array[Byte] = {
+    val dataSize = n * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < n) { buf.putShort(sample(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Parse a PCM16 mono WAV and extract waveform statistics: peak,
+    * quantized RMS (Σs² is exact integer math — no float accumulation
+    * order to disagree about), zero crossings, and the fraction of
+    * samples at full scale (the clipping signal an audio-quality filter
+    * thresholds on). Throws on bad magic/format — same fail-loudly
+    * contract as decodeBmp. */
+  def decodeWav(r: AudioRow): AudioFeatures = {
+    val bytes = r.payload
+    require(bytes.length >= 44 &&
+      new String(bytes, 0, 4) == "RIFF" && new String(bytes, 8, 4) == "WAVE",
+      s"doc ${r.doc_id}: not a WAV payload")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getShort(20) == 1 && buf.getShort(22) == 1 && buf.getShort(34) == 16,
+      s"doc ${r.doc_id}: not PCM16 mono")
+    val sampleRate = buf.getInt(24)
+    require(new String(bytes, 36, 4) == "data", s"doc ${r.doc_id}: missing data chunk")
+    val n = buf.getInt(40) / 2
+    require(bytes.length >= 44 + n * 2, s"doc ${r.doc_id}: truncated samples")
+    var i = 0
+    var peak = 0
+    var sumSq = 0L
+    var zc = 0
+    var clipped = 0
+    var prev = 0
+    while (i < n) {
+      val s = buf.getShort(44 + i * 2).toInt
+      if (math.abs(s) > peak) peak = math.abs(s)
+      sumSq += s.toLong * s
+      if (i > 0 && ((prev >= 0 && s < 0) || (prev < 0 && s >= 0))) zc += 1
+      if (s == Short.MaxValue || s == Short.MinValue) clipped += 1
+      prev = s
+      i += 1
+    }
+    AudioFeatures(r.doc_id, sampleRate, n, peak,
+      if (n == 0) 0L else sumSq / n, zc,
+      if (n == 0) 0.0 else clipped.toDouble / n)
+  }
+
+  /** m03 — audio waveform stats: synthesize real PCM16 WAV payloads
+    * (deterministic triangle waves — integer math, no transcendentals —
+    * with a doc_id-seeded period, amplitude and a clipped stretch),
+    * push them through the same typed mapPartitions batch boundary as
+    * m01, return per-clip quality features. Payloads stay in executor
+    * memory one partition at a time; rows-only, semantics golden-pinned
+    * in PipelineSpec. */
+  private def m03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val audio: Dataset[AudioRow] = graft.Tables.df(s, d, "documents")
+      .where(col("doc_id") % 5 === 0) // an audio corpus subset
+      .select(col("doc_id"),
+        (pmod(xxhash64(col("doc_id")), lit(64)) + 16).cast("int").as("period"),
+        (pmod(xxhash64(col("doc_id"), lit(1)), lit(800)) + 400).cast("int").as("n"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, period, n) =>
+        AudioRow(id, encodeWav(8000, n, i => {
+          val phase = i % period
+          val tri = // triangle wave in [-amp, amp], amp near full scale
+            if (phase < period / 2) -30000 + (120000 / period) * phase
+            else 30000 - (120000 / period) * (phase - period / 2)
+          // a clipped stretch in the middle third simulates bad takes
+          val v = if (i >= n / 3 && i < n / 3 + n / 10 && (id % 3) == 0)
+            (if (tri >= 0) 32767 else -32768) else tri
+          math.max(-32768, math.min(32767, v)).toShort
+        }))
+      })
+    audio
+      .mapPartitions(_.map(decodeWav))
+      .toDF()
+      .withColumn("clip_frac", round(col("clip_frac"), 6))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_multimodal", None, m01),
-    Q("m02_frame_sample", None, m02))
+    Q("m02_frame_sample", None, m02),
+    Q("m03_waveform_stats", None, m03))
 }

@@ -186,11 +186,18 @@ object Sampling {
       ds.select(col("doc_id")),
       Dedup.jaccardPairs(ds).select(col("a_id"), col("b_id")))
       .toDF("doc_id", "cluster_id")
+    // keepers is one id per cluster — tiny — but its subplan carries the
+    // whole CC + quality pipeline; the temperature sampler references
+    // `deduped` three times (rate numerator, rate denominator, membership
+    // join), so without a cut here Catalyst re-executes the regex-heavy
+    // quality scan per reference. localCheckpoint materializes the id
+    // list once; each reuse is then a broadcast semi join against it.
     val keepers = labels
       .join(TextAnalysis.qualityScore(ds), "doc_id")
       .groupBy("cluster_id")
       .agg(max_by(col("doc_id"), struct(col("quality_score"), -col("doc_id"))).as("doc_id"))
       .select("doc_id")
+      .localCheckpoint()
     val deduped = ds.join(keepers, Seq("doc_id"), "left_semi")
     temperatureSample(deduped)
       .join(deduped.select("doc_id", "lang", "n_chars"), "doc_id")

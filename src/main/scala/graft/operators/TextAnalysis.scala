@@ -354,6 +354,53 @@ object TextAnalysis {
       |SELECT term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
       |FROM m GROUP BY term ORDER BY term""".stripMargin
 
+  /** t11 — corpus-LM fluency scoring (the integer-exact core of a
+    * perplexity filter): score each document by how common its bigrams
+    * are in the corpus — mean corpus frequency plus the count of rare
+    * bigrams (df ≤ 2), the signal that flags machine-garbled or
+    * boilerplate-stitched text. Two aggregations over one exploded
+    * bigram relation: the corpus LM table (bigram → count) and the
+    * per-doc rollup after a join back. Everything is integer
+    * arithmetic — no log-prob float folds — so the oracle matches
+    * bit-for-bit; at 100 TB the LM join shuffles on the bigram key with
+    * partial aggregation on both sides (the LM table itself is the
+    * corpus-wide aggregate a real pipeline materializes once). */
+  private def t11(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docBg = Tables.df(s, d, "documents")
+      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr("bigrams(toks)")).as("bigram"))
+    val lm = docBg.groupBy("bigram").agg(count(lit(1)).as("c"))
+    docBg.join(lm, "bigram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bg"),
+        sum(col("c")).as("freq_sum"),
+        count_if(col("c") <= 2).as("n_rare"))
+      .select(
+        col("doc_id"), col("n_bg"), col("freq_sum"),
+        round(col("freq_sum").cast("double") / col("n_bg"), 6).as("mean_freq"),
+        col("n_rare"))
+      .orderBy("doc_id")
+  }
+
+  private val t11Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest([t[i+1] || ' ' || t[i+2] for i in range(len(t) - 1)]) AS bigram
+      |  FROM toks WHERE len(t) >= 2),
+      |lm AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_bg,
+      |  CAST(SUM(c) AS BIGINT) AS freq_sum,
+      |  round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS mean_freq,
+      |  COUNT(*) FILTER (WHERE c <= 2) AS n_rare
+      |FROM bg JOIN lm USING (bigram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -364,5 +411,6 @@ object TextAnalysis {
     Q("t07_repetition", Some(t07Oracle), t07),
     Q("t08_entropy", Some(t08Oracle), t08),
     Q("t09_normalize", Some(t09Oracle), t09),
-    Q("t10_term_extract", Some(t10Oracle), t10))
+    Q("t10_term_extract", Some(t10Oracle), t10),
+    Q("t11_bigram_score", Some(t11Oracle), t11))
 }

@@ -314,6 +314,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(errs.max <= 0.36, f"worst pair error ${errs.max}%.4f")
   }
 
+  test("m03 golden WAV: square wave decodes to exact peak/rms/crossings") {
+    import graft.operators.Multimodal
+    // 64-sample square wave, flipping sign every 4 samples
+    val sq = Multimodal.encodeWav(8000, 64,
+      i => (if ((i / 4) % 2 == 0) 16000 else -16000).toShort)
+    val f = Multimodal.decodeWav(Multimodal.AudioRow(7L, sq))
+    assert(f.sample_rate == 8000 && f.n_samples == 64)
+    assert(f.peak == 16000)
+    assert(f.rms_q == 16000L * 16000L, "all-|16000| wave: mean square is exact")
+    assert(f.zero_crossings == 15, s"15 sign flips at i=4..60, got ${f.zero_crossings}")
+    assert(f.clip_frac == 0.0)
+    // full-scale DC: clipping fraction 1, no crossings
+    val clipped = Multimodal.encodeWav(8000, 32, _ => Short.MaxValue)
+    val fc = Multimodal.decodeWav(Multimodal.AudioRow(8L, clipped))
+    assert(fc.clip_frac == 1.0 && fc.zero_crossings == 0 && fc.peak == 32767)
+    // corrupt payload must fail loudly, not pass garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(Multimodal.AudioRow(9L, Array.fill[Byte](50)(1)))
+    }
+  }
+
+  test("m03 waveform stats run end-to-end with bounded clip fractions") {
+    val out = rows("m03_waveform_stats")
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val cf = r.getAs[Double]("clip_frac")
+      assert(cf >= 0.0 && cf <= 0.2, s"clip_frac $cf outside the synth design range")
+      // |Short.MinValue| = 32768: a clipped negative rail exceeds 32767
+      assert(r.getAs[Int]("peak") <= 32768 && r.getAs[Int]("zero_crossings") > 0)
+    }
+  }
+
   test("s02 probes are partition-pruned, never a full index scan") {
     val plan = SparkEntry.queries("s02_ann_lsh")(spark, sf)
       .queryExecution.executedPlan.toString
