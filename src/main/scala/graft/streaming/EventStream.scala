@@ -124,6 +124,21 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Composed pipeline: dedup THEN windowed counts in one streaming
+    * query — two stateful operators sharing ONE watermark (declared
+    * once at the source; re-declaring it between operators is
+    * disallowed). This is the production ingest shape: at-least-once
+    * delivery upstream, exactly-once counting downstream, both state
+    * stores bounded by the same lateness horizon. */
+  def dedupedWindowedCounts(events: DataFrame,
+      windowLen: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
   /** foreachBatch sink: the general-purpose streaming-write shape when
     * the target has no native streaming connector. Each micro-batch is
     * an ordinary batch DataFrame; idempotence under replay comes from

@@ -152,4 +152,39 @@ class CoreSpec extends AnyFunSuite {
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
     }
   }
+
+  test("runtime Bloom-filter pruning injects into a selective shuffle join") {
+    // the runtime-filter analog of the reference's pruning story: a
+    // selective dim-side predicate is turned into a Bloom filter that
+    // prunes probe-side rows BEFORE the shuffle. Production thresholds
+    // (10 MB build / 10 GB probe scan) exist precisely because this
+    // pays off at cluster scale; they are floored here to demonstrate
+    // the plan shape on test-sized data.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creationSideThreshold is a MAX (the filter is built only when
+      // the dim side is small enough); applicationSideScanSizeThreshold
+      // is a MIN (the probe scan must be big enough to be worth it)
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.read.parquet(s"$sf/lineitem.parquet")
+        .join(
+          spark.read.parquet(s"$sf/orders.parquet")
+            .where(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"no runtime Bloom filter injected:\n$optimized")
+      assert(df.head().getAs[Long]("n") > 0, "pruned join must still produce rows")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -222,6 +222,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("composed streaming pipeline: dedup then windowed counts in one query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    // event 2 is delivered twice (at-least-once redelivery): the
+    // composed dedup→window plan must count it once
+    ms.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "click", 2.0),
+      Event(2, ts(1), 1, "click", 2.0),
+      Event(3, ts(2), 2, "view", 3.0))
+    val q = EventStream.dedupedWindowedCounts(ms.toDF())
+      .writeStream.format("memory").queryName("dedup_win")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dedup_win").collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+      assert(out("click") == 2, s"redelivered event double-counted: $out")
+      assert(out("view") == 1)
+    } finally q.stop()
+  }
+
   test("rate-limited source emits exactly rowsPerBatch deterministic events per trigger") {
     val q = EventStream.rateEvents(spark, rowsPerBatch = 20)
       .writeStream.format("memory").queryName("rate_events")
