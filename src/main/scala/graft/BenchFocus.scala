@@ -1,8 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Idle-host re-measure tool for individual bench queries.
+  * Usage: runMain graft.BenchFocus q1 q2 ... (defaults below).
+  * Prints one JSON line: {"sf":"<dir>","queries":{"name":[t1,t2,t3],...},"median":{...}}
+  * Reads SPARK_GRAFT_SF_DIR like Bench, falling back to the local sf0.1 dir.
+  */
 object BenchFocus {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark: SparkSession = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     def once(name: String): Double = {
@@ -10,11 +16,20 @@ object BenchFocus {
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    val targets =
+      if (args.nonEmpty) args.toSeq
+      else Seq("p07_e2e_pipeline", "q58_listagg", "t05_pii_redact", "q56_conditional_agg", "t04_fingerprint", "t06_bigram_freq")
+    // Warm the JVM/codegen/scan caches on queries NOT under measurement.
     Seq("q05_agg", "q15_window", "q10_join_shuffle").foreach(once)
-    for (q <- Seq("q38_cube", "q39_unpivot", "q40_range_join", "q41_grouping_sets", "q50_stats_moments", "p07_e2e_pipeline", "d06_dedup_cluster", "d08_dedup_keep_best")) {
-      val ts = Seq.fill(3)(once(q)).map(t => f"$t%.2f")
-      println(s"FOCUS $q: ${ts.mkString(" ")}")
+    val results = targets.map { q =>
+      val ts = Seq.fill(3)(once(q))
+      println(f"FOCUS $q: ${ts.map(t => f"$t%.2f").mkString(" ")}")
+      q -> ts
     }
+    def med(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    val qJson = results.map { case (q, ts) => s""""$q":[${ts.map(t => f"$t%.3f").mkString(",")}]""" }.mkString(",")
+    val mJson = results.map { case (q, ts) => s""""$q":${f"${med(ts)}%.3f"}""" }.mkString(",")
+    println(s"""{"sf":"$sfDir","queries":{$qJson},"median":{$mJson}}""")
     spark.stop()
   }
 }
