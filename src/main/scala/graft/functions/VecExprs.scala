@@ -68,7 +68,13 @@ object VecOps {
   */
 object LshOps {
   val NumPlanes = 8
-  private val MaxDim = 2048
+  private[functions] val MaxDim = 2048
+
+  /** The hyperplanes cover MaxDim dimensions; a longer vector would be
+    * silently sketch-truncated (degraded Hamming ranking with no
+    * error), so fail loudly instead — same contract as the decoders. */
+  private[functions] def checkDim(n: Int): Unit =
+    require(n <= MaxDim, s"vector dim $n exceeds hyperplane coverage MaxDim=$MaxDim")
 
   /** Flat NumPlanes × MaxDim matrix, values uniform-ish in [-1, 1):
     * planes(p * MaxDim + j) is plane p's coefficient for dimension j. */
@@ -91,7 +97,8 @@ object LshOps {
     * what an ANN library's query planner computes before touching the
     * index; it never sees table data. */
   def probePlan(q: Array[Float], budget: Int): Array[Long] = {
-    val n = math.min(q.length, MaxDim)
+    checkDim(q.length)
+    val n = q.length
     val proj = new Array[Double](NumPlanes)
     var p = 0
     while (p < NumPlanes) {
@@ -122,7 +129,8 @@ object LshOps {
   /** Sign-bit bucket: bit p of the result is 1 iff v · plane_p > 0.
     * Called from generated code. */
   def bucket(v: ArrayData, isFloat: Boolean): Long = {
-    val n = math.min(v.numElements(), MaxDim)
+    val n = v.numElements()
+    checkDim(n)
     var out = 0L
     var p = 0
     while (p < NumPlanes) {
@@ -151,7 +159,7 @@ object LshOps {
   */
 object SignOps {
   val NumPlanes = 64
-  private val MaxDim = 2048
+  private val MaxDim = LshOps.MaxDim
 
   val planes: Array[Double] = {
     val a = new Array[Double](NumPlanes * MaxDim)
@@ -164,42 +172,38 @@ object SignOps {
     a
   }
 
-  /** Bit p of the result is 1 iff v · plane_p > 0. Called from
-    * generated code. */
-  def sign(v: ArrayData, isFloat: Boolean): Long = {
-    val n = math.min(v.numElements(), MaxDim)
+  /** v · plane_p over the first n dims; `at` abstracts the two element
+    * sources (ArrayData vs Array[Float]) — Function1[Int, Double] is
+    * @specialized, so the loop stays box-free. */
+  private def planeDot(p: Int, n: Int, at: Int => Double): Double = {
+    val off = p * MaxDim
+    var acc = 0.0
+    var j = 0
+    while (j < n) { acc += at(j) * planes(off + j); j += 1 }
+    acc
+  }
+
+  private def signature(n: Int, at: Int => Double): Long = {
+    LshOps.checkDim(n)
     var out = 0L
     var p = 0
     while (p < NumPlanes) {
-      val off = p * MaxDim
-      var acc = 0.0
-      var j = 0
-      while (j < n) {
-        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
-        acc += x * planes(off + j)
-        j += 1
-      }
-      if (acc > 0) out |= 1L << p
+      if (planeDot(p, n, at) > 0) out |= 1L << p
       p += 1
     }
     out
   }
 
-  /** Driver-side signature of the query vector (same math as sign). */
-  def signOf(q: Array[Float]): Long = {
-    val n = math.min(q.length, MaxDim)
-    var out = 0L
-    var p = 0
-    while (p < NumPlanes) {
-      val off = p * MaxDim
-      var acc = 0.0
-      var j = 0
-      while (j < n) { acc += q(j) * planes(off + j); j += 1 }
-      if (acc > 0) out |= 1L << p
-      p += 1
-    }
-    out
+  /** Bit p of the result is 1 iff v · plane_p > 0. Called from
+    * generated code. */
+  def sign(v: ArrayData, isFloat: Boolean): Long = {
+    val at: Int => Double =
+      if (isFloat) v.getFloat(_).toDouble else v.getDouble(_)
+    signature(v.numElements(), at)
   }
+
+  /** Driver-side signature of the query vector (same math as sign). */
+  def signOf(q: Array[Float]): Long = signature(q.length, q(_).toDouble)
 }
 
 /** vec_sign64(a): 64-bit random-hyperplane sign signature. */

@@ -21,6 +21,24 @@ object Dedup {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.df(s, d, "documents")
 
+  /** Corpus row count used ONLY to size the hot-shingle block cap — a
+    * number that needs to be order-of-magnitude right, not exact.
+    * Catalog/CBO row-count statistics are used when present (ANALYZE'd
+    * tables); otherwise ONE count() job runs per distinct input plan
+    * per JVM and is cached by the plan's semantic hash, so a session
+    * running d02+d06+d08+p07 pays the prepass once, not per query.
+    * Callers that already know N pass it explicitly. */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
+  private[graft] def approxRowCount(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(n) => n.toLong
+      case None =>
+        rowCountCache.computeIfAbsent(
+          df.queryExecution.analyzed.semanticHash(), _ => df.count()): Long
+    }
+
   private val tokExpr = "regexp_extract_all(lower(text), '[a-z]+', 0)"
 
   /** Distinct 3-token shingles per doc (docs shorter than 3 tokens drop
@@ -45,9 +63,11 @@ object Dedup {
     * shingles per partition) and is tiny by construction, so removal is
     * a broadcast anti-join — the raw index is never shuffled. */
   private[graft] def cappedShingleIndex(docsDf: DataFrame,
-      maxDfShare: Double = 0.01, dfFloor: Long = 20): DataFrame = {
+      maxDfShare: Double = 0.01, dfFloor: Long = 20,
+      nDocs: Option[Long] = None): DataFrame = {
     val sh = shingleIndex(docsDf)
-    val cap = math.max(dfFloor, (docsDf.count() * maxDfShare).toLong)
+    val cap = math.max(dfFloor,
+      (nDocs.getOrElse(approxRowCount(docsDf)) * maxDfShare).toLong)
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") > cap)
       .select("shingle")
@@ -78,9 +98,10 @@ object Dedup {
     * stop-shingles. */
   private def d02(s: SparkSession, d: String): DataFrame = jaccardPairs(docs(s, d))
 
-  private[graft] def jaccardPairs(docsDf: DataFrame): DataFrame = {
+  private[graft] def jaccardPairs(docsDf: DataFrame,
+      nDocs: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
-    val cap = math.max(20L, (docsDf.count() * 0.01).toLong)
+    val cap = math.max(20L, (nDocs.getOrElse(approxRowCount(docsDf)) * 0.01).toLong)
     // One narrow pass hashes each doc's distinct 3-shingles to longs
     // (native shingle_hashes — no shingle strings are ever built): the
     // inverted index shuffles 8-byte hashes instead of shingle strings,
@@ -363,9 +384,11 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** The oracle states the same fixpoint as a transitive closure
-    * (recursive CTE): reachable-min == hash-min's converged label. */
-  private val d06Oracle: String =
+  /** The shared oracle prefix for every query built on the dup graph
+    * (d06/d08/p07): Jaccard pairs + transitive closure (recursive CTE),
+    * ending at `lab(doc_id, cluster_id)` — reachable-min == hash-min's
+    * converged label. */
+  private[graft] val dupGraphCtes: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
       |sh AS (
@@ -389,8 +412,24 @@ object Dedup {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
-      |lab AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
-      |SELECT l.doc_id, l.cluster_id, c.cluster_size
+      |lab AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)""".stripMargin
+
+  /** The t02 quality formula (NULL-guarded to −1 exactly as the Spark
+    * side) as an appendable CTE. */
+  private[graft] val qualityCte: String =
+    """q AS (
+      |  SELECT doc_id, COALESCE(
+      |    (len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      |       x -> list_contains([%STOPS%], x)))
+      |      / len(regexp_extract_all(lower(text), '[a-z]+'))) * 0.5
+      |    + (len(regexp_extract_all(text, '[.,;:!?]')) / length(text)) * 0.2
+      |    + (len(regexp_extract_all(lower(text), '[a-z]+')) / length(text)) * 0.3,
+      |    -1.0) AS quality_score
+      |  FROM documents)""".stripMargin
+      .replace("%STOPS%", graft.operators.TextAnalysis.allStopsSql)
+
+  private val d06Oracle: String = dupGraphCtes + "\n" +
+    """SELECT l.doc_id, l.cluster_id, c.cluster_size
       |FROM lab l JOIN (
       |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id) c
       |  USING (cluster_id)
@@ -449,47 +488,13 @@ object Dedup {
   /** Oracle: the d06 transitive-closure fixpoint + the t02 quality
     * formula (NULL-guarded to −1 exactly as the Spark side), champion
     * via ORDER BY inside first(). */
-  private val d08Oracle: String =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
-      |sh AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])) AS shingle
-      |  FROM toks WHERE len(t) >= 3),
-      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-      |pr AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id),
-      |pairs AS (
-      |  SELECT a_id, b_id FROM pr
-      |  JOIN sz sa ON a_id = sa.doc_id
-      |  JOIN sz sb ON b_id = sb.doc_id
-      |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3),
-      |edges AS (
-      |  SELECT a_id AS u, b_id AS v FROM pairs
-      |  UNION ALL SELECT b_id, a_id FROM pairs),
-      |reach(u, r) AS (
-      |  SELECT doc_id, doc_id FROM documents
-      |  UNION
-      |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
-      |lab AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
-      |q AS (
-      |  SELECT doc_id, COALESCE(
-      |    (len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
-      |       x -> list_contains([%STOPS%], x)))
-      |      / len(regexp_extract_all(lower(text), '[a-z]+'))) * 0.5
-      |    + (len(regexp_extract_all(text, '[.,;:!?]')) / length(text)) * 0.2
-      |    + (len(regexp_extract_all(lower(text), '[a-z]+')) / length(text)) * 0.3,
-      |    -1.0) AS quality_score
-      |  FROM documents)
-      |SELECT l.cluster_id,
+  private val d08Oracle: String = dupGraphCtes + ",\n" + qualityCte + "\n" +
+    """SELECT l.cluster_id,
       |  first(l.doc_id ORDER BY q.quality_score DESC, l.doc_id ASC) AS keep_id,
       |  COUNT(*) AS cluster_size,
       |  round(MAX(q.quality_score), 6) AS best_q
       |FROM lab l JOIN q USING (doc_id)
       |GROUP BY l.cluster_id ORDER BY l.cluster_id""".stripMargin
-      .replace("%STOPS%", graft.operators.TextAnalysis.allStopsSql)
 
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),

@@ -224,10 +224,12 @@ object Multimodal {
   /** One audio row entering the decode stage. */
   final case class AudioRow(doc_id: Long, payload: Array[Byte])
 
-  /** Waveform features leaving the decode stage. */
+  /** Waveform features leaving the decode stage. `mean_sq` is the MEAN
+    * SQUARE Σs²/n (exact integer math — no float accumulation order to
+    * disagree about); consumers wanting RMS take sqrt downstream. */
   final case class AudioFeatures(
       doc_id: Long, sample_rate: Int, n_samples: Int,
-      peak: Int, rms_q: Long, zero_crossings: Int, clip_frac: Double)
+      peak: Int, mean_sq: Long, zero_crossings: Int, clip_frac: Double)
 
   /** Encode a canonical 44-byte-header RIFF/WAVE, PCM 16-bit LE mono —
     * the one audio container a bare JVM can write and parse without
@@ -246,9 +248,8 @@ object Multimodal {
   }
 
   /** Parse a PCM16 mono WAV and extract waveform statistics: peak,
-    * quantized RMS (Σs² is exact integer math — no float accumulation
-    * order to disagree about), zero crossings, and the fraction of
-    * samples at full scale (the clipping signal an audio-quality filter
+    * exact mean square, zero crossings, and the fraction of samples at
+    * full scale (the clipping signal an audio-quality filter
     * thresholds on). Throws on bad magic/format — same fail-loudly
     * contract as decodeBmp. */
   def decodeWav(r: AudioRow): AudioFeatures = {
@@ -261,7 +262,9 @@ object Multimodal {
       s"doc ${r.doc_id}: not PCM16 mono")
     val sampleRate = buf.getInt(24)
     require(new String(bytes, 36, 4) == "data", s"doc ${r.doc_id}: missing data chunk")
-    val n = buf.getInt(40) / 2
+    val dataSize = buf.getInt(40)
+    require(dataSize % 2 == 0, s"doc ${r.doc_id}: odd PCM16 data size $dataSize")
+    val n = dataSize / 2
     require(bytes.length >= 44 + n * 2, s"doc ${r.doc_id}: truncated samples")
     var i = 0
     var peak = 0

@@ -178,8 +178,9 @@ object Sampling {
     * sources by temperature (p06) → assign reproducible folds (p02's
     * hash). One job, no intermediate materialization — Catalyst fuses
     * the stages; the only shuffles are the ones each stage already
-    * owns. Rows-only: PipelineSpec asserts stage-consistency against
-    * the standalone operators instead of a (gigantic) SQL restatement. */
+    * owns. Oracle: the d08 recursive-CTE keeper pick composed with
+    * p06's rate CTEs and p02's fold arithmetic (PipelineSpec keeps the
+    * stage-consistency property check on top). */
   private def p07(s: SparkSession, d: String): DataFrame = {
     val ds = Tables.df(s, d, "documents")
     val labels = Dedup.connectedComponents(
@@ -205,6 +206,29 @@ object Sampling {
       .select("doc_id", "source", "lang", "fold", "n_chars")
       .orderBy("doc_id")
   }
+
+  /** The end-to-end restatement: keepers = d08's champion per cluster,
+    * deduped = documents ∩ keepers, then p06's temperature membership
+    * and p02's fold, all over the deduped relation. */
+  private val p07Oracle: String =
+    Dedup.dupGraphCtes + ",\n" + Dedup.qualityCte + ",\n" +
+    """keep AS (
+      |  SELECT first(l.doc_id ORDER BY q.quality_score DESC, l.doc_id ASC) AS doc_id
+      |  FROM lab l JOIN q USING (doc_id) GROUP BY l.cluster_id),
+      |ded AS (
+      |  SELECT d.doc_id, d.source, d.lang, d.n_chars
+      |  FROM documents d JOIN keep USING (doc_id)),
+      |src_counts AS (SELECT source, COUNT(*) AS n_s FROM ded GROUP BY source),
+      |src_min AS (SELECT MIN(n_s) AS n_min FROM src_counts),
+      |rates AS (
+      |  SELECT source, sqrt(CAST(n_min AS DOUBLE) / CAST(n_s AS DOUBLE)) AS rate
+      |  FROM src_counts, src_min)
+      |SELECT d.doc_id AS doc_id, d.source AS source, d.lang AS lang,
+      |  ((d.doc_id * 2654435761 + 104729) % 1000000) % 10 AS fold,
+      |  d.n_chars AS n_chars
+      |FROM ded d JOIN rates USING (source)
+      |WHERE (d.doc_id * 2654435761 + 104729) % 1000000 < floor(rate * 1000000)
+      |ORDER BY doc_id""".stripMargin
 
   /** p08 — fixed-size deterministic sample: EXACTLY k rows, the k
     * smallest under the reproducible id hash — the complement to p01's
@@ -253,7 +277,7 @@ object Sampling {
     Q("p04_pack_contexts", Some(p04Oracle), p04),
     Q("p05_contamination", Some(p05Oracle), p05),
     Q("p06_sample_temperature", Some(p06Oracle), p06),
-    Q("p07_e2e_pipeline", None, p07),
+    Q("p07_e2e_pipeline", Some(p07Oracle), p07),
     Q("p08_sample_fixed", Some(p08Oracle), p08),
     Q("p09_sample_weighted", Some(p09Oracle), p09))
 }

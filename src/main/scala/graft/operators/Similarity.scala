@@ -69,8 +69,43 @@ object Similarity {
     * from anywhere). */
   private val IndexRoot = "/tmp/graft-index"
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(): Unit
+  }
+
+  /** Cheap content signature of the source corpus: one narrow
+    * aggregation over (vec_id, embedding) hashes — order-independent,
+    * so any append/delete/in-place edit changes it. Baked into the
+    * index dir name, it makes staleness STRUCTURAL: an index built
+    * from different data can never be silently probed (same rule the
+    * layout-version prefix enforces for parameter changes). Computed
+    * once per open/refresh, not per query — the idxCache holds the
+    * opened handle. */
+  private def corpusSignature(s: SparkSession, d: String): Long = {
+    // count + bit_xor of row hashes: both order-independent and
+    // overflow-free under ANSI (a SUM of 2^63-scale hashes is not)
+    val r = Tables.df(s, d, "embeddings")
+      .agg(count(lit(1)).as("n"),
+        bit_xor(expr("xxhash64(vec_id, embedding)")).as("x"))
+      .head()
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+      r.getAs[Long]("x"), r.getAs[Long]("n"))
+  }
+
   private[graft] def lshIndex(s: SparkSession, d: String): DataFrame =
     idxCache.computeIfAbsent((s, d), _ => buildLshIndex(s, d))
+
+  /** REFRESH: re-derive the corpus signature and rebuild the index iff
+    * the data changed (buildLshIndex is a no-op when the current
+    * signature's dir already exists), then swap the cached handles.
+    * The query-vector cache is evicted too — vec_id 0's embedding may
+    * itself have changed. */
+  private[graft] def refreshLshIndex(s: SparkSession, d: String): DataFrame = {
+    qCache.remove(d)
+    val fresh = buildLshIndex(s, d)
+    idxCache.put((s, d), fresh)
+    fresh
+  }
 
   private def queryVec(s: SparkSession, d: String): (Array[Float], Double) =
     qCache.computeIfAbsent(d, _ => {
@@ -96,8 +131,19 @@ object Similarity {
     // "lsh2": layout v2 adds the vec_sign64 sketch column for s05 — the
     // version bump keeps a stale v1 dir from being probed with the new
     // schema
-    val dir = new java.io.File(
-      IndexRoot, s"lsh2-p${LshOps.NumPlanes}-" + Integer.toHexString(d.hashCode))
+    // "-s<sig>": the corpus content signature — data changes get a new
+    // dir the same way parameter changes do
+    val dataKey = Integer.toHexString(d.hashCode)
+    val prefix = s"lsh2-p${LshOps.NumPlanes}-" + dataKey
+    val dir = new java.io.File(IndexRoot,
+      prefix + "-s" + java.lang.Long.toHexString(corpusSignature(s, d)))
+    // reap superseded layouts for THIS dataset — older layout versions
+    // (lsh-p*, sig-less lsh2-p*) and stale signatures; in-flight .tmp
+    // dirs belong to concurrent builders and are left alone
+    val stale = raw"lsh2?-p\d+-$dataKey(-s[0-9a-f]+)?".r
+    Option(new java.io.File(IndexRoot).listFiles()).foreach(_.foreach { f =>
+      if (f.getName != dir.getName && stale.matches(f.getName)) rmTree(f)
+    })
     if (!dir.exists()) {
       val tmp = new java.io.File(dir.getParent, dir.getName + ".tmp" + System.nanoTime())
       emb(s, d).withColumn("bucket", expr("lsh_bucket64(embedding)"))
@@ -106,12 +152,8 @@ object Similarity {
           col("sig"), col("bucket"))
         .repartition(col("bucket")) // one file per bucket dir
         .write.partitionBy("bucket").mode("overwrite").parquet(tmp.getAbsolutePath)
-      if (!tmp.renameTo(dir)) { // concurrent builder won the race; ours is redundant
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(tmp)
-      }
+      // concurrent builder won the race; ours is redundant
+      if (!tmp.renameTo(dir)) rmTree(tmp)
     }
     s.read.parquet(dir.getAbsolutePath)
   }
@@ -217,12 +259,7 @@ object Similarity {
         .toDF("cl", "ce", "cnrm")
         .coalesce(1)
         .write.mode("overwrite").parquet(new java.io.File(tmp, "centroids").getAbsolutePath)
-      if (!tmp.renameTo(root)) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(tmp)
-      }
+      if (!tmp.renameTo(root)) rmTree(tmp)
     }
     val cents = s.read.parquet(new java.io.File(root, "centroids").getAbsolutePath)
       .collect()
@@ -347,16 +384,20 @@ object Similarity {
     * never misses a candidate the sketch ranks well — the right tool
     * when recall matters more than scan avoidance. At 100 TB stage 1
     * is a 16-byte-per-row columnar scan (~6% of the full-vector bytes),
-    * stage 2 a broadcast hash semi-fetch of 250 rows. */
+    * stage 2 a broadcast hash semi-fetch of the shortlist. The
+    * shortlist size scales with the corpus — max(250, n/40) — so the
+    * recall floor calibrated at the test SFs survives corpus growth
+    * instead of silently thinning to a fixed 250-of-n (SURVEY §9.3). */
   private def s05(s: SparkSession, d: String): DataFrame = {
     val idx = lshIndex(s, d)
     val (qe, qnrm) = queryVec(s, d)
     val qsig = graft.functions.SignOps.signOf(qe)
+    val shortlistK = math.max(250L, Dedup.approxRowCount(idx) / 40L).toInt
     val shortlist = idx.where(col("vec_id") =!= 0)
       .select(col("vec_id"),
         expr(s"bit_count(sig ^ CAST($qsig AS BIGINT))").as("hamming"))
       .orderBy(col("hamming"), col("vec_id"))
-      .limit(250)
+      .limit(shortlistK)
     idx.join(broadcast(shortlist), "vec_id")
       .withColumn("qe", typedlit(qe.toSeq))
       .withColumn("cos_r", round(expr("vec_dot(e, qe)") / (col("nrm") * lit(qnrm)), 6))

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+
+/** Cost-based optimization: the reference's central claim is the engine
+  * CHOOSING the optimal plan from data statistics (docs/7 group-by mode
+  * selection, docs/8 CollectLeft build-side selection). The Spark analog
+  * is CBO: `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` feeds
+  * FilterEstimation / CostBasedJoinReorder, and the SAME query gets a
+  * different — better — physical plan once statistics exist. These tests
+  * assert both directions: the stats-less plan is the conservative shape,
+  * the stats plan is the cheap one.
+  */
+class CboSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def saveTable(src: String, as: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $as")
+    // a previous JVM's warehouse dir survives the (in-memory) catalog —
+    // clear the location or CREATE TABLE refuses with LOCATION_ALREADY_EXISTS
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(warehouse, as))
+    Tables.df(spark, sf, src).write.mode("overwrite").saveAsTable(as)
+  }
+
+  /** The deepest Join in the optimized plan (the one executed first). */
+  private def deepestJoinLeaves(plan: LogicalPlan): Seq[String] = {
+    val joins = plan.collect { case j: Join => j }
+    val innermost = joins.filter(j => j.children.forall(c => c.collect { case x: Join => x }.isEmpty))
+    innermost.flatMap(_.collectLeaves().map(_.toString))
+  }
+
+  test("CBO: column stats flip a shuffle join to broadcast on a selective filter") {
+    saveTable("lineitem", "cbo_lineitem")
+    saveTable("orders", "cbo_orders")
+    val q = """SELECT l.l_orderkey, o.o_totalprice
+              |FROM cbo_lineitem l JOIN cbo_orders o ON l.l_orderkey = o.o_orderkey
+              |WHERE o.o_orderkey < 40""".stripMargin
+    // threshold below both raw table sizes: without selectivity evidence
+    // the optimizer must assume the filter keeps everything → shuffle join
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096",
+      "spark.sql.cbo.enabled" -> "true") {
+      val before = spark.sql(q).queryExecution.sparkPlan.toString
+      assert(before.contains("SortMergeJoin") && !before.contains("BroadcastHashJoin"),
+        s"expected the stats-less plan to shuffle:\n$before")
+      spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR COLUMNS o_orderkey")
+      spark.sql("ANALYZE TABLE cbo_lineitem COMPUTE STATISTICS")
+      val after = spark.sql(q).queryExecution.sparkPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"column stats did not flip the join to broadcast:\n$after")
+    }
+  }
+
+  test("CBO: join reorder puts the selective dim join first with stats") {
+    saveTable("lineitem", "cbo_lineitem2")
+    saveTable("orders", "cbo_orders2")
+    saveTable("customer", "cbo_customer2")
+    // written order is the WORST order: fact ⋈ fact first, the selective
+    // customer filter last — reorder should shrink orders via customer
+    // before touching lineitem
+    val q = """SELECT count(*) AS n
+              |FROM cbo_lineitem2 l
+              |JOIN cbo_orders2 o ON l.l_orderkey = o.o_orderkey
+              |JOIN cbo_customer2 c ON o.o_custkey = c.c_custkey
+              |WHERE c.c_custkey < 10""".stripMargin
+    Seq("cbo_lineitem2" -> "l_orderkey", "cbo_orders2" -> "o_orderkey, o_custkey",
+        "cbo_customer2" -> "c_custkey").foreach { case (t, cols) =>
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS $cols")
+    }
+    def optimized = spark.sql(q).queryExecution.optimizedPlan
+    withConf(
+      "spark.sql.cbo.enabled" -> "false",
+      "spark.sql.cbo.joinReorder.enabled" -> "false") {
+      val leaves = deepestJoinLeaves(optimized)
+      assert(leaves.exists(_.contains("cbo_lineitem2")) && leaves.exists(_.contains("cbo_orders2")),
+        s"expected the written (worst) order without CBO, got innermost leaves: $leaves")
+    }
+    withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      val leaves = deepestJoinLeaves(optimized)
+      assert(leaves.exists(_.contains("cbo_customer2")),
+        s"CBO join reorder did not move the selective customer join innermost: $leaves")
+      assert(!(leaves.exists(_.contains("cbo_lineitem2")) && leaves.exists(_.contains("cbo_orders2"))),
+        s"CBO kept the fact-fact join innermost: $leaves")
+    }
+  }
+}

@@ -322,7 +322,7 @@ class PipelineSpec extends AnyFunSuite {
     val f = Multimodal.decodeWav(Multimodal.AudioRow(7L, sq))
     assert(f.sample_rate == 8000 && f.n_samples == 64)
     assert(f.peak == 16000)
-    assert(f.rms_q == 16000L * 16000L, "all-|16000| wave: mean square is exact")
+    assert(f.mean_sq == 16000L * 16000L, "all-|16000| wave: mean square is exact")
     assert(f.zero_crossings == 15, s"15 sign flips at i=4..60, got ${f.zero_crossings}")
     assert(f.clip_frac == 0.0)
     // full-scale DC: clipping fraction 1, no crossings
@@ -344,6 +344,45 @@ class PipelineSpec extends AnyFunSuite {
       // |Short.MinValue| = 32768: a clipped negative rail exceeds 32767
       assert(r.getAs[Int]("peak") <= 32768 && r.getAs[Int]("zero_crossings") > 0)
     }
+  }
+
+  test("vector sketches fail loudly past MaxDim hyperplane coverage") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.{LshOps, SignOps}
+    val big = new GenericArrayData(Array.fill(4096)(0.5f))
+    intercept[IllegalArgumentException](SignOps.sign(big, isFloat = true))
+    intercept[IllegalArgumentException](LshOps.bucket(big, isFloat = true))
+    intercept[IllegalArgumentException](LshOps.probePlan(Array.fill(4096)(0.5f), 4))
+    // in-coverage dims still agree between the two element sources
+    val q = Array.tabulate(64)(i => (i - 31.5f) / 10f)
+    assert(SignOps.sign(new GenericArrayData(q), isFloat = true) == SignOps.signOf(q))
+  }
+
+  test("saved LSH index REFRESH detects a corpus change and reaps the stale layout") {
+    import graft.operators.Similarity
+    val corpus = java.nio.file.Files.createTempDirectory("graft-refresh").toFile
+    val src = Tables.df(spark, sf, "embeddings")
+    src.write.parquet(s"$corpus/embeddings.parquet")
+    val d = corpus.getAbsolutePath
+    val idx1 = Similarity.lshIndex(spark, d)
+    val n1 = idx1.count()
+    assert(idx1.where(col("vec_id") === 999999L).isEmpty)
+    // corpus grows: a refresh must surface the new vector...
+    src.where(col("vec_id") === 1L).withColumn("vec_id", lit(999999L))
+      .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+    val idx2 = Similarity.refreshLshIndex(spark, d)
+    assert(idx2.count() == n1 + 1)
+    assert(idx2.where(col("vec_id") === 999999L).count() == 1)
+    // ...and exactly one index layout survives for this dataset (the
+    // superseded-signature dir is reaped, not accumulated)
+    val prefix = "lsh2-p" + graft.functions.LshOps.NumPlanes + "-" +
+      Integer.toHexString(d.hashCode)
+    val layouts = Option(new java.io.File("/tmp/graft-index").listFiles()).get
+      .filter(f => f.getName.startsWith(prefix) && !f.getName.contains(".tmp"))
+    assert(layouts.length == 1, s"stale layouts not reaped: ${layouts.map(_.getName).toSeq}")
+    // unchanged corpus: refresh is cheap and keeps serving the same index
+    val idx3 = Similarity.refreshLshIndex(spark, d)
+    assert(idx3.count() == n1 + 1)
   }
 
   test("s02 probes are partition-pruned, never a full index scan") {
