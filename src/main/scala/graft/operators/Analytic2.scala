@@ -268,6 +268,38 @@ object Analytic2 {
       |    OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS spend_share
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** q67 — recursive CTE (WITH RECURSIVE → Spark 4.x UnionLoop): walk
+    * the digit-trim tree over doc ids (parent = id div 10) from the
+    * single-digit roots, then roll up size and id-sum per (root,
+    * depth). Graph/hierarchy traversal is the one relational surface
+    * d06 had to hand-roll as driver-controlled iteration; here the
+    * ENGINE runs the fixpoint — every UnionLoop step is an ordinary
+    * join stage over the previous frontier, so state is bounded by the
+    * frontier and the same shuffle/broadcast machinery applies at any
+    * scale. */
+  private def q67(s: SparkSession, d: String): DataFrame =
+    sql(s, d,
+      """WITH RECURSIVE tree AS (
+        |  SELECT doc_id AS node, doc_id AS root, 0 AS depth
+        |  FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT d.doc_id, t.root, t.depth + 1
+        |  FROM documents d JOIN tree t ON d.doc_id div 10 = t.node
+        |  WHERE d.doc_id >= 10)
+        |SELECT root, depth, COUNT(*) AS n, SUM(node) AS sum_node
+        |FROM tree GROUP BY root, depth ORDER BY root, depth""".stripMargin)
+
+  private val q67Oracle: String =
+    """WITH RECURSIVE tree AS (
+      |  SELECT doc_id AS node, doc_id AS root, 0 AS depth
+      |  FROM documents WHERE doc_id < 10
+      |  UNION ALL
+      |  SELECT d.doc_id, t.root, t.depth + 1
+      |  FROM documents d JOIN tree t ON d.doc_id // 10 = t.node
+      |  WHERE d.doc_id >= 10)
+      |SELECT root, depth, COUNT(*) AS n, CAST(SUM(node) AS BIGINT) AS sum_node
+      |FROM tree GROUP BY root, depth ORDER BY root, depth""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q58_listagg", Some(q58Oracle), q58),
     Q("q59_lateral_topk", Some(q59Oracle), q59),
@@ -277,5 +309,6 @@ object Analytic2 {
     Q("q63_not_in_nulls", Some(q63Oracle), q63),
     Q("q64_time_weighted_avg", Some(q64Oracle), q64),
     Q("q65_json_typed", Some(q65Oracle), q65),
-    Q("q66_ratio_to_report", Some(q66Oracle), q66))
+    Q("q66_ratio_to_report", Some(q66Oracle), q66),
+    Q("q67_recursive_cte", Some(q67Oracle), q67))
 }

@@ -297,6 +297,23 @@ object Dedup {
       |    / (a.nrm * b.nrm) >= 0.3
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** The RDD a localCheckpoint pinned in the BlockManager, so a
+    * superseded round can be freed the moment the next round's
+    * checkpoint materializes. Without this every CC round (and every
+    * CC-running query in a long session) leaks a pinned RDD — trivial
+    * at test SFs, executor-memory fatal when the labels span billions
+    * of edge nodes at 100 TB. */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+
+  /** Free a DataFrame previously materialized by localCheckpoint. Only
+    * call once nothing will read it again — the checkpoint replaced
+    * its lineage, so the data is unrecoverable after this. */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
   /** Connected components by iterative hash-min label propagation: every
     * node starts labeled with its own id; each round every node takes
     * the min label over itself and its neighbors, then follows one hop
@@ -351,6 +368,10 @@ object Dedup {
           stepped("old"))
         .localCheckpoint()
       converged = next.where(col("lbl") < col("old")).isEmpty
+      // next is materialized — the previous round's checkpoint can
+      // never be read again; free it instead of pinning one RDD per
+      // round for the session's lifetime
+      freeCheckpoint(labels)
       labels = next.select("id", "lbl")
       iter += 1
     }

@@ -199,6 +199,10 @@ object Sampling {
       .agg(max_by(col("doc_id"), struct(col("quality_score"), -col("doc_id"))).as("doc_id"))
       .select("doc_id")
       .localCheckpoint()
+    // keepers is materialized — the CC labels' own checkpoint feeds
+    // nothing else in this query; free it rather than pin it for the
+    // session's lifetime
+    Dedup.freeCheckpoint(labels)
     val deduped = ds.join(keepers, Seq("doc_id"), "left_semi")
     temperatureSample(deduped)
       .join(deduped.select("doc_id", "lang", "n_chars"), "doc_id")

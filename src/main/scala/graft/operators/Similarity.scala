@@ -406,10 +406,46 @@ object Similarity {
       .limit(10)
   }
 
+  /** s06 — filtered ANN: top-k under a metadata predicate (the
+    * "filtered vector search" surface every production ANN engine
+    * exposes — eval slices by language, dedup within a source, RAG
+    * retrieval scoped to a tenant). The filter composes BEFORE the
+    * ranking: predicate pushdown cuts the scan, then the same
+    * narrow-scan + TakeOrdered shape as s01 ranks only survivors — at
+    * 100 TB a selective filter prunes row groups via parquet stats
+    * before any dot product runs. Exact by construction, so unlike
+    * s02/s03/s05 it is oracle-checked, anchoring the filtered variants
+    * the same way s01 anchors the unfiltered ones. */
+  private def s06(s: SparkSession, d: String): DataFrame = {
+    val all = emb(s, d)
+    val q = all.where(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
+    all.where(col("vec_id") =!= 0 && col("label").isin(1, 3, 5) && pmod(col("vec_id"), lit(2)) === 1)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_r", round(expr("vec_dot(embedding, qe)") / (col("nrm") * col("qnrm")), 6))
+      .select("vec_id", "label", "cos_r")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val s06Oracle: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding AS e,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT e AS qe, nrm AS qnrm FROM n WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  round(list_reduce(list_transform(list_zip(e, qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |    / (nrm * qnrm), 6) AS cos_r
+      |FROM n, q
+      |WHERE vec_id <> 0 AND label IN (1, 3, 5) AND vec_id % 2 = 1
+      |ORDER BY cos_r DESC, vec_id LIMIT 10""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_ann_brute", Some(s01Oracle), s01),
     Q("s02_ann_lsh", None, s02),
     Q("s03_ann_ivf", None, s03),
     Q("s04_ann_batch", Some(s04Oracle), s04),
-    Q("s05_ann_rerank", None, s05))
+    Q("s05_ann_rerank", None, s05),
+    Q("s06_ann_filtered", Some(s06Oracle), s06))
 }

@@ -139,6 +139,25 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** The full composed ingest: dedup → sliding-window per-user counts →
+    * stream-static broadcast enrichment, ONE streaming query under ONE
+    * watermark (declared once at the source; both stateful operators —
+    * the dedup store and the window store — are bounded by the same
+    * lateness horizon). The static dim joins AFTER the aggregation, so
+    * each micro-batch enriches the handful of updated window rows, not
+    * the raw event firehose — no extra shuffle, no extra state. */
+  def dedupedWindowedEnriched(events: DataFrame, dim: DataFrame,
+      windowLen: String = "10 minutes", slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), windowLen, slide), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_val"))
+      .select(col("window.start").as("win_start"), col("user_id"),
+        col("n"), col("sum_val"))
+      .join(broadcast(dim), "user_id")
+
   /** foreachBatch sink: the general-purpose streaming-write shape when
     * the target has no native streaming connector. Each micro-batch is
     * an ordinary batch DataFrame; idempotence under replay comes from

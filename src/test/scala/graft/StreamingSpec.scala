@@ -245,6 +245,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("composed dedup → sliding window → static enrich counts redelivery once, enriched") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ms = MemoryStream[Event]
+    // event 2 redelivered: the composed three-stage plan must count it
+    // once, land it in BOTH overlapping windows, and carry the tier
+    ms.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "click", 2.0),
+      Event(2, ts(1), 1, "click", 2.0),
+      Event(3, ts(2), 2, "view", 3.0))
+    val q = EventStream.dedupedWindowedEnriched(ms.toDF(), dim)
+      .writeStream.format("memory").queryName("dedup_win_enrich")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("dedup_win_enrich").collect()
+      val byKey = rows.map(r => (r.getAs[Timestamp]("win_start").toString,
+        r.getAs[Long]("user_id")) -> (r.getAs[Long]("n"), r.getAs[String]("tier"))).toMap
+      // user 1's two deduped events (10:00, 10:01) hit windows 09:55 and 10:00
+      assert(byKey(("2024-01-01 09:55:00.0", 1L)) == ((2L, "gold")),
+        s"redelivery double-counted or enrich lost: $byKey")
+      assert(byKey(("2024-01-01 10:00:00.0", 1L)) == ((2L, "gold")))
+      assert(byKey(("2024-01-01 10:00:00.0", 2L)) == ((1L, "basic")))
+    } finally q.stop()
+  }
+
   test("rate-limited source emits exactly rowsPerBatch deterministic events per trigger") {
     val q = EventStream.rateEvents(spark, rowsPerBatch = 20)
       .writeStream.format("memory").queryName("rate_events")
