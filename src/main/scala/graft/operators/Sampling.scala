@@ -274,6 +274,42 @@ object Sampling {
       |      < least(n_chars, 2000) / 2000.0 * 1000000.0
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** p10 — decontaminated fold split: the composition a real training
+    * pipeline ships between p05 and p02 — benchmark docs AND any
+    * training doc sharing a shingle with them are dropped, THEN the
+    * survivors get reproducible folds. The contamination probe is
+    * p05's broadcast anti-join (the training side never shuffles), the
+    * fold is p02's id arithmetic — the output proves no leaked doc
+    * reaches any training fold. */
+  private def p10(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.df(s, d, "documents")
+    val flagged = contamination(docs).select("doc_id")
+    docs.where(expr("pmod(doc_id, 97L) <> 0"))
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .withColumn("fold", expr(s"pmod($hashCol, 10L)"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .orderBy("fold")
+  }
+
+  private val p10Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      |flagged AS (
+      |  SELECT DISTINCT a.doc_id FROM sh a JOIN bench USING (shingle)
+      |  WHERE a.doc_id % 97 <> 0)
+      |SELECT ((doc_id * 2654435761 + 104729) % 1000000) % 10 AS fold,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+      |FROM documents
+      |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+      |GROUP BY fold ORDER BY fold""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -283,5 +319,6 @@ object Sampling {
     Q("p06_sample_temperature", Some(p06Oracle), p06),
     Q("p07_e2e_pipeline", Some(p07Oracle), p07),
     Q("p08_sample_fixed", Some(p08Oracle), p08),
-    Q("p09_sample_weighted", Some(p09Oracle), p09))
+    Q("p09_sample_weighted", Some(p09Oracle), p09),
+    Q("p10_decontaminated_folds", Some(p10Oracle), p10))
 }

@@ -210,12 +210,27 @@ object Similarity {
   private[graft] def ivfIndex(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double], Double)]) =
     ivfCache.computeIfAbsent((s, d), _ => buildIvfIndex(s, d))
 
+  /** Same REFRESH contract as refreshLshIndex, for the IVF layout. */
+  private[graft] def refreshIvfIndex(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double], Double)]) = {
+    qCache.remove(d)
+    val fresh = buildIvfIndex(s, d)
+    ivfCache.put((s, d), fresh)
+    fresh
+  }
+
   private def buildIvfIndex(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double], Double)]) = {
     import s.implicits._
-    // quantizer parameters baked into the path, same staleness rule as
-    // the LSH index
-    val root = new java.io.File(
-      IndexRoot, s"ivf-k$NList-i$LloydIters-" + Integer.toHexString(d.hashCode))
+    // quantizer parameters AND the corpus content signature baked into
+    // the path, same staleness rule as the LSH index; superseded
+    // layouts for this dataset are reaped
+    val dataKey = Integer.toHexString(d.hashCode)
+    val prefix = s"ivf-k$NList-i$LloydIters-" + dataKey
+    val root = new java.io.File(IndexRoot,
+      prefix + "-s" + java.lang.Long.toHexString(corpusSignature(s, d)))
+    val stale = raw"ivf-k\d+-i\d+-$dataKey(-s[0-9a-f]+)?".r
+    Option(new java.io.File(IndexRoot).listFiles()).foreach(_.foreach { f =>
+      if (f.getName != root.getName && stale.matches(f.getName)) rmTree(f)
+    })
     if (!root.exists()) {
       val data = emb(s, d)
         .select(col("vec_id"), col("label"), col("embedding").as("e"), col("nrm"))

@@ -401,6 +401,40 @@ object TextAnalysis {
       |FROM bg JOIN lm USING (bigram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t12 — vocabulary growth stats per language: type count, type/token
+    * ratio, and hapax-legomenon fraction (tokens seen exactly once) —
+    * the corpus-QC dashboard numbers a data pipeline watches for
+    * boilerplate floods (TTR collapses) and OCR noise (hapax share
+    * explodes). One explode + two two-phase aggregations; the
+    * intermediate (lang, token) vocabulary is bounded by corpus
+    * vocabulary, not corpus size, so the shape holds at 100 TB. */
+  private def t12(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "documents")
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("lang")
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_frac"))
+      .orderBy("lang")
+
+  private val t12Oracle: String =
+    """WITH toks AS (
+      |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      |  FROM documents),
+      |voc AS (SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok)
+      |SELECT lang,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types,
+      |  round(COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS ttr,
+      |  round(CAST(COUNT(*) FILTER (WHERE cnt = 1) AS DOUBLE) / COUNT(*), 6) AS hapax_frac
+      |FROM voc GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -412,5 +446,6 @@ object TextAnalysis {
     Q("t08_entropy", Some(t08Oracle), t08),
     Q("t09_normalize", Some(t09Oracle), t09),
     Q("t10_term_extract", Some(t10Oracle), t10),
-    Q("t11_bigram_score", Some(t11Oracle), t11))
+    Q("t11_bigram_score", Some(t11Oracle), t11),
+    Q("t12_vocab_stats", Some(t12Oracle), t12))
 }

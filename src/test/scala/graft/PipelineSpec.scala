@@ -383,6 +383,9 @@ class PipelineSpec extends AnyFunSuite {
     // unchanged corpus: refresh is cheap and keeps serving the same index
     val idx3 = Similarity.refreshLshIndex(spark, d)
     assert(idx3.count() == n1 + 1)
+    // the IVF layout follows the same content-signature contract
+    val (ivf, _) = Similarity.refreshIvfIndex(spark, d)
+    assert(ivf.where(col("vec_id") === 999999L).count() == 1)
   }
 
   test("s02 probes are partition-pruned, never a full index scan") {
