@@ -300,6 +300,28 @@ object Analytic2 {
       |SELECT root, depth, COUNT(*) AS n, CAST(SUM(node) AS BIGINT) AS sum_node
       |FROM tree GROUP BY root, depth ORDER BY root, depth""".stripMargin
 
+  /** q68 — VARIANT semi-structured column (Spark 4's open data type):
+    * parse_json ONCE into the binary variant encoding, then typed path
+    * extraction + aggregation. Complements q33 (per-path string
+    * get_json_object) and q65 (rigid from_json schema): variant is the
+    * schema-on-read middle ground — one parse, binary-encoded fields,
+    * typed access without declaring the full schema up front. At scale
+    * the parse cost is paid once per row, not once per path. */
+  private def q68(s: SparkSession, d: String): DataFrame =
+    sql(s, d,
+      """WITH v AS (
+        |  SELECT event_type,
+        |    variant_get(parse_json(props), '$.k', 'bigint') AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k, MAX(k) AS max_k
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  private val q68Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q58_listagg", Some(q58Oracle), q58),
     Q("q59_lateral_topk", Some(q59Oracle), q59),
@@ -310,5 +332,6 @@ object Analytic2 {
     Q("q64_time_weighted_avg", Some(q64Oracle), q64),
     Q("q65_json_typed", Some(q65Oracle), q65),
     Q("q66_ratio_to_report", Some(q66Oracle), q66),
-    Q("q67_recursive_cte", Some(q67Oracle), q67))
+    Q("q67_recursive_cte", Some(q67Oracle), q67),
+    Q("q68_variant", Some(q68Oracle), q68))
 }

@@ -87,6 +87,14 @@ class CoreSpec extends AnyFunSuite {
       s"grouping sets rescanned the fact table:\n$plan")
   }
 
+  test("s06: the metadata filter reaches the parquet scan before any ranking") {
+    val pushed = pushedFilters(SparkEntry.queries("s06_ann_filtered")(spark, sf))
+    assert(pushed.exists(p => p.contains("label") && p.contains("vec_id")),
+      s"filtered-ANN predicate not pushed: $pushed")
+    assert(plans.PlanInspector.usesTakeOrdered(
+      SparkEntry.queries("s06_ann_filtered")(spark, sf)))
+  }
+
   test("p06: the per-source rate table joins as a broadcast, docs never shuffle") {
     assert(usesBroadcastHashJoin(
       SparkEntry.queries("p06_sample_temperature")(spark, sf)))

@@ -273,6 +273,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming runs on the RocksDB state store provider") {
+    // The default HDFS-backed provider keeps every key in executor
+    // heap — fine at test scale, fatal for 100 TB watermark state.
+    // RocksDB spills state to local disk with bounded memory; the SAME
+    // declarative pipeline must produce the SAME answer on it.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      ms.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "click", 2.0),
+        Event(2, ts(1), 1, "click", 2.0), // redelivered
+        Event(3, ts(2), 2, "view", 3.0))
+      val q = EventStream.dedupedWindowedCounts(ms.toDF())
+        .writeStream.format("memory").queryName("rocksdb_counts")
+        .outputMode(OutputMode.Update).start()
+      try {
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.nonEmpty) // stateful work really ran
+        val out = spark.table("rocksdb_counts").collect()
+          .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+        assert(out("click") == 2, s"RocksDB path double-counted redelivery: $out")
+        assert(out("view") == 1)
+      } finally q.stop()
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("rate-limited source emits exactly rowsPerBatch deterministic events per trigger") {
     val q = EventStream.rateEvents(spark, rowsPerBatch = 20)
       .writeStream.format("memory").queryName("rate_events")
