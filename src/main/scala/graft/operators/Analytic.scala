@@ -224,6 +224,45 @@ object Analytic {
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** q69 — native session windows (session_window): gap-merged
+    * variable-length windows assigned by the ENGINE — the declarative
+    * counterpart to q23's hand-rolled lag+running-sum islands (same
+    * 30-minute gap, so the two agree). New session iff the gap since
+    * the previous event is ≥ the gap length; window end = last event +
+    * gap. Outputs are second-truncated and the value sum runs in
+    * DECIMAL per the §5 float discipline. One shuffle by user, merge
+    * inside the aggregation — no window-function pass at all. */
+  private def q69(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(18, 4))).cast("double"), 4).as("sum_val"))
+      .select(
+        col("user_id"),
+        date_trunc("second", col("sw.start")).as("sess_start"),
+        date_trunc("second", col("sw.end")).as("sess_end"),
+        col("n_events"), col("sum_val"))
+      .orderBy("user_id", "sess_start")
+
+  private val q69Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, value, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |i AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      |  FROM e)
+      |SELECT user_id,
+      |  date_trunc('second', MIN(ts)) AS sess_start,
+      |  date_trunc('second', MAX(ts) + INTERVAL 30 MINUTE) AS sess_end,
+      |  COUNT(*) AS n_events,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_val
+      |FROM i GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin
+
   /** q57 — bitwise aggregates (bit_and/bit_or/bit_xor): commutative
     * and associative, so exactly reproducible under any partitioning —
     * the set-membership folds behind bitmap/bloom-style engine
@@ -252,5 +291,6 @@ object Analytic {
     Q("q54_date_arith", Some(q54Oracle), q54),
     Q("q55_mode_argmax", Some(q55Oracle), q55),
     Q("q56_conditional_agg", Some(q56Oracle), q56),
-    Q("q57_bitwise_agg", Some(q57Oracle), q57))
+    Q("q57_bitwise_agg", Some(q57Oracle), q57),
+    Q("q69_session_window", Some(q69Oracle), q69))
 }

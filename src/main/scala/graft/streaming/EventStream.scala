@@ -91,6 +91,23 @@ object EventStream {
         col("window.end").as("win_end"),
         col("event_type"), col("n"))
 
+  /** Native session windows on a stream: gap-merged sessions assigned
+    * by the engine (the declarative twin of userSessionCounts' custom
+    * state machine — no GroupState code at all). The watermark bounds
+    * how long an open session can wait for a late event; state per key
+    * is one mergeable session row, evicted when the watermark passes
+    * its end. */
+  def sessionWindowCounts(events: DataFrame,
+      gap: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n"))
+
   /** Rate-limited synthetic source: `rate-micro-batch` emits exactly
     * `rowsPerBatch` rows per trigger with deterministic timestamps —
     * the load-generator / backpressure-drill shape (the production

@@ -217,4 +217,36 @@ class SourcesCatalogSpec extends AnyFunSuite {
     val st = GraftCatalog.settings(spark, "shuffle.partitions").collect()
     assert(st.exists(_.getString(0) == "spark.sql.shuffle.partitions"))
   }
+
+  test("binaryFile source ingests raw media files straight into the decode stage") {
+    // the production multimodal ingest path: a directory of opaque
+    // media files → (path, length, content) binary rows → the same
+    // typed decode boundary m01 uses. No driver-side file reads — the
+    // source distributes file splits like any other scan.
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toFile
+    for (i <- 0 until 3) {
+      val bmp = Multimodal.encodeBmp(4, 3, (x, y) => (x * 20 + i, y * 30, 40))
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"img_$i.bmp").toPath, bmp)
+    }
+    java.nio.file.Files.write( // a non-media straggler the glob must skip
+      new java.io.File(dir, "notes.txt").toPath, "not an image".getBytes)
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bmp")
+      .load(dir.getAbsolutePath)
+    assert(files.count() == 3)
+    val feats = files
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val id = path.replaceAll(".*img_(\\d+)\\.bmp$", "$1").toLong
+        Multimodal.decodeBmp(Multimodal.MediaRow(id, bytes, 4, 3, "bmp"))
+      }
+      .collect()
+    assert(feats.length == 3)
+    assert(feats.forall(f => f.width == 4 && f.height == 3))
+    assert(feats.map(_.doc_id).sorted.sameElements(Array(0L, 1L, 2L)))
+  }
 }

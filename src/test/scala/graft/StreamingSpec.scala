@@ -273,6 +273,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session windows merge by gap on the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    // user 1: events at 10:00 and 10:10 (one session — gap < 30 min),
+    // then 11:00 (new session); user 2: one event
+    ms.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "view", 3.0),
+      Event(4, ts(5), 2, "view", 4.0))
+    // session windows support Append only: a session emits once the
+    // watermark passes its end (finalized, exactly once)
+    val q = EventStream.sessionWindowCounts(ms.toDF())
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past every open session's end
+      ms.addData(Event(5, Timestamp.valueOf("2024-01-01 13:00:00"), 3, "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_win").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("sess_start").toString) ->
+          (r.getAs[Long]("n"), r.getAs[Timestamp]("sess_end").toString)).toMap
+      // session end = last event + gap
+      assert(out((1L, "2024-01-01 10:00:00.0")) == ((2L, "2024-01-01 10:40:00.0")),
+        s"gap merge wrong: $out")
+      assert(out((1L, "2024-01-01 11:00:00.0")) == ((1L, "2024-01-01 11:30:00.0")))
+      assert(out((2L, "2024-01-01 10:05:00.0")) == ((1L, "2024-01-01 10:35:00.0")))
+    } finally q.stop()
+  }
+
   test("stateful streaming runs on the RocksDB state store provider") {
     // The default HDFS-backed provider keeps every key in executor
     // heap — fine at test scale, fatal for 100 TB watermark state.
