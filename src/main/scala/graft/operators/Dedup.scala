@@ -517,6 +517,70 @@ object Dedup {
       |FROM lab l JOIN q USING (doc_id)
       |GROUP BY l.cluster_id ORDER BY l.cluster_id""".stripMargin
 
+  /** d10's blocking + verify, factored on a docs DataFrame so the spec
+    * can prove blocking COMPLETENESS on constructed keys (substitution /
+    * insertion / deletion / identical), not just corpus behavior.
+    *
+    * Symmetric-delete (SymSpell) blocking: each doc's canonical 24-char
+    * key expands to {key} ∪ {key minus one char} — ≤ 25 variants. Any
+    * two keys within Levenshtein ≤ 1 share a variant: equal keys share
+    * the identity, a substitution at position i shares the delete-i
+    * variant, and an insertion/deletion pair shares the shorter key
+    * itself. So the candidate join is exact-equality on an 8-byte
+    * variant hash — no quadratic self-join, no approximate recall —
+    * and the final levenshtein() check only confirms (it filters hash
+    * collisions and delete-variant coincidences at distance 2). Blocks
+    * above the stop-key cap (a degenerate corpus where thousands of
+    * docs share a variant) are dropped loudly-by-construction, the
+    * same bound d02 puts on hot shingles. */
+  private[graft] def editDistPairs(docsDf: DataFrame, blockCap: Int = 1000): DataFrame = {
+    val keyed = docsDf
+      .withColumn("c", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+      .where(length(col("c")) >= 8)
+      .select(col("doc_id"), substring(col("c"), 1, 24).as("k"))
+    val variants = keyed.select(
+      col("doc_id"), col("k"),
+      explode(expr(
+        """array_distinct(concat(array(k),
+          |  transform(sequence(1, length(k)),
+          |    i -> concat(substring(k, 1, i - 1), substring(k, i + 1, length(k) - i)))))""".stripMargin))
+        .as("v"))
+      .select(col("doc_id"), col("k"), xxhash64(col("v")).as("vh"))
+    variants.groupBy("vh")
+      .agg(collect_list(struct(col("doc_id"), col("k"))).as("xs"))
+      .where(size(col("xs")).between(2, blockCap))
+      .select(explode(expr(
+        """filter(flatten(transform(xs, a -> transform(xs,
+          |  b -> struct(a.doc_id AS a_id, a.k AS a_k, b.doc_id AS b_id, b.k AS b_k)))),
+          |  p -> p.a_id < p.b_id)""".stripMargin)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.a_k").as("a_k"), col("p.b_k").as("b_k"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("a_k"), col("b_k")))
+      .where(col("dist") <= 1)
+      .select("a_id", "b_id", "dist")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** d10 — edit-distance fuzzy dedup: pairs of docs whose canonical
+    * 24-char prefixes are within Levenshtein ≤ 1 (typo-level clones the
+    * shingle family can't see — one character flip changes 3 shingles
+    * but is still distance 1). Oracle is the arms-length quadratic
+    * levenshtein self-join; this plan never builds it. */
+  private def d10(s: SparkSession, d: String): DataFrame =
+    editDistPairs(docs(s, d))
+
+  private val d10Oracle: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS k
+      |  FROM documents
+      |  WHERE length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) >= 8)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(levenshtein(a.k, b.k) AS INT) AS dist
+      |FROM k a JOIN k b ON a.doc_id < b.doc_id AND levenshtein(a.k, b.k) <= 1
+      |ORDER BY a_id, b_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
@@ -526,5 +590,6 @@ object Dedup {
     Q("d06_dedup_cluster", Some(d06Oracle), d06),
     Q("d07_dedup_embed_lsh", None, d07),
     Q("d08_dedup_keep_best", Some(d08Oracle), d08),
-    Q("d09_dedup_calibrate", None, d09))
+    Q("d09_dedup_calibrate", None, d09),
+    Q("d10_dedup_editdist", Some(d10Oracle), d10))
 }

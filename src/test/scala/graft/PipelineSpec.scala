@@ -596,4 +596,34 @@ class PipelineSpec extends AnyFunSuite {
     val bad = bmp.clone(); bad(0) = 'X'.toByte
     intercept[IllegalArgumentException] { decodeBmp(MediaRow(8L, bad, 2, 2, "bmp")) }
   }
+
+  test("d10 symmetric-delete blocking is complete for every edit kind") {
+    import spark.implicits._
+    // base key (canonicalizes to "abcdefghijkl"), plus one partner per
+    // Levenshtein-1 edit kind: substitution (mid + first + last char),
+    // deletion, insertion, and an identical copy; far rows must NOT pair
+    // with base. Keys are < 24 chars so no truncation masks an edit.
+    val docsDf = Seq(
+      (0L, "abcdefghijkl"),           // base
+      (1L, "abcdeXghijkl"),           // substitution, middle
+      (2L, "Xbcdefghijkl"),           // substitution, first char
+      (3L, "abcdefghijkX"),           // substitution, last char
+      (4L, "abcdefghijk"),            // deletion
+      (5L, "abcdefXghijkl"),          // insertion
+      (6L, "ABC def GHI jkl"),        // identical after canonicalization
+      (7L, "zyxwvutsrqpo"),           // far
+      (8L, "abcXeXghijkl")            // distance 2 — candidate, must be filtered
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.editDistPairs(docsDf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val expectWithBase = Set(1L, 2L, 3L, 4L, 5L, 6L).map(i => (0L, i))
+    assert(expectWithBase.subsetOf(got),
+      s"missed Levenshtein-1 pairs with base: ${expectWithBase -- got}")
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L), "far row paired")
+    assert(!got.contains((0L, 8L)), "distance-2 pair survived the verify")
+    // distances on found pairs are exact
+    val dists = graft.operators.Dedup.editDistPairs(docsDf).collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")), r.getAs[Int]("dist"))).toMap
+    assert(dists((0L, 6L)) == 0 && dists((0L, 1L)) == 1 && dists((0L, 4L)) == 1)
+  }
 }
