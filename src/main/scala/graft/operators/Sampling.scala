@@ -310,6 +310,45 @@ object Sampling {
       |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
       |GROUP BY fold ORDER BY fold""".stripMargin
 
+  /** p11 — training-mixture plan: allocate a token budget across
+    * sources with temperature α = 0.5 (weight ∝ tokens^α — the standard
+    * up-weighting of small high-quality sources against web-scale
+    * bulk). Outputs per source: token inventory, normalized mixture
+    * weight, the budget quota, and implied epochs (quota / available —
+    * epochs > 1 means that source repeats). One narrow scan +
+    * partial+final agg; the per-source table and its α-sum are a
+    * broadcast scalar — nothing here grows with corpus size except the
+    * one token-count pass. The companion to p06: p06 SELECTS the rows,
+    * p11 is the PLAN a budget owner signs off on first. */
+  private def p11(s: SparkSession, d: String): DataFrame = {
+    val budget = 1000000.0
+    val per = Tables.df(s, d, "documents")
+      .select(col("source"),
+        expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("tokens"))
+    val z = per.agg(sum(sqrt(col("tokens").cast("double"))).as("z"))
+    per.crossJoin(broadcast(z))
+      .withColumn("weight", sqrt(col("tokens").cast("double")) / col("z"))
+      .select(col("source"), col("docs"), col("tokens"),
+        round(col("weight"), 6).as("weight_r"),
+        round(lit(budget) * col("weight"), 2).as("quota_r"),
+        round(lit(budget) * col("weight") / col("tokens").cast("double"), 6).as("epochs_r"))
+      .orderBy("source")
+  }
+
+  private val p11Oracle: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS docs,
+      |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |z AS (SELECT SUM(sqrt(CAST(tokens AS DOUBLE))) AS z FROM per)
+      |SELECT source, docs, tokens,
+      |  round(sqrt(CAST(tokens AS DOUBLE)) / z, 6) AS weight_r,
+      |  round(1000000 * sqrt(CAST(tokens AS DOUBLE)) / z, 2) AS quota_r,
+      |  round(1000000 * sqrt(CAST(tokens AS DOUBLE)) / z / tokens, 6) AS epochs_r
+      |FROM per, z ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -320,5 +359,6 @@ object Sampling {
     Q("p07_e2e_pipeline", Some(p07Oracle), p07),
     Q("p08_sample_fixed", Some(p08Oracle), p08),
     Q("p09_sample_weighted", Some(p09Oracle), p09),
-    Q("p10_decontaminated_folds", Some(p10Oracle), p10))
+    Q("p10_decontaminated_folds", Some(p10Oracle), p10),
+    Q("p11_mixture_weights", Some(p11Oracle), p11))
 }

@@ -435,6 +435,44 @@ object TextAnalysis {
       |  round(CAST(COUNT(*) FILTER (WHERE cnt = 1) AS DOUBLE) / COUNT(*), 6) AS hapax_frac
       |FROM voc GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** t13 — Zipf fit of the token rank-frequency curve: least-squares
+    * slope/intercept of ln(freq) against ln(rank) over the top-100
+    * tokens — the one-number distributional health check next to t12's
+    * TTR (a natural corpus fits slope ≈ −1; template/boilerplate floods
+    * flatten it, OCR noise steepens the tail). The corpus-sized work is
+    * the token count (partial+final agg + TakeOrdered top-100); ranking
+    * and the regr_slope/regr_intercept aggregate run on 100 rows. The
+    * single-partition row_number window is over those 100 rows only —
+    * not a global-sort anti-pattern. */
+  private def t13(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.df(s, d, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok")).limit(100)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("f").desc, col("tok"))))
+      .agg(
+        count(lit(1)).as("n_top"),
+        round(expr("regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 6)
+          .as("zipf_slope"),
+        round(expr("regr_intercept(ln(CAST(f AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 6)
+          .as("zipf_intercept"))
+  }
+
+  private val t13Oracle: String =
+    """WITH freqs AS (
+      |  SELECT tok, COUNT(*) AS f FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      |    FROM documents)
+      |  GROUP BY tok ORDER BY f DESC, tok LIMIT 100),
+      |ranked AS (
+      |  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rank FROM freqs)
+      |SELECT COUNT(*) AS n_top,
+      |  round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+      |  round(regr_intercept(ln(CAST(f AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_intercept
+      |FROM ranked""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -447,5 +485,6 @@ object TextAnalysis {
     Q("t09_normalize", Some(t09Oracle), t09),
     Q("t10_term_extract", Some(t10Oracle), t10),
     Q("t11_bigram_score", Some(t11Oracle), t11),
-    Q("t12_vocab_stats", Some(t12Oracle), t12))
+    Q("t12_vocab_stats", Some(t12Oracle), t12),
+    Q("t13_zipf_fit", Some(t13Oracle), t13))
 }
