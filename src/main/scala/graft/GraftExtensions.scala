@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("vec_sign64",
         "vec_sign64(array<float|double>) - 64-bit random-hyperplane sign signature"),
       es => VecSign64(es.head)))
+    e.injectFunction((FunctionIdentifier("pq_adc"),
+      info("pq_adc",
+        "pq_adc(array<int>, array<double>) - PQ asymmetric-distance lookup-table sum"),
+      es => PqAdc(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("fingerprint64"),
       info("fingerprint64",
         "fingerprint64(array<string>) - struct(fp64, win_fp) rolling document fingerprint"),

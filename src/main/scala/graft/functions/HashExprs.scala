@@ -556,5 +556,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("sig_pairs", es => SigPairs(es.head), "built-in")
     reg.createOrReplaceTempFunction("token_entropy", es => TokenEntropy(es.head), "built-in")
     reg.createOrReplaceTempFunction("hamming_pairs", es => HammingPairs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("pq_adc", es => PqAdc(es(0), es(1)), "built-in")
   }
 }

@@ -283,6 +283,55 @@ final case class VecDot(left: Expression, right: Expression) extends BinaryExpre
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization asymmetric-distance scoring (s07): the
+  * stage-1 scan evaluates Σ_m lut[m·K + codes[m]] per row — M table
+  * lookups against the query's precomputed per-subspace dot-product
+  * table instead of a full-dimension MAC loop. K is inferred from the
+  * table length so the expression works for any (M, K) codebook. */
+object PqOps {
+  /** Called from generated code. Out-of-range codes (corrupt index or
+    * a codebook/codes mismatch) fail loudly via the bounds check. */
+  def adc(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val k = lut.numElements() / m
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      val c = codes.getInt(i)
+      require(c >= 0 && c < k, s"PQ code $c out of range [0, $k) at subspace $i")
+      acc += lut.getDouble(i * k + c)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** pq_adc(codes, lut): PQ asymmetric-distance lookup-table sum. */
+final case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc needs (array<int>, array<double>), got $l, $r")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    PqOps.adc(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PqOps.adc($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 /** vec_norm(a): sqrt(Σ a_i², double, left-to-right). */
 final case class VecNorm(child: Expression) extends UnaryExpression {
 

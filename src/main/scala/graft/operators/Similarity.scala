@@ -456,11 +456,155 @@ object Similarity {
       |WHERE vec_id <> 0 AND label IN (1, 3, 5) AND vec_id % 2 = 1
       |ORDER BY cos_r DESC, vec_id LIMIT 10""".stripMargin
 
+  /** PQ codebook geometry: M subspaces × subDim dims, K centroids per
+    * subspace. 16×4 over the 64-dim corpus gives 16 4-bit codes — an
+    * 8-byte effective payload per row, same budget as s05's sign
+    * sketch, but LEARNED from the data rather than random planes. */
+  private val PqM = 16
+  private val PqSubDim = 4
+  private val PqK = 16
+  private val PqIters = 2
+
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Array[((Int, Int), Array[Double])])]()
+
+  private[graft] def pqIndex(s: SparkSession, d: String): (DataFrame, Array[((Int, Int), Array[Double])]) =
+    pqCache.computeIfAbsent((s, d), _ => buildPqIndex(s, d))
+
+  /** Same REFRESH contract as refreshLshIndex/refreshIvfIndex. */
+  private[graft] def refreshPqIndex(s: SparkSession, d: String): (DataFrame, Array[((Int, Int), Array[Double])]) = {
+    qCache.remove(d)
+    val fresh = buildPqIndex(s, d)
+    pqCache.put((s, d), fresh)
+    fresh
+  }
+
+  /** s07's index: a product-quantization codebook (per-subspace Lloyd's
+    * k-means — the same distributed assign/recompute loop as IVF, run
+    * on all 16 subspaces at once via one exploded sub-vector frame) and
+    * the corpus encoded to 16 int codes per vector. Only the 16×16
+    * sub-centroids (the model) reach the driver. Layout path carries
+    * parameters + corpus signature; superseded layouts are reaped —
+    * identical staleness rules to the LSH/IVF indexes. */
+  private def buildPqIndex(s: SparkSession, d: String): (DataFrame, Array[((Int, Int), Array[Double])]) = {
+    import s.implicits._
+    val dataKey = Integer.toHexString(d.hashCode)
+    val prefix = s"pq-m$PqM-k$PqK-i$PqIters-" + dataKey
+    val root = new java.io.File(IndexRoot,
+      prefix + "-s" + java.lang.Long.toHexString(corpusSignature(s, d)))
+    val stale = raw"pq-m\d+-k\d+-i\d+-$dataKey(-s[0-9a-f]+)?".r
+    Option(new java.io.File(IndexRoot).listFiles()).foreach(_.foreach { f =>
+      if (f.getName != root.getName && stale.matches(f.getName)) rmTree(f)
+    })
+    if (!root.exists()) {
+      val data = emb(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").as("e"), col("nrm"))
+      val sub = data.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(e, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      // deterministic seeds: per subspace, the K sub-vectors first in
+      // row-hash order (one bounded window per subspace key)
+      var cents: Array[((Int, Int), Array[Double])] = sub
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("m").orderBy(expr("xxhash64(vec_id, m)"), col("vec_id"))))
+        .where(col("rn") <= PqK)
+        .collect()
+        .map { r =>
+          ((r.getAs[Int]("m"), r.getAs[Int]("rn") - 1),
+            r.getAs[scala.collection.Seq[Float]]("sv").toArray.map(_.toDouble))
+        }
+      def centDf = s.createDataset(cents.toSeq.map { case ((m, cl), ce) =>
+        (m, cl, ce.toSeq, ce.map(x => x * x).sum)
+      }).toDF("m", "cl", "ce", "cn2")
+      // argmin_cl ‖sv − c‖² = argmin_cl (‖c‖² − 2·sv·c); ties → lower cl
+      def assigned = sub.join(broadcast(centDf), "m")
+        .withColumn("d2", col("cn2") - lit(2.0) * expr("vec_dot(sv, ce)"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("cl"))).as("best"), first(col("sv")).as("sv"))
+        .select(col("vec_id"), col("m"), col("best.cl").as("cl"), col("sv"))
+      for (_ <- 1 to PqIters) {
+        val recomputed = assigned
+          .select(col("m"), col("cl"), posexplode(col("sv")).as(Seq("pos", "v")))
+          .groupBy("m", "cl", "pos").agg(avg(col("v")).as("cv"))
+          .groupBy("m", "cl")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ce"))
+          .collect()
+          .map(r => (r.getAs[Int]("m"), r.getAs[Int]("cl")) ->
+            r.getAs[scala.collection.Seq[Double]]("ce").toArray)
+          .toMap
+        // empty clusters keep their previous centroid
+        cents = cents.map { case prev @ (key, _) =>
+          recomputed.get(key).map(key -> _).getOrElse(prev)
+        }
+      }
+      val codes = assigned.groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(m, cl))), x -> x.cl)").as("codes"))
+      val tmp = new java.io.File(root.getParent, root.getName + ".tmp" + System.nanoTime())
+      data.join(codes, "vec_id")
+        .select("vec_id", "label", "e", "nrm", "codes")
+        .write.mode("overwrite").parquet(new java.io.File(tmp, "index").getAbsolutePath)
+      s.createDataset(cents.toSeq.map { case ((m, cl), ce) => (m, cl, ce.toSeq) })
+        .toDF("m", "cl", "ce")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(new java.io.File(tmp, "centroids").getAbsolutePath)
+      if (!tmp.renameTo(root)) rmTree(tmp)
+    }
+    val cents = s.read.parquet(new java.io.File(root, "centroids").getAbsolutePath)
+      .collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("cl")) ->
+        r.getAs[scala.collection.Seq[Double]]("ce").toArray)
+    (s.read.parquet(new java.io.File(root, "index").getAbsolutePath), cents)
+  }
+
+  /** s07 — product-quantization ANN (rows-only: the codebook is
+    * data-trained). Query time builds the 16×16 lookup table of
+    * query-subvector · sub-centroid dot products driver-side (256 MACs
+    * of query planning), then stage 1 scores EVERY row with the native
+    * pq_adc expression — 16 table lookups per row over a 16-int codes
+    * column, no full-vector math — into a TakeOrdered shortlist sized
+    * max(200, n/40); stage 2 re-ranks the shortlist exactly, broadcast,
+    * like s05. This is the 100 TB ANN workhorse shape (IVF-less
+    * ADC/FAISS-style): the scan reads codes + id (≈12 bytes/row vs 260
+    * for the vector), compute is lookup-bound, and unlike the random
+    * sign sketch the quantizer adapts to the corpus distribution.
+    * PipelineSpec bounds recall@10 against s01's exact baseline. */
+  private def s07(s: SparkSession, d: String): DataFrame = {
+    val (idx, cents) = pqIndex(s, d)
+    val byKey = cents.toMap
+    val (qe, qnrm) = queryVec(s, d)
+    val lut: Seq[Double] = for {
+      m <- 0 until PqM
+      cl <- 0 until PqK
+    } yield byKey.get((m, cl)) match {
+      case Some(ce) =>
+        var acc = 0.0
+        var j = 0
+        while (j < PqSubDim) { acc += qe(m * PqSubDim + j) * ce(j); j += 1 }
+        acc
+      case None => Double.NegativeInfinity // never-assigned seed slot
+    }
+    val shortlistK = math.max(200L, Dedup.approxRowCount(idx) / 40L).toInt
+    val shortlist = idx.where(col("vec_id") =!= 0)
+      .withColumn("lut", typedlit(lut))
+      .withColumn("approx_cos", round(expr("pq_adc(codes, lut)") / (col("nrm") * lit(qnrm)), 6))
+      .select("vec_id", "approx_cos")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(shortlistK)
+    idx.join(broadcast(shortlist), "vec_id")
+      .withColumn("qe", typedlit(qe.toSeq))
+      .withColumn("cos_r", round(expr("vec_dot(e, qe)") / (col("nrm") * lit(qnrm)), 6))
+      .select("vec_id", "label", "approx_cos", "cos_r")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_ann_brute", Some(s01Oracle), s01),
     Q("s02_ann_lsh", None, s02),
     Q("s03_ann_ivf", None, s03),
     Q("s04_ann_batch", Some(s04Oracle), s04),
     Q("s05_ann_rerank", None, s05),
-    Q("s06_ann_filtered", Some(s06Oracle), s06))
+    Q("s06_ann_filtered", Some(s06Oracle), s06),
+    Q("s07_ann_pq", None, s07))
 }

@@ -292,6 +292,54 @@ class PipelineSpec extends AnyFunSuite {
       s"rerank recall ${(exact & rer).size}/10 below floor; missed ${exact -- rer}")
   }
 
+  test("s07 PQ ANN recall >= 0.5 vs the exact top-k, approx scores sane") {
+    val exact = rows("s01_ann_brute").map(_.getAs[Long]("vec_id")).toSet
+    val pq = rows("s07_ann_pq")
+    val ids = pq.map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.nonEmpty)
+    assert((exact & ids).size >= 5,
+      s"PQ recall ${(exact & ids).size}/10 below floor; missed ${exact -- ids}")
+    // the ADC estimate should correlate with the exact value on the
+    // survivors: mean |approx − exact| bounded well under the cosine
+    // spread (quantization noise, not garbage)
+    val errs = pq.map(r => math.abs(r.getAs[Double]("approx_cos") - r.getAs[Double]("cos_r")))
+    assert(errs.sum / errs.size <= 0.25,
+      s"mean ADC error ${errs.sum / errs.size} too large")
+  }
+
+  test("s07 stage-1 ADC scan reads codes, not the 64-float vector") {
+    val plan = graft.plans.PlanInspector.formatted(
+      SparkEntry.queries("s07_ann_pq")(spark, sf))
+    val codeScans = "ReadSchema: [^\\n]*codes[^\\n]*".r.findAllIn(plan).toSeq
+    assert(codeScans.nonEmpty, "no scan reading the codes column found")
+    assert(codeScans.exists(sc => !sc.contains("\"e\"")),
+      s"stage-1 scan also reads the full vector column: $codeScans")
+  }
+
+  test("s07 PQ index refresh rebuilds on data change") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pqref").toFile
+    try {
+      val base = (0L to 120L).map(i =>
+        (i, (0 until 64).map(j => ((i * 64 + j) % 97).toFloat / 97f), i.toInt % 3))
+      base.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val before = SparkEntry.queries("s07_ann_pq")(spark, tmp.getAbsolutePath).collect()
+      assert(before.nonEmpty)
+      // append a vector nearly identical to the query (vec_id 0) — it
+      // must appear at the top after refresh
+      val near = (0 until 64).map(j => ((j % 97).toFloat / 97f) * 0.999f)
+      (base :+ ((999L, near, 0))).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      graft.operators.Similarity.refreshPqIndex(spark, tmp.getAbsolutePath)
+      val after = SparkEntry.queries("s07_ann_pq")(spark, tmp.getAbsolutePath).collect()
+      assert(after.map(_.getAs[Long]("vec_id")).contains(999L),
+        "refreshed PQ index does not surface the appended near-duplicate")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+
   test("s05 stage-1 sketch scan reads only the id and signature columns") {
     // the shortlist subplan must NOT read the 64-float vector — the
     // whole point of the sketch column is a 16-byte-per-row stage 1
