@@ -202,6 +202,64 @@ object EventStream {
     * in the state store forever, which is fatal on an unbounded
     * 100 TB-scale stream. A timed-out group emits a final
     * `closed = true` update before its state is removed. */
+  final case class UserTypeStats(
+      user_id: Long, n_types: Long, top_type: String, top_count: Long,
+      total_value: Double)
+
+  /** The arbitrary-state v2 processor behind [[userTypeStats]]: typed
+    * composite state — a MapState of per-type counts next to a
+    * ValueState running value total — instead of one serialized blob
+    * per key. The point of the new API at scale: per-type map entries
+    * are individual state-store rows, so one event touches ONE map
+    * entry (a point get/put in RocksDB) rather than rewriting the
+    * whole per-user aggregate, and each state variable evolves its
+    * schema independently. */
+  final class TypeStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTypeStats] {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+
+    @transient private var counts: ss.MapState[String, Long] = _
+    @transient private var total: ss.ValueState[Double] = _
+
+    override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, ss.TTLConfig.NONE)
+      total = getHandle.getValueState[Double](
+        "total", Encoders.scalaDouble, ss.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: ss.TimerValues): Iterator[UserTypeStats] = {
+      var t = if (total.exists()) total.get() else 0.0
+      rows.foreach { e =>
+        val c = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, c + 1)
+        t += e.value
+      }
+      total.update(t)
+      val entries = counts.iterator().toSeq
+      val (topType, topCount) = entries.minBy { case (k, v) => (-v, k) }
+      Iterator.single(UserTypeStats(user, entries.size.toLong, topType, topCount, t))
+    }
+  }
+
+  /** Per-user running event-type leaderboard via `transformWithState`
+    * (Spark 4 arbitrary-state v2, RocksDB-only): emits, on every batch
+    * that touches a user, their distinct type count, modal type
+    * (count-desc/type-asc tie-break) and running value total. The
+    * declarative twin is a groupBy(user, type) two-level aggregate;
+    * this is the shape for when the per-key state is genuinely
+    * composite and per-event updates must stay point lookups. */
+  def userTypeStats(events: Dataset[Event]): Dataset[UserTypeStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TypeStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   def userSessionCounts(events: Dataset[Event],
       watermark: String = "10 minutes"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._

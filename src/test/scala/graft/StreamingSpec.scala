@@ -340,6 +340,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState tracks composite typed state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // arbitrary-state v2 requires the RocksDB provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = EventStream.userTypeStats(ms.toDS())
+        .writeStream.format("memory").queryName("type_stats")
+        .outputMode(OutputMode.Update).start()
+      try {
+        ms.addData(
+          Event(1, ts(0), 1, "click", 1.0),
+          Event(2, ts(1), 1, "view", 2.0))
+        q.processAllAvailable()
+        // second batch: view pulls ahead for user 1; user 2 appears
+        ms.addData(
+          Event(3, ts(2), 1, "view", 3.0),
+          Event(4, ts(3), 2, "click", 4.0))
+        q.processAllAvailable()
+        val rows = spark.table("type_stats").collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_types"),
+            r.getAs[String]("top_type"), r.getAs[Long]("top_count"),
+            r.getAs[Double]("total_value")))
+        // batch 1, user 1: tie click/view at 1 → type-asc picks click
+        assert(rows.contains((1L, 2L, "click", 1L, 3.0)), s"got ${rows.toSeq}")
+        // batch 2, user 1: map state carried across batches, view now 2
+        assert(rows.contains((1L, 2L, "view", 2L, 6.0)), s"got ${rows.toSeq}")
+        assert(rows.contains((2L, 1L, "click", 1L, 4.0)), s"got ${rows.toSeq}")
+      } finally q.stop()
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("rate-limited source emits exactly rowsPerBatch deterministic events per trigger") {
     val q = EventStream.rateEvents(spark, rowsPerBatch = 20)
       .writeStream.format("memory").queryName("rate_events")
