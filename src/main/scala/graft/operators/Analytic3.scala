@@ -91,7 +91,123 @@ object Analytic3 {
       |  COUNT(*) AS n_instants
       |FROM r GROUP BY pri ORDER BY pri""".stripMargin
 
+  /** q72 — running distinct count per key (each user's distinct
+    * event-type count as of every event): COUNT(DISTINCT) OVER a
+    * running frame, which neither engine supports natively. The
+    * standard two-window decomposition: flag each (user, type)'s first
+    * occurrence with a row_number, then running-sum the flags per user
+    * — both windows partition by bounded keys, so state per partition
+    * is one group's rows, never a distinct-set per frame position
+    * (the naive semantics would re-scan the frame per row). */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.df(s, d, "events")
+    val firstW = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val runW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("is_first",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct_types", sum(col("is_first")).over(runW))
+      .select("user_id", "event_id", "n_distinct_types")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q72Oracle: String =
+    """WITH f AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN ROW_NUMBER() OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+      |    THEN 1 ELSE 0 END AS is_first
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  CAST(SUM(is_first) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
+      |FROM f ORDER BY user_id, event_id""".stripMargin
+
+  /** q73 — ordered funnel (signup → first view after it → first
+    * purchase after that): per-stage minima with an order constraint,
+    * the product-analytics staple. Each stage is agg-then-join — the
+    * per-user stage table is aggregated BEFORE the next join, so joins
+    * carry one row per user per side and the event table is scanned
+    * once per stage with the type filter pushed down. Comparisons and
+    * outputs run on second-truncated timestamps (SURVEY §5: the ns/µs
+    * parquet mismatch must not decide "after"). */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.df(s, d, "events")
+      .withColumn("tss", date_trunc("second", col("ts")))
+    val sg = e.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("tss")).as("t_signup"))
+    val vw = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("tss").as("v_ts"))
+    val pc = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("tss").as("p_ts"))
+    val s2 = sg.join(vw, col("user_id") === col("v_uid") && col("v_ts") > col("t_signup"), "left")
+      .groupBy(col("user_id"), col("t_signup")).agg(min(col("v_ts")).as("t_view"))
+    s2.join(pc, col("user_id") === col("p_uid") && col("p_ts") > col("t_view"), "left")
+      .groupBy(col("user_id"), col("t_signup"), col("t_view"))
+      .agg(min(col("p_ts")).as("t_purchase"))
+      .withColumn("stage",
+        lit(1) + when(col("t_view").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0))
+      .select("user_id", "t_signup", "t_view", "t_purchase", "stage")
+      .orderBy("user_id")
+  }
+
+  private val q73Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, date_trunc('second', ts) AS tss FROM events),
+      |s1 AS (
+      |  SELECT user_id, MIN(tss) AS t_signup FROM e
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT s1.user_id, t_signup, MIN(v.tss) AS t_view
+      |  FROM s1 LEFT JOIN e v
+      |    ON v.user_id = s1.user_id AND v.event_type = 'view' AND v.tss > s1.t_signup
+      |  GROUP BY s1.user_id, t_signup),
+      |s3 AS (
+      |  SELECT s2.user_id, t_signup, t_view, MIN(p.tss) AS t_purchase
+      |  FROM s2 LEFT JOIN e p
+      |    ON p.user_id = s2.user_id AND p.event_type = 'purchase' AND p.tss > s2.t_view
+      |  GROUP BY s2.user_id, t_signup, t_view)
+      |SELECT user_id, t_signup, t_view, t_purchase,
+      |  1 + CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM s3 ORDER BY user_id""".stripMargin
+
+  /** q74 — cohort retention matrix: users bucketed by first-seen day,
+    * distinct actives per (cohort, day-offset) — the growth dashboard
+    * behind every "day-N retention" number. Two aggregations and one
+    * key join; the distinct-user count is Spark's partial-aggregating
+    * HashAggregate over (cohort, offset, user), so no per-cell set is
+    * ever materialized. The cohort dim joins on the user key — at
+    * 100 TB that is a shuffle join on the natural key, with AQE free
+    * to broadcast when a day's cohort is small. */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.df(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    e.join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val q74Oracle: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT cohort_day,
+      |  CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN c USING (user_id)
+      |GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q70_skyline", Some(q70Oracle), q70),
-    Q("q71_concurrency_sweep", Some(q71Oracle), q71))
+    Q("q71_concurrency_sweep", Some(q71Oracle), q71),
+    Q("q72_running_distinct", Some(q72Oracle), q72),
+    Q("q73_funnel", Some(q73Oracle), q73),
+    Q("q74_retention_cohorts", Some(q74Oracle), q74))
 }
