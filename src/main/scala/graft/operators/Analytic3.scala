@@ -204,10 +204,80 @@ object Analytic3 {
       |GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** q75 — event-transition matrix (first-order Markov counts): for
+    * each user's time-ordered event sequence, count type→next-type
+    * transitions and report each transition's share of its source
+    * type's outgoing edges. One lead() window per user plus a
+    * partial+final count — the sequence never leaves its user
+    * partition, and the matrix is |types|² rows regardless of corpus
+    * size. The share denominator is a window over the tiny matrix, not
+    * a second scan. */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.df(s, d, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = e
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("share_r",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("from_type")), 6))
+      .select("from_type", "to_type", "n", "share_r")
+      .orderBy("from_type", "to_type")
+  }
+
+  private val q75Oracle: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |t AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n FROM seq
+      |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS share_r
+      |FROM t ORDER BY from_type, to_type""".stripMargin
+
+  /** q76 — median absolute deviation per group (robust dispersion —
+    * the outlier-tolerant stddev): MAD = median(|x − median(x)|),
+    * composed from two exact-percentile aggregations with the group
+    * median joined back between them. Both percentile passes are
+    * per-group aggregates (partial+final), the join key is the group —
+    * no window over raw rows, so group size only affects the
+    * percentile buffers Spark already bounds. */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.df(s, d, "orders")
+    val med = o.groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    o.join(med, "o_orderpriority")
+      .withColumn("adev", abs(col("o_totalprice") - col("med")))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("med")), 2).as("median_r"),
+        round(expr("percentile(adev, 0.5)"), 2).as("mad_r"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q76Oracle: String =
+    """WITH med AS (
+      |  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o.o_orderpriority, COUNT(*) AS n,
+      |  round(ANY_VALUE(med), 2) AS median_r,
+      |  round(quantile_cont(abs(o.o_totalprice - med), 0.5), 2) AS mad_r
+      |FROM orders o JOIN med USING (o_orderpriority)
+      |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q70_skyline", Some(q70Oracle), q70),
     Q("q71_concurrency_sweep", Some(q71Oracle), q71),
     Q("q72_running_distinct", Some(q72Oracle), q72),
     Q("q73_funnel", Some(q73Oracle), q73),
-    Q("q74_retention_cohorts", Some(q74Oracle), q74))
+    Q("q74_retention_cohorts", Some(q74Oracle), q74),
+    Q("q75_transition_matrix", Some(q75Oracle), q75),
+    Q("q76_mad", Some(q76Oracle), q76))
 }
