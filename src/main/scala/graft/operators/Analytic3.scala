@@ -272,6 +272,79 @@ object Analytic3 {
       |FROM orders o JOIN med USING (o_orderpriority)
       |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
 
+  /** q77 — relational division (universal quantification): customers
+    * who have placed orders in EVERY priority class. "FOR ALL" is the
+    * one classic relational operator with no direct SQL verb; the
+    * textbook form is a double NOT EXISTS. The set-arithmetic plan:
+    * count distinct priorities per customer, keep those equal to the
+    * global priority count — two partial+final aggregates and a
+    * broadcast scalar, no nested correlated anti-joins to decorrelate.
+    * The oracle keeps the double-NOT-EXISTS form as the arms-length
+    * semantic statement. */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.df(s, d, "orders")
+    val nPri = o.agg(countDistinct(col("o_orderpriority")).as("n_pri"))
+    o.groupBy("o_custkey")
+      .agg(countDistinct(col("o_orderpriority")).as("n_cust_pri"),
+        count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(nPri))
+      .where(col("n_cust_pri") === col("n_pri"))
+      .select("o_custkey", "n_orders")
+      .orderBy("o_custkey")
+  }
+
+  private val q77Oracle: String =
+    """SELECT c.o_custkey, COUNT(*) AS n_orders
+      |FROM orders c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.o_custkey
+      |      AND o.o_orderpriority = p.o_orderpriority))
+      |GROUP BY c.o_custkey ORDER BY c.o_custkey""".stripMargin
+
+  /** q78 — period-over-period growth (MoM revenue delta and percent
+    * change via lag over the month spine): the aggregation collapses
+    * the fact table to one row per (status, month) FIRST, so the lag
+    * window slides over a spine bounded by the date range — the
+    * dashboard-query shape that stays cheap at any fact-table size.
+    * Decimal-cast sums keep the money math order-independent
+    * (SURVEY §5). */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.df(s, d, "orders")
+    val monthly = o
+      // to_date: DuckDB's month-granularity date_trunc returns DATE
+      .groupBy(col("o_orderstatus").as("status"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_d"))
+    val w = Window.partitionBy("status").orderBy("month")
+    monthly
+      .withColumn("prev_d", lag(col("rev_d"), 1).over(w))
+      .select(
+        col("status"), col("month"),
+        col("rev_d").cast("double").as("revenue"),
+        (col("rev_d") - col("prev_d")).cast("double").as("delta"),
+        round((col("rev_d") - col("prev_d")).cast("double") /
+          col("prev_d").cast("double") * 100, 4).as("pct_change_r"))
+      .orderBy("status", "month")
+  }
+
+  private val q78Oracle: String =
+    """WITH m AS (
+      |  SELECT o_orderstatus AS status, date_trunc('month', o_orderdate) AS month,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+      |  FROM orders GROUP BY status, month),
+      |w AS (
+      |  SELECT status, month, rev_d,
+      |    LAG(rev_d) OVER (PARTITION BY status ORDER BY month) AS prev_d
+      |  FROM m)
+      |SELECT status, month,
+      |  CAST(rev_d AS DOUBLE) AS revenue,
+      |  CAST(rev_d - prev_d AS DOUBLE) AS delta,
+      |  round(CAST(rev_d - prev_d AS DOUBLE) / CAST(prev_d AS DOUBLE) * 100, 4) AS pct_change_r
+      |FROM w ORDER BY status, month""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q70_skyline", Some(q70Oracle), q70),
     Q("q71_concurrency_sweep", Some(q71Oracle), q71),
@@ -279,5 +352,7 @@ object Analytic3 {
     Q("q73_funnel", Some(q73Oracle), q73),
     Q("q74_retention_cohorts", Some(q74Oracle), q74),
     Q("q75_transition_matrix", Some(q75Oracle), q75),
-    Q("q76_mad", Some(q76Oracle), q76))
+    Q("q76_mad", Some(q76Oracle), q76),
+    Q("q77_relational_division", Some(q77Oracle), q77),
+    Q("q78_mom_growth", Some(q78Oracle), q78))
 }

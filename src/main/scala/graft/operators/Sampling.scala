@@ -349,6 +349,34 @@ object Sampling {
       |  round(1000000 * sqrt(CAST(tokens AS DOUBLE)) / z / tokens, 6) AS epochs_r
       |FROM per, z ORDER BY source""".stripMargin
 
+  /** p12 — EXACTLY k per stratum, deterministically: the k docs with
+    * the smallest id-hash within each source (p08's fixed-size
+    * guarantee, per group). The rank filter compiles to Spark's
+    * WindowGroupLimit — a per-partition top-k heap BEFORE the shuffle,
+    * then one bounded window per group — so no group is ever fully
+    * sorted and the shuffle carries ≤ k rows per (source, partition).
+    * Same engine/partitioning-independent membership as the rest of
+    * the p-family: pure id arithmetic, no RNG. */
+  private def p12(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(expr(hashCol), col("doc_id"))
+    Tables.df(s, d, "documents")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select("source", "rk", "doc_id", "n_chars")
+      .orderBy("source", "rk")
+  }
+
+  private val p12Oracle: String =
+    """WITH r AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY source
+      |      ORDER BY (doc_id * 2654435761 + 104729) % 1000000, doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars
+      |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -360,5 +388,6 @@ object Sampling {
     Q("p08_sample_fixed", Some(p08Oracle), p08),
     Q("p09_sample_weighted", Some(p09Oracle), p09),
     Q("p10_decontaminated_folds", Some(p10Oracle), p10),
-    Q("p11_mixture_weights", Some(p11Oracle), p11))
+    Q("p11_mixture_weights", Some(p11Oracle), p11),
+    Q("p12_sample_k_per_group", Some(p12Oracle), p12))
 }
