@@ -473,6 +473,65 @@ object TextAnalysis {
       |  round(regr_intercept(ln(CAST(f AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_intercept
       |FROM ranked""".stripMargin
 
+  /** t14 — fused one-scan document profile: the t02 quality ratios,
+    * t03's whitespace token count, and t08's token entropy computed in
+    * ONE projection over ONE scan of the corpus. At 100 TB the QC
+    * pass IS a dominant cost, and running each signal as its own query
+    * re-reads the corpus per signal; here every expression (including
+    * the native token_entropy) shares the tokenize work inside a
+    * single whole-stage-codegen span — the scan count stays 1 no
+    * matter how many signals ride along. Each signal's formula is
+    * byte-identical to its standalone operator's, and the oracle
+    * composes the standalone oracles. */
+  private def t14(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val allStops = langs.flatMap(stopwords).distinct
+    Tables.df(s, d, "documents")
+      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .withColumn("n_chars_m", length(col("text")))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("n_stop", expr(
+        s"size(filter(toks, x -> array_contains(array(${sqlList(allStops)}), x)))"))
+      .select(
+        col("doc_id"), col("n_chars_m"), col("n_tok"),
+        expr("size(regexp_extract_all(text, '\\\\S+', 0))").as("n_ws_tokens"),
+        (col("n_stop") / col("n_tok")).as("stop_ratio"),
+        ((col("n_stop") / col("n_tok")) * 0.5
+          + (expr("size(regexp_extract_all(text, '[.,;:!?]', 0))") / col("n_chars_m")) * 0.2
+          + (col("n_tok") / col("n_chars_m")) * 0.3).as("quality_score"),
+        when(size(col("toks")) >= 1, round(expr("token_entropy(toks)"), 6)).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  private val t14Oracle: String = {
+    val allStops = langs.flatMap(stopwords).distinct
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    length(text) AS n_chars_m,
+       |    len(regexp_extract_all(lower(text), '[a-z]+')) AS n_tok,
+       |    len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       |    len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       |    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+       |        x -> list_contains([${sqlList(allStops)}], x))) AS n_stop
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS cc
+       |  FROM tok GROUP BY doc_id, t),
+       |ent AS (
+       |  SELECT doc_id, round(ln(CAST(SUM(cc) AS DOUBLE)) - SUM(cc * ln(cc)) / SUM(cc), 6) AS entropy
+       |  FROM cnt GROUP BY doc_id)
+       |SELECT c.doc_id, n_chars_m, n_tok, n_ws_tokens,
+       |  n_stop / n_tok AS stop_ratio,
+       |  (n_stop / n_tok) * 0.5 + (n_punct / n_chars_m) * 0.2
+       |    + (n_tok / n_chars_m) * 0.3 AS quality_score,
+       |  ent.entropy AS entropy
+       |FROM c LEFT JOIN ent ON c.doc_id = ent.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -486,5 +545,6 @@ object TextAnalysis {
     Q("t10_term_extract", Some(t10Oracle), t10),
     Q("t11_bigram_score", Some(t11Oracle), t11),
     Q("t12_vocab_stats", Some(t12Oracle), t12),
-    Q("t13_zipf_fit", Some(t13Oracle), t13))
+    Q("t13_zipf_fit", Some(t13Oracle), t13),
+    Q("t14_doc_profile", Some(t14Oracle), t14))
 }

@@ -61,6 +61,30 @@ object EventStream {
       .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
         col("c_ts"), col("v_ts"))
 
+  /** Watermarked stream-stream LEFT OUTER join: every click, with its
+    * attributed view when one arrived within the 10-minute band — and
+    * a null-view row for clicks that never matched, emitted only once
+    * the watermark certifies no match can still arrive (outer results
+    * are held in the join state until then; the time-bound condition
+    * is what makes that certification, and hence eviction, possible).
+    * The attribution-completeness twin of [[clickViewJoin]]: inner
+    * answers "which clicks converted", this answers "which didn't". */
+  def clickViewLeftJoin(clicks: DataFrame, views: DataFrame): DataFrame =
+    clicks.select(
+        col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+      .join(
+        views.select(
+            col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "10 minutes"),
+        expr("""c_user = v_user AND
+                v_ts >= c_ts AND v_ts <= c_ts + INTERVAL 10 MINUTES"""),
+        "left_outer")
+      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
+        col("c_ts"), col("v_ts"))
+
   /** Tumbling-window event-type counts with a watermark: the canonical
     * streaming windowed aggregation (10-minute lateness bound keeps
     * state finite at any scale). */

@@ -156,6 +156,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits null-view rows after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = EventStream.clickViewLeftJoin(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        Event(10, ts(0), 1, "click", 1.0),  // will match
+        Event(11, ts(0), 2, "click", 1.0))  // never matches
+      views.addData(Event(20, ts(5), 1, "view", 1.0))
+      q.processAllAvailable()
+      // push both watermarks far past click 11's join window so the
+      // engine can certify "no view can still arrive" and emit the
+      // outer row; the certification needs one more batch to land
+      clicks.addData(Event(12, ts(59), 9, "click", 1.0))
+      views.addData(Event(23, ts(59), 9, "other", 1.0))
+      q.processAllAvailable()
+      clicks.addData(Event(13, Timestamp.valueOf("2024-01-01 11:30:00"), 9, "click", 1.0))
+      views.addData(Event(24, Timestamp.valueOf("2024-01-01 11:30:00"), 9, "other", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer").collect()
+        .map(r => (r.getAs[Long]("click_id"),
+          Option(r.getAs[java.lang.Long]("view_id")).map(_.toLong)))
+      assert(rows.contains((10L, Some(20L))), s"matched pair missing: ${rows.toSeq}")
+      assert(rows.contains((11L, None)),
+        s"unmatched click never emitted its outer row: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("event-time timeout evicts idle session state past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
