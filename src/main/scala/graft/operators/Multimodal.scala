@@ -320,8 +320,93 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class FrameRow(doc_id: Long, frame_idx: Int, mean_sq: Long)
+
+  /** Per-frame energy (mean square over `frameLen`-sample windows; the
+    * trailing partial frame is dropped — a fixed 20 ms grid, standard
+    * in VAD). Same header validation as decodeWav. */
+  def frameEnergies(r: AudioRow, frameLen: Int = 160): Iterator[FrameRow] = {
+    val bytes = r.payload
+    require(bytes.length >= 44 &&
+      new String(bytes, 0, 4) == "RIFF" && new String(bytes, 8, 4) == "WAVE",
+      s"doc ${r.doc_id}: not a WAV payload")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getShort(20) == 1 && buf.getShort(22) == 1 && buf.getShort(34) == 16,
+      s"doc ${r.doc_id}: not PCM16 mono")
+    require(new String(bytes, 36, 4) == "data", s"doc ${r.doc_id}: missing data chunk")
+    val dataSize = buf.getInt(40)
+    require(dataSize % 2 == 0, s"doc ${r.doc_id}: odd PCM16 data size $dataSize")
+    val n = dataSize / 2
+    require(bytes.length >= 44 + n * 2, s"doc ${r.doc_id}: truncated samples")
+    (0 until n / frameLen).iterator.map { f =>
+      var sumSq = 0L
+      var i = f * frameLen
+      val end = i + frameLen
+      while (i < end) {
+        val s = buf.getShort(44 + i * 2).toLong
+        sumSq += s * s
+        i += 1
+      }
+      FrameRow(r.doc_id, f, sumSq / frameLen)
+    }
+  }
+
+  /** m04 — silence segmentation (voice-activity detection's batch
+    * half): decode → 20 ms frame energies at the mapPartitions media
+    * boundary, then DECLARATIVE segmentation on the frame rows — the
+    * q23 gaps-and-islands window (run id = frame_idx − rank among
+    * silent frames) finds maximal silent runs, a partial+final agg
+    * rolls them up per clip. The point: decode output is a DataFrame
+    * like any other, so the relational machinery (windows, aggs,
+    * pushdown) composes with media features without custom plumbing.
+    * Rows-only; frame math and segmentation golden-pinned in
+    * PipelineSpec. */
+  private def m04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val audio: Dataset[AudioRow] = graft.Tables.df(s, d, "documents")
+      .where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        (pmod(xxhash64(col("doc_id")), lit(64)) + 16).cast("int").as("period"),
+        (pmod(xxhash64(col("doc_id"), lit(1)), lit(800)) + 1600).cast("int").as("n"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, period, n) =>
+        // triangle carrier with a silent stretch (exact zeros) in the
+        // middle fifth of every even clip — the VAD target. n ≥ 1600
+        // makes the stretch ≥ 2 frames, so at least one frame is fully
+        // inside it at any alignment
+        AudioRow(id, encodeWav(8000, n, i => {
+          val phase = i % period
+          val tri =
+            if (phase < period / 2) -30000 + (120000 / period) * phase
+            else 30000 - (120000 / period) * (phase - period / 2)
+          val v = if (id % 2 == 0 && i >= n / 2 && i < n / 2 + n / 5) 0 else tri
+          math.max(-32768, math.min(32767, v)).toShort
+        }))
+      })
+    val frames = audio.mapPartitions(_.flatMap(frameEnergies(_))).toDF()
+    val silent = frames.where(col("mean_sq") < 1000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    val segs = silent
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("seg_len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_silence_segs"),
+        max(col("seg_len")).as("longest_silence"),
+        sum(col("seg_len")).as("n_silent"))
+    frames.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      .join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_silent"), lit(0L)).as("n_silent"),
+        coalesce(col("n_silence_segs"), lit(0L)).as("n_silence_segs"),
+        coalesce(col("longest_silence"), lit(0L)).as("longest_silence"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_multimodal", None, m01),
     Q("m02_frame_sample", None, m02),
-    Q("m03_waveform_stats", None, m03))
+    Q("m03_waveform_stats", None, m03),
+    Q("m04_silence_segments", None, m04))
 }

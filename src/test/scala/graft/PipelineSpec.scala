@@ -645,6 +645,37 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { decodeBmp(MediaRow(8L, bad, 2, 2, "bmp")) }
   }
 
+  test("m04 golden WAV: constructed silence pattern segments exactly") {
+    import graft.operators.Multimodal._
+    // 800 samples = 5 frames of 160. Frames 1 and 3 silent (zeros),
+    // others a full-scale square wave → exactly two 1-frame segments.
+    val wav = encodeWav(8000, 800, i => {
+      val f = i / 160
+      if (f == 1 || f == 3) 0.toShort
+      else if ((i % 16) < 8) 20000.toShort else (-20000).toShort
+    })
+    val frames = frameEnergies(AudioRow(42L, wav)).toSeq
+    assert(frames.map(_.frame_idx) == Seq(0, 1, 2, 3, 4))
+    assert(frames(1).mean_sq == 0L && frames(3).mean_sq == 0L)
+    assert(frames(0).mean_sq == 400000000L) // 20000² exactly, every sample
+    // trailing partial frame is dropped: 801 samples still 5 frames
+    val wav2 = encodeWav(8000, 801, _ => 1000.toShort)
+    assert(frameEnergies(AudioRow(43L, wav2)).size == 5)
+    // corrupt magic fails loudly
+    val bad = wav.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException] { frameEnergies(AudioRow(44L, bad)) }
+    // the full operator is deterministic and silence-consistent: every
+    // even clip has at least one silent segment, odd clips have none
+    val out = rows("m04_silence_segments")
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val segs = r.getAs[Long]("n_silence_segs")
+      if (id % 2 == 0) assert(segs >= 1, s"even clip $id lost its silence")
+      else assert(segs == 0, s"odd clip $id grew silence: $r")
+    }
+  }
+
   test("d10 symmetric-delete blocking is complete for every edit kind") {
     import spark.implicits._
     // base key (canonicalizes to "abcdefghijkl"), plus one partner per
