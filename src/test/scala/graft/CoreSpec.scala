@@ -161,6 +161,26 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("round-6 analytics keep their declared plan shapes") {
+    // q70: the surviving price spine broadcasts back to the fact table
+    assert(usesBroadcastHashJoin(SparkEntry.queries("q70_skyline")(spark, sf)),
+      "skyline spine join does not broadcast")
+    // q73: the per-stage event-type filters reach the parquet scan
+    val pushed = pushedFilters(SparkEntry.queries("q73_funnel")(spark, sf))
+    assert(pushed.exists(_.contains("event_type")),
+      s"funnel stage filters not pushed: $pushed")
+    // q77: both aggregates are partial+final; the priority-count scalar
+    // joins as a broadcast
+    val q77 = SparkEntry.queries("q77_relational_division")(spark, sf)
+    assert(hasTwoPhaseAgg(q77) && usesBroadcastHashJoin(q77))
+    // p12: the per-stratum rank filter runs as WindowGroupLimit (a
+    // bounded per-partition heap before the shuffle), not a full
+    // per-group sort
+    assert(nodeNames(SparkEntry.queries("p12_sample_k_per_group")(spark, sf))
+      .exists(_.contains("WindowGroupLimit")),
+      "p12 rank filter did not plan as WindowGroupLimit")
+  }
+
   test("runtime Bloom-filter pruning injects into a selective shuffle join") {
     // the runtime-filter analog of the reference's pruning story: a
     // selective dim-side predicate is turned into a Bloom filter that
