@@ -531,8 +531,9 @@ object Dedup {
     * and the final levenshtein() check only confirms (it filters hash
     * collisions and delete-variant coincidences at distance 2). Blocks
     * above the stop-key cap (a degenerate corpus where thousands of
-    * docs share a variant) are dropped loudly-by-construction, the
-    * same bound d02 puts on hot shingles. */
+    * docs share a variant) are dropped — the same documented
+    * slight-undercount bound d02 puts on hot shingles; no block is
+    * ever quadratic in a hot key. */
   private[graft] def editDistPairs(docsDf: DataFrame, blockCap: Int = 1000): DataFrame = {
     val keyed = docsDf
       .withColumn("c", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
@@ -581,6 +582,31 @@ object Dedup {
       |FROM k a JOIN k b ON a.doc_id < b.doc_id AND levenshtein(a.k, b.k) <= 1
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** d11 — dup-cluster size histogram: how many components of each
+    * size the near-dup graph contains — the ops-dashboard number a
+    * dedup pipeline alarms on (a sudden giant component means a
+    * boilerplate flood or a broken threshold; a collapse to singletons
+    * means the candidate generation broke). Reuses d06's labels; two
+    * more partial+final aggregations on the label table, output
+    * bounded by |distinct sizes|. */
+  private def d11(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    val labels = connectedComponents(
+      ds.select(col("doc_id")),
+      jaccardPairs(ds).select(col("a_id"), col("b_id")))
+    labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
+  private val d11Oracle: String = dupGraphCtes + "\n" +
+    """SELECT cluster_size, COUNT(*) AS n_clusters,
+      |  cluster_size * COUNT(*) AS n_docs
+      |FROM (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+      |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
@@ -591,5 +617,6 @@ object Dedup {
     Q("d07_dedup_embed_lsh", None, d07),
     Q("d08_dedup_keep_best", Some(d08Oracle), d08),
     Q("d09_dedup_calibrate", None, d09),
-    Q("d10_dedup_editdist", Some(d10Oracle), d10))
+    Q("d10_dedup_editdist", Some(d10Oracle), d10),
+    Q("d11_cluster_histogram", Some(d11Oracle), d11))
 }
