@@ -345,6 +345,52 @@ object Analytic3 {
       |  round(CAST(rev_d - prev_d AS DOUBLE) / CAST(prev_d AS DOUBLE) * 100, 4) AS pct_change_r
       |FROM w ORDER BY status, month""".stripMargin
 
+  /** q79 — FORWARD as-of join (each event's next order at or after it):
+    * the mirror of q35, planned differently on purpose. q35 expands
+    * the per-user candidate set and argmax-aggregates it; here the two
+    * tables are UNIONED into one per-user timeline sorted descending,
+    * and a running `last(order, ignoreNulls)` carries the nearest
+    * future order backwards onto every event row — one sort per user
+    * partition, zero candidate fan-out, state bounded by one struct
+    * per row. At equal timestamps order rows sort ahead of event rows
+    * (>= semantics) and among tied orders the smallest key wins, both
+    * enforced by the sort key, not post-filtering. The interleave is
+    * the scale shape for dense event × sparse reference tables where
+    * q35's expansion would fan out. */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.df(s, d, "orders").select(
+      col("o_custkey").as("uid"), col("o_orderdate").as("t"),
+      col("o_orderkey").as("okey"), lit(null).cast("long").as("event_id"))
+    val ev = Tables.df(s, d, "events").select(
+      col("user_id").as("uid"), col("ts").as("t"),
+      lit(null).cast("long").as("okey"), col("event_id"))
+    val w = Window.partitionBy("uid")
+      .orderBy(col("t").desc, coalesce(col("okey"), lit(-1L)).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("nxt", last(
+        when(col("okey").isNotNull, struct(col("t").as("ots"), col("okey"))),
+        ignoreNulls = true).over(w))
+      .where(col("event_id").isNotNull)
+      .select(
+        col("event_id"), col("uid").as("user_id"),
+        date_trunc("second", col("t")).as("ets"),
+        date_trunc("second", col("nxt.ots")).as("next_order_ts"),
+        col("nxt.okey").as("next_order_key"))
+      .orderBy("event_id")
+  }
+
+  private val q79Oracle: String =
+    """SELECT e.event_id, e.user_id,
+      |  date_trunc('second', e.ts) AS ets,
+      |  date_trunc('second', x.o_orderdate) AS next_order_ts,
+      |  x.o_orderkey AS next_order_key
+      |FROM events e LEFT JOIN LATERAL (
+      |  SELECT o_orderdate, o_orderkey FROM orders o
+      |  WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+      |  ORDER BY o_orderdate, o_orderkey LIMIT 1) x ON true
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q70_skyline", Some(q70Oracle), q70),
     Q("q71_concurrency_sweep", Some(q71Oracle), q71),
@@ -354,5 +400,8 @@ object Analytic3 {
     Q("q75_transition_matrix", Some(q75Oracle), q75),
     Q("q76_mad", Some(q76Oracle), q76),
     Q("q77_relational_division", Some(q77Oracle), q77),
-    Q("q78_mom_growth", Some(q78Oracle), q78))
+    Q("q78_mom_growth", Some(q78Oracle), q78),
+    Q("q79_asof_forward", Some(q79Oracle), q79))
+
+
 }

@@ -599,6 +599,83 @@ object Similarity {
       .limit(10)
   }
 
+  private val ivfpqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (DataFrame, Array[(Int, Array[Double], Double)], Array[((Int, Int), Array[Double])])]()
+
+  private[graft] def ivfpqIndex(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double], Double)], Array[((Int, Int), Array[Double])]) =
+    ivfpqCache.computeIfAbsent((s, d), _ => buildIvfPqIndex(s, d))
+
+  /** s08's index: the IVF coarse quantizer's partitioned layout with
+    * the PQ codes riding along as a payload column — built by joining
+    * the two existing indexes, so the k-means work is shared, and
+    * carrying both parents' parameters + the corpus signature in the
+    * layout path (stale layouts reaped, same rules as every index). */
+  private def buildIvfPqIndex(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double], Double)], Array[((Int, Int), Array[Double])]) = {
+    val (ivf, icents) = ivfIndex(s, d)
+    val (pq, pcents) = pqIndex(s, d)
+    val dataKey = Integer.toHexString(d.hashCode)
+    val prefix = s"ivfpq-k$NList-m$PqM-$dataKey"
+    val root = new java.io.File(IndexRoot,
+      prefix + "-s" + java.lang.Long.toHexString(corpusSignature(s, d)))
+    val stale = raw"ivfpq-k\d+-m\d+-$dataKey(-s[0-9a-f]+)?".r
+    Option(new java.io.File(IndexRoot).listFiles()).foreach(_.foreach { f =>
+      if (f.getName != root.getName && stale.matches(f.getName)) rmTree(f)
+    })
+    if (!root.exists()) {
+      val tmp = new java.io.File(root.getParent, root.getName + ".tmp" + System.nanoTime())
+      ivf.join(pq.select(col("vec_id"), col("codes")), "vec_id")
+        .repartition(col("cl"))
+        .write.partitionBy("cl").mode("overwrite").parquet(tmp.getAbsolutePath)
+      if (!tmp.renameTo(root)) rmTree(tmp)
+    }
+    (s.read.parquet(root.getAbsolutePath), icents, pcents)
+  }
+
+  /** s08 — IVF+PQ composed ANN (rows-only): the production
+    * billion-scale index shape (FAISS IVFPQ). The IVF stage prunes
+    * WHICH partitions are read (nprobe of nlist inverted lists, via
+    * partition filters); within the probed lists the PQ stage ranks by
+    * the native pq_adc lookup-table scan reading codes instead of
+    * vectors; exact re-rank fixes the top. Compounding the two
+    * reductions: a probe touches nprobe/nlist of the FILES and reads
+    * ~12 bytes/row of what it does touch — at 100 TB the scan cost is
+    * (5/16) × (codes/vector bytes) ≈ 1.5% of brute force before the
+    * re-rank. Recall floor spec'd against s01 like its parents. */
+  private def s08(s: SparkSession, d: String): DataFrame = {
+    val (idx, icents, pcents) = ivfpqIndex(s, d)
+    val byKey = pcents.toMap
+    val (qe, qnrm) = queryVec(s, d)
+    val probes = icents
+      .map { case (cl, ce, cn) => (cl, dotD(qe, ce) / (qnrm * cn)) }
+      .sortBy { case (cl, ccos) => (-ccos, cl) }
+      .take(NProbe).map(_._1)
+    val lut: Seq[Double] = for {
+      m <- 0 until PqM
+      cl <- 0 until PqK
+    } yield byKey.get((m, cl)) match {
+      case Some(ce) =>
+        var acc = 0.0
+        var j = 0
+        while (j < PqSubDim) { acc += qe(m * PqSubDim + j) * ce(j); j += 1 }
+        acc
+      case None => Double.NegativeInfinity
+    }
+    val shortlistK = math.max(200L, Dedup.approxRowCount(idx) / 40L).toInt
+    val shortlist = idx.where(col("cl").isin(probes: _*) && col("vec_id") =!= 0)
+      .withColumn("lut", typedlit(lut))
+      .withColumn("approx_cos", round(expr("pq_adc(codes, lut)") / (col("nrm") * lit(qnrm)), 6))
+      .select("vec_id", "approx_cos")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(shortlistK)
+    idx.join(broadcast(shortlist), "vec_id")
+      .withColumn("qe", typedlit(qe.toSeq))
+      .withColumn("cos_r", round(expr("vec_dot(e, qe)") / (col("nrm") * lit(qnrm)), 6))
+      .select("vec_id", "label", "approx_cos", "cos_r")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_ann_brute", Some(s01Oracle), s01),
     Q("s02_ann_lsh", None, s02),
@@ -606,5 +683,6 @@ object Similarity {
     Q("s04_ann_batch", Some(s04Oracle), s04),
     Q("s05_ann_rerank", None, s05),
     Q("s06_ann_filtered", Some(s06Oracle), s06),
-    Q("s07_ann_pq", None, s07))
+    Q("s07_ann_pq", None, s07),
+    Q("s08_ann_ivfpq", None, s08))
 }

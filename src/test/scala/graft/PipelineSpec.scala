@@ -316,6 +316,24 @@ class PipelineSpec extends AnyFunSuite {
       s"stage-1 scan also reads the full vector column: $codeScans")
   }
 
+  test("s08 IVF+PQ recall >= 0.4 vs exact; scan is partition-pruned AND code-narrow") {
+    val exact = rows("s01_ann_brute").map(_.getAs[Long]("vec_id")).toSet
+    val ids = rows("s08_ann_ivfpq").map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.nonEmpty)
+    // compounded pruning (5/16 lists × 32-bit codes) loses more than
+    // either parent; the floor is below s03's because the PQ ranking
+    // inside the probed lists can drop what IVF alone kept
+    assert((exact & ids).size >= 4,
+      s"IVF+PQ recall ${(exact & ids).size}/10 below floor; missed ${exact -- ids}")
+    val plan = graft.plans.PlanInspector.formatted(
+      SparkEntry.queries("s08_ann_ivfpq")(spark, sf))
+    assert("PartitionFilters: \\[[^\\]]*cl".r.findFirstIn(plan).nonEmpty,
+      s"no partition filter on the inverted lists in:\n$plan")
+    val codeScans = "ReadSchema: [^\\n]*codes[^\\n]*".r.findAllIn(plan).toSeq
+    assert(codeScans.exists(sc => !sc.contains("\"e\"")),
+      s"stage-1 scan also reads the full vector column: $codeScans")
+  }
+
   test("s07 PQ index refresh rebuilds on data change") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("pqref").toFile
