@@ -391,6 +391,45 @@ object Analytic3 {
       |  ORDER BY o_orderdate, o_orderkey LIMIT 1) x ON true
       |ORDER BY event_id""".stripMargin
 
+  /** q80 — weighted median per group (price point at which half the
+    * shipped QUANTITY sits below): cumulative-weight crossing over the
+    * per-group value order. Weights cumulate in DECIMAL so the running
+    * sum and the half-total comparison are exact and order-independent
+    * across engines; within a run of tied values every ordering yields
+    * the same min-crossing VALUE, so no artificial tie-break key is
+    * needed. One sort per group partition (the same per-key sort any
+    * percentile pays), no percentile buffer. */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.df(s, d, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      col("l_extendedprice").as("v"),
+      col("l_quantity").cast("decimal(18,2)").as("w"))
+    val cumW = Window.partitionBy("flag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy("flag")
+    li.withColumn("cumw", sum(col("w")).over(cumW))
+      .withColumn("total", sum(col("w")).over(totW))
+      .where(col("cumw") * 2 >= col("total"))
+      .groupBy("flag")
+      .agg(min(col("v")).as("wmedian"),
+        max(col("total")).cast("double").as("total_w"))
+      .orderBy("flag")
+  }
+
+  private val q80Oracle: String =
+    """WITH x AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS w
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT flag, v,
+      |    SUM(w) OVER (PARTITION BY flag ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumw,
+      |    SUM(w) OVER (PARTITION BY flag) AS total
+      |  FROM x)
+      |SELECT flag, MIN(v) AS wmedian, CAST(MAX(total) AS DOUBLE) AS total_w
+      |FROM c WHERE cumw * 2 >= total
+      |GROUP BY flag ORDER BY flag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q70_skyline", Some(q70Oracle), q70),
     Q("q71_concurrency_sweep", Some(q71Oracle), q71),
@@ -401,7 +440,8 @@ object Analytic3 {
     Q("q76_mad", Some(q76Oracle), q76),
     Q("q77_relational_division", Some(q77Oracle), q77),
     Q("q78_mom_growth", Some(q78Oracle), q78),
-    Q("q79_asof_forward", Some(q79Oracle), q79))
+    Q("q79_asof_forward", Some(q79Oracle), q79),
+    Q("q80_weighted_median", Some(q80Oracle), q80))
 
 
 }

@@ -32,10 +32,12 @@ object TextAnalysis {
 
   /** t01 — language ID: distinct-stopword hit count per language, argmax
     * with alphabetical tie-break (expressed as an ordered CASE). */
-  private def t01(s: SparkSession, d: String): DataFrame = {
+  /** Per-language stopword-overlap scores + the argmax prediction
+    * column, shared by t01 (per-doc output) and t15 (confusion
+    * rollup). */
+  private def langScored(docsDf: DataFrame): DataFrame = {
     val scored = langs.foldLeft(
-      Tables.df(s, d, "documents")
-        .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))) {
+      docsDf.withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))) {
       (df, l) =>
         df.withColumn(s"s_$l",
           size(array_intersect(col("toks"), array(stopwords(l).map(lit): _*))))
@@ -46,9 +48,12 @@ object TextAnalysis {
           .reduce(_ && _)
         when(geAll, lit(l)).otherwise(elseCol)
     }
+    scored.withColumn("pred", pred)
+  }
+
+  private def t01(s: SparkSession, d: String): DataFrame = {
     val outCols = ("doc_id" +: langs.map(l => s"s_$l")) :+ "pred"
-    scored
-      .withColumn("pred", pred)
+    langScored(Tables.df(s, d, "documents"))
       .select(outCols.map(col): _*)
       .orderBy("doc_id")
   }
@@ -532,6 +537,35 @@ object TextAnalysis {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  /** t15 — language-ID confusion matrix: t01's heuristic predictions
+    * rolled up against the labeled `lang` column — the evaluation
+    * query any classifier-in-the-pipeline ships with (precision per
+    * language falls out of the matrix). Same one-scan scoring
+    * projection as t01 (shared langScored), then a |langs|²-bounded
+    * partial+final aggregate. */
+  private def t15(s: SparkSession, d: String): DataFrame =
+    langScored(Tables.df(s, d, "documents"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+
+  private val t15Oracle: String = {
+    val scoreCols = langs.map { l =>
+      s"len(list_intersect(regexp_extract_all(lower(text), '[a-z]+'), [${sqlList(stopwords(l))}])) AS s_$l"
+    }.mkString(",\n  ")
+    val caseArms = langs.init.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |  $scoreCols
+       |  FROM documents)
+       |SELECT lang, CASE $caseArms ELSE '${langs.last}' END AS pred,
+       |  COUNT(*) AS n
+       |FROM scored GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -546,5 +580,6 @@ object TextAnalysis {
     Q("t11_bigram_score", Some(t11Oracle), t11),
     Q("t12_vocab_stats", Some(t12Oracle), t12),
     Q("t13_zipf_fit", Some(t13Oracle), t13),
-    Q("t14_doc_profile", Some(t14Oracle), t14))
+    Q("t14_doc_profile", Some(t14Oracle), t14),
+    Q("t15_langid_confusion", Some(t15Oracle), t15))
 }
