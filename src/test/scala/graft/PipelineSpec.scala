@@ -117,6 +117,11 @@ class PipelineSpec extends AnyFunSuite {
       lone, Seq.empty[(Long, Long)].toDF("a", "b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(5L -> 5L, 9L -> 9L))
+    // round-6 helpers are total on empty / degenerate input too
+    assert(graft.operators.Dedup.editDistPairs(empty).isEmpty)
+    // all-short docs (below the 8-char canonical floor) → no pairs
+    val short = Seq((1L, "a b!"), (2L, "a b!")).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.editDistPairs(short).isEmpty)
   }
 
   test("native exprs match their HOF reference formulations on a seeded corpus") {
