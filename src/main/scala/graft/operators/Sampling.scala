@@ -377,6 +377,38 @@ object Sampling {
       |SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars
       |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin
 
+  /** p13 — dataset card: the per-source datasheet row a training-data
+    * release ships (docs, exact-dup extent via distinct content
+    * hashes, language spread, token inventory, length profile). One
+    * scan, one partial+final aggregate; the two DISTINCTs are
+    * per-group hash-distinct aggregates Spark plans with Expand —
+    * bounded by the group's distinct values, never a global set. */
+  private def p13(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(sha2(col("text"), 256)).as("n_unique"),
+        (count(lit(1)) - countDistinct(sha2(col("text"), 256))).as("n_exact_dups"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("long")).as("tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("mean_chars_r"))
+      .orderBy("source")
+
+  private val p13Oracle: String =
+    """SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT sha256(text)) AS n_unique,
+      |  COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_exact_dups,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens,
+      |  MIN(n_chars) AS min_chars,
+      |  MAX(n_chars) AS max_chars,
+      |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars_r
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -389,5 +421,6 @@ object Sampling {
     Q("p09_sample_weighted", Some(p09Oracle), p09),
     Q("p10_decontaminated_folds", Some(p10Oracle), p10),
     Q("p11_mixture_weights", Some(p11Oracle), p11),
-    Q("p12_sample_k_per_group", Some(p12Oracle), p12))
+    Q("p12_sample_k_per_group", Some(p12Oracle), p12),
+    Q("p13_dataset_card", Some(p13Oracle), p13))
 }
