@@ -430,6 +430,53 @@ object Analytic3 {
       |FROM c WHERE cumw * 2 >= total
       |GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q81 — snapshot diff / reconciliation (the CDC-batch shape: what
+    * changed between two table versions, keyed by primary key): a full
+    * outer join on the key classifies every row as added / removed /
+    * changed / unchanged, then a tiny rollup counts each class. The
+    * two "snapshots" are derived deterministically from orders so the
+    * oracle can re-derive them: v1 drops keys ≡ 0 (mod 97), v2 drops
+    * keys ≡ 0 (mod 89) and bumps the price of keys ≡ 1 (mod 11). At
+    * scale this is one co-partitioned shuffle join on the pk — the
+    * plan every data-reconciliation job reduces to — with the class
+    * counts partial-aggregated. */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.df(s, d, "orders")
+    val v1 = o.where(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .select(col("o_orderkey").as("k1"), col("o_totalprice").as("p1"))
+    val v2 = o.where(pmod(col("o_orderkey"), lit(89)) =!= 0)
+      .select(col("o_orderkey").as("k2"),
+        when(pmod(col("o_orderkey"), lit(11)) === 1, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("p2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .withColumn("class",
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(col("p1") =!= col("p2"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("class")
+  }
+
+  private val q81Oracle: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+      |  WHERE o_orderkey % 97 <> 0),
+      |v2 AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 11 = 1 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS p
+      |  FROM orders WHERE o_orderkey % 89 <> 0)
+      |SELECT CASE
+      |    WHEN v1.k IS NULL THEN 'added'
+      |    WHEN v2.k IS NULL THEN 'removed'
+      |    WHEN v1.p <> v2.p THEN 'changed'
+      |    ELSE 'unchanged' END AS class,
+      |  COUNT(*) AS n
+      |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+      |GROUP BY class ORDER BY class""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q70_skyline", Some(q70Oracle), q70),
     Q("q71_concurrency_sweep", Some(q71Oracle), q71),
@@ -441,7 +488,8 @@ object Analytic3 {
     Q("q77_relational_division", Some(q77Oracle), q77),
     Q("q78_mom_growth", Some(q78Oracle), q78),
     Q("q79_asof_forward", Some(q79Oracle), q79),
-    Q("q80_weighted_median", Some(q80Oracle), q80))
+    Q("q80_weighted_median", Some(q80Oracle), q80),
+    Q("q81_table_diff", Some(q81Oracle), q81))
 
 
 }
