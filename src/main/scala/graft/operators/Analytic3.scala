@@ -94,19 +94,24 @@ object Analytic3 {
   /** q72 — running distinct count per key (each user's distinct
     * event-type count as of every event): COUNT(DISTINCT) OVER a
     * running frame, which neither engine supports natively. The
-    * standard two-window decomposition: flag each (user, type)'s first
-    * occurrence with a row_number, then running-sum the flags per user
-    * — both windows partition by bounded keys, so state per partition
-    * is one group's rows, never a distinct-set per frame position
-    * (the naive semantics would re-scan the frame per row). */
+    * decomposition: flag each (user, type)'s first occurrence, then
+    * running-sum the flags per user. BOTH windows partition by
+    * user_id — the first-occurrence flag comes from a lag() over the
+    * (type, time) sort, where each type's rows are contiguous, so one
+    * run-head per type — and only the sort differs between the two
+    * windows. One Exchange total; the naive row_number-per-(user,type)
+    * variant pays a second shuffle for a finer partitioning that buys
+    * nothing. */
   private def q72(s: SparkSession, d: String): DataFrame = {
     val e = Tables.df(s, d, "events")
-    val firstW = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts"), col("event_id"))
+    val typeW = Window.partitionBy("user_id")
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
     val runW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("is_first",
-        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+        when(lag(col("event_type"), 1).over(typeW).isNull ||
+          lag(col("event_type"), 1).over(typeW) =!= col("event_type"), 1L)
+          .otherwise(0L))
       .withColumn("n_distinct_types", sum(col("is_first")).over(runW))
       .select("user_id", "event_id", "n_distinct_types")
       .orderBy("user_id", "event_id")
