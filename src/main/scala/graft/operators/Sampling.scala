@@ -409,6 +409,54 @@ object Sampling {
       |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars_r
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** p14 — oversampling materializer: docs from small sources REPEATED
+    * ∝ sqrt(n_max/n_s) (epochs ≥ 1; integer part for every doc, the
+    * fractional remainder by the reproducible id hash) via
+    * explode(sequence(1, n_copies)) — the row-multiplication half of
+    * rebalancing that p06's keep/drop filter can't express. Epochs are
+    * capped at the blow-up the smallest source implies, bounded by
+    * construction; row multiplication is a Generate, no shuffle until
+    * the final rollup. The checksum (Σ doc_id·copy_idx) pins EXACT
+    * per-row multiplicities against the oracle, not just counts. */
+  private def p14(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.df(s, d, "documents")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(max(col("n_s")).as("n_max"))))
+      .withColumn("epochs", sqrt(col("n_max").cast("double") / col("n_s").cast("double")))
+      .select("source", "epochs")
+    docs
+      .join(broadcast(rates), "source")
+      .withColumn("n_copies",
+        floor(col("epochs")).cast("long") +
+          when(expr(s"$hashCol") <
+            floor((col("epochs") - floor(col("epochs"))) * 1000000), 1L).otherwise(0L))
+      .select(col("source"), col("doc_id"),
+        explode(expr("sequence(1L, n_copies)")).as("copy_idx"))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_input"),
+        count(lit(1)).as("n_output"),
+        sum(col("doc_id") * col("copy_idx")).as("checksum"))
+      .orderBy("source")
+  }
+
+  private val p14Oracle: String =
+    """WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+      |m AS (SELECT MAX(n_s) AS n_max FROM c),
+      |r AS (SELECT source, sqrt(CAST(n_max AS DOUBLE) / n_s) AS epochs FROM c, m),
+      |d AS (
+      |  SELECT doc_id, d0.source,
+      |    CAST(floor(epochs) AS BIGINT) +
+      |    CASE WHEN (doc_id * 2654435761 + 104729) % 1000000
+      |              < floor((epochs - floor(epochs)) * 1000000)
+      |         THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d0 JOIN r USING (source)),
+      |x AS (SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy_idx FROM d)
+      |SELECT source, COUNT(DISTINCT doc_id) AS n_input, COUNT(*) AS n_output,
+      |  CAST(SUM(doc_id * copy_idx) AS BIGINT) AS checksum
+      |FROM x GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -422,5 +470,6 @@ object Sampling {
     Q("p10_decontaminated_folds", Some(p10Oracle), p10),
     Q("p11_mixture_weights", Some(p11Oracle), p11),
     Q("p12_sample_k_per_group", Some(p12Oracle), p12),
-    Q("p13_dataset_card", Some(p13Oracle), p13))
+    Q("p13_dataset_card", Some(p13Oracle), p13),
+    Q("p14_oversample", Some(p14Oracle), p14))
 }
