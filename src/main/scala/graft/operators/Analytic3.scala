@@ -482,6 +482,34 @@ object Analytic3 {
       |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
       |GROUP BY class ORDER BY class""".stripMargin
 
+  /** q82 — GROUPING() / GROUPING_ID over grouping sets: the bitmask
+    * that tells subtotal rows apart from data rows whose key happens
+    * to be NULL — without it, q41-style outputs are ambiguous whenever
+    * a grouping column is nullable. Same Expand + two-phase agg plan
+    * as q41; the grouping_id is a constant per Expand branch, free at
+    * any scale. The SQL surface (spark.sql) exercises the parser path
+    * for GROUPING SETS + grouping_id() together. */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    Tables.ensure(s, d)
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  private val q82Oracle: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q70_skyline", Some(q70Oracle), q70),
     Q("q71_concurrency_sweep", Some(q71Oracle), q71),
@@ -494,7 +522,8 @@ object Analytic3 {
     Q("q78_mom_growth", Some(q78Oracle), q78),
     Q("q79_asof_forward", Some(q79Oracle), q79),
     Q("q80_weighted_median", Some(q80Oracle), q80),
-    Q("q81_table_diff", Some(q81Oracle), q81))
+    Q("q81_table_diff", Some(q81Oracle), q81),
+    Q("q82_grouping_id", Some(q82Oracle), q82))
 
 
 }

@@ -131,4 +131,37 @@ object GraftCatalog {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) files (≥ 1) and atomically swap it in.
+    * The small-files problem is a first-order 100 TB failure mode — a
+    * streaming sink or over-parallel writer leaves thousands of KB-
+    * sized files, and every later scan pays a task per file plus a
+    * footer read per task. Compaction is one narrow re-write:
+    * coalesce (no shuffle) down to the target count, write beside the
+    * source, swap directories. Returns (files_before, files_after).
+    * On a real object store the swap is a manifest/metastore pointer
+    * flip; the two-phase write-then-swap shape is the same. */
+  def compactParquet(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val d = new java.io.File(dir)
+    val parts = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+    val before = parts.length
+    val bytes = parts.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new java.io.File(d.getParent, d.getName + ".compact" + System.nanoTime())
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+    val trash = new java.io.File(d.getParent, d.getName + ".old" + System.nanoTime())
+    require(d.renameTo(trash), s"compaction swap failed for $dir")
+    require(tmp.renameTo(d), s"compaction swap-in failed for $dir")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(trash)
+    val after = Option(d.listFiles()).getOrElse(Array.empty)
+      .count(f => f.getName.endsWith(".parquet") && f.isFile)
+    (before, after)
+  }
 }

@@ -249,4 +249,23 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(feats.forall(f => f.width == 4 && f.height == 3))
     assert(feats.map(_.doc_id).sorted.sameElements(Array(0L, 1L, 2L)))
   }
+
+  test("small-file compaction rewrites a fragmented dir and preserves rows") {
+    val nation = Tables.df(spark, sf, "nation")
+    val dir = s"$tmp/nation_fragmented"
+    // 25 rows spread over ~12 files: the streaming-sink pathology.
+    nation.repartition(12).write.mode("overwrite").parquet(dir)
+    val rowsBefore = spark.read.parquet(dir).count()
+    val sumBefore = spark.read.parquet(dir)
+      .agg(sum(col("n_nationkey"))).head.getLong(0)
+    val (before, after) = GraftCatalog.compactParquet(spark, dir)
+    assert(before >= 10, s"fixture should be fragmented, got $before files")
+    assert(after == 1, s"tiny table should compact to 1 file, got $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == rowsBefore)
+    assert(back.agg(sum(col("n_nationkey"))).head.getLong(0) == sumBefore)
+    // Idempotent on an already-compact dir.
+    val (b2, a2) = GraftCatalog.compactParquet(spark, dir)
+    assert(b2 == 1 && a2 == 1)
+  }
 }
