@@ -510,6 +510,156 @@ object Analytic3 {
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
 
+  /** q83 — GROUPS window frame (sum over the previous/current/next
+    * peer GROUP, not row): Spark has no GROUPS frame type, but the
+    * semantics are exactly a RANGE frame over dense_rank() — tied rows
+    * share a rank, so rank±1 spans one whole peer group on each side.
+    * Ordering by order-month within customer makes ties (and therefore
+    * the GROUPS≠ROWS distinction) common. Both windows share the
+    * (custkey, month-order) sort, so Catalyst plans one Window over one
+    * Exchange+Sort — no extra shuffle for the rank pre-pass. DECIMAL
+    * sums keep the money math partition-order-independent. The DuckDB
+    * oracle uses its native GROUPS frame. */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.df(s, d, "orders")
+    val month = to_date(date_trunc("month", col("o_orderdate")))
+    val wr = Window.partitionBy(col("o_custkey")).orderBy(col("month"))
+    val wg = Window.partitionBy(col("o_custkey")).orderBy(col("dr"))
+      .rangeBetween(-1, 1)
+    o.withColumn("month", month)
+      .withColumn("dr", dense_rank().over(wr))
+      .withColumn("grp_sum_d",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(wg))
+      .select(col("o_orderkey"), col("o_custkey"), col("month"),
+        col("grp_sum_d").cast("double").as("grp_sum"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // DuckDB 1.0 has no GROUPS frame; the oracle restates the semantics
+  // independently: collapse to the per-group spine, take prev+cur+next
+  // group sums by lag/lead, join back to rows.
+  private val q83Oracle: String =
+    """WITH spine AS (
+      |  SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      |  FROM orders GROUP BY 1, 2
+      |), nb AS (
+      |  SELECT o_custkey, month,
+      |    COALESCE(LAG(s) OVER w, 0) + s + COALESCE(LEAD(s) OVER w, 0) AS gs
+      |  FROM spine WINDOW w AS (PARTITION BY o_custkey ORDER BY month)
+      |)
+      |SELECT o.o_orderkey, o.o_custkey, nb.month,
+      |       CAST(nb.gs AS DOUBLE) AS grp_sum
+      |FROM orders o JOIN nb ON o.o_custkey = nb.o_custkey
+      |  AND date_trunc('month', o.o_orderdate) = nb.month
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** q84 — window-frame EXCLUDE clause (SQL:2016 EXCLUDE CURRENT ROW /
+    * EXCLUDE GROUP), which Spark's frames lack entirely:
+    *   - EXCLUDE CURRENT ROW ≡ frame aggregate minus the current value;
+    *   - EXCLUDE GROUP ≡ frame aggregate minus the peer-group
+    *     aggregate (a second window partitioned by the order value).
+    * An excluded-to-empty frame yields NULL in the standard; since
+    * o_totalprice > 0, the emulated difference is 0 exactly iff the
+    * frame emptied, so nullif(·, 0) reproduces the NULL contract
+    * without a row count. Three windows, all on the same
+    * (custkey-partition) shuffle — one Exchange. DuckDB oracle uses
+    * native EXCLUDE. */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.df(s, d, "orders")
+    val month = to_date(date_trunc("month", col("o_orderdate")))
+    val p = col("o_totalprice").cast("decimal(18,2)")
+    val wRows = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(-2, 2)
+    val wGrp = Window.partitionBy(col("o_custkey")).orderBy(col("dr"))
+      .rangeBetween(-1, 1)
+    val wPeers = Window.partitionBy(col("o_custkey"), col("month"))
+    val wr = Window.partitionBy(col("o_custkey")).orderBy(col("month"))
+    o.withColumn("month", month)
+      .withColumn("dr", dense_rank().over(wr))
+      .withColumn("excl_row_d", sum(p).over(wRows) - p)
+      .withColumn("excl_grp_d", sum(p).over(wGrp) - sum(p).over(wPeers))
+      .select(col("o_orderkey"), col("o_custkey"),
+        nullif(col("excl_row_d"), lit(0)).cast("double").as("excl_row"),
+        nullif(col("excl_grp_d"), lit(0)).cast("double").as("excl_grp"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // excl_row: DuckDB's native EXCLUDE CURRENT ROW (arms-length vs the
+  // subtraction emulation). excl_grp: GROUPS±1 EXCLUDE GROUP ≡ the sum
+  // of just the two neighboring peer groups — restated on the group
+  // spine with lag/lead (NULL when both neighbors are absent, matching
+  // the standard's empty-frame contract).
+  private val q84Oracle: String =
+    """WITH spine AS (
+      |  SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      |  FROM orders GROUP BY 1, 2
+      |), nb AS (
+      |  SELECT o_custkey, month,
+      |    CASE WHEN LAG(s) OVER w IS NULL AND LEAD(s) OVER w IS NULL
+      |         THEN NULL
+      |         ELSE COALESCE(LAG(s) OVER w, 0) + COALESCE(LEAD(s) OVER w, 0)
+      |    END AS gs
+      |  FROM spine WINDOW w AS (PARTITION BY o_custkey ORDER BY month)
+      |)
+      |SELECT o.o_orderkey, o.o_custkey,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o.o_custkey ORDER BY o.o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)
+      |    AS DOUBLE) AS excl_row,
+      |  CAST(nb.gs AS DOUBLE) AS excl_grp
+      |FROM orders o JOIN nb ON o.o_custkey = nb.o_custkey
+      |  AND date_trunc('month', o.o_orderdate) = nb.month
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** q85 — exponentially-weighted moving average over the last 5
+    * orders per customer (finite-window EMA): weight a^j on the j-th
+    * lag, normalized by the weights actually present so partition-head
+    * rows average over what exists. A recursive (infinite-memory) EMA
+    * is not a window aggregate in either engine; the 5-term lag form
+    * writes the SAME arithmetic expression on both sides, making the
+    * float path engine-identical (round(·,6) absorbs codegen
+    * reassociation). One window spec → one shuffle; lag is an O(1)
+    * frame, nothing buffers beyond 5 rows at any scale. */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.df(s, d, "orders")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val x = col("o_totalprice").cast("double")
+    // literal weights, not math.pow: the oracle spells the same decimal
+    // literals, and pow(0.6, 2) ≠ 0.36 in the last ulp
+    val wts = Seq(1.0, 0.6, 0.36, 0.216, 0.1296)
+    val terms = wts.zipWithIndex.map { case (wt, j) =>
+      val lj = if (j == 0) x else lag(x, j).over(w)
+      (coalesce(lj, lit(0.0)) * lit(wt),
+        when(lj.isNotNull, lit(wt)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    o.select(col("o_orderkey"), col("o_custkey"),
+        round(num / den, 6).as("ema5"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q85Oracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |  ROUND((
+      |     COALESCE(o_totalprice, 0) * 1.0
+      |   + COALESCE(LAG(o_totalprice, 1) OVER w, 0) * 0.6
+      |   + COALESCE(LAG(o_totalprice, 2) OVER w, 0) * 0.36
+      |   + COALESCE(LAG(o_totalprice, 3) OVER w, 0) * 0.216
+      |   + COALESCE(LAG(o_totalprice, 4) OVER w, 0) * 0.1296
+      |  ) / (
+      |     1.0
+      |   + CASE WHEN LAG(o_totalprice, 1) OVER w IS NOT NULL THEN 0.6 ELSE 0 END
+      |   + CASE WHEN LAG(o_totalprice, 2) OVER w IS NOT NULL THEN 0.36 ELSE 0 END
+      |   + CASE WHEN LAG(o_totalprice, 3) OVER w IS NOT NULL THEN 0.216 ELSE 0 END
+      |   + CASE WHEN LAG(o_totalprice, 4) OVER w IS NOT NULL THEN 0.1296 ELSE 0 END
+      |  ), 6) AS ema5
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q70_skyline", Some(q70Oracle), q70),
     Q("q71_concurrency_sweep", Some(q71Oracle), q71),
@@ -523,7 +673,10 @@ object Analytic3 {
     Q("q79_asof_forward", Some(q79Oracle), q79),
     Q("q80_weighted_median", Some(q80Oracle), q80),
     Q("q81_table_diff", Some(q81Oracle), q81),
-    Q("q82_grouping_id", Some(q82Oracle), q82))
+    Q("q82_grouping_id", Some(q82Oracle), q82),
+    Q("q83_groups_frame", Some(q83Oracle), q83),
+    Q("q84_frame_exclude", Some(q84Oracle), q84),
+    Q("q85_ema", Some(q85Oracle), q85))
 
 
 }

@@ -181,6 +181,21 @@ class CoreSpec extends AnyFunSuite {
       "p12 rank filter did not plan as WindowGroupLimit")
   }
 
+  test("q83/q84/q85 window-frame emulations shuffle once on the partition key") {
+    // all three stack multiple window specs over the same custkey
+    // partitioning; the emulations must not introduce a second
+    // shuffle — extra Sorts are fine (different order keys), extra
+    // Exchanges are not. One more Exchange is the final orderBy's
+    // range partitioning.
+    for (n <- Seq("q83_groups_frame", "q84_frame_exclude", "q85_ema")) {
+      val names = nodeNames(SparkEntry.queries(n)(spark, sf))
+      val exchanges = names.count(_.contains("Exchange"))
+      assert(exchanges <= 2,
+        s"$n plans $exchanges exchanges (want ≤ 2: custkey hash + final sort): $names")
+      assert(names.count(_ == "Window") >= 1, s"$n lost its Window: $names")
+    }
+  }
+
   test("runtime Bloom-filter pruning injects into a selective shuffle join") {
     // the runtime-filter analog of the reference's pruning story: a
     // selective dim-side predicate is turned into a Bloom filter that
