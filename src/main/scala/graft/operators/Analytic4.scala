@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Fifth analytic wave: SQL surfaces Spark lacks re-expressed exactly
+  * (window FILTER), distribution-aware binning, and warehouse
+  * dimension maintenance (SCD-2) as a single-pass plan.
+  */
+object Analytic4 {
+
+  /** q86 — aggregate FILTER clause inside a window (SQL:2003), which
+    * Spark's window aggregates lack: running sum/count of only the
+    * URGENT orders alongside the unconditional running sum, per
+    * customer. The exact emulation is the conditional projection
+    * sum(CASE WHEN …) — same NULL contract as FILTER (an empty
+    * filtered frame yields NULL, since sum ignores the NULLs the CASE
+    * emits). All three aggregates share one window spec → one shuffle
+    * + sort; DECIMAL keeps the running money sums order-independent.
+    * The DuckDB oracle uses its native FILTER clause. */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.df(s, d, "orders")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = col("o_totalprice").cast("decimal(18,2)")
+    val urgent = col("o_orderpriority") === "1-URGENT"
+    o.select(col("o_orderkey"), col("o_custkey"),
+        sum(p).over(w).cast("double").as("run_all"),
+        sum(when(urgent, p)).over(w).cast("double").as("run_urgent"),
+        count(when(urgent, lit(1))).over(w).as("n_urgent"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q86Oracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_all,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderpriority = '1-URGENT') OVER w AS DOUBLE) AS run_urgent,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') OVER w AS n_urgent
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q87 — equi-depth (quantile) binning: 10 bins with equal row
+    * counts over l_extendedprice, each reporting its [lo, hi] range —
+    * the histogram that adapts to skew where q61's equi-width bins
+    * starve. ntile is deterministic only under a total order, so ties
+    * on price are broken by the (orderkey, linenumber) pk — without
+    * that, boundary rows land in either bin depending on engine/
+    * partition order. Plan: one global-sort window (rank assignment is
+    * a sort, irreducibly) then a 10-group partial+final agg. */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.df(s, d, "lineitem")
+    val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    l.select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bin", ntile(10).over(w))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy("bin")
+  }
+
+  private val q87Oracle: String =
+    """SELECT bin, COUNT(*) AS n, MIN(l_extendedprice) AS lo,
+      |  MAX(l_extendedprice) AS hi
+      |FROM (
+      |  SELECT l_extendedprice,
+      |    NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
+      |  FROM lineitem)
+      |GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** q88 — SCD type-2 dimension maintenance: apply a staged segment
+    * change (premium upgrade for high-balance customers, effective
+    * 1998-01-01) to the customer dimension, producing the versioned
+    * history — changed keys close their old row (valid_to set,
+    * is_current false) and open a new one; unchanged keys pass
+    * through. The MERGE-less plan is a single pass: one key join,
+    * then each row EXPLODES into its 1-or-2 output versions — no
+    * union of three branches re-reading the join (the UNION ALL
+    * formulation is left to the oracle, arms-length). At 100 TB the
+    * staged side is usually small → broadcast; here it is derived
+    * from the dim itself, so the join is key-colocated either way. */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.df(s, d, "customer")
+    val cur = c.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val staged = cur.where(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), lit("PREMIUM").as("new_seg"))
+    val opened = to_date(lit("1992-01-01"))
+    val eff = to_date(lit("1998-01-01"))
+    val changed = col("new_seg").isNotNull && col("new_seg") =!= col("c_mktsegment")
+    val ver = struct(
+      col("c_mktsegment").as("segment"), opened.as("valid_from"),
+      lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    val closedOld = struct(
+      col("c_mktsegment").as("segment"), opened.as("valid_from"),
+      eff.as("valid_to"), lit(false).as("is_current"))
+    val openedNew = struct(
+      col("new_seg").as("segment"), eff.as("valid_from"),
+      lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    cur.join(staged, Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        explode(when(changed, array(closedOld, openedNew))
+          .otherwise(array(ver))).as("r"))
+      .select(col("c_custkey"), col("r.segment").as("segment"),
+        col("r.valid_from").as("valid_from"), col("r.valid_to").as("valid_to"),
+        col("r.is_current").as("is_current"))
+      .orderBy("c_custkey", "valid_from")
+  }
+
+  private val q88Oracle: String =
+    """WITH staged AS (
+      |  SELECT c_custkey, 'PREMIUM' AS new_seg FROM customer WHERE c_acctbal > 9000)
+      |SELECT c.c_custkey, c.c_mktsegment AS segment,
+      |  DATE '1992-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      |  TRUE AS is_current
+      |FROM customer c LEFT JOIN staged s ON c.c_custkey = s.c_custkey
+      |WHERE s.new_seg IS NULL OR s.new_seg = c.c_mktsegment
+      |UNION ALL
+      |SELECT c.c_custkey, c.c_mktsegment, DATE '1992-01-01',
+      |  DATE '1998-01-01', FALSE
+      |FROM customer c JOIN staged s ON c.c_custkey = s.c_custkey
+      |WHERE s.new_seg <> c.c_mktsegment
+      |UNION ALL
+      |SELECT c.c_custkey, s.new_seg, DATE '1998-01-01', NULL, TRUE
+      |FROM customer c JOIN staged s ON c.c_custkey = s.c_custkey
+      |WHERE s.new_seg <> c.c_mktsegment
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q86_window_filter", Some(q86Oracle), q86),
+    Q("q87_equi_depth", Some(q87Oracle), q87),
+    Q("q88_scd2_upsert", Some(q88Oracle), q88))
+}

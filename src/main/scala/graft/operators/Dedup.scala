@@ -98,18 +98,20 @@ object Dedup {
     * stop-shingles. */
   private def d02(s: SparkSession, d: String): DataFrame = jaccardPairs(docs(s, d))
 
-  private[graft] def jaccardPairs(docsDf: DataFrame,
+  /** Candidate pairs with intersection + both shingle-set sizes — the
+    * shared front end of d02 (Jaccard) and d12 (containment). One
+    * narrow pass hashes each doc's distinct 3-shingles to longs
+    * (native shingle_hashes — no shingle strings are ever built): the
+    * inverted index shuffles 8-byte hashes instead of shingle strings,
+    * per-doc sizes are just size(shs) — a 1-row-per-doc dim that
+    * BROADCASTS to both denominator joins (round-2 shuffled a separate
+    * aggregate for them) — and per-bucket pair expansion is the native
+    * ordered_pairs64 tight loop, not an interpreted HOF lambda per
+    * emitted pair (~1.3M at sf0.1). */
+  private[graft] def sharedShinglePairs(docsDf: DataFrame,
       nDocs: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
     val cap = math.max(20L, (nDocs.getOrElse(approxRowCount(docsDf)) * 0.01).toLong)
-    // One narrow pass hashes each doc's distinct 3-shingles to longs
-    // (native shingle_hashes — no shingle strings are ever built): the
-    // inverted index shuffles 8-byte hashes instead of shingle strings,
-    // per-doc sizes are just size(shs) — a 1-row-per-doc dim that
-    // BROADCASTS to both denominator joins (round-2 shuffled a separate
-    // aggregate for them) — and per-bucket pair expansion is the native
-    // ordered_pairs64 tight loop, not an interpreted HOF lambda per
-    // emitted pair (~1.3M at sf0.1).
     val hashed = docsDf
       .withColumn("shs", expr(s"shingle_hashes($tokExpr)"))
       .where(size(col("shs")) >= 1) // <3-token docs have no 3-shingle
@@ -132,11 +134,15 @@ object Dedup {
       .drop("doc_id").withColumnRenamed("n_sh", "na")
       .join(broadcast(sizes), col("b_id") === sizes("doc_id"))
       .drop("doc_id").withColumnRenamed("n_sh", "nb")
+  }
+
+  private[graft] def jaccardPairs(docsDf: DataFrame,
+      nDocs: Option[Long] = None): DataFrame =
+    sharedShinglePairs(docsDf, nDocs)
       .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
       .where(col("jac") >= 0.3)
       .select("a_id", "b_id", "inter", "na", "nb", "jac")
       .orderBy("a_id", "b_id")
-  }
 
   private val d02Oracle: String =
     """WITH toks AS (
@@ -607,6 +613,56 @@ object Dedup {
       |FROM (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** d12 — containment near-dup (overlap coefficient ≥ 0.8): catches
+    * the doc-inside-doc cases Jaccard structurally misses — a page
+    * quoted whole inside a 10× larger page has Jaccard ≈ 0.1 but
+    * containment ≈ 1.0. Same capped-inverted-index front end as d02
+    * (sharedShinglePairs), different score: inter / min(na, nb). The
+    * emitted pair is directed — contained_id is the smaller shingle
+    * set, container_id the larger (ties keep the id order), which is
+    * what a keep-the-superset dedup policy consumes downstream. */
+  private def d12(s: SparkSession, d: String): DataFrame =
+    containmentPairs(docs(s, d))
+
+  private[graft] def containmentPairs(docsDf: DataFrame,
+      nDocs: Option[Long] = None): DataFrame =
+    sharedShinglePairs(docsDf, nDocs)
+      .withColumn("cont", col("inter") / least(col("na"), col("nb")))
+      .where(col("cont") >= 0.8)
+      .select(
+        when(col("na") <= col("nb"), col("a_id")).otherwise(col("b_id")).as("contained_id"),
+        when(col("na") <= col("nb"), col("b_id")).otherwise(col("a_id")).as("container_id"),
+        col("inter"),
+        least(col("na"), col("nb")).as("n_small"),
+        greatest(col("na"), col("nb")).as("n_big"),
+        col("cont"))
+      .orderBy("contained_id", "container_id")
+
+  private val d12Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT
+      |  CASE WHEN sa.n_sh <= sb.n_sh THEN a_id ELSE b_id END AS contained_id,
+      |  CASE WHEN sa.n_sh <= sb.n_sh THEN b_id ELSE a_id END AS container_id,
+      |  inter,
+      |  LEAST(sa.n_sh, sb.n_sh) AS n_small,
+      |  GREATEST(sa.n_sh, sb.n_sh) AS n_big,
+      |  inter / LEAST(sa.n_sh, sb.n_sh) AS cont
+      |FROM pr
+      |JOIN sz sa ON a_id = sa.doc_id
+      |JOIN sz sb ON b_id = sb.doc_id
+      |WHERE inter / LEAST(sa.n_sh, sb.n_sh) >= 0.8
+      |ORDER BY contained_id, container_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
@@ -618,5 +674,6 @@ object Dedup {
     Q("d08_dedup_keep_best", Some(d08Oracle), d08),
     Q("d09_dedup_calibrate", None, d09),
     Q("d10_dedup_editdist", Some(d10Oracle), d10),
-    Q("d11_cluster_histogram", Some(d11Oracle), d11))
+    Q("d11_cluster_histogram", Some(d11Oracle), d11),
+    Q("d12_dedup_containment", Some(d12Oracle), d12))
 }

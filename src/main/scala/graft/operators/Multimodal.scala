@@ -404,9 +404,52 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** A deterministic 16×16 test image for doc `id`: one of 97 base
+    * patterns (spatial frequency varies with the base, so different
+    * bases hash far apart) plus a small per-generation local edit (a
+    * bright 2-pixel notch whose column moves with the generation) —
+    * the shape of re-encoded/lightly-edited copies of one photo.
+    * Factored out so the spec derives expected pair structure from the
+    * same source. */
+  private[graft] def synthImageBytes(id: Long): Array[Byte] = {
+    val base = (id % 97).toInt
+    val gen = ((id / 97) % 8).toInt
+    encodeBmp(16, 16, (x, y) => {
+      val v = (x * (3 + base % 7) + y * (5 + base % 11) + base * 37) % 256
+      val jit = if (gen > 0 && x == 2 * gen && y <= 1) 128 else 0
+      ((v + jit) % 256, (v * 2 + jit) % 256, (v * 3 + jit) % 256)
+    })
+  }
+
+  /** m05 — perceptual image near-dup: decode → grayscale → 8×8
+    * average-hash at the typed boundary (the same mapPartitions
+    * decode stage as m01), then the IDENTICAL quadrant-blocked
+    * Hamming candidate join text SimHash uses (Dedup.simhashPairs) —
+    * one blocked shuffle of (id, 8-byte hash), native hamming_pairs
+    * bucket expansion, never all-pairs. This is the cross-modal
+    * payoff of hashing at the decode boundary: image bytes stay in
+    * their scan partition, only 8-byte signatures enter the dedup
+    * machinery, and one candidate-join implementation serves text and
+    * images. Rows-only (binary decode is not SQL-expressible); the
+    * pair structure — every emitted pair shares a base pattern — is
+    * asserted in PipelineSpec. */
+  private def m05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val sigs = graft.Tables.df(s, d, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, gray) = bmpGray(synthImageBytes(id))
+        (id, aHash64(w, h, gray))
+      })
+      .toDF("doc_id", "simhash")
+    graft.operators.Dedup.simhashPairs(sigs)
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_multimodal", None, m01),
     Q("m02_frame_sample", None, m02),
     Q("m03_waveform_stats", None, m03),
-    Q("m04_silence_segments", None, m04))
+    Q("m04_silence_segments", None, m04),
+    Q("m05_image_near_dup", None, m05))
 }

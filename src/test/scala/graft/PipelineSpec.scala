@@ -103,6 +103,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(outIds == expected, "sampled set diverges from the standalone stage")
   }
 
+  test("d12 containment catches a doc-inside-doc pair that Jaccard misses") {
+    import spark.implicits._
+    // small = 6 tokens (4 shingles), big = small quoted inside ~10× more
+    // text: containment = 1.0, Jaccard = 4 / (4 + 58 - 4) ≈ 0.07
+    val small = "alpha beta gamma delta epsilon zeta"
+    // distinct alphabetic fillers — the [a-z]+ tokenizer strips digits,
+    // so "word1".."word60" would all collapse to one token
+    val filler = (0 until 60)
+      .map(i => s"f${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, small, "web"),
+      (2L, s"$filler $small", "web"),
+      (3L, "completely different text with other words entirely", "web"))
+      .toDF("doc_id", "text", "source")
+    val cont = graft.operators.Dedup.containmentPairs(docs, nDocs = Some(3L))
+      .select("contained_id", "container_id", "cont").collect()
+    assert(cont.length == 1 && cont(0).getLong(0) == 1L && cont(0).getLong(1) == 2L,
+      s"containment should emit exactly (1 ⊂ 2): ${cont.mkString(",")}")
+    assert(cont(0).getDouble(2) == 1.0)
+    val jac = graft.operators.Dedup.jaccardPairs(docs, nDocs = Some(3L)).collect()
+    assert(jac.isEmpty, s"Jaccard@0.3 should miss the contained pair: ${jac.mkString(",")}")
+  }
+
+  test("m05 image near-dup pairs stay within base-pattern groups") {
+    val pairs = SparkEntry.queries("m05_image_near_dup")(spark, sf).collect()
+    assert(pairs.nonEmpty, "no image near-dup pairs found")
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+    // the synthesized corpus groups images by doc_id % 97 (generations
+    // of one base pattern); pairs must overwhelmingly stay in-group —
+    // a handful of cross-base aHash collisions at Hamming ≤ 3 are the
+    // expected false-positive rate of a 64-bit perceptual hash
+    val sameBase = pairs.count(r =>
+      r.getAs[Long]("a_id") % 97 == r.getAs[Long]("b_id") % 97)
+    assert(sameBase.toDouble / pairs.length >= 0.95,
+      s"cross-base collisions dominate: $sameBase/${pairs.length}")
+    // recall witness: adjacent generations of at least one base found
+    assert(pairs.exists(r =>
+      r.getAs[Long]("b_id") - r.getAs[Long]("a_id") == 97L),
+      "no adjacent-generation pair (a, a+97) found")
+  }
+
   test("dedup/sampling operators are total on an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")

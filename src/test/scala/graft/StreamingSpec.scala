@@ -65,6 +65,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sink maintenance: per-partition compaction after fragmented batch landings") {
+    import org.apache.spark.sql.functions.sum
+    // a foreachBatch sink's long-run pathology: every micro-batch lands
+    // its own small files; the fix is a per-partition-dir maintenance
+    // pass — exactly what compactParquet does. Land three artificially
+    // fragmented batches, compact each batch_id dir, and check rows,
+    // checksum, and the partition column all survive the swap.
+    val out = "/tmp/graft-streams/compact_sink_" + System.nanoTime()
+    for (b <- 0 until 3) {
+      val batch = spark.range(b * 100L, (b + 1) * 100L)
+        .toDF("event_id").repartition(12)
+      EventStream.writeBatch(batch, b.toLong, out)
+    }
+    assert(spark.read.parquet(out).count() == 300)
+    val dirs = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("batch_id="))
+    assert(dirs.length == 3)
+    val results = dirs.map(d =>
+      graft.sources.GraftCatalog.compactParquet(spark, d.getAbsolutePath))
+    assert(results.forall { case (before, after) => before >= 10 && after == 1 },
+      s"compaction results: ${results.mkString(",")}")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 300)
+    assert(back.select("batch_id").distinct().count() == 3,
+      "partition column lost in the swap")
+    assert(back.agg(sum("event_id")).head.getLong(0) == (0L until 300L).sum)
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
