@@ -131,8 +131,34 @@ object Analytic4 {
       |WHERE s.new_seg <> c.c_mktsegment
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  /** q89 — schema-evolving union (UNION BY NAME): two feed generations
+    * of the same stream — v1 lacks the priority column — unioned by
+    * column NAME with NULL backfill (`unionByName(allowMissingColumns
+    * = true)`), the batch twin of the mergeSchema read in §2.A.
+    * Position-based UNION would silently mis-align or reject; BY NAME
+    * is the contract a long-lived pipeline needs as producers add
+    * fields. Pure narrow union — no shuffle before the final sort. */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.df(s, d, "orders")
+    val v1 = o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = o.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
+  private val q89Oracle: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
-    Q("q88_scd2_upsert", Some(q88Oracle), q88))
+    Q("q88_scd2_upsert", Some(q88Oracle), q88),
+    Q("q89_union_by_name", Some(q89Oracle), q89))
 }

@@ -457,6 +457,79 @@ object Sampling {
       |  CAST(SUM(doc_id * copy_idx) AS BIGINT) AS checksum
       |FROM x GROUP BY source ORDER BY source""".stripMargin
 
+  /** p15 — percentile winsorization: clamp per-source token-count
+    * outliers to the source's [p05, p95] band — the standard
+    * length-outlier treatment before token-budget planning (one
+    * 100M-token doc otherwise eats a whole pack). Exact per-group
+    * percentiles (one partial+final agg on a |sources|-row spine)
+    * broadcast back; the clamp is a pure projection. */
+  private def p15(s: SparkSession, d: String): DataFrame = {
+    val docsT = Tables.df(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("double").as("tc"))
+    val bounds = docsT.groupBy("source").agg(
+      expr("percentile(tc, 0.05)").as("lo"),
+      expr("percentile(tc, 0.95)").as("hi"))
+    docsT.join(broadcast(bounds), Seq("source"))
+      .select(col("doc_id"), col("source"), col("tc").cast("long").as("n_tokens"),
+        round(greatest(least(col("tc"), col("hi")), col("lo")), 4).as("tc_winsor"),
+        (col("tc") < col("lo") || col("tc") > col("hi")).as("clipped"))
+      .orderBy("doc_id")
+  }
+
+  private val p15Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS tc
+      |  FROM documents),
+      |b AS (SELECT source, quantile_cont(tc, 0.05) AS lo,
+      |        quantile_cont(tc, 0.95) AS hi FROM t GROUP BY source)
+      |SELECT doc_id, t.source, CAST(tc AS BIGINT) AS n_tokens,
+      |  round(GREATEST(LEAST(tc, hi), lo), 4) AS tc_winsor,
+      |  (tc < lo OR tc > hi) AS clipped
+      |FROM t JOIN b ON t.source = b.source
+      |ORDER BY doc_id""".stripMargin
+
+  /** p16 — per-group feature scaling (z-score + min-max of n_chars per
+    * source): the normalization stage before any learned scorer mixes
+    * features across sources. Moments come from exact integer power
+    * sums (sum, sum-of-squares, min, max, count are all
+    * order-independent on integer-valued doubles below 2^53), so the
+    * derived stddev is the SAME double in any partitioning and in
+    * DuckDB; the spelled-out sqrt((Σx² − (Σx)²/n)/(n−1)) formula is
+    * written identically on both sides. One tiny agg spine, broadcast
+    * back, pure projection after. */
+  private def p16(s: SparkSession, d: String): DataFrame = {
+    val docsT = Tables.df(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars").cast("double").as("x"))
+    val m = docsT.groupBy("source").agg(
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sx2"),
+      count(lit(1)).cast("double").as("n"),
+      min(col("x")).as("mn"),
+      max(col("x")).as("mx"))
+    docsT.join(broadcast(m), Seq("source"))
+      .select(col("doc_id"), col("source"), col("x").cast("long").as("n_chars"),
+        round((col("x") - col("sx") / col("n")) /
+          sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4)
+          .as("z_score"),
+        round((col("x") - col("mn")) / (col("mx") - col("mn")), 4).as("min_max"))
+      .orderBy("doc_id")
+  }
+
+  private val p16Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS x FROM documents),
+      |m AS (
+      |  SELECT source, SUM(x) AS sx, SUM(x * x) AS sx2,
+      |    CAST(COUNT(*) AS DOUBLE) AS n, MIN(x) AS mn, MAX(x) AS mx
+      |  FROM t GROUP BY source)
+      |SELECT doc_id, t.source, CAST(x AS BIGINT) AS n_chars,
+      |  round((x - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)), 4) AS z_score,
+      |  round((x - mn) / (mx - mn), 4) AS min_max
+      |FROM t JOIN m ON t.source = m.source
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -471,5 +544,7 @@ object Sampling {
     Q("p11_mixture_weights", Some(p11Oracle), p11),
     Q("p12_sample_k_per_group", Some(p12Oracle), p12),
     Q("p13_dataset_card", Some(p13Oracle), p13),
-    Q("p14_oversample", Some(p14Oracle), p14))
+    Q("p14_oversample", Some(p14Oracle), p14),
+    Q("p15_winsorize", Some(p15Oracle), p15),
+    Q("p16_feature_scale", Some(p16Oracle), p16))
 }

@@ -566,6 +566,46 @@ object TextAnalysis {
        |FROM scored GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
   }
 
+  /** t16 — readability scoring (Flesch-reading-ease shape): words =
+    * non-space runs, sentences = [.!?]+ runs floored at 1, syllables ≈
+    * vowel-group count ([aeiouy]+ runs, the standard cheap proxy).
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * identical literal arithmetic both engines, rounded. Zero-word
+    * docs score NULL via an explicit guard (double 0/0 semantics
+    * differ across engines — never rely on them). One codegen'd
+    * projection pass — three regex counters, no shuffle except the
+    * final sort. */
+  private def t16(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"),
+        expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("double").as("words"),
+        greatest(expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("double"),
+          lit(1.0)).as("sentences"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))").cast("double").as("syllables"))
+      .select(col("doc_id"), col("words").cast("long").as("n_words"),
+        col("sentences").cast("long").as("n_sentences"),
+        col("syllables").cast("long").as("n_syllables"),
+        when(col("words") > 0,
+          round(lit(206.835) - lit(1.015) * (col("words") / col("sentences")) -
+            lit(84.6) * (col("syllables") / col("words")), 4)).as("flesch"))
+      .orderBy("doc_id")
+
+  private val t16Oracle: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS words,
+      |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE), 1.0) AS sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS syllables
+      |  FROM documents)
+      |SELECT doc_id, CAST(words AS BIGINT) AS n_words,
+      |  CAST(sentences AS BIGINT) AS n_sentences,
+      |  CAST(syllables AS BIGINT) AS n_syllables,
+      |  CASE WHEN words > 0 THEN
+      |    round(206.835 - 1.015 * (words / sentences)
+      |          - 84.6 * (syllables / words), 4)
+      |  END AS flesch
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -581,5 +621,6 @@ object TextAnalysis {
     Q("t12_vocab_stats", Some(t12Oracle), t12),
     Q("t13_zipf_fit", Some(t13Oracle), t13),
     Q("t14_doc_profile", Some(t14Oracle), t14),
-    Q("t15_langid_confusion", Some(t15Oracle), t15))
+    Q("t15_langid_confusion", Some(t15Oracle), t15),
+    Q("t16_readability", Some(t16Oracle), t16))
 }
