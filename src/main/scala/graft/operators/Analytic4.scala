@@ -156,9 +156,63 @@ object Analytic4 {
       |  FROM orders WHERE o_orderkey % 2 = 1)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q90 — incremental aggregate maintenance (materialized-view delta
+    * merge): a pre-aggregated base (orders before the cutoff) merged
+    * with a delta batch's aggregate via full-outer join + coalesced
+    * partial-state addition — sum and count are self-maintainable;
+    * avg is re-DERIVED from the merged sums, never averaged across
+    * batches (the classic MV-maintenance trap). The oracle is the
+    * arms-length proof: a direct aggregate over the whole table must
+    * equal the merge. At 100 TB the base agg is a stored MV and only
+    * the delta partition is scanned — the merge cost is |groups|, not
+    * |base|. */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.df(s, d, "orders")
+    val p = col("o_totalprice").cast("decimal(18,2)")
+    def aggOf(df: DataFrame): DataFrame = df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(p).as("s"))
+    val base = aggOf(o.where(col("o_orderdate") < "1997-01-01"))
+      .withColumnsRenamed(Map("n" -> "n0", "s" -> "s0"))
+    val delta = aggOf(o.where(col("o_orderdate") >= "1997-01-01"))
+      .withColumnsRenamed(Map("n" -> "n1", "s" -> "s1"))
+    base.join(delta, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L))).as("n_orders"),
+        (coalesce(col("s0"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("s1"), lit(0).cast("decimal(18,2)"))).cast("double").as("sum_price"))
+      .withColumn("avg_price", round(col("sum_price") / col("n_orders"), 4))
+      .orderBy("o_orderstatus")
+  }
+
+  private val q90Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |        / COUNT(*), 4) AS avg_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q91 — GROUP BY ALL / ORDER BY ALL (the modern SQL shorthand both
+    * engines support natively — every non-aggregate select item
+    * becomes a grouping key): exercises the parser/analyzer path, not
+    * new plan machinery (the plan is q05's partial+final agg). */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    Tables.ensure(s, d)
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
+  private val q91Oracle: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
     Q("q88_scd2_upsert", Some(q88Oracle), q88),
-    Q("q89_union_by_name", Some(q89Oracle), q89))
+    Q("q89_union_by_name", Some(q89Oracle), q89),
+    Q("q90_incr_agg_merge", Some(q90Oracle), q90),
+    Q("q91_group_by_all", Some(q91Oracle), q91))
 }

@@ -663,6 +663,73 @@ object Dedup {
       |WHERE inter / LEAST(sa.n_sh, sb.n_sh) >= 0.8
       |ORDER BY contained_id, container_id""".stripMargin
 
+  /** d13 — cross-table record linkage (entity resolution): match the
+    * doc corpus against an external "registry" whose keys carry typo
+    * noise, at Levenshtein ≤ 1 — the two-dataset twin of d10's self-
+    * dedup. The registry is derived deterministically here (every
+    * third record has one key character deleted at a doc_id-dependent
+    * position) so the oracle can rebuild it; in production it is a
+    * second table. Plan: union both sides with a side tag, expand
+    * symmetric-delete (≤1) variants, ONE shuffle on the variant hash,
+    * keep only cross-side pairs per bucket, verify with real
+    * levenshtein — the quadratic cross join (which the oracle runs)
+    * never exists. */
+  private def d13(s: SparkSession, d: String): DataFrame = {
+    val keyed = docs(s, d)
+      .withColumn("c", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+      .where(length(col("c")) >= 8)
+      .select(col("doc_id"), substring(col("c"), 1, 24).as("k"))
+    val registry = keyed.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      when(col("doc_id") % 3 === 0, expr(
+        "concat(substring(k, 1, CAST(doc_id % 8 AS INT)), " +
+          "substring(k, CAST(doc_id % 8 AS INT) + 2, length(k)))"))
+        .otherwise(col("k")).as("k"))
+    val tagged = keyed.withColumn("side", lit(0))
+      .unionByName(registry.withColumn("side", lit(1)))
+    val variants = tagged.select(
+      col("side"), col("doc_id"), col("k"),
+      explode(expr(
+        """array_distinct(concat(array(k),
+          |  transform(sequence(1, length(k)),
+          |    i -> concat(substring(k, 1, i - 1), substring(k, i + 1, length(k) - i)))))""".stripMargin))
+        .as("v"))
+      .select(col("side"), col("doc_id"), col("k"), xxhash64(col("v")).as("vh"))
+    variants.groupBy("vh")
+      .agg(collect_list(struct(col("side"), col("doc_id"), col("k"))).as("xs"))
+      .where(size(col("xs")).between(2, 1000))
+      .select(explode(expr(
+        """filter(flatten(transform(xs, a -> transform(xs,
+          |  b -> struct(a.side AS a_side, a.doc_id AS a_id, a.k AS a_k,
+          |              b.side AS b_side, b.doc_id AS b_id, b.k AS b_k)))),
+          |  p -> p.a_side = 0 AND p.b_side = 1)""".stripMargin)).as("p"))
+      .select(col("p.a_id").as("doc_id"), col("p.b_id").as("rec_id"),
+        col("p.a_k").as("a_k"), col("p.b_k").as("b_k"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("a_k"), col("b_k")))
+      .where(col("dist") <= 1)
+      .select("doc_id", "rec_id", "dist")
+      .orderBy("doc_id", "rec_id")
+  }
+
+  private val d13Oracle: String =
+    """WITH k0 AS (
+      |  SELECT doc_id,
+      |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS k
+      |  FROM documents
+      |  WHERE length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) >= 8),
+      |reg AS (
+      |  SELECT doc_id + 1000000 AS rec_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      substring(k, 1, CAST(doc_id % 8 AS INT))
+      |        || substring(k, CAST(doc_id % 8 AS INT) + 2, length(k))
+      |    ELSE k END AS k
+      |  FROM k0)
+      |SELECT a.doc_id AS doc_id, r.rec_id AS rec_id,
+      |  CAST(levenshtein(a.k, r.k) AS INT) AS dist
+      |FROM k0 a JOIN reg r ON levenshtein(a.k, r.k) <= 1
+      |ORDER BY doc_id, rec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
@@ -675,5 +742,6 @@ object Dedup {
     Q("d09_dedup_calibrate", None, d09),
     Q("d10_dedup_editdist", Some(d10Oracle), d10),
     Q("d11_cluster_histogram", Some(d11Oracle), d11),
-    Q("d12_dedup_containment", Some(d12Oracle), d12))
+    Q("d12_dedup_containment", Some(d12Oracle), d12),
+    Q("d13_record_linkage", Some(d13Oracle), d13))
 }

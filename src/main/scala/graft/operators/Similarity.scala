@@ -676,6 +676,32 @@ object Similarity {
       .limit(10)
   }
 
+  /** s09 — filtered IVF ANN: s06's metadata predicate composed INTO
+    * s03's probe-pruned scan — the production "filtered vector
+    * search" at index scale. Order matters twice: the probe list
+    * prunes partitions first (nprobe/nlist of the data), then the
+    * metadata predicate cuts the probed lists before any dot product
+    * runs. The pre-filter strategy (vs post-filtering a top-k) is the
+    * correct one when the predicate is selective — a post-filtered
+    * top-10 of mostly-ineligible neighbors can return < k eligible
+    * rows. Rows-only; recall vs the exact filtered baseline (s06) is
+    * bounded in PipelineSpec. */
+  private def s09(s: SparkSession, d: String): DataFrame = {
+    val (idx, cents) = ivfIndex(s, d)
+    val (qe, qnrm) = queryVec(s, d)
+    val probes = cents
+      .map { case (cl, ce, cn) => (cl, dotD(qe, ce) / (qnrm * cn)) }
+      .sortBy { case (cl, ccos) => (-ccos, cl) }
+      .take(NProbe).map(_._1)
+    idx.where(col("cl").isin(probes: _*) && col("vec_id") =!= 0 &&
+        col("label").isin(1, 3, 5) && pmod(col("vec_id"), lit(2)) === 1)
+      .withColumn("qe", typedlit(qe.toSeq))
+      .withColumn("cos_r", round(expr("vec_dot(e, qe)") / (col("nrm") * lit(qnrm)), 6))
+      .select("vec_id", "label", "cos_r")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_ann_brute", Some(s01Oracle), s01),
     Q("s02_ann_lsh", None, s02),
@@ -684,5 +710,6 @@ object Similarity {
     Q("s05_ann_rerank", None, s05),
     Q("s06_ann_filtered", Some(s06Oracle), s06),
     Q("s07_ann_pq", None, s07),
-    Q("s08_ann_ivfpq", None, s08))
+    Q("s08_ann_ivfpq", None, s08),
+    Q("s09_ann_filtered_ivf", None, s09))
 }

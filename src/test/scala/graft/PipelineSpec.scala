@@ -516,6 +516,20 @@ class PipelineSpec extends AnyFunSuite {
       s"IVF recall ${(exact & ivf).size}/10 below floor; missed ${exact -- ivf}")
   }
 
+  test("s09 filtered IVF: recall >= 0.5 vs s06 exact-filtered, predicate honored") {
+    val exact = rows("s06_ann_filtered").map(_.getAs[Long]("vec_id")).toSet
+    val got = rows("s09_ann_filtered_ivf")
+    assert(got.nonEmpty)
+    // every returned row satisfies the metadata predicate (pre-filter,
+    // not post-filter: no ineligible neighbor can appear)
+    assert(got.forall(r =>
+      Set(1, 3, 5).contains(r.getAs[Int]("label")) &&
+        r.getAs[Long]("vec_id") % 2 == 1))
+    val ids = got.map(_.getAs[Long]("vec_id")).toSet
+    assert((exact & ids).size >= 5,
+      s"filtered-IVF recall ${(exact & ids).size}/10 below floor; missed ${exact -- ids}")
+  }
+
   test("s03 probes are partition-pruned to the nprobe inverted lists") {
     val plan = SparkEntry.queries("s03_ann_ivf")(spark, sf)
       .queryExecution.executedPlan.toString
