@@ -181,6 +181,26 @@ class CoreSpec extends AnyFunSuite {
       "p12 rank filter did not plan as WindowGroupLimit")
   }
 
+  test("TPC-H plans: Q1/Q6 push the date filter; Q3/Q5 broadcast every dim side") {
+    // Q1: pure scan + two-phase agg, shipdate pushed to parquet
+    val q1 = SparkEntry.queries("tpch_q1")(spark, sf)
+    assert(hasTwoPhaseAgg(q1))
+    assert(pushedFilters(q1).exists(_.contains("l_shipdate")),
+      s"Q1 date filter not pushed: ${pushedFilters(q1)}")
+    // Q6: filter-only scan, all four predicates pushed
+    val q6f = pushedFilters(SparkEntry.queries("tpch_q6")(spark, sf))
+    assert(Seq("l_shipdate", "l_discount", "l_quantity").forall(c => q6f.exists(_.contains(c))),
+      s"Q6 predicates not pushed: $q6f")
+    // Q3/Q5 star joins: no shuffle (SortMerge) join anywhere — every
+    // dim side broadcasts, the single Exchange is the agg's
+    for (n <- Seq("tpch_q3", "tpch_q5")) {
+      val names = nodeNames(SparkEntry.queries(n)(spark, sf))
+      assert(names.exists(_.contains("BroadcastHashJoin")), s"$n: no broadcast join")
+      assert(!names.exists(_.contains("SortMergeJoin")),
+        s"$n plans a shuffle join over a broadcastable dim: $names")
+    }
+  }
+
   test("q83/q84/q85 window-frame emulations shuffle once on the partition key") {
     // all three stack multiple window specs over the same custkey
     // partitioning; the emulations must not introduce a second
