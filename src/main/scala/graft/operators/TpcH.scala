@@ -4,10 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 
-/** Classic TPC-H queries (Q1, Q3, Q5, Q6), adapted only where the
-  * driver schema lacks a column (Q3 projects o_orderpriority for the
-  * absent o_shippriority) and date-shifted into this corpus's
-  * 1995–2001 range. Each query is ONE ANSI SQL text executed verbatim
+/** Classic TPC-H queries (Q1, Q3, Q5, Q6, Q10, Q13, Q14, Q15, Q17,
+  * Q18 — every query the driver schema can express), adapted only
+  * where a column is missing (Q3 projects o_orderpriority for the
+  * absent o_shippriority; Q13 drops the o_comment filter; Q17 the
+  * container predicate) and date-shifted into this corpus's
+  * 1995–2001 range. Q13 exercises left-join + count distribution, Q15
+  * the view + scalar-max subquery, Q17 a correlated AVG subquery
+  * (Catalyst decorrelates it to an aggregate + join — the plan users
+  * write naively and engines must rescue), Q18 a HAVING semi-join. Each query is ONE ANSI SQL text executed verbatim
   * by BOTH engines — the strongest cross-engine statement the oracle
   * harness can make, and the benchmark-recognizable workload for the
   * perf story (reference: the docs/3–8 plan walkthroughs are TPC-H-
@@ -98,9 +103,95 @@ object TpcH {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  private val q10Sql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |  AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  private val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private val q14Sql: String =
+    """SELECT round(100.00 * CAST(SUM(
+      |    CASE WHEN p_type LIKE 'PROMO%'
+      |         THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+      |         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE),
+      |  4) AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
+
+  private val q15Sql: String =
+    """WITH revenue0 AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+      |      AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |FROM supplier, revenue0
+      |WHERE s_suppkey = supplier_no
+      |  AND total_rev = (SELECT MAX(total_rev) FROM revenue0)
+      |ORDER BY s_suppkey""".stripMargin
+
+  private val q17Sql: String =
+    """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |  / 7.0, 4) AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand = 'Brand#13'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  private val q18Sql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      |  AND c_custkey = o_custkey
+      |  AND o_orderkey = l_orderkey
+      |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("tpch_q1", Some(q1Sql), run(q1Sql)),
     Q("tpch_q3", Some(q3Sql), run(q3Sql)),
     Q("tpch_q5", Some(q5Sql), run(q5Sql)),
-    Q("tpch_q6", Some(q6Sql), run(q6Sql)))
+    Q("tpch_q6", Some(q6Sql), run(q6Sql)),
+    Q("tpch_q10", Some(q10Sql), run(q10Sql)),
+    Q("tpch_q13", Some(q13Sql), run(q13Sql)),
+    Q("tpch_q14", Some(q14Sql), run(q14Sql)),
+    Q("tpch_q15", Some(q15Sql), run(q15Sql)),
+    Q("tpch_q17", Some(q17Sql), run(q17Sql)),
+    Q("tpch_q18", Some(q18Sql), run(q18Sql)))
 }
