@@ -208,11 +208,43 @@ object Analytic4 {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin
 
+  /** q92 — nested-array construction + indexed fold: collapse each
+    * order's lineitems into a SORTED quantity array, then fold it with
+    * position weights (Σ qty[i]·i) via the higher-order
+    * transform(sequence)+aggregate pipeline — the array-of-structs
+    * manipulation surface (build → order → index → reduce) that ELT
+    * pipelines use for per-entity event lists. All arithmetic is
+    * integer (qty is integer-valued, positions are ints), so the fold
+    * is exact in any engine; the per-order array is bounded by
+    * lineitems-per-order (≤ 7 in TPC-H), never a memory risk. One
+    * shuffle: the groupBy building the arrays. */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.df(s, d, "lineitem")
+    l.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qs"))
+      .select(col("l_orderkey"), size(col("qs")).as("n_items"),
+        expr("aggregate(transform(sequence(1, size(qs)), i -> qs[i - 1] * CAST(i AS BIGINT)), 0L, (a, x) -> a + x)")
+          .as("pos_weighted"))
+      .orderBy("l_orderkey")
+  }
+
+  private val q92Oracle: String =
+    """SELECT l_orderkey, len(qs) AS n_items,
+      |  CAST(list_reduce(
+      |    list_transform(range(1, len(qs) + 1), i -> qs[i] * i),
+      |    (a, x) -> a + x) AS BIGINT) AS pos_weighted
+      |FROM (
+      |  SELECT l_orderkey,
+      |    list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+      |  FROM lineitem GROUP BY l_orderkey)
+      |ORDER BY l_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
     Q("q88_scd2_upsert", Some(q88Oracle), q88),
     Q("q89_union_by_name", Some(q89Oracle), q89),
     Q("q90_incr_agg_merge", Some(q90Oracle), q90),
-    Q("q91_group_by_all", Some(q91Oracle), q91))
+    Q("q91_group_by_all", Some(q91Oracle), q91),
+    Q("q92_nested_fold", Some(q92Oracle), q92))
 }

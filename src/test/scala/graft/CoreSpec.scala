@@ -199,6 +199,15 @@ class CoreSpec extends AnyFunSuite {
       assert(!names.exists(_.contains("SortMergeJoin")),
         s"$n plans a shuffle join over a broadcastable dim: $names")
     }
+    // Q17: the correlated AVG subquery must decorrelate to an
+    // aggregate + join — a per-row subquery re-execution would be a
+    // scan per part at scale. Decorrelated = the plan is joins over a
+    // per-partkey aggregate, with no Subquery node on the lineitem side
+    // (Q15-style uncorrelated scalar subqueries do keep one).
+    val q17names = nodeNames(SparkEntry.queries("tpch_q17")(spark, sf))
+    assert(q17names.count(_.contains("HashAggregate")) >= 4, // per-key avg (2-phase) + final sum
+      s"Q17 lacks the decorrelated per-partkey aggregate: $q17names")
+    assert(q17names.exists(_.contains("Join")), s"Q17 lost its join: $q17names")
   }
 
   test("q83/q84/q85 window-frame emulations shuffle once on the partition key") {

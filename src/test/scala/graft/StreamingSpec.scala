@@ -93,6 +93,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.agg(sum("event_id")).head.getLong(0) == (0L until 300L).sum)
   }
 
+  test("two source streams union into one watermarked windowed aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, window}
+    // the multi-source ingest shape: two independent feeds (e.g. two
+    // regions' collectors) union BEFORE the stateful stage, so one
+    // watermark and one state store cover both
+    val a = MemoryStream[Event]
+    val b = MemoryStream[Event]
+    val unioned = a.toDF().unionByName(b.toDF())
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .count()
+    val q = unioned.writeStream.format("memory")
+      .queryName("union_counts").outputMode(OutputMode.Complete()).start()
+    try {
+      a.addData(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 2, "view", 1.0))
+      b.addData(Event(3, ts(3), 3, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("union_counts")
+        .select("event_type", "count").as[(String, Long)].collect().toMap
+      assert(got == Map("click" -> 2L, "view" -> 1L),
+        s"union stream counts wrong: $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
