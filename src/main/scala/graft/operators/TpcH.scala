@@ -183,11 +183,60 @@ object TpcH {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  private val q7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INT) AS l_year,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS volume
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey
+      |    AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey
+      |    AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  private val q8Sql: String =
+    """SELECT o_year,
+      |  round(
+      |    CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+      |                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey
+      |    AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey
+      |    AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey
+      |    AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'ASIA'
+      |    AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    AND p_type = 'ECONOMY') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("tpch_q1", Some(q1Sql), run(q1Sql)),
     Q("tpch_q3", Some(q3Sql), run(q3Sql)),
     Q("tpch_q5", Some(q5Sql), run(q5Sql)),
     Q("tpch_q6", Some(q6Sql), run(q6Sql)),
+    Q("tpch_q7", Some(q7Sql), run(q7Sql)),
+    Q("tpch_q8", Some(q8Sql), run(q8Sql)),
     Q("tpch_q10", Some(q10Sql), run(q10Sql)),
     Q("tpch_q13", Some(q13Sql), run(q13Sql)),
     Q("tpch_q14", Some(q14Sql), run(q14Sql)),
