@@ -446,10 +446,65 @@ object Multimodal {
     graft.operators.Dedup.simhashPairs(sigs)
   }
 
+  /** m06 — shot-boundary detection: synthesize videos whose frame
+    * pattern JUMPS at a doc-dependent cut point (two "shots"), decode
+    * every frame to its aHash at the typed boundary, then find
+    * boundaries declaratively — lag() the hash per video, flag frames
+    * whose Hamming distance to the previous frame exceeds the
+    * threshold, emit (video, boundary frame, distance). The same
+    * m04 shape: imperative math only inside the decode stage, scene
+    * logic as window functions on the frame rows. Frames never leave
+    * their partition until the tiny (video, hash) rows do. Rows-only;
+    * cut positions are golden-pinned in PipelineSpec via the shared
+    * synthesizer. */
+  private[graft] def shotVideo(id: Long, nf: Int, cut: Int): Array[Array[Byte]] =
+    Array.tabulate(nf) { f =>
+      // shot 1: slow horizontal gradient; shot 2: vertical stripes —
+      // far apart in aHash space, constant within a shot
+      if (f < cut)
+        encodeBmp(16, 16, (x, y) => {
+          val v = (id % 7 + x * 16).toInt % 256
+          (v, v, v)
+        })
+      else
+        encodeBmp(16, 16, (x, y) => {
+          val v = if ((y / 2) % 2 == 0) 230 else 20
+          (v, v, v)
+        })
+    }
+
+  private def m06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frames = graft.Tables.df(s, d, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        // nf ∈ 5..8, cut ∈ 2..4 — the cut always lands strictly inside
+        (pmod(xxhash64(col("doc_id")), lit(4)) + 5).cast("int").as("n_frames"),
+        (pmod(xxhash64(col("doc_id"), lit(7)), lit(3)) + 2).cast("int").as("cut"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.flatMap { case (id, nf, cut) =>
+        shotVideo(id, nf, cut).zipWithIndex.map { case (bmp, f) =>
+          val (w, h, gray) = bmpGray(bmp)
+          (id, f, aHash64(w, h, gray))
+        }
+      })
+      .toDF("doc_id", "frame_idx", "ahash")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("prev", lag(col("ahash"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .withColumn("hamming", bit_count(col("ahash").bitwiseXOR(col("prev"))))
+      .where(col("hamming") >= 16)
+      .select(col("doc_id"), col("frame_idx").as("cut_frame"), col("hamming"))
+      .orderBy("doc_id", "cut_frame")
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_multimodal", None, m01),
     Q("m02_frame_sample", None, m02),
     Q("m03_waveform_stats", None, m03),
     Q("m04_silence_segments", None, m04),
-    Q("m05_image_near_dup", None, m05))
+    Q("m05_image_near_dup", None, m05),
+    Q("m06_shot_boundaries", None, m06))
 }

@@ -530,6 +530,51 @@ object Sampling {
       |FROM t JOIN m ON t.source = m.source
       |ORDER BY doc_id""".stripMargin
 
+  /** p17 — quality-gated quarantine routing: every doc gets a verdict
+    * (pass / review / fail) and a machine-readable reason code from a
+    * FIRST-MATCH rule chain — the triage stage in front of any
+    * training-data ingest (fail drops, review quarantines for humans,
+    * pass flows on). All predicates are integer counts or single
+    * divisions of integers, so the routing is engine-exact; one
+    * codegen'd projection, no shuffle before the final sort. */
+  private def p17(s: SparkSession, d: String): DataFrame = {
+    val toks = expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(toks).as("n_tok"),
+        size(array_distinct(toks)).as("n_distinct"),
+        col("n_chars"))
+      .withColumn("verdict",
+        when(col("n_tok") < 5, lit("fail"))
+          .when(col("n_distinct") / col("n_tok") < 0.3, lit("fail"))
+          .when(col("n_chars") > 500, lit("review"))
+          .otherwise(lit("pass")))
+      .withColumn("reason",
+        when(col("n_tok") < 5, lit("too_short"))
+          .when(col("n_distinct") / col("n_tok") < 0.3, lit("low_diversity"))
+          .when(col("n_chars") > 500, lit("long_doc"))
+          .otherwise(lit("ok")))
+      .orderBy("doc_id")
+  }
+
+  private val p17Oracle: String =
+    """SELECT doc_id, source,
+      |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_tok,
+      |  len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS n_distinct,
+      |  n_chars,
+      |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) < 5 THEN 'fail'
+      |       WHEN len(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))
+      |            / len(regexp_extract_all(lower(text), '[a-z]+')) < 0.3 THEN 'fail'
+      |       WHEN n_chars > 500 THEN 'review'
+      |       ELSE 'pass' END AS verdict,
+      |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) < 5 THEN 'too_short'
+      |       WHEN len(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))
+      |            / len(regexp_extract_all(lower(text), '[a-z]+')) < 0.3 THEN 'low_diversity'
+      |       WHEN n_chars > 500 THEN 'long_doc'
+      |       ELSE 'ok' END AS reason
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -546,5 +591,6 @@ object Sampling {
     Q("p13_dataset_card", Some(p13Oracle), p13),
     Q("p14_oversample", Some(p14Oracle), p14),
     Q("p15_winsorize", Some(p15Oracle), p15),
-    Q("p16_feature_scale", Some(p16Oracle), p16))
+    Q("p16_feature_scale", Some(p16Oracle), p16),
+    Q("p17_quarantine", Some(p17Oracle), p17))
 }

@@ -145,6 +145,25 @@ class PipelineSpec extends AnyFunSuite {
       "no adjacent-generation pair (a, a+97) found")
   }
 
+  test("m06 finds exactly one shot boundary per video, at the synthesized cut") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val got = SparkEntry.queries("m06_shot_boundaries")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("cut_frame"))
+    // one boundary per video — a second one would mean within-shot
+    // hash instability; zero would mean the cut didn't register
+    assert(got.map(_._1).distinct.length == got.length, "duplicate boundaries")
+    val expected = Tables.df(spark, sf, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        (pmod(xxhash64(col("doc_id"), lit(7)), lit(3)) + 2).cast("int").as("cut"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("cut")).toMap
+    assert(got.length == expected.size,
+      s"boundary count ${got.length} != video count ${expected.size}")
+    got.foreach { case (id, f) =>
+      assert(expected(id) == f, s"video $id: boundary at $f, cut was ${expected(id)}")
+    }
+  }
+
   test("dedup/sampling operators are total on an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
