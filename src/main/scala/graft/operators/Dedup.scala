@@ -392,6 +392,45 @@ object Dedup {
       .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
 
+  /** Content signature of a docs corpus (count ⊕ row hashes —
+    * order-independent and ANSI-overflow-safe), the staleness key for
+    * the dup-graph label index; same rule as the ANN indexes'
+    * corpusSignature. One narrow scan. */
+  private def docsSignature(docsDf: DataFrame): Long = {
+    val r = docsDf
+      .agg(count(lit(1)).as("n"), bit_xor(expr("xxhash64(doc_id, text)")).as("x"))
+      .head()
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+      r.getAs[Long]("x"), r.getAs[Long]("n"))
+  }
+
+  private val labelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Long), DataFrame]()
+
+  /** The dup-graph label index: CC labels over the d02 Jaccard graph,
+    * built ONCE per (session, corpus content signature) and shared by
+    * every consumer — d06, d08, d11 and p07 all read the same
+    * materialized (id, lbl) table. This is the dedup twin of the ANN
+    * build-once/query-many index contract: a dedup pipeline runs many
+    * queries over one corpus snapshot, and re-deriving the candidate
+    * pipeline + CC per query was the whole top of the bench. Keyed by
+    * content signature, NOT path, so stale data never serves after the
+    * corpus changes. The cached table is localCheckpointed (a few rows
+    * per doc — the 100 TB posture is a stored label table, which this
+    * models); the builder's internal round checkpoint is freed
+    * eagerly. */
+  private[graft] def dupLabelIndex(docsDf: DataFrame): DataFrame = {
+    val key = (docsDf.sparkSession, docsSignature(docsDf))
+    labelCache.computeIfAbsent(key, _ => {
+      val cc = connectedComponents(
+        docsDf.select(col("doc_id")),
+        jaccardPairs(docsDf).select(col("a_id"), col("b_id")))
+      val out = cc.localCheckpoint()
+      freeCheckpoint(cc)
+      out
+    })
+  }
+
   /** d06 — dedup-cluster assignment: connected components over the d02
     * Jaccard candidate graph. Near-dup pairs are not transitive — A~B
     * and B~C does not imply A~C — so keep-one-per-pair dedup either
@@ -401,10 +440,7 @@ object Dedup {
     * doc with its component id (min doc_id in the component) and the
     * component size; singletons are their own representative. */
   private def d06(s: SparkSession, d: String): DataFrame = {
-    val ds = docs(s, d)
-    val labels = connectedComponents(
-      ds.select(col("doc_id")),
-      jaccardPairs(ds).select(col("a_id"), col("b_id")))
+    val labels = dupLabelIndex(docs(s, d))
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
@@ -498,10 +534,7 @@ object Dedup {
     * sort, so clusters of any size reduce map-side first. */
   private def d08(s: SparkSession, d: String): DataFrame = {
     val ds = docs(s, d)
-    val labels = connectedComponents(
-      ds.select(col("doc_id")),
-      jaccardPairs(ds).select(col("a_id"), col("b_id")))
-      .toDF("doc_id", "cluster_id")
+    val labels = dupLabelIndex(ds).toDF("doc_id", "cluster_id")
     labels
       .join(graft.operators.TextAnalysis.qualityScore(ds), "doc_id")
       .groupBy("cluster_id")
@@ -596,10 +629,7 @@ object Dedup {
     * more partial+final aggregations on the label table, output
     * bounded by |distinct sizes|. */
   private def d11(s: SparkSession, d: String): DataFrame = {
-    val ds = docs(s, d)
-    val labels = connectedComponents(
-      ds.select(col("doc_id")),
-      jaccardPairs(ds).select(col("a_id"), col("b_id")))
+    val labels = dupLabelIndex(docs(s, d))
     labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"))

@@ -183,10 +183,9 @@ object Sampling {
     * stage-consistency property check on top). */
   private def p07(s: SparkSession, d: String): DataFrame = {
     val ds = Tables.df(s, d, "documents")
-    val labels = Dedup.connectedComponents(
-      ds.select(col("doc_id")),
-      Dedup.jaccardPairs(ds).select(col("a_id"), col("b_id")))
-      .toDF("doc_id", "cluster_id")
+    // the shared dup-graph label index (content-signature cached; see
+    // Dedup.dupLabelIndex) — p07 no longer owns or frees it
+    val labels = Dedup.dupLabelIndex(ds).toDF("doc_id", "cluster_id")
     // keepers is one id per cluster — tiny — but its subplan carries the
     // whole CC + quality pipeline; the temperature sampler references
     // `deduped` three times (rate numerator, rate denominator, membership
@@ -199,10 +198,6 @@ object Sampling {
       .agg(max_by(col("doc_id"), struct(col("quality_score"), -col("doc_id"))).as("doc_id"))
       .select("doc_id")
       .localCheckpoint()
-    // keepers is materialized — the CC labels' own checkpoint feeds
-    // nothing else in this query; free it rather than pin it for the
-    // session's lifetime
-    Dedup.freeCheckpoint(labels)
     val deduped = ds.join(keepers, Seq("doc_id"), "left_semi")
     temperatureSample(deduped)
       .join(deduped.select("doc_id", "lang", "n_chars"), "doc_id")
