@@ -164,6 +164,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-graph label index: cache hit on identical content, rebuild on change") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "aa bb cc dd ee ff gg hh", "w"),
+      (2L, "zz yy xx ww vv uu tt ss", "w")).toDF("doc_id", "text", "source")
+    val l1 = graft.operators.Dedup.dupLabelIndex(base)
+    // a DIFFERENT DataFrame with the same content must hit the cache —
+    // instance equality proves no rebuild ran
+    val l1b = graft.operators.Dedup.dupLabelIndex(
+      base.where(lit(true)).select("doc_id", "text", "source"))
+    assert(l1 eq l1b, "identical content rebuilt the label index")
+    // appending a near-dup of doc 1 changes the signature → rebuild,
+    // and the new doc lands in doc 1's cluster
+    val extended = base.union(
+      Seq((3L, "aa bb cc dd ee ff gg hh", "w")).toDF("doc_id", "text", "source"))
+    val l2 = graft.operators.Dedup.dupLabelIndex(extended)
+    assert(!(l2 eq l1), "stale index served after a content change")
+    val lbl = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl(3L) == lbl(1L), s"new near-dup not clustered with its twin: $lbl")
+    assert(lbl(1L) != lbl(2L), s"unrelated docs merged: $lbl")
+  }
+
   test("dedup/sampling operators are total on an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
