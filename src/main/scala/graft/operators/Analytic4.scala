@@ -239,6 +239,37 @@ object Analytic4 {
       |  FROM lineitem GROUP BY l_orderkey)
       |ORDER BY l_orderkey""".stripMargin
 
+  /** q93 — safe-cast / safe-arithmetic surface (try_cast, try_divide,
+    * try_add): the data-quality contract under ANSI mode — this
+    * session runs ANSI-strict, where a bad cast or division by zero
+    * THROWS mid-job (correct for pipelines: fail loudly), and the
+    * try_* family is the per-expression opt-out that yields NULL
+    * instead, so one malformed row quarantines itself rather than
+    * killing a 100 TB job. Derived malformed inputs: every third
+    * order's "numeric" string is corrupted, every fifth divisor is
+    * zero. The oracle spells the identical semantics with DuckDB's
+    * TRY_CAST and a NULLIF guard. */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    Tables.ensure(s, d)
+    s.sql(
+      """SELECT o_orderkey,
+        |  try_cast(CASE WHEN o_orderkey % 3 = 0 THEN 'oops'
+        |                ELSE CAST(o_orderkey AS STRING) END AS BIGINT) AS safe_cast,
+        |  try_divide(o_totalprice, CAST(o_orderkey % 5 AS DOUBLE)) AS safe_div,
+        |  try_add(9223372036854775807, o_orderkey % 2) AS safe_add
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val q93Oracle: String =
+    """SELECT o_orderkey,
+      |  TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'oops'
+      |                ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS safe_cast,
+      |  o_totalprice / NULLIF(CAST(o_orderkey % 5 AS DOUBLE), 0.0) AS safe_div,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 9223372036854775807 END AS safe_add
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
@@ -246,5 +277,6 @@ object Analytic4 {
     Q("q89_union_by_name", Some(q89Oracle), q89),
     Q("q90_incr_agg_merge", Some(q90Oracle), q90),
     Q("q91_group_by_all", Some(q91Oracle), q91),
-    Q("q92_nested_fold", Some(q92Oracle), q92))
+    Q("q92_nested_fold", Some(q92Oracle), q92),
+    Q("q93_try_functions", Some(q93Oracle), q93))
 }

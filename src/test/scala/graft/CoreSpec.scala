@@ -225,6 +225,64 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("join and repartition hints are honored in the plan") {
+    // the escape hatch when the optimizer guesses wrong: a BROADCAST
+    // hint forces the small side to ship even with autoBroadcast off,
+    // and MERGE forces a sort-merge join even under the threshold
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forced = spark.sql(
+        s"""SELECT /*+ BROADCAST(n) */ n.n_name, count(*) AS c
+           |FROM parquet.`$sf/customer.parquet` c
+           |JOIN parquet.`$sf/nation.parquet` n ON c.c_nationkey = n.n_nationkey
+           |GROUP BY n.n_name""".stripMargin)
+      assert(nodeNames(forced).exists(_.contains("BroadcastHashJoin")),
+        "BROADCAST hint ignored with autoBroadcast off")
+    } finally saved.foreach(spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    val merged = spark.sql(
+      s"""SELECT /*+ MERGE(n) */ n.n_name, c.c_custkey
+         |FROM parquet.`$sf/customer.parquet` c
+         |JOIN parquet.`$sf/nation.parquet` n ON c.c_nationkey = n.n_nationkey""".stripMargin)
+    assert(nodeNames(merged).exists(_.contains("SortMergeJoin")),
+      "MERGE hint ignored under the broadcast threshold")
+    val repartitioned = spark.sql(
+      s"SELECT /*+ REPARTITION(7) */ * FROM parquet.`$sf/nation.parquet`")
+    assert(repartitioned.rdd.getNumPartitions == 7, "REPARTITION(7) hint ignored")
+  }
+
+  test("DISTRIBUTE BY + SORT BY lays out partition-local order without a global sort") {
+    // the physical-layout surface (write-side clustering): one hash
+    // exchange + per-partition sort; a global Sort (range exchange)
+    // would serialize the world at 100 TB
+    val df = spark.sql(
+      s"""SELECT o_custkey, o_orderkey FROM parquet.`$sf/orders.parquet`
+         |DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderkey""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(o_custkey"),
+      s"DISTRIBUTE BY did not hash-partition:\n$plan")
+    // Sort's second argument is the global flag: `Sort [...], false, 0`
+    // is a partition-local sort
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Sort [o_custkey") && l.contains("], false,")),
+      s"SORT BY did not plan a partition-local sort:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"layout query planned a global range sort:\n$plan")
+  }
+
+  test("cached table serves from InMemoryTableScan and uncaches cleanly") {
+    val t = spark.read.parquet(s"$sf/region.parquet")
+    t.cache()
+    try {
+      assert(t.count() == 5)
+      val names = nodeNames(t.groupBy("r_name").count())
+      assert(names.exists(_.contains("InMemoryTableScan")),
+        s"cached table not served from memory: $names")
+    } finally t.unpersist(blocking = true)
+    assert(!nodeNames(t.groupBy("r_name").count())
+      .exists(_.contains("InMemoryTableScan")), "unpersist left the cache live")
+  }
+
   test("runtime Bloom-filter pruning injects into a selective shuffle join") {
     // the runtime-filter analog of the reference's pruning story: a
     // selective dim-side predicate is turned into a Bloom filter that
