@@ -270,6 +270,64 @@ object Analytic4 {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q94 — hierarchical share-of-parent: each nation's revenue as a
+    * share of its region AND of the world, from ONE rollup pass —
+    * grouping_id() tells the three levels apart, and the parent totals
+    * come from windows PARTITIONED by the ancestor keys over the
+    * rollup output (a |regions|+|nations|+1-row spine), so the fact
+    * table is aggregated exactly once. The q66 ratio-to-report is the
+    * flat special case; this is the drill-down report shape (share of
+    * parent at every level) BI tools emit. Decimal sums; shares are
+    * single divisions of identical decimals-cast-double. */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.df(s, d, "customer")
+    val o = Tables.df(s, d, "orders")
+    val n = Tables.df(s, d, "nation")
+    val r = Tables.df(s, d, "region")
+    val p = col("o_totalprice").cast("decimal(18,2)")
+    val joined = o
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val rolled = joined
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(p).as("rev_d"), grouping_id().cast("int").as("gid"))
+    val wRegion = Window.partitionBy(col("r_name"))
+    val wAll = Window.partitionBy()
+    rolled
+      .withColumn("region_total",
+        max(when(col("gid") === 1, col("rev_d"))).over(wRegion))
+      .withColumn("world_total",
+        max(when(col("gid") === 3, col("rev_d"))).over(wAll))
+      .select(col("r_name"), col("n_name"), col("gid"),
+        col("rev_d").cast("double").as("revenue"),
+        round(col("rev_d").cast("double") /
+          col("region_total").cast("double"), 6).as("share_of_region"),
+        round(col("rev_d").cast("double") /
+          col("world_total").cast("double"), 6).as("share_of_world"))
+      .orderBy(col("gid"), col("r_name"), col("n_name"))
+  }
+
+  private val q94Oracle: String =
+    """WITH rolled AS (
+      |  SELECT r_name, n_name,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d,
+      |    CAST(grouping_id(r_name, n_name) AS INT) AS gid
+      |  FROM orders, customer, nation, region
+      |  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |    AND n_regionkey = r_regionkey
+      |  GROUP BY ROLLUP (r_name, n_name))
+      |SELECT r_name, n_name, gid,
+      |  CAST(rev_d AS DOUBLE) AS revenue,
+      |  round(CAST(rev_d AS DOUBLE) / CAST(
+      |    MAX(CASE WHEN gid = 1 THEN rev_d END)
+      |      OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share_of_region,
+      |  round(CAST(rev_d AS DOUBLE) / CAST(
+      |    MAX(CASE WHEN gid = 3 THEN rev_d END) OVER () AS DOUBLE), 6)
+      |    AS share_of_world
+      |FROM rolled
+      |ORDER BY gid, r_name, n_name""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
@@ -278,5 +336,6 @@ object Analytic4 {
     Q("q90_incr_agg_merge", Some(q90Oracle), q90),
     Q("q91_group_by_all", Some(q91Oracle), q91),
     Q("q92_nested_fold", Some(q92Oracle), q92),
-    Q("q93_try_functions", Some(q93Oracle), q93))
+    Q("q93_try_functions", Some(q93Oracle), q93),
+    Q("q94_share_of_parent", Some(q94Oracle), q94))
 }

@@ -136,13 +136,33 @@ object Dedup {
       .drop("doc_id").withColumnRenamed("n_sh", "nb")
   }
 
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Long), DataFrame]()
+
+  /** The candidate-pair table, materialized once per corpus content
+    * signature: d02 (Jaccard), d12 (containment) and the dup-graph
+    * label build all score the SAME (a_id, b_id, inter, na, nb) rows —
+    * production near-dup pipelines store exactly this table between
+    * stages. Same staleness contract as dupLabelIndex (content
+    * signature, not path). Callers that pass an explicit nDocs bypass
+    * the cache (they are tuning the cap, not reading the corpus
+    * snapshot). */
+  private def cachedPairs(docsDf: DataFrame): DataFrame = {
+    val key = (docsDf.sparkSession, docsSignature(docsDf))
+    pairsCache.computeIfAbsent(key,
+      _ => sharedShinglePairs(docsDf).localCheckpoint())
+  }
+
   private[graft] def jaccardPairs(docsDf: DataFrame,
-      nDocs: Option[Long] = None): DataFrame =
-    sharedShinglePairs(docsDf, nDocs)
+      nDocs: Option[Long] = None): DataFrame = {
+    val pairs = if (nDocs.isDefined) sharedShinglePairs(docsDf, nDocs)
+      else cachedPairs(docsDf)
+    pairs
       .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
       .where(col("jac") >= 0.3)
       .select("a_id", "b_id", "inter", "na", "nb", "jac")
       .orderBy("a_id", "b_id")
+  }
 
   private val d02Oracle: String =
     """WITH toks AS (
@@ -656,7 +676,7 @@ object Dedup {
 
   private[graft] def containmentPairs(docsDf: DataFrame,
       nDocs: Option[Long] = None): DataFrame =
-    sharedShinglePairs(docsDf, nDocs)
+    (if (nDocs.isDefined) sharedShinglePairs(docsDf, nDocs) else cachedPairs(docsDf))
       .withColumn("cont", col("inter") / least(col("na"), col("nb")))
       .where(col("cont") >= 0.8)
       .select(

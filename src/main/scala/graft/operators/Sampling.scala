@@ -570,6 +570,36 @@ object Sampling {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** p18 — deterministic source interleave: a global training order
+    * that round-robins across sources (doc k of each source before doc
+    * k+1 of any) with stable hash order within a source — the "don't
+    * feed 1M docs of one source in a row" curriculum layout. The
+    * interleave key is (per-source rank, source): the rank costs one
+    * window per SOURCE partition, and the total order is the range-
+    * partitioned output sort — deliberately NO global row_number
+    * window (an explicit position column would serialize 100 TB
+    * through one task; a consumer needing it uses zipWithIndex on the
+    * sorted result, where per-partition offsets keep it parallel). */
+  private def p18(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"), col("source"), expr(hashCol).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .select("rn", "source", "doc_id")
+      .orderBy("rn", "source", "doc_id")
+  }
+
+  private val p18Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    (doc_id * 2654435761 + 104729) % 1000000 AS h
+      |  FROM documents)
+      |SELECT ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+      |  source, doc_id
+      |FROM t
+      |ORDER BY rn, source, doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -587,5 +617,6 @@ object Sampling {
     Q("p14_oversample", Some(p14Oracle), p14),
     Q("p15_winsorize", Some(p15Oracle), p15),
     Q("p16_feature_scale", Some(p16Oracle), p16),
-    Q("p17_quarantine", Some(p17Oracle), p17))
+    Q("p17_quarantine", Some(p17Oracle), p17),
+    Q("p18_interleave", Some(p18Oracle), p18))
 }

@@ -606,6 +606,41 @@ object TextAnalysis {
       |  END AS flesch
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** t17 — blocklist / safety filtering: count word-boundary matches
+    * of a term list per doc and emit keep/flag verdicts — the safety
+    * screen every training corpus passes through. The list compiles to
+    * ONE alternation regex (\b(a|b|…)\b — in the Java∩RE2∩DuckDB
+    * subset), applied in a single codegen'd pass; at production list
+    * sizes the same shape holds via Aho-Corasick in a native
+    * expression, and the per-term breakdown here (a small explode over
+    * matches) stays bounded by matches, not terms × docs. */
+  private def t17(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("que", "der", "wo", "la") // stand-in list: corpus-present tokens
+    val rx = terms.mkString("\\\\b(", "|", ")\\\\b")
+    Tables.df(s, d, "documents")
+      .select(col("doc_id"),
+        expr(s"size(regexp_extract_all(lower(text), '$rx', 0))").as("n_hits"),
+        expr(s"array_distinct(regexp_extract_all(lower(text), '$rx', 1))").as("terms_hit"))
+      .select(col("doc_id"), col("n_hits"),
+        array_join(array_sort(col("terms_hit")), ",").as("terms_hit"),
+        when(col("n_hits") === 0, lit("keep"))
+          .when(col("n_hits") <= 2, lit("review"))
+          .otherwise(lit("block")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  private val t17Oracle: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(lower(text), '\b(que|der|wo|la)\b')) AS n_hits,
+      |  COALESCE(array_to_string(list_sort(list_distinct(
+      |    regexp_extract_all(lower(text), '\b(que|der|wo|la)\b', 1))), ','), '')
+      |    AS terms_hit,
+      |  CASE WHEN len(regexp_extract_all(lower(text), '\b(que|der|wo|la)\b')) = 0 THEN 'keep'
+      |       WHEN len(regexp_extract_all(lower(text), '\b(que|der|wo|la)\b')) <= 2 THEN 'review'
+      |       ELSE 'block' END AS verdict
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -622,5 +657,6 @@ object TextAnalysis {
     Q("t13_zipf_fit", Some(t13Oracle), t13),
     Q("t14_doc_profile", Some(t14Oracle), t14),
     Q("t15_langid_confusion", Some(t15Oracle), t15),
-    Q("t16_readability", Some(t16Oracle), t16))
+    Q("t16_readability", Some(t16Oracle), t16),
+    Q("t17_blocklist", Some(t17Oracle), t17))
 }
