@@ -48,20 +48,39 @@ object Analytic4 {
   /** q87 — equi-depth (quantile) binning: 10 bins with equal row
     * counts over l_extendedprice, each reporting its [lo, hi] range —
     * the histogram that adapts to skew where q61's equi-width bins
-    * starve. ntile is deterministic only under a total order, so ties
-    * on price are broken by the (orderkey, linenumber) pk — without
-    * that, boundary rows land in either bin depending on engine/
-    * partition order. Plan: one global-sort window (rank assignment is
-    * a sort, irreducibly) then a 10-group partial+final agg. */
+    * starve. Ties on price are broken by the (orderkey, linenumber)
+    * pk so the total order — and therefore every bin boundary — is
+    * engine-independent. Plan: a RANGE-PARTITIONED sort (parallel)
+    * + zipWithIndex (one extra job to collect per-partition counts;
+    * indices assigned partition-locally) + arithmetic NTILE bucketing
+    * + partial+final agg. A global ntile() WINDOW would compute the
+    * same thing through a SINGLE task — the one plan shape that
+    * cannot survive 100 TB — which is exactly why this is the one
+    * place the implementation drops to the RDD zip; the DuckDB oracle
+    * keeps the declarative NTILE form. */
   private def q87(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
     val l = Tables.df(s, d, "lineitem")
-    val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    l.select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("bin", ntile(10).over(w))
+    val sorted = l
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_extendedprice")).as[Double]
+    val n = l.count() // parquet metadata count — no sort execution
+    // SQL NTILE(k): first (n mod k) buckets take ceil(n/k) rows
+    val q = n / 10
+    val r = n % 10
+    sorted.rdd.zipWithIndex()
+      .map { case (price, idx) =>
+        val bin = if (idx < r * (q + 1)) idx / (q + 1) + 1
+          else r + (idx - r * (q + 1)) / q + 1
+        (bin.toInt, price)
+      }
+      .toDF("bin", "price")
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
-        min(col("l_extendedprice")).as("lo"),
-        max(col("l_extendedprice")).as("hi"))
+        min(col("price")).as("lo"),
+        max(col("price")).as("hi"))
       .orderBy("bin")
   }
 
