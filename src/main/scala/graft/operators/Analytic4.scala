@@ -347,6 +347,64 @@ object Analytic4 {
       |FROM rolled
       |ORDER BY gid, r_name, n_name""".stripMargin
 
+  /** q95 — declarative constraint checking (the dbt-test / data-
+    * contract surface): evaluate referential integrity, uniqueness,
+    * NOT-NULL and range constraints as ONE union of count queries,
+    * emitting (check_name, n_violations, status). Each check is the
+    * cheapest plan for its class — FK checks are broadcast anti joins
+    * against the dim's key set (never a shuffle of the fact), the
+    * uniqueness check is a partial+final agg, range/null checks are
+    * pushed-down filter counts. A failing production run gates the
+    * pipeline on status; here the corpus is clean by construction and
+    * the oracle pins every count at zero-or-not identically. */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.df(s, d, "orders")
+    val c = Tables.df(s, d, "customer")
+    val l = Tables.df(s, d, "lineitem")
+    def check(name: String, viol: => DataFrame): DataFrame =
+      viol.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"),
+          when(col("n_violations") === 0, lit("pass")).otherwise(lit("fail")).as("status"))
+    check("orders_custkey_fk",
+        o.join(broadcast(c.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti"))
+      .unionByName(check("lineitem_orderkey_fk",
+        l.select(col("l_orderkey")).distinct()
+          .join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")))
+      .unionByName(check("orders_pk_unique",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("n")).where(col("n") > 1)))
+      .unionByName(check("orders_price_positive",
+        o.where(col("o_totalprice") <= 0 || col("o_totalprice").isNull)))
+      .unionByName(check("lineitem_discount_range",
+        l.where(col("l_discount") < 0 || col("l_discount") > 1)))
+      .orderBy("check_name")
+  }
+
+  private val q95Oracle: String =
+    """SELECT * FROM (
+      |  SELECT 'orders_custkey_fk' AS check_name, COUNT(*) AS n_violations,
+      |    CASE WHEN COUNT(*) = 0 THEN 'pass' ELSE 'fail' END AS status
+      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  UNION ALL
+      |  SELECT 'lineitem_orderkey_fk', COUNT(*),
+      |    CASE WHEN COUNT(*) = 0 THEN 'pass' ELSE 'fail' END
+      |  FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders_pk_unique', COUNT(*),
+      |    CASE WHEN COUNT(*) = 0 THEN 'pass' ELSE 'fail' END
+      |  FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+      |  UNION ALL
+      |  SELECT 'orders_price_positive', COUNT(*),
+      |    CASE WHEN COUNT(*) = 0 THEN 'pass' ELSE 'fail' END
+      |  FROM orders WHERE o_totalprice <= 0 OR o_totalprice IS NULL
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_range', COUNT(*),
+      |    CASE WHEN COUNT(*) = 0 THEN 'pass' ELSE 'fail' END
+      |  FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+      |ORDER BY check_name""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
@@ -356,5 +414,6 @@ object Analytic4 {
     Q("q91_group_by_all", Some(q91Oracle), q91),
     Q("q92_nested_fold", Some(q92Oracle), q92),
     Q("q93_try_functions", Some(q93Oracle), q93),
-    Q("q94_share_of_parent", Some(q94Oracle), q94))
+    Q("q94_share_of_parent", Some(q94Oracle), q94),
+    Q("q95_constraint_check", Some(q95Oracle), q95))
 }
