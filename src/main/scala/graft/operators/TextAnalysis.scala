@@ -641,6 +641,45 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** t18 — sentence segmentation + per-sentence statistics: split on
+    * terminator runs, drop whitespace-only segments EXPLICITLY (split
+    * engines disagree about trailing empties — never rely on their
+    * defaults), report count / mean length / longest per doc. Mean is
+    * a single division of exact integers (sum of lengths, count), so
+    * it is engine-identical; one codegen'd pass, no explode — the
+    * per-sentence rows never materialize, the higher-order aggregate
+    * folds them in place. */
+  private def t18(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "documents")
+      .withColumn("sents", expr(
+        "filter(transform(split(text, '[.!?]+'), x -> trim(x)), x -> length(x) > 0)"))
+      .select(col("doc_id"),
+        size(col("sents")).as("n_sents"),
+        expr("aggregate(sents, 0L, (a, x) -> a + length(x))").as("total_len"),
+        expr("aggregate(sents, 0, (a, x) -> greatest(a, length(x)))").as("longest"))
+      .withColumn("mean_len",
+        when(col("n_sents") > 0,
+          round(col("total_len").cast("double") / col("n_sents"), 4)))
+      .orderBy("doc_id")
+
+  private val t18Oracle: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+      |      x -> trim(x)), x -> length(x) > 0) AS sents
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(sents) AS n_sents,
+      |  CAST(list_reduce(list_prepend(0, list_transform(sents, x -> length(x))),
+      |    (a, x) -> a + x) AS BIGINT) AS total_len,
+      |  CAST(list_reduce(list_prepend(0, list_transform(sents, x -> length(x))),
+      |    (a, x) -> greatest(a, x)) AS INT) AS longest,
+      |  CASE WHEN len(sents) > 0 THEN
+      |    round(CAST(list_reduce(list_prepend(0, list_transform(sents, x -> length(x))),
+      |      (a, x) -> a + x) AS DOUBLE) / len(sents), 4)
+      |  END AS mean_len
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -658,5 +697,6 @@ object TextAnalysis {
     Q("t14_doc_profile", Some(t14Oracle), t14),
     Q("t15_langid_confusion", Some(t15Oracle), t15),
     Q("t16_readability", Some(t16Oracle), t16),
-    Q("t17_blocklist", Some(t17Oracle), t17))
+    Q("t17_blocklist", Some(t17Oracle), t17),
+    Q("t18_sentences", Some(t18Oracle), t18))
 }
