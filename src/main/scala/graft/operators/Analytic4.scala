@@ -266,8 +266,13 @@ object Analytic4 {
     * instead, so one malformed row quarantines itself rather than
     * killing a 100 TB job. Derived malformed inputs: every third
     * order's "numeric" string is corrupted, every fifth divisor is
-    * zero. The oracle spells the identical semantics with DuckDB's
-    * TRY_CAST and a NULLIF guard. */
+    * zero, one row in 997 overflows the add. The overflow rate is
+    * deliberately RARE: try_add/try_cast null-out via a caught
+    * exception (~30 µs per FAILING row, measured — negligible at
+    * quarantine rates, pathological if half the corpus fails; a
+    * mostly-failing column wants a CASE guard, not try_*). The oracle
+    * spells the identical semantics with DuckDB's TRY_CAST and CASE
+    * guards. */
   private def q93(s: SparkSession, d: String): DataFrame = {
     Tables.ensure(s, d)
     s.sql(
@@ -275,7 +280,7 @@ object Analytic4 {
         |  try_cast(CASE WHEN o_orderkey % 3 = 0 THEN 'oops'
         |                ELSE CAST(o_orderkey AS STRING) END AS BIGINT) AS safe_cast,
         |  try_divide(o_totalprice, CAST(o_orderkey % 5 AS DOUBLE)) AS safe_div,
-        |  try_add(9223372036854775807, o_orderkey % 2) AS safe_add
+        |  try_add(9223372036854775807, CASE WHEN o_orderkey % 997 = 0 THEN 1 ELSE 0 END) AS safe_add
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin)
   }
@@ -285,7 +290,7 @@ object Analytic4 {
       |  TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'oops'
       |                ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS safe_cast,
       |  o_totalprice / NULLIF(CAST(o_orderkey % 5 AS DOUBLE), 0.0) AS safe_div,
-      |  CASE WHEN o_orderkey % 2 = 0 THEN 9223372036854775807 END AS safe_add
+      |  CASE WHEN o_orderkey % 997 <> 0 THEN 9223372036854775807 END AS safe_add
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
