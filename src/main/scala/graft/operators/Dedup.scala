@@ -780,6 +780,50 @@ object Dedup {
       |FROM k0 a JOIN reg r ON levenshtein(a.k, r.k) <= 1
       |ORDER BY doc_id, rec_id""".stripMargin
 
+  /** d14 — boilerplate sentence detection: sentences (t18's
+    * segmentation, whitespace-normalized) that recur across ≥ 3
+    * DISTINCT docs — the template/footer/navigation text a corpus
+    * cleaner strips before training. Per-doc sentence explosion is
+    * bounded by sentences-per-doc; the aggregation is partial+final on
+    * the normalized sentence (count + distinct-doc count shrink
+    * map-side). The exact form shuffles the sentence text as its own
+    * key — at 100 TB the group key becomes a 128-bit hash with the
+    * text as a min() payload, same plan shape. */
+  private def d14(s: SparkSession, d: String): DataFrame =
+    boilerplateSentences(docs(s, d))
+
+  /** Factored so the spec can prove detection on a constructed corpus —
+    * the driver testdata happens to contain no repeated sentences, so
+    * the oracle check there pins the (correct) empty result. */
+  private[graft] def boilerplateSentences(docsDf: DataFrame,
+      minDocs: Int = 3): DataFrame =
+    docsDf
+      .select(col("doc_id"), explode(expr(
+        // normalize \s runs BEFORE trim: trim() strips only spaces
+        // (not \n), so a leading newline would survive as a space
+        """filter(transform(split(text, '[.!?]+'),
+          |  x -> trim(regexp_replace(lower(x), '\\s+', ' '))),
+          |  x -> length(x) >= 20)""".stripMargin)).as("sentence"))
+      .groupBy("sentence")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("sentence"))
+
+  private val d14Oracle: String =
+    """WITH sents AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    list_transform(string_split_regex(text, '[.!?]+'),
+      |      x -> trim(regexp_replace(lower(x), '\s+', ' ', 'g'))),
+      |    x -> length(x) >= 20)) AS sentence
+      |  FROM documents)
+      |SELECT sentence, COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_occurrences
+      |FROM sents
+      |GROUP BY sentence
+      |HAVING COUNT(DISTINCT doc_id) >= 3
+      |ORDER BY n_docs DESC, sentence""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
@@ -793,5 +837,6 @@ object Dedup {
     Q("d10_dedup_editdist", Some(d10Oracle), d10),
     Q("d11_cluster_histogram", Some(d11Oracle), d11),
     Q("d12_dedup_containment", Some(d12Oracle), d12),
-    Q("d13_record_linkage", Some(d13Oracle), d13))
+    Q("d13_record_linkage", Some(d13Oracle), d13),
+    Q("d14_boilerplate", Some(d14Oracle), d14))
 }

@@ -14,7 +14,10 @@ class CoreSpec extends AnyFunSuite {
 
   test("every declared query runs and the non-filter ones return rows") {
     val mayBeEmpty = Set("q13_join_anti", "d02_dedup_jaccard", "d03_dedup_minhash",
-      "d04_dedup_simhash", "d05_dedup_embed")
+      "d04_dedup_simhash", "d05_dedup_embed",
+      // no repeated sentences in the driver corpus — detection is
+      // proven on a constructed corpus in PipelineSpec
+      "d14_boilerplate")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")

@@ -186,6 +186,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(lbl(1L) != lbl(2L), s"unrelated docs merged: $lbl")
   }
 
+  test("d14 finds a shared footer sentence, normalized across case/whitespace") {
+    import spark.implicits._
+    val footer = "Subscribe to our newsletter for the latest updates"
+    val docs = Seq(
+      (1L, s"Unique alpha content here. $footer.", "web"),
+      (2L, s"Different beta text entirely!   ${footer.toUpperCase}. More.", "web"),
+      (3L, s"Gamma body.\n$footer  .", "web"),
+      (4L, "No boilerplate in this one at all, just original text.", "web"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup.boilerplateSentences(docs).collect()
+    assert(got.length == 1, s"expected exactly the footer: ${got.mkString(",")}")
+    assert(got(0).getAs[String]("sentence") == footer.toLowerCase)
+    assert(got(0).getAs[Long]("n_docs") == 3L)
+    // the driver corpus genuinely has no repeated sentences — the
+    // oracle there pins the correct EMPTY result; this test is the
+    // non-vacuous half of the contract
+  }
+
   test("dedup/sampling operators are total on an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
