@@ -780,6 +780,57 @@ object Dedup {
       |FROM k0 a JOIN reg r ON levenshtein(a.k, r.k) <= 1
       |ORDER BY doc_id, rec_id""".stripMargin
 
+  /** PageRank-style centrality by power iteration, the second witness
+    * (after connectedComponents) of the driver-controls/data-stays-
+    * distributed iteration pattern: each round is one join + one
+    * partial+final aggregation, lineage cut by an eager checkpoint
+    * that is freed as soon as the next round supersedes it. Fixed
+    * iteration count — rank deltas at 10 rounds are far below the
+    * 1e-6 output rounding. Dangling nodes (no edges) keep the
+    * teleport mass 1−d. */
+  private[graft] def pageRank(nodes: DataFrame, pairs: DataFrame,
+      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val fwd = pairs.toDF("u", "v")
+    val edges = fwd.union(fwd.select(col("v"), col("u")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.toDF("id").withColumn("rank", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = edges.join(ranks, edges("u") === ranks("id"))
+        .join(deg, "u")
+        .select(col("v").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("in"))
+      val next = nodes.toDF("id").join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1 - damping) + lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+      freeCheckpoint(ranks)
+      ranks = next
+    }
+    edges.unpersist()
+    ranks
+  }
+
+  /** d15 — centrality-based canonical pick: rank every doc by its
+    * authority in the near-dup graph (power iteration over the d02
+    * pairs) — the alternative to d08's quality-score keeper policy
+    * (the most-connected version of a template is usually the
+    * canonical one; quality and centrality disagree exactly on the
+    * interesting clusters). Rows-only (iterative float fixpoint is
+    * not a DuckDB one-shot); star-graph ordering and mass
+    * conservation are spec-pinned. Output: the top 50 most-central
+    * docs with their cluster ids. */
+  private def d15(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    val ranks = pageRank(ds.select(col("doc_id")),
+      jaccardPairs(ds).select(col("a_id"), col("b_id")))
+    ranks.join(dupLabelIndex(ds).toDF("id", "cluster_id"), "id")
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        round(col("rank"), 6).as("rank_r"))
+      .orderBy(col("rank_r").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** d14 — boilerplate sentence detection: sentences (t18's
     * segmentation, whitespace-normalized) that recur across ≥ 3
     * DISTINCT docs — the template/footer/navigation text a corpus
@@ -838,5 +889,6 @@ object Dedup {
     Q("d11_cluster_histogram", Some(d11Oracle), d11),
     Q("d12_dedup_containment", Some(d12Oracle), d12),
     Q("d13_record_linkage", Some(d13Oracle), d13),
-    Q("d14_boilerplate", Some(d14Oracle), d14))
+    Q("d14_boilerplate", Some(d14Oracle), d14),
+    Q("d15_rank_centrality", None, d15))
 }

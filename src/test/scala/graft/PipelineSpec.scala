@@ -204,6 +204,22 @@ class PipelineSpec extends AnyFunSuite {
     // non-vacuous half of the contract
   }
 
+  test("pageRank: star center outranks leaves, mass conserved, singleton at teleport floor") {
+    import spark.implicits._
+    val nodes = (0L to 5L).toDF("id") // 0 = center, 1-4 leaves, 5 singleton
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val ranks = graft.operators.Dedup.pageRank(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(0L) > ranks(1L) * 2,
+      s"star center should dominate leaves: $ranks")
+    assert((1L to 4L).map(ranks).distinct.size == 1, "leaves should tie")
+    assert(math.abs(ranks(5L) - 0.15) < 1e-9,
+      s"edgeless node must sit at the 1-d teleport floor: ${ranks(5L)}")
+    // total mass stays ~n over the connected part + floor for the rest
+    val total = ranks.values.sum
+    assert(total > 4.5 && total < 6.5, s"rank mass diverged: $total")
+  }
+
   test("dedup/sampling operators are total on an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
