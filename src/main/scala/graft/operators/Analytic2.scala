@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.Tables
 
@@ -122,15 +123,23 @@ object Analytic2 {
     * actual data value (smallest value whose cume_dist ≥ p — both
     * engines agree on that definition), which is what quantile-based
     * data-quality cuts want: a real document length, not a synthetic
-    * average of two. */
-  private def q62(s: SparkSession, d: String): DataFrame =
-    sql(s, d,
-      """SELECT o_orderpriority,
-        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
-        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
-        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
-        |  COUNT(*) AS n
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    * average of two. Computed by the distributed range-sort selection
+    * primitive (ExactPercentile.discrete) — no buffering
+    * percentile_disc aggregate, no per-group single-task sort; the
+    * discrete form is pure row addressing (index ceil(p·n)−1 in
+    * (group, value) order), which the two-pass selection answers with
+    * O(groups × ps) rows leaving the executors. */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val pct = ExactPercentile.discrete(
+      graft.Tables.df(s, d, "orders").select(col("o_orderpriority"), col("o_totalprice")),
+      Seq(0.25, 0.5, 0.75))
+    pct.toSeq
+      .map { case (g, r) => (g, r.values(0), r.values(1), r.values(2), r.n) }
+      .toDF("o_orderpriority", "p25", "p50", "p75", "n")
+      .orderBy("o_orderpriority")
+  }
 
   private val q62Oracle: String =
     """SELECT o_orderpriority,

@@ -248,22 +248,30 @@ object Analytic3 {
 
   /** q76 — median absolute deviation per group (robust dispersion —
     * the outlier-tolerant stddev): MAD = median(|x − median(x)|),
-    * composed from two exact-percentile aggregations with the group
-    * median joined back between them. Both percentile passes are
-    * per-group aggregates (partial+final), the join key is the group —
-    * no window over raw rows, so group size only affects the
-    * percentile buffers Spark already bounds. */
+    * composed from TWO passes of the distributed range-sort selection
+    * primitive (ExactPercentile.continuous) with the tiny per-group
+    * median broadcast-joined back between them. No buffering
+    * `percentile` aggregate anywhere — its per-group state grows with
+    * DISTINCT values (≈ rows on continuous money columns), an
+    * executor-OOM shape at 100 TB — and no per-group single-task sort:
+    * each selection pass range-partitions the group across many tasks. */
   private def q76(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
     val o = Tables.df(s, d, "orders")
-    val med = o.groupBy("o_orderpriority")
-      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
-    o.join(med, "o_orderpriority")
-      .withColumn("adev", abs(col("o_totalprice") - col("med")))
-      .groupBy("o_orderpriority")
-      .agg(
-        count(lit(1)).as("n"),
-        round(first(col("med")), 2).as("median_r"),
-        round(expr("percentile(adev, 0.5)"), 2).as("mad_r"))
+    val med = ExactPercentile.continuous(
+      o.select(col("o_orderpriority"), col("o_totalprice")), Seq(0.5))
+    val medDf = med.toSeq.map { case (g, r) => (g, r.values(0), r.n) }
+      .toDF("o_orderpriority", "med", "n")
+    val adev = o.join(broadcast(medDf.select("o_orderpriority", "med")), "o_orderpriority")
+      .select(col("o_orderpriority"), abs(col("o_totalprice") - col("med")).as("adev"))
+    val mad = ExactPercentile.continuous(adev, Seq(0.5))
+    med.toSeq
+      .map { case (g, r) => (g, r.n, r.values(0), mad(g).values(0)) }
+      .toDF("o_orderpriority", "n", "median", "mad")
+      .select(col("o_orderpriority"), col("n"),
+        round(col("median"), 2).as("median_r"),
+        round(col("mad"), 2).as("mad_r"))
       .orderBy("o_orderpriority")
   }
 
@@ -402,22 +410,24 @@ object Analytic3 {
     * sum and the half-total comparison are exact and order-independent
     * across engines; within a run of tied values every ordering yields
     * the same min-crossing VALUE, so no artificial tie-break key is
-    * needed. One sort per group partition (the same per-key sort any
-    * percentile pays), no percentile buffer. */
+    * needed. Computed by the distributed range-sort crossing search
+    * (ExactPercentile.weightedMedian): weights are pre-scaled to exact
+    * integer cents, each flag is spread across MANY range partitions
+    * (vs the previous Window.partitionBy(flag) that funneled the whole
+    * fact table into 3 single-task sorts — the round-6 scale-audit
+    * finding), and only the one partition straddling the half-total
+    * crossing scans for it. */
   private def q80(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
     val li = Tables.df(s, d, "lineitem").select(
       col("l_returnflag").as("flag"),
       col("l_extendedprice").as("v"),
-      col("l_quantity").cast("decimal(18,2)").as("w"))
-    val cumW = Window.partitionBy("flag").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totW = Window.partitionBy("flag")
-    li.withColumn("cumw", sum(col("w")).over(cumW))
-      .withColumn("total", sum(col("w")).over(totW))
-      .where(col("cumw") * 2 >= col("total"))
-      .groupBy("flag")
-      .agg(min(col("v")).as("wmedian"),
-        max(col("total")).cast("double").as("total_w"))
+      (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("w"))
+    val wm = ExactPercentile.weightedMedian(li)
+    wm.toSeq
+      .map { case (g, (v, totalCents)) => (g, v, totalCents / 100.0) }
+      .toDF("flag", "wmedian", "total_w")
       .orderBy("flag")
   }
 

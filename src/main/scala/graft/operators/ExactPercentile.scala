@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.immutable.SortedSet
+
+/** Distributed EXACT percentile / weighted-median primitive.
+  *
+  * Spark's exact `percentile` / `percentile_disc` aggregates buffer a
+  * value→count map per group whose size grows with DISTINCT values —
+  * on near-continuous money columns that is ~rows-sized per group and
+  * an executor-OOM shape at 100 TB (round-6 scale audit). The classic
+  * alternative (`Window.partitionBy(group).orderBy(v)`) funnels each
+  * whole group through a single task. This helper is the scale-safe
+  * third way, generalizing q87's range-sort machinery
+  * (Analytic4.scala q87) into a reusable two-pass selection:
+  *
+  *  1. `repartitionByRange(P, group, v)` — each GROUP is spread across
+  *     MANY partitions in global (group, v) order; no single task ever
+  *     holds a whole group.
+  *  2. Pass 1 counts rows per (partition, group) — P × |groups| rows of
+  *     planning metadata collected to the driver (same contract as the
+  *     ANN centroid collects: metadata, not data).
+  *  3. The driver turns requested percentiles into 0-based global row
+  *     indices per group, assigns each index to the one partition whose
+  *     [offset, offset+count) range holds it, and broadcasts that map.
+  *  4. Pass 2 sorts within partitions (no exchange) and emits ONLY the
+  *     addressed rows via a streaming per-partition counter — O(|groups|
+  *     × |ps|) rows leave the executors.
+  *
+  * Memory per task = one sort-spillable partition; driver state =
+  * P × |groups| longs. Both survive a 100× scale-up by adding
+  * partitions. The input is persisted (MEMORY_AND_DISK) between the two
+  * passes so the shuffle happens once, and unpersisted before return.
+  *
+  * Interpolation reproduces Spark's `Percentile.getPercentile`
+  * (`(higher-pos)*lo + (pos-lower)*hi`), which is round-4 compatible
+  * with DuckDB's `quantile_cont` — the exact cross-engine contract the
+  * previous buffering implementations were verified under.
+  *
+  * Reference anchor: docs/4_sort.md + docs/6_aggregates.md (single-node
+  * sort-based aggregation); this is its distributed re-expression.
+  */
+object ExactPercentile {
+
+  /** Per-group result: row count and one value per requested p. */
+  final case class GroupPct(n: Long, values: IndexedSeq[Double])
+
+  /** Exact interpolating percentiles (SQL `percentile` / DuckDB
+    * `quantile_cont` semantics) per group.
+    *
+    * @param df  exactly two columns: group (castable to string) first,
+    *            numeric value second. NULL values are ignored (the SQL
+    *            aggregate's semantics); NULL groups are kept (SQL GROUP
+    *            BY semantics) under the sentinel handled internally.
+    * @return    group → (n, values aligned with ps)
+    */
+  def continuous(df: DataFrame, ps: Seq[Double], partitions: Int = 0): Map[String, GroupPct] =
+    select(df, ps, disc = false, partitions)
+
+  /** Exact discrete percentiles (`percentile_disc` WITHIN GROUP /
+    * DuckDB `quantile_disc`): smallest actual data value whose
+    * cume_dist ≥ p. */
+  def discrete(df: DataFrame, ps: Seq[Double], partitions: Int = 0): Map[String, GroupPct] =
+    select(df, ps, disc = true, partitions)
+
+  private def select(
+      df: DataFrame,
+      ps: Seq[Double],
+      disc: Boolean,
+      partitions: Int): Map[String, GroupPct] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0), s"bad percentiles $ps")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val cols = df.columns
+    val rp = df
+      .select(col(cols(0)).cast("string").as("g"), col(cols(1)).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .repartitionByRange(p, col("g"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Pass 1 — planning metadata: rows per (partition, group).
+      val counts: Array[(Int, String, Long)] = rp
+        .groupBy(spark_partition_id().as("pid"), col("g"))
+        .count()
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val nPer: Map[String, Long] =
+        counts.groupBy(_._2).map { case (g, xs) => g -> xs.map(_._3).sum }
+
+      // 0-based global row indices each group needs.
+      val needed: Map[String, SortedSet[Long]] = nPer.map { case (g, n) =>
+        g -> ps.foldLeft(SortedSet.empty[Long]) { (acc, pct) =>
+          if (disc) acc + math.max(math.ceil(pct * n).toLong - 1, 0L)
+          else {
+            val pos = pct * (n - 1)
+            acc + math.floor(pos).toLong + math.ceil(pos).toLong
+          }
+        }
+      }
+
+      // Assign each needed index to its owning partition via running
+      // per-group offsets (counts scanned in partition order).
+      val offsets = scala.collection.mutable.Map.empty[String, Long]
+      val byPid = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.Map[String, (Long, Array[Long])]]
+      counts.sortBy(_._1).foreach { case (pid, g, cnt) =>
+        val start = offsets.getOrElse(g, 0L)
+        val mine = needed(g).iteratorFrom(start).takeWhile(_ < start + cnt).toArray
+        if (mine.nonEmpty)
+          byPid.getOrElseUpdate(pid, scala.collection.mutable.Map.empty)
+            .update(g, (start, mine))
+        offsets.update(g, start + cnt)
+      }
+      val bc = spark.sparkContext.broadcast(byPid.map { case (k, m) => k -> m.toMap }.toMap)
+
+      // Pass 2 — per-partition sort (no exchange: partitioning is
+      // pinned by the persist) + streaming index lookup.
+      val picked: Array[(String, Long, Double)] = rp
+        .sortWithinPartitions(col("g"), col("v"))
+        .rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val want = bc.value.getOrElse(pid, Map.empty[String, (Long, Array[Long])])
+          if (want.isEmpty) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+            var curG: String = null
+            var local = 0L
+            var start = 0L
+            var idxs: Array[Long] = Array.emptyLongArray
+            var ni = 0
+            it.foreach { row =>
+              val g = row.getString(0)
+              if (g != curG) {
+                curG = g; local = 0L; ni = 0
+                val e = want.getOrElse(g, (0L, Array.emptyLongArray))
+                start = e._1; idxs = e._2
+              }
+              if (ni < idxs.length && start + local == idxs(ni)) {
+                out += ((g, start + local, row.getDouble(1)))
+                ni += 1
+              }
+              local += 1
+            }
+            out.iterator
+          }
+        }
+        .collect()
+
+      val valueAt: Map[(String, Long), Double] =
+        picked.map { case (g, i, v) => (g, i) -> v }.toMap
+      nPer.map { case (g, n) =>
+        val vals = ps.map { pct =>
+          if (disc) valueAt((g, math.max(math.ceil(pct * n).toLong - 1, 0L)))
+          else {
+            val pos = pct * (n - 1)
+            val lower = math.floor(pos).toLong
+            val higher = math.ceil(pos).toLong
+            if (lower == higher) valueAt((g, lower))
+            else (higher - pos) * valueAt((g, lower)) + (pos - lower) * valueAt((g, higher))
+          }
+        }.toIndexedSeq
+        g -> GroupPct(n, vals)
+      }
+    } finally rp.unpersist(blocking = false)
+  }
+
+  /** Distributed exact WEIGHTED median per group: the smallest value v
+    * at which cumulative weight (in (group, v) order) reaches half the
+    * group total. Same two-pass range-sort shape as `continuous`, with
+    * per-(partition, group) weight SUMS as the planning metadata:
+    * exactly one partition per group straddles the half-total crossing,
+    * and only that partition scans for it — one output row per group.
+    *
+    * @param df  three columns: group, numeric value, LONG weight
+    *            (pre-scale decimals to integer units, e.g. cents, so
+    *            the running sums are exact and order-independent).
+    * @return    group → (weighted median value, total weight in input units)
+    */
+  def weightedMedian(df: DataFrame, partitions: Int = 0): Map[String, (Double, Long)] = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val cols = df.columns
+    val rp = df
+      .select(
+        col(cols(0)).cast("string").as("g"),
+        col(cols(1)).cast("double").as("v"),
+        col(cols(2)).cast("long").as("w"))
+      .where(col("v").isNotNull)
+      .repartitionByRange(p, col("g"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sums: Array[(Int, String, Long)] = rp
+        .groupBy(spark_partition_id().as("pid"), col("g"))
+        .agg(sum(col("w")).as("w"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val totals: Map[String, Long] =
+        sums.groupBy(_._2).map { case (g, xs) => g -> xs.map(_._3).sum }
+
+      // The crossing partition per group: first pid where the running
+      // weight reaches total/2 (weights are positive, so it is unique).
+      val offsets = scala.collection.mutable.Map.empty[String, Long]
+      val crossPid = scala.collection.mutable.Map.empty[Int, Map[String, Long]]
+      sums.sortBy(_._1).foreach { case (pid, g, w) =>
+        val start = offsets.getOrElse(g, 0L)
+        val total = totals(g)
+        if (2 * start < total && 2 * (start + w) >= total)
+          crossPid.update(pid, crossPid.getOrElse(pid, Map.empty) + (g -> start))
+        offsets.update(g, start + w)
+      }
+      // Ship (start offset, group total) to the one crossing partition.
+      val bc = spark.sparkContext.broadcast(
+        crossPid.map { case (pid, m) =>
+          pid -> m.map { case (g, start) => g -> (start, totals(g)) }
+        }.toMap)
+
+      val picked: Array[(String, Double)] = rp
+        .sortWithinPartitions(col("g"), col("v"))
+        .rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val want = bc.value.getOrElse(pid, Map.empty[String, (Long, Long)])
+          if (want.isEmpty) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+            val cum = scala.collection.mutable.Map.empty[String, Long]
+            val found = scala.collection.mutable.Set.empty[String]
+            it.foreach { row =>
+              val g = row.getString(0)
+              if (want.contains(g) && !found.contains(g)) {
+                val (start, total) = want(g)
+                val c = cum.getOrElse(g, start) + row.getLong(2)
+                cum.update(g, c)
+                if (2 * c >= total) {
+                  out += ((g, row.getDouble(1)))
+                  found += g
+                }
+              }
+            }
+            out.iterator
+          }
+        }
+        .collect()
+
+      val medians = picked.toMap
+      totals.map { case (g, t) => g -> (medians(g), t) }
+    } finally rp.unpersist(blocking = false)
+  }
+}

@@ -329,14 +329,26 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
-  /** q30 — exact percentiles per group (sort-based within group). */
-  private def q30(s: SparkSession, d: String): DataFrame =
-    t(s, d, "orders")
-      .groupBy("o_orderpriority")
-      .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+  /** q30 — exact percentiles per group, computed by the distributed
+    * range-sort selection primitive (ExactPercentile.continuous): no
+    * buffering `percentile` aggregate (whose per-group state grows with
+    * distinct values — an OOM shape on continuous money columns at
+    * 100 TB) and no per-group single-task sort. Same interpolation,
+    * same oracle. */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val pct = ExactPercentile.continuous(
+      t(s, d, "orders").select(col("o_orderpriority"), col("o_totalprice")),
+      Seq(0.5, 0.9))
+    pct.toSeq
+      .map { case (g, r) => (g, r.values(0), r.values(1)) }
+      .toDF("o_orderpriority", "p50_raw", "p90_raw")
+      .select(col("o_orderpriority"),
+        round(col("p50_raw"), 4).as("p50"),
+        round(col("p90_raw"), 4).as("p90"))
       .orderBy("o_orderpriority")
+  }
 
   /** q31 — date-part extraction + aggregation. */
   private def q31(s: SparkSession, d: String): DataFrame =
