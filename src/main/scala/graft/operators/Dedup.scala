@@ -139,6 +139,24 @@ object Dedup {
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, Long), DataFrame]()
 
+  /** One live corpus signature per session: when a NEW signature is
+    * inserted into either content-keyed cache, the superseded entries'
+    * localCheckpoint blocks are freed and the entries dropped — a long
+    * session over an evolving corpus would otherwise pin every
+    * historical snapshot's blocks in executor storage for the
+    * session's lifetime (the exact leak freeCheckpoint exists to
+    * prevent; round-5's p07 regression was this pattern). */
+  private val liveSig = new java.util.concurrent.ConcurrentHashMap[SparkSession, Long]()
+
+  private def retireStaleEntries(s: SparkSession, sig: Long): Unit = {
+    val prev = liveSig.put(s, sig)
+    if (prev != null && prev != sig) {
+      Seq(pairsCache, labelCache).foreach { cache =>
+        Option(cache.remove((s, prev.toLong))).foreach(freeCheckpoint)
+      }
+    }
+  }
+
   /** The candidate-pair table, materialized once per corpus content
     * signature: d02 (Jaccard), d12 (containment) and the dup-graph
     * label build all score the SAME (a_id, b_id, inter, na, nb) rows —
@@ -149,6 +167,7 @@ object Dedup {
     * snapshot). */
   private def cachedPairs(docsDf: DataFrame): DataFrame = {
     val key = (docsDf.sparkSession, docsSignature(docsDf))
+    retireStaleEntries(key._1, key._2)
     pairsCache.computeIfAbsent(key,
       _ => sharedShinglePairs(docsDf).localCheckpoint())
   }
@@ -441,6 +460,7 @@ object Dedup {
     * eagerly. */
   private[graft] def dupLabelIndex(docsDf: DataFrame): DataFrame = {
     val key = (docsDf.sparkSession, docsSignature(docsDf))
+    retireStaleEntries(key._1, key._2)
     labelCache.computeIfAbsent(key, _ => {
       val cc = connectedComponents(
         docsDf.select(col("doc_id")),

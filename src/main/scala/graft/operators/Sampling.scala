@@ -503,12 +503,16 @@ object Sampling {
       count(lit(1)).cast("double").as("n"),
       min(col("x")).as("mn"),
       max(col("x")).as("mx"))
+    // Degenerate-group guards (single doc ⇒ n−1 = 0; constant n_chars
+    // ⇒ mx−mn = 0 and sd = 0): NULL out rather than trip the session's
+    // ANSI DIVIDE_BY_ZERO mid-job — mirrored with NULLIF in the oracle.
+    val sd = sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
     docsT.join(broadcast(m), Seq("source"))
       .select(col("doc_id"), col("source"), col("x").cast("long").as("n_chars"),
-        round((col("x") - col("sx") / col("n")) /
-          sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4)
-          .as("z_score"),
-        round((col("x") - col("mn")) / (col("mx") - col("mn")), 4).as("min_max"))
+        round(when(col("n") > 1 && sd =!= 0.0,
+          (col("x") - col("sx") / col("n")) / sd), 4).as("z_score"),
+        round(when(col("mx") =!= col("mn"),
+          (col("x") - col("mn")) / (col("mx") - col("mn"))), 4).as("min_max"))
       .orderBy("doc_id")
   }
 
@@ -520,8 +524,9 @@ object Sampling {
       |    CAST(COUNT(*) AS DOUBLE) AS n, MIN(x) AS mn, MAX(x) AS mx
       |  FROM t GROUP BY source)
       |SELECT doc_id, t.source, CAST(x AS BIGINT) AS n_chars,
-      |  round((x - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)), 4) AS z_score,
-      |  round((x - mn) / (mx - mn), 4) AS min_max
+      |  round((x - sx / n) /
+      |    NULLIF(sqrt((sx2 - sx * sx / n) / NULLIF(n - 1, 0)), 0), 4) AS z_score,
+      |  round((x - mn) / NULLIF(mx - mn, 0), 4) AS min_max
       |FROM t JOIN m ON t.source = m.source
       |ORDER BY doc_id""".stripMargin
 

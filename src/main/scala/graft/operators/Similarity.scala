@@ -210,9 +210,12 @@ object Similarity {
   private[graft] def ivfIndex(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double], Double)]) =
     ivfCache.computeIfAbsent((s, d), _ => buildIvfIndex(s, d))
 
-  /** Same REFRESH contract as refreshLshIndex, for the IVF layout. */
+  /** Same REFRESH contract as refreshLshIndex, for the IVF layout.
+    * Also evicts the composed IVF+PQ handle — it was built FROM this
+    * index, so a fresh parent must invalidate the child. */
   private[graft] def refreshIvfIndex(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double], Double)]) = {
     qCache.remove(d)
+    ivfpqCache.remove((s, d))
     val fresh = buildIvfIndex(s, d)
     ivfCache.put((s, d), fresh)
     fresh
@@ -471,9 +474,11 @@ object Similarity {
   private[graft] def pqIndex(s: SparkSession, d: String): (DataFrame, Array[((Int, Int), Array[Double])]) =
     pqCache.computeIfAbsent((s, d), _ => buildPqIndex(s, d))
 
-  /** Same REFRESH contract as refreshLshIndex/refreshIvfIndex. */
+  /** Same REFRESH contract as refreshLshIndex/refreshIvfIndex; evicts
+    * the composed IVF+PQ handle too (built from this codebook). */
   private[graft] def refreshPqIndex(s: SparkSession, d: String): (DataFrame, Array[((Int, Int), Array[Double])]) = {
     qCache.remove(d)
+    ivfpqCache.remove((s, d))
     val fresh = buildPqIndex(s, d)
     pqCache.put((s, d), fresh)
     fresh
@@ -605,6 +610,18 @@ object Similarity {
 
   private[graft] def ivfpqIndex(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double], Double)], Array[((Int, Int), Array[Double])]) =
     ivfpqCache.computeIfAbsent((s, d), _ => buildIvfPqIndex(s, d))
+
+  /** Same REFRESH contract as the parent indexes: rebuild both parents
+    * (their refreshers evict this cache too), then re-compose. After
+    * an in-session corpus change s08 must never serve the stale
+    * composed layout while s03/s07 serve fresh ones. */
+  private[graft] def refreshIvfPqIndex(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double], Double)], Array[((Int, Int), Array[Double])]) = {
+    refreshIvfIndex(s, d)
+    refreshPqIndex(s, d)
+    val fresh = buildIvfPqIndex(s, d)
+    ivfpqCache.put((s, d), fresh)
+    fresh
+  }
 
   /** s08's index: the IVF coarse quantizer's partitioned layout with
     * the PQ codes riding along as a payload column — built by joining

@@ -140,8 +140,18 @@ object GraftCatalog {
     * footer read per task. Compaction is one narrow re-write:
     * coalesce (no shuffle) down to the target count, write beside the
     * source, swap directories. Returns (files_before, files_after).
-    * On a real object store the swap is a manifest/metastore pointer
-    * flip; the two-phase write-then-swap shape is the same. */
+    *
+    * SCOPE: local-filesystem directories ONLY. Sizing and the swap go
+    * through java.io.File — on HDFS/S3 the listing returns nothing
+    * (bytes = 0 ⇒ 1 output file) and renameTo fails; an object-store
+    * deployment must instead flip a manifest/metastore pointer
+    * (Iceberg/Delta-style), which replaces this whole method, not just
+    * the rename. The rename-out/rename-in swap is also two-step, NOT
+    * atomic: a reader listing the directory between the two renames
+    * sees it absent, and if the second rename fails the data survives
+    * only in the `.old` trash dir (no automatic restore) — acceptable
+    * for the single-writer local maintenance job this models, and
+    * exactly why the pointer flip is the at-scale design. */
   def compactParquet(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val d = new java.io.File(dir)

@@ -480,6 +480,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s08 composed IVF+PQ index refresh rebuilds on data change") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpqref").toFile
+    try {
+      val base = (0L to 120L).map(i =>
+        (i, (0 until 64).map(j => ((i * 64 + j) % 97).toFloat / 97f), i.toInt % 3))
+      base.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      assert(SparkEntry.queries("s08_ann_ivfpq")(spark, tmp.getAbsolutePath).collect().nonEmpty)
+      val near = (0 until 64).map(j => ((j % 97).toFloat / 97f) * 0.999f)
+      (base :+ ((999L, near, 0))).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      // refreshing a PARENT index must also evict the composed handle:
+      // s08 re-run without touching refreshIvfPqIndex directly
+      graft.operators.Similarity.refreshIvfIndex(spark, tmp.getAbsolutePath)
+      graft.operators.Similarity.refreshPqIndex(spark, tmp.getAbsolutePath)
+      val viaParents = SparkEntry.queries("s08_ann_ivfpq")(spark, tmp.getAbsolutePath).collect()
+      assert(viaParents.map(_.getAs[Long]("vec_id")).contains(999L),
+        "parent refresh left s08 serving the stale composed index")
+      // and the direct composed refresh keeps serving the fresh corpus
+      graft.operators.Similarity.refreshIvfPqIndex(spark, tmp.getAbsolutePath)
+      val direct = SparkEntry.queries("s08_ann_ivfpq")(spark, tmp.getAbsolutePath).collect()
+      assert(direct.map(_.getAs[Long]("vec_id")).contains(999L),
+        "refreshIvfPqIndex does not surface the appended near-duplicate")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+
   test("s05 stage-1 sketch scan reads only the id and signature columns") {
     // the shortlist subplan must NOT read the 64-float vector — the
     // whole point of the sketch column is a 16-byte-per-row stage 1
