@@ -217,6 +217,25 @@ object EventStream {
         writeBatch(batch.toDF(), batchId, outDir)
     }
 
+  /** Trigger.AvailableNow drain: backfill-then-stop — the mode every
+    * production backfill uses. Processes everything available at start
+    * (in rate-limited micro-batches: unlike the deprecated
+    * Trigger.Once, `maxFilesPerTrigger` still bounds each batch) and
+    * terminates on its own. Against a persistent checkpoint each
+    * invocation is an incremental catch-up — a later drain processes
+    * ONLY files that landed since the previous one, and the union of
+    * drains equals one continuous run. Blocks until the query stops. */
+  def drainAvailableNow(
+      writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+      checkpoint: String): Unit = {
+    val q = writer
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally if (q.isActive) q.stop()
+  }
+
   /** Custom state machine: per-user session counting with a 30-minute
     * inactivity gap, via flatMapGroupsWithState — the streaming twin of
     * batch q23_sessionize. State is bounded two ways: the watermark

@@ -163,6 +163,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog rate-limited, stops, and resumes incrementally") {
+    import spark.implicits._
+    val root = "/tmp/graft-stream-an-" + System.nanoTime()
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    def drop(name: String, evs: Event*): Unit =
+      evs.toDS().write.mode("overwrite").parquet(s"$in/$name")
+    val schema = Seq.empty[Event].toDS().schema
+    def src = EventStream.fromParquetDir(spark, s"$in/*", schema, maxFilesPerTrigger = 1)
+
+    // backlog of two files; maxFilesPerTrigger=1 forces multiple
+    // micro-batches, which AvailableNow must drain COMPLETELY (the
+    // deprecated Trigger.Once would stop after one batch)
+    drop("f1", Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0))
+    drop("f2", Event(3, ts(2), 2, "click", 3.0))
+    EventStream.drainAvailableNow(EventStream.toIdempotentParquet(src, out), ckpt)
+    assert(spark.read.parquet(out).count() == 3, "first drain missed backlog files")
+    val batchDirsAfter1 = new java.io.File(out).listFiles
+      .count(_.getName.startsWith("batch_id="))
+    assert(batchDirsAfter1 >= 2, "rate limit ignored: backlog drained in one batch")
+
+    // drain with nothing new: terminates, lands nothing
+    EventStream.drainAvailableNow(EventStream.toIdempotentParquet(src, out), ckpt)
+    assert(spark.read.parquet(out).count() == 3, "empty drain changed the sink")
+
+    // a late file lands; the next drain picks up ONLY it
+    drop("f3", Event(4, ts(3), 2, "purchase", 4.0), Event(5, ts(4), 1, "click", 5.0))
+    EventStream.drainAvailableNow(EventStream.toIdempotentParquet(src, out), ckpt)
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == 5)
+    val newDirs = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("batch_id=")).sortBy(_.getName)
+      .drop(batchDirsAfter1)
+    val run3Ids = spark.read.parquet(newDirs.map(_.getAbsolutePath): _*)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(run3Ids == Set(4L, 5L), s"third drain reprocessed old files: $run3Ids")
+
+    // union of drains == one continuous run over the same input
+    val continuous = spark.read.parquet(s"$in/*").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landed.select("event_id").collect().map(_.getLong(0)).toSet == continuous)
+  }
+
   test("stream-static broadcast enrichment joins events to a dim table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
