@@ -895,6 +895,96 @@ object Dedup {
       |HAVING COUNT(DISTINCT doc_id) >= 3
       |ORDER BY n_docs DESC, sentence""".stripMargin
 
+  /** d16 — sentence-level NEAR-duplicate pairs: the cross-doc
+    * paragraph-lift detector. d14 catches sentences repeated VERBATIM;
+    * a lifted-and-lightly-edited sentence (one word swapped, a typo
+    * fixed) evades exact matching entirely — so d16 runs d02's
+    * shingle-Jaccard machinery at SENTENCE granularity: t18/d14's
+    * normalized segmentation, token 3-shingles per DISTINCT sentence,
+    * an inverted shingle index with the hot-shingle cap cutting the
+    * candidate space, exact Jaccard ≥ 0.5 on the survivors. Exact
+    * duplicates collapse into one distinct sentence before pairing, so
+    * every emitted pair is a genuine near-miss (the texts differ).
+    * Scale notes: the unit of work is the distinct sentence (bounded
+    * by corpus text, shrunk by the distinct), the bucket join is
+    * capped exactly like d02, and at 100 TB the sentence text key
+    * becomes a 128-bit hash with min(text) payload — d14's documented
+    * plan shape. */
+  private def d16(s: SparkSession, d: String): DataFrame =
+    sentenceNearDupPairs(docs(s, d))
+
+  /** Factored for the constructed-corpus proof in PipelineSpec (the
+    * driver corpus has no near-dup sentences either — the oracle pins
+    * that empty result, the spec proves detection). */
+  private[graft] def sentenceNearDupPairs(docsDf: DataFrame,
+      minJac: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    val inst = docsDf
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(split(text, '[.!?]+'),
+          |  x -> trim(regexp_replace(lower(x), '\\s+', ' '))),
+          |  x -> length(x) >= 20)""".stripMargin)).as("sent"))
+      .distinct()
+    val docsPer = inst.groupBy("sent").agg(countDistinct(col("doc_id")).as("n_docs"))
+    val shs = docsPer
+      .withColumn("shs", expr("shingle_hashes(regexp_extract_all(sent, '[a-z]+', 0))"))
+      .where(size(col("shs")) >= 1)
+    // same hot-key bound as d02: a shingle present in >1% of docs'
+    // sentences is boilerplate vocabulary, not lift signal — and it is
+    // what keeps any single bucket from going quadratic
+    val cap = math.max(20L, (approxRowCount(docsDf) * 0.01).toLong)
+    val inv = shs.select(col("sent"), explode(col("shs")).as("sh"))
+    val cold = inv.join(
+      inv.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") > cap),
+      Seq("sh"), "left_anti")
+    val inter = cold.select(col("sh"), col("sent").as("a_sent"))
+      .join(cold.select(col("sh"), col("sent").as("b_sent")), Seq("sh"))
+      .where(col("a_sent") < col("b_sent"))
+      .groupBy("a_sent", "b_sent")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = shs.select(col("sent"),
+      size(col("shs")).cast("long").as("n_sh"), col("n_docs"))
+    inter
+      .join(sizes.select(col("sent").as("a_sent"), col("n_sh").as("na"),
+        col("n_docs").as("a_docs")), "a_sent")
+      .join(sizes.select(col("sent").as("b_sent"), col("n_sh").as("nb"),
+        col("n_docs").as("b_docs")), "b_sent")
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= minJac)
+      .select("a_sent", "b_sent", "inter", "na", "nb", "jac", "a_docs", "b_docs")
+      .orderBy("a_sent", "b_sent")
+  }
+
+  private val d16Oracle: String =
+    """WITH rawsent AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    list_transform(string_split_regex(text, '[.!?]+'),
+      |      x -> trim(regexp_replace(lower(x), '\s+', ' ', 'g'))),
+      |    x -> length(x) >= 20)) AS sent
+      |  FROM documents),
+      |inst AS (SELECT DISTINCT doc_id, sent FROM rawsent),
+      |dp AS (SELECT sent, COUNT(DISTINCT doc_id) AS n_docs FROM inst GROUP BY sent),
+      |toks AS (SELECT sent, regexp_extract_all(sent, '[a-z]+') AS t FROM dp),
+      |sh AS (
+      |  SELECT sent, unnest(list_distinct(
+      |    [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |sz AS (SELECT sent, COUNT(*) AS n_sh FROM sh GROUP BY sent),
+      |pr AS (
+      |  SELECT a.sent AS a_sent, b.sent AS b_sent, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sent < b.sent
+      |  GROUP BY a.sent, b.sent)
+      |SELECT a_sent, b_sent, inter, sa.n_sh AS na, sb.n_sh AS nb,
+      |  inter / (sa.n_sh + sb.n_sh - inter) AS jac,
+      |  da.n_docs AS a_docs, db.n_docs AS b_docs
+      |FROM pr
+      |JOIN sz sa ON a_sent = sa.sent
+      |JOIN sz sb ON b_sent = sb.sent
+      |JOIN dp da ON a_sent = da.sent
+      |JOIN dp db ON b_sent = db.sent
+      |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+      |ORDER BY a_sent, b_sent""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
@@ -910,5 +1000,6 @@ object Dedup {
     Q("d12_dedup_containment", Some(d12Oracle), d12),
     Q("d13_record_linkage", Some(d13Oracle), d13),
     Q("d14_boilerplate", Some(d14Oracle), d14),
-    Q("d15_rank_centrality", None, d15))
+    Q("d15_rank_centrality", None, d15),
+    Q("d16_sentence_near_dup", Some(d16Oracle), d16))
 }

@@ -204,6 +204,29 @@ class PipelineSpec extends AnyFunSuite {
     // non-vacuous half of the contract
   }
 
+  test("d16 catches a lifted-and-edited sentence that d14's exact match misses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank. Unrelated filler text about something else entirely here."),
+      (2L, "The quick brown fox jumps over the lazy dog near the river edge. Completely different second sentence in this document."),
+      (3L, "Nothing in common with the others at all, just plain original prose."))
+      .toDF("doc_id", "text")
+    // exact boilerplate detection sees nothing: the lift was edited
+    assert(graft.operators.Dedup.boilerplateSentences(docs, minDocs = 2).count() == 0,
+      "edited lift should evade exact sentence matching")
+    val pairs = graft.operators.Dedup.sentenceNearDupPairs(docs).collect()
+    assert(pairs.length == 1, s"expected exactly the lifted pair: ${pairs.mkString(";")}")
+    val p = pairs(0)
+    // 13 tokens -> 11 distinct 3-shingles per side; only the final
+    // shingle ('the river bank|edge') differs -> jac = 10/12
+    assert(p.getAs[Long]("inter") == 10L &&
+      p.getAs[Long]("na") == 11L && p.getAs[Long]("nb") == 11L)
+    assert(math.abs(p.getAs[Double]("jac") - 10.0 / 12.0) < 1e-12)
+    assert(p.getAs[String]("a_sent") != p.getAs[String]("b_sent"),
+      "exact duplicates must collapse before pairing, not emit self-pairs")
+    assert(p.getAs[Long]("a_docs") == 1L && p.getAs[Long]("b_docs") == 1L)
+  }
+
   test("pageRank: star center outranks leaves, mass conserved, singleton at teleport floor") {
     import spark.implicits._
     val nodes = (0L to 5L).toDF("id") // 0 = center, 1-4 leaves, 5 singleton
