@@ -31,6 +31,26 @@ object Bench {
       if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
     }
 
+    // Build-once/query-many index builds, timed EXPLICITLY and first:
+    // each accessor eagerly builds (or opens, if the signature-keyed
+    // layout already exists on disk) its index, so the per-query
+    // medians below exclude build cost BY CONSTRUCTION rather than by
+    // median-of-3 accounting (VERDICT r6 §next-6 / SURVEY §9.4). A
+    // build that fails records -1 and leaves its consumers to rebuild.
+    def timedBuild(f: => Any): Double = {
+      val t0 = System.nanoTime()
+      try { f; (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    val docsDf = Tables.df(spark, sfDir, "documents")
+    val builds: Seq[(String, Double)] = Seq(
+      "pair_cache" -> timedBuild(graft.operators.Dedup.jaccardPairs(docsDf)),
+      "dup_label_index" -> timedBuild(graft.operators.Dedup.dupLabelIndex(docsDf)),
+      "lsh_layout" -> timedBuild(graft.operators.Similarity.lshIndex(spark, sfDir)),
+      "ivf_layout" -> timedBuild(graft.operators.Similarity.ivfIndex(spark, sfDir)),
+      "pq_codebook" -> timedBuild(graft.operators.Similarity.pqIndex(spark, sfDir)),
+      "ivfpq_layout" -> timedBuild(graft.operators.Similarity.ivfpqIndex(spark, sfDir)))
+
     // JIT/codegen/session warm-up (not reported): one query per major
     // execution family — agg, window, join, regex/text, typed
     // Dataset/Aggregator encoders, iterative CC (localCheckpoint/RDD
@@ -46,7 +66,9 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val buildJson = builds.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"build":$buildJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
