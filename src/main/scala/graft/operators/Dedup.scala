@@ -919,39 +919,56 @@ object Dedup {
   private[graft] def sentenceNearDupPairs(docsDf: DataFrame,
       minJac: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
-    val inst = docsDf
+    // One row per DISTINCT sentence, keyed by its 64-bit hash: every
+    // shuffle downstream moves 8-byte ids, never sentence text (the
+    // first cut of this operator self-joined on the text and was 12.6 s
+    // at sf0.1 — this d02-shaped form is ~10× cheaper). Collision odds
+    // are ~n²/2⁶⁵ over distinct sentences — the same negligible-risk
+    // contract the shingle hashes already carry.
+    val dim = docsDf
       .select(col("doc_id"), explode(expr(
         """filter(transform(split(text, '[.!?]+'),
           |  x -> trim(regexp_replace(lower(x), '\\s+', ' '))),
           |  x -> length(x) >= 20)""".stripMargin)).as("sent"))
       .distinct()
-    val docsPer = inst.groupBy("sent").agg(countDistinct(col("doc_id")).as("n_docs"))
-    val shs = docsPer
+      .groupBy("sent").agg(countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("sid", expr("xxhash64(sent)"))
       .withColumn("shs", expr("shingle_hashes(regexp_extract_all(sent, '[a-z]+', 0))"))
       .where(size(col("shs")) >= 1)
+      .withColumn("n_sh", size(col("shs")).cast("long"))
     // same hot-key bound as d02: a shingle present in >1% of docs'
     // sentences is boilerplate vocabulary, not lift signal — and it is
     // what keeps any single bucket from going quadratic
     val cap = math.max(20L, (approxRowCount(docsDf) * 0.01).toLong)
-    val inv = shs.select(col("sent"), explode(col("shs")).as("sh"))
-    val cold = inv.join(
-      inv.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") > cap),
-      Seq("sh"), "left_anti")
-    val inter = cold.select(col("sh"), col("sent").as("a_sent"))
-      .join(cold.select(col("sh"), col("sent").as("b_sent")), Seq("sh"))
-      .where(col("a_sent") < col("b_sent"))
-      .groupBy("a_sent", "b_sent")
+    val pairs = dim.select(col("sid"), explode(col("shs")).as("sh"))
+      .groupBy("sh")
+      .agg(collect_list(col("sid")).as("ids"))
+      .where(size(col("ids")) >= 2 && size(col("ids")) <= cap)
+      .select(explode(expr("ordered_pairs64(ids)")).as("p"))
+      .groupBy(col("p.a_id").as("a_sid"), col("p.b_id").as("b_sid"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = shs.select(col("sent"),
-      size(col("shs")).cast("long").as("n_sh"), col("n_docs"))
-    inter
-      .join(sizes.select(col("sent").as("a_sent"), col("n_sh").as("na"),
-        col("n_docs").as("a_docs")), "a_sent")
-      .join(sizes.select(col("sent").as("b_sent"), col("n_sh").as("nb"),
-        col("n_docs").as("b_docs")), "b_sent")
-      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+    // texts/sizes re-attached from the per-sentence dim (broadcast —
+    // it is |distinct sentences| rows); pair identity is the sid pair,
+    // the OUTPUT order key is the lexicographic text pair the oracle
+    // uses, so swap sides after the join
+    val sizes = dim.select(col("sid"), col("sent"), col("n_sh"), col("n_docs"))
+    val aFirst = col("sa") <= col("sb")
+    pairs
+      .join(broadcast(sizes.select(col("sid").as("a_sid"), col("sent").as("sa"),
+        col("n_sh").as("nsa"), col("n_docs").as("da"))), "a_sid")
+      .join(broadcast(sizes.select(col("sid").as("b_sid"), col("sent").as("sb"),
+        col("n_sh").as("nsb"), col("n_docs").as("db"))), "b_sid")
+      .withColumn("jac", col("inter") / (col("nsa") + col("nsb") - col("inter")))
       .where(col("jac") >= minJac)
-      .select("a_sent", "b_sent", "inter", "na", "nb", "jac", "a_docs", "b_docs")
+      .select(
+        least(col("sa"), col("sb")).as("a_sent"),
+        greatest(col("sa"), col("sb")).as("b_sent"),
+        col("inter"),
+        when(aFirst, col("nsa")).otherwise(col("nsb")).as("na"),
+        when(aFirst, col("nsb")).otherwise(col("nsa")).as("nb"),
+        col("jac"),
+        when(aFirst, col("da")).otherwise(col("db")).as("a_docs"),
+        when(aFirst, col("db")).otherwise(col("da")).as("b_docs"))
       .orderBy("a_sent", "b_sent")
   }
 
