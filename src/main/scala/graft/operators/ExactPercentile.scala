@@ -32,8 +32,15 @@ import scala.collection.immutable.SortedSet
   *
   * Memory per task = one sort-spillable partition; driver state =
   * P × |groups| longs. Both survive a 100× scale-up by adding
-  * partitions. The input is persisted (MEMORY_AND_DISK) between the two
-  * passes so the shuffle happens once, and unpersisted before return.
+  * partitions — PROVIDED the group column is low-cardinality (flags,
+  * priorities, status codes: the per-group-heavy case). That is the
+  * deliberate division of labor: when groups are FEW and HUGE the
+  * buffering aggregate's per-group value map OOMs and this primitive
+  * shines; when groups are MANY and SMALL the buffering aggregate's
+  * per-group state is tiny and correct while this primitive's driver
+  * metadata (P × |groups|) would become the bottleneck. Callers with
+  * high-cardinality groups should use the plain `percentile` aggregate
+  * — each regime has exactly one right tool.
   *
   * Interpolation reproduces Spark's `Percentile.getPercentile`
   * (`(higher-pos)*lo + (pos-lower)*hi`), which is round-4 compatible

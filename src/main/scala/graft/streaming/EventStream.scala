@@ -303,6 +303,75 @@ object EventStream {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  final case class PatternUpdate(user_id: Long, n_matches: Long, tail_len: Long)
+
+  /** Streaming MATCH_RECOGNIZE: the batch PatternMatch operator's
+    * regex-over-symbol-string semantics (operators/PatternMatch.scala)
+    * carried onto an unbounded stream via arbitrary-state v2. Per key,
+    * a ValueState holds the UNMATCHED symbol tail: each batch appends
+    * its symbols in (ts, event_id) order, counts the non-overlapping
+    * matches in tail+new, then drops everything through the last match
+    * end — SKIP PAST LAST ROW means matched rows can never participate
+    * again, so their symbols need no state. A partial match at the
+    * buffer end survives in state and completes when its remaining
+    * symbols arrive in a later batch.
+    *
+    * Two documented boundaries of incremental matching: (1) emission is
+    * final, so batch/stream counts agree exactly for patterns whose
+    * matches cannot be EXTENDED by appending symbols (a definite
+    * terminal symbol, like the P in S[CV]*P); an open-ended pattern
+    * like E{2,} may count one batch-mode match as several. (2) the kept
+    * tail is capped at maxTail symbols — unbounded per-key state is
+    * fatal on an unbounded stream, so a single match spanning more than
+    * maxTail rows is dropped; every streaming pattern engine (Flink CEP
+    * etc.) imposes the same state bound, here it is explicit. Assumes
+    * per-key event-time order across batches (the file-drop ingest
+    * shape); within a batch, rows are sorted before classification. */
+  final class PatternProcessor(pattern: String, classify: Event => String,
+      maxTail: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, PatternUpdate] {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+
+    @transient private var tail: ss.ValueState[String] = _
+    @transient private var total: ss.ValueState[Long] = _
+    @transient private lazy val rx = pattern.r
+
+    override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit = {
+      tail = getHandle.getValueState[String](
+        "tail", Encoders.STRING, ss.TTLConfig.NONE)
+      total = getHandle.getValueState[Long](
+        "total", Encoders.scalaLong, ss.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: ss.TimerValues): Iterator[PatternUpdate] = {
+      val syms = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .map(classify).mkString
+      val buf = (if (tail.exists()) tail.get() else "") + syms
+      val ms = rx.findAllMatchIn(buf).toSeq
+      val rest = if (ms.nonEmpty) buf.substring(ms.last.end) else buf
+      val kept = if (rest.length > maxTail) rest.takeRight(maxTail) else rest
+      tail.update(kept)
+      val t = (if (total.exists()) total.get() else 0L) + ms.size
+      total.update(t)
+      Iterator.single(PatternUpdate(user, t, kept.length.toLong))
+    }
+  }
+
+  /** Per-user incremental pattern-match counts (see PatternProcessor).
+    * `classify` maps an event to its one-character symbol — the same
+    * alphabet contract as the batch operator. */
+  def patternMatchCounts(events: Dataset[Event], pattern: String,
+      classify: Event => String, maxTail: Int = 256): Dataset[PatternUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new PatternProcessor(pattern, classify, maxTail),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   def userSessionCounts(events: Dataset[Event],
       watermark: String = "10 minutes"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._

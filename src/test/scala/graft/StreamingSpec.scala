@@ -507,6 +507,73 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming pattern matching counts funnel matches incrementally, batch-parity on terminal patterns") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val classify: EventStream.Event => String = e => e.event_type match {
+      case "signup" => "S"; case "click" => "C"; case "view" => "V"
+      case "purchase" => "P"; case _ => "X"
+    }
+    try {
+      val ms = MemoryStream[Event]
+      val q = EventStream.patternMatchCounts(ms.toDS(), "S[CV]*P", classify)
+        .writeStream.format("memory").queryName("pat_counts")
+        .outputMode(OutputMode.Update).start()
+      def latest(): Map[Long, Long] = spark.table("pat_counts")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_matches").as("n"))
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+      try {
+        // u1's funnel spans the batch boundary: S C | V P
+        ms.addData(Event(1, ts(0), 1, "signup", 0), Event(2, ts(1), 1, "click", 0),
+          Event(3, ts(0), 2, "click", 0), Event(4, ts(1), 2, "view", 0),
+          Event(5, ts(2), 2, "purchase", 0))
+        q.processAllAvailable()
+        assert(latest() == Map(1L -> 0L, 2L -> 0L),
+          s"no terminal P yet for u1, no S for u2: ${latest()}")
+        ms.addData(Event(6, ts(2), 1, "view", 0), Event(7, ts(3), 1, "purchase", 0),
+          Event(8, ts(2), 2, "signup", 0), Event(9, ts(3), 2, "error", 0),
+          Event(10, ts(4), 2, "purchase", 0))
+        q.processAllAvailable()
+        // u1: SCVP completed across batches; u2: SEP never matches
+        assert(latest() == Map(1L -> 1L, 2L -> 0L), s"${latest()}")
+        ms.addData(Event(11, ts(4), 1, "signup", 0), Event(12, ts(5), 1, "purchase", 0))
+        q.processAllAvailable()
+        assert(latest() == Map(1L -> 2L, 2L -> 0L), s"${latest()}")
+
+        // batch parity: the batch operator over ALL events agrees
+        val allEvents = Seq(
+          (1L, ts(0), "signup"), (1L, ts(1), "click"), (1L, ts(2), "view"),
+          (1L, ts(3), "purchase"), (1L, ts(4), "signup"), (1L, ts(5), "purchase"),
+          (2L, ts(0), "click"), (2L, ts(1), "view"), (2L, ts(2), "purchase"),
+          (2L, ts(2), "signup"), (2L, ts(3), "error"), (2L, ts(4), "purchase"))
+          .zipWithIndex.map { case ((u, t, et), i) => (u, t, i.toLong, et) }
+          .toDF("user_id", "ts", "event_id", "etype")
+        // NOTE: event_ids differ from the stream's, but within-(user,ts)
+        // order only breaks ties between DIFFERENT symbols for u2's
+        // (view@ts2? no — click/view distinct ts) — the only tie is u2's
+        // purchase/signup at ts(2), ordered purchase-then-signup in both.
+        val batch = graft.operators.PatternMatch.symbolSequence(
+          allEvents, "user_id", "ts", "event_id",
+          Seq(graft.operators.PatternMatch.Sym('S', org.apache.spark.sql.functions.col("etype") === "signup"),
+            graft.operators.PatternMatch.Sym('C', org.apache.spark.sql.functions.col("etype") === "click"),
+            graft.operators.PatternMatch.Sym('V', org.apache.spark.sql.functions.col("etype") === "view"),
+            graft.operators.PatternMatch.Sym('P', org.apache.spark.sql.functions.col("etype") === "purchase")))
+        val batchCounts = batch.select(org.apache.spark.sql.functions.col("pk"),
+          graft.operators.PatternMatch.matchCount(
+            org.apache.spark.sql.functions.col("seq"), "S[CV]*P").as("n"))
+          .collect().map(r => r.getAs[Long]("pk") -> r.getAs[Long]("n")).toMap
+        assert(batchCounts == latest(), s"batch $batchCounts vs stream ${latest()}")
+      } finally q.stop()
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("rate-limited source emits exactly rowsPerBatch deterministic events per trigger") {
     val q = EventStream.rateEvents(spark, rowsPerBatch = 20)
       .writeStream.format("memory").queryName("rate_events")
