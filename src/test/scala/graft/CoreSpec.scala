@@ -320,4 +320,22 @@ class CoreSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("q96/d16 plan shapes: aggregation not window, native pair expansion, no nested-loop joins") {
+    val p96 = SparkEntry.queries("q96_pattern_match")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p96.contains("Window"),
+      "q96 must assemble sequences via aggregation, not a window")
+    assert(!p96.contains("CartesianProduct") && !p96.contains("BroadcastNestedLoop"),
+      s"q96 plans an unbounded join:\n$p96")
+    val p16 = SparkEntry.queries("d16_sentence_near_dup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p16.contains("ordered_pairs64"),
+      s"d16 must expand candidate pairs with the native generator:\n$p16")
+    assert(p16.contains("BroadcastHashJoin"),
+      s"d16's per-sentence dim re-attach should broadcast:\n$p16")
+    assert(!p16.contains("CartesianProduct") && !p16.contains("BroadcastNestedLoop")
+      && !p16.contains("SortMergeJoin"),
+      s"d16 has a non-broadcast or unbounded join:\n$p16")
+  }
 }
