@@ -174,6 +174,76 @@ object ExactPercentile {
     } finally rp.unpersist(blocking = false)
   }
 
+  /** Distributed within-group rank: every input row, plus a 0-based
+    * dense position in `orderCols` order within its group — WITHOUT a
+    * `Window.partitionBy(group)` (one task per group: the skew killer
+    * on low-cardinality keys) and WITHOUT a global single-task sort.
+    * The distributed ROW_NUMBER: range-partition on (group, orderCols),
+    * count rows per (partition, group) as broadcast planning metadata,
+    * then stream each partition once adding start-offset + local index.
+    *
+    * The two passes run as separate jobs over ONE RDD instance — the
+    * range boundaries are sampled exactly once when that RDD is
+    * constructed and the shuffle output is reused across the jobs, so
+    * the counts and the ranks see the identical row placement (the same
+    * mechanism that makes RDD.zipWithIndex safe, and q87 relies on).
+    * Same low-cardinality-group contract as the percentile entry
+    * points: driver metadata is P × |groups| longs.
+    *
+    * ntile / percent_rank / cume_dist over a tie-free (unique
+    * composite) ORDER BY key are pure arithmetic on this rank and the
+    * group size — which is how q43 consumes it. */
+  def withGroupRank(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      rankCol: String = "rnk",
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val sortCols = (groupCol +: orderCols).map(col)
+    val sorted = df.repartitionByRange(p, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema
+    val gIdx = schema.fieldIndex(groupCol)
+    val rdd = sorted.rdd // ONE instance: boundaries pinned, shuffle reused
+
+    val counts: Array[(Int, String, Long)] = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val g = String.valueOf(r.get(gIdx))
+        m.update(g, m.getOrElse(g, 0L) + 1L)
+      }
+      m.iterator.map { case (g, c) => (pid, g, c) }
+    }.collect()
+
+    val offsets = scala.collection.mutable.Map.empty[String, Long]
+    val starts = scala.collection.mutable.Map.empty[Int, Map[String, Long]]
+    counts.sortBy(_._1).foreach { case (pid, g, cnt) =>
+      val st = offsets.getOrElse(g, 0L)
+      starts.update(pid, starts.getOrElse(pid, Map.empty) + (g -> st))
+      offsets.update(g, st + cnt)
+    }
+    val bc = spark.sparkContext.broadcast(starts.toMap)
+
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val st = bc.value.getOrElse(pid, Map.empty[String, Long])
+      var curG: String = null
+      var local = 0L
+      var start = 0L
+      it.map { r =>
+        val g = String.valueOf(r.get(gIdx))
+        if (g != curG) { curG = g; local = 0L; start = st.getOrElse(g, 0L) }
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (start + local))
+        local += 1
+        out
+      }
+    }
+    spark.createDataFrame(ranked,
+      org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(rankCol,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** Distributed exact WEIGHTED median per group: the smallest value v
     * at which cumulative weight (in (group, v) order) reaches half the
     * group total. Same two-pass range-sort shape as `continuous`, with

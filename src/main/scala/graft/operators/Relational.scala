@@ -527,14 +527,31 @@ object Relational {
     * deterministic; one shuffle by partition key, one sort per
     * partition. */
   private def q43(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, d, "orders")
+    // Distribution analytics WITHOUT Window.partitionBy(priority): a
+    // 5-value partition key over the whole fact table is one task per
+    // priority — the q80-family skew shape. The composite
+    // (o_totalprice, o_orderkey) ORDER BY key is UNIQUE, so ntile /
+    // percent_rank / cume_dist are pure arithmetic on the within-group
+    // rank, which ExactPercentile.withGroupRank computes over many
+    // range partitions per group.
+    val ranked = ExactPercentile.withGroupRank(
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+      "o_orderpriority", Seq("o_totalprice", "o_orderkey"), "rnk")
+    val sizes = t(s, d, "orders")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    // SQL NTILE(k): first (n mod k) buckets take ceil(n/k) rows
+    val q = col("n").divide(4).cast("long")
+    val r = col("n") % 4
+    ranked.join(broadcast(sizes), "o_orderpriority")
       .select(
         col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-        ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+        when(col("rnk") < r * (q + 1), col("rnk").divide(q + 1).cast("long") + 1)
+          .otherwise(r + (col("rnk") - r * (q + 1)).divide(q).cast("long") + 1)
+          .cast("int").as("quartile"),
+        round(when(col("n") > 1, col("rnk").cast("double") / (col("n") - 1))
+          .otherwise(lit(0.0)), 6).as("pr"),
+        round((col("rnk") + 1).cast("double") / col("n"), 6).as("cd"))
       .orderBy("o_orderkey")
   }
 

@@ -112,8 +112,30 @@ class ExactPercentileSpec extends AnyFunSuite {
     assert(got.n == 20000 && math.abs(got.values.head - (10000 + 10001) / 2.0 / 3.0) < 1e-9)
   }
 
-  test("shape: re-planned q30/q62/q76/q80 carry no buffering percentile aggregate") {
-    for (q <- Seq("q30_percentile", "q62_percentile_disc", "q76_mad", "q80_weighted_median")) {
+  test("withGroupRank matches row_number over a window, including a hot single group") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // skew: one group holds 80% of the rows — the case partitionBy(g)
+    // serializes into a single task and this primitive must not
+    val df = (1 to 6000).map { i =>
+      val g = if (rnd.nextInt(5) > 0) "hot" else s"g${rnd.nextInt(3)}"
+      (g, rnd.nextInt(800) / 7.0, i.toLong)
+    }.toDF("g", "v", "id").repartition(7)
+    val got = ExactPercentile.withGroupRank(df, "g", Seq("v", "id"), "rnk", partitions = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)) -> r.getLong(3)).toMap
+    df.createOrReplaceTempView("gr_in")
+    val want = spark.sql(
+      """SELECT g, v, id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id) - 1 AS BIGINT) AS rnk
+        |FROM gr_in""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got == want)
+  }
+
+  test("shape: re-planned q30/q62/q76/q80/q43 carry no buffering percentile and no full-data window") {
+    for (q <- Seq("q30_percentile", "q62_percentile_disc", "q76_mad", "q80_weighted_median",
+        "q43_window_dist")) {
       val plan = SparkEntry.queries(q)(spark, TestSpark.sf)
         .queryExecution.executedPlan.toString
       assert(!plan.toLowerCase.contains("percentile"),
