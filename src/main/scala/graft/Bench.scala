@@ -31,6 +31,12 @@ object Bench {
       if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
     }
 
+    // One warm-up query BEFORE the build timers: the first job in a
+    // fresh JVM absorbs several seconds of classloading/codegen/JIT
+    // that would otherwise masquerade as index-build cost (pair_cache
+    // read 8.1 s cold vs ~3 s warm at sf0.1).
+    once(SparkEntry.queries("q05_agg"))
+
     // Build-once/query-many index builds, timed EXPLICITLY and first:
     // each accessor eagerly builds (or opens, if the signature-keyed
     // layout already exists on disk) its index, so the per-query

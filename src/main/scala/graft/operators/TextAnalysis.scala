@@ -680,6 +680,45 @@ object TextAnalysis {
       |  END AS mean_len
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** t19 — n-gram novelty scoring: the share of each doc's distinct
+    * 3-token shingles that appear in NO other document. The
+    * memorization-risk / dedup-health metric pretraining curation
+    * tracks per source: a corpus whose novel-shingle ratio collapses is
+    * one big template. Complements t07 (WITHIN-doc repetition) and d02
+    * (pairwise overlap) with the corpus-global view. Plan: one shingle
+    * scan (d02's exact tokenization, so the numbers reconcile across
+    * the three operators), a partial+final doc-frequency aggregate on
+    * the shingle key, and a join back on that same key — co-partitioned
+    * by the aggregate's own shuffle, so the fact-side moves once. The
+    * df table is |distinct shingles| rows: the standard n-gram-table
+    * scale posture (hash the shingle key at 100 TB, d14's documented
+    * move). */
+  private def t19(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingleIndex(Tables.df(s, d, "documents"))
+    val df = sh.groupBy("shingle").agg(countDistinct(col("doc_id")).as("df"))
+    sh.join(df, "shingle")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novel_ratio", round(col("n_novel") / col("n_sh"), 6))
+      .orderBy("doc_id")
+  }
+
+  private val t19Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |df AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle)
+      |SELECT doc_id, COUNT(*) AS n_sh,
+      |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  round(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) / COUNT(*), 6) AS novel_ratio
+      |FROM sh JOIN df USING (shingle)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -698,5 +737,6 @@ object TextAnalysis {
     Q("t15_langid_confusion", Some(t15Oracle), t15),
     Q("t16_readability", Some(t16Oracle), t16),
     Q("t17_blocklist", Some(t17Oracle), t17),
-    Q("t18_sentences", Some(t18Oracle), t18))
+    Q("t18_sentences", Some(t18Oracle), t18),
+    Q("t19_novelty", Some(t19Oracle), t19))
 }
