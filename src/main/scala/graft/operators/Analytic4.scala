@@ -410,6 +410,85 @@ object Analytic4 {
       |  FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
       |ORDER BY check_name""".stripMargin
 
+  /** q97 — NEAREST as-of join: each event matched to the order (same
+    * user) minimizing |order time − event time|, ties to the earlier
+    * (backward) side, then smallest key. Completes the as-of family —
+    * q35 backward, q79 forward, this bidirectional — which is the
+    * sensor/label-alignment join time-series stores ship natively.
+    * Planned as ONE union-interleave timeline with TWO running
+    * `last(ignoreNulls)` passes (ascending for prev, descending for
+    * next) over the same per-user shuffle: one exchange, two in-
+    * partition sorts, zero candidate fan-out. Tie placement is encoded
+    * in the sort keys (orders ahead of equal-time events in both
+    * directions; among tied orders the smallest key ends nearest the
+    * event). All comparisons and deltas run on second-truncated
+    * timestamps (SURVEY §5: the ns/µs parquet mismatch must not decide
+    * nearest-ness — a half-second midpoint is representable exactly in
+    * neither engine's favor). */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.df(s, d, "orders").select(
+      col("o_custkey").as("uid"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      col("o_orderkey").as("okey"),
+      lit(null).cast("long").as("event_id"))
+    val ev = Tables.df(s, d, "events").select(
+      col("user_id").as("uid"),
+      date_trunc("second", col("ts")).as("t"),
+      lit(null).cast("long").as("okey"),
+      col("event_id"))
+    val cand = when(col("okey").isNotNull, struct(col("t").as("ots"), col("okey")))
+    val wNext = Window.partitionBy("uid")
+      .orderBy(col("t").desc, coalesce(col("okey"), lit(-1L)).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy("uid")
+      .orderBy(col("t").asc, coalesce(col("okey"), lit(Long.MinValue)).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("nxt", last(cand, ignoreNulls = true).over(wNext))
+      .withColumn("prv", last(cand, ignoreNulls = true).over(wPrev))
+      .where(col("event_id").isNotNull)
+      .withColumn("dp", unix_micros(col("t")) - unix_micros(col("prv.ots")))
+      .withColumn("dn", unix_micros(col("nxt.ots")) - unix_micros(col("t")))
+      .withColumn("pick_prev",
+        col("prv").isNotNull && (col("nxt").isNull || col("dp") <= col("dn")))
+      .select(
+        col("event_id"), col("uid").as("user_id"), col("t").as("ets"),
+        when(col("pick_prev"), col("prv.okey")).otherwise(col("nxt.okey")).as("near_key"),
+        when(col("pick_prev"), col("prv.ots")).otherwise(col("nxt.ots")).as("near_ts"),
+        when(col("pick_prev"), lit("prev"))
+          .otherwise(when(col("nxt").isNotNull, lit("next"))).as("side"))
+      .orderBy("event_id")
+  }
+
+  private val q97Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ets
+      |  FROM events)
+      |SELECT e.event_id, e.user_id, e.ets,
+      |  CASE WHEN p.okey IS NOT NULL AND (n.okey IS NULL OR
+      |         epoch_us(e.ets) - epoch_us(p.ots) <= epoch_us(n.ots) - epoch_us(e.ets))
+      |       THEN p.okey ELSE n.okey END AS near_key,
+      |  CASE WHEN p.okey IS NOT NULL AND (n.okey IS NULL OR
+      |         epoch_us(e.ets) - epoch_us(p.ots) <= epoch_us(n.ots) - epoch_us(e.ets))
+      |       THEN p.ots ELSE n.ots END AS near_ts,
+      |  CASE WHEN p.okey IS NOT NULL AND (n.okey IS NULL OR
+      |         epoch_us(e.ets) - epoch_us(p.ots) <= epoch_us(n.ots) - epoch_us(e.ets))
+      |       THEN 'prev'
+      |       WHEN n.okey IS NOT NULL THEN 'next' END AS side
+      |FROM e
+      |LEFT JOIN LATERAL (
+      |  SELECT CAST(o_orderdate AS TIMESTAMP) AS ots, o_orderkey AS okey
+      |  FROM orders o
+      |  WHERE o.o_custkey = e.user_id AND CAST(o_orderdate AS TIMESTAMP) <= e.ets
+      |  ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 1) p ON true
+      |LEFT JOIN LATERAL (
+      |  SELECT CAST(o_orderdate AS TIMESTAMP) AS ots, o_orderkey AS okey
+      |  FROM orders o
+      |  WHERE o.o_custkey = e.user_id AND CAST(o_orderdate AS TIMESTAMP) >= e.ets
+      |  ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1) n ON true
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
@@ -420,5 +499,6 @@ object Analytic4 {
     Q("q92_nested_fold", Some(q92Oracle), q92),
     Q("q93_try_functions", Some(q93Oracle), q93),
     Q("q94_share_of_parent", Some(q94Oracle), q94),
-    Q("q95_constraint_check", Some(q95Oracle), q95))
+    Q("q95_constraint_check", Some(q95Oracle), q95),
+    Q("q97_asof_nearest", Some(q97Oracle), q97))
 }
