@@ -489,6 +489,70 @@ object Analytic4 {
       |  ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1) n ON true
       |ORDER BY event_id""".stripMargin
 
+  /** q98 — rolling z-score anomaly detection: each (priority, day)'s
+    * revenue scored against its own trailing 7-observation window
+    * (current day excluded, ≥5 days of history required — the
+    * cold-start rows are not scorable). Scale shape: the fact table is
+    * reduced FIRST by a partial+final groupBy to one row per
+    * (priority, day); the ordered window then runs over a
+    * calendar-bounded spine — per-key state is days, never raw orders,
+    * so the plan survives any fact-table scale-up. Variance comes from
+    * decimal-exact power sums over the frame (q50's discipline), so
+    * both engines agree bit-for-bit; the only floats are the final
+    * correctly-rounded div/sqrt chain. Zero-variance windows yield a
+    * NULL score (guarded both sides — ANSI mode would otherwise raise
+    * DIVIDE_BY_ZERO on a flat week). */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.df(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("prio"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.partitionBy("prio").orderBy("day").rowsBetween(-7, -1)
+    val win = daily
+      .withColumn("n_hist", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("rev")).over(w))
+      .withColumn("sxx",
+        sum((col("rev") * col("rev")).cast("decimal(38,4)")).over(w))
+      .where(col("n_hist") >= 5)
+    val n = col("n_hist").cast("double")
+    val x = col("rev").cast("double")
+    val sx = col("sx").cast("double")
+    val sxx = col("sxx").cast("double")
+    val num = n * sxx - sx * sx
+    val z = when(num > 0, round((x - sx / n) / sqrt(num / (n * (n - 1))), 6))
+    win.select(col("prio"), col("day"), x.as("rev"), col("n_hist"),
+        z.as("z"), (z.isNotNull && abs(z) > 2.0).as("is_anomaly"))
+      .orderBy("prio", "day")
+  }
+
+  private val q98Oracle: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |win AS (
+      |  SELECT prio, day, rev,
+      |    COUNT(*) OVER w AS n_hist,
+      |    SUM(rev) OVER w AS sx,
+      |    SUM(CAST(rev * rev AS DECIMAL(38,4))) OVER w AS sxx
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY prio ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |sc AS (
+      |  SELECT prio, day, CAST(rev AS DOUBLE) AS rev, n_hist,
+      |    CASE WHEN CAST(n_hist AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |      THEN round(
+      |        (CAST(rev AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n_hist AS DOUBLE))
+      |        / sqrt((CAST(n_hist AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |               / (CAST(n_hist AS DOUBLE) * CAST(n_hist - 1 AS DOUBLE))), 6)
+      |    END AS z
+      |  FROM win WHERE n_hist >= 5)
+      |SELECT prio, day, rev, n_hist, z,
+      |  (z IS NOT NULL AND abs(z) > 2.0) AS is_anomaly
+      |FROM sc ORDER BY prio, day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
@@ -500,5 +564,6 @@ object Analytic4 {
     Q("q93_try_functions", Some(q93Oracle), q93),
     Q("q94_share_of_parent", Some(q94Oracle), q94),
     Q("q95_constraint_check", Some(q95Oracle), q95),
-    Q("q97_asof_nearest", Some(q97Oracle), q97))
+    Q("q97_asof_nearest", Some(q97Oracle), q97),
+    Q("q98_anomaly_zscore", Some(q98Oracle), q98))
 }

@@ -1002,6 +1002,83 @@ object Dedup {
       |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
       |ORDER BY a_sent, b_sent""".stripMargin
 
+  /** d17 — triangle census + local clustering coefficient on the
+    * near-dup graph (d02's edges): per node, its degree, the number of
+    * triangles through it, and 2·tri/(deg·(deg−1)). The dup-graph
+    * DENSITY diagnostic: CC (d06) says which docs are connected,
+    * triangles say whether a component is a tight clique (one
+    * template, safe to collapse to d08's keeper) or a loose chain of
+    * pairwise borrowings (collapsing loses distinct content) — the
+    * standard decision signal before destructive dedup. Plan: edges
+    * come from the content-signature pair cache (built once, shared
+    * with d02/d06/d08/d11/d12); enumeration is the id-oriented wedge
+    * join — e1(a,b)⋈e2(b,c) shuffled on the shared node key, closed by
+    * an equality join on the FULL (a,c) pair key, so candidates are
+    * wedges (bounded by the pair-cache's per-block cap), never
+    * all-pairs. Counts and degrees are integer-exact; the coefficient
+    * is one correctly-rounded division. */
+  private def d17(s: SparkSession, d: String): DataFrame = {
+    val e = jaccardPairs(docs(s, d)).select("a_id", "b_id")
+    val deg = e.select(col("a_id").as("id"))
+      .unionAll(e.select(col("b_id").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b_id") === col("e2.a_id"))
+      .join(e.as("e3"),
+        col("e3.a_id") === col("e1.a_id") && col("e3.b_id") === col("e2.b_id"))
+      .select(col("e1.a_id").as("x"), col("e1.b_id").as("y"),
+        col("e2.b_id").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2,
+          round(coalesce(col("n_tri"), lit(0L)) * 2.0 /
+            (col("degree") * (col("degree") - 1)), 6)).as("clust_coef"))
+      .orderBy("doc_id")
+  }
+
+  private val d17Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |edges AS (
+      |  SELECT a_id, b_id FROM pr
+      |  JOIN sz sa ON a_id = sa.doc_id
+      |  JOIN sz sb ON b_id = sb.doc_id
+      |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3),
+      |deg AS (
+      |  SELECT id, COUNT(*) AS degree FROM (
+      |    SELECT a_id AS id FROM edges
+      |    UNION ALL SELECT b_id AS id FROM edges) GROUP BY id),
+      |tri AS (
+      |  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+      |  FROM edges e1
+      |  JOIN edges e2 ON e1.b_id = e2.a_id
+      |  JOIN edges e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+      |tpn AS (
+      |  SELECT id, COUNT(*) AS n_tri FROM (
+      |    SELECT x AS id FROM tri
+      |    UNION ALL SELECT y AS id FROM tri
+      |    UNION ALL SELECT z AS id FROM tri) GROUP BY id)
+      |SELECT deg.id AS doc_id, deg.degree,
+      |  CAST(COALESCE(tpn.n_tri, 0) AS BIGINT) AS n_tri,
+      |  CASE WHEN deg.degree >= 2 THEN
+      |    round(COALESCE(tpn.n_tri, 0) * 2.0 / (deg.degree * (deg.degree - 1)), 6)
+      |  END AS clust_coef
+      |FROM deg LEFT JOIN tpn ON deg.id = tpn.id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
@@ -1018,5 +1095,6 @@ object Dedup {
     Q("d13_record_linkage", Some(d13Oracle), d13),
     Q("d14_boilerplate", Some(d14Oracle), d14),
     Q("d15_rank_centrality", None, d15),
-    Q("d16_sentence_near_dup", Some(d16Oracle), d16))
+    Q("d16_sentence_near_dup", Some(d16Oracle), d16),
+    Q("d17_triangles", Some(d17Oracle), d17))
 }

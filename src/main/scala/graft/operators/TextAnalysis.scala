@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -719,6 +720,58 @@ object TextAnalysis {
       |FROM sh JOIN df USING (shingle)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t20 — per-document TF-IDF top terms: the classic keyword surface
+    * over the shared `[a-z]+` tokenizer (t03/t19's, so term counts
+    * reconcile). tf from one (doc, term) aggregate; df as a second
+    * partial+final aggregate over THAT result (vocabulary-sized, not
+    * corpus-sized); the corpus doc count joins in as a broadcast
+    * 1-row scalar — no driver-side count action. Score is
+    * tf·ln((N+1)/(df+1)) rounded to 6; ranking runs on the ROUNDED
+    * score + term so both engines order identically (ln differs in the
+    * last ulp across libm implementations — never rank on a raw
+    * transcendental). Top-3 per doc via per-doc row_number — partition
+    * key is doc_id (unbounded cardinality, bounded per-key vocab), the
+    * scale-safe window direction. At 100 TB the tf→df join on the term
+    * key is the skew point (stopwords); AQE skew-split handles it, and
+    * the plan keeps both sides partial-aggregated before the shuffle. */
+  private def t20(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.df(s, d, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfT, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select("doc_id", "rnk", "term", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val t20Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+      |    round(tf.tf * ln((n.n_docs + 1.0) / (dft.df + 1.0)), 6) AS tfidf
+      |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+      |  FROM sc)
+      |SELECT doc_id, rnk, term, tf, df, tfidf
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -738,5 +791,6 @@ object TextAnalysis {
     Q("t16_readability", Some(t16Oracle), t16),
     Q("t17_blocklist", Some(t17Oracle), t17),
     Q("t18_sentences", Some(t18Oracle), t18),
-    Q("t19_novelty", Some(t19Oracle), t19))
+    Q("t19_novelty", Some(t19Oracle), t19),
+    Q("t20_tfidf", Some(t20Oracle), t20))
 }

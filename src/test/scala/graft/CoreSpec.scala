@@ -17,7 +17,9 @@ class CoreSpec extends AnyFunSuite {
       "d04_dedup_simhash", "d05_dedup_embed",
       // no repeated sentences in the driver corpus — detection is
       // proven on a constructed corpus in PipelineSpec
-      "d14_boilerplate")
+      "d14_boilerplate",
+      // d17 rides d02's edges — empty when the tiny corpus has no pairs
+      "d17_triangles")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")
@@ -337,5 +339,31 @@ class CoreSpec extends AnyFunSuite {
     assert(!p16.contains("CartesianProduct") && !p16.contains("BroadcastNestedLoop")
       && !p16.contains("SortMergeJoin"),
       s"d16 has a non-broadcast or unbounded join:\n$p16")
+  }
+
+  test("q98/t20/d17 plan shapes: pre-agg before window, pruned scans, equality-only graph joins") {
+    // q98: the window must run over the daily pre-aggregate, never raw
+    // orders — the plan has an aggregate BELOW the window, and the
+    // orders scan reads exactly the three needed columns
+    val q98df = SparkEntry.queries("q98_anomaly_zscore")(spark, sf)
+    val p98 = q98df.queryExecution.executedPlan.toString
+    assert(p98.contains("Window"), "q98 lost its window")
+    assert(p98.indexOf("HashAggregate") >= 0, "q98 lost its pre-aggregate")
+    val s98 = readSchemas(q98df)
+    assert(s98.exists(s => s.contains("o_orderpriority") && s.contains("o_totalprice")
+      && !s.contains("o_custkey")), s"q98 scan not pruned: $s98")
+    assert(!p98.contains("percentile"), "q98 must not use buffering aggregates")
+    // t20: the only nested-loop join allowed is the deliberate 1-row
+    // corpus-count broadcast; the tf->df term join must be an equality
+    // join, and the top-3 cut must be a row_number window on doc_id
+    val p20 = SparkEntry.queries("t20_tfidf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p20.contains("CartesianProduct"), s"t20 non-broadcast cross:\n$p20")
+    assert(p20.contains("row_number"), "t20 lost its per-doc ranking window")
+    // d17: wedge enumeration is equality joins only — no all-pairs shape
+    val p17 = SparkEntry.queries("d17_triangles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p17.contains("CartesianProduct") && !p17.contains("BroadcastNestedLoop"),
+      s"d17 plans an unbounded join:\n$p17")
   }
 }
