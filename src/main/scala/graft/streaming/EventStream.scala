@@ -303,6 +303,51 @@ object EventStream {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  final case class TtlCount(user_id: Long, n_recent: Long)
+
+  /** State-TTL processor: a per-user activity counter whose state
+    * expires `ttl` after its last write (arbitrary-state v2
+    * TTLConfig, processing-time based). This is the OTHER state-bound
+    * mechanism next to watermark+event-time timeout (the session
+    * processor's): TTL needs no event-time column and no watermark —
+    * the store itself ages entries out — which is the right eviction
+    * for enrichment caches and abuse counters where "recent" means
+    * wall clock, not event time. An expired key silently restarts
+    * from zero on its next event; nothing is emitted at expiry (TTL
+    * has no timeout callback — use event-time timers when a final
+    * flush must fire). */
+  final class TtlCountProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TtlCount] {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+
+    @transient private var n: ss.ValueState[Long] = _
+
+    override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit =
+      n = getHandle.getValueState[Long](
+        "n", Encoders.scalaLong, ss.TTLConfig(ttl))
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: ss.TimerValues): Iterator[TtlCount] = {
+      val c = (if (n.exists()) n.get() else 0L) + rows.size
+      n.update(c)
+      Iterator.single(TtlCount(user, c))
+    }
+  }
+
+  /** Per-user recent-activity count under a state TTL: counts
+    * accumulate across batches while the user stays active within
+    * `ttl`, and silently reset once the store ages the entry out. */
+  def userRecentCounts(events: Dataset[Event],
+      ttl: java.time.Duration): Dataset[TtlCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TtlCountProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   final case class PatternUpdate(user_id: Long, n_matches: Long, tail_len: Long)
 
   /** Streaming MATCH_RECOGNIZE: the batch PatternMatch operator's

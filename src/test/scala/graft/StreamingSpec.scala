@@ -507,6 +507,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("state TTL ages out idle keys: active keys accumulate, expired keys restart from zero") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      // ProcessingTime mode keeps scheduling batches as the clock
+      // advances, so processAllAvailable never quiesces — pace the
+      // engine with an interval trigger and POLL the sink instead
+      val q = EventStream.userRecentCounts(ms.toDS(), java.time.Duration.ofSeconds(10))
+        .writeStream.format("memory").queryName("ttl_counts")
+        .outputMode(OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+        .start()
+      try {
+        def latest(): Map[Long, Long] = spark.table("ttl_counts").collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_recent")))
+          .zipWithIndex.groupBy(_._1._1)
+          .map { case (u, rs) => u -> rs.maxBy(_._2)._1._2 }
+        def awaitLatest(expect: Map[Long, Long], why: String): Unit = {
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (latest() != expect && System.nanoTime() < deadline)
+            Thread.sleep(100)
+          assert(latest() == expect, s"$why: ${latest()}")
+        }
+        ms.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 1.0))
+        awaitLatest(Map(1L -> 2L), "first batch counts both events")
+        // within TTL: state carries, count accumulates
+        ms.addData(Event(3, ts(2), 1, "click", 1.0))
+        awaitLatest(Map(1L -> 3L), "state inside TTL must accumulate")
+        // let the entry age past the 10 s TTL, then touch the key again:
+        // the expired counter must restart at 1, not reach 4 (the TTL
+        // is generous because early RocksDB micro-batches take seconds
+        // — a tight TTL can expire between two ACTIVE batches)
+        Thread.sleep(12000)
+        ms.addData(Event(4, ts(3), 1, "view", 1.0))
+        awaitLatest(Map(1L -> 1L), "expired state must restart from zero")
+      } finally q.stop()
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming pattern matching counts funnel matches incrementally, batch-parity on terminal patterns") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
