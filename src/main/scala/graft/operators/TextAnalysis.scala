@@ -696,7 +696,11 @@ object TextAnalysis {
     * move). */
   private def t19(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.shingleIndex(Tables.df(s, d, "documents"))
-    val df = sh.groupBy("shingle").agg(countDistinct(col("doc_id")).as("df"))
+    // shingleIndex emits DISTINCT (doc_id, shingle) pairs (array_distinct
+    // before the explode), so plain count == distinct-doc count — and
+    // count(1) partial-aggregates in one phase where countDistinct
+    // plans a second Expand+shuffle round
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     sh.join(df, "shingle")
       .groupBy("doc_id")
       .agg(
