@@ -141,37 +141,37 @@ object GraftCatalog {
     * coalesce (no shuffle) down to the target count, write beside the
     * source, swap directories. Returns (files_before, files_after).
     *
-    * SCOPE: local-filesystem directories ONLY. Sizing and the swap go
-    * through java.io.File — on HDFS/S3 the listing returns nothing
-    * (bytes = 0 ⇒ 1 output file) and renameTo fails; an object-store
-    * deployment must instead flip a manifest/metastore pointer
-    * (Iceberg/Delta-style), which replaces this whole method, not just
-    * the rename. The rename-out/rename-in swap is also two-step, NOT
-    * atomic: a reader listing the directory between the two renames
-    * sees it absent, and if the second rename fails the data survives
-    * only in the `.old` trash dir (no automatic restore) — acceptable
-    * for the single-writer local maintenance job this models, and
-    * exactly why the pointer flip is the at-scale design. */
+    * Sizing and the swap go through the Hadoop FileSystem API, so the
+    * same code runs on local FS and HDFS (where each rename is atomic).
+    * The two-rename swap still has a window where the directory is
+    * absent to a concurrent lister, and on S3A a "rename" is a
+    * non-atomic copy+delete — object-store deployments flip a
+    * manifest/metastore pointer instead (Iceberg/Delta-style), which
+    * replaces this whole method, not just the rename. If the swap-in
+    * rename fails the original directory is renamed back before the
+    * error propagates — data is never stranded in the trash dir. */
   def compactParquet(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val d = new java.io.File(dir)
-    val parts = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+    import org.apache.hadoop.fs.Path
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetParts(p: Path) = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val parts = parquetParts(d)
     val before = parts.length
-    val bytes = parts.map(_.length()).sum
+    val bytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = new java.io.File(d.getParent, d.getName + ".compact" + System.nanoTime())
+    val tmp = new Path(d.getParent, d.getName + ".compact" + System.nanoTime())
     spark.read.parquet(dir).coalesce(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
-    val trash = new java.io.File(d.getParent, d.getName + ".old" + System.nanoTime())
-    require(d.renameTo(trash), s"compaction swap failed for $dir")
-    require(tmp.renameTo(d), s"compaction swap-in failed for $dir")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val trash = new Path(d.getParent, d.getName + ".old" + System.nanoTime())
+    require(fs.rename(d, trash), s"compaction swap-out failed for $dir")
+    if (!fs.rename(tmp, d)) {
+      fs.rename(trash, d)
+      throw new IllegalStateException(
+        s"compaction swap-in failed for $dir; original restored")
     }
-    rm(trash)
-    val after = Option(d.listFiles()).getOrElse(Array.empty)
-      .count(f => f.getName.endsWith(".parquet") && f.isFile)
-    (before, after)
+    fs.delete(trash, true)
+    (before, parquetParts(d).length)
   }
 }
