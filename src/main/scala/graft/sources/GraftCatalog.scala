@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source/catalog surface — the Spark analog of the reference's external
@@ -131,6 +131,57 @@ object GraftCatalog {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Z-order (Morton) interleaving of two numeric columns into one
+    * cluster key: each value is scaled to a 16-bit bucket inside its
+    * column's [min, max], and the bucket bits are interleaved, so rows
+    * close in BOTH dimensions land close in the key order. Pure
+    * codegen'd shift/or arithmetic — 32 terms, no UDF. */
+  def zValue(a: Column, b: Column, aMin: Column, aMax: Column,
+      bMin: Column, bMax: Column): Column = {
+    def bucket(v: Column, mn: Column, mx: Column): Column =
+      when(mx === mn, lit(0L)).otherwise(
+        least(lit(65535L), greatest(lit(0L),
+          ((v - mn).cast("double") / (mx - mn).cast("double") * 65535.0)
+            .cast("long"))))
+    val ba = bucket(a, aMin, aMax)
+    val bb = bucket(b, bMin, bMax)
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(ba, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(bb, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
+  /** Multi-dimensional layout: write `df` parquet clustered by the
+    * Z-order of two columns. A linear sort gives row-group min/max
+    * stats that prune scans on ONE leading column; Z-order clustering
+    * gives every row group a tight min/max envelope on BOTH columns,
+    * so 2-D selective filters skip most row groups at read time — the
+    * lakehouse layout move (Delta OPTIMIZE ZORDER / Iceberg sort-order)
+    * for the "filter by user AND time" scan this engine's events
+    * pipeline lives on. At 100 TB the same code holds: column min/max
+    * come from one partial-aggregated scan, the range partitioner
+    * spreads by z-key, and each task sorts only its own partition.
+    * `rowGroupBytes` caps parquet row-group size so pruning granularity
+    * is finer than file granularity (essential at small SFs; at
+    * production SFs the 128 MB default is the right call). */
+  def zOrderWrite(df: DataFrame, colA: String, colB: String, path: String,
+      nFiles: Int, rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
+    val mm = df.agg(
+      min(col(colA)).cast("long").as("amn"), max(col(colA)).cast("long").as("amx"),
+      min(col(colB)).cast("long").as("bmn"), max(col(colB)).cast("long").as("bmx"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("_z", zValue(col(colA).cast("long"), col(colB).cast("long"),
+        col("amn"), col("amx"), col("bmn"), col("bmx")))
+      .drop("amn", "amx", "bmn", "bmx")
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+  }
 
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetBytes) files (≥ 1) and atomically swap it in.

@@ -268,4 +268,48 @@ class SourcesCatalogSpec extends AnyFunSuite {
     val (b2, a2) = GraftCatalog.compactParquet(spark, dir)
     assert(b2 == 1 && a2 == 1)
   }
+
+  test("z-order layout prunes 2-D selective scans a linear sort cannot") {
+    // sf0.01, not the usual sf0.001: row-group pruning needs enough
+    // rows for many row groups — 1k rows is 1-2 groups per file and
+    // the measurement degenerates
+    val ev = Tables.df(spark, "/root/testdata/sf0.01", "events")
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("tsl"))
+    val total = ev.count()
+    val zDir = s"$tmp/ev_zorder"; val linDir = s"$tmp/ev_linear"
+    // same file count, same (small) row groups — the ONLY difference
+    // under measurement is row order
+    GraftCatalog.zOrderWrite(ev, "user_id", "tsl", zDir,
+      nFiles = 4, rowGroupBytes = 16 * 1024)
+    ev.repartitionByRange(4, col("tsl")).sortWithinPartitions("tsl")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("parquet.block.size", 16 * 1024).parquet(linDir)
+    // selective on user_id ONLY: the ts-linear layout's row groups all
+    // span the full user range, so none can be skipped; z-order gives
+    // every row group a tight user envelope
+    val (uLo, uHi) = {
+      val r = ev.agg(min("user_id"), max("user_id")).head
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      (mn, mn + math.max(1L, (mx - mn) / 10))
+    }
+    def scannedRows(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+        .where(col("user_id").between(uLo, uHi))
+      val kept = df.count()
+      val qe = df.queryExecution
+      df.collect()
+      val scanned = qe.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+      (kept, scanned)
+    }
+    val (keptZ, scanZ) = scannedRows(zDir)
+    val (keptL, scanL) = scannedRows(linDir)
+    assert(keptZ == keptL && keptZ > 0, s"layouts disagree: $keptZ vs $keptL")
+    assert(scanL > total / 2,
+      s"linear layout should scan most of the table for a user-only filter, scanned $scanL of $total")
+    assert(scanZ * 2 < scanL,
+      s"z-order should skip most row groups: scanned $scanZ vs linear $scanL")
+  }
 }
