@@ -776,6 +776,62 @@ object TextAnalysis {
       |SELECT doc_id, rnk, term, tf, df, tfidf
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** t21 — distinctive vocabulary per source (corpus keyness): the
+    * top-5 terms most over-represented in each source vs the whole
+    * corpus, lift = (tf_src/T_src)/(tf_corpus/T_corpus), min support
+    * 5. The domain-signature QC every mixture pipeline runs — it
+    * answers "what is IN this source" before p11 assigns it a weight.
+    * All counts are integer-exact; lift is one product-and-divide of
+    * exactly-representable integers (<2^53), so both engines produce
+    * the identical double and ranking on it is deterministic (term asc
+    * breaks ties). The top-5 cut is the WindowGroupLimit shape: each
+    * partition pre-filters to its local top-5 before the per-source
+    * window, so the vocabulary-sized relation is never sorted whole
+    * per source. */
+  private def t21(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.df(s, d, "documents")
+      .select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+    val a = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val tSrc = a.groupBy("source").agg(sum("tf").as("t_src"))
+    val cTf = a.groupBy("term").agg(sum("tf").as("corpus_tf"))
+    val tAll = a.agg(sum("tf").as("t_all"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("lift").desc, col("term").asc)
+    a.join(cTf, "term").join(broadcast(tSrc), "source").crossJoin(broadcast(tAll))
+      .where(col("tf") >= 5)
+      .withColumn("lift",
+        (col("tf").cast("double") * col("t_all")) /
+          (col("t_src").cast("double") * col("corpus_tf")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 5)
+      .select(col("source"), col("rnk"), col("term"), col("tf"),
+        col("corpus_tf"), round(col("lift"), 6).as("lift"))
+      .orderBy("source", "rnk")
+  }
+
+  private val t21Oracle: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |  FROM documents),
+      |a AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |srct AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS t_src FROM a GROUP BY 1),
+      |ct AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS corpus_tf FROM a GROUP BY 1),
+      |allt AS (SELECT CAST(SUM(tf) AS BIGINT) AS t_all FROM a),
+      |sc AS (
+      |  SELECT a.source, a.term, a.tf, ct.corpus_tf,
+      |    (CAST(a.tf AS DOUBLE) * allt.t_all)
+      |      / (CAST(srct.t_src AS DOUBLE) * ct.corpus_tf) AS lift
+      |  FROM a JOIN ct USING (term) JOIN srct USING (source) CROSS JOIN allt
+      |  WHERE a.tf >= 5),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY source ORDER BY lift DESC, term ASC) AS rnk
+      |  FROM sc)
+      |SELECT source, rnk, term, tf, corpus_tf, round(lift, 6) AS lift
+      |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -796,5 +852,6 @@ object TextAnalysis {
     Q("t17_blocklist", Some(t17Oracle), t17),
     Q("t18_sentences", Some(t18Oracle), t18),
     Q("t19_novelty", Some(t19Oracle), t19),
-    Q("t20_tfidf", Some(t20Oracle), t20))
+    Q("t20_tfidf", Some(t20Oracle), t20),
+    Q("t21_source_keyness", Some(t21Oracle), t21))
 }

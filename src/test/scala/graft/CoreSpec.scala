@@ -365,5 +365,11 @@ class CoreSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p17.contains("CartesianProduct") && !p17.contains("BroadcastNestedLoop"),
       s"d17 plans an unbounded join:\n$p17")
+    // t21: the top-5 cut must pre-filter per partition (WindowGroupLimit)
+    // so the vocabulary-sized relation is never sorted whole per source
+    val p21 = SparkEntry.queries("t21_source_keyness")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p21.contains("WindowGroupLimit"),
+      s"t21 lost its partial top-k:\n$p21")
   }
 }
