@@ -500,11 +500,96 @@ object Multimodal {
       .orderBy("doc_id", "cut_frame")
   }
 
+  /** Shared-clip synthesizer: frames in [segStart, segStart+segLen)
+    * render an id-INDEPENDENT pattern keyed only by the absolute frame
+    * index (the lifted clip); all other frames vary by video id. */
+  private[graft] def segVideo(id: Long, nf: Int, segStart: Int,
+      segLen: Int): Array[Array[Byte]] = {
+    // hash-mixed pixels, NOT gradients: smooth gradients all threshold
+    // to near-identical aHash bit patterns (right-half-above-mean), so
+    // every video would spuriously match every other — the mix makes
+    // each (seed) frame's 64 threshold bits effectively random, and
+    // 64-bit collisions across a corpus of thousands of frames are
+    // vanishingly unlikely
+    def mix(seed: Long, x: Int, y: Int): Int = {
+      var h = seed + x * 374761393L + y * 668265263L
+      h = (h ^ (h >>> 13)) * 1274126177L
+      ((h ^ (h >>> 16)) & 0xff).toInt
+    }
+    Array.tabulate(nf) { f =>
+      val seed =
+        if (f >= segStart && f < segStart + segLen) f * 7919L + 17L
+        else id * 1000003L + f * 7919L + 1L
+      encodeBmp(16, 16, (x, y) => { val v = mix(seed, x, y); (v, v, v) })
+    }
+  }
+
+  /** The cross-video matcher behind m07, factored so the spec can run
+    * it on a constructed corpus: frames (doc_id, frame_idx, ahash) →
+    * contiguous cross-video runs of hash-equal frames on one index
+    * diagonal, length ≥ minLen. Hashes present in more than `cap`
+    * videos (color bars, black frames) are dropped before the
+    * equality join — the same hot-key cap as the text dedup family,
+    * so no hash block is ever quadratic. */
+  private[graft] def sharedSegments(frames: DataFrame, minLen: Int = 2,
+      cap: Int = 50): DataFrame = {
+    val hot = frames.groupBy("ahash")
+      .agg(countDistinct(col("doc_id")).as("nv"))
+      .where(col("nv") > cap).select("ahash")
+    val fr = frames.join(broadcast(hot), Seq("ahash"), "left_anti")
+    fr.as("a")
+      .join(fr.as("b"),
+        col("a.ahash") === col("b.ahash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.frame_idx").as("ai"), col("b.frame_idx").as("bi"))
+      .withColumn("diag", col("ai") - col("bi"))
+      .groupBy("a_id", "b_id", "diag")
+      .agg(count(lit(1)).as("n"), min(col("ai")).as("a_start"),
+        max(col("ai")).as("a_end"), min(col("bi")).as("b_start"))
+      .where(col("n") >= minLen &&
+        col("a_end") - col("a_start") + 1 === col("n"))
+      .select(col("a_id"), col("b_id"), col("a_start").cast("int").as("a_start"),
+        col("b_start").cast("int").as("b_start"), col("n").as("seg_len"))
+      .orderBy("a_id", "b_id", "a_start")
+  }
+
+  /** m07 — cross-video duplicate segment detection (the re-used-clip
+    * finder): every third video embeds a shared clip at a
+    * video-dependent offset; frames decode to aHashes at the typed
+    * boundary (m02's discipline — bytes never leave their partition),
+    * then [[sharedSegments]] finds contiguous hash-equal runs across
+    * videos via ONE equality join on the 8-byte hash key, grouped by
+    * index diagonal — never all-pairs, hot frames capped. Rows-only
+    * (decode is not SQL-expressible); exact detected segments are
+    * pinned on a constructed corpus in PipelineSpec. */
+  private def m07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frames = graft.Tables.df(s, d, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        (pmod(xxhash64(col("doc_id")), lit(4)) + 6).cast("int").as("nf"),
+        (col("doc_id") % 30 === 0).as("lifted"),
+        (pmod(xxhash64(col("doc_id"), lit(3)), lit(2)) + 1).cast("int").as("st"),
+        (pmod(xxhash64(col("doc_id"), lit(5)), lit(3)) + 2).cast("int").as("ln"))
+      .as[(Long, Int, Boolean, Int, Int)]
+      .mapPartitions(_.flatMap { case (id, nf, lifted, st, ln) =>
+        val frames = if (lifted) segVideo(id, nf, st, ln)
+          else segVideo(id, nf, 0, 0)
+        frames.zipWithIndex.map { case (bmp, f) =>
+          val (w, h, gray) = bmpGray(bmp)
+          (id, f, aHash64(w, h, gray))
+        }
+      })
+      .toDF("doc_id", "frame_idx", "ahash")
+    sharedSegments(frames)
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_multimodal", None, m01),
     Q("m02_frame_sample", None, m02),
     Q("m03_waveform_stats", None, m03),
     Q("m04_silence_segments", None, m04),
     Q("m05_image_near_dup", None, m05),
-    Q("m06_shot_boundaries", None, m06))
+    Q("m06_shot_boundaries", None, m06),
+    Q("m07_shared_segments", None, m07))
 }

@@ -19,7 +19,10 @@ class CoreSpec extends AnyFunSuite {
       // proven on a constructed corpus in PipelineSpec
       "d14_boilerplate",
       // d17 rides d02's edges — empty when the tiny corpus has no pairs
-      "d17_triangles")
+      "d17_triangles",
+      // m07's lifted-clip overlaps can all fall under minLen on the
+      // tiny corpus — the overlap model is pinned in PipelineSpec
+      "m07_shared_segments")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")

@@ -164,6 +164,49 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("m07 constructed corpus: exact shared segments, nothing else") {
+    import spark.implicits._
+    import graft.operators.Multimodal.{segVideo, sharedSegments, bmpGray, aHash64}
+    // v1 shares frames 2-4, v2 shares 2-5, v3 shares 3-4, v4 nothing
+    val vids = Seq((1L, 8, 2, 3), (2L, 8, 2, 4), (3L, 7, 3, 2), (4L, 8, 0, 0))
+    val frames = vids.flatMap { case (id, nf, st, ln) =>
+      segVideo(id, nf, st, ln).zipWithIndex.map { case (bmp, f) =>
+        val (w, h, gray) = bmpGray(bmp)
+        (id, f, aHash64(w, h, gray))
+      }
+    }.toDF("doc_id", "frame_idx", "ahash")
+    val got = sharedSegments(frames).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Int]("a_start"), r.getAs[Int]("b_start"),
+        r.getAs[Long]("seg_len"))).toSet
+    // pairwise overlaps of the absolute shared windows, min length 2
+    assert(got == Set((1L, 2L, 2, 2, 3L), (1L, 3L, 3, 3, 2L), (2L, 3L, 3, 3, 2L)),
+      s"got $got")
+  }
+
+  test("m07 end-to-end matches the synthesizer's overlap model") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val got = SparkEntry.queries("m07_shared_segments")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Int]("a_start"), r.getAs[Int]("b_start"),
+        r.getAs[Long]("seg_len"))).toSet
+    val metas = Tables.df(spark, sf, "documents")
+      .where(col("doc_id") % 30 === 0)
+      .select(col("doc_id"),
+        (pmod(xxhash64(col("doc_id")), lit(4)) + 6).cast("int").as("nf"),
+        (pmod(xxhash64(col("doc_id"), lit(3)), lit(2)) + 1).cast("int").as("st"),
+        (pmod(xxhash64(col("doc_id"), lit(5)), lit(3)) + 2).cast("int").as("ln"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val expected = (for {
+      (a, nfa, sa, la) <- metas
+      (b, nfb, sb, lb) <- metas if a < b
+      lo = math.max(sa, sb)
+      hi = math.min(math.min(sa + la, sb + lb), math.min(nfa, nfb))
+      if hi - lo >= 2
+    } yield (a, b, lo, lo, (hi - lo).toLong)).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("dup-graph label index: cache hit on identical content, rebuild on change") {
     import spark.implicits._
     val base = Seq(
