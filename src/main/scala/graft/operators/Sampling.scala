@@ -605,6 +605,36 @@ object Sampling {
       |FROM t
       |ORDER BY rn, source, doc_id""".stripMargin
 
+  /** p19 — seeded deterministic global shuffle: every epoch of
+    * training wants the SAME pseudo-random permutation given the same
+    * seed, reproducible across engines and runs. The shuffle key is
+    * md5(seed || doc_id) — a portable hash both engines compute
+    * identically (xxhash64 is Spark-private, so p01's key would be
+    * rows-only) — and the global position comes from
+    * ExactPercentile.withGroupRank over a constant group: a
+    * RANGE-partitioned distributed row numbering, never the
+    * single-task global window `row_number() OVER (ORDER BY …)` plans
+    * naively. Shards are pos mod 8 — the downstream loader's file
+    * assignment. */
+  private def p19(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.df(s, d, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("seed42:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("g", lit(0))
+    ExactPercentile.withGroupRank(keyed, "g", Seq("k"), "rnk")
+      .select(col("doc_id"), (col("rnk") + 1).as("pos"),
+        (col("rnk") % 8).cast("int").as("shard"))
+      .orderBy("doc_id")
+  }
+
+  private val p19Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, md5('seed42:' || CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents),
+      |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k) AS pos FROM t)
+      |SELECT doc_id, pos, CAST((pos - 1) % 8 AS INT) AS shard
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -623,5 +653,6 @@ object Sampling {
     Q("p15_winsorize", Some(p15Oracle), p15),
     Q("p16_feature_scale", Some(p16Oracle), p16),
     Q("p17_quarantine", Some(p17Oracle), p17),
-    Q("p18_interleave", Some(p18Oracle), p18))
+    Q("p18_interleave", Some(p18Oracle), p18),
+    Q("p19_seeded_shuffle", Some(p19Oracle), p19))
 }
