@@ -719,6 +719,29 @@ object Similarity {
       .limit(10)
   }
 
+  /** s10 — in-engine ANN recall evaluation: every approximate index
+    * family's top-10 joined against s01's brute-force ground truth,
+    * recall@10 per method in ONE result table. This is the eval
+    * harness an ANN deployment runs after every index rebuild —
+    * previously only spec floors, now a first-class queryable op. Each
+    * method reuses its resident index (the s0x machinery and caches);
+    * the truth set is 10 ids, so every intersection is a broadcast
+    * semi-join against a 10-row side. Rows-only (the approximate
+    * methods are engine-specific); the per-method floors stay asserted
+    * in PipelineSpec. */
+  private def s10(s: SparkSession, d: String): DataFrame = {
+    val truth = s01(s, d).select("vec_id")
+    val methods: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "lsh" -> s02, "ivf" -> s03, "sketch_rerank" -> s05,
+      "pq" -> s07, "ivfpq" -> s08)
+    methods.map { case (name, fn) =>
+      fn(s, d).select("vec_id").join(broadcast(truth), "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("method"), lit(10).cast("int").as("k"),
+          col("n_hits"), round(col("n_hits") / 10.0, 2).as("recall"))
+    }.reduce(_ unionByName _).orderBy("method")
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_ann_brute", Some(s01Oracle), s01),
     Q("s02_ann_lsh", None, s02),
@@ -728,5 +751,6 @@ object Similarity {
     Q("s06_ann_filtered", Some(s06Oracle), s06),
     Q("s07_ann_pq", None, s07),
     Q("s08_ann_ivfpq", None, s08),
-    Q("s09_ann_filtered_ivf", None, s09))
+    Q("s09_ann_filtered_ivf", None, s09),
+    Q("s10_ann_recall_eval", None, s10))
 }

@@ -472,6 +472,20 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH recall ${(exact & approx).size}/10 below floor; missed ${exact -- approx}")
   }
 
+  test("s10 recall-eval table agrees with the per-method floors") {
+    val got = rows("s10_ann_recall_eval")
+      .map(r => r.getAs[String]("method") -> r.getAs[Long]("n_hits")).toMap
+    assert(got.keySet == Set("lsh", "ivf", "sketch_rerank", "pq", "ivfpq"),
+      s"methods: ${got.keySet}")
+    // the same floors the individual specs assert — the eval op must
+    // report numbers consistent with them
+    val floors = Map("lsh" -> 5L, "ivf" -> 5L, "sketch_rerank" -> 7L,
+      "pq" -> 5L, "ivfpq" -> 4L)
+    floors.foreach { case (m, f) =>
+      assert(got(m) >= f, s"$m recall ${got(m)}/10 below floor $f")
+    }
+  }
+
   test("s05 sketch+rerank ANN recall >= 0.7 vs the exact top-k") {
     val exact = rows("s01_ann_brute").map(_.getAs[Long]("vec_id")).toSet
     val rer = rows("s05_ann_rerank").map(_.getAs[Long]("vec_id")).toSet
