@@ -507,6 +507,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("StreamingQueryListener observes per-batch progress: input rows and state metrics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener.{
+      QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+    // the production observability surface: every micro-batch reports
+    // rows, durations and state-store size through the listener bus —
+    // this is how a 100 TB deployment alarms on lag and state growth,
+    // without touching the query itself
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[QueryProgressEvent]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = seen.add(e)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val ms = MemoryStream[Event]
+      val q = EventStream.windowedTypeCounts(ms.toDF())
+        .writeStream.format("memory").queryName("listener_counts")
+        .outputMode(OutputMode.Update).start()
+      try {
+        ms.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 1.0))
+        q.processAllAvailable()
+        ms.addData(Event(3, ts(2), 2, "click", 1.0))
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        def progresses = seen.toArray(Array.empty[QueryProgressEvent])
+          .filter(_.progress.id == q.id)
+        while (progresses.map(_.progress.numInputRows).sum < 3
+            && System.nanoTime() < deadline) Thread.sleep(100)
+        val ps = progresses
+        assert(ps.map(_.progress.numInputRows).sum == 3,
+          s"listener saw ${ps.map(_.progress.numInputRows).toSeq} input rows")
+        // the stateful agg must report its state store through progress
+        val withState = ps.filter(_.progress.stateOperators.nonEmpty)
+        assert(withState.nonEmpty, "no stateOperators in any progress event")
+        assert(withState.exists(_.progress.stateOperators.head.numRowsTotal > 0),
+          "state rows never reported > 0")
+      } finally q.stop()
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("state TTL ages out idle keys: active keys accumulate, expired keys restart from zero") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
