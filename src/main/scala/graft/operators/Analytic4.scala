@@ -553,6 +553,60 @@ object Analytic4 {
       |  (z IS NOT NULL AND abs(z) > 2.0) AS is_anomaly
       |FROM sc ORDER BY prio, day""".stripMargin
 
+  /** q99 — last-touch attribution: each purchase credited to the SAME
+    * user's most recent preceding non-purchase event within a 7-day
+    * lookback, else "direct" — the marketing/conversion accounting
+    * every events store answers, distinct from q73's ordered funnel
+    * (stage minima) and the as-of family (cross-table alignment).
+    * One per-user window pass: running last(ignoreNulls) over the
+    * strictly-preceding frame carries the latest touch; the lookback
+    * is a microsecond comparison on second-truncated timestamps
+    * (q97's ns/µs discipline). Rollup is a partial+final aggregate on
+    * the |event_types|-bounded channel. */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.df(s, d, "events").select(
+      col("user_id"), col("event_id"), col("event_type"),
+      date_trunc("second", col("ts")).as("t"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase",
+      struct(col("t").as("tt"), col("event_type").as("ch")))
+    ev.withColumn("prev", last(touch, ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("prev").isNotNull &&
+          unix_micros(col("t")) - unix_micros(col("prev.tt")) <= 604800000000L,
+          col("prev.ch")).otherwise(lit("direct")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("channel")
+  }
+
+  private val q99Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, event_type, t,
+      |    last_value(CASE WHEN event_type <> 'purchase'
+      |                    THEN struct_pack(tt := t, ch := event_type) END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      |  FROM e),
+      |a AS (
+      |  SELECT CASE WHEN prev IS NOT NULL
+      |              AND epoch_us(t) - epoch_us(prev.tt) <= 604800000000
+      |         THEN prev.ch ELSE 'direct' END AS channel,
+      |    user_id
+      |  FROM p WHERE event_type = 'purchase')
+      |SELECT channel, COUNT(*) AS n_purchases,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM a GROUP BY channel ORDER BY channel""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
@@ -565,5 +619,6 @@ object Analytic4 {
     Q("q94_share_of_parent", Some(q94Oracle), q94),
     Q("q95_constraint_check", Some(q95Oracle), q95),
     Q("q97_asof_nearest", Some(q97Oracle), q97),
-    Q("q98_anomaly_zscore", Some(q98Oracle), q98))
+    Q("q98_anomaly_zscore", Some(q98Oracle), q98),
+    Q("q99_attribution", Some(q99Oracle), q99))
 }
