@@ -283,8 +283,64 @@ object Analytic {
       |  CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q100 — per-group least-squares regression (the SQL REGR_* family:
+    * slope, intercept, R²) of extendedprice on quantity, from the SAME
+    * decimal power sums as q50 — the engines' native regr_slope /
+    * regr_r2 fold doubles in partition order and are not reproducible
+    * across engines or partitionings; the closed forms below are one
+    * IEEE expression tree over order-independent decimal sums. Still
+    * one partial+final scan (all moments are algebraic). Zero-variance
+    * x (degenerate fit) is guarded to NULL both sides. */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    def dsum38(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 4))).cast("double")
+    val sxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val syy = col("n") * col("syy") - col("sy") * col("sy")
+    val sxy = col("n") * col("sxy") - col("sx") * col("sy")
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(x).cast("double").as("sx"),
+        dsum(y).cast("double").as("sy"),
+        dsum38(x * x).as("sxx"),
+        dsum38(y * y).as("syy"),
+        dsum38(x * y).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round(when(sxx > 0, sxy / sxx), 6).as("slope"),
+        round(when(sxx > 0,
+          (col("sy") - (sxy / sxx) * col("sx")) / col("n")), 6).as("intercept"),
+        round(when(sxx > 0 && syy > 0, (sxy * sxy) / (sxx * syy)), 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q100Oracle: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round(CASE WHEN n * sxx - sx * sx > 0
+      |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+      |  round(CASE WHEN n * sxx - sx * sx > 0
+      |    THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+      |  END, 6) AS intercept,
+      |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |    THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q50_stats_moments", Some(q50Oracle), q50),
+    Q("q100_regression", Some(q100Oracle), q100),
     Q("q51_setops_all", Some(q51Oracle), q51),
     Q("q52_null_safe_join", Some(q52Oracle), q52),
     Q("q53_array_ops", Some(q53Oracle), q53),
