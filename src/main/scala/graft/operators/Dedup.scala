@@ -146,13 +146,16 @@ object Dedup {
     * historical snapshot's blocks in executor storage for the
     * session's lifetime (the exact leak freeCheckpoint exists to
     * prevent; round-5's p07 regression was this pattern). */
-  private val liveSig = new java.util.concurrent.ConcurrentHashMap[SparkSession, Long]()
+  private val liveSig =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Long]()
 
   private def retireStaleEntries(s: SparkSession, sig: Long): Unit = {
-    val prev = liveSig.put(s, sig)
-    if (prev != null && prev != sig) {
+    // boxed Long: a Scala-Long-valued map would silently unbox put's
+    // null (no previous entry) to 0L and make the null check vacuous
+    val prev = liveSig.put(s, java.lang.Long.valueOf(sig))
+    if (prev != null && prev.longValue != sig) {
       Seq(pairsCache, labelCache).foreach { cache =>
-        Option(cache.remove((s, prev.toLong))).foreach(freeCheckpoint)
+        Option(cache.remove((s, prev.longValue))).foreach(freeCheckpoint)
       }
     }
   }
