@@ -607,6 +607,44 @@ object Analytic4 {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM a GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** q101 — path analysis: the 10 most common consecutive 3-event
+    * sequences across all user streams — "what do users actually do",
+    * the product-analytics staple next to q73's fixed funnel (which
+    * asks about ONE prescribed path) and q75's 1-step transition
+    * matrix (this is the 2-step generalization). Two lead() taps over
+    * one per-user window (a single shuffle + sort), then a partial+
+    * final count on the |types|³-bounded path key; top-10 cut is
+    * deterministic (count desc, path asc). Sequences deliberately span
+    * the whole per-user stream — session-bounding is q23/q69's
+    * composition point. */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.df(s, d, "events").select(
+      col("user_id"), col("event_id"), col("event_type"),
+      date_trunc("second", col("ts")).as("t"))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    ev.withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(10)
+  }
+
+  private val q101Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+      |FROM p WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
@@ -620,5 +658,6 @@ object Analytic4 {
     Q("q95_constraint_check", Some(q95Oracle), q95),
     Q("q97_asof_nearest", Some(q97Oracle), q97),
     Q("q98_anomaly_zscore", Some(q98Oracle), q98),
-    Q("q99_attribution", Some(q99Oracle), q99))
+    Q("q99_attribution", Some(q99Oracle), q99),
+    Q("q101_path_analysis", Some(q101Oracle), q101))
 }
