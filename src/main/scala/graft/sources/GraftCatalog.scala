@@ -137,20 +137,31 @@ object GraftCatalog {
     * column's [min, max], and the bucket bits are interleaved, so rows
     * close in BOTH dimensions land close in the key order. Pure
     * codegen'd shift/or arithmetic — 32 terms, no UDF. */
+  private def zBucket(v: Column, mn: Column, mx: Column): Column =
+    when(mx === mn, lit(0L)).otherwise(
+      least(lit(65535L), greatest(lit(0L),
+        ((v - mn).cast("double") / (mx - mn).cast("double") * 65535.0)
+          .cast("long"))))
+
   def zValue(a: Column, b: Column, aMin: Column, aMax: Column,
-      bMin: Column, bMax: Column): Column = {
-    def bucket(v: Column, mn: Column, mx: Column): Column =
-      when(mx === mn, lit(0L)).otherwise(
-        least(lit(65535L), greatest(lit(0L),
-          ((v - mn).cast("double") / (mx - mn).cast("double") * 65535.0)
-            .cast("long"))))
-    val ba = bucket(a, aMin, aMax)
-    val bb = bucket(b, bMin, bMax)
-    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(ba, i).bitwiseAND(lit(1L)), 2 * i + 1))
-        .bitwiseOR(shiftleft(shiftright(bb, i).bitwiseAND(lit(1L)), 2 * i))
+      bMin: Column, bMax: Column): Column =
+    zValueN(Seq((a, aMin, aMax), (b, bMin, bMax)))
+
+  private def interleaveBits(buckets: Seq[Column], bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)),
+          i * buckets.size + j))
+      }
     }
+
+  /** N-column Morton interleave (2–4 columns in one 64-bit key): each
+    * value scales to a 16-bit bucket in its [min, max]; bit i of
+    * column j lands at position i·k + j. Still pure codegen'd
+    * shift/or arithmetic — 16·k terms. */
+  def zValueN(cols: Seq[(Column, Column, Column)]): Column = {
+    require(cols.size >= 2 && cols.size <= 4, "zValueN takes 2-4 columns")
+    interleaveBits(cols.map { case (v, mn, mx) => zBucket(v, mn, mx) }, 16)
   }
 
   /** Multi-dimensional layout: write `df` parquet clustered by the
@@ -167,14 +178,35 @@ object GraftCatalog {
     * is finer than file granularity (essential at small SFs; at
     * production SFs the 128 MB default is the right call). */
   def zOrderWrite(df: DataFrame, colA: String, colB: String, path: String,
+      nFiles: Int, rowGroupBytes: Long = 128L * 1024 * 1024): Unit =
+    zOrderWriteN(df, Seq(colA, colB), path, nFiles, rowGroupBytes)
+
+  /** [[zOrderWrite]] for 2–4 cluster columns, with EQUI-DEPTH
+    * (rank-space) bucketing: each column's 8-bit bucket is its
+    * position among 255 approx-quantile boundaries from ONE sketch
+    * pass — linear min/max scaling collapses on skewed data (a
+    * log-normal column puts most mass in the lowest buckets and the
+    * key stops discriminating it; Delta's OPTIMIZE ZORDER hits the
+    * same wall), while rank space spreads every distribution evenly.
+    * Boundaries broadcast back; the bucket is a codegen'd
+    * filter-count over the 255-element array; then the interleaved
+    * key, a range partition and an in-partition sort — every row
+    * group ends with a tight min/max envelope on EVERY cluster
+    * dimension. */
+  def zOrderWriteN(df: DataFrame, cols: Seq[String], path: String,
       nFiles: Int, rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
-    val mm = df.agg(
-      min(col(colA)).cast("long").as("amn"), max(col(colA)).cast("long").as("amx"),
-      min(col(colB)).cast("long").as("bmn"), max(col(colB)).cast("long").as("bmx"))
-    df.crossJoin(broadcast(mm))
-      .withColumn("_z", zValue(col(colA).cast("long"), col(colB).cast("long"),
-        col("amn"), col("amx"), col("bmn"), col("bmx")))
-      .drop("amn", "amx", "bmn", "bmx")
+    val qs = (1 until 256).map(_.toDouble / 256).toArray
+    val bndAggs = cols.zipWithIndex.map { case (c, i) =>
+      percentile_approx(col(c).cast("double"),
+        lit(qs), lit(10000)).as(s"bnd$i")
+    }
+    val bnds = df.agg(bndAggs.head, bndAggs.tail: _*)
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      expr(s"size(filter(bnd$i, x -> x <= CAST($c AS DOUBLE)))").cast("long")
+    }
+    df.crossJoin(broadcast(bnds))
+      .withColumn("_z", interleaveBits(buckets, 8))
+      .drop(cols.indices.map(i => s"bnd$i"): _*)
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")

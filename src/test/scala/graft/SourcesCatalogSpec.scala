@@ -312,4 +312,50 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(scanZ * 2 < scanL,
       s"z-order should skip most row groups: scanned $scanZ vs linear $scanL")
   }
+
+  test("3-column z-order prunes on the third dimension a time-sort cannot") {
+    // sf0.1 and 4 KB row groups: k-dim z-order discriminates ~(log2
+    // #rowgroups)/k bits per dimension, so 3-dim pruning needs
+    // hundreds of row groups to show — 100k rows / 4 KB gives ~800,
+    // i.e. ~3 bits of value envelope per group
+    val ev = Tables.df(spark, "/root/testdata/sf0.1", "events")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("tsl"), col("value"))
+    val zDir = s"$tmp/ev_z3"; val linDir = s"$tmp/ev_lin3"
+    GraftCatalog.zOrderWriteN(ev, Seq("user_id", "tsl", "value"), zDir,
+      nFiles = 4, rowGroupBytes = 4 * 1024)
+    ev.repartitionByRange(4, col("tsl")).sortWithinPartitions("tsl")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("parquet.block.size", 4 * 1024).parquet(linDir)
+    // selective on `value` ONLY — the dimension neither a time sort
+    // nor a 2-D (user, time) key would give row groups envelopes on.
+    // Bounds come from QUANTILES (p50–p60, ~10% of rows): the column
+    // is log-normal-skewed, so a fixed fraction of the value RANGE is
+    // not a fixed fraction of the rows
+    val (vLo, vHi) = {
+      val q = ev.stat.approxQuantile("value", Array(0.5, 0.6), 0.001)
+      (q(0), q(1))
+    }
+    def scanned(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir).where(col("value").between(vLo, vHi))
+      val kept = df.count()
+      val qe = df.queryExecution
+      df.collect()
+      (kept, qe.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum)
+    }
+    val (keptZ, scanZ) = scanned(zDir)
+    val (keptL, scanL) = scanned(linDir)
+    assert(keptZ == keptL && keptZ > 0, s"layouts disagree: $keptZ vs $keptL")
+    // the linear baseline already gets parquet page-level column-index
+    // pruning, so the bar is: strictly better than it AND absolutely
+    // small (under a third of the table for a ~1/12-selective filter)
+    val total = ev.count()
+    assert(scanZ < scanL,
+      s"3-col z-order not better than linear: $scanZ vs $scanL")
+    assert(scanZ * 3 < total,
+      s"3-col z-order scans too much of the table: $scanZ of $total")
+  }
 }
