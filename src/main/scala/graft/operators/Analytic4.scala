@@ -645,6 +645,58 @@ object Analytic4 {
       |FROM p WHERE e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
 
+  /** q102 — conversion-latency percentiles: exact p50/p90 of
+    * signup→first-purchase time across converting users — q73 counts
+    * WHO converts, this measures HOW LONG conversion takes, the
+    * product-health number next to the funnel. Latencies are exact
+    * integer seconds (floor-divided microsecond deltas — `div`/`//`
+    * so neither engine floats the division), and the percentiles run
+    * on `ExactPercentile.continuous` — per-user latency is
+    * |users|-sized at 100 TB, exactly the population the buffering
+    * percentile aggregate must not hold per group. */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = Tables.df(s, d, "events").select(col("user_id"),
+      col("event_type"), date_trunc("second", col("ts")).as("t"))
+    val su = e.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("t")).as("st"))
+    val lat = e.join(su, "user_id")
+      .where(col("event_type") === "purchase" && col("t") >= col("st"))
+      .groupBy("user_id", "st").agg(min(col("t")).as("pt"))
+      .select(expr("(unix_micros(pt) - unix_micros(st)) div 1000000")
+        .cast("double").as("lat_s"))
+    val pct = ExactPercentile.continuous(
+      lat.select(lit("all").as("g"), col("lat_s")), Seq(0.5, 0.9))
+    pct.toSeq.map { case (_, r) => (r.n, r.values(0), r.values(1)) }
+      .toDF("n_converted", "p50_raw", "p90_raw")
+      .select(col("n_converted"),
+        round(col("p50_raw"), 4).as("p50_s"),
+        round(col("p90_raw"), 4).as("p90_s"))
+  }
+
+  private val q102Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, MIN(t) AS st FROM e
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |fp AS (
+      |  SELECT e.user_id, s.st, MIN(e.t) AS pt
+      |  FROM e JOIN s USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.t >= s.st
+      |  GROUP BY e.user_id, s.st),
+      |lat AS (
+      |  SELECT CAST((epoch_us(pt) - epoch_us(st)) // 1000000 AS DOUBLE)
+      |    AS lat_s
+      |  FROM fp)
+      |SELECT COUNT(*) AS n_converted,
+      |  round(quantile_cont(lat_s, 0.5), 4) AS p50_s,
+      |  round(quantile_cont(lat_s, 0.9), 4) AS p90_s
+      |FROM lat""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
@@ -659,5 +711,6 @@ object Analytic4 {
     Q("q97_asof_nearest", Some(q97Oracle), q97),
     Q("q98_anomaly_zscore", Some(q98Oracle), q98),
     Q("q99_attribution", Some(q99Oracle), q99),
-    Q("q101_path_analysis", Some(q101Oracle), q101))
+    Q("q101_path_analysis", Some(q101Oracle), q101),
+    Q("q102_conversion_latency", Some(q102Oracle), q102))
 }
