@@ -668,8 +668,12 @@ object Analytic4 {
         .cast("double").as("lat_s"))
     val pct = ExactPercentile.continuous(
       lat.select(lit("all").as("g"), col("lat_s")), Seq(0.5, 0.9))
-    pct.toSeq.map { case (_, r) => (r.n, r.values(0), r.values(1)) }
-      .toDF("n_converted", "p50_raw", "p90_raw")
+    // A corpus with zero signup→purchase pairs yields an empty map;
+    // the SQL global aggregate still returns one row (0, NULL, NULL)
+    // — emit the same so the degenerate case row-counts agree.
+    val rows = if (pct.isEmpty) Seq((0L, None: Option[Double], None: Option[Double]))
+      else pct.toSeq.map { case (_, r) => (r.n, Some(r.values(0)), Some(r.values(1))) }
+    rows.toDF("n_converted", "p50_raw", "p90_raw")
       .select(col("n_converted"),
         round(col("p50_raw"), 4).as("p50_s"),
         round(col("p90_raw"), 4).as("p90_s"))

@@ -93,9 +93,11 @@ object Dedup {
     * (doc-frequency above the cap, the same bound cappedShingleIndex
     * enforces) are dropped before pair expansion, so no block is ever
     * quadratic in a hot shingle; Jaccard stays exact whenever no hot
-    * shingle exists (true of this corpus at the verify SF) and is a
-    * documented slight underestimate for pairs whose only overlap is
-    * stop-shingles. */
+    * shingle exists and is a documented slight underestimate (of TRUE
+    * set Jaccard) for pairs whose only overlap is stop-shingles. The
+    * DuckDB oracle mirrors the cap (same GREATEST(20, 1% of docs)
+    * bucket bound), so engine agreement holds even on corpora that DO
+    * reach it — the r7 ADVICE latent divergence, closed in r8. */
   private def d02(s: SparkSession, d: String): DataFrame = jaccardPairs(docs(s, d))
 
   /** Candidate pairs with intersection + both shingle-set sizes — the
@@ -194,9 +196,14 @@ object Dedup {
       |    [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])) AS shingle
       |  FROM toks WHERE len(t) >= 3),
       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |cap AS (SELECT GREATEST(20, CAST(FLOOR(COUNT(*) * 0.01) AS BIGINT)) AS c
+      |        FROM documents),
+      |bk AS (SELECT shingle FROM sh GROUP BY shingle
+      |       HAVING COUNT(*) <= (SELECT c FROM cap)),
       |pr AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN bk ON a.shingle = bk.shingle
       |  GROUP BY a.doc_id, b.doc_id)
       |SELECT a_id, b_id, inter, sa.n_sh AS na, sb.n_sh AS nb,
       |  inter / (sa.n_sh + sb.n_sh - inter) AS jac
@@ -990,9 +997,14 @@ object Dedup {
       |    [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])) AS shingle
       |  FROM toks WHERE len(t) >= 3),
       |sz AS (SELECT sent, COUNT(*) AS n_sh FROM sh GROUP BY sent),
+      |cap AS (SELECT GREATEST(20, CAST(FLOOR(COUNT(*) * 0.01) AS BIGINT)) AS c
+      |        FROM documents),
+      |bk AS (SELECT shingle FROM sh GROUP BY shingle
+      |       HAVING COUNT(*) <= (SELECT c FROM cap)),
       |pr AS (
       |  SELECT a.sent AS a_sent, b.sent AS b_sent, COUNT(*) AS inter
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sent < b.sent
+      |  JOIN bk ON a.shingle = bk.shingle
       |  GROUP BY a.sent, b.sent)
       |SELECT a_sent, b_sent, inter, sa.n_sh AS na, sb.n_sh AS nb,
       |  inter / (sa.n_sh + sb.n_sh - inter) AS jac,
@@ -1051,9 +1063,14 @@ object Dedup {
       |    [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])) AS shingle
       |  FROM toks WHERE len(t) >= 3),
       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |cap AS (SELECT GREATEST(20, CAST(FLOOR(COUNT(*) * 0.01) AS BIGINT)) AS c
+      |        FROM documents),
+      |bk AS (SELECT shingle FROM sh GROUP BY shingle
+      |       HAVING COUNT(*) <= (SELECT c FROM cap)),
       |pr AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN bk ON a.shingle = bk.shingle
       |  GROUP BY a.doc_id, b.doc_id),
       |edges AS (
       |  SELECT a_id, b_id FROM pr

@@ -207,10 +207,16 @@ object ExactPercentile {
     val gIdx = schema.fieldIndex(groupCol)
     val rdd = sorted.rdd // ONE instance: boundaries pinned, shuffle reused
 
+    // Internal group key: NULL maps to "\\u0000" and every non-null
+    // value is prefixed with "\\u0001", so a genuine string value
+    // "null" cannot collide with the NULL group — keys never leave
+    // this method, so the prefix is invisible to callers.
+    def gKey(x: Any): String = if (x == null) "\u0000" else "\u0001" + String.valueOf(x)
+
     val counts: Array[(Int, String, Long)] = rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       it.foreach { r =>
-        val g = String.valueOf(r.get(gIdx))
+        val g = gKey(r.get(gIdx))
         m.update(g, m.getOrElse(g, 0L) + 1L)
       }
       m.iterator.map { case (g, c) => (pid, g, c) }
@@ -231,7 +237,7 @@ object ExactPercentile {
       var local = 0L
       var start = 0L
       it.map { r =>
-        val g = String.valueOf(r.get(gIdx))
+        val g = gKey(r.get(gIdx))
         if (g != curG) { curG = g; local = 0L; start = st.getOrElse(g, 0L) }
         val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (start + local))
         local += 1
@@ -254,6 +260,9 @@ object ExactPercentile {
     * @param df  three columns: group, numeric value, LONG weight
     *            (pre-scale decimals to integer units, e.g. cents, so
     *            the running sums are exact and order-independent).
+    *            Rows with NULL value, NULL weight, or weight <= 0 are
+    *            ignored; a group whose rows are ALL ignored is omitted
+    *            from the result (it has no weighted median).
     * @return    group → (weighted median value, total weight in input units)
     */
   def weightedMedian(df: DataFrame, partitions: Int = 0): Map[String, (Double, Long)] = {
@@ -265,7 +274,7 @@ object ExactPercentile {
         col(cols(0)).cast("string").as("g"),
         col(cols(1)).cast("double").as("v"),
         col(cols(2)).cast("long").as("w"))
-      .where(col("v").isNotNull)
+      .where(col("v").isNotNull && col("w").isNotNull && col("w") > 0)
       .repartitionByRange(p, col("g"), col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {

@@ -390,7 +390,12 @@ object EventStream {
 
     override def handleInputRows(user: Long, rows: Iterator[Event],
         tv: ss.TimerValues): Iterator[PatternUpdate] = {
-      val syms = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      // Full-microsecond instant to match the batch operator's
+      // unix_micros ordering — getTime alone is millisecond-truncated
+      // and would tie sub-millisecond events onto event_id order.
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      val syms = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
         .map(classify).mkString
       val buf = (if (tail.exists()) tail.get() else "") + syms
       val ms = rx.findAllMatchIn(buf).toSeq

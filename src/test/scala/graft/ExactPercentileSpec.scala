@@ -96,6 +96,36 @@ class ExactPercentileSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("weightedMedian ignores NULL / non-positive weights and omits all-degenerate groups") {
+    val s = spark
+    import s.implicits._
+    // "ok" has real weights plus degenerate rows the filter must drop;
+    // "dead" has ONLY degenerate rows and must be omitted (not throw —
+    // the r7 ADVICE NPE / NoSuchElementException cases).
+    val df = Seq(
+      ("ok", 1.0, Some(3L)), ("ok", 2.0, Some(1L)), ("ok", 3.0, None),
+      ("ok", 4.0, Some(0L)), ("ok", 5.0, Some(-2L)),
+      ("dead", 9.0, None), ("dead", 8.0, Some(0L))
+    ).toDF("g", "v", "w")
+    val got = ExactPercentile.weightedMedian(df, partitions = 4)
+    assert(got == Map("ok" -> (1.0, 4L))) // cum 3 of 4 at v=1 crosses half
+  }
+
+  test("withGroupRank keeps a NULL group distinct from the string value \"null\"") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Option.empty[String], 1.0, 1L), (Option.empty[String], 2.0, 2L),
+      (Some("null"), 1.0, 3L), (Some("null"), 2.0, 4L), (Some("null"), 3.0, 5L)
+    ).toDF("g", "v", "id")
+    val got = ExactPercentile.withGroupRank(df, "g", Seq("v", "id"), "rnk", partitions = 4)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2)) -> r.getLong(3)).toMap
+    // merged rank spaces would push some rank past its group's size
+    assert(got == Map(
+      (None, 1L) -> 0L, (None, 2L) -> 1L,
+      (Some("null"), 3L) -> 0L, (Some("null"), 4L) -> 1L, (Some("null"), 5L) -> 2L))
+  }
+
   test("shape: one group is spread across many range partitions (no single-task group sort)") {
     val s = spark
     import s.implicits._
