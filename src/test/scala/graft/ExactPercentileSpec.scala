@@ -163,6 +163,49 @@ class ExactPercentileSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("percentilesAuto flips plans between few-huge-groups and many-small-groups data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val fewHuge = (1 to 30000).map { _ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(900) / 7.0)
+    }.toDF("g", "v").repartition(7)
+    val manySmall = (1 to 30000).map { i =>
+      (s"k${i % 10000}", rnd.nextInt(900) / 7.0)
+    }.toDF("g", "v").repartition(7)
+    val ps = Seq(0.5, 0.99)
+
+    assert(ExactPercentile.chooseRegime(fewHuge) == ExactPercentile.RangeSort)
+    assert(ExactPercentile.chooseRegime(manySmall) == ExactPercentile.BufferingAgg)
+
+    // SAME call, two datasets, two physical plans: the few-huge result
+    // is pre-selected driver rows (no percentile buffer anywhere); the
+    // many-small result is the distributed aggregate (no P×|groups|
+    // driver metadata — nothing was collected to build it).
+    val fewDf = ExactPercentile.percentilesAuto(fewHuge, ps, partitions = 8)
+    val manyDf = ExactPercentile.percentilesAuto(manySmall, ps, partitions = 8)
+    val fewPlan = fewDf.queryExecution.executedPlan.toString
+    val manyPlan = manyDf.queryExecution.executedPlan.toString
+    assert(!fewPlan.toLowerCase.contains("percentile") && fewPlan.contains("ExistingRDD"),
+      s"few-huge-groups call did not take the range-sort plan:\n$fewPlan")
+    assert(manyPlan.toLowerCase.contains("percentile") && !manyPlan.contains("ExistingRDD"),
+      s"many-small-groups call did not take the buffering aggregate:\n$manyPlan")
+
+    // and both dispatches return the exact aggregate's answers
+    for ((in, out) <- Seq((fewHuge, fewDf), (manySmall, manyDf))) {
+      val want = in.groupBy("g")
+        .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("p"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val got = out.collect().map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (g, vs) =>
+        vs.zip(want(g)).foreach { case (a, b) =>
+          assert(math.abs(a - b) <= math.abs(b) * 1e-12 + 1e-12, s"group $g: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("shape: re-planned q30/q62/q76/q80/q43 carry no buffering percentile and no full-data window") {
     for (q <- Seq("q30_percentile", "q62_percentile_disc", "q76_mad", "q80_weighted_median",
         "q43_window_dist")) {
