@@ -78,5 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hamming_pairs",
         "hamming_pairs(array<struct<bigint,bigint>>) - pairs with Hamming distances"),
       es => HammingPairs(es.head)))
+    e.injectFunction((FunctionIdentifier("bucket_of"),
+      info("bucket_of",
+        "bucket_of(double, array<double>) - #boundaries <= v by binary search"),
+      es => BucketOf(es(0), es(1))))
   }
 }

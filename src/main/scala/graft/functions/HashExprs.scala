@@ -557,5 +557,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("token_entropy", es => TokenEntropy(es.head), "built-in")
     reg.createOrReplaceTempFunction("hamming_pairs", es => HammingPairs(es.head), "built-in")
     reg.createOrReplaceTempFunction("pq_adc", es => PqAdc(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("bucket_of", es => BucketOf(es(0), es(1)), "built-in")
   }
 }

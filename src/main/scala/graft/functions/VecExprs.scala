@@ -355,3 +355,51 @@ final case class VecNorm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): VecNorm =
     copy(child = newChild)
 }
+
+/** Equi-depth bucket search for the Z-order layout writer
+  * (GraftCatalog.zOrderWriteN): the bucket of `v` against a sorted
+  * boundary array is the COUNT of boundaries <= v — the upper-bound
+  * binary-search index. The round-1 lesson (SURVEY §4) is that
+  * interpreted higher-order functions don't belong on hot paths;
+  * `size(filter(bnd, x -> x <= v))` walks all 255 boundaries per row
+  * per cluster column through a lambda dispatch each, while this is
+  * ~8 primitive comparisons inside whole-stage codegen. */
+object BucketOps {
+  /** Upper-bound binary search: #elements <= v in an ascending array
+    * (duplicates from a collapsed quantile sketch count correctly —
+    * the result is the count, not a match position). Called from
+    * generated code. */
+  def bucketOf(v: Double, bnd: ArrayData): Int = {
+    var lo = 0
+    var hi = bnd.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bnd.getDouble(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
+/** bucket_of(v, boundaries): #boundaries <= v by binary search. */
+final case class BucketOf(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (DoubleType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"bucket_of needs (double, array<double>), got $l, $r")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bucket_of"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    BucketOps.bucketOf(l.asInstanceOf[Double], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.BucketOps.bucketOf($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BucketOf =
+    copy(left = newLeft, right = newRight)
+}

@@ -181,6 +181,38 @@ object GraftCatalog {
       nFiles: Int, rowGroupBytes: Long = 128L * 1024 * 1024): Unit =
     zOrderWriteN(df, Seq(colA, colB), path, nFiles, rowGroupBytes)
 
+  /** One-pass equi-depth boundary sketch for [[zOrderWriteN]]: a
+    * single row with one 255-element ascending array per cluster
+    * column (`bnd0..bndK`), from `percentile_approx`. Factored so the
+    * streaming z-sink can compute it once and reuse it across
+    * micro-batches. */
+  private[graft] def zBoundaries(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val qs = (1 until 256).map(_.toDouble / 256).toArray
+    val bndAggs = cols.zipWithIndex.map { case (c, i) =>
+      percentile_approx(col(c).cast("double"),
+        lit(qs), lit(10000)).as(s"bnd$i")
+    }
+    df.agg(bndAggs.head, bndAggs.tail: _*)
+  }
+
+  /** `df` plus the interleaved `_z` cluster key against a broadcast
+    * boundaries row ([[zBoundaries]]). The per-column bucket is the
+    * native `bucket_of` binary search (~8 comparisons inside
+    * whole-stage codegen) — the first cut was an interpreted
+    * `size(filter(bnd, x -> x <= v))` HOF scanning all 255 boundaries
+    * through a lambda dispatch per row per column (the round-1
+    * interpreted-HOF-on-hot-path lesson, SURVEY §4); NULL values keep
+    * that formulation's bucket 0. */
+  private[graft] def zKeyed(df: DataFrame, cols: Seq[String], bnds: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      expr(s"coalesce(bucket_of(CAST($c AS DOUBLE), bnd$i), 0)").cast("long")
+    }
+    df.crossJoin(broadcast(bnds))
+      .withColumn("_z", interleaveBits(buckets, 8))
+      .drop(cols.indices.map(i => s"bnd$i"): _*)
+  }
+
   /** [[zOrderWrite]] for 2–4 cluster columns, with EQUI-DEPTH
     * (rank-space) bucketing: each column's 8-bit bucket is its
     * position among 255 approx-quantile boundaries from ONE sketch
@@ -188,25 +220,13 @@ object GraftCatalog {
     * log-normal column puts most mass in the lowest buckets and the
     * key stops discriminating it; Delta's OPTIMIZE ZORDER hits the
     * same wall), while rank space spreads every distribution evenly.
-    * Boundaries broadcast back; the bucket is a codegen'd
-    * filter-count over the 255-element array; then the interleaved
-    * key, a range partition and an in-partition sort — every row
-    * group ends with a tight min/max envelope on EVERY cluster
-    * dimension. */
+    * Boundaries broadcast back; the bucket is the codegen'd
+    * `bucket_of` binary search; then the interleaved key, a range
+    * partition and an in-partition sort — every row group ends with a
+    * tight min/max envelope on EVERY cluster dimension. */
   def zOrderWriteN(df: DataFrame, cols: Seq[String], path: String,
       nFiles: Int, rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
-    val qs = (1 until 256).map(_.toDouble / 256).toArray
-    val bndAggs = cols.zipWithIndex.map { case (c, i) =>
-      percentile_approx(col(c).cast("double"),
-        lit(qs), lit(10000)).as(s"bnd$i")
-    }
-    val bnds = df.agg(bndAggs.head, bndAggs.tail: _*)
-    val buckets = cols.zipWithIndex.map { case (c, i) =>
-      expr(s"size(filter(bnd$i, x -> x <= CAST($c AS DOUBLE)))").cast("long")
-    }
-    df.crossJoin(broadcast(bnds))
-      .withColumn("_z", interleaveBits(buckets, 8))
-      .drop(cols.indices.map(i => s"bnd$i"): _*)
+    zKeyed(df, cols, zBoundaries(df, cols))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")

@@ -269,6 +269,30 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(b2 == 1 && a2 == 1)
   }
 
+  test("bucket_of binary search assigns the exact buckets of the interpreted HOF formulation") {
+    // the codegen'd bucket_of replaced size(filter(bnd, x -> x <= v))
+    // in zOrderWriteN — identical buckets means identical z-keys means
+    // identical layout bytes. Pinned on skew (log-normal-ish), ties,
+    // duplicate boundaries, NULLs, and values outside the sketch range.
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val rnd = new scala.util.Random(31)
+    val vals: Seq[Option[Double]] =
+      (1 to 5000).map(_ => Some(math.exp(rnd.nextGaussian() * 2))) ++
+      (1 to 500).map(_ => Some(7.0)) ++ // heavy tie
+      Seq(None, Some(-1e18), Some(1e18))
+    val df = rnd.shuffle(vals).toDF("v")
+    val bnds = GraftCatalog.zBoundaries(df, Seq("v"))
+    val both = df.crossJoin(org.apache.spark.sql.functions.broadcast(bnds))
+      .select(
+        expr("size(filter(bnd0, x -> x <= CAST(v AS DOUBLE)))").as("hof"),
+        expr("coalesce(bucket_of(CAST(v AS DOUBLE), bnd0), 0)").as("bin"))
+    assert(both.where(col("hof") =!= col("bin")).count() == 0)
+    assert(both.select(countDistinct(col("bin"))).head.getLong(0) > 100,
+      "degenerate boundaries: bucket spread too narrow to exercise the search")
+  }
+
   test("z-order layout prunes 2-D selective scans a linear sort cannot") {
     // sf0.01, not the usual sf0.001: row-group pruning needs enough
     // rows for many row groups — 1k rows is 1-2 groups per file and
