@@ -267,14 +267,24 @@ object GraftCatalog {
     val tmp = new Path(d.getParent, d.getName + ".compact" + System.nanoTime())
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapDirs(fs, d, tmp)
+    (before, parquetParts(d).length)
+  }
+
+  /** The compaction two-rename swap (see [[compactParquet]]'s scope
+    * notes): `tmp` replaces `d`, restore-on-failed-swap-in, trash
+    * removed last. Shared with the streaming z-sink's re-clustering
+    * compaction. */
+  private[graft] def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
     val trash = new Path(d.getParent, d.getName + ".old" + System.nanoTime())
-    require(fs.rename(d, trash), s"compaction swap-out failed for $dir")
+    require(fs.rename(d, trash), s"compaction swap-out failed for $d")
     if (!fs.rename(tmp, d)) {
       fs.rename(trash, d)
       throw new IllegalStateException(
-        s"compaction swap-in failed for $dir; original restored")
+        s"compaction swap-in failed for $d; original restored")
     }
     fs.delete(trash, true)
-    (before, parquetParts(d).length)
   }
 }

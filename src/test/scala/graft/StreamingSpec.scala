@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
+import graft.sources.GraftCatalog
 import graft.streaming.EventStream
 import graft.streaming.EventStream.Event
 
@@ -663,6 +664,65 @@ class StreamingSpec extends AnyFunSuite {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
+  }
+
+  test("streaming z-order sink prunes 2-D scans near batch-layout quality; compaction preserves it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min, max}
+    // real corpus, arriving in TIME ORDER (the production pattern that
+    // makes a naive streamed layout unprunable on the user dimension)
+    val ev = Tables.df(spark, "/root/testdata/sf0.01", "events")
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("tsl"))
+    val rows = ev.orderBy("tsl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = rows.length.toLong
+    val zsDir = "/tmp/graft-streams/zsink_" + System.nanoTime()
+    val ms = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.ZOrderStream.toZOrderedParquet(
+        ms.toDF().toDF("event_id", "user_id", "tsl"),
+        Seq("user_id", "tsl"), zsDir,
+        filesPerBatch = 1, rowGroupBytes = 16 * 1024, resketchEvery = 2)
+      .option("checkpointLocation", zsDir + "_ckpt").start()
+    try {
+      rows.grouped((rows.length / 5) + 1).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // batch-written reference layout on the same data, same granularity
+    val zbDir = "/tmp/graft-streams/zbatch_" + System.nanoTime()
+    GraftCatalog.zOrderWrite(ev, "user_id", "tsl", zbDir,
+      nFiles = 4, rowGroupBytes = 16 * 1024)
+    val (uLo, uHi) = {
+      val r = ev.agg(min("user_id"), max("user_id")).head
+      (r.getLong(0), r.getLong(0) + math.max(1L, (r.getLong(1) - r.getLong(0)) / 10))
+    }
+    def scanned(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir).where(col("user_id").between(uLo, uHi))
+      val kept = df.count()
+      val qe = df.queryExecution
+      df.collect()
+      (kept, qe.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum)
+    }
+    val (keptB, scanB) = scanned(zbDir)
+    val (keptS, scanS) = scanned(zsDir)
+    assert(keptS == keptB && keptS > 0, s"layouts disagree: $keptS vs $keptB")
+    assert(scanS <= 2 * scanB,
+      s"streamed z-layout prunes too little: scanned $scanS vs batch $scanB (total $total)")
+    // the maintenance story: global re-cluster beats per-batch clustering
+    // and must stay within the same bound of the batch layout
+    val (before, after) = graft.streaming.ZOrderStream.compactZOrdered(
+      spark, zsDir, Seq("user_id", "tsl"),
+      targetBytes = 64 * 1024, rowGroupBytes = 16 * 1024)
+    assert(after <= before, s"compaction grew the file count: $before -> $after")
+    val (keptC, scanC) = scanned(zsDir)
+    assert(keptC == keptB, s"compaction changed the data: $keptC vs $keptB")
+    assert(scanC <= 2 * scanB,
+      s"compacted z-layout prunes too little: scanned $scanC vs batch $scanB")
   }
 
   test("rate-limited source emits exactly rowsPerBatch deterministic events per trigger") {
