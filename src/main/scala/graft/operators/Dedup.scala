@@ -557,9 +557,17 @@ object Dedup {
     * single-aggregation pair expansion as d02/d03; lossy by design
     * (cross-bucket pairs are missed) — PipelineSpec bounds block size
     * and asserts found pairs ⊆ d05's exact pairs. */
-  private def d07(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val n = Tables.df(s, d, "embeddings")
+  private def d07(s: SparkSession, d: String): DataFrame =
+    embedLshPairs(Tables.df(s, d, "embeddings"))
+
+  /** d07's blocked pairing on an `(vec_id, label, embedding)` frame —
+    * factored so the blocking contract (same-label identical vectors
+    * MUST pair, cross-label identicals and sub-threshold cosines must
+    * NOT) is golden-pinned on constructed vectors in PipelineSpec, the
+    * d14/m07 arms-length pattern; the driver corpus stays rows-only. */
+  private[graft] def embedLshPairs(embDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embDf.sparkSession)
+    val n = embDf
       .withColumn("nrm", expr("vec_norm(embedding)"))
       .withColumn("blk", expr("CAST(lsh_bucket64(embedding) AS INT) >> 4"))
       .select(col("vec_id"), col("label"), col("blk"), col("embedding").as("e"), col("nrm"))

@@ -772,6 +772,68 @@ class PipelineSpec extends AnyFunSuite {
         s"far pair ($i, $fid) wrongly reported")
   }
 
+  test("d03 banding golden pairs: identical docs collide in every band, disjoint docs in none") {
+    import spark.implicits._
+    // hand-derivable collisions: identical texts share the whole
+    // 32-slot signature (all 8 bands collide, n_eq = 32, est 1.0);
+    // vocabulary-disjoint texts share NO shingle, hence no minhash
+    // slot, hence no band (a collision would need a 64-bit hash
+    // coincidence). A broken band key shows up as a missing or
+    // spurious pair, not a flaky estimate.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (11L, "one two three four five six seven eight nine ten"),
+      (12L, "one two three four five six seven eight nine ten"),
+      (21L, "solo unique vocabulary nobody anywhere shares today")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.bandEstimates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Number]("n_eq").longValue, r.getAs[Double]("est_jac")))).toMap
+    val expected = Set((1L, 2L), (1L, 3L), (2L, 3L), (11L, 12L))
+    assert(out.keySet == expected, s"band-collision pair set ${out.keySet} != $expected")
+    out.values.foreach { case (nEq, est) => assert(nEq == 32L && est == 1.0) }
+    // the banding threshold behavior on a genuine near-dup (one token
+    // swapped in a 12-token doc, sets ~80% Jaccard): the fixed hash
+    // family makes the outcome deterministic — pinned as golden
+    val near = Seq(
+      (31L, "red orange yellow green blue indigo violet cyan magenta amber teal navy"),
+      (32L, "red orange yellow green blue indigo violet cyan magenta amber teal gold")
+    ).toDF("doc_id", "text")
+    val nearOut = graft.operators.Dedup.bandEstimates(near).collect()
+    assert(nearOut.length == 1 && nearOut.head.getAs[Number]("n_eq").longValue >= 20,
+      s"near-dup pair should band-collide with high slot agreement: ${nearOut.toSeq}")
+  }
+
+  test("d07 LSH blocking golden pairs: same-label identical vectors pair, cross-label and far do not") {
+    import spark.implicits._
+    // hand-derivable: identical vectors land in the identical sign
+    // bucket (cos 1.0 passes any threshold); the SAME vector under a
+    // different label must not pair (label is part of the block key);
+    // an orthogonal same-label vector fails the cosine threshold even
+    // when buckets coincide; the negated vector flips every projection
+    // sign AND has cos -1. Exact expected pair set, no probabilities.
+    val v = Array.tabulate(16)(i => (math.sin(i * 2.3) * 0.7).toFloat)
+    val u = Array.tabulate(16)(i => (math.cos(i * 1.9) * 0.7).toFloat)
+    val ortho = {
+      // Gram-Schmidt u against v, in double, rounded to float
+      val dot = v.zip(u).map { case (a, b) => a.toDouble * b }.sum
+      val vv = v.map(a => a.toDouble * a).sum
+      u.zip(v).map { case (b, a) => (b - (dot / vv) * a).toFloat }
+    }
+    val emb = Seq(
+      (1L, "x", v), (2L, "x", v), (3L, "x", v),
+      (4L, "x", ortho), (5L, "x", v.map(-_)),
+      (10L, "y", v), (11L, "y", v)
+    ).toDF("vec_id", "label", "embedding")
+    val out = graft.operators.Dedup.embedLshPairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val expected = Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L))
+    assert(out.keySet == expected, s"LSH-block pair set ${out.keySet} != $expected")
+    out.values.foreach(cos => assert(cos == 1.0))
+  }
+
   test("t04 fingerprint golden values on constructed texts") {
     import spark.implicits._
     val docs = Seq(
