@@ -615,7 +615,15 @@ object Sampling {
     * RANGE-partitioned distributed row numbering, never the
     * single-task global window `row_number() OVER (ORDER BY …)` plans
     * naively. Shards are pos mod 8 — the downstream loader's file
-    * assignment. */
+    * assignment.
+    *
+    * Codegen boundary note (VERDICT r7): withGroupRank returns an
+    * RDD-backed DataFrame, so everything downstream of the rank exits
+    * whole-stage codegen — fine here (one projection + the output
+    * sort), but an epoch-shard consumer chaining heavy transforms
+    * after this query should materialize the shard table first (write
+    * the epoch permutation to parquet — which a training pipeline does
+    * anyway to freeze the epoch — and read it back inside codegen). */
   private def p19(s: SparkSession, d: String): DataFrame = {
     val keyed = Tables.df(s, d, "documents")
       .select(col("doc_id"),

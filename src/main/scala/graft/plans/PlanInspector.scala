@@ -90,4 +90,71 @@ object PlanInspector {
     df.observe(obs, first, rest: _*).write.format("noop").mode("overwrite").save()
     obs.get
   }
+
+  /** One row of the before/after-AQE plan diff. `kind` ∈ node_count
+    * (a physical node whose count changed between the initial and the
+    * runtime-re-planned tree), join_strategy (the join lineup flipped,
+    * e.g. SortMergeJoin → BroadcastHashJoin), skew_split (an
+    * AQEShuffleRead split a skewed partition into partial-reducer
+    * reads), coalesce (an AQEShuffleRead merged small partitions). */
+  final case class AqeDiffEntry(kind: String, before: String, after: String)
+
+  private def walkAll(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    p +: (kids ++ p.subqueries).flatMap(walkAll)
+  }
+
+  /** EXPLAIN-diff (VERDICT r7 item 8): execute `df`, then diff AQE's
+    * initial physical plan against the runtime-re-planned final tree as
+    * one queryable DataFrame — what the reference's docs/3–8 narrative
+    * walks through (plan before, plan after, what the optimizer did) as
+    * a first-class surface instead of two walls of EXPLAIN text.
+    * Runs the query (noop sink) because the final plan only exists
+    * after execution. */
+  def aqeDiff(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.{CoalescedPartitionSpec, PartialReducerPartitionSpec}
+    import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, ShuffleQueryStageExec}
+    val spark = df.sparkSession
+    val entries: Seq[AqeDiffEntry] = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec =>
+        // drive THIS plan's RDD (a noop-sink write would execute a
+        // separate command QueryExecution and leave this one unplanned);
+        // no rows reach the driver
+        a.execute().foreachPartition(_ => ())
+        val ini = walkAll(a.initialPlan)
+        val fin = walkAll(a.executedPlan)
+        def counts(ns: Seq[SparkPlan]): Map[String, Int] =
+          ns.groupBy(_.nodeName).view.mapValues(_.size).toMap
+        val (ci, cf) = (counts(ini), counts(fin))
+        val nodeDeltas = (ci.keySet ++ cf.keySet).toSeq.sorted
+          .filter(k => ci.getOrElse(k, 0) != cf.getOrElse(k, 0))
+          .map(k => AqeDiffEntry("node_count",
+            s"$k x${ci.getOrElse(k, 0)}", s"$k x${cf.getOrElse(k, 0)}"))
+        def joinLineup(ns: Seq[SparkPlan]): String =
+          ns.map(_.nodeName).filter(_.contains("Join")).sorted.mkString(", ")
+        val joins = (joinLineup(ini), joinLineup(fin)) match {
+          case (b, aft) if b != aft => Seq(AqeDiffEntry("join_strategy", b, aft))
+          case _ => Nil
+        }
+        val reads = fin.collect { case r: AQEShuffleReadExec =>
+          val mapPartitions = r.child match {
+            case s: ShuffleQueryStageExec =>
+              s"${s.shuffle.numPartitions} shuffle partitions"
+            case other => other.nodeName
+          }
+          val skew = r.partitionSpecs.count(_.isInstanceOf[PartialReducerPartitionSpec])
+          val coalesced = r.partitionSpecs.count(_.isInstanceOf[CoalescedPartitionSpec])
+          AqeDiffEntry(if (skew > 0) "skew_split" else "coalesce",
+            mapPartitions,
+            s"${r.partitionSpecs.size} reads ($skew skew-split, $coalesced coalesced)")
+        }
+        nodeDeltas ++ joins ++ reads
+      case p =>
+        Seq(AqeDiffEntry("no_aqe", p.nodeName, p.nodeName))
+    }
+    spark.createDataFrame(entries)
+  }
 }

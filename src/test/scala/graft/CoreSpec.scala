@@ -375,4 +375,36 @@ class CoreSpec extends AnyFunSuite {
     assert(p21.contains("WindowGroupLimit"),
       s"t21 lost its partial top-k:\n$p21")
   }
+
+  test("aqeDiff names the AQE skew split on a skewed shuffle join") {
+    val s = spark
+    import s.implicits._
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // one hot key carries ~99% of the left side: its post-shuffle
+      // partition dwarfs the 16k threshold while the rest stay tiny
+      val left = (1 to 200000).map(i => (if (i % 100 == 0) i % 37 else 0, i.toLong))
+        .toDF("k", "payload")
+      val right = (0 until 37).map(k => (k, s"dim$k")).toDF("k", "name")
+      val joined = left.join(right, "k").groupBy("name").agg(sum("payload").as("s"))
+      val diff = plans.PlanInspector.aqeDiff(joined).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(diff.exists(_._1 == "skew_split"),
+        s"diff must name the skew split, got:\n${diff.mkString("\n")}")
+      val split = diff.find(_._1 == "skew_split").get
+      assert("\\(\\d+ skew-split".r.findFirstIn(split._3).isDefined)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
