@@ -701,6 +701,30 @@ object Analytic4 {
       |  round(quantile_cont(lat_s, 0.9), 4) AS p90_s
       |FROM lat""".stripMargin
 
+  /** q104 — per-customer exact [p50, p90] of order price through the
+    * regime-dispatching `ExactPercentile.percentilesAuto`: customer
+    * cardinality crosses the dispatch boundary BETWEEN the verify SFs
+    * (~1.5k customers at sf0.01 → range-sort selection; ~15k at sf0.1
+    * → buffering aggregate), so the oracle hash-checks BOTH physical
+    * regimes against the same SQL — the "exact p99 per key without
+    * knowing your group cardinality" contract, live. Elements rounded
+    * to 4 (the q30 cross-engine interpolation discipline). */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.df(s, d, "orders")
+      .select(col("o_custkey"), col("o_totalprice").cast("double"))
+    ExactPercentile.percentilesAuto(o, Seq(0.5, 0.9))
+      .select(col("g").as("custkey"), col("n"),
+        expr("transform(pcts, x -> round(x, 4))").as("pcts"))
+      .orderBy("custkey")
+  }
+
+  private val q104Oracle: String =
+    """SELECT CAST(o_custkey AS VARCHAR) AS custkey,
+      |  COUNT(*) AS n,
+      |  list_transform(quantile_cont(CAST(o_totalprice AS DOUBLE), [0.5, 0.9]),
+      |    y -> round(y, 4)) AS pcts
+      |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
@@ -716,5 +740,6 @@ object Analytic4 {
     Q("q98_anomaly_zscore", Some(q98Oracle), q98),
     Q("q99_attribution", Some(q99Oracle), q99),
     Q("q101_path_analysis", Some(q101Oracle), q101),
-    Q("q102_conversion_latency", Some(q102Oracle), q102))
+    Q("q102_conversion_latency", Some(q102Oracle), q102),
+    Q("q104_pct_auto", Some(q104Oracle), q104))
 }
