@@ -725,6 +725,43 @@ object Analytic4 {
       |    y -> round(y, 4)) AS pcts
       |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
 
+  /** q105 — map-typed columns as first-class values (deferred since r5
+    * over DuckDB MAP-oracle friction; solved arms-length): per user,
+    * the event_type→count MAP is built with map_from_entries, then
+    * consumed with size / element_at / map_filter / map_keys — the
+    * typed-dictionary shape feature stores and per-doc metadata bags
+    * use. The ORACLE never touches a MAP: it restates the flattened
+    * output in plain SQL (count-distinct, filtered count, ordered
+    * string_agg), so agreement proves the map pipeline end-to-end
+    * rather than one engine's map encoding. Deterministic: entries
+    * sorted before map construction, keys sorted before join. */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.df(s, d, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    c.groupBy("user_id")
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(
+        col("user_id"),
+        size(col("m")).cast("long").as("n_types"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"),
+        array_join(array_sort(map_keys(
+          expr("map_filter(m, (k, v) -> v >= 2)"))), ",").as("heavy_types"))
+      .orderBy("user_id")
+  }
+
+  private val q105Oracle: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id,
+      |  COUNT(*) AS n_types,
+      |  COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN n END), 0) AS purchases,
+      |  COALESCE(string_agg(CASE WHEN n >= 2 THEN event_type END, ','
+      |    ORDER BY event_type), '') AS heavy_types
+      |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
@@ -741,5 +778,6 @@ object Analytic4 {
     Q("q99_attribution", Some(q99Oracle), q99),
     Q("q101_path_analysis", Some(q101Oracle), q101),
     Q("q102_conversion_latency", Some(q102Oracle), q102),
-    Q("q104_pct_auto", Some(q104Oracle), q104))
+    Q("q104_pct_auto", Some(q104Oracle), q104),
+    Q("q105_map_types", Some(q105Oracle), q105))
 }
