@@ -60,6 +60,24 @@ object SketchMv {
     perBatch.unionAll(merged).orderBy("scope")
   }
 
+  /** Streaming maintenance of the partials table — the live dataset
+    * card: each micro-batch's HLL partial states land idempotently
+    * under `batch_id=` (the EventStream.writeBatch replay contract),
+    * and `mergedEstimate(spark.read.parquet(outDir))` answers "how
+    * many distinct keys so far" at ANY moment for O(batches × groups)
+    * read cost. The streaming twin of q103: ingest updates the card
+    * without ever rescanning history — at 100 TB the stream appends
+    * a few sketch rows per trigger while the naive alternative
+    * re-aggregates the corpus. */
+  def streamingPartials(stream: DataFrame, batchKey: Column, key: Column,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        partials(b.toDF(), batchKey, key)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/batch_id=$batchId")
+    }
+
   val all: Seq[Q] = Seq(
     Q("q103_sketch_mv", None, q103))
 }

@@ -62,6 +62,39 @@ class SketchMvSpec extends AnyFunSuite {
       s"incremental $incremental vs exact $exact")
   }
 
+  test("streaming partials keep the live distinct-count card within bound after every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = s"/tmp/graft-sketchmv/stream_${System.nanoTime()}"
+    val ms = MemoryStream[(String, Long)]
+    val q = SketchMv.streamingPartials(
+        ms.toDF().toDF("etype", "user_id"), col("etype"), col("user_id"), dir)
+      .option("checkpointLocation", dir + "_ckpt").start()
+    val seen = scala.collection.mutable.Set.empty[Long]
+    try {
+      // overlapping user populations across batches: the card must
+      // count each user once however many batches it appears in
+      for ((lo, hi) <- Seq((0L, 4000L), (2000L, 7000L), (5000L, 9000L))) {
+        ms.addData((lo until hi).map(u => (s"t${u % 3}", u)))
+        q.processAllAvailable()
+        seen ++= (lo until hi)
+        val est = SketchMv.mergedEstimate(spark.read.parquet(dir)).head().getLong(0)
+        assert(math.abs(est - seen.size) <= 0.05 * seen.size,
+          s"card says $est, truth ${seen.size}")
+      }
+    } finally q.stop()
+    // at-least-once redelivery: rewriting batch 1's partials in place
+    // must leave the card unchanged (keyed overwrite, not append)
+    val before = SketchMv.mergedEstimate(spark.read.parquet(dir)).head().getLong(0)
+    SketchMv.partials(
+        (2000L until 7000L).map(u => (s"t${u % 3}", u)).toDF("etype", "user_id"),
+        col("etype"), col("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/batch_id=1")
+    val after = SketchMv.mergedEstimate(spark.read.parquet(dir)).head().getLong(0)
+    assert(after == before, s"replay changed the card: $before -> $after")
+  }
+
   test("q103 ALL row is the merge of its own per-month partials") {
     val out = SparkEntry.queries("q103_sketch_mv")(spark, sf).collect()
     val all = out.filter(_.getString(0) == "ALL")
