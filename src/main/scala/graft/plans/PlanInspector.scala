@@ -107,6 +107,42 @@ object PlanInspector {
     p +: (kids ++ p.subqueries).flatMap(walkAll)
   }
 
+  /** One scan's runtime partition-pruning outcome. `partitions_read`
+    * and `files_read` are post-pruning actuals; `static_files` is the
+    * file count after static filters alone (so files_read <
+    * static_files is the DPP win); -1 = the metric does not exist on
+    * this scan (e.g. unpartitioned). */
+  final case class DppScanEntry(scan: String, dynamic: Boolean,
+      partitions_read: Long, files_read: Long, static_files: Long,
+      pruning_time_ms: Long)
+
+  /** Runtime partition-pruning report — aqeDiff's sibling for DPP:
+    * execute `df`, then report per file scan whether a dynamic-pruning
+    * subquery was attached and what it actually read (partitions,
+    * files, pruning wall time). EXPLAIN shows `dynamicpruning#N` as an
+    * opaque placeholder; the interesting number — how many partitions
+    * SURVIVED at runtime — only exists in post-execution metrics. */
+  def dppReport(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val spark = df.sparkSession
+    val root = df.queryExecution.executedPlan
+    root.execute().foreachPartition(_ => ())
+    val finalPlan = root match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val entries = walkAll(finalPlan).collect { case s: FileSourceScanExec =>
+      def m(name: String): Long =
+        s.metrics.get(name).map(_.value).getOrElse(-1L)
+      DppScanEntry(
+        s.relation.location.rootPaths.headOption.map(_.getName).getOrElse("?"),
+        s.partitionFilters.exists(_.exists(_.isInstanceOf[DynamicPruningExpression])),
+        m("numPartitions"), m("numFiles"), m("staticFilesNum"), m("pruningTime"))
+    }
+    spark.createDataFrame(entries)
+  }
+
   /** EXPLAIN-diff (VERDICT r7 item 8): execute `df`, then diff AQE's
     * initial physical plan against the runtime-re-planned final tree as
     * one queryable DataFrame — what the reference's docs/3–8 narrative

@@ -206,6 +206,17 @@ class SourcesCatalogSpec extends AnyFunSuite {
       s"no runtime pruning subquery in the fact scan:\n$plan")
     val expected = ev.where(col("day") === "2024-01-05").count()
     assert(joined.count() == expected && expected > 0)
+    // the runtime report: EXPLAIN only shows the opaque subquery
+    // placeholder; dppReport shows what actually survived — exactly
+    // ONE of the many day partitions was read by the fact scan
+    val totalDays = ev.select("day").distinct().count()
+    assert(totalDays > 1, "fixture needs multiple partitions")
+    val rep = plans.PlanInspector.dppReport(fact.join(dim, Seq("day"))).collect()
+    val factScan = rep.filter(_.getAs[Boolean]("dynamic"))
+    assert(factScan.length == 1, s"expected one dynamically-pruned scan: ${rep.toSeq}")
+    assert(factScan.head.getAs[Long]("partitions_read") == 1,
+      s"DPP should leave 1 of $totalDays partitions: ${factScan.head}")
+    assert(factScan.head.getAs[Long]("pruning_time_ms") >= 0)
   }
 
   test("information schema: tables, columns, settings") {
