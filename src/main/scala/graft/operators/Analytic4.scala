@@ -762,6 +762,30 @@ object Analytic4 {
       |    ORDER BY event_type), '') AS heavy_types
       |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q106 — approx_top_k frequency sketch (Datasketches frequent
+    * items), exercised in its EXACT regime: a frequent-items sketch
+    * tracking more slots than the column has distinct values returns
+    * exact counts, so the low-cardinality event_type profile is
+    * oracle-checkable against plain GROUP BY counts — the q34-family
+    * sketch whose exactness boundary is a documented contract rather
+    * than an error bound. At 100 TB this is THE first-look profile
+    * query on any categorical column (status codes, languages,
+    * licenses): one pass, mergeable partials, no shuffle of raw rows.
+    * Above the tracked-slot capacity counts go approximate — that
+    * regime stays rows-only like q34. Ordered (n DESC, item) with k ≥
+    * distinct so no sketch-internal tie-break can differ from SQL's. */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    Tables.ensure(s, d)
+    s.sql(
+      """SELECT t.item, t.count AS n
+        |FROM (SELECT explode(approx_top_k(event_type, 8)) AS t FROM events)
+        |ORDER BY n DESC, item""".stripMargin)
+  }
+
+  private val q106Oracle: String =
+    """SELECT event_type AS item, COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY n DESC, item""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
@@ -779,5 +803,6 @@ object Analytic4 {
     Q("q101_path_analysis", Some(q101Oracle), q101),
     Q("q102_conversion_latency", Some(q102Oracle), q102),
     Q("q104_pct_auto", Some(q104Oracle), q104),
-    Q("q105_map_types", Some(q105Oracle), q105))
+    Q("q105_map_types", Some(q105Oracle), q105),
+    Q("q106_approx_topk", Some(q106Oracle), q106))
 }
