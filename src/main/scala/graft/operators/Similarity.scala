@@ -221,6 +221,32 @@ object Similarity {
     fresh
   }
 
+  /** Nearest-centroid assignment of `(vec_id, …, e, nrm)` rows against
+    * a centroid table — the quantizer's assignment step, factored out
+    * of the build loop because it is ALSO the incremental-maintenance
+    * path: a delta ingest batch joins the EXISTING quantizer through
+    * this exact code (broadcast centroids, argmax over nlist cosines
+    * per vector — never re-clustering the corpus), and its partitions
+    * append to the cl= layout. IvfDeltaSpec pins that identical
+    * vectors get identical assignments through both paths; centroid
+    * DRIFT (delta distribution far from the quantizer) is the r9
+    * refresh-policy candidate, detected by falling mean assignment
+    * cosine, handled today by refreshIvfIndex's full rebuild. */
+  private[graft] def assignToCentroids(data: DataFrame, centDf: DataFrame): DataFrame =
+    data.crossJoin(broadcast(centDf))
+      .withColumn("cos", expr("vec_dot(e, ce)") / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), col("cl"))).as("m"), first(col("e")).as("e"))
+      .select(col("vec_id"), col("m.cl").as("cl"), col("e"))
+
+  /** Centroids as a small broadcastable DataFrame (cl, ce, cnrm). */
+  private[graft] def centroidsDf(s: SparkSession,
+      cents: Array[(Int, Array[Double], Double)]): DataFrame = {
+    import s.implicits._
+    s.createDataset(cents.toSeq.map { case (cl, ce, cn) => (cl, ce.toSeq, cn) })
+      .toDF("cl", "ce", "cnrm")
+  }
+
   private def buildIvfIndex(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double], Double)]) = {
     import s.implicits._
     // quantizer parameters AND the corpus content signature baked into
@@ -245,13 +271,7 @@ object Similarity {
           (i, r.getAs[scala.collection.Seq[Float]]("e").toArray.map(_.toDouble),
             r.getAs[Double]("nrm"))
         }
-      def centDf = s.createDataset(cents.toSeq.map { case (cl, ce, cn) => (cl, ce.toSeq, cn) })
-        .toDF("cl", "ce", "cnrm")
-      def assigned = data.crossJoin(broadcast(centDf))
-        .withColumn("cos", expr("vec_dot(e, ce)") / (col("nrm") * col("cnrm")))
-        .groupBy("vec_id")
-        .agg(max(struct(col("cos"), col("cl"))).as("m"), first(col("e")).as("e"))
-        .select(col("vec_id"), col("m.cl").as("cl"), col("e"))
+      def assigned = assignToCentroids(data, centroidsDf(s, cents))
       for (_ <- 1 to LloydIters) {
         val recomputed = assigned
           .select(col("cl"), posexplode(col("e")).as(Seq("pos", "v")))

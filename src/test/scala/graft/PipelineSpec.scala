@@ -834,6 +834,36 @@ class PipelineSpec extends AnyFunSuite {
     out.values.foreach(cos => assert(cos == 1.0))
   }
 
+  test("incremental IVF maintenance: delta vectors get the quantizer's own assignments") {
+    // the append path for a delta ingest: assign new vectors against
+    // the EXISTING centroids (broadcast argmax — no re-clustering, no
+    // corpus rescan) and land them in the cl= layout. Arms-length pin:
+    // a delta that duplicates existing corpus vectors under fresh ids
+    // must receive EXACTLY the cluster each original lives in inside
+    // the persisted index — any drift in the assignment code (wrong
+    // norm, wrong argmax tie, stale centroids) breaks the equality.
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val (idx, cents) = graft.operators.Similarity.ivfIndex(spark, sf)
+    val byVec = idx.select("vec_id", "cl").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val delta = graft.operators.Similarity.centroidsDf(spark, cents).sparkSession
+      .read.parquet(s"$sf/embeddings.parquet")
+      .limit(50)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        col("vec_id").as("orig_id"), col("embedding").as("e"))
+      .withColumn("nrm", expr("vec_norm(e)"))
+    val assigned = graft.operators.Similarity
+      .assignToCentroids(delta, graft.operators.Similarity.centroidsDf(spark, cents))
+      .join(delta.select("vec_id", "orig_id"), "vec_id")
+      .collect().map(r => r.getAs[Long]("orig_id") -> r.getAs[Int]("cl"))
+    assert(assigned.length == 50)
+    assigned.foreach { case (orig, cl) =>
+      assert(byVec(orig) == cl,
+        s"delta copy of vec $orig assigned to $cl, index has ${byVec(orig)}")
+    }
+  }
+
   test("t04 fingerprint golden values on constructed texts") {
     import spark.implicits._
     val docs = Seq(
