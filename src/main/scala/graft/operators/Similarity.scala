@@ -247,6 +247,21 @@ object Similarity {
       .toDF("cl", "ce", "cnrm")
   }
 
+  /** Quantization quality of `data` under a centroid set: one row of
+    * (n, mean_best_cos) where best_cos is each vector's top-1
+    * assignment cosine. The REFRESH-POLICY signal for incremental
+    * ingest: when a delta batch's mean_best_cos falls well below the
+    * index's own (the quantizer no longer represents the incoming
+    * distribution), append stops being safe and refreshIvfIndex's full
+    * rebuild is due — the same staleness philosophy as the
+    * content-signature caches, but on DISTRIBUTION rather than
+    * content. Cost: one broadcast-argmax pass over the batch. */
+  private[graft] def assignmentQuality(data: DataFrame, centDf: DataFrame): DataFrame =
+    data.crossJoin(broadcast(centDf))
+      .withColumn("cos", expr("vec_dot(e, ce)") / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id").agg(max(col("cos")).as("best"))
+      .agg(count(lit(1)).as("n"), avg(col("best")).as("mean_best_cos"))
+
   private def buildIvfIndex(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double], Double)]) = {
     import s.implicits._
     // quantizer parameters AND the corpus content signature baked into

@@ -864,6 +864,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF drift signal: in-distribution deltas score high, off-distribution deltas drop") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val (_, cents) = graft.operators.Similarity.ivfIndex(spark, sf)
+    val centDf = graft.operators.Similarity.centroidsDf(spark, cents)
+    val dim = cents.head._2.length
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", expr("vec_norm(e)"))
+    val rnd = new scala.util.Random(5)
+    // isotropic noise: nearly orthogonal to every centroid in high dim
+    val noise = (1 to 200).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "e").withColumn("nrm", expr("vec_norm(e)"))
+    def q(df: org.apache.spark.sql.DataFrame): Double =
+      graft.operators.Similarity.assignmentQuality(df, centDf)
+        .head().getAs[Double]("mean_best_cos")
+    val (inDist, offDist) = (q(corpus), q(noise))
+    // the synthetic corpus quantizes loosely (mean best-cos ~0.33),
+    // so the floor is relative: drift must show as a clear RATIO drop
+    // plus an absolute gap, not a fixed high-cosine bar
+    assert(inDist > offDist * 1.25 && inDist > offDist + 0.05,
+      s"drift signal too weak: in-distribution $inDist vs noise $offDist")
+  }
+
   test("t04 fingerprint golden values on constructed texts") {
     import spark.implicits._
     val docs = Seq(

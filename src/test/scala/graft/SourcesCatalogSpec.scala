@@ -280,6 +280,23 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(b2 == 1 && a2 == 1)
   }
 
+  test("nested schema pruning: one-subfield projection reads only that subfield from parquet") {
+    // struct columns are how multimodal metadata and feature bags ship;
+    // at 100 TB reading u.user_id must not deserialize u.value — the
+    // scan's ReadSchema is the proof, same contract as flat pruning
+    val dir = s"$tmp/nested_prune"
+    Tables.df(spark, sf, "events")
+      .select(col("event_id"),
+        struct(col("user_id"), col("value"), col("event_type")).as("u"))
+      .write.mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir).select(col("u.user_id"))
+    val schemas = plans.PlanInspector.readSchemas(one)
+    assert(schemas.exists(s => s.contains("user_id") && !s.contains("value")
+        && !s.contains("event_type")),
+      s"nested projection not pruned at the scan: $schemas")
+    assert(one.count() > 0)
+  }
+
   test("bucket_of binary search assigns the exact buckets of the interpreted HOF formulation") {
     // the codegen'd bucket_of replaced size(filter(bnd, x -> x <= v))
     // in zOrderWriteN — identical buckets means identical z-keys means
