@@ -643,6 +643,134 @@ object Sampling {
       |SELECT doc_id, pos, CAST((pos - 1) % 8 AS INT) AS shard
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Fixed-size PPS (probability-proportional-to-size) SYSTEMATIC
+    * sample: n picks at cumulative-weight positions
+    * `floor((2i+1)·W / 2n)` (centered strides) over the id-ordered
+    * corpus — the survey-sampling classic that p09's Bernoulli variant
+    * cannot give you: EXACTLY n rows, inclusion probability ∝ weight,
+    * rows heavier than the stride W/n selected multiple times (their
+    * multiplicity IS the weight signal a char-budgeted curriculum
+    * wants). All arithmetic is integer (Long positions, Long running
+    * weights), so the selection is bit-reproducible on any engine and
+    * any partitioning — no RNG, no transcendentals (the A-ES
+    * exponential-key alternative ranks on -ln(u)/w, which is libm-ulp
+    * fragile cross-engine; SURVEY §5).
+    *
+    * Scale shape = the `ExactPercentile.weightedMedian` two-pass:
+    * range-partition by id, per-partition weight sums to the driver
+    * (P longs of planning metadata), assign each position to the one
+    * partition whose [offset, offset+sum) range holds it, then stream
+    * each partition once emitting crossings — n rows total leave the
+    * executors, no global window, no single-task sort. Input must have
+    * a unique numeric id first column; weight second (NULL / non-
+    * positive weights are excluded from the population).
+    *
+    * Reference anchor: docs/6_aggregates.md partial aggregation — the
+    * per-partition-sums-then-combine split, applied to selection.
+    */
+  def ppsSystematic(df: DataFrame, n: Int, partitions: Int = 0): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val cols = df.columns
+    val rp = df
+      .select(col(cols(0)).cast("long").as("id"), col(cols(1)).cast("long").as("wt"))
+      .where(col("wt").isNotNull && col("wt") > 0)
+      .repartitionByRange(p, col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Pass 1 — planning metadata: total weight per partition (P longs).
+      val sums: Array[(Int, Long)] = rp
+        .groupBy(spark_partition_id().as("pid"))
+        .agg(sum(col("wt")).as("w"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      val totalW = sums.map(_._2).sum
+      if (totalW == 0L) {
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ppsSchema)
+      }
+      // Centered-stride positions, all-integer: floor((2i+1)·W / 2n).
+      val positions: Array[(Long, Long)] =
+        Array.tabulate(n)(i => (i.toLong, (2L * i + 1L) * totalW / (2L * n)))
+      // Assign each position to the partition whose weight range holds it.
+      var off = 0L
+      val byPid = scala.collection.mutable.Map.empty[Int, Array[(Long, Long, Long)]]
+      sums.sortBy(_._1).foreach { case (pid, w) =>
+        val mine = positions.collect {
+          case (i, pos) if pos >= off && pos < off + w => (i, pos, off)
+        }
+        if (mine.nonEmpty) byPid.update(pid, mine)
+        off += w
+      }
+      val bc = spark.sparkContext.broadcast(byPid.toMap)
+
+      // Pass 2 — stream each partition once in id order; a position is
+      // satisfied by the first row whose running cum exceeds it.
+      val picked = rp
+        .sortWithinPartitions(col("id"))
+        .rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val want = bc.value.getOrElse(pid, Array.empty[(Long, Long, Long)])
+          if (want.isEmpty) Iterator.empty
+          else {
+            val byPos = want.sortBy(_._2)
+            var wi = 0
+            var cum = byPos.head._3 // partition start offset
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.spark.sql.Row]
+            it.foreach { row =>
+              if (wi < byPos.length) {
+                cum += row.getLong(1)
+                while (wi < byPos.length && byPos(wi)._2 < cum) {
+                  out += org.apache.spark.sql.Row(
+                    byPos(wi)._1, row.getLong(0), row.getLong(1))
+                  wi += 1
+                }
+              }
+            }
+            out.iterator
+          }
+        }
+      spark.createDataFrame(picked, ppsSchema)
+    } finally rp.unpersist(blocking = false)
+  }
+
+  private val ppsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sample_idx",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("wt",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** p20 — fixed-size char-weighted corpus sample via `ppsSystematic`:
+    * exactly 100 docs drawn proportional to n_chars. The oracle
+    * restates the integer crossing rule in plain SQL (window cumsum +
+    * integer-division positions), so DuckDB verifies the distributed
+    * two-pass selection row for row. */
+  private def p20(s: SparkSession, d: String): DataFrame =
+    ppsSystematic(
+      Tables.df(s, d, "documents").select(col("doc_id"), col("n_chars")), 100)
+      .orderBy("sample_idx")
+
+  private val p20Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt
+      |  FROM documents WHERE n_chars > 0),
+      |tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS total FROM w),
+      |pos AS (
+      |  SELECT CAST(i AS BIGINT) AS sample_idx,
+      |    ((2 * CAST(i AS BIGINT) + 1) * (SELECT total FROM tot)) // 200 AS p
+      |  FROM range(0, 100) t(i)),
+      |cum AS (
+      |  SELECT doc_id, wt,
+      |    CAST(SUM(wt) OVER (ORDER BY doc_id) AS BIGINT) AS c
+      |  FROM w)
+      |SELECT pos.sample_idx, cum.doc_id, cum.wt
+      |FROM pos JOIN cum ON pos.p >= cum.c - cum.wt AND pos.p < cum.c
+      |ORDER BY sample_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -662,5 +790,6 @@ object Sampling {
     Q("p16_feature_scale", Some(p16Oracle), p16),
     Q("p17_quarantine", Some(p17Oracle), p17),
     Q("p18_interleave", Some(p18Oracle), p18),
-    Q("p19_seeded_shuffle", Some(p19Oracle), p19))
+    Q("p19_seeded_shuffle", Some(p19Oracle), p19),
+    Q("p20_pps_sample", Some(p20Oracle), p20))
 }
