@@ -558,5 +558,13 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("hamming_pairs", es => HammingPairs(es.head), "built-in")
     reg.createOrReplaceTempFunction("pq_adc", es => PqAdc(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("bucket_of", es => BucketOf(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("theta_sketch_agg", es => ThetaSketchAgg(es.head), "built-in")
+    reg.createOrReplaceTempFunction("theta_count", es => ThetaCount(es.head), "built-in")
+    reg.createOrReplaceTempFunction("theta_intersect_count", es => ThetaSetOpCount(es(0), es(1), "intersect"), "built-in")
+    reg.createOrReplaceTempFunction("theta_anotb_count", es => ThetaSetOpCount(es(0), es(1), "anotb"), "built-in")
+    reg.createOrReplaceTempFunction("theta_union_count", es => ThetaSetOpCount(es(0), es(1), "union"), "built-in")
+    reg.createOrReplaceTempFunction("kll_sketch_agg", es => KllSketchAgg(es.head), "built-in")
+    reg.createOrReplaceTempFunction("kll_merge_agg", es => KllMergeAgg(es.head), "built-in")
+    reg.createOrReplaceTempFunction("kll_quantiles", es => KllQuantiles(es(0), es(1)), "built-in")
   }
 }

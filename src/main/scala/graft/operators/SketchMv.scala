@@ -78,6 +78,97 @@ object SketchMv {
           .parquet(s"$outDir/batch_id=$batchId")
     }
 
+  /** q107 — mergeable QUANTILE MV: the q103 maintenance contract for
+    * percentiles. Per-month KLL partial states of o_totalprice (a few
+    * KB each, regardless of batch size), each batch's own p50/p95/p99,
+    * and the ALL row whose quantiles come from MERGING the partials
+    * (`kll_merge_agg`) — never from rescanning rows. At 100 TB the
+    * dataset card's "price distribution so far" absorbs an ingest
+    * batch for O(batches) sketch rows. Rows-only by the q34 contract
+    * (KLL compaction is randomized; estimates carry the published
+    * ~1.65% rank-error bound at k=200, which SketchMvSpec pins against
+    * Spark's exact percentiles — and proves merge-of-parts ==
+    * direct-sketch agreement within the bound). */
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val o = Tables.df(s, d, "orders")
+    val p = o.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("batch"))
+      .agg(expr("kll_sketch_agg(o_totalprice)").as("sk"),
+        count(lit(1)).as("n_rows"))
+    val per = p.select(col("batch").as("scope"), col("n_rows"), col("sk"))
+    val merged = p
+      .agg(expr("kll_merge_agg(sk)").as("sk"), sum(col("n_rows")).as("n_rows"))
+      .select(lit("ALL").as("scope"), col("n_rows"), col("sk"))
+    per.unionAll(merged)
+      .select(col("scope"), col("n_rows"),
+        expr("kll_quantiles(sk, array(0.5D, 0.95D, 0.99D))").as("q"))
+      .select(col("scope"), col("n_rows"),
+        element_at(col("q"), 1).as("p50"),
+        element_at(col("q"), 2).as("p95"),
+        element_at(col("q"), 3).as("p99"))
+      .orderBy("scope")
+  }
+
+  /** q108 — theta-sketch SET ALGEBRA in its exact regime: month-over-
+    * month customer retention/churn/acquisition from per-month theta
+    * sketches of o_custkey. HLL (q103) can only union; retention needs
+    * INTERSECTION and churn needs A-NOT-B — the theta family's reason
+    * to exist. Below the lgK=16 nominal capacity (65536 retained
+    * entries; sf0.1 has ~15k distinct customers TOTAL) theta keeps
+    * every distinct hash with theta=1, so every count here — through
+    * intersections and differences — is EXACT and the DuckDB oracle
+    * checks it against plain COUNT(DISTINCT) joins (the q106
+    * exactness-boundary contract). At 100 TB the same plan degrades
+    * gracefully to bounded estimates; the month join key is an
+    * integer month index (yr·12+mo), portable arithmetic with no
+    * interval semantics. Sketch rows are |months|, so the self-join
+    * is broadcast-trivial; raw customer rows never cross the wire —
+    * only per-month sketch states (partial/final split). */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val o = Tables.df(s, d, "orders")
+    val sk = o
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("mi"))
+      .agg(expr("theta_sketch_agg(o_custkey)").as("sk"))
+    val cur = sk.as("cur")
+    val prev = sk.as("prev")
+    cur.join(prev, col("cur.mi") === col("prev.mi") + 1)
+      .select(
+        format_string("%04d-%02d",
+          expr("CAST(cur.mi DIV 12 AS INT)"),
+          expr("CAST(cur.mi % 12 + 1 AS INT)")).as("month"),
+        expr("theta_count(cur.sk)").as("active"),
+        expr("theta_intersect_count(cur.sk, prev.sk)").as("retained"),
+        expr("theta_anotb_count(cur.sk, prev.sk)").as("new_cust"),
+        expr("theta_anotb_count(prev.sk, cur.sk)").as("churned"))
+      .orderBy("month")
+  }
+
+  private val q108Oracle: String =
+    """WITH m AS (
+      |  SELECT DISTINCT
+      |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) * 12
+      |      + EXTRACT(MONTH FROM o_orderdate) - 1 AS mi,
+      |    o_custkey AS c
+      |  FROM orders),
+      |cnt AS (SELECT mi, COUNT(*) AS n FROM m GROUP BY mi),
+      |ret AS (
+      |  SELECT cur.mi AS mi, COUNT(*) AS r
+      |  FROM m cur JOIN m prev ON prev.c = cur.c AND prev.mi = cur.mi - 1
+      |  GROUP BY cur.mi)
+      |SELECT printf('%04d-%02d', cur.mi // 12, cur.mi % 12 + 1) AS month,
+      |  cur.n AS active,
+      |  COALESCE(ret.r, 0) AS retained,
+      |  cur.n - COALESCE(ret.r, 0) AS new_cust,
+      |  prev.n - COALESCE(ret.r, 0) AS churned
+      |FROM cnt cur
+      |JOIN cnt prev ON prev.mi = cur.mi - 1
+      |LEFT JOIN ret ON ret.mi = cur.mi
+      |ORDER BY month""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("q103_sketch_mv", None, q103))
+    Q("q103_sketch_mv", None, q103),
+    Q("q107_kll_quantile_mv", None, q107),
+    Q("q108_theta_retention", Some(q108Oracle), q108))
 }

@@ -110,4 +110,80 @@ class SketchMvSpec extends AnyFunSuite {
       assert(math.abs(r.getLong(1) - e) <= math.max(0.05 * e, 2.0), s"month ${r.getString(0)}")
     }
   }
+
+  test("theta golden: set algebra on constructed cohorts is exact") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // cohort A = {1..100}, cohort B = {51..180}: |A|=100, |B|=130,
+    // |A∩B|=50, |A\B|=50, |B\A|=80, |A∪B|=180 — all hand-derivable.
+    val df = ((1L to 100L).map(("A", _)) ++ (51L to 180L).map(("B", _)))
+      .toDF("cohort", "id")
+    val sk = df.groupBy("cohort").agg(expr("theta_sketch_agg(id)").as("sk"))
+    val a = sk.where(col("cohort") === "A").as("a")
+    val b = sk.where(col("cohort") === "B").as("b")
+    val r = a.crossJoin(b).select(
+      expr("theta_count(a.sk)").as("na"),
+      expr("theta_count(b.sk)").as("nb"),
+      expr("theta_intersect_count(a.sk, b.sk)").as("inter"),
+      expr("theta_anotb_count(a.sk, b.sk)").as("aonly"),
+      expr("theta_anotb_count(b.sk, a.sk)").as("bonly"),
+      expr("theta_union_count(a.sk, b.sk)").as("uni")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((100L, 130L, 50L, 50L, 80L, 180L)))
+  }
+
+  test("theta exact regime is partition-order independent, matching countDistinct") {
+    graft.functions.GraftFunctions.register(spark)
+    // per-month active counts from the sketch == exact COUNT DISTINCT,
+    // under two different partitionings (merge order changes; in the
+    // exact regime theta=1 and the ordered compact result is canonical
+    // for the hash set, so even the BYTES agree).
+    val base = orders.select(month.as("m"), col("o_custkey"))
+    val exact = base.groupBy("m").agg(countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val skOf = (df: org.apache.spark.sql.DataFrame) => df.groupBy("m")
+      .agg(expr("theta_count(theta_sketch_agg(o_custkey))").as("n"),
+        md5(expr("theta_sketch_agg(o_custkey)")).as("sig"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    val p1 = skOf(base.repartition(3))
+    val p2 = skOf(base.repartition(31, col("o_custkey")))
+    assert(p1.keySet == exact.keySet)
+    p1.foreach { case (m, (n, sig)) =>
+      assert(n == exact(m), s"month $m: sketch $n vs exact ${exact(m)}")
+      assert(p2(m) == ((n, sig)), s"month $m: partitioning changed the sketch")
+    }
+  }
+
+  test("kll merged-of-parts quantiles stay within the published rank-error bound") {
+    graft.functions.GraftFunctions.register(spark)
+    val ps = Array(0.5, 0.95, 0.99)
+    // exact rank window: value at rank p ± eps brackets the estimate.
+    // k=200 → normalized rank error ~1.65% (two-sided, 99% conf); use
+    // 2x margin for the randomized compaction.
+    val eps = 0.033
+    val n = orders.count()
+    val sorted = orders.select(col("o_totalprice").cast("double").as("v"))
+      .orderBy("v").collect().map(_.getDouble(0))
+    def valueAtRank(p: Double): Double =
+      sorted(math.min(sorted.length - 1, math.max(0, (p * (n - 1)).toInt)))
+    // the q107 ALL row = merge of per-month persisted partials
+    val dir = s"/tmp/graft-sketchmv/kll_${System.nanoTime()}"
+    orders.groupBy(month.as("batch"))
+      .agg(expr("kll_sketch_agg(o_totalprice)").as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir)
+      .agg(expr("kll_quantiles(kll_merge_agg(sk), array(0.5D, 0.95D, 0.99D))").as("q"))
+      .head().getSeq[Double](0)
+    val direct = orders
+      .agg(expr("kll_quantiles(kll_sketch_agg(o_totalprice), array(0.5D, 0.95D, 0.99D))").as("q"))
+      .head().getSeq[Double](0)
+    ps.zipWithIndex.foreach { case (p, i) =>
+      val lo = valueAtRank(math.max(0.0, p - eps))
+      val hi = valueAtRank(math.min(1.0, p + eps))
+      assert(got(i) >= lo && got(i) <= hi,
+        s"merged p$p=${got(i)} outside exact rank window [$lo, $hi]")
+      assert(direct(i) >= lo && direct(i) <= hi,
+        s"direct p$p=${direct(i)} outside exact rank window [$lo, $hi]")
+    }
+  }
 }
