@@ -744,6 +744,135 @@ object Sampling {
     org.apache.spark.sql.types.StructField("wt",
       org.apache.spark.sql.types.LongType, nullable = false)))
 
+  /** STRATIFIED `ppsSystematic`: exactly n PPS picks per GROUP, in one
+    * two-pass job over all strata (never a per-group loop — the
+    * mixture-curriculum shape "10 docs per source ∝ length" must not
+    * cost |sources| scans at 100 TB). Same integer crossing rule per
+    * stratum, same partition-prefix metadata now keyed (partition ×
+    * group) — P × |groups| longs on the driver, the documented
+    * low-cardinality-group contract shared with `ExactPercentile`
+    * (strata are sources/languages/splits: tens, not millions; a
+    * high-cardinality stratification belongs in p12's per-key top-k).
+    * Input: (group, unique id, weight); NULL groups and NULL/non-
+    * positive weights are excluded. Output one row per (group,
+    * sample_idx). */
+  def ppsStratified(df: DataFrame, n: Int, partitions: Int = 0): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val cols = df.columns
+    val rp = df
+      .select(col(cols(0)).cast("string").as("g"),
+        col(cols(1)).cast("long").as("id"),
+        col(cols(2)).cast("long").as("wt"))
+      .where(col("g").isNotNull && col("wt").isNotNull && col("wt") > 0)
+      .repartitionByRange(p, col("g"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sums: Array[(Int, String, Long)] = rp
+        .groupBy(spark_partition_id().as("pid"), col("g"))
+        .agg(sum(col("wt")).as("w"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val totals: Map[String, Long] =
+        sums.groupBy(_._2).map { case (g, xs) => g -> xs.map(_._3).sum }
+      val posPerGroup: Map[String, Array[(Long, Long)]] = totals.map {
+        case (g, wTot) =>
+          g -> Array.tabulate(n)(i => (i.toLong, (2L * i + 1L) * wTot / (2L * n)))
+      }
+      val offsets = scala.collection.mutable.Map.empty[String, Long]
+      val byPid = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.Map[String, (Long, Array[(Long, Long)])]]
+      sums.sortBy(_._1).foreach { case (pid, g, w) =>
+        val start = offsets.getOrElse(g, 0L)
+        val mine = posPerGroup(g).filter { case (_, pos) =>
+          pos >= start && pos < start + w
+        }
+        if (mine.nonEmpty)
+          byPid.getOrElseUpdate(pid, scala.collection.mutable.Map.empty)
+            .update(g, (start, mine.sortBy(_._2)))
+        offsets.update(g, start + w)
+      }
+      val bc = spark.sparkContext.broadcast(
+        byPid.map { case (k, m) => k -> m.toMap }.toMap)
+
+      val picked = rp
+        .sortWithinPartitions(col("g"), col("id"))
+        .rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val want = bc.value
+            .getOrElse(pid, Map.empty[String, (Long, Array[(Long, Long)])])
+          if (want.isEmpty) Iterator.empty
+          else {
+            var curG: String = null
+            var cum = 0L
+            var byPos: Array[(Long, Long)] = Array.empty
+            var wi = 0
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.spark.sql.Row]
+            it.foreach { row =>
+              val g = row.getString(0)
+              if (g != curG) {
+                curG = g
+                val e = want.getOrElse(g, (0L, Array.empty[(Long, Long)]))
+                cum = e._1; byPos = e._2; wi = 0
+              }
+              if (wi < byPos.length) {
+                cum += row.getLong(2)
+                while (wi < byPos.length && byPos(wi)._2 < cum) {
+                  out += org.apache.spark.sql.Row(
+                    g, byPos(wi)._1, row.getLong(1), row.getLong(2))
+                  wi += 1
+                }
+              }
+            }
+            out.iterator
+          }
+        }
+      spark.createDataFrame(picked, stratSchema)
+    } finally rp.unpersist(blocking = false)
+  }
+
+  private val stratSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("sample_idx",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("wt",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** p21 — 10 docs per source, drawn ∝ n_chars via `ppsStratified`:
+    * the per-stratum curriculum sample, one job for all sources. The
+    * oracle restates the per-stratum integer crossing rule with a
+    * partitioned window cumsum. */
+  private def p21(s: SparkSession, d: String): DataFrame =
+    ppsStratified(
+      Tables.df(s, d, "documents").select(col("source"), col("doc_id"), col("n_chars")),
+      10)
+      .orderBy("source", "sample_idx")
+
+  private val p21Oracle: String =
+    """WITH w AS (
+      |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS wt
+      |  FROM documents WHERE n_chars > 0 AND source IS NOT NULL),
+      |tot AS (
+      |  SELECT source, CAST(SUM(wt) AS BIGINT) AS total
+      |  FROM w GROUP BY source),
+      |pos AS (
+      |  SELECT tot.source, CAST(i AS BIGINT) AS sample_idx,
+      |    ((2 * CAST(i AS BIGINT) + 1) * tot.total) // 20 AS p
+      |  FROM tot, range(0, 10) t(i)),
+      |cum AS (
+      |  SELECT source, doc_id, wt,
+      |    CAST(SUM(wt) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS c
+      |  FROM w)
+      |SELECT pos.source AS source, pos.sample_idx, cum.doc_id, cum.wt
+      |FROM pos JOIN cum
+      |  ON pos.source = cum.source AND pos.p >= cum.c - cum.wt AND pos.p < cum.c
+      |ORDER BY pos.source, sample_idx""".stripMargin
+
   /** p20 — fixed-size char-weighted corpus sample via `ppsSystematic`:
     * exactly 100 docs drawn proportional to n_chars. The oracle
     * restates the integer crossing rule in plain SQL (window cumsum +
@@ -791,5 +920,6 @@ object Sampling {
     Q("p17_quarantine", Some(p17Oracle), p17),
     Q("p18_interleave", Some(p18Oracle), p18),
     Q("p19_seeded_shuffle", Some(p19Oracle), p19),
-    Q("p20_pps_sample", Some(p20Oracle), p20))
+    Q("p20_pps_sample", Some(p20Oracle), p20),
+    Q("p21_pps_stratified", Some(p21Oracle), p21))
 }

@@ -1109,6 +1109,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got2 == got, "degenerate-weight rows changed the selection")
   }
 
+  test("p21 stratified PPS: n per group, partition-independent, matches per-group global run") {
+    import spark.implicits._
+    // two strata with different totals; selection within each stratum
+    // must equal running ppsSystematic on that stratum alone, and must
+    // not depend on partitioning.
+    val df = (
+      (1L to 10L).map(i => ("a", i, i)) ++        // W_a = 55
+      (11L to 14L).map(i => ("b", i, 2L))         // W_b = 8
+    ).toDF("src", "doc_id", "wt")
+    val strat = Seq(1, 4, 16).map { p =>
+      graft.operators.Sampling.ppsStratified(df, 4, partitions = p)
+        .orderBy("source", "sample_idx").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    assert(strat(0).size == 8, s"expected 4 per stratum, got ${strat(0)}")
+    assert(strat(0) == strat(1) && strat(1) == strat(2),
+      "stratified selection depends on partition count")
+    Seq("a", "b").foreach { g =>
+      val solo = graft.operators.Sampling.ppsSystematic(
+        df.where(col("src") === g).select(col("doc_id"), col("wt")), 4)
+        .orderBy("sample_idx").collect()
+        .map(r => (g, r.getLong(0), r.getLong(1))).toSeq
+      assert(strat(0).filter(_._1 == g) == solo,
+        s"stratum $g differs from its standalone global run")
+    }
+  }
+
   test("p20 PPS selection is partition-count independent and exactly n rows") {
     import spark.implicits._
     // 1000 rows with skewed integer weights; the selection must be a
