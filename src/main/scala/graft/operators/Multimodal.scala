@@ -584,6 +584,61 @@ object Multimodal {
     sharedSegments(frames)
   }
 
+  /** splitmix64 finalizer — deterministic white-noise samples for the
+    * audio synthesizer (hash-mixed per-sample patterns; smooth
+    * waveforms give near-constant frame energies and degenerate
+    * fingerprints — the aHash-gradient lesson from m05/m07). */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + -7046029254386353131L
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^ (z >>> 31)
+  }
+
+  /** Overlapping 8-frame energy-fingerprint windows for one clip:
+    * 20 ms frame energies (m04's [[frameEnergies]]) hashed with an
+    * FNV-style combine — window w equals window w' of another clip
+    * iff their 8 frame energies are integer-identical. */
+  private[graft] def audioFingerprints(r: AudioRow): Iterator[(Long, Int, Long)] = {
+    val es = frameEnergies(r).map(_.mean_sq).toArray
+    (0 to es.length - 8).iterator.map { w =>
+      var h = -3750763034362895579L // FNV-1a 64 offset
+      var i = w
+      while (i < w + 8) { h = (h ^ es(i)) * 1099511628211L; i += 1 }
+      (r.doc_id, w, h)
+    }
+  }
+
+  /** m08 — cross-clip AUDIO duplicate detection ("same master,
+    * different cut"): the synthesizer derives each clip's PCM from a
+    * GENERATOR CLASS (doc_id mod 40) via splitmix64 noise, so clips
+    * sharing a class are byte-identical prefixes truncated at
+    * different doc-dependent lengths — the re-encoded/trimmed upload
+    * shape. Decode → 20 ms frame energies → overlapping 8-frame
+    * fingerprint windows at the typed mapPartitions boundary (bytes
+    * never leave their partition), then [[sharedSegments]] — m07's
+    * diagonal-grouped equality join, reused verbatim — finds the
+    * contiguous fingerprint-equal runs across clips: ONE join on the
+    * 8-byte key, hot keys capped, never all-pairs. Rows-only (decode
+    * is not SQL-expressible); exact segments pinned on a constructed
+    * corpus in PipelineSpec. */
+  private def m08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wins = graft.Tables.df(s, d, "documents")
+      .where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(40)).as("cls"),
+        (pmod(xxhash64(col("doc_id"), lit(2)), lit(4000)) + 4000).cast("int").as("n"))
+      .as[(Long, Long, Int)]
+      .mapPartitions(_.flatMap { case (id, cls, n) =>
+        val row = AudioRow(id, encodeWav(8000, n, i =>
+          (mix64(cls * 1000003L + i) & 0xFFFF).toShort))
+        audioFingerprints(row)
+      })
+      .toDF("doc_id", "frame_idx", "ahash")
+    sharedSegments(wins, minLen = 4)
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_multimodal", None, m01),
     Q("m02_frame_sample", None, m02),
@@ -591,5 +646,6 @@ object Multimodal {
     Q("m04_silence_segments", None, m04),
     Q("m05_image_near_dup", None, m05),
     Q("m06_shot_boundaries", None, m06),
-    Q("m07_shared_segments", None, m07))
+    Q("m07_shared_segments", None, m07),
+    Q("m08_audio_dup", None, m08))
 }

@@ -1109,6 +1109,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got2 == got, "degenerate-weight rows changed the selection")
   }
 
+  test("m08 golden: same-class clips pair on their common prefix, others never") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // A and B share generator class 5 (identical PCM prefix, different
+    // cut length); C is class 9. B: 4000 samples → 25 frames → 18
+    // windows, all matching A's first 18 → ONE (1,2) segment, run 18,
+    // both starts 0. C must pair with nothing.
+    def clip(id: Long, cls: Long, n: Int) = Multimodal.AudioRow(
+      id, Multimodal.encodeWav(8000, n, i =>
+        (Multimodal.mix64(cls * 1000003L + i) & 0xFFFF).toShort))
+    val wins = Seq(clip(1L, 5L, 6000), clip(2L, 5L, 4000), clip(3L, 9L, 6000))
+      .flatMap(Multimodal.audioFingerprints)
+      .toDF("doc_id", "frame_idx", "ahash")
+    val got = Multimodal.sharedSegments(wins, minLen = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 0, 0, 18L)), s"got ${got.toSeq}")
+  }
+
   test("p21 stratified PPS: n per group, partition-independent, matches per-group global run") {
     import spark.implicits._
     // two strata with different totals; selection within each stratum
