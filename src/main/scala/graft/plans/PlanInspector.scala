@@ -143,6 +143,47 @@ object PlanInspector {
     spark.createDataFrame(entries)
   }
 
+  /** One exchange's actual runtime volume. `records` / `bytes` are the
+    * shuffle WRITE side (what crossed the wire); for broadcasts,
+    * `records` is the broadcast row count and `bytes` its build size.
+    * -1 = metric absent on this node. */
+  final case class ExchangeEntry(kind: String, partitioning: String,
+      out_partitions: Int, records: Long, bytes: Long)
+
+  /** Exchange audit — dppReport's sibling for SHUFFLES: execute `df`,
+    * then report what every Exchange actually moved (records, bytes,
+    * partitioning). EXPLAIN shows that a shuffle exists; whether the
+    * plan is 100 TB-viable is decided by its VOLUME — a two-phase
+    * aggregate whose exchange carries |groups| records is fine, one
+    * carrying |rows| is a full-table re-shuffle; a broadcast side
+    * growing past memory is a flipped plan waiting to happen. This
+    * surfaces those numbers post-execution, per exchange, as rows. */
+  def shuffleReport(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val spark = df.sparkSession
+    val root = df.queryExecution.executedPlan
+    root.execute().foreachPartition(_ => ())
+    val finalPlan = root match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val entries = walkAll(finalPlan).collect {
+      case e: ShuffleExchangeExec =>
+        def m(n: String): Long = e.metrics.get(n).map(_.value).getOrElse(-1L)
+        ExchangeEntry("shuffle",
+          e.outputPartitioning.getClass.getSimpleName,
+          e.outputPartitioning.numPartitions,
+          m("shuffleRecordsWritten"), m("shuffleBytesWritten"))
+      case b: BroadcastExchangeExec =>
+        def m(n: String): Long = b.metrics.get(n).map(_.value).getOrElse(-1L)
+        ExchangeEntry("broadcast",
+          b.outputPartitioning.getClass.getSimpleName,
+          b.outputPartitioning.numPartitions,
+          m("numOutputRows"), m("dataSize"))
+    }
+    spark.createDataFrame(entries)
+  }
+
   /** EXPLAIN-diff (VERDICT r7 item 8): execute `df`, then diff AQE's
     * initial physical plan against the runtime-re-planned final tree as
     * one queryable DataFrame — what the reference's docs/3–8 narrative

@@ -407,4 +407,29 @@ class CoreSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("shuffleReport: partial agg shuffles groups not rows; broadcast side is the dim") {
+    // two-phase agg: the exchange carries per-partition partial states
+    // (≤ |groups| × |map partitions|), NOT the 60k input rows — the
+    // map-side-combine win as a measured number, not a plan shape.
+    val li = Tables.df(spark, sf, "lineitem")
+    val agg = li.groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+    val rep = plans.PlanInspector.shuffleReport(agg).collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    val shuffled = rep.filter(_._1 == "shuffle").map(_._2).sum
+    val rows = li.count()
+    assert(shuffled > 0 && shuffled <= 3 * 64,
+      s"partial agg shuffled $shuffled records (input $rows)")
+    // broadcast join: the broadcast exchange carries exactly the dim
+    val nation = Tables.df(spark, sf, "nation")
+    val joined = Tables.df(spark, sf, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n"))
+    val rep2 = plans.PlanInspector.shuffleReport(joined).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    val bc = rep2.filter(_._1 == "broadcast")
+    assert(bc.nonEmpty, "expected a broadcast exchange")
+    assert(bc.exists(e => e._2 == 25 && e._3 > 0),
+      s"broadcast should carry the 25-row nation dim, got ${bc.toSeq}")
+  }
 }
