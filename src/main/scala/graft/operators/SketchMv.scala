@@ -167,8 +167,47 @@ object SketchMv {
       |LEFT JOIN ret ON ret.mi = cur.mi
       |ORDER BY month""".stripMargin
 
+  /** Equi-join output size WITHOUT executing the join: per-side key
+    * counts joined (a |keys|-row frame each), Σ cnt_a·cnt_b. For inner
+    * equi-joins this is an exact identity — and the only sane way to
+    * SIZE a fact⋈fact join at 100 TB before paying for it (the
+    * estimate path shuffles per-key counts; the join itself would
+    * shuffle every row — shuffleReport measures the difference). */
+  def joinSizeEstimate(a: DataFrame, ak: String, b: DataFrame, bk: String): DataFrame = {
+    val ca = a.groupBy(col(ak).as("k")).agg(count(lit(1)).as("na"))
+    val cb = b.groupBy(col(bk).as("k")).agg(count(lit(1)).as("nb"))
+    ca.join(cb, "k").agg(
+      coalesce(sum(col("na") * col("nb")), lit(0L)).as("est_rows"))
+  }
+
+  /** q109 — join-size pre-estimates for the two workhorse joins,
+    * oracle-checked against DuckDB's ACTUAL join counts (the identity
+    * proof: the counts-product path and the materialized join agree
+    * row-for-row, while only the former survives a fact⋈fact at
+    * scale). */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.df(s, d, "lineitem")
+    val o = Tables.df(s, d, "orders")
+    val c = Tables.df(s, d, "customer")
+    joinSizeEstimate(li, "l_orderkey", o, "o_orderkey")
+      .select(lit("lineitem_orders").as("join_name"), col("est_rows"))
+      .unionAll(
+        joinSizeEstimate(o, "o_custkey", c, "c_custkey")
+          .select(lit("orders_customer").as("join_name"), col("est_rows")))
+      .orderBy("join_name")
+  }
+
+  private val q109Oracle: String =
+    """SELECT 'lineitem_orders' AS join_name, COUNT(*) AS est_rows
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |UNION ALL
+      |SELECT 'orders_customer' AS join_name, COUNT(*) AS est_rows
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY join_name""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q103_sketch_mv", None, q103),
     Q("q107_kll_quantile_mv", None, q107),
-    Q("q108_theta_retention", Some(q108Oracle), q108))
+    Q("q108_theta_retention", Some(q108Oracle), q108),
+    Q("q109_join_size", Some(q109Oracle), q109))
 }

@@ -432,4 +432,30 @@ class CoreSpec extends AnyFunSuite {
     assert(bc.exists(e => e._2 == 25 && e._3 > 0),
       s"broadcast should carry the 25-row nation dim, got ${bc.toSeq}")
   }
+
+  test("q109 estimate path shuffles per-key counts while the real join moves every row") {
+    val s = spark
+    import s.implicits._
+    // 100k × 1k rows on 100 keys: the counts-product path must agree
+    // with the materialized join AND move orders of magnitude less.
+    val a = (1 to 100000).map(i => (i % 100, i)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i % 100, i)).toDF("k2", "vb")
+    val est = operators.SketchMv.joinSizeEstimate(a, "k", b, "k2")
+    assert(est.head().getLong(0) == 1000000L) // 100 keys × 1000 × 10
+    def shuffled(df: org.apache.spark.sql.DataFrame): Long =
+      plans.PlanInspector.shuffleReport(df).collect()
+        .filter(_.getString(0) == "shuffle").map(_.getLong(3)).sum
+    val estMoved = shuffled(est)
+    val restore = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val realMoved = shuffled(
+        a.join(b, col("k") === col("k2")).agg(count(lit(1)).as("n")))
+      assert(estMoved > 0 && estMoved * 10 < realMoved,
+        s"estimate moved $estMoved records vs join's $realMoved — expected ≥10× less")
+    } finally restore match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
