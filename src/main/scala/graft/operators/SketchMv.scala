@@ -167,6 +167,24 @@ object SketchMv {
       |LEFT JOIN ret ON ret.mi = cur.mi
       |ORDER BY month""".stripMargin
 
+  /** [[streamingPartials]] generalized to ANY mergeable-sketch
+    * aggregate column (HLL / theta / KLL — q103/q107/q108's whole
+    * family shares one maintenance contract): each micro-batch's
+    * per-key sketch states land idempotently under `batch_id=`, and
+    * the matching merge aggregate (`hll_union_agg` / `kll_merge_agg` /
+    * theta union) over the partials dir is the live card. The caller
+    * registers GraftFunctions on the streaming session when using the
+    * native sketch aggs. */
+  def streamingSketchPartials(stream: DataFrame, batchKey: Column,
+      sketchCol: Column, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        b.toDF().groupBy(batchKey.as("batch"))
+          .agg(sketchCol.as("sketch"), count(lit(1)).as("n_rows"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/batch_id=$batchId")
+    }
+
   /** Equi-join output size WITHOUT executing the join: per-side key
     * counts joined (a |keys|-row frame each), Σ cnt_a·cnt_b. For inner
     * equi-joins this is an exact identity — and the only sane way to

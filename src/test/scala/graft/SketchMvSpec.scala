@@ -111,6 +111,38 @@ class SketchMvSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming KLL partials keep the live quantile card inside the rank bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.functions.GraftFunctions.register(spark)
+    val dir = s"/tmp/graft-sketchmv/kllstream_${System.nanoTime()}"
+    val ms = MemoryStream[(String, Double)]
+    val q = SketchMv.streamingSketchPartials(
+        ms.toDF().toDF("grp", "v"), col("grp"),
+        expr("kll_sketch_agg(v)"), dir)
+      .option("checkpointLocation", dir + "_ckpt").start()
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try {
+      // three skew-shifted batches; after each, the merged card's p50
+      // must sit inside the exact rank window of everything seen so far
+      for ((lo, n) <- Seq((0, 3000), (5000, 2000), (1000, 4000))) {
+        ms.addData((0 until n).map(i => (s"g${i % 2}", (lo + i).toDouble)))
+        q.processAllAvailable()
+        seen ++= (0 until n).map(i => (lo + i).toDouble)
+        val sorted = seen.sorted
+        val got = spark.read.parquet(dir)
+          .agg(expr("kll_quantiles(kll_merge_agg(sketch), array(0.5D))").as("q"))
+          .head().getSeq[Double](0).head
+        val eps = 0.033
+        val lo50 = sorted(((0.5 - eps) * (sorted.size - 1)).toInt)
+        val hi50 = sorted(((0.5 + eps) * (sorted.size - 1)).toInt)
+        assert(got >= lo50 && got <= hi50,
+          s"live p50 $got outside [$lo50, $hi50] after ${seen.size} rows")
+      }
+    } finally q.stop()
+  }
+
   test("theta golden: set algebra on constructed cohorts is exact") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
