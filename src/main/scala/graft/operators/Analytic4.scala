@@ -786,6 +786,54 @@ object Analytic4 {
     """SELECT event_type AS item, COUNT(*) AS n
       |FROM events GROUP BY 1 ORDER BY n DESC, item""".stripMargin
 
+  /** q110 — portable per-partition table fingerprint: the anti-entropy
+    * primitive for replica comparison / migration validation at 100 TB.
+    * Each row canonicalizes to a typed string (decimal-cast money so
+    * both engines render identically — the SURVEY §5 discipline — and
+    * an explicit timestamp format), hashes through md5 (the p19
+    * portable-hash choice: the ONLY hash both engines compute
+    * bit-identically), and the top 60 bits fold into a per-month
+    * BIT_XOR + row count. XOR is order- and partition-independent, so
+    * the fingerprint is stable under any shuffle/file layout and never
+    * overflows at any scale (sums do); identical-row cancellation is
+    * impossible because the (orderkey, linenumber) PK is inside the
+    * hash. Comparing two 100 TB replicas becomes one scan each side +
+    * a |months|-row exchange — the oracle IS the cross-engine replica
+    * check, live: DuckDB re-derives every fingerprint from the same
+    * parquet and the driver hash-compares them. Plan: scan → codegen'd
+    * project (md5+conv) → partial+final agg; shuffles |months| rows. */
+  private def q110(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "lineitem")
+      .select(
+        to_date(date_trunc("month", col("l_shipdate"))).as("mo"),
+        expr("""cast(conv(substr(md5(concat_ws('|',
+                  l_orderkey, l_linenumber,
+                  cast(l_quantity as decimal(18,2)),
+                  cast(l_extendedprice as decimal(18,2)),
+                  cast(l_discount as decimal(18,2)),
+                  cast(l_tax as decimal(18,2)),
+                  l_returnflag, l_linestatus,
+                  date_format(l_shipdate, 'yyyy-MM-dd HH:mm:ss'))),
+                1, 15), 16, 10) as bigint)""").as("h"))
+      .groupBy("mo")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("fp"))
+      .orderBy("mo")
+
+  private val q110Oracle: String =
+    """WITH c AS (
+      |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
+      |    CAST(('0x' || substr(md5(concat_ws('|',
+      |        CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+      |        CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+      |        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+      |        CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR),
+      |        CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR),
+      |        l_returnflag, l_linestatus,
+      |        strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'))), 1, 15)) AS UBIGINT) AS h
+      |  FROM lineitem)
+      |SELECT mo, COUNT(*) AS n_rows, CAST(bit_xor(h) AS BIGINT) AS fp
+      |FROM c GROUP BY mo ORDER BY mo""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q86_window_filter", Some(q86Oracle), q86),
     Q("q87_equi_depth", Some(q87Oracle), q87),
@@ -804,5 +852,6 @@ object Analytic4 {
     Q("q102_conversion_latency", Some(q102Oracle), q102),
     Q("q104_pct_auto", Some(q104Oracle), q104),
     Q("q105_map_types", Some(q105Oracle), q105),
-    Q("q106_approx_topk", Some(q106Oracle), q106))
+    Q("q106_approx_topk", Some(q106Oracle), q106),
+    Q("q110_table_fingerprint", Some(q110Oracle), q110))
 }
