@@ -221,34 +221,46 @@ object Dedup {
   private def d03(s: SparkSession, d: String): DataFrame =
     bandEstimates(docs(s, d)).orderBy("a_id", "b_id")
 
-  /** d03's candidate generation + signature-estimated Jaccard, factored
-    * on a docs DataFrame so d09 can calibrate the estimates. */
-  private[graft] def bandEstimates(docsDf: DataFrame): DataFrame = {
+  /** One (doc_id, sig, band, bh) row per band per doc — the
+    * PERSISTABLE unit of the minhash index. Factored out of
+    * bandEstimates so the batch query and d18's incremental ingest
+    * derive candidates from byte-identical band keys: an index row
+    * written yesterday collides with a delta row computed today iff
+    * the same full recompute would have paired them. */
+  private[graft] def bandRows(docsDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
-    val sig = docsDf
+    docsDf
       .withColumn("toks", expr(tokExpr))
       .where(size(col("toks")) >= 3)
       .withColumn("sig", expr("minhash_shingle32(toks)"))
-      .select("doc_id", "sig")
-    // one aggregation per band bucket instead of a two-sided self-join:
-    // collect the bucket's (doc_id, sig) postings and expand ordered
-    // pairs in place — the index is shuffled once, and bucket fan-out
-    // is whatever the banding bounds it to. Pair expansion + signature
-    // agreement is the native sig_pairs tight loop, not an interpreted
-    // lambda per pair per signature element.
-    sig.select(
-        col("doc_id"), col("sig"),
+      .select(col("doc_id"), col("sig"),
         explode(expr(
           "transform(sequence(0, 7), j -> named_struct('band', j, 'bh', xxhash64(slice(sig, j * 4 + 1, 4))))"))
           .as("b"))
-      .groupBy(col("b.band"), col("b.bh"))
+      .select(col("doc_id"), col("sig"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** Band-bucket candidate pairs + signature agreement from band rows.
+    * One aggregation per band bucket instead of a two-sided self-join:
+    * collect the bucket's (doc_id, sig) postings and expand ordered
+    * pairs in place — the index is shuffled once, and bucket fan-out
+    * is whatever the banding bounds it to. Pair expansion + signature
+    * agreement is the native sig_pairs tight loop, not an interpreted
+    * lambda per pair per signature element. */
+  private def pairsFromBandRows(br: DataFrame): DataFrame =
+    br.groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("xs"))
       .where(size(col("xs")) >= 2)
       .select(explode(expr("sig_pairs(xs)")).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.n_eq").as("n_eq"))
       .distinct()
       .withColumn("est_jac", col("n_eq") / 32.0)
-  }
+
+  /** d03's candidate generation + signature-estimated Jaccard, factored
+    * on a docs DataFrame so d09 can calibrate the estimates. */
+  private[graft] def bandEstimates(docsDf: DataFrame): DataFrame =
+    pairsFromBandRows(bandRows(docsDf))
 
   /** d09 — sketch-calibration (rows-only): the signature-estimated
     * Jaccard next to the EXACT value for every band-candidate pair —
@@ -1107,6 +1119,71 @@ object Dedup {
       |FROM deg LEFT JOIN tpn ON deg.id = tpn.id
       |ORDER BY doc_id""".stripMargin
 
+  /** Persist a corpus's band rows as the incremental-dedup index:
+    * partitioned by band (8 dirs), sorted by bucket hash within files
+    * so a bucket-targeted read prunes row groups on bh min/max stats —
+    * the layout that makes d18's touched-bucket semi-join a pruned
+    * read rather than an index scan at 100 TB. */
+  private[graft] def writeBandIndex(docsDf: DataFrame, dir: String): Unit =
+    bandRows(docsDf)
+      .repartition(col("band"))
+      .sortWithinPartitions(col("bh"))
+      .write.mode("overwrite").partitionBy("band").parquet(dir)
+
+  /** Incremental near-dup ingest: candidate pairs for a DELTA batch
+    * against a persisted band index, never re-pairing the corpus. Cost
+    * is |delta|×8 band rows + the index rows in TOUCHED buckets (the
+    * broadcast semi-join on the delta's (band, bh) keys — partition-
+    * pruned by band, row-group-pruned by the sorted bh layout); a
+    * continuous crawl pays per-batch cost proportional to the batch,
+    * not the corpus. Emits exactly the bandEstimates pairs that touch
+    * a delta doc (corpus×corpus pairs inside touched buckets are
+    * already known to prior runs and filtered), then appends the
+    * delta's band rows so the next batch sees this one. Equality with
+    * the full recompute is spec-proven, not assumed. */
+  private[graft] def ingestDelta(delta: DataFrame, dir: String): DataFrame = {
+    val s = delta.sparkSession
+    val dRows = bandRows(delta).cache()
+    val idx = s.read.parquet(dir)
+      .select(col("doc_id"), col("sig"), col("band").cast("int"), col("bh"))
+    val touched = idx.join(
+      broadcast(dRows.select("band", "bh").distinct()), Seq("band", "bh"), "left_semi")
+    val pairs = pairsFromBandRows(touched.unionByName(dRows.select(idx.columns.map(col): _*)))
+    val deltaIds = broadcast(dRows.select("doc_id").distinct().withColumn("is_d", lit(1)))
+    val out = pairs
+      .join(deltaIds.withColumnRenamed("doc_id", "a_id").withColumnRenamed("is_d", "da"),
+        Seq("a_id"), "left")
+      .join(deltaIds.withColumnRenamed("doc_id", "b_id").withColumnRenamed("is_d", "db"),
+        Seq("b_id"), "left")
+      .where(col("da").isNotNull || col("db").isNotNull)
+      .select("a_id", "b_id", "n_eq", "est_jac")
+    dRows
+      .repartition(col("band"))
+      .sortWithinPartitions(col("bh"))
+      .write.mode("append").partitionBy("band").parquet(dir)
+    out
+  }
+
+  /** d18 — incremental dedup ingest, live (rows-only: xxhash64 banding,
+    * d03's contract): the driver corpus splits into a base (80%) and a
+    * delta batch (doc_id % 5 == 0); the base's band index is written,
+    * the delta ingests against it, and the output is every band-
+    * candidate pair the delta introduced. PipelineSpec proves the
+    * arms-length property that makes the operator trustworthy: the
+    * incremental pair set EQUALS the full base∪delta recompute's pairs
+    * restricted to delta-touching ones, and the appended index equals
+    * the from-scratch index — on the driver corpus AND a chained
+    * two-batch constructed corpus. Rebuilt per run (signature-keyed
+    * dir) so the query is deterministic and self-contained. */
+  private def d18(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val base = all.where(col("doc_id") % 5 =!= 0)
+    val delta = all.where(col("doc_id") % 5 === 0)
+    val dir = s"/tmp/graft-index/bands-s${docsSignature(all)}"
+    writeBandIndex(base, dir)
+    ingestDelta(delta, dir).orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
@@ -1124,5 +1201,6 @@ object Dedup {
     Q("d14_boilerplate", Some(d14Oracle), d14),
     Q("d15_rank_centrality", None, d15),
     Q("d16_sentence_near_dup", Some(d16Oracle), d16),
-    Q("d17_triangles", Some(d17Oracle), d17))
+    Q("d17_triangles", Some(d17Oracle), d17),
+    Q("d18_incremental_ingest", None, d18))
 }
