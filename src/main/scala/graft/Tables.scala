@@ -19,20 +19,26 @@ object Tables {
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   /** Load one table. Single place to normalize schema quirks: the
-    * `events.ts` column is nanosecond-precision in parquet, which Spark
-    * rejects ([PARQUET_TYPE_ILLEGAL]); we read it as a long via the
-    * nanosAsLong legacy conf and floor-convert to a microsecond
-    * timestamp. `ts div 1000` stays in long arithmetic — a double-
-    * routed division (`/`) would lose integer precision above 2^53
-    * (epoch-ns ulp = 256 ns) and drift ±1 µs from the oracle's integer
-    * truncation. Queries that output raw timestamps truncate to whole
-    * seconds so the DuckDB oracle (which keeps ns) agrees (SURVEY.md §5).
+    * `events.ts` column has shipped in two encodings across driver
+    * generations — nanosecond-precision INT64 (which Spark rejects:
+    * [PARQUET_TYPE_ILLEGAL]; read as long via the nanosAsLong legacy
+    * conf and floor-converted with `ts div 1000`, long arithmetic so no
+    * double-routed ulp drift) and plain timestamp[us] (arrives as
+    * TIMESTAMP_NTZ; cast to session-TZ TIMESTAMP — a numeric no-op
+    * under the UTC session). Both paths yield the identical
+    * microsecond TIMESTAMP column, so queries are encoding-agnostic.
+    * Queries that output raw timestamps truncate to whole seconds so
+    * the DuckDB oracle agrees at any precision (SURVEY.md §5).
     */
   def df(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(sfDir, name))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(path(sfDir, name))
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+        case _ => col("ts").cast("timestamp")
+      }
+      raw.withColumn("ts", ts)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else spark.read.parquet(path(sfDir, name))
 

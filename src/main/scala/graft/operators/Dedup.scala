@@ -457,7 +457,7 @@ object Dedup {
     * order-independent and ANSI-overflow-safe), the staleness key for
     * the dup-graph label index; same rule as the ANN indexes'
     * corpusSignature. One narrow scan. */
-  private def docsSignature(docsDf: DataFrame): Long = {
+  private[graft] def docsSignature(docsDf: DataFrame): Long = {
     val r = docsDf
       .agg(count(lit(1)).as("n"), bit_xor(expr("xxhash64(doc_id, text)")).as("x"))
       .head()

@@ -1109,6 +1109,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(got2 == got, "degenerate-weight rows changed the selection")
   }
 
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.selectExpr("a_id", "b_id", "CAST(n_eq AS BIGINT) AS n_eq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def indexSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, String)] =
+    df.selectExpr("doc_id", "CAST(band AS INT) AS band", "bh",
+        "array_join(sig, ',') AS s").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSet
+
+  test("d18 incremental ingest equals the full recompute restricted to delta pairs") {
+    import graft.operators.Dedup
+    val all = Tables.df(spark, sf, "documents")
+    val deltaIds = all.where(col("doc_id") % 5 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = pairSet(Dedup.bandEstimates(all))
+    val expected = full.filter(p => deltaIds(p._1) || deltaIds(p._2))
+    val got = pairSet(SparkEntry.queries("d18_incremental_ingest")(spark, sf))
+    assert(got == expected,
+      s"incremental pair set diverges from the full recompute: " +
+        s"missing=${expected -- got} extra=${got -- expected}")
+    // the appended index equals the from-scratch index over base ∪ delta
+    val dir = s"/tmp/graft-index/bands-s${Dedup.docsSignature(all)}"
+    assert(indexSet(spark.read.parquet(dir)) == indexSet(Dedup.bandRows(all)),
+      "post-ingest band index differs from a from-scratch build")
+  }
+
+  test("d18 chained two-batch ingest: each batch sees all prior batches") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def doc(id: Long, words: String) = (id, words)
+    // base: two unrelated docs; batch1 near-copies doc 0; batch2
+    // near-copies batch1's doc AND brings an internal dup pair.
+    val base = Seq(
+      doc(0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      doc(1L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    val b1 = Seq(
+      doc(10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      doc(11L, "red orange yellow green blue indigo violet")).toDF("doc_id", "text")
+    val b2 = Seq(
+      doc(20L, "alpha beta gamma delta epsilon zeta eta theta"),
+      doc(21L, "cold warm hot cool mild freezing boiling tepid"),
+      doc(22L, "cold warm hot cool mild freezing boiling tepid")).toDF("doc_id", "text")
+    val dir = s"/tmp/graft-index/bands-spec-${System.nanoTime()}"
+    Dedup.writeBandIndex(base, dir)
+    val p1 = pairSet(Dedup.ingestDelta(b1, dir))
+    assert(p1.map(p => (p._1, p._2)) == Set((0L, 10L)),
+      s"batch1 must pair its near-copy with base doc 0 only: $p1")
+    val p2 = pairSet(Dedup.ingestDelta(b2, dir))
+    val allDocs = base.unionByName(b1).unionByName(b2)
+    val b2Ids = Set(20L, 21L, 22L)
+    val expected2 = pairSet(Dedup.bandEstimates(allDocs))
+      .filter(p => b2Ids(p._1) || b2Ids(p._2))
+    assert(p2 == expected2,
+      s"batch2 pairs diverge: missing=${expected2 -- p2} extra=${p2 -- expected2}")
+    assert(p2.map(p => (p._1, p._2)) == Set((0L, 20L), (10L, 20L), (21L, 22L)),
+      s"batch2 must see base AND batch1 copies plus its internal dup: $p2")
+    assert(indexSet(spark.read.parquet(dir)) == indexSet(Dedup.bandRows(allDocs)),
+      "chained index differs from a from-scratch build over all batches")
+  }
+
   test("m08 golden: same-class clips pair on their common prefix, others never") {
     import spark.implicits._
     import graft.operators.Multimodal
