@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-8 continuation relational surface: multi-distinct aggregation
+  * and the bin-blocked non-equi interval-overlap join.
+  */
+object Analytic5 {
+
+  /** q111 — several COUNT(DISTINCT ...) over DIFFERENT columns in one
+    * aggregation, mixed with plain aggregates. Spark plans this with
+    * ONE Expand pass (each input row replicated once per distinct
+    * group, tagged with a grouping id) followed by two-phase
+    * aggregation — the single-scan alternative to N self-joined
+    * subqueries, and the plan shape CoreSpec pins. Scale note: Expand
+    * multiplies pre-shuffle rows by (#distinct-groups + 1), but each
+    * replica carries ONLY its group's column and partial dedup
+    * runs map-side, so the exchange moves |distinct combos|, not
+    * |rows| × groups (reference docs/6's partial-aggregation contract
+    * applied to distincts).
+    */
+  private def q111(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice") > 250000.0, 1L).otherwise(0L)).as("n_big"))
+      .orderBy("o_orderpriority")
+
+  private val q111Oracle: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_custs,
+      |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_big
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** The synthetic fulfillment window every orders row carries:
+    * [orderdate, orderdate + (orderkey mod 15 + 1) days] — a
+    * deterministic, data-derived interval set for the overlap join. */
+  private def windows(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("tp"),
+        to_date(col("o_orderdate")).as("s"))
+      .withColumn("e", expr("date_add(s, CAST(k % 15 + 1 AS INT))"))
+
+  /** Bin width in days for the overlap join's blocking key. The one
+    * invariant that makes banding COMPLETE: W ≥ the maximum interval
+    * length, so two overlapping intervals always share the bin that
+    * contains the overlap's start day (both intervals cover that day,
+    * and each interval covers ≤ 2 consecutive bins). */
+  private val binDays = 16
+
+  /** q112 — non-equi INTERVAL-OVERLAP join, bin-blocked: for each
+    * premium order's fulfillment window, how many OTHER orders'
+    * windows overlap it (concurrent-fulfillment pressure). There is no
+    * equi key — the naive plan is a quadratic
+    * BroadcastNestedLoopJoin, and at 100 TB that plan is dead. The
+    * scale form blocks both sides into fixed-width day bins
+    * (W = 16 ≥ max interval length, each interval explodes into ≤ 2
+    * bins), equi-joins on the bin, applies the overlap residual, and
+    * counts a pair ONLY in the bin holding the overlap's start day
+    * (`ownership` — both intervals provably cover that day, so no
+    * pair is missed and none is double-counted; no post-join
+    * DISTINCT shuffle). PlanLint holds this query to the no-BNLJ
+    * bar like every other; the DuckDB oracle states the plain
+    * quadratic inequality join — engine agreement proves the
+    * banding is exactly the naive semantics.
+    */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val iv = windows(s, d)
+      .withColumn("sd", expr("datediff(s, DATE'1970-01-01')"))
+      .withColumn("ed", expr("datediff(e, DATE'1970-01-01')"))
+    def binned(df: DataFrame, p: String) = df
+      .withColumn("bin", explode(expr(s"sequence(sd div $binDays, ed div $binDays)")))
+      .select(col("k").as(s"${p}_k"), col("s").as(s"${p}_s"), col("e").as(s"${p}_e"),
+        col("sd").as(s"${p}_sd"), col("ed").as(s"${p}_ed"), col("bin"))
+    val a = binned(iv.where(col("tp") > 495000.0), "a")
+    val b = binned(iv, "b")
+    a.join(b,
+        a("bin") === b("bin") &&
+          col("a_k") =!= col("b_k") &&
+          col("a_sd") <= col("b_ed") && col("b_sd") <= col("a_ed") &&
+          a("bin") === expr(s"greatest(a_sd, b_sd) div $binDays"))
+      .groupBy(col("a_k").as("o_orderkey"), col("a_s").as("w_start"),
+        col("a_e").as("w_end"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q112Oracle: String =
+    """WITH iv AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS tp,
+      |    CAST(o_orderdate AS DATE) AS s,
+      |    CAST(o_orderdate AS DATE)
+      |      + CAST(o_orderkey % 15 + 1 AS INTEGER) AS e
+      |  FROM orders)
+      |SELECT a.k AS o_orderkey, a.s AS w_start, a.e AS w_end,
+      |  COUNT(*) AS n_overlap
+      |FROM iv a JOIN iv b
+      |  ON a.k <> b.k AND a.s <= b.e AND b.s <= a.e
+      |WHERE a.tp > 495000.0
+      |GROUP BY 1, 2, 3
+      |ORDER BY o_orderkey""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q111_multi_distinct", Some(q111Oracle), q111),
+    Q("q112_interval_join", Some(q112Oracle), q112))
+}

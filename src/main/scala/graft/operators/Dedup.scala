@@ -188,7 +188,10 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  private val d02Oracle: String =
+  /** Shared DuckDB CTE block ending in `jp` — the capped shingle-
+    * Jaccard pair table (a_id < b_id, jac ≥ 0.3). d02 selects it
+    * directly; d19 classifies its batch-touching pairs. */
+  private[graft] val jacPairsCtes: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
       |sh AS (
@@ -204,14 +207,18 @@ object Dedup {
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  JOIN bk ON a.shingle = bk.shingle
-      |  GROUP BY a.doc_id, b.doc_id)
-      |SELECT a_id, b_id, inter, sa.n_sh AS na, sb.n_sh AS nb,
-      |  inter / (sa.n_sh + sb.n_sh - inter) AS jac
-      |FROM pr
-      |JOIN sz sa ON a_id = sa.doc_id
-      |JOIN sz sb ON b_id = sb.doc_id
-      |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3
-      |ORDER BY a_id, b_id""".stripMargin
+      |  GROUP BY a.doc_id, b.doc_id),
+      |jp AS (
+      |  SELECT a_id, b_id, inter, sa.n_sh AS na, sb.n_sh AS nb,
+      |    inter / (sa.n_sh + sb.n_sh - inter) AS jac
+      |  FROM pr
+      |  JOIN sz sa ON a_id = sa.doc_id
+      |  JOIN sz sb ON b_id = sb.doc_id
+      |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3)""".stripMargin
+
+  private val d02Oracle: String = jacPairsCtes + "\n" +
+    """SELECT a_id, b_id, inter, na, nb, jac
+      |FROM jp ORDER BY a_id, b_id""".stripMargin
 
   /** d03 — MinHash + LSH banding (rows-only: xxhash64 is Spark-specific).
     * 32-permutation signature via min over salted shingle hashes; 8 bands
@@ -1184,6 +1191,76 @@ object Dedup {
     ingestDelta(delta, dir).orderBy("a_id", "b_id")
   }
 
+  /** d19 — incremental ingest VERDICTS, oracle-checked: d18 answers
+    * "which candidate pairs did this batch introduce" in d03's
+    * rows-only minhash domain; d19 answers the question the ingest
+    * pipeline actually acts on — for every batch doc, is it a near-dup
+    * of the EXISTING corpus (`dup_of_history`), of an EARLIER doc in
+    * the same batch (`dup_in_batch` — arrival order inside the batch,
+    * exactly the order a from-history replay would assign), or
+    * genuinely `new`? Built on the exact capped shingle-Jaccard pair
+    * table (threshold 0.3, d02's semantics and cap discipline), so the
+    * whole verdict column is hash-checked against DuckDB. The corpus
+    * split is data-derived (history = first 80% of the id space —
+    * broadcast scalar, no driver action); `canonical_id` is the
+    * earliest qualifying partner (history first), the d01 min-id
+    * keeper convention. Scale posture: pair generation is the shared
+    * content-signature pair cache (one aggregation over capped
+    * blocks); the verdict pass adds one |batch-touching pairs|
+    * aggregation and one broadcast-scalar join — at a real 100 TB
+    * ingest the history×history pairs are never expanded because the
+    * batch filter lands BEFORE the per-doc rollup.
+    */
+  private def d19(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val split = broadcast(
+      dd.agg(max(col("doc_id")).as("mx"))
+        .select(expr("((mx + 1) * 4) DIV 5").as("split")))
+    val touching = jaccardPairs(dd)
+      .crossJoin(split)
+      .where(col("b_id") >= col("split"))
+    val agg = touching
+      .groupBy(col("b_id").as("doc_id"))
+      .agg(
+        sum(when(col("a_id") < col("split"), 1L).otherwise(0L)).as("nh"),
+        min(when(col("a_id") < col("split"), col("a_id"))).as("hist_min"),
+        sum(when(col("a_id") >= col("split"), 1L).otherwise(0L)).as("nb"),
+        min(when(col("a_id") >= col("split"), col("a_id"))).as("batch_min"))
+    dd.crossJoin(split).where(col("doc_id") >= col("split"))
+      .select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("nh") > 0, lit("dup_of_history"))
+          .when(col("nb") > 0, lit("dup_in_batch"))
+          .otherwise(lit("new")).as("verdict"),
+        when(col("nh") > 0, col("hist_min"))
+          .otherwise(col("batch_min")).as("canonical_id"),
+        coalesce(col("nh"), lit(0L)).as("n_hist"),
+        coalesce(col("nb"), lit(0L)).as("n_batch"))
+      .orderBy("doc_id")
+  }
+
+  private val d19Oracle: String = jacPairsCtes + ",\n" +
+    """m AS (SELECT ((MAX(doc_id) + 1) * 4) // 5 AS split FROM documents),
+      |agg AS (
+      |  SELECT b_id AS doc_id,
+      |    CAST(SUM(CASE WHEN a_id < m.split THEN 1 ELSE 0 END) AS BIGINT) AS nh,
+      |    MIN(CASE WHEN a_id < m.split THEN a_id END) AS hist_min,
+      |    CAST(SUM(CASE WHEN a_id >= m.split THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+      |    MIN(CASE WHEN a_id >= m.split THEN a_id END) AS batch_min
+      |  FROM jp, m WHERE b_id >= m.split GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CASE WHEN agg.nh > 0 THEN 'dup_of_history'
+      |       WHEN agg.nb > 0 THEN 'dup_in_batch'
+      |       ELSE 'new' END AS verdict,
+      |  CASE WHEN agg.nh > 0 THEN agg.hist_min
+      |       ELSE agg.batch_min END AS canonical_id,
+      |  COALESCE(agg.nh, 0) AS n_hist,
+      |  COALESCE(agg.nb, 0) AS n_batch
+      |FROM (SELECT doc_id FROM documents, m WHERE doc_id >= m.split) d
+      |LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
@@ -1202,5 +1279,6 @@ object Dedup {
     Q("d15_rank_centrality", None, d15),
     Q("d16_sentence_near_dup", Some(d16Oracle), d16),
     Q("d17_triangles", Some(d17Oracle), d17),
-    Q("d18_incremental_ingest", None, d18))
+    Q("d18_incremental_ingest", None, d18),
+    Q("d19_incremental_verdicts", Some(d19Oracle), d19))
 }

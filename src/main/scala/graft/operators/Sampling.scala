@@ -900,6 +900,152 @@ object Sampling {
       |FROM pos JOIN cum ON pos.p >= cum.c - cum.wt AND pos.p < cum.c
       |ORDER BY sample_idx""".stripMargin
 
+  /** Distributed per-stratum greedy BUDGET FILL: order each group's
+    * rows by (rank key DESC, id ASC) and keep the prefix whose running
+    * weight stays within `num/den` of the group's total weight — "fill
+    * half the token budget with the best-ranked docs of each source",
+    * the curriculum-construction primitive between p15's clamping and
+    * p21's fixed-COUNT sampling (this is fixed-WEIGHT selection).
+    *
+    * The running sum is NOT a per-group window (`SUM OVER (PARTITION
+    * BY g ORDER BY …)` serializes each 100 TB stratum through one
+    * task). It is the `ppsSystematic` two-pass shape applied to prefix
+    * sums: range-partition by (g, rank DESC, id), per-partition
+    * per-group weight sums to the driver (P × |groups| longs — the
+    * documented low-cardinality-group contract shared with
+    * `ExactPercentile`), broadcast each partition's per-group START
+    * offset back, then stream every partition once emitting rows while
+    * offset + local running sum stays inside the group's budget. All
+    * comparisons are integer (budget = total · num / den in Long
+    * arithmetic), so the kept set is bit-reproducible on any engine
+    * and any partitioning — the spec proves partition-count
+    * independence. Rows with NULL group / NULL rank / non-positive
+    * weight are excluded from both the totals and the fill.
+    *
+    * Input: (group, unique id, weight, rank). Output one row per kept
+    * doc: (source, doc_id, wt, cum_wt). */
+  def budgetFill(df: DataFrame, num: Long, den: Long,
+      partitions: Int = 0): DataFrame = {
+    require(num >= 0 && den > 0, s"budget fraction $num/$den is not a fraction")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val cols = df.columns
+    val rp = df
+      .select(col(cols(0)).cast("string").as("g"),
+        col(cols(1)).cast("long").as("id"),
+        col(cols(2)).cast("long").as("wt"),
+        col(cols(3)).cast("double").as("q"))
+      .where(col("g").isNotNull && col("q").isNotNull &&
+        col("wt").isNotNull && col("wt") > 0)
+      .repartitionByRange(p, col("g"), col("q").desc, col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Pass 1 — planning metadata: per (partition, group) weight sums.
+      val sums: Array[(Int, String, Long)] = rp
+        .groupBy(spark_partition_id().as("pid"), col("g"))
+        .agg(sum(col("wt")).as("w"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val budgets: Map[String, Long] = sums.groupBy(_._2)
+        .map { case (g, xs) => g -> xs.map(_._3).sum * num / den }
+      // Each partition's per-group start offset (prefix of earlier
+      // partitions' sums — partitions are range-ordered by the sort key).
+      val offsets = scala.collection.mutable.Map.empty[String, Long]
+      val byPid = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.Map[String, Long]]
+      sums.sortBy(_._1).foreach { case (pid, g, w) =>
+        val start = offsets.getOrElse(g, 0L)
+        // partitions fully past the budget never emit — skip their entry
+        if (start < budgets(g))
+          byPid.getOrElseUpdate(pid, scala.collection.mutable.Map.empty)
+            .update(g, start)
+        offsets.update(g, start + w)
+      }
+      val bcStarts = spark.sparkContext.broadcast(
+        byPid.map { case (k, m) => k -> m.toMap }.toMap)
+      val bcBudgets = spark.sparkContext.broadcast(budgets)
+
+      // Pass 2 — stream each partition once in (g, q desc, id) order.
+      val kept = rp
+        .sortWithinPartitions(col("g"), col("q").desc, col("id"))
+        .rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val starts = bcStarts.value.getOrElse(pid, Map.empty[String, Long])
+          if (starts.isEmpty) Iterator.empty
+          else {
+            val budgets = bcBudgets.value
+            var curG: String = null
+            var cum = 0L
+            var live = false
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.spark.sql.Row]
+            it.foreach { row =>
+              val g = row.getString(0)
+              if (g != curG) {
+                curG = g
+                live = starts.contains(g)
+                cum = starts.getOrElse(g, 0L)
+              }
+              if (live) {
+                cum += row.getLong(2)
+                if (cum <= budgets(g))
+                  out += org.apache.spark.sql.Row(
+                    g, row.getLong(1), row.getLong(2), cum)
+                else live = false // cum is monotone — group is done here
+              }
+            }
+            out.iterator
+          }
+        }
+      spark.createDataFrame(kept, fillSchema)
+    } finally rp.unpersist(blocking = false)
+  }
+
+  private val fillSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("wt",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cum_wt",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** p22 — fill HALF of each source's token budget with its
+    * highest-diversity docs (type/token ratio DESC, doc_id tie-break)
+    * via `budgetFill`. The oracle restates the fill as a per-source
+    * window cumsum — fine at sf0.01, the very plan the operator
+    * exists to avoid at scale. The rank key is one divide of exact
+    * integers, so both engines order identically. */
+  private def p22(s: SparkSession, d: String): DataFrame = {
+    val toks = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+    val w = Tables.df(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        expr(s"CAST(size($toks) AS BIGINT)").as("wt"),
+        expr(s"CAST(size(array_distinct($toks)) AS DOUBLE) / size($toks)").as("q"))
+      .where(col("wt") > 0)
+    budgetFill(w, 1L, 2L).orderBy("source", "doc_id")
+  }
+
+  private val p22Oracle: String =
+    """WITH w AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS wt,
+      |    CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS DOUBLE)
+      |      / len(regexp_extract_all(lower(text), '[a-z]+')) AS q
+      |  FROM documents
+      |  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) > 0),
+      |tot AS (SELECT source, CAST(SUM(wt) AS BIGINT) AS t FROM w GROUP BY 1),
+      |r AS (
+      |  SELECT source, doc_id, wt,
+      |    CAST(SUM(wt) OVER (
+      |      PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT) AS cum_wt
+      |  FROM w)
+      |SELECT r.source, r.doc_id, r.wt, r.cum_wt
+      |FROM r JOIN tot ON r.source = tot.source
+      |WHERE r.cum_wt <= tot.t // 2
+      |ORDER BY r.source, r.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -921,5 +1067,6 @@ object Sampling {
     Q("p18_interleave", Some(p18Oracle), p18),
     Q("p19_seeded_shuffle", Some(p19Oracle), p19),
     Q("p20_pps_sample", Some(p20Oracle), p20),
-    Q("p21_pps_stratified", Some(p21Oracle), p21))
+    Q("p21_pps_stratified", Some(p21Oracle), p21),
+    Q("p22_budget_fill", Some(p22Oracle), p22))
 }

@@ -768,13 +768,119 @@ object Similarity {
     val truth = s01(s, d).select("vec_id")
     val methods: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "lsh" -> s02, "ivf" -> s03, "sketch_rerank" -> s05,
-      "pq" -> s07, "ivfpq" -> s08)
+      "pq" -> s07, "ivfpq" -> s08, "sq8" -> s11)
     methods.map { case (name, fn) =>
       fn(s, d).select("vec_id").join(broadcast(truth), "vec_id")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(name).as("method"), lit(10).cast("int").as("k"),
           col("n_hits"), round(col("n_hits") / 10.0, 2).as("recall"))
     }.reduce(_ unionByName _).orderBy("method")
+  }
+
+  private val sqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Array[Double], Array[Double])]()
+
+  private[graft] def sq8Index(s: SparkSession, d: String): (DataFrame, Array[Double], Array[Double]) =
+    sqCache.computeIfAbsent((s, d), _ => buildSq8Index(s, d))
+
+  /** Same REFRESH contract as the other index families. */
+  private[graft] def refreshSq8Index(s: SparkSession, d: String): (DataFrame, Array[Double], Array[Double]) = {
+    qCache.remove(d)
+    val fresh = buildSq8Index(s, d)
+    sqCache.put((s, d), fresh)
+    fresh
+  }
+
+  /** s11's index: SCALAR quantization (SQ8) — per-dimension min/max
+    * over the corpus (the model: 2 × dim doubles, the smallest
+    * quantizer of the family), each vector encoded to dim uint8 codes
+    * by affine rounding into its dimension's range. Structurally SQ8
+    * is the M = dim, K = 256, 1-D-subspace corner of the PQ family —
+    * which is why query time reuses the SAME native `pq_adc`
+    * expression with a per-dimension affine lookup table instead of
+    * needing a new Catalyst expression. The per-dim stats pass is one
+    * posexplode + 64-group aggregate; only those 64 (lo, hi) rows
+    * reach the driver. Encode is a one-time build-job transform
+    * (interpreted HOF, the zOrder nit — acceptable off the query
+    * path; the scan the QUERY pays reads 1-byte-per-dim codes, id,
+    * nrm). Layout path carries the corpus signature; superseded
+    * layouts are reaped — identical staleness rules to LSH/IVF/PQ. */
+  private def buildSq8Index(s: SparkSession, d: String): (DataFrame, Array[Double], Array[Double]) = {
+    val dataKey = Integer.toHexString(d.hashCode)
+    val prefix = s"sq8-" + dataKey
+    val root = new java.io.File(IndexRoot,
+      prefix + "-s" + java.lang.Long.toHexString(corpusSignature(s, d)))
+    val stale = raw"sq8-$dataKey(-s[0-9a-f]+)?".r
+    Option(new java.io.File(IndexRoot).listFiles()).foreach(_.foreach { f =>
+      if (f.getName != root.getName && stale.matches(f.getName)) rmTree(f)
+    })
+    if (!root.exists()) {
+      val data = emb(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").as("e"), col("nrm"))
+      val stats = data.select(posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("pos")
+        .agg(min(col("v").cast("double")).as("lo"), max(col("v").cast("double")).as("hi"))
+        .collect()
+        .map(r => (r.getAs[Int]("pos"), r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+        .sortBy(_._1)
+      val mins = stats.map(_._2)
+      val spans = stats.map(t => t._3 - t._2)
+      val minsSql = mins.mkString("array(", ", ", ")")
+      val spansSql = spans.mkString("array(", ", ", ")")
+      // code_i = round((x_i − lo_i) · 255 / span_i), clamped; a
+      // zero-span dimension (constant column) encodes to 0
+      val codesExpr =
+        s"""transform(e, (x, i) -> IF(element_at($spansSql, i + 1) > 0,
+           |  CAST(LEAST(255.0, GREATEST(0.0,
+           |    round((CAST(x AS DOUBLE) - element_at($minsSql, i + 1)) * 255.0
+           |      / element_at($spansSql, i + 1)))) AS INT), 0))""".stripMargin
+      val tmp = new java.io.File(root.getParent, root.getName + ".tmp" + System.nanoTime())
+      data.withColumn("codes", expr(codesExpr))
+        .select("vec_id", "label", "e", "nrm", "codes")
+        .write.mode("overwrite").parquet(new java.io.File(tmp, "index").getAbsolutePath)
+      val s2 = s
+      import s2.implicits._
+      Seq((mins.toSeq, spans.toSeq)).toDF("mins", "spans")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(new java.io.File(tmp, "stats").getAbsolutePath)
+      if (!tmp.renameTo(root)) rmTree(tmp)
+    }
+    val st = s.read.parquet(new java.io.File(root, "stats").getAbsolutePath).head()
+    (s.read.parquet(new java.io.File(root, "index").getAbsolutePath),
+      st.getAs[scala.collection.Seq[Double]]("mins").toArray,
+      st.getAs[scala.collection.Seq[Double]]("spans").toArray)
+  }
+
+  /** s11 — scalar-quantization ANN (rows-only: the quantizer is
+    * data-trained). dot(x̂, q) decomposes per dimension into
+    * (lo_i + c·span_i/255)·q_i — a 256-entry affine table per
+    * dimension, so stage 1 is the SAME native pq_adc lookup scan as
+    * s07 (SQ8 = PQ with 1-D subspaces), reading only codes + id + nrm,
+    * followed by the standard exact broadcast re-rank. SQ8 keeps far
+    * more of the vector's information than PQ's 16 subspace codes —
+    * the highest-fidelity cheap scan of the family (spec floor 0.8
+    * vs s07's 0.5) — at 1 byte/dim storage. */
+  private def s11(s: SparkSession, d: String): DataFrame = {
+    val (idx, mins, spans) = sq8Index(s, d)
+    val (qe, qnrm) = queryVec(s, d)
+    val dim = mins.length
+    val lut: Seq[Double] = for {
+      i <- 0 until dim
+      c <- 0 until 256
+    } yield (mins(i) + c * spans(i) / 255.0) * qe(i)
+    val shortlistK = math.max(200L, Dedup.approxRowCount(idx) / 40L).toInt
+    val shortlist = idx.where(col("vec_id") =!= 0)
+      .withColumn("lut", typedlit(lut))
+      .withColumn("approx_cos", round(expr("pq_adc(codes, lut)") / (col("nrm") * lit(qnrm)), 6))
+      .select("vec_id", "approx_cos")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(shortlistK)
+    idx.join(broadcast(shortlist), "vec_id")
+      .withColumn("qe", typedlit(qe.toSeq))
+      .withColumn("cos_r", round(expr("vec_dot(e, qe)") / (col("nrm") * lit(qnrm)), 6))
+      .select("vec_id", "label", "approx_cos", "cos_r")
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(10)
   }
 
   val all: Seq[Q] = Seq(
@@ -787,5 +893,6 @@ object Similarity {
     Q("s07_ann_pq", None, s07),
     Q("s08_ann_ivfpq", None, s08),
     Q("s09_ann_filtered_ivf", None, s09),
-    Q("s10_ann_recall_eval", None, s10))
+    Q("s10_ann_recall_eval", None, s10),
+    Q("s11_ann_sq8", None, s11))
 }

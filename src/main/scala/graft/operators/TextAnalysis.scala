@@ -832,6 +832,76 @@ object TextAnalysis {
       |SELECT source, rnk, term, tf, corpus_tf, round(lift, 6) AS lift
       |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
 
+  /** Duplicate n-gram occurrence fractions per doc (n = 2, 5): the
+    * share of a doc's n-gram OCCURRENCES that are repeats of an n-gram
+    * already seen in the SAME doc — the published within-doc
+    * repetition-filter family (dup-bigram fraction catches "a b a b a
+    * b" loops; dup-5-gram fraction catches copied paragraphs), sitting
+    * between t07's token-level dup fraction (n = 1) and d02's
+    * cross-doc shingle overlap. Factored off the `documents` loader so
+    * PipelineSpec pins hand-derived goldens on constructed texts.
+    *
+    * Scale shape: one scan, ONE Generate for both gram sizes (a
+    * 2-gram and a 5-gram can never collide — token counts differ, so
+    * they share the explode and the first aggregation); counts roll
+    * up per (doc, gram) with map-side combine — repeats collapse
+    * before the shuffle — then per doc. Both aggregation keys are
+    * bounded by document length × docs, never corpus-vocabulary
+    * cross-products. The fraction is one divide of exact integers
+    * (< 2^53) rounded to 6 places, so both engines produce the
+    * identical double (the t21 lift discipline).
+    */
+  private[graft] def dupNgramProfile(docsDf: DataFrame): DataFrame = {
+    val grams = docsDf
+      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .select(col("doc_id"), explode(concat(
+        expr("if(size(toks) >= 2, transform(sequence(1, size(toks) - 1)," +
+          " i -> concat_ws(' ', slice(toks, i, 2))), slice(toks, 1, 0))"),
+        expr("if(size(toks) >= 5, transform(sequence(1, size(toks) - 4)," +
+          " i -> concat_ws(' ', slice(toks, i, 5))), slice(toks, 1, 0))"))).as("gram"))
+    grams
+      .withColumn("n", size(split(col("gram"), " ")))
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(when(col("n") === 2, col("cnt")).otherwise(0L)).as("grams2"),
+        sum(when(col("n") === 2 && col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup2"),
+        sum(when(col("n") === 5, col("cnt")).otherwise(0L)).as("grams5"),
+        sum(when(col("n") === 5 && col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup5"))
+      .select(col("doc_id"), col("grams2"),
+        round(col("dup2").cast("double") /
+          when(col("grams2") > 0, col("grams2")), 6).as("dup2_frac"),
+        col("grams5"),
+        round(col("dup5").cast("double") /
+          when(col("grams5") > 0, col("grams5")), 6).as("dup5_frac"))
+  }
+
+  private def t22(s: SparkSession, d: String): DataFrame =
+    dupNgramProfile(Tables.df(s, d, "documents")).orderBy("doc_id")
+
+  private val t22Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, 2 AS n, t[i] || ' ' || t[i+1] AS gram
+      |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      |  UNION ALL
+      |  SELECT doc_id, 5 AS n,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS gram
+      |  FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+      |c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+      |p AS (SELECT doc_id,
+      |  CAST(SUM(CASE WHEN n = 2 THEN cnt ELSE 0 END) AS BIGINT) AS grams2,
+      |  CAST(SUM(CASE WHEN n = 2 AND cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup2,
+      |  CAST(SUM(CASE WHEN n = 5 THEN cnt ELSE 0 END) AS BIGINT) AS grams5,
+      |  CAST(SUM(CASE WHEN n = 5 AND cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup5
+      |  FROM c GROUP BY 1)
+      |SELECT doc_id, grams2,
+      |  round(CAST(dup2 AS DOUBLE) / nullif(grams2, 0), 6) AS dup2_frac,
+      |  grams5,
+      |  round(CAST(dup5 AS DOUBLE) / nullif(grams5, 0), 6) AS dup5_frac
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -853,5 +923,6 @@ object TextAnalysis {
     Q("t18_sentences", Some(t18Oracle), t18),
     Q("t19_novelty", Some(t19Oracle), t19),
     Q("t20_tfidf", Some(t20Oracle), t20),
-    Q("t21_source_keyness", Some(t21Oracle), t21))
+    Q("t21_source_keyness", Some(t21Oracle), t21),
+    Q("t22_dup_ngrams", Some(t22Oracle), t22))
 }

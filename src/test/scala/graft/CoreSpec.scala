@@ -376,6 +376,24 @@ class CoreSpec extends AnyFunSuite {
       s"t21 lost its partial top-k:\n$p21")
   }
 
+  test("q111 multi-distinct is one Expand pass; q112 interval join is equi-blocked") {
+    // q111: several COUNT(DISTINCT col) must plan as ONE scan + Expand +
+    // two-phase agg, not self-joined subqueries
+    val p111 = SparkEntry.queries("q111_multi_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p111.contains("Expand"), s"q111 lost the Expand rewrite:\n$p111")
+    assert(!p111.contains("Join"), s"q111 must not self-join:\n$p111")
+    // q112: the non-equi overlap join must ride an equi bin key — any
+    // nested-loop shape means the banding failed and the plan is
+    // quadratic at scale
+    val p112 = SparkEntry.queries("q112_interval_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p112.contains("CartesianProduct") && !p112.contains("BroadcastNestedLoop"),
+      s"q112 plans an unbounded join:\n$p112")
+    assert(p112.contains("HashJoin") || p112.contains("SortMergeJoin"),
+      s"q112 lost its equi bin join:\n$p112")
+  }
+
   test("aqeDiff names the AQE skew split on a skewed shuffle join") {
     val s = spark
     import s.implicits._

@@ -475,12 +475,12 @@ class PipelineSpec extends AnyFunSuite {
   test("s10 recall-eval table agrees with the per-method floors") {
     val got = rows("s10_ann_recall_eval")
       .map(r => r.getAs[String]("method") -> r.getAs[Long]("n_hits")).toMap
-    assert(got.keySet == Set("lsh", "ivf", "sketch_rerank", "pq", "ivfpq"),
+    assert(got.keySet == Set("lsh", "ivf", "sketch_rerank", "pq", "ivfpq", "sq8"),
       s"methods: ${got.keySet}")
     // the same floors the individual specs assert — the eval op must
     // report numbers consistent with them
     val floors = Map("lsh" -> 5L, "ivf" -> 5L, "sketch_rerank" -> 7L,
-      "pq" -> 5L, "ivfpq" -> 4L)
+      "pq" -> 5L, "ivfpq" -> 4L, "sq8" -> 8L)
     floors.foreach { case (m, f) =>
       assert(got(m) >= f, s"$m recall ${got(m)}/10 below floor $f")
     }
@@ -512,6 +512,30 @@ class PipelineSpec extends AnyFunSuite {
   test("s07 stage-1 ADC scan reads codes, not the 64-float vector") {
     val plan = graft.plans.PlanInspector.formatted(
       SparkEntry.queries("s07_ann_pq")(spark, sf))
+    val codeScans = "ReadSchema: [^\\n]*codes[^\\n]*".r.findAllIn(plan).toSeq
+    assert(codeScans.nonEmpty, "no scan reading the codes column found")
+    assert(codeScans.exists(sc => !sc.contains("\"e\"")),
+      s"stage-1 scan also reads the full vector column: $codeScans")
+  }
+
+  test("s11 SQ8 ANN recall >= 0.8 vs exact; ADC error far below PQ's") {
+    val exact = rows("s01_ann_brute").map(_.getAs[Long]("vec_id")).toSet
+    val sq = rows("s11_ann_sq8")
+    val ids = sq.map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.nonEmpty)
+    // 256 levels per DIMENSION retains far more than PQ's 16 codes per
+    // 4-dim subspace — the family's highest-fidelity cheap scan
+    assert((exact & ids).size >= 8,
+      s"SQ8 recall ${(exact & ids).size}/10 below floor; missed ${exact -- ids}")
+    val errs = sq.map(r =>
+      math.abs(r.getAs[Double]("approx_cos") - r.getAs[Double]("cos_r")))
+    assert(errs.sum / errs.size <= 0.05,
+      s"mean SQ8 ADC error ${errs.sum / errs.size} too large")
+  }
+
+  test("s11 stage-1 scan reads codes, not the 64-float vector") {
+    val plan = graft.plans.PlanInspector.formatted(
+      SparkEntry.queries("s11_ann_sq8")(spark, sf))
     val codeScans = "ReadSchema: [^\\n]*codes[^\\n]*".r.findAllIn(plan).toSeq
     assert(codeScans.nonEmpty, "no scan reading the codes column found")
     assert(codeScans.exists(sc => !sc.contains("\"e\"")),
@@ -1133,6 +1157,75 @@ class PipelineSpec extends AnyFunSuite {
     val dir = s"/tmp/graft-index/bands-s${Dedup.docsSignature(all)}"
     assert(indexSet(spark.read.parquet(dir)) == indexSet(Dedup.bandRows(all)),
       "post-ingest band index differs from a from-scratch build")
+  }
+
+  test("t22 dup-ngram goldens on constructed texts") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "a b a b a b"),             // 2-grams all repeats; 5-grams distinct
+      (2L, "one two three four five six"), // nothing repeats
+      (3L, "x y"),                     // no 5-gram possible
+      (4L, "w w w w w w w w")          // everything repeats at both sizes
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.dupNgramProfile(docsDf)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.toString),
+        r.getLong(3), Option(r.get(4)).map(_.toString))).toSeq
+    assert(got == Seq(
+      (1L, 5L, Some("1.0"), 2L, Some("0.0")),
+      (2L, 5L, Some("0.0"), 2L, Some("0.0")),
+      (3L, 1L, Some("0.0"), 0L, None),
+      (4L, 7L, Some("1.0"), 4L, Some("1.0"))), s"t22 goldens diverge: $got")
+  }
+
+  test("budgetFill golden: prefix by rank, boundary row kept, heavy head excluded") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: total 40, budget 20 — ids 1,2 fill it exactly (boundary kept)
+      ("g1", 1L, 10L, 0.9), ("g1", 2L, 10L, 0.8),
+      ("g1", 3L, 10L, 0.7), ("g1", 4L, 10L, 0.6),
+      // g2: rank ties broken by id; total 9, budget 4 — only id 5 fits
+      ("g2", 5L, 3L, 0.5), ("g2", 6L, 3L, 0.5), ("g2", 7L, 3L, 0.5),
+      // g3: the single best row alone exceeds the budget — empty fill
+      ("g3", 8L, 9L, 0.9), ("g3", 9L, 1L, 0.1)
+    ).toDF("source", "doc_id", "wt", "q")
+    val got = graft.operators.Sampling.budgetFill(df, 1L, 2L)
+      .orderBy("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("g1", 1L, 10L, 10L), ("g1", 2L, 10L, 20L),
+      ("g2", 5L, 3L, 3L)), s"budgetFill goldens diverge: $got")
+  }
+
+  test("budgetFill is partition-count independent") {
+    import spark.implicits._
+    val base = (1L to 500L)
+      .map(i => (s"s${i % 7}", i, 1L + (i * 31) % 97, ((i * i) % 101).toDouble))
+      .toDF("source", "doc_id", "wt", "q")
+    val fills = Seq(1, 4, 16).map { p =>
+      graft.operators.Sampling.budgetFill(base, 1L, 2L, partitions = p)
+        .orderBy("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    assert(fills(0).nonEmpty)
+    assert(fills(0) == fills(1) && fills(1) == fills(2),
+      "budget fill depends on partition count")
+    // every group's kept weight is within its budget and maximal:
+    // adding the next-ranked excluded row must overshoot
+    val byG = base.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    byG.foreach { case (g, rows) =>
+      val budget = rows.map(_._3).sum / 2
+      val keptIds = fills(0).filter(_._1 == g).map(_._2).toSet
+      val keptW = fills(0).filter(_._1 == g).map(_._3).sum
+      assert(keptW <= budget, s"$g overshoots its budget")
+      val next = rows.sortBy(t => (-t._4, t._2)).find(t => !keptIds(t._2))
+      next.foreach { t =>
+        assert(keptW + t._3 > budget,
+          s"$g fill not maximal: could also take id ${t._2}")
+      }
+    }
   }
 
   test("d18 chained two-batch ingest: each batch sees all prior batches") {
