@@ -1148,22 +1148,34 @@ object Dedup {
     * already known to prior runs and filtered), then appends the
     * delta's band rows so the next batch sees this one. Equality with
     * the full recompute is spec-proven, not assumed. */
-  private[graft] def ingestDelta(delta: DataFrame, dir: String): DataFrame = {
-    val s = delta.sparkSession
-    val dRows = bandRows(delta).cache()
-    val idx = s.read.parquet(dir)
-      .select(col("doc_id"), col("sig"), col("band").cast("int"), col("bh"))
-    val touched = idx.join(
+  /** The candidate pairs a delta's band rows introduce against an
+    * index of PRIOR band rows — the persistence-free core shared by
+    * batch [[ingestDelta]] and the streaming ingest sink: index rows
+    * in touched buckets (broadcast semi-join on the delta's (band, bh)
+    * keys) unioned with the delta, paired, then filtered to pairs
+    * touching a delta doc (index×index pairs inside touched buckets
+    * are already known to prior runs). */
+  private[graft] def deltaPairs(dRows: DataFrame, idx: DataFrame): DataFrame = {
+    val cols = Seq("doc_id", "sig", "band", "bh")
+    val touched = idx.select(cols.map(col): _*).join(
       broadcast(dRows.select("band", "bh").distinct()), Seq("band", "bh"), "left_semi")
-    val pairs = pairsFromBandRows(touched.unionByName(dRows.select(idx.columns.map(col): _*)))
+    val pairs = pairsFromBandRows(touched.unionByName(dRows.select(cols.map(col): _*)))
     val deltaIds = broadcast(dRows.select("doc_id").distinct().withColumn("is_d", lit(1)))
-    val out = pairs
+    pairs
       .join(deltaIds.withColumnRenamed("doc_id", "a_id").withColumnRenamed("is_d", "da"),
         Seq("a_id"), "left")
       .join(deltaIds.withColumnRenamed("doc_id", "b_id").withColumnRenamed("is_d", "db"),
         Seq("b_id"), "left")
       .where(col("da").isNotNull || col("db").isNotNull)
       .select("a_id", "b_id", "n_eq", "est_jac")
+  }
+
+  private[graft] def ingestDelta(delta: DataFrame, dir: String): DataFrame = {
+    val s = delta.sparkSession
+    val dRows = bandRows(delta).cache()
+    val idx = s.read.parquet(dir)
+      .select(col("doc_id"), col("sig"), col("band").cast("int"), col("bh"))
+    val out = deltaPairs(dRows, idx)
     dRows
       .repartition(col("band"))
       .sortWithinPartitions(col("bh"))

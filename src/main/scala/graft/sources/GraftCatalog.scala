@@ -271,6 +271,157 @@ object GraftCatalog {
     (before, parquetParts(d).length)
   }
 
+  // ------------------------------------------------------------------
+  // Manifest-pointer snapshots: versioned tables + time travel
+  // ------------------------------------------------------------------
+  //
+  // compactParquet's scope note says it outright: at object-store scale
+  // you don't swap directories, you flip a MANIFEST POINTER. This is
+  // that contract in its minimal, dependency-free form (the
+  // Iceberg/Delta core idea re-expressed over the Hadoop FS API):
+  //
+  //   <root>/data/b<nano>/part-*.parquet   immutable, write-once batches
+  //   <root>/_manifests/v<N>.manifest      one data-file path per line
+  //
+  // A snapshot IS a manifest file; commit = one CREATE-EXCLUSIVE rename
+  // of the manifest (atomic on HDFS, and the rename-to-existing-path
+  // failure doubles as optimistic-concurrency conflict detection —
+  // two racing writers cannot both publish v7). Published data files
+  // are NEVER mutated, so a reader holding v3's file list is undisturbed
+  // by later commits, compactions, or rollbacks — the snapshot-isolation
+  // property the two-rename directory swap fundamentally cannot give.
+  // Old versions stay readable (time travel) until an explicit
+  // destructive `vacuumSnapshots`.
+
+  private def manifestDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_manifests")
+
+  private val ManifestName = raw"v(\d+)\.manifest".r
+
+  private def fsOf(spark: SparkSession, root: String) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** All published versions of a snapshot table, ascending. */
+  def snapshotVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, r) = fsOf(spark, root)
+    val md = manifestDir(r)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.flatMap(st => st.getPath.getName match {
+      case ManifestName(n) => Some(n.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long): Seq[String] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(manifestDir(root), s"v$v.manifest"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  /** Publish `df` as the next snapshot version. `append = true` carries
+    * the previous version's files forward (ingest batch); `false`
+    * replaces the table contents (the manifest flips, no data file is
+    * touched). Returns the committed version. Throws if a concurrent
+    * writer published the same version first — retry-on-conflict is the
+    * caller's policy, exactly the optimistic-concurrency contract of a
+    * real table format. */
+  def commitSnapshot(df: DataFrame, root: String, append: Boolean): Long = {
+    val spark = df.sparkSession
+    val (fs, r) = fsOf(spark, root)
+    val versions = snapshotVersions(spark, root)
+    val next = versions.lastOption.getOrElse(0L) + 1
+    val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    val newFiles = fs.listStatus(batch)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(st.getPath).toString)
+      .sorted.toSeq
+    val carried =
+      if (append && versions.nonEmpty) readManifest(fs, r, versions.last) else Seq.empty
+    publishManifest(fs, r, next, carried ++ newFiles)
+    next
+  }
+
+  /** Write the manifest under a temp name, then CREATE-EXCLUSIVE rename
+    * into place — the commit point. */
+  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long, files: Seq[String]): Unit = {
+    val md = manifestDir(root)
+    fs.mkdirs(md)
+    val tmp = new org.apache.hadoop.fs.Path(md, s".tmp-v$v-${System.nanoTime()}")
+    val out = fs.create(tmp, false)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val fin = new org.apache.hadoop.fs.Path(md, s"v$v.manifest")
+    if (fs.exists(fin) || !fs.rename(tmp, fin)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"snapshot commit conflict: version $v already published under $root")
+    }
+  }
+
+  /** Read a snapshot — the latest version, or an explicit one (time
+    * travel). The returned plan scans exactly the manifest's file
+    * list; files added by later versions are invisible, files dropped
+    * by later versions still resolve. */
+  def readSnapshot(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val (fs, r) = fsOf(spark, root)
+    val v = version.getOrElse {
+      val vs = snapshotVersions(spark, root)
+      require(vs.nonEmpty, s"no snapshots published under $root")
+      vs.last
+    }
+    val files = readManifest(fs, r, v)
+    require(files.nonEmpty, s"snapshot v$v of $root is empty")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Roll the table back to `to`'s contents by publishing its file
+    * list as a NEW version — history is never rewritten, so the bad
+    * versions stay inspectable and a concurrent reader of any version
+    * is unaffected. */
+  def rollbackSnapshot(spark: SparkSession, root: String, to: Long): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val next = snapshotVersions(spark, root).last + 1
+    publishManifest(fs, r, next, readManifest(fs, r, to))
+    next
+  }
+
+  /** Snapshot-model compaction: read the current version, rewrite it
+    * as ceil(bytes/target) files in a NEW batch dir, publish as the
+    * next version. Unlike compactParquet's directory swap there is no
+    * absent-directory window and no restore path — readers of every
+    * existing version keep their file lists; the compacted layout
+    * simply becomes the new head. */
+  def compactSnapshot(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val v = snapshotVersions(spark, root).last
+    val files = readManifest(fs, r, v)
+    val bytes = files.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    commitSnapshot(spark.read.parquet(files: _*).coalesce(nOut), root, append = false)
+  }
+
+  /** DESTRUCTIVE: delete data files referenced only by versions older
+    * than `keepFrom`, then drop those versions' manifests. Time travel
+    * to vacuumed versions is gone — the explicit retention trade every
+    * table format makes. Returns the number of data files deleted. */
+  def vacuumSnapshots(spark: SparkSession, root: String, keepFrom: Long): Int = {
+    val (fs, r) = fsOf(spark, root)
+    val (old, kept) = snapshotVersions(spark, root).partition(_ < keepFrom)
+    val keepFiles = kept.flatMap(readManifest(fs, r, _)).toSet
+    val dead = old.flatMap(readManifest(fs, r, _)).distinct.filterNot(keepFiles)
+    dead.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    old.foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(manifestDir(r), s"v$v.manifest"), false))
+    dead.size
+  }
+
   /** The compaction two-rename swap (see [[compactParquet]]'s scope
     * notes): `tmp` replaces `d`, restore-on-failed-swap-in, trash
     * removed last. Shared with the streaming z-sink's re-clustering

@@ -280,6 +280,67 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(b2 == 1 && a2 == 1)
   }
 
+  test("snapshot table: append/overwrite versions, time travel, isolation from compaction") {
+    import spark.implicits._
+    val root = s"$tmp/snap_${System.nanoTime()}"
+    def batch(lo: Int, hi: Int) = (lo to hi).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+
+    val v1 = GraftCatalog.commitSnapshot(batch(1, 10).repartition(3), root, append = false)
+    val v2 = GraftCatalog.commitSnapshot(batch(11, 15).repartition(2), root, append = true)
+    val v3 = GraftCatalog.commitSnapshot(batch(100, 102), root, append = false)
+    assert((v1, v2, v3) == (1L, 2L, 3L))
+    // latest = the overwrite; earlier versions still read their contents
+    assert(ids(GraftCatalog.readSnapshot(spark, root)) == (100 to 102).map(_.toLong).toSet)
+    assert(ids(GraftCatalog.readSnapshot(spark, root, Some(1))) == (1 to 10).map(_.toLong).toSet)
+    assert(ids(GraftCatalog.readSnapshot(spark, root, Some(2))) == (1 to 15).map(_.toLong).toSet)
+
+    // compaction publishes a new head with identical rows; v2's
+    // pre-compaction file list is untouched (snapshot isolation)
+    val v4 = GraftCatalog.compactSnapshot(spark, root)
+    assert(v4 == 4L)
+    assert(ids(GraftCatalog.readSnapshot(spark, root)) == (100 to 102).map(_.toLong).toSet)
+    assert(ids(GraftCatalog.readSnapshot(spark, root, Some(2))) == (1 to 15).map(_.toLong).toSet)
+
+    // rollback republishes v2's file list as a NEW version
+    val v5 = GraftCatalog.rollbackSnapshot(spark, root, to = 2)
+    assert(v5 == 5L)
+    assert(ids(GraftCatalog.readSnapshot(spark, root)) == (1 to 15).map(_.toLong).toSet)
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("snapshot vacuum deletes only unreferenced files; commit conflicts are detected") {
+    import spark.implicits._
+    val root = s"$tmp/snapvac_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(4),
+      root, append = false)
+    GraftCatalog.commitSnapshot(
+      (11 to 12).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = true)
+    GraftCatalog.commitSnapshot(
+      (20 to 24).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = false)
+    // v1/v2's files are referenced ONLY by them → vacuum(keepFrom=3)
+    // removes them; the surviving head still reads in full
+    val deleted = GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 3)
+    assert(deleted > 0, "vacuum should delete the orphaned v1/v2 batch files")
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(3L))
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 5)
+
+    // a concurrently-published manifest is never overwritten: a commit
+    // that finds v4 already present lands as v5 (versions are
+    // monotone; the create-exclusive rename inside publish turns a
+    // true same-version race into a loud IllegalStateException)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val clash = new org.apache.hadoop.fs.Path(s"$root/_manifests/v4.manifest")
+    val out = fs.create(clash, false); out.write("\n".getBytes("UTF-8")); out.close()
+    val v = GraftCatalog.commitSnapshot(
+      Seq((1L, "x")).toDF("id", "v"), root, append = false)
+    assert(v == 5L, "commit must slot AFTER the externally published v4")
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 1)
+  }
+
   test("nested schema pruning: one-subfield projection reads only that subfield from parquet") {
     // struct columns are how multimodal metadata and feature bags ship;
     // at 100 TB reading u.user_id must not deserialize u.value — the

@@ -744,4 +744,53 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming dedup ingest: batch-union equals full recompute, each pair once, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = "/tmp/graft-streams/dedup_" + System.nanoTime()
+    // three arrivals: b1 near-copies b0's doc 0; b2 copies docs from
+    // BOTH prior batches and brings nothing new of its own
+    val b0 = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight nine"))
+    val b1 = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "red orange yellow green blue indigo violet"))
+    val b2 = Seq((20L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (21L, "one two three four five six seven eight nine"),
+      (22L, "lone unique vocabulary nothing shared anywhere here"))
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupStream.ingestStream(
+        ms.toDF().toDF("doc_id", "text"), out)
+      .option("checkpointLocation", out + "_ckpt").start()
+    try {
+      Seq(b0, b1, b2).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("a_id", "b_id", "CAST(n_eq AS BIGINT) AS n_eq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = graft.streaming.DedupStream.allPairs(spark, out)
+    val got = pairSet(streamed)
+    val full = pairSet(graft.operators.Dedup.bandEstimates(
+      (b0 ++ b1 ++ b2).toDF("doc_id", "text")))
+    assert(got == full,
+      s"stream diverges from recompute: missing=${full -- got} extra=${got -- full}")
+    assert(got.map(p => (p._1, p._2)) == Set(
+      (0L, 10L), (0L, 20L), (10L, 20L), (1L, 21L)), s"unexpected pair set: $got")
+    // exactly once across batches
+    assert(streamed.groupBy("a_id", "b_id").count()
+      .where(col("count") > 1).count() == 0, "a pair was reported twice")
+    // a pair lands at the batch that INTRODUCED it (its later doc's)
+    val byBatch = streamed.select("a_id", "b_id", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number]("batch_id").longValue).toMap
+    assert(byBatch((0L, 10L)) == 1L && byBatch((1L, 21L)) == 2L,
+      s"pairs attributed to the wrong ingest batch: $byBatch")
+
+    // replay the last micro-batch — a restarted query re-executing it
+    // must land byte-identical outputs, not duplicates
+    graft.streaming.DedupStream.processBatch(b2.toDF("doc_id", "text"), 2L, out)
+    assert(pairSet(graft.streaming.DedupStream.allPairs(spark, out)) == full,
+      "replaying a batch changed the pair table")
+  }
 }
