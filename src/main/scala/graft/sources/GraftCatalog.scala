@@ -314,12 +314,17 @@ object GraftCatalog {
     }).sorted
   }
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private def readManifestLines(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long): Seq[String] = {
     val in = fs.open(new org.apache.hadoop.fs.Path(manifestDir(root), s"v$v.manifest"))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
     finally in.close()
   }
+
+  /** Data-file list of a version (metadata `#key:value` lines skipped). */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long): Seq[String] =
+    readManifestLines(fs, root, v).filterNot(_.startsWith("#"))
 
   /** Publish `df` as the next snapshot version. `append = true` carries
     * the previous version's files forward (ingest batch); `false`
@@ -328,7 +333,8 @@ object GraftCatalog {
     * writer published the same version first — retry-on-conflict is the
     * caller's policy, exactly the optimistic-concurrency contract of a
     * real table format. */
-  def commitSnapshot(df: DataFrame, root: String, append: Boolean): Long = {
+  def commitSnapshot(df: DataFrame, root: String, append: Boolean,
+      meta: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     val (fs, r) = fsOf(spark, root)
     val versions = snapshotVersions(spark, root)
@@ -341,8 +347,49 @@ object GraftCatalog {
       .sorted.toSeq
     val carried =
       if (append && versions.nonEmpty) readManifest(fs, r, versions.last) else Seq.empty
-    publishManifest(fs, r, next, carried ++ newFiles)
+    publishManifest(fs, r, next, meta ++ carried ++ newFiles)
     next
+  }
+
+  /** EXACTLY-ONCE streaming commit: append `df` as the next version
+    * tagged with its micro-batch id — and refuse to commit a batch id
+    * any existing version already carries, so a foreachBatch replay
+    * after a crash is a no-op instead of a duplicate append. This is
+    * the manifest-format answer to the `batch_id=` directory-overwrite
+    * contract: the TABLE stays one logical snapshot line, and the
+    * reader needs no dedup logic. Returns the committed (or already-
+    * present) version. Wire as
+    * `.foreachBatch((b, id) => commitSnapshotBatch(b, root, id))`. */
+  def commitSnapshotBatch(df: DataFrame, root: String, batchId: Long): Long = {
+    val spark = df.sparkSession
+    val (fs, r) = fsOf(spark, root)
+    val tag = s"#batch:$batchId"
+    snapshotVersions(spark, root).reverse // replays hit recent versions
+      .find(v => readManifestLines(fs, r, v).contains(tag)) match {
+      case Some(v) => v // replay — already committed
+      case None => commitSnapshot(df, root, append = true, meta = Seq(tag))
+    }
+  }
+
+  /** CDC between two snapshot versions: per primary key, `added` /
+    * `removed` / `changed` / `unchanged` — q81's full-outer
+    * reconciliation applied to the table's OWN history, which is the
+    * point of keeping that history: "what did last night's ingest do"
+    * becomes a query instead of an archaeology project. Comparison is
+    * by the non-key columns' values (struct equality, null-safe). */
+  def snapshotDiff(spark: SparkSession, root: String,
+      fromV: Long, toV: Long, pk: String): DataFrame = {
+    val a = readSnapshot(spark, root, Some(fromV))
+    val b = readSnapshot(spark, root, Some(toV))
+    val rest = a.columns.filterNot(_ == pk).sorted
+    def packed(df: DataFrame, side: String) = df.select(
+      col(pk), struct(rest.map(col): _*).as(s"v_$side"))
+    packed(a, "a").join(packed(b, "b"), Seq(pk), "full_outer")
+      .select(col(pk),
+        when(col("v_a").isNull, lit("added"))
+          .when(col("v_b").isNull, lit("removed"))
+          .when(col("v_a") <=> col("v_b"), lit("unchanged"))
+          .otherwise(lit("changed")).as("change"))
   }
 
   /** Write the manifest under a temp name, then CREATE-EXCLUSIVE rename

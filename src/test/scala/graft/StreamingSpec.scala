@@ -745,6 +745,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exactly-once snapshot commits: versions per batch, replay is a no-op, time travel live") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = "/tmp/graft-streams/snapsink_" + System.nanoTime()
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        GraftCatalog.commitSnapshotBatch(b, root, id); ()
+      }
+      .option("checkpointLocation", root + "_ckpt").start()
+    try {
+      Seq(Seq((1L, "a"), (2L, "b")), Seq((3L, "c")), Seq((4L, "d"), (5L, "e")))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def ids(v: Option[Long]) = GraftCatalog.readSnapshot(spark, root, v)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 2L, 3L))
+    assert(ids(None) == Set(1L, 2L, 3L, 4L, 5L))
+    // time travel INTO the stream's history: each version is the
+    // table as of that micro-batch
+    assert(ids(Some(1)) == Set(1L, 2L))
+    assert(ids(Some(2)) == Set(1L, 2L, 3L))
+    // a crash-replay of batch 1 must be a no-op, not a duplicate append
+    val v = GraftCatalog.commitSnapshotBatch(
+      Seq((3L, "c")).toDF("id", "v"), root, batchId = 1L)
+    assert(v == 2L, s"replay must return the already-committed version, got $v")
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 2L, 3L))
+    assert(ids(None) == Set(1L, 2L, 3L, 4L, 5L))
+    // CDC over the stream's history: what did batch 3 do?
+    val diff = GraftCatalog.snapshotDiff(spark, root, fromV = 2, toV = 3, pk = "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "unchanged",
+      4L -> "added", 5L -> "added"), s"snapshot diff wrong: $diff")
+  }
+
   test("streaming dedup ingest: batch-union equals full recompute, each pair once, replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
