@@ -1273,6 +1273,70 @@ object Dedup {
       |LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Distributed k-core decomposition by iterated neighbor h-index
+    * (Montresor/Lulli's locality-based coreness): every node starts at
+    * its degree, then repeatedly becomes the H-INDEX of its neighbors'
+    * current values (the largest h with ≥ h neighbors valued ≥ h) —
+    * a monotone non-increasing sequence that converges to the exact
+    * core number on every graph, usually in a handful of rounds. Each
+    * round is ONE edge⋈values join + one degree-bounded
+    * collect/sort/fold per node (the capped pair cache bounds degrees
+    * the same way it bounds d17's wedges), with the d06/d15
+    * checkpoint-freed lineage discipline. Isolated nodes are core 0.
+    */
+  private[graft] def kCore(nodes: DataFrame, pairs: DataFrame,
+      maxIters: Int = 30): DataFrame = {
+    val fwd = pairs.toDF("u", "v")
+    val adj = fwd.union(fwd.select(col("v"), col("u"))).toDF("id", "nb")
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = adj.groupBy("id").agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = adj
+        .join(cur.select(col("id").as("nb"), col("c").as("nc")), "nb")
+        .groupBy("id")
+        .agg(expr("sort_array(collect_list(nc), false)").as("ns"))
+        .select(col("id"), expr(
+          // h-index of the desc-sorted neighbor values
+          "aggregate(transform(ns, (v, i) -> IF(v >= i + 1, CAST(i + 1 AS BIGINT), 0L)), 0L, (a, x) -> greatest(a, x))")
+          .as("h"))
+        .join(cur, "id")
+        .select(col("id"), least(col("h"), col("c")).as("c"), col("c").as("old"))
+        .localCheckpoint()
+      converged = next.where(col("c") < col("old")).isEmpty
+      freeCheckpoint(cur)
+      cur = next.select("id", "c")
+      iter += 1
+    }
+    adj.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"kCore did not converge in $maxIters rounds")
+    nodes.toDF("id")
+      .join(cur, Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), lit(0L)).as("core"))
+  }
+
+  /** d20 — coreness over the near-dup graph: BEFORE destructive dedup
+    * you want to know whether a dup neighborhood is a tight clique
+    * (template farm — collapse aggressively) or a loose chain
+    * (borderline near-misses — tread carefully). d17's triangle census
+    * answers it locally; the k-core number is the GLOBAL density
+    * certificate (a node of core k sits in a subgraph where everyone
+    * has ≥ k dup-partners). Rows-only: peeling-to-fixpoint has no sane
+    * single-query SQL oracle; PipelineSpec pins exact core numbers on
+    * constructed clique/cycle/chain graphs instead. */
+  private def d20(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val e = jaccardPairs(dd).select("a_id", "b_id")
+    kCore(dd.select("doc_id"), e)
+      .select(col("id").as("doc_id"), col("core"))
+      .where(col("core") > 0)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
@@ -1292,5 +1356,6 @@ object Dedup {
     Q("d16_sentence_near_dup", Some(d16Oracle), d16),
     Q("d17_triangles", Some(d17Oracle), d17),
     Q("d18_incremental_ingest", None, d18),
-    Q("d19_incremental_verdicts", Some(d19Oracle), d19))
+    Q("d19_incremental_verdicts", Some(d19Oracle), d19),
+    Q("d20_kcore", None, d20))
 }

@@ -1159,6 +1159,39 @@ class PipelineSpec extends AnyFunSuite {
       "post-ingest band index differs from a from-scratch build")
   }
 
+  test("d20 k-core goldens: clique 3, cycle 2, chain 1, isolated 0") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 4-clique (core 3) with a 3-node chain hanging off it (core 1),
+    // a separate 6-cycle (core 2), and an isolated node (core 0)
+    val edges = ((for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong))
+      ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))
+      ++ (10 to 15).map(i => (i.toLong, if (i == 15) 10L else i + 1L))).toDF("a", "b")
+    val nodes = ((1 to 7) ++ (10 to 15) ++ Seq(20)).map(_.toLong).toDF("id")
+    val got = Dedup.kCore(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ((1 to 4).map(_.toLong -> 3L)
+      ++ (5 to 7).map(_.toLong -> 1L)
+      ++ (10 to 15).map(_.toLong -> 2L)
+      ++ Seq(20L -> 0L)).toMap
+    assert(got == expected, s"core numbers diverge: $got")
+  }
+
+  test("d20 driver-corpus cores are positive and bounded by d17 degrees") {
+    val cores = rows("d20_kcore")
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core")).toMap
+    assert(cores.nonEmpty, "dup graph has edges, so someone has core >= 1")
+    val degrees = rows("d17_triangles")
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("degree")).toMap
+    cores.foreach { case (id, c) =>
+      assert(c >= 1 && c <= degrees(id),
+        s"doc $id: core $c outside [1, degree ${degrees(id)}]")
+    }
+    // every doc in the pair table has core >= 1 and appears
+    assert(cores.keySet == degrees.keySet,
+      "coreness must cover exactly the edge-touching docs")
+  }
+
   test("t22 dup-ngram goldens on constructed texts") {
     import spark.implicits._
     val docsDf = Seq(
