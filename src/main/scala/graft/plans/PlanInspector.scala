@@ -234,4 +234,66 @@ object PlanInspector {
     }
     spark.createDataFrame(entries)
   }
+
+  final case class TaskSkewEntry(stage_id: Int, n_tasks: Int,
+      max_run_ms: Long, p50_run_ms: Long,
+      max_records: Long, p50_records: Long, record_skew: Option[Double])
+
+  /** Per-stage TASK skew audit — the third leg of the runtime
+    * observability trio (aqeDiff: what AQE re-planned; shuffleReport:
+    * what the exchanges moved; this: how evenly the TASKS inside each
+    * stage carried it). A plan can be shuffle-lean and still die at
+    * 100 TB because one straggler task holds 100× the median's rows —
+    * the number that exists nowhere in EXPLAIN and only per-task in the
+    * UI. Executes the plan's own RDD (the aqeDiff gotcha) with a
+    * listener attached, drains the async bus until every started job's
+    * end event has arrived (bounded), and rolls task runtimes + input/
+    * shuffle-read record counts up per stage. `record_skew`
+    * (max/median records) is the DETERMINISTIC skew signal — assert on
+    * it, not on wall-clock, which this report carries for humans. */
+  def taskSkewReport(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val tasks = new scala.collection.concurrent.TrieMap[(Int, Long), (Long, Long)]
+    @volatile var jobsStarted = 0
+    @volatile var jobsDone = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobsStarted += 1
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobsDone += 1
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          tasks.update((t.stageId, t.taskInfo.taskId),
+            (m.executorRunTime,
+              m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // CONSUME each partition's iterator — a no-op foreachPartition
+    // never pulls a row, so lazy final stages would report zero
+    // shuffle-read records (and do zero work)
+    try df.queryExecution.executedPlan.execute()
+      .foreachPartition(it => it.foreach(_ => ()))
+    finally {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while ((jobsStarted == 0 || jobsDone < jobsStarted) &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    def med(a: Seq[Long]): Long = a.sorted.apply(a.size / 2)
+    val entries = tasks.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).map {
+      case (sid, xs) =>
+        val runs = xs.map(_._2._1)
+        val recs = xs.map(_._2._2)
+        TaskSkewEntry(sid, xs.size, runs.max, med(runs), recs.max, med(recs),
+          if (med(recs) > 0)
+            Some(math.round(recs.max.toDouble / med(recs) * 100) / 100.0)
+          else None)
+    }
+    spark.createDataFrame(entries)
+  }
 }

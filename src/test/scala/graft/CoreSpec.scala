@@ -394,6 +394,44 @@ class CoreSpec extends AnyFunSuite {
       s"q112 lost its equi bin join:\n$p112")
   }
 
+  test("taskSkewReport surfaces a hot-key stage; balanced stages stay flat") {
+    val s = spark
+    import s.implicits._
+    // AQE's partition coalescing would fold the tiny reduce side into
+    // ONE task (nothing to compare); a real deployment has many — pin
+    // the reduce width for the fixture
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      // hot key 0 carries 50k rows; 100 cold keys carry 50 each. A
+      // combine-free hash exchange (repartition-by-key — the shape of
+      // any keyed write / mapGroups) hands ONE reduce task 50k records.
+      // (A groupBy would NOT show this: map-side combine collapses the
+      // hot key to one partial per mapper — two-phase agg is exactly
+      // the fix this report tells you to reach for.)
+      val skewed = ((1 to 50000).map(_ => 0L) ++
+        (1 to 100).flatMap(k => Seq.fill(50)(k.toLong)))
+        .toDF("k").repartition(4, col("k"))
+      val rep = graft.plans.PlanInspector.taskSkewReport(skewed)
+        .collect().map(r => (r.getAs[Int]("n_tasks"), r.getAs[Any]("record_skew")))
+      val skews = rep.collect { case (n, sk: Double) if n > 1 => sk }
+      assert(skews.nonEmpty && skews.max >= 10.0,
+        s"hot-key stage not surfaced (skews: ${rep.mkString(", ")})")
+      // uniform keys through the same shape: no stage may look skewed
+      val balanced = (1 to 10000).map(i => i.toLong % 1000)
+        .toDF("k").repartition(4, col("k"))
+      val rep2 = graft.plans.PlanInspector.taskSkewReport(balanced)
+        .collect().map(r => (r.getAs[Int]("n_tasks"), r.getAs[Any]("record_skew")))
+      val skews2 = rep2.collect { case (n, sk: Double) if n > 1 => sk }
+      assert(skews2.forall(_ <= 3.0),
+        s"balanced stages reported skewed (skews: ${rep2.mkString(", ")})")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("aqeDiff names the AQE skew split on a skewed shuffle join") {
     val s = spark
     import s.implicits._
