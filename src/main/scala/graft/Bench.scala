@@ -55,7 +55,8 @@ object Bench {
       "lsh_layout" -> timedBuild(graft.operators.Similarity.lshIndex(spark, sfDir)),
       "ivf_layout" -> timedBuild(graft.operators.Similarity.ivfIndex(spark, sfDir)),
       "pq_codebook" -> timedBuild(graft.operators.Similarity.pqIndex(spark, sfDir)),
-      "ivfpq_layout" -> timedBuild(graft.operators.Similarity.ivfpqIndex(spark, sfDir)))
+      "ivfpq_layout" -> timedBuild(graft.operators.Similarity.ivfpqIndex(spark, sfDir)),
+      "sq8_layout" -> timedBuild(graft.operators.Similarity.sq8Index(spark, sfDir)))
 
     // JIT/codegen/session warm-up (not reported): one query per major
     // execution family — agg, window, join, regex/text, typed

@@ -111,7 +111,43 @@ object Analytic5 {
       |GROUP BY 1, 2, 3
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q113 — grouped top-k WITH TIES (SQL:2008 `FETCH FIRST k ROWS WITH
+    * TIES`, which Spark's DataFrame API lacks): every order whose
+    * RANK() ≤ 3 within its priority, ranked on the 10k-price bucket so
+    * ties are real — a tie at rank 1 can legitimately return dozens of
+    * rows, exactly what row_number-based q24 must NOT do. The bucket is
+    * FLOOR of an exact division (never round() — .5 cases would split
+    * between Spark's HALF_UP and an engine's HALF_EVEN). rank() is a
+    * rank-like function, so Catalyst's InferWindowGroupLimit pushes
+    * the ≤ 3 cut below the sort: each partition pre-filters to its
+    * local tied-top before the per-priority window — the same partial
+    * top-k shape as q24/t21, plan-asserted in CoreSpec. */
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("price_bucket").desc)
+    Tables.df(s, d, "orders")
+      .withColumn("price_bucket",
+        floor(col("o_totalprice") / 10000.0).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select("o_orderpriority", "rnk", "price_bucket", "o_orderkey")
+      .orderBy("o_orderpriority", "rnk", "o_orderkey")
+  }
+
+  private val q113Oracle: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) AS price_bucket,
+      |    RANK() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY FLOOR(o_totalprice / 10000.0) DESC) AS rnk
+      |  FROM orders)
+      |SELECT o_orderpriority, rnk, price_bucket, o_orderkey
+      |FROM r WHERE rnk <= 3
+      |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q111_multi_distinct", Some(q111Oracle), q111),
-    Q("q112_interval_join", Some(q112Oracle), q112))
+    Q("q112_interval_join", Some(q112Oracle), q112),
+    Q("q113_topk_ties", Some(q113Oracle), q113))
 }

@@ -902,6 +902,68 @@ object TextAnalysis {
       |  round(CAST(dup5 AS DOUBLE) / nullif(grams5, 0), 6) AS dup5_frac
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** t23 — collocation strength: which word pairs co-occur far more
+    * than their unigram frequencies predict (the PMI family — "new
+    * york" vs "the the"). Scored as the LIFT
+    * P(ab) / (P(a)·P(b)) — PMI is ln(lift), monotone, so ranking on
+    * lift avoids putting libm's ln in the compare path; the t21/t20
+    * discipline: integer-exact counts, a fixed-association chain of
+    * IEEE divides/multiplies both engines evaluate identically,
+    * ranking on the ROUNDED score. Support floor c_ab ≥ 20 (PMI is
+    * notoriously garbage on rare pairs). One bigram aggregate + one
+    * vocabulary aggregate; the two denominator joins are word-keyed
+    * (vocabulary-bounded, never corpus-bounded) and the totals are
+    * 1-row broadcasts. */
+  private def t23(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val toks = Tables.df(s, d, "documents")
+      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+    val uc = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ut = uc.agg(sum(col("c")).as("u_tot"))
+    val bgAll = toks.where(size(col("toks")) >= 2)
+      .select(explode(expr("bigrams(toks)")).as("bigram"))
+    val bt = bgAll.agg(count(lit(1)).as("t_tot"))
+    bgAll
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= 20)
+      .join(uc.select(col("w"), col("c").as("c_a")),
+        expr("split_part(bigram, ' ', 1)") === col("w")).drop("w")
+      .join(uc.select(col("w"), col("c").as("c_b")),
+        expr("split_part(bigram, ' ', 2)") === col("w")).drop("w")
+      .crossJoin(broadcast(bt)).crossJoin(broadcast(ut))
+      .withColumn("lift", round(
+        (col("c_ab").cast("double") / col("t_tot")) *
+          (col("u_tot").cast("double") / col("c_a")) *
+          (col("u_tot").cast("double") / col("c_b")), 6))
+      .select("bigram", "c_ab", "lift")
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(30)
+  }
+
+  private val t23Oracle: String =
+    """WITH toks AS (
+      |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+      |uc AS (
+      |  SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks)
+      |  GROUP BY w),
+      |ut AS (SELECT CAST(SUM(c) AS BIGINT) AS u_tot FROM uc),
+      |bg AS (
+      |  SELECT unnest([t[i+1] || ' ' || t[i+2] for i in range(len(t) - 1)]) AS bigram
+      |  FROM toks WHERE len(t) >= 2),
+      |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_tot FROM bg),
+      |bc AS (SELECT bigram, COUNT(*) AS c_ab FROM bg
+      |       GROUP BY bigram HAVING COUNT(*) >= 20)
+      |SELECT bigram, c_ab,
+      |  round((CAST(c_ab AS DOUBLE) / bt.t_tot)
+      |    * (CAST(ut.u_tot AS DOUBLE) / uc_a.c)
+      |    * (CAST(ut.u_tot AS DOUBLE) / uc_b.c), 6) AS lift
+      |FROM bc
+      |CROSS JOIN bt CROSS JOIN ut
+      |JOIN uc uc_a ON uc_a.w = split_part(bigram, ' ', 1)
+      |JOIN uc uc_b ON uc_b.w = split_part(bigram, ' ', 2)
+      |ORDER BY lift DESC, bigram LIMIT 30""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -924,5 +986,6 @@ object TextAnalysis {
     Q("t19_novelty", Some(t19Oracle), t19),
     Q("t20_tfidf", Some(t20Oracle), t20),
     Q("t21_source_keyness", Some(t21Oracle), t21),
-    Q("t22_dup_ngrams", Some(t22Oracle), t22))
+    Q("t22_dup_ngrams", Some(t22Oracle), t22),
+    Q("t23_collocations", Some(t23Oracle), t23))
 }

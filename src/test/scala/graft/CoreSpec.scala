@@ -392,6 +392,16 @@ class CoreSpec extends AnyFunSuite {
       s"q112 plans an unbounded join:\n$p112")
     assert(p112.contains("HashJoin") || p112.contains("SortMergeJoin"),
       s"q112 lost its equi bin join:\n$p112")
+    // q113: the rank <= 3 cut must push below the window sort
+    // (rank-like WindowGroupLimit), and ties must actually fan out
+    val q113df = SparkEntry.queries("q113_topk_ties")(spark, sf)
+    val p113 = q113df.queryExecution.executedPlan.toString
+    assert(p113.contains("WindowGroupLimit"),
+      s"q113 lost its partial tied-top-k:\n$p113")
+    val perRank = q113df.collect()
+      .groupBy(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("rnk")))
+    assert(perRank.exists(_._2.length > 1),
+      "fixture should produce at least one genuine tie group")
   }
 
   test("taskSkewReport surfaces a hot-key stage; balanced stages stay flat") {

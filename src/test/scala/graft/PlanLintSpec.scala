@@ -32,7 +32,8 @@ class PlanLintSpec extends AnyFunSuite {
       "p11_mixture_weights",    // broadcast corpus-total token scalar
       "t20_tfidf",              // broadcast 1-row corpus doc count
       "t21_source_keyness",     // broadcast 1-row corpus token total
-      "d19_incremental_verdicts") // broadcast 1-row id-space split scalar
+      "d19_incremental_verdicts", // broadcast 1-row id-space split scalar
+      "t23_collocations")       // broadcast 1-row bigram/unigram totals
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
