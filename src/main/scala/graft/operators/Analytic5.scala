@@ -146,8 +146,38 @@ object Analytic5 {
       |FROM r WHERE rnk <= 3
       |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin
 
+  /** q114 — OUTER lateral explode (LATERAL VIEW OUTER / LEFT JOIN
+    * UNNEST): flattening a per-customer array of premium orders while
+    * PRESERVING customers whose array is empty — the row-vanishing
+    * trap of plain explode (q42) that silently drops every entity with
+    * no children from a report. The empty-group row survives as
+    * (custkey, NULL). Plan is one partial+final collect_list agg and a
+    * Generate with outer=true — no join. NULLS FIRST is pinned on both
+    * engines (Spark defaults nulls-first ASC, DuckDB nulls-last — an
+    * ordering landmine, not a semantics one). */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val arr = Tables.df(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(
+        when(col("o_totalprice") > 400000.0, col("o_orderkey")))).as("pk"))
+    arr.select(col("o_custkey"), explode_outer(col("pk")).as("premium_key"))
+      .orderBy(col("o_custkey"), col("premium_key").asc_nulls_first)
+  }
+
+  private val q114Oracle: String =
+    """WITH a AS (
+      |  SELECT o_custkey,
+      |    list_sort(list(o_orderkey) FILTER (WHERE o_totalprice > 400000.0)) AS pk
+      |  FROM orders GROUP BY 1)
+      |SELECT o_custkey,
+      |  CAST(unnest(CASE WHEN pk IS NULL OR len(pk) = 0
+      |    THEN [NULL] ELSE pk END) AS BIGINT) AS premium_key
+      |FROM a
+      |ORDER BY o_custkey, premium_key NULLS FIRST""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q111_multi_distinct", Some(q111Oracle), q111),
     Q("q112_interval_join", Some(q112Oracle), q112),
-    Q("q113_topk_ties", Some(q113Oracle), q113))
+    Q("q113_topk_ties", Some(q113Oracle), q113),
+    Q("q114_explode_outer", Some(q114Oracle), q114))
 }

@@ -639,6 +639,67 @@ object Multimodal {
     sharedSegments(wins, minLen = 4)
   }
 
+  /** Per-patch features of one image: grid cell (py, px), pixel count,
+    * and luminance mean/population-variance from integer sums. */
+  final case class PatchFeatures(
+      doc_id: Long, py: Int, px: Int, n_px: Long, mean: Double, varp: Double)
+
+  /** Split a luminance raster into a g×g patch grid (ragged at the
+    * edges when g doesn't divide the side — floor boundaries
+    * `i·side/g`, the resizeNearest convention) and reduce each patch
+    * to integer (count, sum, sum-of-squares) — exact, so mean/variance
+    * are reproducible doubles. */
+  def patchGrid(id: Long, w: Int, h: Int, gray: Array[Int], g: Int): Seq[PatchFeatures] =
+    for {
+      py <- 0 until g
+      px <- 0 until g
+      y0 = py * h / g; y1 = (py + 1) * h / g
+      x0 = px * w / g; x1 = (px + 1) * w / g
+      if y1 > y0 && x1 > x0
+    } yield {
+      var n = 0L; var s = 0L; var s2 = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val v = gray(y * w + x); n += 1; s += v; s2 += v.toLong * v
+          x += 1
+        }
+        y += 1
+      }
+      val mean = s.toDouble / n
+      PatchFeatures(id, py, px, n,
+        math.round(mean * 1e6) / 1e6,
+        math.round((s2.toDouble / n - mean * mean) * 1e6) / 1e6)
+    }
+
+  /** m09 — image PATCH GRID extraction (the ViT front end with the
+    * learned projection stubbed): decode at the typed boundary, split
+    * into a 4×4 grid, one row per patch with exact integer-sum
+    * mean/variance — the tensorization step every vision-training
+    * pipeline runs between "opaque bytes" and "model input". All pixel
+    * math stays inside the per-partition decode (the m01 contract);
+    * only g² small rows per image leave the scan. Golden-pinned on
+    * constructed rasters incl. ragged grids; the synthetic driver
+    * corpus reuses m01's generator. */
+  private def m09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.df(s, d, "documents")
+      .select(
+        col("doc_id"),
+        (pmod(xxhash64(col("doc_id")), lit(24)) + 8).cast("int").as("width"),
+        (pmod(xxhash64(col("doc_id"), lit(1)), lit(24)) + 8).cast("int").as("height"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.flatMap { case (id, w0, h0) =>
+        val bytes = encodeBmp(w0, h0, (x, y) =>
+          (((id + x) % 256).toInt, ((id + y) % 256).toInt, ((id + x + y) % 256).toInt))
+        val (w, h, gray) = bmpGray(bytes)
+        patchGrid(id, w, h, gray, 4)
+      })
+      .toDF()
+      .orderBy("doc_id", "py", "px")
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_multimodal", None, m01),
     Q("m02_frame_sample", None, m02),
@@ -647,5 +708,6 @@ object Multimodal {
     Q("m05_image_near_dup", None, m05),
     Q("m06_shot_boundaries", None, m06),
     Q("m07_shared_segments", None, m07),
-    Q("m08_audio_dup", None, m08))
+    Q("m08_audio_dup", None, m08),
+    Q("m09_patch_grid", None, m09))
 }

@@ -1295,6 +1295,33 @@ class PipelineSpec extends AnyFunSuite {
       "chained index differs from a from-scratch build over all batches")
   }
 
+  test("m09 patch-grid goldens: aligned halves exact, ragged grid covers every pixel") {
+    import graft.operators.Multimodal
+    // 16×16, left half r=g=b=40, right half 200 — the half boundary
+    // aligns with the 4-px patch columns, so every patch is pure
+    val bmp = Multimodal.encodeBmp(16, 16,
+      (x, _) => if (x < 8) (40, 40, 40) else (200, 200, 200))
+    val (w, h, gray) = Multimodal.bmpGray(bmp)
+    val patches = Multimodal.patchGrid(7L, w, h, gray, 4)
+    assert(patches.size == 16)
+    patches.foreach { p =>
+      val want = if (p.px < 2) 40.0 else 200.0
+      assert(p.n_px == 16 && p.mean == want && p.varp == 0.0,
+        s"patch $p should be pure $want")
+    }
+    // ragged: 10×6 into a 4-grid — floor boundaries give widths
+    // 2,3,2,3 and heights 1,2,1,2; counts must tile the image exactly
+    val bmp2 = Multimodal.encodeBmp(10, 6, (x, y) => ((x * 20) % 256, (x * 20) % 256, (x * 20) % 256))
+    val (w2, h2, g2) = Multimodal.bmpGray(bmp2)
+    val ragged = Multimodal.patchGrid(8L, w2, h2, g2, 4)
+    assert(ragged.map(_.n_px).sum == 60L, s"patches must cover all 60 pixels: $ragged")
+    assert(ragged.map(p => (p.py, p.px)).distinct.size == ragged.size)
+    // a patch spanning columns x∈{2,3,4} has exact mean (40+60+80)/3
+    val p01 = ragged.find(p => p.py == 0 && p.px == 1).get
+    assert(p01.mean == 60.0 && p01.n_px == 3,
+      s"ragged patch (0,1) should average columns 2-4: $p01")
+  }
+
   test("m08 golden: same-class clips pair on their common prefix, others never") {
     import spark.implicits._
     import graft.operators.Multimodal
