@@ -454,6 +454,32 @@ object GraftCatalog {
     commitSnapshot(spark.read.parquet(files: _*).coalesce(nOut), root, append = false)
   }
 
+  /** Z-ORDERED snapshot compaction: rewrite the current head
+    * z-clustered on `cols` and publish it as the next version — the
+    * round's layout win composed with the round's isolation win. A
+    * maintenance job can re-cluster a live table while yesterday's
+    * readers keep their yesterday file lists; the improved pruning
+    * simply becomes the new head. (The streaming z-sink's
+    * compactZOrdered does this with a directory swap; here the swap is
+    * a manifest flip.) */
+  def compactSnapshotZOrdered(spark: SparkSession, root: String,
+      cols: Seq[String], nFiles: Int,
+      rowGroupBytes: Long = 128L * 1024 * 1024): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val v = snapshotVersions(spark, root).last
+    val files = readManifest(fs, r, v)
+    val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
+    zOrderWriteN(spark.read.parquet(files: _*), cols, batch.toString,
+      nFiles, rowGroupBytes)
+    val newFiles = fs.listStatus(batch)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(st.getPath).toString)
+      .sorted.toSeq
+    val next = snapshotVersions(spark, root).last + 1
+    publishManifest(fs, r, next, newFiles)
+    next
+  }
+
   /** DESTRUCTIVE: delete data files referenced only by versions older
     * than `keepFrom`, then drop those versions' manifests. Time travel
     * to vacuumed versions is gone — the explicit retention trade every

@@ -341,6 +341,49 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(GraftCatalog.readSnapshot(spark, root).count() == 1)
   }
 
+  test("z-ordered snapshot compaction improves pruning; old versions keep their layout") {
+    import spark.implicits._
+    val root = s"$tmp/snapz_${System.nanoTime()}"
+    val ev = Tables.df(spark, "/root/testdata/sf0.01", "events")
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("tsl"))
+    // events arrive TIME-ordered in 5 streaming commits — the layout a
+    // user-selective scan cannot prune
+    val rows = ev.orderBy("tsl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.grouped(rows.length / 5 + 1).zipWithIndex.foreach { case (chunk, i) =>
+      GraftCatalog.commitSnapshotBatch(
+        chunk.toSeq.toDF("event_id", "user_id", "tsl").repartition(1), root, i)
+    }
+    val vPre = GraftCatalog.snapshotVersions(spark, root).last
+    val (uLo, uHi) = {
+      val r = ev.agg(min("user_id"), max("user_id")).head
+      (r.getLong(0), r.getLong(0) + math.max(1L, (r.getLong(1) - r.getLong(0)) / 10))
+    }
+    def scanned(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val f = df.where(col("user_id").between(uLo, uHi))
+      val kept = f.count()
+      val qe = f.queryExecution
+      f.collect()
+      (kept, qe.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum)
+    }
+    val (keptPre, scanPre) = scanned(GraftCatalog.readSnapshot(spark, root))
+    val vz = GraftCatalog.compactSnapshotZOrdered(spark, root,
+      Seq("user_id", "tsl"), nFiles = 4, rowGroupBytes = 16 * 1024)
+    assert(vz == vPre + 1)
+    val (keptPost, scanPost) = scanned(GraftCatalog.readSnapshot(spark, root))
+    assert(keptPost == keptPre && keptPre > 0, s"compaction changed the data: $keptPost vs $keptPre")
+    assert(scanPost * 2 <= scanPre,
+      s"z-compacted head should prune at least 2x better: $scanPost vs $scanPre")
+    // the PRE-compaction version still reads, with its OWN (unpruned)
+    // layout untouched — maintenance never disturbs a pinned reader
+    val (keptOld, scanOld) = scanned(GraftCatalog.readSnapshot(spark, root, Some(vPre)))
+    assert(keptOld == keptPre && scanOld == scanPre,
+      s"old version's layout changed under a reader: $scanOld vs $scanPre")
+  }
+
   test("nested schema pruning: one-subfield projection reads only that subfield from parquet") {
     // struct columns are how multimodal metadata and feature bags ship;
     // at 100 TB reading u.user_id must not deserialize u.value — the
