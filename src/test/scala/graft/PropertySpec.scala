@@ -1,0 +1,184 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Randomized-reference properties for the hand-built distributed
+  * primitives. The DuckDB oracle gates everything SQL-expressible;
+  * these tests gate the Scala-side algorithms (selection, peeling,
+  * prefix sums, rasters) against independent brute-force references on
+  * SEEDED ScalaCheck-generated adversarial inputs — deterministic
+  * (fixed seeds, no flake) but far outside the hand-picked golden
+  * corners. Each reference is written as naively as possible: the
+  * point is that two dissimilar computations agree.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  // ----- d20 kCore vs brute-force peeling --------------------------------
+
+  /** Textbook coreness: repeatedly peel min-degree nodes. */
+  private def peelCores(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    nodes.foreach(n => adj(n) = scala.collection.mutable.Set.empty)
+    edges.foreach { case (a, b) =>
+      if (a != b) { adj(a) += b; adj(b) += a }
+    }
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      var again = true
+      while (again) {
+        val peel = adj.collect { case (n, nb) if nb.size <= k => n }.toSeq
+        if (peel.isEmpty) again = false
+        else peel.foreach { n =>
+          core(n) = k
+          adj(n).foreach(m => adj.get(m).foreach(_ -= n))
+          adj.remove(n)
+        }
+      }
+      k += 1
+    }
+    core.toMap
+  }
+
+  test("property: kCore equals brute-force peeling on random graphs") {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.chooseNum(8, 40)
+      es <- Gen.listOfN(n * 2, Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield (n, es.filter(e => e._1 != e._2).map(e => (e._1 min e._2, e._1 max e._2)).distinct)
+    for (seed <- 1L to 5L) {
+      val (n, edges) = sample(edgeGen, seed)
+      val nodes = (0L until n.toLong).toSeq
+      val expected = peelCores(nodes, edges)
+      val got = graft.operators.Dedup.kCore(
+          nodes.toDF("id"),
+          if (edges.isEmpty) Seq((0L, 0L)).toDF("a", "b").where($"a" =!= $"a")
+          else edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed: kCore diverges from peeling on $edges")
+    }
+  }
+
+  // ----- p22 budgetFill vs naive per-group prefix -----------------------
+
+  test("property: budgetFill equals the naive per-group sorted prefix") {
+    import spark.implicits._
+    val rowGen = Gen.listOfN(300, for {
+      g <- Gen.oneOf("a", "b", "c", "d")
+      w <- Gen.chooseNum(1L, 50L)
+      q <- Gen.chooseNum(0, 9).map(_ / 10.0) // coarse -> many rank ties
+    } yield (g, w, q))
+    for (seed <- 1L to 5L) {
+      val rows = sample(rowGen, seed).zipWithIndex
+        .map { case ((g, w, q), i) => (g, i.toLong, w, q) }
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, xs) =>
+        val budget = xs.map(_._3).sum / 2
+        var cum = 0L
+        xs.sortBy(t => (-t._4, t._2)).iterator.takeWhile { t =>
+          cum += t._3; cum <= budget
+        }.map(t => (g, t._2)).toList
+      }.toSet
+      val got = graft.operators.Sampling.budgetFill(
+          rows.toDF("source", "doc_id", "wt", "q"), 1L, 2L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expected, s"seed $seed: fill diverges")
+    }
+  }
+
+  // ----- p20 ppsSystematic vs naive crossing scan -----------------------
+
+  test("property: ppsSystematic equals the naive cumulative-crossing scan") {
+    import spark.implicits._
+    val wGen = Gen.listOfN(200, Gen.chooseNum(0L, 100L))
+    for (seed <- 1L to 5L) {
+      val wts = sample(wGen, seed).zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }
+      val pos = wts.filter(_._2 > 0)
+      val total = pos.map(_._2).sum
+      val n = 17
+      val expected = (0 until n).map { i =>
+        val p = (2L * i + 1L) * total / (2L * n)
+        var cum = 0L
+        val hit = pos.iterator.map { case (id, w) => cum += w; (id, w, cum) }
+          .find(_._3 > p).get
+        (i.toLong, hit._1, hit._2)
+      }
+      val got = graft.operators.Sampling.ppsSystematic(wts.toDF("doc_id", "wt"), n)
+        .orderBy("sample_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected, s"seed $seed: PPS selection diverges")
+    }
+  }
+
+  // ----- m09 patchGrid vs naive double loop -----------------------------
+
+  test("property: patchGrid tiles every pixel and matches a naive reference") {
+    val cfg = for {
+      w <- Gen.chooseNum(4, 30)
+      h <- Gen.chooseNum(4, 30)
+      g <- Gen.chooseNum(2, 6)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 255))
+    } yield (w, h, g, px.toArray)
+    for (seed <- 1L to 8L) {
+      val (w, h, g, gray) = sample(cfg, seed)
+      val got = graft.operators.Multimodal.patchGrid(1L, w, h, gray, g)
+      assert(got.map(_.n_px).sum == w.toLong * h, s"seed $seed: not a tiling")
+      got.foreach { p =>
+        val ys = (p.py * h / g) until ((p.py + 1) * h / g)
+        val xs = (p.px * w / g) until ((p.px + 1) * w / g)
+        val vals = for { y <- ys; x <- xs } yield gray(y * w + x)
+        val mean = vals.sum.toDouble / vals.size
+        val varp = vals.map(v => (v - mean) * (v - mean)).sum / vals.size
+        assert(p.n_px == vals.size)
+        assert(math.abs(p.mean - mean) <= 1e-6 + 1e-9,
+          s"seed $seed patch $p mean != $mean")
+        assert(math.abs(p.varp - varp) <= 1e-5,
+          s"seed $seed patch $p varp != $varp")
+      }
+    }
+  }
+
+  // ----- t22 dupNgramProfile vs naive sliding count ---------------------
+
+  test("property: dup-ngram fractions match a naive sliding-window reference") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(12, Gen.chooseNum(1, 60).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" "))))
+    def ref(text: String, n: Int): (Long, Option[Double]) = {
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.size < n) (0L, None)
+      else {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+        val dup = grams.groupBy(identity).values.filter(_.size > 1).map(_.size).sum
+        (grams.size.toLong,
+          Some(math.round(dup.toDouble / grams.size * 1e6) / 1e6))
+      }
+    }
+    for (seed <- 1L to 3L) {
+      val docs = sample(docGen, seed).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.TextAnalysis.dupNgramProfile(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])),
+            (r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+      docs.foreach { case (id, text) =>
+        val (e2, e5) = (ref(text, 2), ref(text, 5))
+        if (e2._1 == 0 && e5._1 == 0)
+          assert(!got.contains(id), s"seed $seed doc $id: gramless doc must be absent")
+        else {
+          val (g2, g5) = got(id)
+          def close(a: (Long, Option[Double]), b: (Long, Option[Double])) =
+            a._1 == b._1 && (a._2.isEmpty == b._2.isEmpty) &&
+              a._2.zip(b._2).forall { case (x, y) => math.abs(x - y) <= 1e-6 }
+          assert(close(g2, e2) && close(g5, e5),
+            s"seed $seed doc $id: got ($g2, $g5) want ($e2, $e5)")
+        }
+      }
+    }
+  }
+}
