@@ -144,6 +144,75 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ----- ExactPercentile vs sorted-seq references -----------------------
+
+  test("property: continuous/discrete percentiles match sorted-seq references") {
+    import spark.implicits._
+    val rowGen = Gen.listOfN(400, for {
+      g <- Gen.oneOf("x", "y", "z")
+      v <- Gen.oneOf(Gen.chooseNum(-50, 50).map(_.toDouble), // heavy ties
+        Gen.chooseNum(-1e6, 1e6).map(_ / 1000.0))
+    } yield (g, v))
+    val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    def refCont(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted; val h = p * (s.size - 1)
+      val lo = math.floor(h).toInt
+      if (lo + 1 >= s.size) s.last else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    def refDisc(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      s(math.max(math.ceil(p * s.size).toInt - 1, 0))
+    }
+    for (seed <- 1L to 4L) {
+      val rows = sample(rowGen, seed)
+      val df = rows.toDF("g", "v")
+      val byG = rows.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2) }
+      val cont = graft.operators.ExactPercentile.continuous(df, ps, partitions = 7)
+      val disc = graft.operators.ExactPercentile.discrete(df, ps, partitions = 7)
+      byG.foreach { case (g, vs) =>
+        assert(cont(g).n == vs.size)
+        ps.zipWithIndex.foreach { case (p, i) =>
+          assert(math.abs(cont(g).values(i) - refCont(vs, p)) <= 1e-9,
+            s"seed $seed $g cont p=$p: ${cont(g).values(i)} != ${refCont(vs, p)}")
+          assert(disc(g).values(i) == refDisc(vs, p),
+            s"seed $seed $g disc p=$p: ${disc(g).values(i)} != ${refDisc(vs, p)}")
+        }
+      }
+    }
+  }
+
+  // ----- d06 connectedComponents vs union-find --------------------------
+
+  test("property: connectedComponents equals union-find min labels") {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.chooseNum(10, 60)
+      es <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield (n, es.filter(e => e._1 != e._2).distinct)
+    for (seed <- 1L to 5L) {
+      val (n, edges) = sample(edgeGen, seed)
+      val nodes = (0L until n.toLong).toSeq
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val expected = nodes.map(x => x -> nodes.filter(y => find(y) == find(x)).min).toMap
+      val got = graft.operators.Dedup.connectedComponents(
+          nodes.toDF("id"),
+          if (edges.isEmpty) Seq((0L, 0L)).toDF("a", "b").where($"a" =!= $"a")
+          else edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed: CC labels diverge on $edges")
+    }
+  }
+
   // ----- t22 dupNgramProfile vs naive sliding count ---------------------
 
   test("property: dup-ngram fractions match a naive sliding-window reference") {
