@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("token_stats",
         "token_stats(array<string>) - struct(n_tok, n_uniq, top_n, n_letters)"),
       es => TokenStats(es.head)))
+    e.injectFunction((FunctionIdentifier("ngram_dup_stats"),
+      info("ngram_dup_stats",
+        "ngram_dup_stats(array<string>) - struct(grams2, dup2, grams5, dup5)"),
+      es => NgramDupStats(es.head)))
     e.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes",
         "shingle_hashes(array<string>) - distinct 3-token shingle hashes"),

@@ -537,6 +537,69 @@ final case class TokenEntropy(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-document duplicate n-gram statistics for n = 2 AND n = 5 in ONE
+  * linear pass over the token array: (grams2, dup2, grams5, dup5),
+  * where dupN = the number of n-gram OCCURRENCES whose gram appears
+  * more than once in the document. t22's first formulation exploded
+  * both gram sizes and aggregated twice — two shuffles moving
+  * doc×distinct-gram rows; this is the token_stats lesson applied to
+  * n-grams: the whole profile is per-row computable, so the operator
+  * becomes a narrow scan with NO shuffle at all. Tokens are interned
+  * to dense ints first; gram keys are the int sequences (exact — no
+  * hash-collision undercount is possible). */
+final case class NgramDupStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"ngram_dup_stats needs array<string>, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("grams2", LongType, nullable = false),
+    StructField("dup2", LongType, nullable = false),
+    StructField("grams5", LongType, nullable = false),
+    StructField("dup5", LongType, nullable = false)))
+  override def prettyName: String = "ngram_dup_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Int](n)
+    val intern = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var id = intern.get(t)
+      if (id == null) { id = Integer.valueOf(intern.size()); intern.put(t, id) }
+      ids(i) = id.intValue()
+      i += 1
+    }
+    def dups(g: Int): (Long, Long) = {
+      if (n < g) return (0L, 0L)
+      val m = new java.util.HashMap[String, Integer]
+      val sb = new java.lang.StringBuilder(g * 7)
+      var j = 0
+      while (j + g <= n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < g) { sb.append(ids(j + k)); sb.append(','); k += 1 }
+        m.merge(sb.toString, 1, (a, b) => Integer.valueOf(a.intValue() + b.intValue()))
+        j += 1
+      }
+      var dup = 0L
+      m.values.forEach(c => if (c.intValue() > 1) dup += c.intValue())
+      ((n - g + 1).toLong, dup)
+    }
+    val (g2, d2) = dups(2)
+    val (g5, d5) = dups(5)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](g2, d2, g5, d5))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramDupStats =
+    copy(child = newChild)
+}
+
 /** Registration: makes the native expressions available to SQL/expr(). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -552,6 +615,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("vec_sign64", es => VecSign64(es.head), "built-in")
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "built-in")
     reg.createOrReplaceTempFunction("token_stats", es => TokenStats(es.head), "built-in")
+    reg.createOrReplaceTempFunction("ngram_dup_stats", es => NgramDupStats(es.head), "built-in")
     reg.createOrReplaceTempFunction("bigrams", es => Bigrams(es.head), "built-in")
     reg.createOrReplaceTempFunction("sig_pairs", es => SigPairs(es.head), "built-in")
     reg.createOrReplaceTempFunction("token_entropy", es => TokenEntropy(es.head), "built-in")

@@ -841,38 +841,29 @@ object TextAnalysis {
     * cross-doc shingle overlap. Factored off the `documents` loader so
     * PipelineSpec pins hand-derived goldens on constructed texts.
     *
-    * Scale shape: one scan, ONE Generate for both gram sizes (a
-    * 2-gram and a 5-gram can never collide — token counts differ, so
-    * they share the explode and the first aggregation); counts roll
-    * up per (doc, gram) with map-side combine — repeats collapse
-    * before the shuffle — then per doc. Both aggregation keys are
-    * bounded by document length × docs, never corpus-vocabulary
-    * cross-products. The fraction is one divide of exact integers
-    * (< 2^53) rounded to 6 places, so both engines produce the
-    * identical double (the t21 lift discipline).
+    * Scale shape: the whole profile is PER-ROW computable, so it is
+    * one narrow scan with the native `ngram_dup_stats` expression —
+    * one linear pass interning tokens and counting both gram sizes,
+    * NO Generate, NO shuffle (the first formulation exploded both
+    * gram sizes and aggregated twice: 2.2 s → this at sf0.1; the
+    * token_stats round-1 lesson applied again). Docs with no 2-gram
+    * (< 2 tokens) drop out, mirroring the explode semantics the
+    * DuckDB oracle states. The fraction is one divide of exact
+    * integers (< 2^53) rounded to 6 places, so both engines produce
+    * the identical double (the t21 lift discipline).
     */
   private[graft] def dupNgramProfile(docsDf: DataFrame): DataFrame = {
-    val grams = docsDf
-      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
-      .select(col("doc_id"), explode(concat(
-        expr("if(size(toks) >= 2, transform(sequence(1, size(toks) - 1)," +
-          " i -> concat_ws(' ', slice(toks, i, 2))), slice(toks, 1, 0))"),
-        expr("if(size(toks) >= 5, transform(sequence(1, size(toks) - 4)," +
-          " i -> concat_ws(' ', slice(toks, i, 5))), slice(toks, 1, 0))"))).as("gram"))
-    grams
-      .withColumn("n", size(split(col("gram"), " ")))
-      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(
-        sum(when(col("n") === 2, col("cnt")).otherwise(0L)).as("grams2"),
-        sum(when(col("n") === 2 && col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup2"),
-        sum(when(col("n") === 5, col("cnt")).otherwise(0L)).as("grams5"),
-        sum(when(col("n") === 5 && col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup5"))
-      .select(col("doc_id"), col("grams2"),
-        round(col("dup2").cast("double") /
-          when(col("grams2") > 0, col("grams2")), 6).as("dup2_frac"),
-        col("grams5"),
-        round(col("dup5").cast("double") /
-          when(col("grams5") > 0, col("grams5")), 6).as("dup5_frac"))
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    docsDf
+      .withColumn("st",
+        expr("ngram_dup_stats(regexp_extract_all(lower(text), '[a-z]+', 0))"))
+      .where(col("st.grams2") > 0)
+      .select(col("doc_id"), col("st.grams2").as("grams2"),
+        round(col("st.dup2").cast("double") /
+          when(col("st.grams2") > 0, col("st.grams2")), 6).as("dup2_frac"),
+        col("st.grams5").as("grams5"),
+        round(col("st.dup5").cast("double") /
+          when(col("st.grams5") > 0, col("st.grams5")), 6).as("dup5_frac"))
   }
 
   private def t22(s: SparkSession, d: String): DataFrame =
