@@ -392,6 +392,15 @@ class CoreSpec extends AnyFunSuite {
       s"q112 plans an unbounded join:\n$p112")
     assert(p112.contains("HashJoin") || p112.contains("SortMergeJoin"),
       s"q112 lost its equi bin join:\n$p112")
+    // t22: the dup-ngram profile must stay a NARROW scan — the native
+    // per-row expression replaced two shuffling aggregations; the only
+    // allowed exchange is the output sort's range partitioning
+    val p22t = SparkEntry.queries("t22_dup_ngrams")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p22t.contains("HashAggregate"),
+      s"t22 must not aggregate — the profile is per-row:\n$p22t")
+    assert("Exchange".r.findAllIn(p22t).size <= 1,
+      s"t22 grew a shuffle beyond the output sort:\n$p22t")
     // q113: the rank <= 3 cut must push below the window sort
     // (rank-like WindowGroupLimit), and ties must actually fan out
     val q113df = SparkEntry.queries("q113_topk_ties")(spark, sf)
