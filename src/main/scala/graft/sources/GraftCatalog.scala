@@ -413,9 +413,13 @@ object GraftCatalog {
   /** Read a snapshot — the latest version, or an explicit one (time
     * travel). The returned plan scans exactly the manifest's file
     * list; files added by later versions are invisible, files dropped
-    * by later versions still resolve. */
+    * by later versions still resolve. `mergeSchema = true` unions the
+    * per-file schemas (an appended batch may carry NEW columns — feed
+    * generations evolve; older files read NULL for them) at the cost
+    * of a footer read per file — the same trade the mergeSchema
+    * source surface documents, opt-in for the same reason. */
   def readSnapshot(spark: SparkSession, root: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None, mergeSchema: Boolean = false): DataFrame = {
     val (fs, r) = fsOf(spark, root)
     val v = version.getOrElse {
       val vs = snapshotVersions(spark, root)
@@ -424,7 +428,8 @@ object GraftCatalog {
     }
     val files = readManifest(fs, r, v)
     require(files.nonEmpty, s"snapshot v$v of $root is empty")
-    spark.read.parquet(files: _*)
+    val rd = spark.read
+    (if (mergeSchema) rd.option("mergeSchema", "true") else rd).parquet(files: _*)
   }
 
   /** Roll the table back to `to`'s contents by publishing its file

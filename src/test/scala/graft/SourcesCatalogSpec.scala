@@ -341,6 +341,24 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(GraftCatalog.readSnapshot(spark, root).count() == 1)
   }
 
+  test("snapshot schema evolution: appended batches may add columns; mergeSchema unions them") {
+    import spark.implicits._
+    val root = s"$tmp/snapevo_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, append = false)
+    // a later feed generation carries an extra column
+    GraftCatalog.commitSnapshot(
+      Seq((3L, "c", 9L)).toDF("id", "v", "score"), root, append = true)
+    val merged = GraftCatalog.readSnapshot(spark, root, mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val byId = merged.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some(9L)),
+      s"old files must read NULL for the new column: $byId")
+    // v1 time travel is oblivious to the evolution
+    assert(GraftCatalog.readSnapshot(spark, root, Some(1)).columns.toSet == Set("id", "v"))
+  }
+
   test("z-ordered snapshot compaction improves pruning; old versions keep their layout") {
     import spark.implicits._
     val root = s"$tmp/snapz_${System.nanoTime()}"

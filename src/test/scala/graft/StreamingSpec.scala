@@ -781,6 +781,42 @@ class StreamingSpec extends AnyFunSuite {
       4L -> "added", 5L -> "added"), s"snapshot diff wrong: $diff")
   }
 
+  test("streaming dedup verdicts: d19 semantics live, canonical pointers, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = "/tmp/graft-streams/dedupv_" + System.nanoTime()
+    val b0 = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight nine"))
+    val b1 = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "red orange yellow green blue indigo violet"))
+    val b2 = Seq((20L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (21L, "one two three four five six seven eight nine"),
+      (22L, "lone unique vocabulary nothing shared anywhere here"))
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupStream.ingestStreamWithVerdicts(
+        ms.toDF().toDF("doc_id", "text"), out)
+      .option("checkpointLocation", out + "_ckpt").start()
+    try {
+      Seq(b0, b1, b2).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def verdicts() = graft.streaming.DedupStream.allVerdicts(spark, out)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    val got = verdicts()
+    val expected = Map(
+      0L -> ("new", None), 1L -> ("new", None),
+      10L -> ("dup_of_prior", Some(0L)), 11L -> ("new", None),
+      20L -> ("dup_of_prior", Some(0L)), 21L -> ("dup_of_prior", Some(1L)),
+      22L -> ("new", None))
+    assert(got == expected, s"verdicts diverge: $got")
+    // replay of the last batch must land byte-identical verdicts
+    graft.streaming.DedupStream.processBatch(b2.toDF("doc_id", "text"), 2L, out)
+    graft.streaming.DedupStream.batchVerdicts(b2.toDF("doc_id", "text"),
+        spark.read.parquet(s"$out/pairs/batch_id=2"))
+      .write.mode("overwrite").parquet(s"$out/verdicts/batch_id=2")
+    assert(verdicts() == expected, "replay changed the verdict table")
+  }
+
   test("streaming dedup ingest: batch-union equals full recompute, each pair once, replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
