@@ -86,5 +86,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bucket_of",
         "bucket_of(double, array<double>) - #boundaries <= v by binary search"),
       es => BucketOf(es(0), es(1))))
+    // mergeable-sketch aggregate family (q103/q106-q108, SketchMv) —
+    // full parity with the GraftFunctions temp registry so pure-SQL
+    // clients get the same surface
+    e.injectFunction((FunctionIdentifier("theta_sketch_agg"),
+      info("theta_sketch_agg",
+        "theta_sketch_agg(col) - compact theta sketch bytes of the group"),
+      es => ThetaSketchAgg(es.head)))
+    e.injectFunction((FunctionIdentifier("theta_count"),
+      info("theta_count", "theta_count(sketch) - estimated distinct count"),
+      es => ThetaCount(es.head)))
+    e.injectFunction((FunctionIdentifier("theta_intersect_count"),
+      info("theta_intersect_count",
+        "theta_intersect_count(a, b) - estimated |A intersect B|"),
+      es => ThetaSetOpCount(es(0), es(1), "intersect")))
+    e.injectFunction((FunctionIdentifier("theta_anotb_count"),
+      info("theta_anotb_count",
+        "theta_anotb_count(a, b) - estimated |A minus B|"),
+      es => ThetaSetOpCount(es(0), es(1), "anotb")))
+    e.injectFunction((FunctionIdentifier("theta_union_count"),
+      info("theta_union_count",
+        "theta_union_count(a, b) - estimated |A union B|"),
+      es => ThetaSetOpCount(es(0), es(1), "union")))
+    e.injectFunction((FunctionIdentifier("kll_sketch_agg"),
+      info("kll_sketch_agg",
+        "kll_sketch_agg(col) - KLL doubles sketch bytes of the group"),
+      es => KllSketchAgg(es.head)))
+    e.injectFunction((FunctionIdentifier("kll_merge_agg"),
+      info("kll_merge_agg",
+        "kll_merge_agg(sketch) - merge of KLL partial sketches"),
+      es => KllMergeAgg(es.head)))
+    e.injectFunction((FunctionIdentifier("kll_quantiles"),
+      info("kll_quantiles",
+        "kll_quantiles(sketch, array<double>) - quantile values at the given ranks"),
+      es => KllQuantiles(es(0), es(1))))
   }
 }

@@ -163,6 +163,16 @@ class CoreSpec extends AnyFunSuite {
       // deterministic engine constant: same input, same signature
       assert(out.getAs[Long]("sh") ==
         s2.sql("SELECT simhash64(array('alpha', 'beta')) AS sh").head().getAs[Long]("sh"))
+      // sketch-aggregate family parity: a pure-SQL client can run the
+      // whole mergeable-sketch surface through the extension
+      val sk = s2.sql(
+        """SELECT theta_count(theta_sketch_agg(x)) AS dc,
+          |  kll_quantiles(kll_sketch_agg(CAST(x AS DOUBLE)), array(0.5D))[0] AS med,
+          |  ngram_dup_stats(array('a', 'b', 'a', 'b')).dup2 AS d2
+          |FROM VALUES (1), (2), (3), (4), (5) AS t(x)""".stripMargin).head()
+      assert(sk.getAs[Number]("dc").longValue == 5L)
+      assert(sk.getAs[Double]("med") >= 1.0 && sk.getAs[Double]("med") <= 5.0)
+      assert(sk.getAs[Long]("d2") == 2L) // "a b" occurs twice
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
