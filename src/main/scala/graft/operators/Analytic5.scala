@@ -175,9 +175,88 @@ object Analytic5 {
       |FROM a
       |ORDER BY o_custkey, premium_key NULLS FIRST""".stripMargin
 
+  /** q115 — one-pass CORRELATION MATRIX: all 6 pairwise correlations
+    * of 4 lineitem measures per return flag from a SINGLE partial+final
+    * aggregation of 14 decimal power sums (4 sums, 4 squares, 6 cross
+    * products) — q50's order-independent moment discipline generalized
+    * from one pair to the full k×k feature screen a training pipeline
+    * runs before deciding which quality signals are redundant. At
+    * 100 TB this is ONE map-side-combined scan regardless of k; the
+    * naive corr()-per-pair formulation re-scans per pair and its
+    * double folds aren't reproducible across engines. Zero-variance
+    * pairs guard to NULL (never NaN — engines disagree on rounding
+    * NaN). Long-format output, deterministically ordered. */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vars = Seq(
+      "disc" -> col("l_discount"), "price" -> col("l_extendedprice"),
+      "qty" -> col("l_quantity"), "tax" -> col("l_tax"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(18, 2))).cast("double")
+    def dsum38(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 4))).cast("double")
+    val pairs = for {
+      i <- vars.indices; j <- vars.indices if i < j
+    } yield (vars(i), vars(j))
+    val aggs =
+      vars.map { case (nm, c) => dsum(c).as(s"s_$nm") } ++
+        vars.map { case (nm, c) => dsum38(c * c).as(s"ss_$nm") } ++
+        pairs.map { case ((na, ca), (nb, cb)) => dsum38(ca * cb).as(s"sp_${na}_$nb") }
+    val n = col("n")
+    def corrOf(a: String, b: String) = {
+      val va = n * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+      val vb = n * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+      when(va > 0 && vb > 0,
+        round((n * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+          (sqrt(va) * sqrt(vb)), 6))
+    }
+    Tables.df(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .select(col("l_returnflag"), col("n"), explode(array(pairs.map {
+        case ((na, _), (nb, _)) =>
+          struct(lit(na).as("var_a"), lit(nb).as("var_b"),
+            corrOf(na, nb).as("corr_r"))
+      }: _*)).as("p"))
+      .select(col("l_returnflag"), col("n"), col("p.var_a").as("var_a"),
+        col("p.var_b").as("var_b"), col("p.corr_r").as("corr_r"))
+      .orderBy("l_returnflag", "var_a", "var_b")
+  }
+
+  private val q115Oracle: String = {
+    val vars = Seq("disc" -> "l_discount", "price" -> "l_extendedprice",
+      "qty" -> "l_quantity", "tax" -> "l_tax")
+    val pairs = for { i <- vars.indices; j <- vars.indices if i < j }
+      yield (vars(i), vars(j))
+    val sums =
+      vars.map { case (nm, c) =>
+        s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS s_$nm" } ++
+        vars.map { case (nm, c) =>
+          s"CAST(SUM(CAST($c * $c AS DECIMAL(38,4))) AS DOUBLE) AS ss_$nm" } ++
+        pairs.map { case ((na, ca), (nb, cb)) =>
+          s"CAST(SUM(CAST($ca * $cb AS DECIMAL(38,4))) AS DOUBLE) AS sp_${na}_$nb" }
+    val arms = pairs.map { case ((na, _), (nb, _)) =>
+      s"""SELECT l_returnflag, n, '$na' AS var_a, '$nb' AS var_b,
+         |  CASE WHEN n * ss_$na - s_$na * s_$na > 0
+         |        AND n * ss_$nb - s_$nb * s_$nb > 0 THEN
+         |    round((n * sp_${na}_$nb - s_$na * s_$nb)
+         |      / (sqrt(n * ss_$na - s_$na * s_$na)
+         |         * sqrt(n * ss_$nb - s_$nb * s_$nb)), 6)
+         |  END AS corr_r
+         |FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |  ${sums.mkString(",\n  ")}
+       |  FROM lineitem GROUP BY l_returnflag)
+       |$arms
+       |ORDER BY l_returnflag, var_a, var_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q111_multi_distinct", Some(q111Oracle), q111),
     Q("q112_interval_join", Some(q112Oracle), q112),
     Q("q113_topk_ties", Some(q113Oracle), q113),
-    Q("q114_explode_outer", Some(q114Oracle), q114))
+    Q("q114_explode_outer", Some(q114Oracle), q114),
+    Q("q115_corr_matrix", Some(q115Oracle), q115))
 }
