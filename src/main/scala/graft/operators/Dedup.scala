@@ -1337,6 +1337,81 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Edge TRUSSNESS by level-wise support peeling: trussness(e) = the
+    * largest k such that e survives in the k-truss (the maximal
+    * subgraph where every edge closes ≥ k−2 triangles). Each level
+    * iterates: recompute per-edge support with the d17 wedge join over
+    * the SURVIVING edges, delete under-supported edges (they get
+    * trussness k−1), until the level stabilizes — then raise k. The
+    * cohesion ladder between d20's node-coreness and d17's raw
+    * triangle counts: cores say "well-connected node", trusses say
+    * "edge embedded in overlapping triangles" — the signal that two
+    * docs are in the SAME template farm rather than both merely
+    * popular. Checkpoint-freed like d06/d15; support joins are
+    * id-oriented equality joins, never all-pairs. */
+  private[graft] def kTruss(pairs: DataFrame, maxIters: Int = 60): DataFrame = {
+    val spark = pairs.sparkSession
+    var e = pairs.toDF("a", "b")
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .localCheckpoint()
+    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var k = 3
+    var iters = 0
+    while (!e.isEmpty && iters < maxIters) {
+      // per-edge support over the surviving graph (oriented wedge join)
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val sup = tri.select(explode(array(
+          struct(col("x").as("a"), col("y").as("b")),
+          struct(col("y").as("a"), col("z").as("b")),
+          struct(col("x").as("a"), col("z").as("b")))).as("ed"))
+        .groupBy(col("ed.a").as("a"), col("ed.b").as("b"))
+        .agg(count(lit(1)).as("sup"))
+      val scored = e.join(sup, Seq("a", "b"), "left")
+        .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("sup"))
+        .localCheckpoint()
+      freeCheckpoint(e)
+      val dead = scored.where(col("sup") < k - 2)
+      if (dead.isEmpty) {
+        e = scored.select("a", "b").localCheckpoint()
+        k += 1 // level stable — every survivor is in the k-truss
+      } else {
+        // materialized — `scored` is freed below and the caller reads
+        // these AFTER the loop
+        done += dead.select(col("a"), col("b"), lit(k - 1L).as("truss"))
+          .localCheckpoint()
+        e = scored.where(col("sup") >= k - 2).select("a", "b").localCheckpoint()
+      }
+      freeCheckpoint(scored)
+      iters += 1
+    }
+    if (!e.isEmpty) throw new IllegalStateException(
+      s"kTruss did not converge in $maxIters rounds")
+    if (done.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("truss",
+            org.apache.spark.sql.types.LongType))))
+    else done.reduce(_ unionByName _)
+  }
+
+  /** d21 — k-truss over the near-dup graph (rows-only: fixpoint
+    * peeling has no single-query SQL oracle; PipelineSpec pins exact
+    * trussness on clique/chain/cycle constructions and a randomized
+    * reference in PropertySpec re-derives it set-theoretically). */
+  private def d21(s: SparkSession, d: String): DataFrame =
+    kTruss(jaccardPairs(docs(s, d)).select("a_id", "b_id"))
+      .select(col("a").as("a_id"), col("b").as("b_id"), col("truss"))
+      .orderBy("a_id", "b_id")
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
@@ -1357,5 +1432,6 @@ object Dedup {
     Q("d17_triangles", Some(d17Oracle), d17),
     Q("d18_incremental_ingest", None, d18),
     Q("d19_incremental_verdicts", Some(d19Oracle), d19),
-    Q("d20_kcore", None, d20))
+    Q("d20_kcore", None, d20),
+    Q("d21_ktruss", None, d21))
 }

@@ -1192,6 +1192,23 @@ class PipelineSpec extends AnyFunSuite {
       "coreness must cover exactly the edge-touching docs")
   }
 
+  test("d21 k-truss goldens: clique edges truss 4, everything else truss 2") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val edges = ((for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong))
+      ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))
+      ++ (10 to 15).map(i => (i.toLong, if (i == 15) 10L else i + 1L))).toDF("a", "b")
+    val got = Dedup.kTruss(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cliqueEdges = (for { a <- 1 to 4; b <- (a + 1) to 4 }
+      yield (a.toLong, b.toLong)).toSet
+    got.foreach { case (e, t) =>
+      val want = if (cliqueEdges(e)) 4L else 2L
+      assert(t == want, s"edge $e: truss $t, want $want")
+    }
+    assert(got.size == 6 + 3 + 6, "every edge must receive a trussness")
+  }
+
   test("t22 dup-ngram goldens on constructed texts") {
     import spark.implicits._
     val docsDf = Seq(

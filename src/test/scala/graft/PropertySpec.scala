@@ -144,6 +144,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ----- d21 kTruss vs set-based peeling --------------------------------
+
+  private def refTruss(edges0: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+    var e = edges0.map { case (a, b) => (a min b, a max b) }.filter(p => p._1 != p._2)
+    val out = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    var k = 3L
+    while (e.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val adj = (e.toSeq.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1)))
+          .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+        val dead = e.filter { case (a, b) => (adj(a) & adj(b)).size < k - 2 }
+        if (dead.isEmpty) changed = false
+        else { dead.foreach(d => out(d) = k - 1); e --= dead }
+      }
+      k += 1
+    }
+    out.toMap
+  }
+
+  test("property: kTruss equals set-based support peeling on random graphs") {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.chooseNum(6, 25)
+      es <- Gen.listOfN(n * 3, Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield es.filter(e => e._1 != e._2).map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    for (seed <- 1L to 5L) {
+      val edges = sample(edgeGen, seed)
+      if (edges.nonEmpty) {
+        val expected = refTruss(edges.toSet)
+        val got = graft.operators.Dedup.kTruss(edges.toDF("a", "b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(got == expected, s"seed $seed: trussness diverges on $edges")
+      }
+    }
+  }
+
   // ----- ExactPercentile vs sorted-seq references -----------------------
 
   test("property: continuous/discrete percentiles match sorted-seq references") {
