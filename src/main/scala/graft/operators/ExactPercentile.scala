@@ -331,7 +331,23 @@ object ExactPercentile {
     *            from the result (it has no weighted median).
     * @return    group → (weighted median value, total weight in input units)
     */
-  def weightedMedian(df: DataFrame, partitions: Int = 0): Map[String, (Double, Long)] = {
+  def weightedMedian(df: DataFrame, partitions: Int = 0): Map[String, (Double, Long)] =
+    weightedPercentile(df, 1L, 2L, partitions)
+
+  /** The general form of [[weightedMedian]]: the exact weighted
+    * p-quantile at p = num/den — smallest v whose cumulative weight w
+    * satisfies w·den ≥ total·num. The rational probability keeps the
+    * crossing rule in INTEGER arithmetic (a double p would make the
+    * crossing row dependent on libm rounding at exact-boundary
+    * weights — the cross-engine trap this file exists to avoid).
+    * Same two-pass shape and metadata bound as the median; requires
+    * 1 ≤ num ≤ den (p = 1 returns the weighted max) and
+    * total·den within Long range (den is single-digits-to-hundreds in
+    * practice — p99 = 99/100). */
+  def weightedPercentile(df: DataFrame, num: Long, den: Long,
+      partitions: Int = 0): Map[String, (Double, Long)] = {
+    require(num >= 1 && num <= den,
+      s"quantile $num/$den outside (0, 1] — p=0 has no crossing row")
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     val cols = df.columns
@@ -353,13 +369,14 @@ object ExactPercentile {
         sums.groupBy(_._2).map { case (g, xs) => g -> xs.map(_._3).sum }
 
       // The crossing partition per group: first pid where the running
-      // weight reaches total/2 (weights are positive, so it is unique).
+      // weight reaches total·num/den (weights are positive, so it is
+      // unique).
       val offsets = scala.collection.mutable.Map.empty[String, Long]
       val crossPid = scala.collection.mutable.Map.empty[Int, Map[String, Long]]
       sums.sortBy(_._1).foreach { case (pid, g, w) =>
         val start = offsets.getOrElse(g, 0L)
         val total = totals(g)
-        if (2 * start < total && 2 * (start + w) >= total)
+        if (den * start < num * total && den * (start + w) >= num * total)
           crossPid.update(pid, crossPid.getOrElse(pid, Map.empty) + (g -> start))
         offsets.update(g, start + w)
       }
@@ -385,7 +402,7 @@ object ExactPercentile {
                 val (start, total) = want(g)
                 val c = cum.getOrElse(g, start) + row.getLong(2)
                 cum.update(g, c)
-                if (2 * c >= total) {
+                if (den * c >= num * total) {
                   out += ((g, row.getDouble(1)))
                   found += g
                 }

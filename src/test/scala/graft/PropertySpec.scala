@@ -218,6 +218,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ----- weightedPercentile vs sorted cumulative reference --------------
+
+  test("property: weighted percentiles match the sorted cumulative-weight reference") {
+    import spark.implicits._
+    val rowGen = Gen.listOfN(250, for {
+      g <- Gen.oneOf("x", "y")
+      v <- Gen.chooseNum(-30, 30).map(_.toDouble) // ties galore
+      w <- Gen.chooseNum(1L, 20L)
+    } yield (g, v, w))
+    val qs = Seq((1L, 100L), (1L, 4L), (1L, 2L), (3L, 4L), (99L, 100L), (1L, 1L))
+    for (seed <- 1L to 4L) {
+      val rows = sample(rowGen, seed)
+      val df = rows.toDF("g", "v", "w")
+      val byG = rows.groupBy(_._1)
+      qs.foreach { case (num, den) =>
+        val got = graft.operators.ExactPercentile.weightedPercentile(df, num, den, partitions = 5)
+        byG.foreach { case (g, xs) =>
+          val sorted = xs.map(t => (t._2, t._3)).sortBy(_._1)
+          val total = sorted.map(_._2).sum
+          var cum = 0L
+          val want = sorted.iterator.map { case (v, w) => cum += w; (v, cum) }
+            .find { case (_, c) => c * den >= num * total }.get._1
+          assert(got(g) == ((want, total)),
+            s"seed $seed $g p=$num/$den: ${got(g)} != ($want, $total)")
+        }
+      }
+    }
+  }
+
   // ----- d06 connectedComponents vs union-find --------------------------
 
   test("property: connectedComponents equals union-find min labels") {
