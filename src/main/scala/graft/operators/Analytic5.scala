@@ -253,10 +253,46 @@ object Analytic5 {
        |ORDER BY l_returnflag, var_a, var_b""".stripMargin
   }
 
+  /** q116 — weighted p90 per group ("the price point below which 90%
+    * of the QUANTITY ships"): q80's integer-cent crossing generalized
+    * through `ExactPercentile.weightedPercentile(9, 10)` — the
+    * rational-p form keeps exact-boundary weights out of libm; the
+    * oracle restates the crossing as a window cumulative with the SAME
+    * integer comparison (cumw·10 ≥ total·9). Same scale shape as q80:
+    * each group spread across many partitions, only the crossing
+    * partition scans. */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val li = Tables.df(s, d, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      col("l_extendedprice").as("v"),
+      (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("w"))
+    ExactPercentile.weightedPercentile(li, 9L, 10L).toSeq
+      .map { case (g, (v, totalCents)) => (g, v, totalCents / 100.0) }
+      .toDF("flag", "wp90", "total_w")
+      .orderBy("flag")
+  }
+
+  private val q116Oracle: String =
+    """WITH x AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS w
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT flag, v,
+      |    SUM(w) OVER (PARTITION BY flag ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumw,
+      |    SUM(w) OVER (PARTITION BY flag) AS total
+      |  FROM x)
+      |SELECT flag, MIN(v) AS wp90, CAST(MAX(total) AS DOUBLE) AS total_w
+      |FROM c WHERE cumw * 10 >= total * 9
+      |GROUP BY flag ORDER BY flag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q111_multi_distinct", Some(q111Oracle), q111),
     Q("q112_interval_join", Some(q112Oracle), q112),
     Q("q113_topk_ties", Some(q113Oracle), q113),
     Q("q114_explode_outer", Some(q114Oracle), q114),
-    Q("q115_corr_matrix", Some(q115Oracle), q115))
+    Q("q115_corr_matrix", Some(q115Oracle), q115),
+    Q("q116_weighted_p90", Some(q116Oracle), q116))
 }
