@@ -279,6 +279,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ----- d10 editDistPairs vs brute-force Levenshtein -------------------
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("property: symmetric-delete blocking finds exactly the Levenshtein<=1 pairs") {
+    import spark.implicits._
+    val alpha = Gen.oneOf('a', 'b', 'c', 'd', 'e')
+    val baseGen = Gen.listOfN(30,
+      Gen.chooseNum(10, 20).flatMap(len => Gen.listOfN(len, alpha).map(_.mkString)))
+    val editGen = Gen.chooseNum(0, 2) // 0 = delete, 1 = substitute, 2 = insert
+    for (seed <- 1L to 4L) {
+      val bases = sample(baseGen, seed)
+      val docs = bases.zipWithIndex.flatMap { case (base, i) =>
+        val (op, pos, ch) = sample(for {
+          o <- editGen; p <- Gen.chooseNum(0, base.length - 1); c <- alpha
+        } yield (o, p, c), seed * 1000 + i)
+        val mutated = op match {
+          case 0 => base.substring(0, pos) + base.substring(pos + 1)
+          case 1 => base.updated(pos, ch).mkString
+          case _ => base.substring(0, pos) + ch + base.substring(pos)
+        }
+        Seq((2L * i, base), (2L * i + 1, mutated))
+      }
+      val keys = docs.map { case (id, t) => id -> t.take(24) }
+        .filter(_._2.length >= 8).toMap
+      val expected = (for {
+        a <- keys.keys; b <- keys.keys if a < b
+        d = lev(keys(a), keys(b)) if d <= 1
+      } yield (a, b, d.toLong)).toSet
+      val got = graft.operators.Dedup.editDistPairs(docs.toDF("doc_id", "text"))
+        .selectExpr("a_id", "b_id", "CAST(dist AS BIGINT)").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"seed $seed: missing=${expected -- got} extra=${got -- expected}")
+      assert(expected.nonEmpty, s"seed $seed: fixture planted no pairs")
+    }
+  }
+
   // ----- t22 dupNgramProfile vs naive sliding count ---------------------
 
   test("property: dup-ngram fractions match a naive sliding-window reference") {
