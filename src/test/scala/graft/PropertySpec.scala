@@ -279,6 +279,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ----- d02 capped shingle-Jaccard vs set-based reference --------------
+
+  test("property: capped shingle-Jaccard equals a set reference, hot bucket dropped") {
+    import spark.implicits._
+    val filler = Gen.listOfN(6, Gen.oneOf(
+      "kilo", "lima", "mike", "nov", "oscar", "papa", "quebec", "romeo",
+      "sierra", "tango", "unif", "victor", "whiskey", "xray", "yankee"))
+    for (seed <- 1L to 3L) {
+      // 25 docs all opening with the same 3-token boilerplate phrase —
+      // its bucket (25 > cap 20) must be DROPPED, so these docs pair
+      // only through genuine filler overlap; plus 3 exact clone pairs
+      // that must survive at jac 1.0
+      val boiler = (0 until 25).map { i =>
+        val f = sample(filler, seed * 100 + i).mkString(" ")
+        (i.toLong, s"zz yy xx $f")
+      }
+      val clones = (0 until 3).flatMap { i =>
+        val f = sample(filler, seed * 999 + i).mkString(" ")
+        Seq((100L + 2 * i, s"alpha beta gamma $f"), (101L + 2 * i, s"alpha beta gamma $f"))
+      }
+      val docs = boiler ++ clones
+      val n = docs.size.toLong
+      // reference: identical semantics, sets instead of joins
+      val sh = docs.map { case (id, t) =>
+        id -> t.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+      val cap = math.max(20L, (n * 0.01).toLong)
+      val hot = sh.values.flatten.groupBy(identity)
+        .collect { case (s, xs) if xs.size > cap => s }.toSet
+      val expected = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        inter = ((sh(a) & sh(b)) -- hot).size.toLong if inter > 0
+        na = sh(a).size.toLong; nb = sh(b).size.toLong
+        jac = inter.toDouble / (na + nb - inter) if jac >= 0.3
+      } yield (a, b, inter, na, nb)).toSet
+      val got = graft.operators.Dedup.jaccardPairs(
+          docs.toDF("doc_id", "text"), nDocs = Some(n))
+        .selectExpr("a_id", "b_id", "CAST(inter AS BIGINT)",
+          "CAST(na AS BIGINT)", "CAST(nb AS BIGINT)").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == expected,
+        s"seed $seed: missing=${expected -- got} extra=${got -- expected}")
+      // the clone pairs survive; no boilerplate-only pair may appear
+      assert((0 until 3).forall(i => got.exists(p => p._1 == 100L + 2 * i)),
+        s"seed $seed: clone pairs lost")
+    }
+  }
+
   // ----- d10 editDistPairs vs brute-force Levenshtein -------------------
 
   private def lev(a: String, b: String): Int = {
