@@ -708,21 +708,25 @@ object Analytic4 {
     * → buffering aggregate), so the oracle hash-checks BOTH physical
     * regimes against the same SQL — the "exact p99 per key without
     * knowing your group cardinality" contract, live. Elements rounded
-    * to 4 (the q30 cross-engine interpolation discipline). */
+    * to 4 (the q30 cross-engine interpolation discipline). Output is
+    * SCALAR columns (p50/p90 via element_at) — the driver's pandas
+    * comparison cannot sort/hash array-typed columns, the contract
+    * OutputSchemaLint in PlanLintSpec now enforces corpus-wide. */
   private def q104(s: SparkSession, d: String): DataFrame = {
     val o = Tables.df(s, d, "orders")
       .select(col("o_custkey"), col("o_totalprice").cast("double"))
     ExactPercentile.percentilesAuto(o, Seq(0.5, 0.9))
       .select(col("g").as("custkey"), col("n"),
-        expr("transform(pcts, x -> round(x, 4))").as("pcts"))
+        round(element_at(col("pcts"), 1), 4).as("p50"),
+        round(element_at(col("pcts"), 2), 4).as("p90"))
       .orderBy("custkey")
   }
 
   private val q104Oracle: String =
     """SELECT CAST(o_custkey AS VARCHAR) AS custkey,
       |  COUNT(*) AS n,
-      |  list_transform(quantile_cont(CAST(o_totalprice AS DOUBLE), [0.5, 0.9]),
-      |    y -> round(y, 4)) AS pcts
+      |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS p50,
+      |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 4) AS p90
       |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
 
   /** q105 — map-typed columns as first-class values (deferred since r5

@@ -3,6 +3,23 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Per-column stats of one snapshot data file: min/max rendered through
+  * `CAST(x AS STRING)` (round-trips through the inverse cast at prune
+  * time), plus the null count. A null `mn`/`mx` with the column PRESENT
+  * means the file's column is entirely NULL — a pruneable fact, distinct
+  * from "no stats recorded" (column absent from `cols`). */
+final case class ColStat(col: String, typ: String, mn: String, mx: String, nc: Long)
+
+/** Manifest-level stats of one data file — the Iceberg/Delta idea that
+  * makes a selective read of a 100 TB snapshot a METADATA operation:
+  * planning prunes the file list against these before any footer I/O. */
+final case class FileStat(path: String, rows: Long, cols: Seq[ColStat])
+
+/** Thrown when a snapshot commit loses the optimistic-concurrency race
+  * for its version slot. Extends IllegalStateException so pre-existing
+  * callers catching that still work. */
+final class SnapshotConflictException(msg: String) extends IllegalStateException(msg)
+
 /** Source/catalog surface — the Spark analog of the reference's external
   * tables + information schema (reference: docs/1_cli_information_schema.md,
   * docs/2_cli_create_tables.md, tests/setup_tables.rs:26).
@@ -314,41 +331,175 @@ object GraftCatalog {
     }).sorted
   }
 
+  /** Manifest lines of a version. `strict = true` additionally demands
+    * the `#eof` terminator publishManifest writes last — its absence
+    * means the manifest is MID-WRITE (the create-exclusive commit
+    * protocol claims the final path first and streams content after;
+    * see [[publishManifest]]). A live writer finishes in milliseconds,
+    * so strict readers retry briefly before declaring the version torn
+    * — after the budget the writer is dead and the version must not be
+    * served (vacuumSnapshots reaps it). Tolerant readers (batch-tag
+    * scans, vacuum's own bookkeeping) pass `strict = false`. */
   private def readManifestLines(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, v: Long): Seq[String] = {
-    val in = fs.open(new org.apache.hadoop.fs.Path(manifestDir(root), s"v$v.manifest"))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
-    finally in.close()
+      root: org.apache.hadoop.fs.Path, v: Long, strict: Boolean = true): Seq[String] = {
+    def once(): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(manifestDir(root), s"v$v.manifest"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+      finally in.close()
+    }
+    if (!strict) once()
+    else {
+      var attempt = 0
+      var lines = once()
+      while (!lines.lastOption.contains("#eof") && attempt < 20) {
+        attempt += 1
+        Thread.sleep(25)
+        lines = once()
+      }
+      if (!lines.lastOption.contains("#eof"))
+        throw new IllegalStateException(
+          s"torn manifest v$v under $root (no #eof terminator — writer crashed mid-publish)")
+      lines
+    }
   }
 
   /** Data-file list of a version (metadata `#key:value` lines skipped). */
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, v: Long): Seq[String] =
-    readManifestLines(fs, root, v).filterNot(_.startsWith("#"))
+      root: org.apache.hadoop.fs.Path, v: Long, strict: Boolean = true): Seq[String] =
+    readManifestLines(fs, root, v, strict).filterNot(_.startsWith("#"))
+
+  /** Stat-able top-level column types: everything with a total order
+    * both engines and the pruning evaluator agree on. Binary and
+    * nested types carry no useful file-level range. */
+  private def statable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | StringType | DateType | TimestampType |
+           TimestampNTZType | BooleanType => true
+      case _ => false
+    }
+  }
+
+  /** Per-file column min/max + null counts for a just-written batch:
+    * ONE Spark aggregation over the batch grouped by `input_file_name`
+    * — cost proportional to the new batch, never the table. (The
+    * zero-read alternative is parquet footer scraping; the one-pass agg
+    * is simpler, engine-portable, and the batch is hot in page cache
+    * right after its own write.) */
+  private[graft] def computeFileStats(spark: SparkSession, files: Seq[String]): Seq[FileStat] = {
+    if (files.isEmpty) return Seq.empty
+    val df = spark.read.parquet(files: _*)
+    val fields = df.schema.fields.filter(f => statable(f.dataType)).toSeq
+    val aggs = count(lit(1)).as("__rows") +: fields.flatMap { f => Seq(
+      min(col(f.name)).cast("string"),
+      max(col(f.name)).cast("string"),
+      sum(when(col(f.name).isNull, 1L).otherwise(0L)))
+    }
+    df.groupBy(input_file_name().as("__path"))
+      .agg(aggs.head, aggs.tail: _*).collect().toSeq.map { row =>
+        val p = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+          new org.apache.hadoop.fs.Path(new java.net.URI(row.getString(0)))).toString
+        val cols = fields.zipWithIndex.map { case (f, i) =>
+          ColStat(f.name, f.dataType.catalogString,
+            row.getString(2 + i * 3), row.getString(3 + i * 3), row.getLong(4 + i * 3))
+        }
+        FileStat(p, row.getLong(1), cols)
+      }
+  }
+
+  /** Write a stats sidecar (JSON lines, one [[FileStat]] per data file)
+    * under a UNIQUE name and return that name. The manifest references
+    * it via a `#stats:<name>` meta line — names are writer-unique, so
+    * racing committers can never clobber each other's sidecars the way
+    * version-named sidecars would. */
+  private def writeStatsFile(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      stats: Seq[FileStat]): String = {
+    val sp = spark; import sp.implicits._
+    val name = s"s-${System.nanoTime()}.stats"
+    val lines = spark.createDataset(stats).toJSON.collect()
+    val out = fs.create(new org.apache.hadoop.fs.Path(manifestDir(root), name), false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    name
+  }
+
+  /** Stats of a version, keyed by data-file path. Empty when the
+    * version predates stats or the sidecar is gone — every consumer
+    * treats a missing entry as "cannot prune", never as an error. */
+  private[graft] def readStats(spark: SparkSession, root: String, v: Long): Map[String, FileStat] = {
+    val (fs, r) = fsOf(spark, root)
+    readManifestLines(fs, r, v).find(_.startsWith("#stats:")).map(_.stripPrefix("#stats:")) match {
+      case None => Map.empty
+      case Some(name) =>
+        val p = new org.apache.hadoop.fs.Path(manifestDir(r), name)
+        if (!fs.exists(p)) Map.empty
+        else {
+          val in = fs.open(p)
+          val lines =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+            finally in.close()
+          val sp = spark; import sp.implicits._
+          spark.read.schema(org.apache.spark.sql.Encoders.product[FileStat].schema)
+            .json(spark.createDataset(lines)).as[FileStat]
+            .collect().map(fstat => fstat.path -> fstat).toMap
+        }
+    }
+  }
 
   /** Publish `df` as the next snapshot version. `append = true` carries
     * the previous version's files forward (ingest batch); `false`
     * replaces the table contents (the manifest flips, no data file is
-    * touched). Returns the committed version. Throws if a concurrent
-    * writer published the same version first — retry-on-conflict is the
-    * caller's policy, exactly the optimistic-concurrency contract of a
-    * real table format. */
+    * touched). Per-file column stats are computed for the new batch
+    * (one agg over the batch) and published with the manifest so
+    * selective reads can data-skip ([[readSnapshot]]'s predicate).
+    * Returns the committed version.
+    *
+    * Concurrency: on a version conflict the commit retries up to
+    * `maxRetries` times against the re-read head — the data batch is
+    * written ONCE and only the manifest attempt repeats, so append
+    * retries are conflict-free merges (each writer's batch lands as its
+    * own serialized version). With retries exhausted (or the default 0)
+    * the batch directory is deleted before the
+    * [[SnapshotConflictException]] propagates — no orphaned data. */
   def commitSnapshot(df: DataFrame, root: String, append: Boolean,
-      meta: Seq[String] = Seq.empty): Long = {
+      meta: Seq[String] = Seq.empty, maxRetries: Int = 0): Long = {
     val spark = df.sparkSession
     val (fs, r) = fsOf(spark, root)
-    val versions = snapshotVersions(spark, root)
-    val next = versions.lastOption.getOrElse(0L) + 1
     val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
     df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
     val newFiles = fs.listStatus(batch)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(st.getPath).toString)
       .sorted.toSeq
-    val carried =
-      if (append && versions.nonEmpty) readManifest(fs, r, versions.last) else Seq.empty
-    publishManifest(fs, r, next, meta ++ carried ++ newFiles)
-    next
+    val newStats = computeFileStats(spark, newFiles)
+    var attempt = 0
+    while (true) {
+      val versions = snapshotVersions(spark, root)
+      val next = versions.lastOption.getOrElse(0L) + 1
+      val carried =
+        if (append && versions.nonEmpty) readManifest(fs, r, versions.last) else Seq.empty
+      val carriedStats =
+        if (carried.nonEmpty)
+          readStats(spark, root, versions.last).filter { case (p, _) => carried.contains(p) }
+        else Map.empty[String, FileStat]
+      val statsName = writeStatsFile(spark, fs, r,
+        (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
+      try {
+        publishManifest(fs, r, next,
+          Seq(s"#stats:$statsName") ++ meta ++ carried ++ newFiles)
+        return next
+      } catch {
+        case e: SnapshotConflictException =>
+          fs.delete(new org.apache.hadoop.fs.Path(manifestDir(r), statsName), false)
+          attempt += 1
+          if (attempt > maxRetries) {
+            fs.delete(batch, true) // don't orphan the unpublished batch
+            throw e
+          }
+      }
+    }
+    -1L // unreachable
   }
 
   /** EXACTLY-ONCE streaming commit: append `df` as the next version
@@ -379,9 +530,21 @@ object GraftCatalog {
     * by the non-key columns' values (struct equality, null-safe). */
   def snapshotDiff(spark: SparkSession, root: String,
       fromV: Long, toV: Long, pk: String): DataFrame = {
-    val a = readSnapshot(spark, root, Some(fromV))
-    val b = readSnapshot(spark, root, Some(toV))
-    val rest = a.columns.filterNot(_ == pk).sorted
+    // Both sides read with mergeSchema and the diff runs over the UNION
+    // of non-key columns: a column added in toV makes every pre-existing
+    // row that sets it 'changed' (it was implicitly NULL before), and a
+    // column dropped from toV's files reads NULL there instead of
+    // throwing — schema-evolving histories diff like any other.
+    val a0 = readSnapshot(spark, root, Some(fromV), mergeSchema = true)
+    val b0 = readSnapshot(spark, root, Some(toV), mergeSchema = true)
+    val rest = (a0.columns ++ b0.columns).distinct.filterNot(_ == pk).sorted
+    def aligned(df: DataFrame, other: DataFrame): DataFrame =
+      rest.foldLeft(df) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(other.schema(c).dataType))
+      }
+    val a = aligned(a0, b0)
+    val b = aligned(b0, a0)
     def packed(df: DataFrame, side: String) = df.select(
       col(pk), struct(rest.map(col): _*).as(s"v_$side"))
     packed(a, "a").join(packed(b, "b"), Seq(pk), "full_outer")
@@ -392,21 +555,290 @@ object GraftCatalog {
           .otherwise(lit("changed")).as("change"))
   }
 
-  /** Write the manifest under a temp name, then CREATE-EXCLUSIVE rename
-    * into place — the commit point. */
+  /** Incremental snapshot SOURCE: the rows that changed between
+    * `fromV` (exclusive; 0 = from the beginning) and `toV` (inclusive)
+    * as a DataFrame tagged `_change` ('insert' rows live in files a
+    * version ADDED, 'delete' rows in files it REMOVED) and `_version`
+    * (the version that introduced the change). A downstream pipeline
+    * subscribes to the table by remembering its last-seen version and
+    * draining this — cost ∝ the changed files, never the table.
+    *
+    * File-level CDC semantics, stated plainly: an append surfaces
+    * exactly its new rows as inserts; an overwrite/rollback surfaces
+    * the full before/after file sets; a copy-on-write MERGE surfaces
+    * the rewritten files' rows on both sides (delete of the old
+    * image, insert of the new — a consumer upserting by pk converges
+    * to the table; [[snapshotDiff]] is the row-exact reconciliation
+    * when you need net changes only). */
+  def readChanges(spark: SparkSession, root: String,
+      fromV: Long, toV: Long): DataFrame = {
+    val (fs, r) = fsOf(spark, root)
+    val versions = snapshotVersions(spark, root).filter(v => v > fromV && v <= toV)
+    require(versions.nonEmpty, s"no versions in ($fromV, $toV] under $root")
+    var prev: Set[String] =
+      if (fromV <= 0) Set.empty else readManifest(fs, r, fromV).toSet
+    val parts = versions.flatMap { v =>
+      val cur = readManifest(fs, r, v).toSet
+      val added = (cur -- prev).toSeq.sorted
+      val removed = (prev -- cur).toSeq.sorted
+      prev = cur
+      val ins =
+        if (added.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true").parquet(added: _*)
+          .withColumn("_change", lit("insert")).withColumn("_version", lit(v)))
+      val del =
+        if (removed.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true").parquet(removed: _*)
+          .withColumn("_change", lit("delete")).withColumn("_version", lit(v)))
+      ins.toSeq ++ del.toSeq
+    }
+    parts.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Copy-on-write row-level MERGE (upsert by `pk`): rows of `updates`
+    * replace same-key rows; new keys append. The composition every
+    * warehouse user hits within a week, done the way a table format
+    * must at 100 TB:
+    *
+    *  1. PLAN on metadata — candidate files are the manifest entries
+    *     whose [min, max] envelope on `pk` overlaps the updates' key
+    *     range ([[mayContain]]); with stats present, files outside the
+    *     range are never opened.
+    *  2. PIN exactly — candidates are semi-joined against the update
+    *     keys (`input_file_name` per row) so only files that TRULY
+    *     contain a matched key are rewritten; range-overlapping but
+    *     unmatched candidates are carried untouched.
+    *  3. REWRITE only those — matched files' rows anti-join the update
+    *     keys, union the updates, land as ONE new batch.
+    *  4. FLIP the manifest — untouched files carry by path (their
+    *     bytes are never read or written), stats carry for carried
+    *     files and compute for the new batch, and the commit point is
+    *     the same create-exclusive publish as any append.
+    *
+    * Readers of every prior version are undisturbed (time travel to
+    * pre-merge intact). `updates` must be pk-unique — standard MERGE
+    * precondition. Returns the committed version (head version if
+    * `updates` is empty). A lost commit race aborts (batch deleted,
+    * [[SnapshotConflictException]]) rather than retrying: unlike an
+    * append, a merge's carried file list is only valid against the
+    * head it planned on — the caller replans against the new head,
+    * exactly Iceberg/Delta's serializable-merge contract. */
+  def mergeSnapshot(spark: SparkSession, root: String,
+      updates: DataFrame, pk: String): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val files = readManifest(fs, r, head)
+    if (updates.isEmpty) return head
+    val stats = readStats(spark, root, head)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val b = updates.agg(min(col(pk)).as("lo"), max(col(pk)).as("hi")).head()
+    val rangePred = org.apache.spark.sql.GraftColumnBridge.expression(
+      col(pk).between(lit(b.get(0)), lit(b.get(1))))
+    val candidates = files.filter(f =>
+      stats.get(f).forall(st => mayContain(st, rangePred, tz)))
+    val keys = updates.select(col(pk)).distinct()
+    val matchedFiles: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else spark.read.parquet(candidates: _*)
+        .withColumn("__file", input_file_name())
+        .join(keys, Seq(pk), "left_semi")
+        .select("__file").distinct().collect()
+        .map(row => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+          new org.apache.hadoop.fs.Path(new java.net.URI(row.getString(0)))).toString)
+        .toSet
+    val carried = files.filterNot(matchedFiles)
+    val tableCols = spark.read.parquet(files.head).columns.toSeq
+    val survivors =
+      if (matchedFiles.isEmpty) updates.select(tableCols.map(col): _*).where(lit(false))
+      else spark.read.parquet(matchedFiles.toSeq.sorted: _*)
+        .join(keys, Seq(pk), "left_anti")
+    val newData = survivors.select(tableCols.map(col): _*)
+      .unionByName(updates.select(tableCols.map(col): _*))
+    // Publish: new batch + carried files, via the standard commit path
+    // but carrying OUR file list rather than blind-appending the head.
+    val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
+    newData.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    val newFiles = fs.listStatus(batch)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(st.getPath).toString)
+      .sorted.toSeq
+    val newStats = computeFileStats(spark, newFiles)
+    val carriedStats = stats.filter { case (p, _) => carried.contains(p) }
+    val statsName = writeStatsFile(spark, fs, r,
+      (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
+    try {
+      val next = head + 1
+      publishManifest(fs, r, next, Seq(s"#stats:$statsName") ++ carried ++ newFiles)
+      next
+    } catch {
+      case e: SnapshotConflictException =>
+        fs.delete(new org.apache.hadoop.fs.Path(manifestDir(r), statsName), false)
+        fs.delete(batch, true)
+        throw e
+    }
+  }
+
+  /** The commit point: CREATE-EXCLUSIVE of the FINAL manifest path,
+    * content written directly, `#eof` terminator last. The earlier
+    * write-tmp + exists() + rename() protocol was only atomic on HDFS —
+    * on RawLocalFileSystem (and object-store connectors) rename()
+    * overwrites an existing destination, so two same-version racers
+    * could both pass the exists() check and one manifest was silently
+    * replaced. create(fin, overwrite = false) makes the conflict check
+    * and the claim a single FS operation; the cost is a torn-write
+    * window if the writer dies mid-write, which the `#eof` terminator
+    * turns into a DETECTED failure (strict readers refuse the version;
+    * [[vacuumSnapshots]] reaps it) instead of a silently short file
+    * list. */
   private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long, files: Seq[String]): Unit = {
     val md = manifestDir(root)
     fs.mkdirs(md)
-    val tmp = new org.apache.hadoop.fs.Path(md, s".tmp-v$v-${System.nanoTime()}")
-    val out = fs.create(tmp, false)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
     val fin = new org.apache.hadoop.fs.Path(md, s"v$v.manifest")
-    if (fs.exists(fin) || !fs.rename(tmp, fin)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"snapshot commit conflict: version $v already published under $root")
+    val out =
+      try fs.create(fin, false)
+      catch {
+        // HDFS/local throw FileAlreadyExistsException; some connectors a
+        // plain IOException — treat any create failure with the
+        // destination present as the conflict it is.
+        case e: java.io.IOException
+            if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+               fs.exists(fin) =>
+          throw new SnapshotConflictException(
+            s"snapshot commit conflict: version $v already published under $root")
+      }
+    try out.write(((files :+ "#eof").mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Inclusive-projection pruning: may `st`'s file contain a row
+    * satisfying `pred`? The Iceberg evaluator idea over the manifest
+    * stats: each comparison node maps to a min/max test (`a > v` →
+    * `max(a) > v`, `a = v` → `min ≤ v ≤ max`), And/Or compose, and
+    * ANYTHING unrecognized — casts, functions, column-to-column
+    * comparisons — degrades to "keep the file". Typed comparison is
+    * delegated to Catalyst itself: the stat string casts back through
+    * TRY `Cast` to the literal's type and the comparison node
+    * evaluates on two literals, so numeric/date/timestamp semantics
+    * are Spark's own, never a hand-rolled ordering. A null stat value
+    * with the column present means the file's column is entirely NULL
+    * — comparisons prune it, IS NULL keeps it. */
+  private[graft] def mayContain(fstat: FileStat,
+      pred: org.apache.spark.sql.catalyst.expressions.Expression, tz: String): Boolean = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val byName = fstat.cols.map(c => c.col -> c).toMap
+    object A {
+      def unapply(e: Expression): Option[String] = e match {
+        case a: UnresolvedAttribute => Some(a.name)
+        case a: AttributeReference => Some(a.name)
+        case _ => None
+      }
+    }
+    // Spark 4 Columns convert to UnresolvedFunction nodes ('and, '>=,
+    // 'in, …) that only the ANALYZER rewrites into catalyst operators;
+    // this evaluator runs pre-analysis, so normalize the comparison
+    // vocabulary itself. Unknown functions stay as-is and fall to the
+    // conservative keep.
+    def norm(e: Expression): Expression = e match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        val as = f.arguments.map(norm)
+        (f.nameParts.last.toLowerCase(java.util.Locale.ROOT), as) match {
+          case ("and", Seq(l, rr)) => And(l, rr)
+          case ("or", Seq(l, rr)) => Or(l, rr)
+          case (">", Seq(l, rr)) => GreaterThan(l, rr)
+          case (">=", Seq(l, rr)) => GreaterThanOrEqual(l, rr)
+          case ("<", Seq(l, rr)) => LessThan(l, rr)
+          case ("<=", Seq(l, rr)) => LessThanOrEqual(l, rr)
+          case ("=" | "==", Seq(l, rr)) => EqualTo(l, rr)
+          case ("<=>", Seq(l, rr)) => EqualNullSafe(l, rr)
+          case ("in", l +: rest) => In(l, rest)
+          case ("isnull", Seq(c)) => IsNull(c)
+          case ("isnotnull", Seq(c)) => IsNotNull(c)
+          case _ => f
+        }
+      case other => other.mapChildren(norm)
+    }
+    def statLit(s: String, dt: DataType): Expression =
+      Cast(Literal(UTF8String.fromString(s), StringType), dt, Option(tz), EvalMode.TRY)
+    def evalB(e: Expression): Option[Boolean] =
+      Option(e.eval(InternalRow.empty)).map(_ == true)
+    def rangeHas(n: String, l: Literal): Boolean = byName.get(n) match {
+      case None => true
+      case Some(c) =>
+        if (l.value == null) true
+        else if (c.mn == null || c.mx == null) false // all-NULL file: a = v unsatisfiable
+        else evalB(LessThanOrEqual(statLit(c.mn, l.dataType), l)).getOrElse(true) &&
+          evalB(GreaterThanOrEqual(statLit(c.mx, l.dataType), l)).getOrElse(true)
+    }
+    def cmp(n: String, l: Literal, useMax: Boolean, strict: Boolean): Boolean =
+      byName.get(n) match {
+        case None => true
+        case Some(c) =>
+          if (l.value == null) true
+          else {
+            val s = if (useMax) c.mx else c.mn
+            if (s == null) false // all-NULL file: no ordered value exists
+            else {
+              val node = (useMax, strict) match {
+                case (true, true)   => GreaterThan(statLit(s, l.dataType), l)
+                case (true, false)  => GreaterThanOrEqual(statLit(s, l.dataType), l)
+                case (false, true)  => LessThan(statLit(s, l.dataType), l)
+                case (false, false) => LessThanOrEqual(statLit(s, l.dataType), l)
+              }
+              evalB(node).getOrElse(true)
+            }
+          }
+      }
+    def keep(e: Expression): Boolean = e match {
+      case And(l, r) => keep(l) && keep(r)
+      case Or(l, r) => keep(l) || keep(r)
+      case Literal(false, BooleanType) => false
+      case EqualTo(A(n), l: Literal) => rangeHas(n, l)
+      case EqualTo(l: Literal, A(n)) => rangeHas(n, l)
+      case EqualNullSafe(A(n), l: Literal) if l.value != null => rangeHas(n, l)
+      case EqualNullSafe(l: Literal, A(n)) if l.value != null => rangeHas(n, l)
+      case GreaterThan(A(n), l: Literal) => cmp(n, l, useMax = true, strict = true)
+      case LessThan(l: Literal, A(n)) => cmp(n, l, useMax = true, strict = true)
+      case GreaterThanOrEqual(A(n), l: Literal) => cmp(n, l, useMax = true, strict = false)
+      case LessThanOrEqual(l: Literal, A(n)) => cmp(n, l, useMax = true, strict = false)
+      case LessThan(A(n), l: Literal) => cmp(n, l, useMax = false, strict = true)
+      case GreaterThan(l: Literal, A(n)) => cmp(n, l, useMax = false, strict = true)
+      case LessThanOrEqual(A(n), l: Literal) => cmp(n, l, useMax = false, strict = false)
+      case GreaterThanOrEqual(l: Literal, A(n)) => cmp(n, l, useMax = false, strict = false)
+      case In(A(n), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => rangeHas(n, v.asInstanceOf[Literal]))
+      case IsNull(A(n)) => byName.get(n).forall(_.nc > 0)
+      case IsNotNull(A(n)) => byName.get(n).forall(c => c.nc < fstat.rows)
+      case _ => true
+    }
+    keep(norm(pred))
+  }
+
+  /** The file list a read of `version` under `predicate` will scan,
+    * plus the manifest's total file count — the data-skipping planner,
+    * exposed for observability (and the spec's files-opened proof).
+    * Files without stats are always kept. */
+  def snapshotScanFiles(spark: SparkSession, root: String,
+      version: Option[Long] = None, predicate: Option[Column] = None): (Seq[String], Int) = {
+    val (fs, r) = fsOf(spark, root)
+    val v = version.getOrElse {
+      val vs = snapshotVersions(spark, root)
+      require(vs.nonEmpty, s"no snapshots published under $root")
+      vs.last
+    }
+    val files = readManifest(fs, r, v)
+    predicate match {
+      case None => (files, files.size)
+      case Some(p) =>
+        val stats = readStats(spark, root, v)
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        val expr = org.apache.spark.sql.GraftColumnBridge.expression(p)
+        (files.filter(f => stats.get(f).forall(st => mayContain(st, expr, tz))), files.size)
     }
   }
 
@@ -417,29 +849,44 @@ object GraftCatalog {
     * per-file schemas (an appended batch may carry NEW columns — feed
     * generations evolve; older files read NULL for them) at the cost
     * of a footer read per file — the same trade the mergeSchema
-    * source surface documents, opt-in for the same reason. */
+    * source surface documents, opt-in for the same reason.
+    *
+    * `predicate` is a row filter that ALSO data-skips at planning:
+    * the manifest's per-file stats prune the file list before any
+    * parquet footer is opened ([[snapshotScanFiles]]), then the same
+    * predicate applies row-level as a normal pushed filter. Semantics
+    * are identical to `.where(predicate)` on the unpruned read; at
+    * 100 TB the difference is a metadata operation versus a listing
+    * storm over thousands of files per version. */
   def readSnapshot(spark: SparkSession, root: String,
-      version: Option[Long] = None, mergeSchema: Boolean = false): DataFrame = {
-    val (fs, r) = fsOf(spark, root)
-    val v = version.getOrElse {
-      val vs = snapshotVersions(spark, root)
-      require(vs.nonEmpty, s"no snapshots published under $root")
-      vs.last
-    }
-    val files = readManifest(fs, r, v)
-    require(files.nonEmpty, s"snapshot v$v of $root is empty")
+      version: Option[Long] = None, mergeSchema: Boolean = false,
+      predicate: Option[Column] = None): DataFrame = {
+    val (kept, total) = snapshotScanFiles(spark, root, version, predicate)
+    require(total > 0, s"snapshot of $root is empty")
+    // All files pruned: scan one manifest file so the schema survives;
+    // the row filter below still yields the (correct) empty result.
+    val files =
+      if (kept.nonEmpty) kept
+      else {
+        val (fs, r) = fsOf(spark, root)
+        val v = version.getOrElse(snapshotVersions(spark, root).last)
+        readManifest(fs, r, v).take(1)
+      }
     val rd = spark.read
-    (if (mergeSchema) rd.option("mergeSchema", "true") else rd).parquet(files: _*)
+    val df = (if (mergeSchema) rd.option("mergeSchema", "true") else rd).parquet(files: _*)
+    predicate.fold(df)(df.where)
   }
 
   /** Roll the table back to `to`'s contents by publishing its file
     * list as a NEW version — history is never rewritten, so the bad
     * versions stay inspectable and a concurrent reader of any version
-    * is unaffected. */
+    * is unaffected. The target's `#stats:` reference is carried, so
+    * data skipping survives the rollback. */
   def rollbackSnapshot(spark: SparkSession, root: String, to: Long): Long = {
     val (fs, r) = fsOf(spark, root)
     val next = snapshotVersions(spark, root).last + 1
-    publishManifest(fs, r, next, readManifest(fs, r, to))
+    val carriedStats = readManifestLines(fs, r, to).filter(_.startsWith("#stats:"))
+    publishManifest(fs, r, next, carriedStats ++ readManifest(fs, r, to))
     next
   }
 
@@ -480,23 +927,74 @@ object GraftCatalog {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(st.getPath).toString)
       .sorted.toSeq
+    // z-clustered files have TIGHT per-file envelopes on every cluster
+    // column — exactly where manifest stats pay most.
+    val statsName = writeStatsFile(spark, fs, r, computeFileStats(spark, newFiles))
     val next = snapshotVersions(spark, root).last + 1
-    publishManifest(fs, r, next, newFiles)
+    try publishManifest(fs, r, next, s"#stats:$statsName" +: newFiles)
+    catch {
+      case e: SnapshotConflictException =>
+        fs.delete(new org.apache.hadoop.fs.Path(manifestDir(r), statsName), false)
+        fs.delete(batch, true)
+        throw e
+    }
     next
   }
 
   /** DESTRUCTIVE: delete data files referenced only by versions older
-    * than `keepFrom`, then drop those versions' manifests. Time travel
-    * to vacuumed versions is gone — the explicit retention trade every
-    * table format makes. Returns the number of data files deleted. */
-  def vacuumSnapshots(spark: SparkSession, root: String, keepFrom: Long): Int = {
+    * than `keepFrom`, then drop those versions' manifests (torn
+    * manifests — crashed publishes without `#eof` — are read
+    * tolerantly and reaped the same way). Also reaps: stats sidecars
+    * no surviving manifest references, and ORPHAN batch directories
+    * under `root/data` that no surviving manifest references and whose
+    * modification time is older than `orphanGraceMs` — the residue of
+    * a commit that wrote its batch but crashed (or lost its conflict
+    * race) before publishing. The grace window exists because an
+    * IN-FLIGHT commit's batch is also unreferenced-but-alive; size it
+    * above your longest commit. Time travel to vacuumed versions is
+    * gone — the explicit retention trade every table format makes.
+    * Returns the number of data files deleted. */
+  def vacuumSnapshots(spark: SparkSession, root: String, keepFrom: Long,
+      orphanGraceMs: Long = 10 * 60 * 1000L): Int = {
     val (fs, r) = fsOf(spark, root)
-    val (old, kept) = snapshotVersions(spark, root).partition(_ < keepFrom)
-    val keepFiles = kept.flatMap(readManifest(fs, r, _)).toSet
-    val dead = old.flatMap(readManifest(fs, r, _)).distinct.filterNot(keepFiles)
+    val horizon0 = System.currentTimeMillis() - orphanGraceMs
+    // Aged TORN manifests (no #eof — a publish that crashed mid-write)
+    // are vacuumable at ANY version: strict readers refuse them anyway.
+    // The age check keeps a concurrent in-flight publish safe.
+    val torn = snapshotVersions(spark, root).filter { v =>
+      val p = new org.apache.hadoop.fs.Path(manifestDir(r), s"v$v.manifest")
+      fs.getFileStatus(p).getModificationTime < horizon0 &&
+        !readManifestLines(fs, r, v, strict = false).lastOption.contains("#eof")
+    }
+    val (old0, kept) = snapshotVersions(spark, root).filterNot(torn.contains)
+      .partition(_ < keepFrom)
+    val old = old0 ++ torn
+    val keepFiles = kept.flatMap(readManifest(fs, r, _, strict = false)).toSet
+    val dead = old.flatMap(readManifest(fs, r, _, strict = false))
+      .distinct.filterNot(keepFiles)
     dead.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     old.foreach(v => fs.delete(
       new org.apache.hadoop.fs.Path(manifestDir(r), s"v$v.manifest"), false))
+    // Stats sidecars referenced by no surviving manifest.
+    val keepStats = kept.flatMap(v => readManifestLines(fs, r, v, strict = false)
+      .filter(_.startsWith("#stats:")).map(_.stripPrefix("#stats:"))).toSet
+    val md = manifestDir(r)
+    if (fs.exists(md)) fs.listStatus(md)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".stats"))
+      .filterNot(st => keepStats(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, false))
+    // Orphan batch dirs: unreferenced by any surviving manifest, aged
+    // past the in-flight-commit grace window.
+    val dataDir = new org.apache.hadoop.fs.Path(r, "data")
+    val horizon = System.currentTimeMillis() - orphanGraceMs
+    if (fs.exists(dataDir)) fs.listStatus(dataDir)
+      .filter(st => st.isDirectory && st.getModificationTime < horizon)
+      .filterNot { st =>
+        val prefix = org.apache.hadoop.fs.Path
+          .getPathWithoutSchemeAndAuthority(st.getPath).toString + "/"
+        keepFiles.exists(_.startsWith(prefix))
+      }
+      .foreach(st => fs.delete(st.getPath, true))
     dead.size
   }
 

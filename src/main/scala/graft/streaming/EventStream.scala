@@ -438,7 +438,11 @@ object EventStream {
             state.remove()
             Iterator.single(SessionUpdate(userId, last.sessionCount, closed = true))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // Same full-microsecond ordering as PatternProcessor (:394)
+            // — gap detection below stays millisecond (30-min gaps), but
+            // in-batch event ORDER must not tie on sub-ms timestamps.
+            val sorted = rows.toSeq.sortBy(e =>
+              (e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L, e.event_id))
             if (sorted.isEmpty) Iterator.empty
             else {
               val init = state.getOption.getOrElse(UserSessionState(0L, Long.MinValue))

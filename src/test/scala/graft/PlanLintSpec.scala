@@ -45,4 +45,28 @@ class PlanLintSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"plan lint:\n${offenders.mkString("\n")}")
   }
+
+  test("declared-oracle queries emit only scalar top-level columns") {
+    // The driver's comparison harness loads both sides into pandas and
+    // sorts every column before hashing; an array/map/struct-typed
+    // column is unhashable there (numpy.ndarray TypeError — the r8
+    // q104 red row). Queries that WANT nested output either flatten it
+    // (q44 array_join, q104 element_at) or declare no oracle. This
+    // lint pins that contract corpus-wide at schema level — cheaper
+    // than the driver round-trip and impossible to re-break silently.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val withOracle = SparkEntry.oracleSql.keySet
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if withOracle(name) =>
+        fn(spark, sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+                    f.dataType.isInstanceOf[MapType] ||
+                    f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+      case _ => Nil
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar columns in declared-oracle queries:\n${offenders.mkString("\n")}")
+  }
 }

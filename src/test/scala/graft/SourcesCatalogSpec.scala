@@ -532,4 +532,251 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(scanZ * 3 < total,
       s"3-col z-order scans too much of the table: $scanZ of $total")
   }
+
+  test("snapshot data skipping: manifest stats prune the file list before any footer I/O") {
+    import spark.implicits._
+    val root = s"$tmp/snapskip_${System.nanoTime()}"
+    // four appended batches with DISJOINT id ranges, one file each —
+    // the shape a range-partitioned ingest leaves behind
+    Seq(1 to 100, 101 to 200, 201 to 300, 301 to 400).foreach { rng =>
+      GraftCatalog.commitSnapshot(
+        rng.map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(1),
+        root, append = true)
+    }
+    val full = GraftCatalog.readSnapshot(spark, root)
+
+    // range predicate: 150..160 lives in exactly one batch
+    val pRange = col("id").between(150L, 160L)
+    val (kept, total) = GraftCatalog.snapshotScanFiles(spark, root, None, Some(pRange))
+    assert(total == 4, s"expected 4 manifest files, got $total")
+    assert(kept.size == 1, s"range predicate should prune to 1 file, kept ${kept.size}")
+    val pruned = GraftCatalog.readSnapshot(spark, root, predicate = Some(pRange))
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == (150L to 160L),
+      "pruned read must equal the unpruned filtered read")
+
+    // equality predicate, plus the flipped-orientation and IN forms
+    assert(GraftCatalog.snapshotScanFiles(spark, root, None,
+      Some(col("id") === 250L))._1.size == 1)
+    assert(GraftCatalog.snapshotScanFiles(spark, root, None,
+      Some(lit(250L) === col("id")))._1.size == 1)
+    assert(GraftCatalog.snapshotScanFiles(spark, root, None,
+      Some(col("id").isin(50L, 350L)))._1.size == 2)
+
+    // string stats prune too (lexicographic envelopes are coarser —
+    // 'r150' falls inside batch 1's [r1, r99] — but batches 3 and 4 go)
+    val (keptS, _) = GraftCatalog.snapshotScanFiles(spark, root, None,
+      Some(col("v") === "r150"))
+    assert(keptS.size <= 2, s"string envelope should drop half the files: ${keptS.size}")
+
+    // all files pruned: empty result, schema intact
+    val none = GraftCatalog.readSnapshot(spark, root, predicate = Some(col("id") === -5L))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+    // IS NULL prunes everything (null counts are in the stats);
+    // IS NOT NULL keeps everything
+    assert(GraftCatalog.snapshotScanFiles(spark, root, None,
+      Some(col("v").isNull))._1.isEmpty)
+    assert(GraftCatalog.snapshotScanFiles(spark, root, None,
+      Some(col("v").isNotNull))._1.size == 4)
+
+    // untranslatable predicates degrade to keep-everything, never wrong
+    assert(GraftCatalog.snapshotScanFiles(spark, root, None,
+      Some(length(col("v")) > 2))._1.size == 4)
+    // semantics check: pruned+filtered == plain filtered, row for row
+    assert(GraftCatalog.readSnapshot(spark, root,
+        predicate = Some(col("id") % 7 === 0 && col("id") < 210L)).count() ==
+      full.where(col("id") % 7 === 0 && col("id") < 210L).count())
+  }
+
+  test("snapshot data skipping composes with schema evolution and time travel") {
+    import spark.implicits._
+    val root = s"$tmp/snapskipevo_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 50).map(i => (i.toLong, s"a$i")).toDF("id", "v").repartition(1),
+      root, append = false)
+    GraftCatalog.commitSnapshot(
+      (51 to 60).map(i => (i.toLong, s"b$i", i * 10L)).toDF("id", "v", "score")
+        .repartition(1),
+      root, append = true)
+    // predicate on the NEW column: the old file has no 'score' stats →
+    // conservatively kept; the row filter still yields only new rows
+    val evolved = GraftCatalog.readSnapshot(spark, root, mergeSchema = true,
+      predicate = Some(col("score") >= 550L))
+    assert(evolved.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (55L to 60L))
+    // predicate on the shared column prunes across generations
+    assert(GraftCatalog.snapshotScanFiles(spark, root, None,
+      Some(col("id") <= 10L))._1.size == 1)
+    // time travel ignores later stats entirely
+    assert(GraftCatalog.readSnapshot(spark, root, Some(1),
+      predicate = Some(col("id") <= 10L)).count() == 10)
+  }
+
+  test("copy-on-write merge rewrites only matched files; carried files and time travel are untouched") {
+    import spark.implicits._
+    val root = s"$tmp/snapmerge_${System.nanoTime()}"
+    Seq(1 to 100, 101 to 200, 201 to 300).foreach { rng =>
+      GraftCatalog.commitSnapshot(
+        rng.map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(1),
+        root, append = true)
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifestFiles(v: Long): Seq[String] =
+      GraftCatalog.snapshotScanFiles(spark, root, Some(v), None)._1
+    val preFiles = manifestFiles(3L)
+    val preMeta = preFiles.map { f =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+      f -> (st.getModificationTime, st.getLen)
+    }.toMap
+
+    // updates touch ONLY batch 2's key range, plus two brand-new keys
+    val updates = Seq((150L, "UPDATED150"), (160L, "UPDATED160"),
+      (1000L, "NEW1000"), (1001L, "NEW1001")).toDF("id", "v")
+    val vm = GraftCatalog.mergeSnapshot(spark, root, updates, "id")
+    assert(vm == 4L)
+
+    // row-level semantics: updated, inserted, everything else intact
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.count() == 302)
+    val byId = head.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(150L) == "UPDATED150" && byId(160L) == "UPDATED160")
+    assert(byId(1000L) == "NEW1000" && byId(1001L) == "NEW1001")
+    assert(byId(149L) == "r149" && byId(250L) == "r250")
+
+    // file-level copy-on-write: batches 1 and 3 carried BY PATH with
+    // bytes untouched; batch 2's file is gone from the head manifest
+    val postFiles = manifestFiles(4L)
+    val carried = postFiles.filter(preFiles.contains)
+    assert(carried.size == 2, s"expected 2 carried files, got ${carried.size}")
+    carried.foreach { f =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+      assert((st.getModificationTime, st.getLen) == preMeta(f),
+        s"carried file was rewritten: $f")
+    }
+    val rewritten = preFiles.filterNot(postFiles.contains)
+    assert(rewritten.size == 1, "exactly the matched file must leave the manifest")
+
+    // stats survive the merge: a selective read of the head still prunes
+    assert(GraftCatalog.snapshotScanFiles(spark, root, None,
+      Some(col("id") === 50L))._1.size < postFiles.size)
+
+    // time travel to the pre-merge version is intact
+    val pre = GraftCatalog.readSnapshot(spark, root, Some(3L))
+    assert(pre.count() == 300)
+    assert(pre.where(col("id") === 150L).head().getString(1) == "r150")
+
+    // a merge that loses its commit race aborts CLEANLY: the clash
+    // lands WHILE the merge is running (the updates DataFrame's first
+    // evaluation happens after the merge pins its base version), so the
+    // merge plans against v4 and finds v5 taken at publish time
+    val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
+    val dirsBefore = fs.listStatus(dataDir).count(_.isDirectory)
+    val mkClash = udf(() => {
+      val p = new org.apache.hadoop.fs.Path(s"$root/_manifests/v5.manifest")
+      val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (!f.exists(p)) {
+        val o = f.create(p, true); o.write("#eof\n".getBytes("UTF-8")); o.close()
+      }
+      true
+    })
+    intercept[graft.sources.SnapshotConflictException] {
+      GraftCatalog.mergeSnapshot(spark, root,
+        Seq((150L, "X")).toDF("id", "v").filter(mkClash()), "id")
+    }
+    assert(fs.listStatus(dataDir).count(_.isDirectory) == dirsBefore,
+      "aborted merge must not orphan its batch directory")
+  }
+
+  test("concurrent appenders with retry both land as serialized versions") {
+    import spark.implicits._
+    val root = s"$tmp/snapconc_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      Seq((0L, "base")).toDF("id", "v"), root, append = false)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val landed = Await.result(Future.sequence((1 to 4).map { i =>
+      Future(GraftCatalog.commitSnapshot(
+        Seq((i.toLong, s"w$i")).toDF("id", "v"), root,
+        append = true, maxRetries = 16))
+    }), 120.seconds)
+    assert(landed.toSet.size == 4, s"writers must land distinct versions: $landed")
+    assert(GraftCatalog.snapshotVersions(spark, root) == (1L to 5L),
+      "five contiguous versions after four racing appends")
+    // append retries are conflict-free merges: EVERY writer's batch is
+    // at the head, nobody's commit was silently replaced
+    val ids = GraftCatalog.readSnapshot(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 2L, 3L, 4L), s"lost a racing batch: $ids")
+  }
+
+  test("vacuum reaps unreferenced sidecars, aged orphan batch dirs, and aged torn manifests") {
+    import spark.implicits._
+    val root = s"$tmp/snapreap_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = false)
+    GraftCatalog.commitSnapshot(
+      (11 to 12).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = true)
+    GraftCatalog.commitSnapshot(
+      (20 to 24).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = false)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a crashed commit's residue: an orphan batch dir nothing references
+    val orphan = new org.apache.hadoop.fs.Path(s"$root/data/b0_orphan")
+    fs.mkdirs(orphan)
+    val o = fs.create(new org.apache.hadoop.fs.Path(orphan, "junk.parquet"), false)
+    o.write(Array[Byte](1, 2, 3)); o.close()
+    // a crashed publish: manifest with no #eof terminator
+    val tornP = new org.apache.hadoop.fs.Path(s"$root/_manifests/v4.manifest")
+    val t = fs.create(tornP, false)
+    t.write("/nowhere/file.parquet\n".getBytes("UTF-8")); t.close()
+    // strict readers refuse the torn version loudly
+    val err = intercept[IllegalStateException] {
+      GraftCatalog.readSnapshot(spark, root, Some(4L))
+    }
+    assert(err.getMessage.contains("torn"))
+    Thread.sleep(50) // age everything past an orphanGraceMs = 0 horizon
+
+    val deleted = GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 3,
+      orphanGraceMs = 0L)
+    assert(deleted > 0)
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(3L),
+      "v1/v2 vacuumed by retention, torn v4 reaped as garbage")
+    assert(!fs.exists(orphan), "orphan batch dir must be reaped")
+    assert(!fs.exists(tornP), "aged torn manifest must be reaped")
+    // exactly the surviving version's stats sidecar remains
+    val sidecars = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_manifests"))
+      .filter(_.getPath.getName.endsWith(".stats"))
+    assert(sidecars.length == 1, s"expected 1 surviving sidecar, got ${sidecars.length}")
+    // the survivor still reads in full and still data-skips
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 5)
+    assert(GraftCatalog.snapshotScanFiles(spark, root, None,
+      Some(col("id") === 20L))._1.nonEmpty)
+  }
+
+  test("readChanges surfaces per-version inserts and deletes with cumulative correctness") {
+    import spark.implicits._
+    val root = s"$tmp/snapchg_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 5).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = false)
+    GraftCatalog.commitSnapshot(
+      (6 to 8).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = true)
+    // an overwrite shows up as delete-of-old + insert-of-new
+    GraftCatalog.commitSnapshot(
+      (100 to 101).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = false)
+    val all = GraftCatalog.readChanges(spark, root, 0L, 3L)
+    val byTag = all.groupBy("_version", "_change").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byTag((1L, "insert")) == 5 && byTag((2L, "insert")) == 3)
+    assert(byTag((3L, "insert")) == 2 && byTag((3L, "delete")) == 8)
+    // an incremental consumer applying inserts-minus-deletes converges
+    // to the head snapshot
+    val net = all.where(col("_change") === "insert")
+      .groupBy("id").agg(max("_version").as("iv"))
+      .join(all.where(col("_change") === "delete")
+        .groupBy("id").agg(max("_version").as("dv")), Seq("id"), "left")
+      .where(col("dv").isNull || col("iv") > col("dv"))
+    assert(net.select("id").collect().map(_.getLong(0)).toSet == Set(100L, 101L))
+  }
 }
