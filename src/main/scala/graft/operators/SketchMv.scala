@@ -223,9 +223,52 @@ object SketchMv {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |ORDER BY join_name""".stripMargin
 
+  /** q118 — the KLL MV (q107) in its EXACT regime, oracle-checked: the
+    * q106/q108 exactness-boundary contract applied to quantiles. A KLL
+    * sketch compacts only past its k=200 capacity; per-nation supplier
+    * counts stay far under it at the verify SFs (≤ 40 at sf0.1), so
+    * the sharded partials (nation × suppkey-shard — the MV's ingest
+    * granularity) MERGE into sketches still holding every value, and
+    * `kll_quantiles`' INCLUSIVE search reproduces exact discrete
+    * percentiles — hash-identical to DuckDB's `quantile_disc` (the
+    * q62-pinned convention). Above capacity the same plan degrades to
+    * the published ~1.65% rank-error bound (q107's regime, rows-only).
+    * The merge path — not a direct sketch — is deliberately on the
+    * oracle'd path: it proves partials→merge loses nothing below
+    * capacity. */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sup = Tables.df(s, d, "supplier")
+      .join(Tables.df(s, d, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("s_suppkey"),
+        col("s_acctbal").cast("double").as("bal"))
+    val partials = sup
+      .groupBy(col("nation"), (col("s_suppkey") % 4).as("shard"))
+      .agg(expr("kll_sketch_agg(bal)").as("sk"), count(lit(1)).as("nr"))
+    partials.groupBy("nation")
+      .agg(expr("kll_merge_agg(sk)").as("sk"), sum(col("nr")).as("n"))
+      .select(col("nation"), col("n"),
+        expr("kll_quantiles(sk, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(col("nation"), col("n"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"))
+      .orderBy("nation")
+  }
+
+  private val q118Oracle: String =
+    """SELECT n_name AS nation, COUNT(*) AS n,
+      |  quantile_disc(CAST(s_acctbal AS DOUBLE), 0.25) AS p25,
+      |  quantile_disc(CAST(s_acctbal AS DOUBLE), 0.5)  AS p50,
+      |  quantile_disc(CAST(s_acctbal AS DOUBLE), 0.75) AS p75
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q103_sketch_mv", None, q103),
     Q("q107_kll_quantile_mv", None, q107),
     Q("q108_theta_retention", Some(q108Oracle), q108),
-    Q("q109_join_size", Some(q109Oracle), q109))
+    Q("q109_join_size", Some(q109Oracle), q109),
+    Q("q118_kll_exact", Some(q118Oracle), q118))
 }

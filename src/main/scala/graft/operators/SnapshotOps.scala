@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.GraftCatalog
+
+/** Snapshot-table operators surfaced as driver queries: the manifest
+  * format's row-level MERGE reconciled against a plain relational
+  * recompute in DuckDB — the end-to-end proof that the copy-on-write
+  * composition (stats-pruned candidates → semi-join pinning → single
+  * rewritten batch → manifest flip) produces exactly the table a
+  * full-recompute upsert would.
+  *
+  * Reference anchor: the reference's versioned-table ambitions live in
+  * its docs (docs/9 roadmap items); the concrete semantics here are
+  * the standard MERGE contract every lakehouse format implements.
+  */
+object SnapshotOps {
+
+  /** q117 — copy-on-write MERGE, oracle-reconciled: orders lands as a
+    * 4-batch range-partitioned snapshot table; an update feed RUSH-
+    * re-prices every 10th key in the first key quarter (so exactly the
+    * first batch's file is rewritten — the other three carry by path)
+    * and appends brand-new synthetic keys; the merged head is then
+    * aggregated per priority class. The DuckDB oracle never sees the
+    * table format: it recomputes the post-merge state relationally
+    * (base minus touched keys, union updates, union new rows), so a
+    * hash match proves merge == full recompute row-for-row. Money sums
+    * follow the SURVEY §5 decimal discipline. Rebuilt per run (root
+    * wiped first) so the query is deterministic and self-contained;
+    * the merge itself is metadata + one-batch I/O — the 100 TB shape. */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.df(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("pr"))
+    val root = s"/tmp/graft-index/snapmerge_${math.abs(d.hashCode.toLong)}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+    val step = mk / 4 + 1
+    (0L until 4L).foreach { i =>
+      GraftCatalog.commitSnapshot(
+        orders.where(col("o_orderkey") >= i * step &&
+          col("o_orderkey") < (i + 1) * step).repartition(1),
+        root, append = true)
+    }
+    val updates = orders
+      .where(col("o_orderkey") % 10 === 0 && col("o_orderkey") <= mk / 4)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("price") + lit(100.0)).as("price"), lit("0-RUSH").as("pr"))
+      .unionByName(orders.where(col("o_orderkey") % 1000 === 0)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          col("o_custkey"), col("price"), lit("9-NEW").as("pr")))
+    GraftCatalog.mergeSnapshot(s, root, updates, "o_orderkey")
+    GraftCatalog.readSnapshot(s, root)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("pr")
+  }
+
+  private val q117Oracle: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) + 100.0 AS price, '0-RUSH' AS pr
+      |  FROM orders, mk WHERE o_orderkey % 10 = 0 AND o_orderkey <= mk // 4),
+      |newr AS (
+      |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, '9-NEW' AS pr
+      |  FROM orders WHERE o_orderkey % 1000 = 0),
+      |base AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+      |    o_orderpriority AS pr
+      |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)),
+      |fin AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM newr)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q117_merge_cow", Some(q117Oracle), q117))
+}
