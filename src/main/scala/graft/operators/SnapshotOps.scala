@@ -20,12 +20,13 @@ import graft.sources.GraftCatalog
 object SnapshotOps {
 
   /** q117 — copy-on-write MERGE, oracle-reconciled: orders lands as a
-    * 4-batch range-partitioned snapshot table; an update feed RUSH-
-    * re-prices every 10th key in the first key quarter (so exactly the
-    * first batch's file is rewritten — the other three carry by path)
-    * and appends brand-new synthetic keys; the merged head is then
-    * aggregated per priority class. The DuckDB oracle never sees the
-    * table format: it recomputes the post-merge state relationally
+    * range-partitioned 4-file snapshot (ONE commit — each file gets a
+    * tight orderkey envelope in the manifest stats); an update feed
+    * RUSH-re-prices every 10th key in the first key quarter (so only
+    * the file(s) covering that range are rewritten — the rest carry by
+    * path) and appends brand-new synthetic keys; the merged head is
+    * then aggregated per priority class. The DuckDB oracle never sees
+    * the table format: it recomputes the post-merge state relationally
     * (base minus touched keys, union updates, union new rows), so a
     * hash match proves merge == full recompute row-for-row. Money sums
     * follow the SURVEY §5 decimal discipline. Rebuilt per run (root
@@ -41,13 +42,8 @@ object SnapshotOps {
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     fs.delete(p, true)
     val mk = orders.agg(max("o_orderkey")).head().getLong(0)
-    val step = mk / 4 + 1
-    (0L until 4L).foreach { i =>
-      GraftCatalog.commitSnapshot(
-        orders.where(col("o_orderkey") >= i * step &&
-          col("o_orderkey") < (i + 1) * step).repartition(1),
-        root, append = true)
-    }
+    GraftCatalog.commitSnapshot(
+      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
     val updates = orders
       .where(col("o_orderkey") % 10 === 0 && col("o_orderkey") <= mk / 4)
       .select(col("o_orderkey"), col("o_custkey"),
