@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-9 relational surface: hypothetical-set aggregates and
+  * gaps-and-islands streak detection.
+  */
+object Analytic6 {
+
+  /** q120 — hypothetical-set aggregates (SQL:2003
+    * `RANK(v) WITHIN GROUP (ORDER BY x)` and friends), which Spark has
+    * no native form for: "if a 250k order arrived in each priority
+    * class, what rank / dense_rank / percent_rank / cume_dist would it
+    * take?" Implemented the way the feature scales — ONE partial+final
+    * conditional aggregation computing the count identities
+    * (rank = |x < v| + 1, dense_rank = |distinct x < v| + 1,
+    * percent_rank = |x < v| / n, cume_dist = (|x ≤ v| + 1)/(n + 1))
+    * — never by materializing the hypothetical row. The DuckDB oracle
+    * takes the DEFINITIONAL route instead: UNION the probe row into
+    * each group, run real rank()/dense_rank() windows, read the probe
+    * row's values — so a hash match proves the count identities against
+    * the standard's "insert and evaluate" semantics arms-length, not
+    * against a restatement of the same arithmetic. All ratios are
+    * exact-integer divisions evaluated in DOUBLE identically by both
+    * engines. */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val v = 250000.0
+    Tables.df(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("o_totalprice") < v, 1)).as("below"),
+        count(when(col("o_totalprice") <= v, 1)).as("at_below"),
+        countDistinct(when(col("o_totalprice") < v, col("o_totalprice")))
+          .as("dbelow"))
+      .select(
+        col("o_orderpriority"),
+        (col("below") + 1L).as("hrank"),
+        (col("dbelow") + 1L).as("hdense_rank"),
+        (col("below").cast("double") / col("n")).as("hpct_rank"),
+        ((col("at_below") + 1L).cast("double") / (col("n") + 1L))
+          .as("hcume_dist"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q120Oracle: String =
+    """WITH probe AS (
+      |  SELECT DISTINCT o_orderpriority, CAST(250000.0 AS DOUBLE) AS tp,
+      |    1 AS is_probe
+      |  FROM orders),
+      |uni AS (
+      |  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS tp, 0 AS is_probe
+      |  FROM orders
+      |  UNION ALL SELECT o_orderpriority, tp, is_probe FROM probe),
+      |rk AS (
+      |  SELECT o_orderpriority, is_probe,
+      |    rank() OVER (PARTITION BY o_orderpriority ORDER BY tp) AS r,
+      |    dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY tp) AS dr,
+      |    count(*) OVER (PARTITION BY o_orderpriority
+      |      ORDER BY tp RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS n_at_below,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS ntot
+      |  FROM uni)
+      |SELECT o_orderpriority,
+      |  CAST(r AS BIGINT) AS hrank,
+      |  CAST(dr AS BIGINT) AS hdense_rank,
+      |  CAST(r - 1 AS DOUBLE) / (ntot - 1) AS hpct_rank,
+      |  CAST(n_at_below AS DOUBLE) / ntot AS hcume_dist
+      |FROM rk WHERE is_probe = 1
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q121 — longest consecutive-day activity streak per user (the
+    * engagement metric every product-analytics stack ships): distinct
+    * purchase days per user, the gaps-and-islands `day_index −
+    * row_number` key (consecutive days share it), island lengths, then
+    * per-user longest/active-day rollup, top-20. All arithmetic stays
+    * in the integer DATE domain (datediff from a fixed epoch) so both
+    * engines agree bit-for-bit. Plan: one per-user shuffle carries the
+    * distinct-day frame through the row_number window AND both
+    * aggregations — no global sort until the final top-20
+    * (TakeOrdered). At 100 TB the distinct-day collapse happens
+    * map-side before the shuffle: the window sees |users|×|days| rows,
+    * never |events|. */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.df(s, d, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("dy"))
+      .distinct()
+      .withColumn("di", datediff(col("dy"), lit("2024-01-01")))
+    val w = Window.partitionBy("user_id").orderBy("dy")
+    days
+      .withColumn("isl", col("di") - row_number().over(w))
+      .groupBy("user_id", "isl")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy(col("longest_streak").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private val q121Oracle: String =
+    """WITH pd AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS dy
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |rn AS (
+      |  SELECT user_id,
+      |    datediff('day', DATE '2024-01-01', dy)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY dy) AS isl
+      |  FROM pd),
+      |st AS (
+      |  SELECT user_id, isl, COUNT(*) AS len FROM rn GROUP BY 1, 2)
+      |SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks,
+      |  CAST(SUM(len) AS BIGINT) AS active_days
+      |FROM st GROUP BY user_id
+      |ORDER BY longest_streak DESC, user_id
+      |LIMIT 20""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q120_hypothetical_rank", Some(q120Oracle), q120),
+    Q("q121_streaks", Some(q121Oracle), q121))
+}

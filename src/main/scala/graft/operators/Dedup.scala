@@ -1412,6 +1412,43 @@ object Dedup {
       .select(col("a").as("a_id"), col("b").as("b_id"), col("truss"))
       .orderBy("a_id", "b_id")
 
+  /** d22 — SEMANTIC dedup, cluster-blocked (the published SemDeDup
+    * shape: k-means over the embedding space, pairwise cosine only
+    * WITHIN each learned cluster, remove the member of each near-dup
+    * pair that sits CLOSEST to its centroid — keeping the less
+    * prototypical example preserves diversity). The blocking is the
+    * novelty vs d05 (metadata label blocking) and d07 (LSH bucket
+    * blocking): clusters are LEARNED from the vectors themselves, so
+    * the method needs no labels and no hash-family tuning — the
+    * trade is quadratic work within a cluster, bounded statistically
+    * by nlist (at 100 TB you raise nlist so E[cluster] stays
+    * rewrite-affordable, exactly the published recipe's sqrt(N)
+    * guidance). Reuses s03's persisted k-means index: the self-join is
+    * keyed on the cluster id, one shuffle, never corpus × corpus.
+    * Rows-only (a learned quantizer has no SQL restatement);
+    * PipelineSpec pins recall of d05's same-label near-dup pairs and
+    * the removed-side centroid rule. */
+  private def d22(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (idx, cents) = Similarity.ivfIndex(s, d)
+    val centDf = Similarity.centroidsDf(s, cents)
+    val withCos = idx.join(broadcast(centDf), "cl")
+      .withColumn("ccos", expr("vec_dot(e, ce)") / (col("nrm") * col("cnrm")))
+      .select(col("cl"), col("vec_id"), col("e"), col("nrm"), col("ccos"))
+    val a = withCos.select(col("cl"), col("vec_id").as("a_id"),
+      col("e").as("ea"), col("nrm").as("na"), col("ccos").as("ca"))
+    val b = withCos.select(col("cl"), col("vec_id").as("b_id"),
+      col("e").as("eb"), col("nrm").as("nb"), col("ccos").as("cb"))
+    a.join(b, "cl").where(col("a_id") < col("b_id"))
+      .withColumn("cos", expr("vec_dot(ea, eb)") / (col("na") * col("nb")))
+      .where(col("cos") >= 0.3)
+      .select(col("cl"), col("a_id"), col("b_id"),
+        round(col("cos"), 6).as("cos_r"),
+        when(col("ca") >= col("cb"), col("a_id")).otherwise(col("b_id"))
+          .as("removed"))
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
@@ -1433,5 +1470,6 @@ object Dedup {
     Q("d18_incremental_ingest", None, d18),
     Q("d19_incremental_verdicts", Some(d19Oracle), d19),
     Q("d20_kcore", None, d20),
-    Q("d21_ktruss", None, d21))
+    Q("d21_ktruss", None, d21),
+    Q("d22_semantic_dedup", None, d22))
 }

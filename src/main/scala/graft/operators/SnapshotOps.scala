@@ -7,11 +7,12 @@ import graft.Tables
 import graft.sources.GraftCatalog
 
 /** Snapshot-table operators surfaced as driver queries: the manifest
-  * format's row-level MERGE reconciled against a plain relational
-  * recompute in DuckDB — the end-to-end proof that the copy-on-write
-  * composition (stats-pruned candidates → semi-join pinning → single
-  * rewritten batch → manifest flip) produces exactly the table a
-  * full-recompute upsert would.
+  * format's row-level MERGE and DELETE reconciled against a plain
+  * relational recompute in DuckDB — the end-to-end proof that the
+  * copy-on-write composition (stats-pruned candidates → semi-join /
+  * input_file_name pinning → single rewritten batch → manifest flip)
+  * produces exactly the table a full-recompute upsert / anti-filter
+  * would.
   *
   * Reference anchor: the reference's versioned-table ambitions live in
   * its docs (docs/9 roadmap items); the concrete semantics here are
@@ -82,6 +83,51 @@ object SnapshotOps {
       |  COUNT(DISTINCT o_custkey) AS nc
       |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q119 — copy-on-write DELETE, oracle-reconciled: the same 4-file
+    * range-partitioned orders snapshot as q117, then
+    * `DELETE WHERE o_orderkey ≤ max/4 AND o_custkey % 7 = 0` — the
+    * orderkey envelope in the manifest stats prunes planning to the
+    * FIRST file, `input_file_name` pinning confirms it truly holds
+    * matching rows, and only that file rewrites (survivor rows minus
+    * the deleted set); the other three carry by path. The head is then
+    * aggregated per priority class and hash-matched against DuckDB's
+    * relational `WHERE NOT(pred)` recompute — delete == anti-filter
+    * row-for-row. Deterministic, self-contained (root wiped per run). */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.df(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("pr"))
+    val root = s"/tmp/graft-index/snapdel_${math.abs(d.hashCode.toLong)}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+    GraftCatalog.commitSnapshot(
+      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    GraftCatalog.deleteSnapshotWhere(s, root,
+      col("o_orderkey") <= mk / 4 && col("o_custkey") % 7 === 0)
+    GraftCatalog.readSnapshot(s, root)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("pr")
+  }
+
+  private val q119Oracle: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |fin AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+      |    o_orderpriority AS pr
+      |  FROM orders, mk
+      |  WHERE NOT (o_orderkey <= mk // 4 AND o_custkey % 7 = 0))
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("q117_merge_cow", Some(q117Oracle), q117))
+    Q("q117_merge_cow", Some(q117Oracle), q117),
+    Q("q119_delete_cow", Some(q119Oracle), q119))
 }

@@ -955,6 +955,62 @@ object TextAnalysis {
       |JOIN uc uc_b ON uc_b.w = split_part(bigram, ' ', 2)
       |ORDER BY lift DESC, bigram LIMIT 30""".stripMargin
 
+  /** t24 — CROSS-document duplicated n-gram coverage: per document,
+    * the fraction of its 5-gram positions whose 5-gram also occurs in
+    * at least one OTHER document — the corpus-global exact-substring
+    * duplication signal (the published training-data dedup family's
+    * "what share of this doc is copied text" metric, at 5-gram
+    * granularity; t22 measures repetition WITHIN a doc, this measures
+    * it ACROSS the corpus — a doc can be internally clean and still be
+    * 100% boilerplate). Plan: one Generate materializes positional
+    * 5-grams (cross-doc comparison inherently needs grams out of the
+    * doc, exactly like d02's shingles), collapsed to per-(doc, gram)
+    * occurrence counts map-side; the doc-reach aggregate is
+    * vocabulary-sized, and the join back is gram-keyed — never a doc
+    * × doc comparison. At 100 TB the gram frame is the dominant
+    * shuffle and is why production systems hash grams first (d02's
+    * native shingle_hashes path); here grams stay as STRINGS so the
+    * DuckDB oracle can rebuild them verbatim — agreement then also
+    * covers the tokenizer and window arithmetic. */
+  private def t24(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.df(s, d, "documents")
+      .withColumn("tk", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .where(size(col("tk")) >= 5)
+    val perDoc = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 5), i -> concat_ws(' ', slice(tk, i + 1, 5)))"))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("occ"))
+    val reach = perDoc.groupBy("g").agg(count(lit(1)).as("nd"))
+    perDoc.join(reach, "g")
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_pos"),
+        sum(when(col("nd") >= 2, col("occ")).otherwise(0L)).as("dup_pos"))
+      .withColumn("coverage",
+        round(col("dup_pos").cast("double") / col("n_pos"), 6))
+      .orderBy(col("coverage").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  private val t24Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest([array_to_string(tk[i+1:i+5], ' ') for i in range(len(tk) - 4)]) AS g
+      |  FROM toks WHERE len(tk) >= 5),
+      |pd AS (SELECT doc_id, g, COUNT(*) AS occ FROM grams GROUP BY 1, 2),
+      |rc AS (SELECT g, COUNT(*) AS nd FROM pd GROUP BY g)
+      |SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_pos,
+      |  CAST(SUM(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT) AS dup_pos,
+      |  round(CAST(SUM(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS DOUBLE)
+      |    / SUM(occ), 6) AS coverage
+      |FROM pd JOIN rc USING (g)
+      |GROUP BY doc_id
+      |ORDER BY coverage DESC, doc_id
+      |LIMIT 25""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -978,5 +1034,6 @@ object TextAnalysis {
     Q("t20_tfidf", Some(t20Oracle), t20),
     Q("t21_source_keyness", Some(t21Oracle), t21),
     Q("t22_dup_ngrams", Some(t22Oracle), t22),
-    Q("t23_collocations", Some(t23Oracle), t23))
+    Q("t23_collocations", Some(t23Oracle), t23),
+    Q("t24_crossdoc_coverage", Some(t24Oracle), t24))
 }

@@ -624,7 +624,7 @@ object GraftCatalog {
     * head it planned on — the caller replans against the new head,
     * exactly Iceberg/Delta's serializable-merge contract. */
   def mergeSnapshot(spark: SparkSession, root: String,
-      updates: DataFrame, pk: String): Long = {
+      updates: DataFrame, pk: String, meta: Seq[String] = Seq.empty): Long = {
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, head)
@@ -668,7 +668,100 @@ object GraftCatalog {
       (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
     try {
       val next = head + 1
-      publishManifest(fs, r, next, Seq(s"#stats:$statsName") ++ carried ++ newFiles)
+      publishManifest(fs, r, next,
+        Seq(s"#stats:$statsName") ++ meta ++ carried ++ newFiles)
+      next
+    } catch {
+      case e: SnapshotConflictException =>
+        fs.delete(new org.apache.hadoop.fs.Path(manifestDir(r), statsName), false)
+        fs.delete(batch, true)
+        throw e
+    }
+  }
+
+  /** EXACTLY-ONCE streaming MERGE: apply a micro-batch of upserts to
+    * the snapshot table, tagged with the batch id — a foreachBatch
+    * replay after a crash finds its tag on an existing version and
+    * becomes a no-op instead of a double-apply. This is the streaming
+    * CDC sink every lakehouse format ships (Delta's
+    * `foreachBatch + MERGE` recipe): the TABLE stays one logical
+    * snapshot line whose head always equals "base upserted by every
+    * batch exactly once", and a downstream [[readChanges]] consumer
+    * sees one CDC version per micro-batch. A lost commit race
+    * propagates ([[SnapshotConflictException]]) and the streaming
+    * query retries the batch — the tag makes the retry safe even if
+    * the race was lost AFTER publish. Wire as
+    * `.foreachBatch((b, id) => mergeSnapshotBatch(spark, root, b, pk, id))`. */
+  def mergeSnapshotBatch(spark: SparkSession, root: String,
+      updates: DataFrame, pk: String, batchId: Long): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val tag = s"#batch:$batchId"
+    snapshotVersions(spark, root).reverse
+      .find(v => readManifestLines(fs, r, v).contains(tag)) match {
+      case Some(v) => v // replay — already applied
+      case None => mergeSnapshot(spark, root, updates, pk, meta = Seq(tag))
+    }
+  }
+
+  /** COPY-ON-WRITE row-level DELETE: remove the rows satisfying
+    * `pred`, rewriting only the files that actually contain such rows
+    * — [[mergeSnapshot]]'s planning discipline pointed at removal:
+    *
+    *  1. PLAN on metadata — candidate files are those whose stats
+    *     envelope MAY satisfy `pred` ([[mayContain]]); files provably
+    *     outside never open.
+    *  2. PIN exactly — candidates are scanned once with
+    *     `input_file_name` and only files with ≥1 TRULY matching row
+    *     rewrite; range-overlapping but row-free candidates carry.
+    *  3. REWRITE survivors — matched files' rows with `pred` FALSE or
+    *     NULL (SQL DELETE keeps NULL-predicate rows) land as ONE new
+    *     batch; a file whose every row matches simply drops from the
+    *     manifest without any rewrite I/O.
+    *  4. FLIP the manifest — untouched files carry by path, stats
+    *     carry/compute, same create-exclusive commit point.
+    *
+    * Returns the committed version (the head, unchanged, if nothing
+    * matched — a no-op delete publishes nothing). Time travel to the
+    * pre-delete version stays intact; a lost commit race aborts with
+    * the batch deleted, same serializable contract as merge. */
+  def deleteSnapshotWhere(spark: SparkSession, root: String,
+      pred: Column, meta: Seq[String] = Seq.empty): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val files = readManifest(fs, r, head)
+    val stats = readStats(spark, root, head)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
+    val candidates = files.filter(f =>
+      stats.get(f).forall(st => mayContain(st, predExpr, tz)))
+    val matchedFiles: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else spark.read.parquet(candidates: _*)
+        .withColumn("__file", input_file_name())
+        .where(pred)
+        .select("__file").distinct().collect()
+        .map(row => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+          new org.apache.hadoop.fs.Path(new java.net.URI(row.getString(0)))).toString)
+        .toSet
+    if (matchedFiles.isEmpty) return head
+    val carried = files.filterNot(matchedFiles)
+    // DELETE WHERE p removes rows where p is TRUE; FALSE and NULL stay.
+    val survivors = spark.read.parquet(matchedFiles.toSeq.sorted: _*)
+      .where(!coalesce(pred, lit(false)))
+    val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
+    survivors.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    val newFiles = fs.listStatus(batch)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(st.getPath).toString)
+      .sorted.toSeq
+    val newStats = computeFileStats(spark, newFiles)
+    val carriedStats = stats.filter { case (p, _) => carried.contains(p) }
+    val statsName = writeStatsFile(spark, fs, r,
+      (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
+    try {
+      val next = head + 1
+      publishManifest(fs, r, next,
+        Seq(s"#stats:$statsName") ++ meta ++ carried ++ newFiles)
       next
     } catch {
       case e: SnapshotConflictException =>

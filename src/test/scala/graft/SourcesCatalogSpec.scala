@@ -687,6 +687,78 @@ class SourcesCatalogSpec extends AnyFunSuite {
       "aborted merge must not orphan its batch directory")
   }
 
+  test("copy-on-write delete rewrites only files truly holding matched rows; NULL-predicate rows survive") {
+    import spark.implicits._
+    val root = s"$tmp/snapdel_${System.nanoTime()}"
+    // batch 2 carries the only deletable rows; batch 3 range-overlaps
+    // nothing deletable; batch 1 is outside the predicate range entirely
+    GraftCatalog.commitSnapshot(
+      (1 to 100).map(i => (i.toLong, Some(s"r$i"))).toDF("id", "v")
+        .repartition(1), root, append = true)
+    GraftCatalog.commitSnapshot(
+      (101 to 200).map(i =>
+        (i.toLong, if (i % 2 == 0) Some(s"r$i") else None)).toDF("id", "v")
+        .repartition(1), root, append = true)
+    GraftCatalog.commitSnapshot(
+      (201 to 300).map(i => (i.toLong, Some(s"r$i"))).toDF("id", "v")
+        .repartition(1), root, append = true)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifestFiles(v: Long): Seq[String] =
+      GraftCatalog.snapshotScanFiles(spark, root, Some(v), None)._1
+    val preFiles = manifestFiles(3L)
+    val preMeta = preFiles.map { f =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+      f -> (st.getModificationTime, st.getLen)
+    }.toMap
+
+    // delete even ids in [101, 200] — ONLY batch 2 truly matches; the
+    // predicate's id range excludes batch 1/3 at the STATS level
+    val vd = GraftCatalog.deleteSnapshotWhere(spark, root,
+      col("id").between(101L, 200L) && col("v").startsWith("r"))
+    assert(vd == 4L)
+
+    // row semantics: DELETE WHERE p removes only p=TRUE rows — batch 2's
+    // NULL-v rows (p=NULL) survive, everything outside the range survives
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.count() == 250)
+    assert(head.where(col("id").between(101L, 200L)).count() == 50)
+    assert(head.where(col("id").between(101L, 200L) && col("v").isNotNull)
+      .count() == 0, "all non-NULL batch-2 rows were deletable")
+    assert(head.where(col("id") === 50L).head().getString(1) == "r50")
+
+    // file-level: batches 1 and 3 carried by path, bytes untouched
+    val postFiles = manifestFiles(4L)
+    val carried = postFiles.filter(preFiles.contains)
+    assert(carried.size == 2, s"expected 2 carried files, got ${carried.size}")
+    carried.foreach { f =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+      assert((st.getModificationTime, st.getLen) == preMeta(f),
+        s"carried file was rewritten: $f")
+    }
+    assert(preFiles.filterNot(postFiles.contains).size == 1,
+      "exactly the matched file must leave the manifest")
+
+    // stats survive: selective head read still prunes
+    assert(GraftCatalog.snapshotScanFiles(spark, root, None,
+      Some(col("id") === 50L))._1.size < postFiles.size)
+
+    // time travel to the pre-delete version is intact
+    assert(GraftCatalog.readSnapshot(spark, root, Some(3L)).count() == 300)
+
+    // no-op delete (nothing matches) publishes NO new version
+    val v2 = GraftCatalog.deleteSnapshotWhere(spark, root, col("id") > 100000L)
+    assert(v2 == 4L && manifestFiles(4L) == postFiles)
+
+    // a delete matching EVERY row of a file drops it without rewrite:
+    // the whole batch-3 range goes; no new data dir should be needed
+    // (empty survivor batch is allowed, but the file must leave)
+    val v3 = GraftCatalog.deleteSnapshotWhere(spark, root,
+      col("id").between(201L, 300L))
+    assert(v3 == 5L)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 150)
+  }
+
   test("concurrent appenders with retry both land as serialized versions") {
     import spark.implicits._
     val root = s"$tmp/snapconc_${System.nanoTime()}"

@@ -781,6 +781,52 @@ class StreamingSpec extends AnyFunSuite {
       4L -> "added", 5L -> "added"), s"snapshot diff wrong: $diff")
   }
 
+  test("streaming merge sink: CDC upserts land exactly-once, head equals sequential relational upserts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = "/tmp/graft-streams/mergesink_" + System.nanoTime()
+    // seed table: keys 1..5
+    GraftCatalog.commitSnapshot(
+      (1 to 5).map(i => (i.toLong, s"base$i")).toDF("id", "v"),
+      root, append = false)
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        GraftCatalog.mergeSnapshotBatch(spark, root, b, "id", id); ()
+      }
+      .option("checkpointLocation", root + "_ckpt").start()
+    try {
+      // batch 0 updates key 2 + inserts 10; batch 1 re-updates 2 and
+      // updates 4; batch 2 inserts 11
+      Seq(Seq((2L, "u2a"), (10L, "n10")),
+          Seq((2L, "u2b"), (4L, "u4")),
+          Seq((11L, "n11")))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def byId(v: Option[Long]) = GraftCatalog.readSnapshot(spark, root, v)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // one CDC version per micro-batch on top of the seed
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 2L, 3L, 4L))
+    // head == base upserted by each batch in order, exactly once
+    assert(byId(None) == Map(1L -> "base1", 2L -> "u2b", 3L -> "base3",
+      4L -> "u4", 5L -> "base5", 10L -> "n10", 11L -> "n11"))
+    // time travel INTO the CDC history: the table as of batch 0
+    assert(byId(Some(2L)) == Map(1L -> "base1", 2L -> "u2a", 3L -> "base3",
+      4L -> "base4", 5L -> "base5", 10L -> "n10"))
+    // crash-replay of batch 1 must be a no-op, not a double-apply
+    val v = GraftCatalog.mergeSnapshotBatch(spark, root,
+      Seq((2L, "u2b"), (4L, "u4")).toDF("id", "v"), "id", batchId = 1L)
+    assert(v == 3L, s"replay must return the already-applied version, got $v")
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 2L, 3L, 4L))
+    assert(byId(None)(2L) == "u2b")
+    // the table's own history answers "what did batch 1 do"
+    val diff = GraftCatalog.snapshotDiff(spark, root, fromV = 2, toV = 3, pk = "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff(2L) == "changed" && diff(4L) == "changed" &&
+      diff(1L) == "unchanged" && diff(10L) == "unchanged", s"diff: $diff")
+  }
+
   test("streaming dedup verdicts: d19 semantics live, canonical pointers, replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
