@@ -127,7 +127,179 @@ object SnapshotOps {
       |  COUNT(DISTINCT o_custkey) AS nc
       |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q122 — copy-on-write UPDATE, oracle-reconciled: the q117 4-file
+    * range-partitioned orders snapshot, then `UPDATE SET price =
+    * price + 50, pr = '0-RUSH' WHERE o_orderkey ≤ max/4 AND
+    * pr = '1-URGENT'` — the orderkey envelope prunes planning to the
+    * first file, pinning confirms it, only it rewrites (non-matching
+    * rows of that file land byte-equal, matching rows with both
+    * assignments applied against the PRE-update row); the other three
+    * files carry by path. The head's per-priority aggregate
+    * hash-matches DuckDB's relational CASE-WHEN recompute — update ==
+    * full recompute row-for-row. Deterministic, root wiped per run. */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.df(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("pr"))
+    val root = s"/tmp/graft-index/snapupd_${math.abs(d.hashCode.toLong)}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+    GraftCatalog.commitSnapshot(
+      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    GraftCatalog.updateSnapshotWhere(s, root,
+      col("o_orderkey") <= mk / 4 && col("pr") === "1-URGENT",
+      Seq("price" -> (col("price") + lit(50.0)), "pr" -> lit("0-RUSH")))
+    GraftCatalog.readSnapshot(s, root)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("pr")
+  }
+
+  private val q122Oracle: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |fin AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey <= mk // 4 AND o_orderpriority = '1-URGENT'
+      |      THEN CAST(o_totalprice AS DOUBLE) + 50.0
+      |      ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+      |    CASE WHEN o_orderkey <= mk // 4 AND o_orderpriority = '1-URGENT'
+      |      THEN '0-RUSH' ELSE o_orderpriority END AS pr
+      |  FROM orders, mk)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
+
+  /** q123 — INCREMENTAL MV maintenance from snapshot CDC: three
+    * commits (base, append of new keys, copy-on-write delete), an
+    * aggregate MV materialized at v1, then brought to the head by
+    * folding `readChanges(v1, head)` — counts and decimal sums are
+    * self-maintainable (insert adds, delete subtracts; a CoW rewrite's
+    * unchanged rows appear as delete+insert pairs and cancel EXACTLY
+    * because the fold stays in DECIMAL(18,2), never touching a float
+    * accumulator). The MV update cost is ∝ the touched files, never
+    * the table — at 100 TB the MV keeps pace with a CDC feed without
+    * a single base rescan. The DuckDB oracle recomputes the final
+    * state relationally and aggregates from scratch: a hash match
+    * proves fold(MV@v1, CDC) == full recompute. */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.df(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("pr"))
+    val root = s"/tmp/graft-index/snapmv_${math.abs(d.hashCode.toLong)}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+    val v1 = GraftCatalog.commitSnapshot(
+      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    GraftCatalog.commitSnapshot(
+      orders.where(col("o_orderkey") % 1000 === 0)
+        .select((col("o_orderkey") + lit(200000000L)).as("o_orderkey"),
+          col("o_custkey"), col("price"), lit("9-NEW").as("pr")),
+      root, append = true)
+    val head = GraftCatalog.deleteSnapshotWhere(s, root,
+      col("o_orderkey") <= mk / 4 && col("o_custkey") % 13 === 0)
+    val dec = expr("CAST(price AS DECIMAL(18,2))")
+    val mv1 = GraftCatalog.readSnapshot(s, root, version = Some(v1))
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"), sum(dec).as("total"))
+    val sign = when(col("_change") === "insert", lit(1)).otherwise(lit(-1))
+    val delta = GraftCatalog.readChanges(s, root, v1, head)
+      .groupBy("pr")
+      .agg(sum(sign).as("dn"), sum(sign * dec).as("dtotal"))
+    mv1.join(delta, Seq("pr"), "full_outer")
+      .select(col("pr"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0).cast("decimal(18,2)"))
+          + coalesce(col("dtotal"), lit(0).cast("decimal(18,2)"))).as("t"))
+      .where(col("n") > 0)
+      .select(col("pr"), col("n"), col("t").cast("double").as("total"))
+      .orderBy("pr")
+  }
+
+  private val q123Oracle: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |newr AS (
+      |  SELECT o_orderkey + 200000000 AS o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, '9-NEW' AS pr
+      |  FROM orders WHERE o_orderkey % 1000 = 0),
+      |uni AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+      |    o_orderpriority AS pr
+      |  FROM orders
+      |  UNION ALL SELECT * FROM newr),
+      |fin AS (
+      |  SELECT * FROM uni, mk
+      |  WHERE NOT (o_orderkey <= mk // 4 AND o_custkey % 13 = 0))
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
+
+  /** q124 — atomic slice OVERWRITE (replaceWhere), oracle-reconciled:
+    * the q117 snapshot, then the first key quarter is REPLACED in one
+    * commit by its recomputed backfill — only every-3rd-custkey rows
+    * survive the recompute and their price is re-derived (+25.0), so
+    * the overwrite both shrinks and rewrites the slice. Planning
+    * touches only the file(s) whose key envelope overlaps the slice
+    * (any fully-covered file drops with zero rewrite I/O) and lands
+    * the backfill in the same single batch — the delete and the
+    * insert are ONE version flip, so no reader ever sees the slice
+    * absent.
+    * Hash-matched against DuckDB's relational splice (outside-slice ∪
+    * recomputed slice). */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.df(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("pr"))
+    val root = s"/tmp/graft-index/snaprw_${math.abs(d.hashCode.toLong)}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+    GraftCatalog.commitSnapshot(
+      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    val slice = col("o_orderkey") <= mk / 4
+    val backfill = orders.where(slice && col("o_custkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("price") + lit(25.0)).as("price"), col("pr"))
+    GraftCatalog.overwriteSnapshotWhere(s, root, slice, backfill)
+    GraftCatalog.readSnapshot(s, root)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("pr")
+  }
+
+  private val q124Oracle: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |outside AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+      |    o_orderpriority AS pr
+      |  FROM orders, mk WHERE o_orderkey > mk // 4),
+      |backfill AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) + 25.0 AS price, o_orderpriority AS pr
+      |  FROM orders, mk
+      |  WHERE o_orderkey <= mk // 4 AND o_custkey % 3 = 0),
+      |fin AS (SELECT * FROM outside UNION ALL SELECT * FROM backfill)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q117_merge_cow", Some(q117Oracle), q117),
-    Q("q119_delete_cow", Some(q119Oracle), q119))
+    Q("q119_delete_cow", Some(q119Oracle), q119),
+    Q("q122_update_cow", Some(q122Oracle), q122),
+    Q("q123_incr_mv", Some(q123Oracle), q123),
+    Q("q124_replace_where", Some(q124Oracle), q124))
 }

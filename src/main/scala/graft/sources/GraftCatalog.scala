@@ -639,13 +639,10 @@ object GraftCatalog {
     val keys = updates.select(col(pk)).distinct()
     val matchedFiles: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else spark.read.parquet(candidates: _*)
+      else pinnedPaths(spark.read.parquet(candidates: _*)
         .withColumn("__file", input_file_name())
         .join(keys, Seq(pk), "left_semi")
-        .select("__file").distinct().collect()
-        .map(row => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
-          new org.apache.hadoop.fs.Path(new java.net.URI(row.getString(0)))).toString)
-        .toSet
+        .select("__file").distinct().collect())
     val carried = files.filterNot(matchedFiles)
     val tableCols = spark.read.parquet(files.head).columns.toSeq
     val survivors =
@@ -656,27 +653,8 @@ object GraftCatalog {
       .unionByName(updates.select(tableCols.map(col): _*))
     // Publish: new batch + carried files, via the standard commit path
     // but carrying OUR file list rather than blind-appending the head.
-    val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
-    newData.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
-    val newFiles = fs.listStatus(batch)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(st.getPath).toString)
-      .sorted.toSeq
-    val newStats = computeFileStats(spark, newFiles)
-    val carriedStats = stats.filter { case (p, _) => carried.contains(p) }
-    val statsName = writeStatsFile(spark, fs, r,
-      (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
-    try {
-      val next = head + 1
-      publishManifest(fs, r, next,
-        Seq(s"#stats:$statsName") ++ meta ++ carried ++ newFiles)
-      next
-    } catch {
-      case e: SnapshotConflictException =>
-        fs.delete(new org.apache.hadoop.fs.Path(manifestDir(r), statsName), false)
-        fs.delete(batch, true)
-        throw e
-    }
+    commitCow(spark, fs, r, head, carried,
+      stats.filter { case (p, _) => carried.contains(p) }, newData, meta)
   }
 
   /** EXACTLY-ONCE streaming MERGE: apply a micro-batch of upserts to
@@ -734,28 +712,50 @@ object GraftCatalog {
     val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
     val candidates = files.filter(f =>
       stats.get(f).forall(st => mayContain(st, predExpr, tz)))
-    val matchedFiles: Set[String] =
-      if (candidates.isEmpty) Set.empty
-      else spark.read.parquet(candidates: _*)
-        .withColumn("__file", input_file_name())
-        .where(pred)
-        .select("__file").distinct().collect()
-        .map(row => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
-          new org.apache.hadoop.fs.Path(new java.net.URI(row.getString(0)))).toString)
-        .toSet
+    val matchedFiles: Set[String] = pinFilesWhere(spark, candidates, pred)
     if (matchedFiles.isEmpty) return head
     val carried = files.filterNot(matchedFiles)
     // DELETE WHERE p removes rows where p is TRUE; FALSE and NULL stay.
     val survivors = spark.read.parquet(matchedFiles.toSeq.sorted: _*)
       .where(!coalesce(pred, lit(false)))
+    commitCow(spark, fs, r, head, carried,
+      stats.filter { case (p, _) => carried.contains(p) }, survivors, meta)
+  }
+
+  /** Normalize `input_file_name()` URIs back to the scheme-less paths
+    * the manifest stores. */
+  private def pinnedPaths(rows: Array[org.apache.spark.sql.Row]): Set[String] =
+    rows.map(row => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+      new org.apache.hadoop.fs.Path(new java.net.URI(row.getString(0)))).toString)
+      .toSet
+
+  /** One `input_file_name` pass over the stats-nominated candidates:
+    * the manifest paths of files with ≥1 row satisfying `pred` — the
+    * PIN step shared by every copy-on-write verb. */
+  private def pinFilesWhere(spark: SparkSession, candidates: Seq[String],
+      pred: Column): Set[String] =
+    if (candidates.isEmpty) Set.empty
+    else pinnedPaths(spark.read.parquet(candidates: _*)
+      .withColumn("__file", input_file_name())
+      .where(pred)
+      .select("__file").distinct().collect())
+
+  /** Shared copy-on-write commit tail: land `newData` as ONE new batch,
+    * compute its stats, carry `carried`'s, publish `head + 1`. A lost
+    * commit race deletes the unpublished batch and stats sidecar (no
+    * orphans) and rethrows — the serializable contract all CoW verbs
+    * share (the caller replans against the new head). */
+  private def commitCow(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
+      head: Long, carried: Seq[String], carriedStats: Map[String, FileStat],
+      newData: DataFrame, meta: Seq[String]): Long = {
     val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
-    survivors.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    newData.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
     val newFiles = fs.listStatus(batch)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(st.getPath).toString)
       .sorted.toSeq
     val newStats = computeFileStats(spark, newFiles)
-    val carriedStats = stats.filter { case (p, _) => carried.contains(p) }
     val statsName = writeStatsFile(spark, fs, r,
       (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
     try {
@@ -769,6 +769,88 @@ object GraftCatalog {
         fs.delete(batch, true)
         throw e
     }
+  }
+
+  /** COPY-ON-WRITE row-level UPDATE — `UPDATE t SET c = e, … WHERE
+    * pred`, the third CoW verb beside [[mergeSnapshot]] and
+    * [[deleteSnapshotWhere]], same planning discipline: stats envelopes
+    * nominate candidate files ([[mayContain]]), one `input_file_name`
+    * scan pins the files with ≥1 TRULY matching row, and ONLY those
+    * rewrite — each of their rows lands either untouched (pred FALSE or
+    * NULL) or with the assignments applied. Assignments evaluate
+    * against the PRE-update row (standard SQL UPDATE: `SET a = b,
+    * b = a` swaps) and cast back to the column's declared type, so the
+    * table schema never drifts under repeated updates. Unknown SET
+    * columns throw; a no-op update (no matching rows) publishes
+    * nothing and returns the head unchanged. Time travel to the
+    * pre-update version stays intact; a lost commit race aborts with
+    * the batch deleted, the shared serializable contract. */
+  def updateSnapshotWhere(spark: SparkSession, root: String,
+      pred: Column, set: Seq[(String, Column)],
+      meta: Seq[String] = Seq.empty): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val files = readManifest(fs, r, head)
+    val stats = readStats(spark, root, head)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
+    val candidates = files.filter(f =>
+      stats.get(f).forall(st => mayContain(st, predExpr, tz)))
+    val matchedFiles = pinFilesWhere(spark, candidates, pred)
+    if (matchedFiles.isEmpty) return head
+    val carried = files.filterNot(matchedFiles)
+    val src = spark.read.parquet(matchedFiles.toSeq.sorted: _*)
+    val known = src.schema.fieldNames.toSet
+    val unknown = set.map(_._1).filterNot(known)
+    require(unknown.isEmpty,
+      s"UPDATE SET on unknown column(s): ${unknown.mkString(", ")}")
+    val setMap = set.toMap
+    val hit = coalesce(pred, lit(false))
+    val updated = src.select(src.schema.fields.toSeq.map { f =>
+      setMap.get(f.name).fold(col(f.name)) { e =>
+        when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+      }
+    }: _*)
+    commitCow(spark, fs, r, head, carried,
+      stats.filter { case (p, _) => carried.contains(p) }, updated, meta)
+  }
+
+  /** Atomic slice OVERWRITE — Delta's `replaceWhere`, the idempotent
+    * backfill primitive ("recompute this day/partition and swap it
+    * in"): in ONE commit, every row satisfying `pred` is deleted and
+    * `rows` inserted — a reader sees either the old slice or the new,
+    * never the deleted-but-not-yet-inserted state and never both.
+    * `rows` must itself satisfy `pred` (enforced, as Delta does): an
+    * out-of-slice row would silently survive the next backfill of its
+    * own slice. Planning is the DELETE discipline — stats-nominated
+    * candidates, `input_file_name` pinning, fully-matched files drop
+    * with zero rewrite I/O, partially-matched files rewrite survivors,
+    * and `rows` lands in the same single batch. A no-op (nothing
+    * matched, `rows` empty) publishes nothing. */
+  def overwriteSnapshotWhere(spark: SparkSession, root: String,
+      pred: Column, rows: DataFrame, meta: Seq[String] = Seq.empty): Long = {
+    require(rows.where(!coalesce(pred, lit(false))).isEmpty,
+      "replaceWhere: every incoming row must satisfy the overwrite predicate")
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val files = readManifest(fs, r, head)
+    val stats = readStats(spark, root, head)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
+    val candidates = files.filter(f =>
+      stats.get(f).forall(st => mayContain(st, predExpr, tz)))
+    val matchedFiles = pinFilesWhere(spark, candidates, pred)
+    if (matchedFiles.isEmpty && rows.isEmpty) return head
+    val carried = files.filterNot(matchedFiles)
+    val tableCols = spark.read.parquet(files.head).columns.toSeq
+    val survivors =
+      if (matchedFiles.isEmpty) rows.select(tableCols.map(col): _*).where(lit(false))
+      else spark.read.parquet(matchedFiles.toSeq.sorted: _*)
+        .where(!coalesce(pred, lit(false)))
+    val newData = survivors.select(tableCols.map(col): _*)
+      .unionByName(rows.select(tableCols.map(col): _*))
+    commitCow(spark, fs, r, head, carried,
+      stats.filter { case (p, _) => carried.contains(p) }, newData, meta)
   }
 
   /** The commit point: CREATE-EXCLUSIVE of the FINAL manifest path,

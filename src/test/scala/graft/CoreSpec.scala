@@ -22,7 +22,10 @@ class CoreSpec extends AnyFunSuite {
       "d17_triangles",
       // m07's lifted-clip overlaps can all fall under minLen on the
       // tiny corpus — the overlap model is pinned in PipelineSpec
-      "m07_shared_segments")
+      "m07_shared_segments",
+      // sf0.001 has 10 suppliers, one per nation, and none in Q21's
+      // NATION_7 — the sf0.01 driver gate returns rows (6, DuckDB-checked)
+      "tpch_q21")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")
