@@ -759,6 +759,117 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(GraftCatalog.readSnapshot(spark, root).count() == 150)
   }
 
+  test("copy-on-write update applies SET against the pre-update row; schema and carried files never drift") {
+    import spark.implicits._
+    val root = s"$tmp/snapupd_${System.nanoTime()}"
+    // (id, a, b, n): a/b for the swap test, n for type preservation
+    Seq(1 to 100, 101 to 200, 201 to 300).foreach { rng =>
+      GraftCatalog.commitSnapshot(
+        rng.map(i => (i.toLong, s"a$i", s"b$i", i)).toDF("id", "a", "b", "n")
+          .repartition(1), root, append = true)
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifestFiles(v: Long): Seq[String] =
+      GraftCatalog.snapshotScanFiles(spark, root, Some(v), None)._1
+    val preFiles = manifestFiles(3L)
+    val preMeta = preFiles.map { f =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+      f -> (st.getModificationTime, st.getLen)
+    }.toMap
+    val preSchema = GraftCatalog.readSnapshot(spark, root).schema
+
+    // SET a = b, b = a must SWAP (both read the pre-update row), and
+    // n = n * 2 is a LONG expression that must cast back to int
+    val vu = GraftCatalog.updateSnapshotWhere(spark, root,
+      col("id").between(101L, 150L),
+      Seq("a" -> col("b"), "b" -> col("a"), "n" -> (col("n") * 2L)))
+    assert(vu == 4L)
+
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.schema == preSchema, "UPDATE must not drift the table schema")
+    assert(head.count() == 300)
+    val r120 = head.where(col("id") === 120L).head()
+    assert(r120.getString(1) == "b120" && r120.getString(2) == "a120",
+      "SET a = b, b = a must swap, not chain")
+    assert(r120.getInt(3) == 240)
+    // rows of the REWRITTEN file outside the predicate are untouched
+    val r180 = head.where(col("id") === 180L).head()
+    assert(r180.getString(1) == "a180" && r180.getInt(3) == 180)
+    // other files' rows untouched
+    assert(head.where(col("id") === 50L).head().getString(1) == "a50")
+
+    // file-level: batches 1 and 3 carried by path, bytes untouched
+    val postFiles = manifestFiles(4L)
+    val carried = postFiles.filter(preFiles.contains)
+    assert(carried.size == 2, s"expected 2 carried files, got ${carried.size}")
+    carried.foreach { f =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+      assert((st.getModificationTime, st.getLen) == preMeta(f),
+        s"carried file was rewritten: $f")
+    }
+
+    // time travel to the pre-update version is intact
+    assert(GraftCatalog.readSnapshot(spark, root, Some(3L))
+      .where(col("id") === 120L).head().getString(1) == "a120")
+
+    // no-op update publishes nothing; unknown SET column throws
+    assert(GraftCatalog.updateSnapshotWhere(spark, root,
+      col("id") > 100000L, Seq("a" -> lit("x"))) == 4L)
+    intercept[IllegalArgumentException] {
+      GraftCatalog.updateSnapshotWhere(spark, root,
+        col("id") === 1L, Seq("nope" -> lit("x")))
+    }
+  }
+
+  test("replaceWhere swaps a slice atomically; out-of-slice rows are rejected") {
+    import spark.implicits._
+    val root = s"$tmp/snaprw_${System.nanoTime()}"
+    Seq(1 to 100, 101 to 200, 201 to 300).foreach { rng =>
+      GraftCatalog.commitSnapshot(
+        rng.map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(1),
+        root, append = true)
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifestFiles(v: Long): Seq[String] =
+      GraftCatalog.snapshotScanFiles(spark, root, Some(v), None)._1
+    val preFiles = manifestFiles(3L)
+
+    val slice = col("id").between(101L, 200L)
+    // an out-of-slice row must be rejected BEFORE any mutation
+    intercept[IllegalArgumentException] {
+      GraftCatalog.overwriteSnapshotWhere(spark, root, slice,
+        Seq((150L, "ok"), (500L, "outside")).toDF("id", "v"))
+    }
+    assert(manifestFiles(3L) == preFiles, "failed replace must not mutate")
+
+    // the backfill SHRINKS the slice (evens only) and rewrites values;
+    // the swap is ONE version flip — delete and insert never observable
+    // separately
+    val backfill = (101 to 200).filter(_ % 2 == 0)
+      .map(i => (i.toLong, s"NEW$i")).toDF("id", "v")
+    val vr = GraftCatalog.overwriteSnapshotWhere(spark, root, slice, backfill)
+    assert(vr == 4L, "replaceWhere is one commit, one version")
+
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.count() == 250)
+    assert(head.where(slice).count() == 50)
+    assert(head.where(col("id") === 150L).head().getString(1) == "NEW150")
+    assert(head.where(col("id") === 151L).count() == 0)
+    assert(head.where(col("id") === 50L).head().getString(1) == "r50")
+
+    // the fully-covered slice file drops from the manifest; the other
+    // two carry by path
+    val postFiles = manifestFiles(4L)
+    assert(postFiles.filter(preFiles.contains).size == 2)
+    assert(preFiles.filterNot(postFiles.contains).size == 1)
+
+    // time travel: pre-replace slice intact
+    assert(GraftCatalog.readSnapshot(spark, root, Some(3L))
+      .where(slice).count() == 100)
+  }
+
   test("concurrent appenders with retry both land as serialized versions") {
     import spark.implicits._
     val root = s"$tmp/snapconc_${System.nanoTime()}"
