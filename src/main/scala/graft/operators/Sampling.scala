@@ -1046,6 +1046,61 @@ object Sampling {
       |WHERE r.cum_wt <= tot.t // 2
       |ORDER BY r.source, r.doc_id""".stripMargin
 
+  /** p23 — fixed-TOTAL temperature apportionment (α = 0.5): p06 flattens
+    * a skewed source mix by per-doc Bernoulli rates (output size only
+    * in expectation); this is the variant a production mixture needs
+    * when the output budget is contractual — exactly T docs split
+    * across groups ∝ n_g^α. The apportionment stays INTEGER-exact
+    * cross-engine: s_g = floor(sqrt(n_g)) (IEEE sqrt is correctly
+    * rounded, so both engines floor the same double), targets
+    * t_g = min(n_g, T·s_g div Σs) in Long arithmetic — no float share
+    * ever divides. Selection inside each group is deterministic
+    * hash-rank: row_number over (md5(doc_id), doc_id), keep rn ≤ t_g —
+    * the seeded-shuffle ordering (p19) reused as a sampler. The
+    * rank-filter carries a LITERAL bound (rn ≤ T) next to the per-group
+    * one, so Spark's WindowGroupLimit prunes each map partition to its
+    * top-T before the group shuffle — the window never sees the full
+    * 100 TB stratum. Group sizes are a |groups|-row broadcast. */
+  private def p23(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val T = 200L
+    val docs = Tables.df(s, d, "documents")
+      .where(col("lang").isNotNull).select(col("lang"), col("doc_id"))
+    val sz = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("sg", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val tgt = sz.crossJoin(broadcast(sz.agg(sum("sg").as("ssum"))))
+      .withColumn("t", least(col("n"), expr(s"($T * sg) div ssum")))
+      .select("lang", "t")
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= lit(T))
+      .join(broadcast(tgt), "lang")
+      .where(col("rn") <= col("t"))
+      .select(col("lang"), col("doc_id"), col("rn").as("pick_rank"))
+      .orderBy("lang", "doc_id")
+  }
+
+  private val p23Oracle: String =
+    """WITH sz AS (
+      |  SELECT lang, COUNT(*) AS n FROM documents
+      |  WHERE lang IS NOT NULL GROUP BY lang),
+      |s AS (
+      |  SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS sg
+      |  FROM sz),
+      |tgt AS (
+      |  SELECT lang, LEAST(n, (200 * sg) // (SELECT SUM(sg) FROM s)) AS t
+      |  FROM s),
+      |rk AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (
+      |      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS pick_rank
+      |  FROM documents WHERE lang IS NOT NULL)
+      |SELECT rk.lang, rk.doc_id, rk.pick_rank
+      |FROM rk JOIN tgt ON rk.lang = tgt.lang AND rk.pick_rank <= tgt.t
+      |ORDER BY rk.lang, rk.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -1068,5 +1123,6 @@ object Sampling {
     Q("p19_seeded_shuffle", Some(p19Oracle), p19),
     Q("p20_pps_sample", Some(p20Oracle), p20),
     Q("p21_pps_stratified", Some(p21Oracle), p21),
-    Q("p22_budget_fill", Some(p22Oracle), p22))
+    Q("p22_budget_fill", Some(p22Oracle), p22),
+    Q("p23_alpha_mix", Some(p23Oracle), p23))
 }

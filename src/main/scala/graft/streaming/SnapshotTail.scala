@@ -53,3 +53,58 @@ final class SnapshotTailer(spark: SparkSession, root: String, startAfter: Long =
     v
   }
 }
+
+/** Long-lived incremental aggregate-MV consumer of a snapshot table —
+  * the q123 fold algebra (counts and decimal sums are self-maintainable
+  * from CDC deltas: insert adds, delete subtracts, a copy-on-write
+  * rewrite's unchanged rows arrive as delete+insert pairs and cancel
+  * EXACTLY in decimal) packaged as the [[SnapshotTailer]]'s natural
+  * subscriber. Each `refresh()` folds only the versions committed since
+  * the last one, so keeping the MV current costs ∝ the delta, never the
+  * table — against a CDC-merged 100 TB table the MV tracks every commit
+  * without a single base rescan. The MV is |groups|-sized and
+  * `localCheckpoint`ed per fold, so lineage never grows with the number
+  * of refreshes. `startAfter = v` seeds the MV from that version's full
+  * snapshot; `startAfter = 0` starts empty and lets the first poll's
+  * inserts build it (the algebra is the same). */
+final class SnapshotAggMaintainer(spark: SparkSession, root: String,
+    key: String, valueCol: String, startAfter: Long = 0L) {
+  private val tailer = new SnapshotTailer(spark, root, startAfter)
+  private val dec = "decimal(28,2)"
+
+  private def aggOf(df: DataFrame): DataFrame =
+    df.groupBy(key).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast("decimal(18,2)")).cast(dec).as("total"))
+
+  private var mv: DataFrame =
+    if (startAfter <= 0L)
+      aggOf(GraftCatalog.readSnapshot(spark, root).where(lit(false)))
+    else aggOf(GraftCatalog.readSnapshot(spark, root, Some(startAfter)))
+      .localCheckpoint(true)
+
+  /** Fold all versions committed since the last refresh into the MV.
+    * Returns the version folded to, or None when the head hasn't
+    * moved (the MV is untouched — refresh is idempotent between
+    * commits). */
+  def refresh(): Option[Long] = tailer.poll().map { case (v, changes) =>
+    val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+    val delta = changes.groupBy(key).agg(
+      sum(sign).as("dn"),
+      sum(sign * col(valueCol).cast("decimal(18,2)")).cast(dec).as("dt"))
+    mv = mv.join(delta, Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0L).cast(dec))
+          + coalesce(col("dt"), lit(0L).cast(dec))).cast(dec).as("total"))
+      .where(col("n") > 0)
+      .localCheckpoint(true)
+    v
+  }
+
+  /** The MV as of the last refresh: (key, n, total). */
+  def current: DataFrame = mv
+
+  /** The highest snapshot version folded into the MV. */
+  def lastSeen: Long = tailer.lastSeen
+}

@@ -970,4 +970,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == (1L to 12L).toSet,
       s"file stream over the outbox lost rows: $streamed")
   }
+
+  test("SnapshotAggMaintainer tracks every CDC commit without a base rescan; fold == recompute after merge and delete") {
+    import spark.implicits._
+    val root = "/tmp/graft-streams/snapmv_" + System.nanoTime()
+
+    def recompute(): Set[(String, Long, java.math.BigDecimal)] =
+      GraftCatalog.readSnapshot(spark, root)
+        .groupBy("g")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("amt").cast("decimal(18,2)"))
+            .cast("decimal(28,2)").as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    def mvSet(m: graft.streaming.SnapshotAggMaintainer) =
+      m.current.collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+
+    // v1: base table
+    GraftCatalog.commitSnapshot(
+      (1 to 100).map(i => (i.toLong, s"g${i % 4}", i * 1.25)).toDF("id", "g", "amt")
+        .repartition(2), root, append = true)
+    val m = new graft.streaming.SnapshotAggMaintainer(spark, root, "g", "amt")
+    assert(m.refresh() == Some(1L))
+    assert(mvSet(m) == recompute(), "MV after v1 must equal a full recompute")
+
+    // v2: copy-on-write merge (same-key rewrites arrive as delete+insert
+    // pairs for the untouched rows of the rewritten file — they must
+    // cancel exactly in the decimal fold)
+    GraftCatalog.mergeSnapshot(spark, root,
+      Seq((10L, "g9", 1000.50), (200L, "g9", 2000.25)).toDF("id", "g", "amt"), "id")
+    assert(m.refresh() == Some(2L))
+    assert(mvSet(m) == recompute(), "MV after merge must equal a full recompute")
+
+    // v3: copy-on-write delete
+    GraftCatalog.deleteSnapshotWhere(spark, root,
+      org.apache.spark.sql.functions.col("g") === "g1")
+    assert(m.refresh() == Some(3L))
+    val after = mvSet(m)
+    assert(after == recompute(), "MV after delete must equal a full recompute")
+    assert(!after.exists(_._1 == "g1"), "a fully-deleted group must leave the MV")
+
+    // idle refresh between commits is a no-op
+    assert(m.refresh().isEmpty && m.lastSeen == 3L)
+    assert(mvSet(m) == after)
+  }
 }
