@@ -1141,8 +1141,11 @@ object GraftCatalog {
       fs.getFileStatus(p).getModificationTime < horizon0 &&
         !readManifestLines(fs, r, v, strict = false).lastOption.contains("#eof")
     }
+    // Tagged versions are pinned: a release tag outlives routine
+    // retention no matter where the horizon sits.
+    val tagged = listSnapshotTags(spark, root).map(_._2).toSet
     val (old0, kept) = snapshotVersions(spark, root).filterNot(torn.contains)
-      .partition(_ < keepFrom)
+      .partition(v => v < keepFrom && !tagged(v))
     val old = old0 ++ torn
     val keepFiles = kept.flatMap(readManifest(fs, r, _, strict = false)).toSet
     val dead = old.flatMap(readManifest(fs, r, _, strict = false))
@@ -1171,6 +1174,98 @@ object GraftCatalog {
       }
       .foreach(st => fs.delete(st.getPath, true))
     dead.size
+  }
+
+  private def refsDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_refs")
+
+  private val refName = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  /** TAG a snapshot version with an immutable name (Iceberg tags) —
+    * release pinning for training-data reproducibility: "the corpus
+    * this model trained on" becomes a NAME instead of a number someone
+    * has to remember. The tag file is create-exclusive, so a tag can
+    * never be silently repointed (delete + recreate is the only way,
+    * and that is an auditable two-step); [[vacuumSnapshots]] protects
+    * tagged versions regardless of its retention horizon, so a pinned
+    * corpus outlives routine retention. */
+  def tagSnapshot(spark: SparkSession, root: String, name: String,
+      version: Long): Unit = {
+    require(refName.matches(name), s"invalid tag name: $name")
+    require(snapshotVersions(spark, root).contains(version),
+      s"cannot tag absent version $version of $root")
+    val (fs, r) = fsOf(spark, root)
+    fs.mkdirs(refsDir(r))
+    val p = new org.apache.hadoop.fs.Path(refsDir(r), s"$name.tag")
+    val out =
+      try fs.create(p, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(s"tag $name already exists on $root")
+      }
+    try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** All tags on the table, (name, version), name-sorted. */
+  def listSnapshotTags(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val (fs, r) = fsOf(spark, root)
+    val rd = refsDir(r)
+    if (!fs.exists(rd)) Seq.empty
+    else fs.listStatus(rd)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".tag"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next().trim.toLong finally in.close()
+        st.getPath.getName.stripSuffix(".tag") -> v
+      }.sortBy(_._1).toSeq
+  }
+
+  /** The version a tag points at; throws on an unknown tag. */
+  def resolveSnapshotTag(spark: SparkSession, root: String, name: String): Long =
+    listSnapshotTags(spark, root).collectFirst { case (`name`, v) => v }
+      .getOrElse(throw new NoSuchElementException(s"no tag $name on $root"))
+
+  /** Read the table as of a tag — [[readSnapshot]] with the version
+    * resolved by name (data skipping via `predicate` included). */
+  def readSnapshotTag(spark: SparkSession, root: String, name: String,
+      predicate: Option[Column] = None): DataFrame =
+    readSnapshot(spark, root, Some(resolveSnapshotTag(spark, root, name)),
+      predicate = predicate)
+
+  /** Drop a tag (the version becomes subject to normal retention at
+    * the next vacuum — removal is the explicit, auditable step). */
+  def deleteSnapshotTag(spark: SparkSession, root: String, name: String): Unit = {
+    val (fs, r) = fsOf(spark, root)
+    val p = new org.apache.hadoop.fs.Path(refsDir(r), s"$name.tag")
+    require(fs.delete(p, false), s"no tag $name on $root")
+  }
+
+  /** Zero-copy shallow CLONE (Delta's shallow clone / Iceberg's
+    * snapshot branch-off): `dstRoot` becomes an independent snapshot
+    * table whose v1 carries `srcRoot`'s version-`v` file list BY PATH —
+    * no data bytes move, the stats sidecar is re-published so data
+    * skipping works immediately, and every subsequent commit/merge/
+    * delete on the clone rewrites into the CLONE's own data directory,
+    * leaving the source untouched. The experimentation primitive at
+    * 100 TB: fork the production corpus, run a destructive what-if
+    * pipeline against the fork, throw it away — all metadata-priced.
+    * The inherited hazard is Delta's, stated rather than hidden:
+    * vacuuming the SOURCE can delete files the clone still references —
+    * tag the cloned version on the source ([[tagSnapshot]]; vacuum
+    * protects tags) to pin it for the clone's lifetime. */
+  def cloneSnapshot(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Long] = None): Long = {
+    val (sfs, sr) = fsOf(spark, srcRoot)
+    val v = version.getOrElse(snapshotVersions(spark, srcRoot).last)
+    val files = readManifest(sfs, sr, v)
+    val stats = readStats(spark, srcRoot, v)
+    val (dfs, dr) = fsOf(spark, dstRoot)
+    require(snapshotVersions(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already has snapshots")
+    val statsName = writeStatsFile(spark, dfs, dr,
+      stats.values.toSeq.sortBy(_.path))
+    publishManifest(dfs, dr, 1L, Seq(s"#stats:$statsName") ++ files)
+    1L
   }
 
   /** The compaction two-rename swap (see [[compactParquet]]'s scope

@@ -870,6 +870,65 @@ class SourcesCatalogSpec extends AnyFunSuite {
       .where(slice).count() == 100)
   }
 
+  test("tags pin versions through vacuum; shallow clone is zero-copy and evolves independently") {
+    import spark.implicits._
+    val root = s"$tmp/snaptag_${System.nanoTime()}"
+    Seq(1 to 100, 101 to 200, 201 to 300).foreach { rng =>
+      GraftCatalog.commitSnapshot(
+        rng.map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(1),
+        root, append = true)
+    }
+
+    // tag v1; a duplicate create must throw (tags are never repointed
+    // silently), as must tagging an absent version
+    GraftCatalog.tagSnapshot(spark, root, "corpus-2026-08", 1L)
+    intercept[IllegalStateException] {
+      GraftCatalog.tagSnapshot(spark, root, "corpus-2026-08", 2L)
+    }
+    intercept[IllegalArgumentException] {
+      GraftCatalog.tagSnapshot(spark, root, "nope", 99L)
+    }
+    assert(GraftCatalog.listSnapshotTags(spark, root) ==
+      Seq("corpus-2026-08" -> 1L))
+    assert(GraftCatalog.readSnapshotTag(spark, root, "corpus-2026-08")
+      .count() == 100)
+
+    // vacuum with a horizon PAST the tagged version: v2 is reaped, the
+    // tagged v1 survives and stays readable by name
+    GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 3L, orphanGraceMs = Long.MaxValue)
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 3L))
+    assert(GraftCatalog.readSnapshotTag(spark, root, "corpus-2026-08")
+      .count() == 100)
+
+    // shallow clone of the head: no data bytes move (the clone root has
+    // no data dir), rows identical, data skipping live on the clone
+    val dst = s"$tmp/snapclone_${System.nanoTime()}"
+    assert(GraftCatalog.cloneSnapshot(spark, root, dst) == 1L)
+    val dfs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!dfs.exists(new org.apache.hadoop.fs.Path(s"$dst/data")),
+      "shallow clone must not copy data")
+    assert(GraftCatalog.readSnapshot(spark, dst).count() == 300)
+    assert(GraftCatalog.snapshotScanFiles(spark, dst, None,
+      Some(col("id") === 50L))._1.size <
+      GraftCatalog.snapshotScanFiles(spark, dst, None, None)._1.size,
+      "clone must inherit data-skipping stats")
+
+    // the clone evolves independently: a CoW delete on the clone
+    // rewrites into the CLONE's data dir and the source is untouched
+    GraftCatalog.deleteSnapshotWhere(spark, dst, col("id").between(1L, 100L))
+    assert(GraftCatalog.readSnapshot(spark, dst).count() == 200)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 300,
+      "mutating the clone must not touch the source")
+    assert(dfs.exists(new org.apache.hadoop.fs.Path(s"$dst/data")),
+      "the clone's rewrites land under the clone root")
+
+    // dropping the tag re-exposes the version to retention
+    GraftCatalog.deleteSnapshotTag(spark, root, "corpus-2026-08")
+    GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 3L, orphanGraceMs = Long.MaxValue)
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(3L))
+  }
+
   test("concurrent appenders with retry both land as serialized versions") {
     import spark.implicits._
     val root = s"$tmp/snapconc_${System.nanoTime()}"
