@@ -121,7 +121,54 @@ object Analytic6 {
       |ORDER BY longest_streak DESC, user_id
       |LIMIT 20""".stripMargin
 
+  /** q125 — cohort retention matrix (the other product-analytics
+    * staple beside q121's streaks): users cohorted by FIRST-activity
+    * day, then for each cohort × week-offset cell, the fraction of the
+    * cohort active that week. No per-user window and no self-join of
+    * the raw fact: one per-user min-date aggregate (map-side partial),
+    * one distinct on (user, day) that also collapses map-side, a
+    * user-keyed join, and the matrix itself is |days × weeks| — tiny at
+    * any corpus scale, so the 100 TB cost is two shuffles of per-user
+    * collapsed rows. Week offsets stay in integer arithmetic
+    * (`datediff div 7`); retention is one exact-integer division
+    * rounded at 6 dp. */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.df(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("dy")).distinct()
+    val firsts = ev.groupBy("user_id").agg(min("dy").as("d0"))
+    val cells = ev.join(firsts, "user_id")
+      .select(col("user_id"), col("d0"),
+        expr("CAST(datediff(dy, d0) div 7 AS BIGINT)").as("week_offset"))
+      .distinct()
+      .groupBy(col("d0").as("cohort_day"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val coh = firsts.groupBy(col("d0").as("cohort_day"))
+      .agg(count(lit(1)).as("n_cohort"))
+    cells.join(coh, "cohort_day")
+      .select(col("cohort_day"), col("week_offset"),
+        col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6)
+          .as("retention"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
+  private val q125Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS dy FROM events GROUP BY 1, 2),
+      |f AS (SELECT user_id, MIN(dy) AS d0 FROM ev GROUP BY 1),
+      |a AS (
+      |  SELECT DISTINCT ev.user_id, f.d0,
+      |    CAST(datediff('day', f.d0, ev.dy) // 7 AS BIGINT) AS week_offset
+      |  FROM ev JOIN f USING (user_id)),
+      |coh AS (SELECT d0, COUNT(*) AS n_cohort FROM f GROUP BY 1),
+      |m AS (SELECT d0, week_offset, COUNT(*) AS n_active FROM a GROUP BY 1, 2)
+      |SELECT m.d0 AS cohort_day, m.week_offset, m.n_active, coh.n_cohort,
+      |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+      |FROM m JOIN coh USING (d0)
+      |ORDER BY cohort_day, week_offset""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q120_hypothetical_rank", Some(q120Oracle), q120),
-    Q("q121_streaks", Some(q121Oracle), q121))
+    Q("q121_streaks", Some(q121Oracle), q121),
+    Q("q125_cohort_retention", Some(q125Oracle), q125))
 }

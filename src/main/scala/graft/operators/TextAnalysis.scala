@@ -1011,7 +1011,7 @@ object TextAnalysis {
       |ORDER BY coverage DESC, doc_id
       |LIMIT 25""".stripMargin
 
-  val all: Seq[Q] = Seq(
+  lazy val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
     Q("t03_tokens", Some(t03Oracle), t03),
@@ -1035,5 +1035,82 @@ object TextAnalysis {
     Q("t21_source_keyness", Some(t21Oracle), t21),
     Q("t22_dup_ngrams", Some(t22Oracle), t22),
     Q("t23_collocations", Some(t23Oracle), t23),
-    Q("t24_crossdoc_coverage", Some(t24Oracle), t24))
+    Q("t24_crossdoc_coverage", Some(t24Oracle), t24),
+    Q("t25_gopher_char_fracs", Some(t25Oracle), t25))
+
+  // NOTE: t25Oracle is referenced by `all` above; `all` is lazy so the
+  // below initializes first on any access path.
+
+  /** t25 — the published repetition-filter thresholds operate on
+    * CHARACTER fractions, not occurrence fractions (a doc repeating one
+    * LONG phrase is worse than one repeating "of the" equally often —
+    * t22's occurrence ratios cannot tell them apart): per document, the
+    * char mass of the single most frequent 2-gram (concentration), and
+    * the char mass of all duplicated 2-/5-grams, each over the total
+    * positional gram char mass. `MAX(cnt·len)` needs no tie-break — the
+    * mass alone is the signal, so arg-of-max ambiguity never enters the
+    * compare path; the one division per signal is exact-integer → IEEE-
+    * identical, rounded at 6 dp by the t22 discipline. Grams stay as
+    * strings (the t24 trade: the DuckDB oracle rebuilds them verbatim,
+    * so agreement covers the tokenizer); docs shorter than 5 tokens
+    * report NULL for the 5-gram signal in both engines. */
+  private def t25(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.df(s, d, "documents")
+      .withColumn("t", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+    def grams(n: Int) = toks.where(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $n), i -> " +
+          (0 until n).map(j => s"t[i + $j]").mkString("concat_ws(' ', ", ", ", "))")
+        )).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("mass", col("cnt") * length(col("gram")))
+    val a2 = grams(2).groupBy("doc_id").agg(
+      max(col("mass")).as("topm"),
+      sum(col("mass")).as("tot"),
+      sum(when(col("cnt") > 1, col("mass")).otherwise(0L)).as("dupm"))
+    val a5 = grams(5).groupBy("doc_id").agg(
+      sum(col("mass")).as("tot5"),
+      sum(when(col("cnt") > 1, col("mass")).otherwise(0L)).as("dupm5"))
+    a2.join(a5, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        round(col("topm").cast("double") / col("tot"), 6).as("top2_char_frac"),
+        round(col("dupm").cast("double") / col("tot"), 6).as("dup2_char_frac"),
+        round(col("dupm5").cast("double") / col("tot5"), 6).as("dup5_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val t25Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+      |  FROM documents),
+      |g2 AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+      |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 2),
+      |c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT doc_id,
+      |    CAST(MAX(cnt * length(gram)) AS BIGINT) AS topm,
+      |    CAST(SUM(cnt * length(gram)) AS BIGINT) AS tot,
+      |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+      |      AS BIGINT) AS dupm
+      |  FROM c2 GROUP BY 1),
+      |g5 AS (
+      |  SELECT doc_id,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS gram
+      |  FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+      |  WHERE len(t) >= 5),
+      |c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2),
+      |a5 AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(cnt * length(gram)) AS BIGINT) AS tot5,
+      |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+      |      AS BIGINT) AS dupm5
+      |  FROM c5 GROUP BY 1)
+      |SELECT a2.doc_id,
+      |  round(CAST(topm AS DOUBLE) / tot, 6) AS top2_char_frac,
+      |  round(CAST(dupm AS DOUBLE) / tot, 6) AS dup2_char_frac,
+      |  round(CAST(dupm5 AS DOUBLE) / tot5, 6) AS dup5_char_frac
+      |FROM a2 LEFT JOIN a5 USING (doc_id)
+      |ORDER BY a2.doc_id""".stripMargin
 }
