@@ -33,7 +33,8 @@ class PlanLintSpec extends AnyFunSuite {
       "t20_tfidf",              // broadcast 1-row corpus doc count
       "t21_source_keyness",     // broadcast 1-row corpus token total
       "d19_incremental_verdicts", // broadcast 1-row id-space split scalar
-      "t23_collocations")       // broadcast 1-row bigram/unigram totals
+      "t23_collocations",       // broadcast 1-row bigram/unigram totals
+      "p23_alpha_mix")          // broadcast 1-row sqrt-size total scalar
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
