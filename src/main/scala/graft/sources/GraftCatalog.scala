@@ -20,6 +20,10 @@ final case class FileStat(path: String, rows: Long, cols: Seq[ColStat])
   * callers catching that still work. */
 final class SnapshotConflictException(msg: String) extends IllegalStateException(msg)
 
+/** Thrown when an incoming batch violates a table CHECK constraint —
+  * the write aborts before any data or manifest lands. */
+final class SnapshotCheckViolation(msg: String) extends IllegalArgumentException(msg)
+
 /** Source/catalog surface — the Spark analog of the reference's external
   * tables + information schema (reference: docs/1_cli_information_schema.md,
   * docs/2_cli_create_tables.md, tests/setup_tables.rs:26).
@@ -465,6 +469,7 @@ object GraftCatalog {
   def commitSnapshot(df: DataFrame, root: String, append: Boolean,
       meta: Seq[String] = Seq.empty, maxRetries: Int = 0): Long = {
     val spark = df.sparkSession
+    validateChecks(spark, root, df)
     val (fs, r) = fsOf(spark, root)
     val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
     df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
@@ -624,11 +629,13 @@ object GraftCatalog {
     * head it planned on — the caller replans against the new head,
     * exactly Iceberg/Delta's serializable-merge contract. */
   def mergeSnapshot(spark: SparkSession, root: String,
-      updates: DataFrame, pk: String, meta: Seq[String] = Seq.empty): Long = {
+      updates: DataFrame, pk: String, meta: Seq[String] = Seq.empty,
+      allowSchemaEvolution: Boolean = false): Long = {
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, head)
     if (updates.isEmpty) return head
+    validateChecks(spark, root, updates)
     val stats = readStats(spark, root, head)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val b = updates.agg(min(col(pk)).as("lo"), max(col(pk)).as("hi")).head()
@@ -644,13 +651,22 @@ object GraftCatalog {
         .join(keys, Seq(pk), "left_semi")
         .select("__file").distinct().collect())
     val carried = files.filterNot(matchedFiles)
-    val tableCols = spark.read.parquet(files.head).columns.toSeq
     val survivors =
-      if (matchedFiles.isEmpty) updates.select(tableCols.map(col): _*).where(lit(false))
+      if (matchedFiles.isEmpty) spark.read.parquet(files.head).where(lit(false))
       else spark.read.parquet(matchedFiles.toSeq.sorted: _*)
         .join(keys, Seq(pk), "left_anti")
-    val newData = survivors.select(tableCols.map(col): _*)
-      .unionByName(updates.select(tableCols.map(col): _*))
+    // Schema evolution (opt-in, Delta's mergeSchema-on-MERGE): columns
+    // new in `updates` land in the rewritten batch; carried files stay
+    // as-is and read NULL for them under readSnapshot(mergeSchema).
+    // Without it, extra update columns are dropped (the strict
+    // contract) and the rewritten batch keeps the table schema.
+    val newData =
+      if (allowSchemaEvolution)
+        survivors.unionByName(updates, allowMissingColumns = true)
+      else {
+        val tableCols = survivors.columns.toSeq
+        survivors.unionByName(updates.select(tableCols.map(col): _*))
+      }
     // Publish: new batch + carried files, via the standard commit path
     // but carrying OUR file list rather than blind-appending the head.
     commitCow(spark, fs, r, head, carried,
@@ -811,6 +827,7 @@ object GraftCatalog {
         when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
       }
     }: _*)
+    validateChecks(spark, root, updated.where(hit))
     commitCow(spark, fs, r, head, carried,
       stats.filter { case (p, _) => carried.contains(p) }, updated, meta)
   }
@@ -831,6 +848,7 @@ object GraftCatalog {
       pred: Column, rows: DataFrame, meta: Seq[String] = Seq.empty): Long = {
     require(rows.where(!coalesce(pred, lit(false))).isEmpty,
       "replaceWhere: every incoming row must satisfy the overwrite predicate")
+    validateChecks(spark, root, rows)
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, head)
@@ -1178,6 +1196,72 @@ object GraftCatalog {
 
   private def refsDir(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_refs")
+
+  /** Table-level CHECK constraints (Delta's CHECK / Iceberg's write
+    * validation): a named SQL predicate every INCOMING batch must
+    * satisfy before its commit publishes — data quality enforced at
+    * the write boundary, where a violation costs one aborted batch,
+    * not a 100 TB quarantine sweep later. SQL CHECK semantics: a row
+    * passes on TRUE or NULL (unknown is not a violation); the batch
+    * fails if any row evaluates FALSE. Validation cost is ∝ the batch
+    * (the new/rewritten rows only — carried files were validated by
+    * their own commits). Adding a check validates the CURRENT head
+    * first (one scan — the same trade Delta makes), so a check can
+    * never be born already-violated. */
+  def addSnapshotCheck(spark: SparkSession, root: String, name: String,
+      sqlPredicate: String): Unit = {
+    require(refName.matches(name), s"invalid check name: $name")
+    if (snapshotVersions(spark, root).nonEmpty)
+      requireCheckHolds(readSnapshot(spark, root), name, sqlPredicate)
+    val (fs, r) = fsOf(spark, root)
+    fs.mkdirs(refsDir(r))
+    val p = new org.apache.hadoop.fs.Path(refsDir(r), s"$name.check")
+    val out =
+      try fs.create(p, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(s"check $name already exists on $root")
+      }
+    try out.write(s"$sqlPredicate\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** All CHECK constraints on the table, (name, predicate). */
+  def listSnapshotChecks(spark: SparkSession, root: String): Seq[(String, String)] = {
+    val (fs, r) = fsOf(spark, root)
+    val rd = refsDir(r)
+    if (!fs.exists(rd)) Seq.empty
+    else fs.listStatus(rd)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".check"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val e = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next() finally in.close()
+        st.getPath.getName.stripSuffix(".check") -> e
+      }.sortBy(_._1).toSeq
+  }
+
+  /** Drop a CHECK constraint. */
+  def dropSnapshotCheck(spark: SparkSession, root: String, name: String): Unit = {
+    val (fs, r) = fsOf(spark, root)
+    require(fs.delete(new org.apache.hadoop.fs.Path(refsDir(r), s"$name.check"), false),
+      s"no check $name on $root")
+  }
+
+  private def requireCheckHolds(batch: DataFrame, name: String,
+      predicate: String): Unit = {
+    val violated = !batch
+      .where(coalesce(expr(predicate), lit(true)) === lit(false)).isEmpty
+    if (violated) throw new SnapshotCheckViolation(
+      s"CHECK $name ($predicate) violated by the incoming batch")
+  }
+
+  /** Validate `batch` against every CHECK on the table; called by the
+    * write paths BEFORE any data lands, so a violation aborts with
+    * zero cleanup. */
+  private[graft] def validateChecks(spark: SparkSession, root: String,
+      batch: DataFrame): Unit =
+    listSnapshotChecks(spark, root).foreach { case (n, e) =>
+      requireCheckHolds(batch, n, e)
+    }
 
   private val refName = "[A-Za-z0-9][A-Za-z0-9._-]*".r
 

@@ -929,6 +929,84 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(GraftCatalog.snapshotVersions(spark, root) == Seq(3L))
   }
 
+  test("CHECK constraints gate every write path; NULL passes; violations abort before any data lands") {
+    import spark.implicits._
+    val root = s"$tmp/snapcheck_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      Seq((1L, Some(10.0)), (2L, None)).toDF("id", "amt"), root, append = true)
+
+    // a check violated by the CURRENT head cannot be added
+    intercept[graft.sources.SnapshotCheckViolation] {
+      GraftCatalog.addSnapshotCheck(spark, root, "amt_big", "amt > 100")
+    }
+    // NULL amt passes (SQL CHECK: unknown is not a violation)
+    GraftCatalog.addSnapshotCheck(spark, root, "amt_pos", "amt >= 0")
+    assert(GraftCatalog.listSnapshotChecks(spark, root) ==
+      Seq("amt_pos" -> "amt >= 0"))
+
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataDirs(): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+        .count(_.isDirectory)
+    val dirsBefore = dataDirs()
+
+    // violating APPEND aborts before any batch dir is written
+    intercept[graft.sources.SnapshotCheckViolation] {
+      GraftCatalog.commitSnapshot(
+        Seq((3L, Some(-5.0))).toDF("id", "amt"), root, append = true)
+    }
+    assert(dataDirs() == dirsBefore, "aborted commit must write nothing")
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(1L))
+
+    // violating MERGE and UPDATE abort too
+    intercept[graft.sources.SnapshotCheckViolation] {
+      GraftCatalog.mergeSnapshot(spark, root,
+        Seq((1L, Some(-1.0))).toDF("id", "amt"), "id")
+    }
+    intercept[graft.sources.SnapshotCheckViolation] {
+      GraftCatalog.updateSnapshotWhere(spark, root, col("id") === 1L,
+        Seq("amt" -> (col("amt") - lit(100.0))))
+    }
+
+    // passing writes land; NULL-valued rows pass everywhere
+    GraftCatalog.commitSnapshot(
+      Seq((4L, Option.empty[Double]), (5L, Some(0.0))).toDF("id", "amt"),
+      root, append = true)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 4)
+
+    // dropping the check re-opens the gate
+    GraftCatalog.dropSnapshotCheck(spark, root, "amt_pos")
+    GraftCatalog.commitSnapshot(
+      Seq((6L, Some(-5.0))).toDF("id", "amt"), root, append = true)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 5)
+  }
+
+  test("merge schema evolution: opt-in new columns land in the rewritten batch; strict mode drops them") {
+    import spark.implicits._
+    val root = s"$tmp/snapevo_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1),
+      root, append = true)
+
+    // strict (default): the extra column is dropped, schema unchanged
+    GraftCatalog.mergeSnapshot(spark, root,
+      Seq((2L, "b2", "X")).toDF("id", "v", "extra"), "id")
+    assert(GraftCatalog.readSnapshot(spark, root, mergeSchema = true)
+      .columns.toSeq == Seq("id", "v"))
+
+    // evolution: the new column lands; pre-existing rows read NULL
+    GraftCatalog.mergeSnapshot(spark, root,
+      Seq((2L, "b3", "X"), (3L, "c", "Y")).toDF("id", "v", "extra"), "id",
+      allowSchemaEvolution = true)
+    val head = GraftCatalog.readSnapshot(spark, root, mergeSchema = true)
+    assert(head.columns.toSeq == Seq("id", "v", "extra"))
+    val byId = head.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byId(2L) == ("b3", "X") && byId(3L) == ("c", "Y"))
+    assert(byId(1L)._2 == null, "pre-evolution rows read NULL for the new column")
+  }
+
   test("concurrent appenders with retry both land as serialized versions") {
     import spark.implicits._
     val root = s"$tmp/snapconc_${System.nanoTime()}"
