@@ -296,10 +296,86 @@ object SnapshotOps {
       |  COUNT(DISTINCT o_custkey) AS nc
       |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q126 — full CDC apply (I/U/D in ONE commit), oracle-reconciled:
+    * the q117 4-file snapshot, then one mixed batch — deletes
+    * (first-quarter keys with custkey%11=0), re-pricing updates
+    * (first-quarter %10 keys, disjoint from the deletes so per-key op
+    * is unambiguous), and inserts (new synthetic keys). One manifest
+    * flip applies all three; the head's per-priority aggregate
+    * hash-matches DuckDB's relational recompute (base minus deleted
+    * minus updated-originals ∪ updates ∪ inserts) — apply == full
+    * recompute row-for-row, and no reader could ever observe the
+    * deleted-but-not-yet-upserted intermediate that a two-commit
+    * delete+merge would expose. */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.df(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("pr"))
+    val root = s"/tmp/graft-index/snapcdc_${math.abs(d.hashCode.toLong)}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+    GraftCatalog.commitSnapshot(
+      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    val dels = orders
+      .where(col("o_orderkey") <= mk / 4 && col("o_custkey") % 11 === 0)
+      .withColumn("_op", lit("D"))
+    val upds = orders
+      .where(col("o_orderkey") <= mk / 4 && col("o_orderkey") % 10 === 0 &&
+        col("o_custkey") % 11 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("price") + lit(100.0)).as("price"), lit("0-RUSH").as("pr"),
+        lit("U").as("_op"))
+    val ins = orders.where(col("o_orderkey") % 1000 === 0)
+      .select((col("o_orderkey") + lit(300000000L)).as("o_orderkey"),
+        col("o_custkey"), col("price"), lit("9-NEW").as("pr"),
+        lit("I").as("_op"))
+    GraftCatalog.applyCdcSnapshot(s, root,
+      dels.unionByName(upds).unionByName(ins), "o_orderkey")
+    GraftCatalog.readSnapshot(s, root)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("pr")
+  }
+
+  private val q126Oracle: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |del AS (
+      |  SELECT o_orderkey FROM orders, mk
+      |  WHERE o_orderkey <= mk // 4 AND o_custkey % 11 = 0),
+      |upd AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) + 100.0 AS price, '0-RUSH' AS pr
+      |  FROM orders, mk
+      |  WHERE o_orderkey <= mk // 4 AND o_orderkey % 10 = 0
+      |    AND o_custkey % 11 <> 0),
+      |ins AS (
+      |  SELECT o_orderkey + 300000000 AS o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, '9-NEW' AS pr
+      |  FROM orders WHERE o_orderkey % 1000 = 0),
+      |base AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+      |    o_orderpriority AS pr
+      |  FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+      |    AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)),
+      |fin AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q117_merge_cow", Some(q117Oracle), q117),
     Q("q119_delete_cow", Some(q119Oracle), q119),
     Q("q122_update_cow", Some(q122Oracle), q122),
     Q("q123_incr_mv", Some(q123Oracle), q123),
-    Q("q124_replace_where", Some(q124Oracle), q124))
+    Q("q124_replace_where", Some(q124Oracle), q124),
+    Q("q126_cdc_apply", Some(q126Oracle), q126))
 }

@@ -697,6 +697,74 @@ object GraftCatalog {
     }
   }
 
+  /** Apply one full CDC batch — inserts, updates, AND deletes — in ONE
+    * manifest flip: the Debezium-feed apply every replication pipeline
+    * needs, which [[mergeSnapshot]] (upsert-only) cannot express
+    * without a second commit (and therefore a reader-visible
+    * intermediate state). `opCol` tags each row `I`/`U`/`D`; I and U
+    * are both upserts (an update to an absent key inserts — standard
+    * apply semantics), D removes the key, and a D for an absent key is
+    * a no-op. Planning is the merge discipline over the UNION of
+    * touched keys (deletes pin files too): stats-nominated candidates,
+    * `input_file_name` semi-join pinning, survivors = matched files
+    * anti-joined against ALL touched keys, upserts unioned back,
+    * deletes simply never return. CHECK constraints validate the
+    * upsert side only (a delete cannot violate a row predicate). */
+  def applyCdcSnapshot(spark: SparkSession, root: String,
+      batch: DataFrame, pk: String, opCol: String = "_op",
+      meta: Seq[String] = Seq.empty): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    if (batch.isEmpty) return head
+    val ops = batch.select(col(opCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    require(ops.subsetOf(Set("I", "U", "D")),
+      s"CDC ops must be I/U/D, got ${ops.mkString(", ")}")
+    val upserts = batch.where(col(opCol) =!= "D").drop(opCol)
+    validateChecks(spark, root, upserts)
+    val files = readManifest(fs, r, head)
+    val stats = readStats(spark, root, head)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val keys = batch.select(col(pk)).distinct()
+    val b = batch.agg(min(col(pk)).as("lo"), max(col(pk)).as("hi")).head()
+    val rangePred = org.apache.spark.sql.GraftColumnBridge.expression(
+      col(pk).between(lit(b.get(0)), lit(b.get(1))))
+    val candidates = files.filter(f =>
+      stats.get(f).forall(st => mayContain(st, rangePred, tz)))
+    val matchedFiles: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else pinnedPaths(spark.read.parquet(candidates: _*)
+        .withColumn("__file", input_file_name())
+        .join(keys, Seq(pk), "left_semi")
+        .select("__file").distinct().collect())
+    if (matchedFiles.isEmpty && upserts.isEmpty) return head
+    val carried = files.filterNot(matchedFiles)
+    val survivors =
+      if (matchedFiles.isEmpty) spark.read.parquet(files.head).where(lit(false))
+      else spark.read.parquet(matchedFiles.toSeq.sorted: _*)
+        .join(keys, Seq(pk), "left_anti")
+    val newData = survivors.unionByName(
+      upserts.select(survivors.columns.toSeq.map(col): _*))
+    commitCow(spark, fs, r, head, carried,
+      stats.filter { case (p, _) => carried.contains(p) }, newData, meta)
+  }
+
+  /** EXACTLY-ONCE streaming CDC apply — [[applyCdcSnapshot]] under the
+    * batch-id replay guard of [[mergeSnapshotBatch]]: wire as
+    * `.foreachBatch((b, id) => applyCdcSnapshotBatch(spark, root, b, pk, id))`
+    * and a crash-replayed micro-batch (including deletes) is a no-op. */
+  def applyCdcSnapshotBatch(spark: SparkSession, root: String,
+      batch: DataFrame, pk: String, batchId: Long,
+      opCol: String = "_op"): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val tag = s"#batch:$batchId"
+    snapshotVersions(spark, root).reverse
+      .find(v => readManifestLines(fs, r, v).contains(tag)) match {
+      case Some(v) => v // replay — already applied
+      case None => applyCdcSnapshot(spark, root, batch, pk, opCol, Seq(tag))
+    }
+  }
+
   /** COPY-ON-WRITE row-level DELETE: remove the rows satisfying
     * `pred`, rewriting only the files that actually contain such rows
     * — [[mergeSnapshot]]'s planning discipline pointed at removal:

@@ -1007,6 +1007,41 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(byId(1L)._2 == null, "pre-evolution rows read NULL for the new column")
   }
 
+  test("CDC apply handles I/U/D in one version; replays are no-ops; absent-key deletes vanish") {
+    import spark.implicits._
+    val root = s"$tmp/snapcdcapply_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(1),
+      root, append = true)
+
+    // one mixed batch: update 10, delete 20, insert 200 (as U — an
+    // update to an absent key inserts), delete absent 999 (no-op)
+    val cdc = Seq(
+      (10L, "U10", "U"), (20L, "ignored", "D"),
+      (200L, "NEW200", "U"), (999L, "ignored", "D"))
+      .toDF("id", "v", "_op")
+    val v = GraftCatalog.applyCdcSnapshotBatch(spark, root, cdc, "id", batchId = 7L)
+    assert(v == 2L, "one mixed batch must be ONE version flip")
+
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.count() == 100) // -1 delete, +1 insert
+    val byId = head.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(10L) == "U10" && byId(200L) == "NEW200")
+    assert(!byId.contains(20L) && !byId.contains(999L))
+    assert(byId(50L) == "r50")
+
+    // a crash-replay of the SAME batch id is a byte-level no-op
+    assert(GraftCatalog.applyCdcSnapshotBatch(spark, root, cdc, "id", 7L) == 2L)
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 2L))
+
+    // invalid op tags are rejected before any mutation
+    intercept[IllegalArgumentException] {
+      GraftCatalog.applyCdcSnapshot(spark, root,
+        Seq((1L, "x", "Z")).toDF("id", "v", "_op"), "id")
+    }
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 2L))
+  }
+
   test("concurrent appenders with retry both land as serialized versions") {
     import spark.implicits._
     val root = s"$tmp/snapconc_${System.nanoTime()}"
