@@ -1428,6 +1428,80 @@ object Dedup {
     * Rows-only (a learned quantizer has no SQL restatement);
     * PipelineSpec pins recall of d05's same-label near-dup pairs and
     * the removed-side centroid rule. */
+  /** Weighted s-core decomposition by level-wise strength peeling
+    * (Eidsaa & Almaas's s-core / Batagelj-Zaveršnik generalized cores
+    * with p(v) = Σ incident weights): node score = the largest level s
+    * such that the node survives peeling everything with weighted
+    * degree < s. The weighted refinement d20's unit-count coreness
+    * cannot see: five 0.3-weak partners and one 0.95-twin both give
+    * count-core ≥ 1, but only the strong neighborhood survives a high
+    * s level. Each round is ONE strength aggregation + two anti-joins
+    * over surviving edges (never all-pairs), checkpoint-freed like
+    * d06/d15; round count is bounded by the number of distinct PEEL
+    * WAVES, which the caller bounds by quantizing weights (integer
+    * deciles here) — the resolution/rounds trade, stated. */
+  private[graft] def sCore(nodes: DataFrame, wpairs: DataFrame,
+      maxIters: Int = 400): DataFrame = {
+    val fwd = wpairs.toDF("u", "v", "w")
+    // `live` is tracked separately from the edge list: a node whose
+    // remaining strength drops to ZERO (every neighbor peeled) must
+    // still be peeled AT the current level — it survived up to here,
+    // so its score is the level, not a silent 0.
+    var live = nodes.toDF("id").distinct().localCheckpoint()
+    var adj = fwd.union(fwd.select(col("v"), col("u"), col("w")))
+      .toDF("id", "nb", "w").localCheckpoint()
+    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var level = 0L
+    var iters = 0
+    while (!live.isEmpty && iters < maxIters) {
+      val str = live
+        .join(adj.groupBy("id").agg(sum("w").as("s")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("s"))
+        .localCheckpoint()
+      level = math.max(level, str.agg(min("s")).head().getLong(0))
+      val peeled = str.where(col("s") <= level).select("id")
+        .withColumn("score", lit(level)).localCheckpoint()
+      done += peeled
+      val nextLive = live.join(peeled, Seq("id"), "left_anti").localCheckpoint()
+      val nextAdj = adj
+        .join(peeled.select("id"), Seq("id"), "left_anti")
+        .join(peeled.select(col("id").as("nb")), Seq("nb"), "left_anti")
+        .localCheckpoint()
+      freeCheckpoint(live); freeCheckpoint(adj); freeCheckpoint(str)
+      live = nextLive
+      adj = nextAdj
+      iters += 1
+    }
+    if (!live.isEmpty) throw new IllegalStateException(
+      s"sCore did not converge in $maxIters rounds")
+    val scored =
+      if (done.isEmpty)
+        nodes.toDF("id").withColumn("score", lit(0L)).where(lit(false))
+      else done.reduceLeft(_ unionByName _)
+    nodes.toDF("id")
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** d23 — weighted coreness of the near-dup graph: d20 counts
+    * partners, this SUMS similarity — the score that separates "five
+    * borderline near-misses" from "one 0.95 template twin plus
+    * backup". Weights are integer similarity deciles (floor(jac·10) ∈
+    * 3..10 above the 0.3 pair floor) so peel levels are discrete and
+    * the round count stays bounded. Rows-only like d20 (peeling to
+    * fixpoint has no sane SQL restatement); PipelineSpec pins exact
+    * scores on constructed weighted cliques/stars/chains. */
+  private def d23(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val w = jaccardPairs(dd).select(
+      col("a_id").as("a"), col("b_id").as("b"),
+      floor(col("jac") * 10).cast("long").as("w"))
+    sCore(dd.select("doc_id"), w)
+      .select(col("id").as("doc_id"), col("score"))
+      .where(col("score") > 0)
+      .orderBy("doc_id")
+  }
+
   private def d22(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val (idx, cents) = Similarity.ivfIndex(s, d)
@@ -1471,5 +1545,6 @@ object Dedup {
     Q("d19_incremental_verdicts", Some(d19Oracle), d19),
     Q("d20_kcore", None, d20),
     Q("d21_ktruss", None, d21),
-    Q("d22_semantic_dedup", None, d22))
+    Q("d22_semantic_dedup", None, d22),
+    Q("d23_weighted_core", None, d23))
 }

@@ -1177,6 +1177,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected, s"core numbers diverge: $got")
   }
 
+  test("d23 s-core goldens: strength peeling separates a weak star from a strong twin pair") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // triangle w=9 each with a w=3 pendant: triangle peels at 18, pendant 3;
+    // a 5-leaf star of w=3 (center AND leaves peel at 3 — the zero-residual
+    // wave) beside a single w=9 twin pair (peels at 9): count-core gives
+    // ALL of these core 1 and cannot separate them;
+    // an ascending chain 2-5-5: node 1 at 2, the rest at 5; isolated 0
+    val edges = Seq(
+      (1L, 2L, 9L), (1L, 3L, 9L), (2L, 3L, 9L), (1L, 4L, 3L),
+      (10L, 11L, 3L), (10L, 12L, 3L), (10L, 13L, 3L), (10L, 14L, 3L), (10L, 15L, 3L),
+      (20L, 21L, 9L),
+      (30L, 31L, 2L), (31L, 32L, 5L), (32L, 33L, 5L)).toDF("a", "b", "w")
+    val nodes = (Seq(1, 2, 3, 4) ++ (10 to 15) ++ Seq(20, 21)
+      ++ (30 to 33) ++ Seq(99)).map(_.toLong).toDF("id")
+    val got = Dedup.sCore(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 18L, 2L -> 18L, 3L -> 18L, 4L -> 3L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L, 14L -> 3L, 15L -> 3L,
+      20L -> 9L, 21L -> 9L,
+      30L -> 2L, 31L -> 5L, 32L -> 5L, 33L -> 5L,
+      99L -> 0L)
+    assert(got == expected, s"s-core scores diverge: $got")
+  }
+
+  test("d23 driver-corpus scores are positive and bounded by decile strength") {
+    val scores = rows("d23_weighted_core")
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    assert(scores.nonEmpty, "dup graph has edges, so someone has score > 0")
+    // score is bounded by the node's initial decile strength, and the
+    // scored set is exactly the edge-touching docs (d17's)
+    val pairs = rows("d02_dedup_jaccard")
+    val strength = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    pairs.foreach { r =>
+      val w = math.floor(r.getAs[Double]("jac") * 10).toLong
+      strength(r.getAs[Long]("a_id")) += w
+      strength(r.getAs[Long]("b_id")) += w
+    }
+    scores.foreach { case (id, sc) =>
+      assert(sc >= 1 && sc <= strength(id),
+        s"doc $id: score $sc outside [1, strength ${strength(id)}]")
+    }
+    assert(scores.keySet == strength.keySet.toSet,
+      "s-core must cover exactly the edge-touching docs")
+  }
+
   test("d20 driver-corpus cores are positive and bounded by d17 degrees") {
     val cores = rows("d20_kcore")
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core")).toMap
