@@ -167,8 +167,82 @@ object Analytic6 {
       |FROM m JOIN coh USING (d0)
       |ORDER BY cohort_day, week_offset""".stripMargin
 
+  /** q127 — aggregate FILTER clause (SQL:2003, supported natively by
+    * both engines since Spark 3.0 / always in DuckDB): conditional
+    * aggregation as first-class syntax instead of the
+    * SUM(CASE WHEN …) idiom q56 exercises. One ANSI text run verbatim
+    * by both engines — parser/analyzer surface like q91's GROUP BY
+    * ALL; decimal money sums per the §5 discipline; the
+    * no-matching-row groups yield NULL in both engines. */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    Tables.ensure(s, d)
+    s.sql(q127Sql)
+  }
+
+  private val q127Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_price,
+      |  COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q128 — tolerance-bounded as-of join (the feature-store staleness
+    * contract: "the latest prior value, but only if it is FRESH
+    * enough"): for each order, the same customer's most recent prior
+    * order within 90 days — beyond the window the match is NULL, not
+    * silently stale. q35's expand-and-argmax composition with BOTH
+    * range bounds in the join condition, so the candidate fan-out is
+    * bounded by orders-per-customer-per-90-days (not per-customer
+    * history) — the bound is what keeps the expansion affordable at
+    * 100 TB; unmatched orders re-enter via a left join on the
+    * collapsed key. Per-(custkey, day) collapse first so the as-of
+    * pick is deterministic; DuckDB LEFT JOIN LATERAL is the oracle. */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.df(s, d, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val cand = ord.as("a")
+      .join(ord.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("b.o_orderdate") < col("a.o_orderdate") &&
+          col("b.o_orderdate") >= col("a.o_orderdate") - expr("INTERVAL 90 DAYS"))
+      .groupBy(col("a.o_custkey").as("o_custkey"),
+        col("a.o_orderdate").as("o_orderdate"))
+      .agg(max(struct(col("b.o_orderdate"), col("b.o_orderkey"))).as("m"))
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("m.o_orderkey").as("prev_orderkey"),
+        col("m.o_orderdate").as("prev_date"))
+    ord.join(cand, Seq("o_custkey", "o_orderdate"), "left_outer")
+      .select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("od"),
+        col("o_orderkey"), col("prev_orderkey"),
+        datediff(to_date(col("o_orderdate")), to_date(col("prev_date")))
+          .cast("long").as("gap_days"))
+      .orderBy("o_custkey", "od", "o_orderkey")
+  }
+
+  private val q128Oracle: String =
+    """WITH ord AS (
+      |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT a.o_custkey, CAST(a.o_orderdate AS DATE) AS od, a.o_orderkey,
+      |  p.o_orderkey AS prev_orderkey,
+      |  CAST(datediff('day', CAST(p.o_orderdate AS DATE),
+      |    CAST(a.o_orderdate AS DATE)) AS BIGINT) AS gap_days
+      |FROM ord a LEFT JOIN LATERAL (
+      |  SELECT b.o_orderkey, b.o_orderdate
+      |  FROM ord b
+      |  WHERE b.o_custkey = a.o_custkey
+      |    AND b.o_orderdate < a.o_orderdate
+      |    AND b.o_orderdate >= a.o_orderdate - INTERVAL 90 DAY
+      |  ORDER BY b.o_orderdate DESC, b.o_orderkey DESC LIMIT 1) p ON TRUE
+      |ORDER BY a.o_custkey, od, a.o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q120_hypothetical_rank", Some(q120Oracle), q120),
     Q("q121_streaks", Some(q121Oracle), q121),
-    Q("q125_cohort_retention", Some(q125Oracle), q125))
+    Q("q125_cohort_retention", Some(q125Oracle), q125),
+    Q("q127_filter_clause", Some(q127Sql), q127),
+    Q("q128_asof_tolerance", Some(q128Oracle), q128))
 }

@@ -827,6 +827,44 @@ class StreamingSpec extends AnyFunSuite {
       diff(1L) == "unchanged" && diff(10L) == "unchanged", s"diff: $diff")
   }
 
+  test("streaming CDC sink: a real stream of I/U/D batches lands exactly-once, deletes included") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = "/tmp/graft-streams/cdcsink_" + System.nanoTime()
+    GraftCatalog.commitSnapshot(
+      (1 to 5).map(i => (i.toLong, s"base$i")).toDF("id", "v"),
+      root, append = false)
+    val ms = MemoryStream[(Long, String, String)]
+    val q = ms.toDF().toDF("id", "v", "_op").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        GraftCatalog.applyCdcSnapshotBatch(spark, root, b, "id", id); ()
+      }
+      .option("checkpointLocation", root + "_ckpt").start()
+    try {
+      // batch 0: update 2, delete 3; batch 1: insert 10, delete 5
+      Seq(Seq((2L, "u2", "U"), (3L, "x", "D")),
+          Seq((10L, "n10", "I"), (5L, "x", "D")))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def byId(v: Option[Long]) = GraftCatalog.readSnapshot(spark, root, v)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 2L, 3L))
+    assert(byId(None) == Map(1L -> "base1", 2L -> "u2", 4L -> "base4",
+      10L -> "n10"))
+    // time travel: post-batch-0 state still has key 5
+    assert(byId(Some(2L)) == Map(1L -> "base1", 2L -> "u2", 4L -> "base4",
+      5L -> "base5"))
+    // crash-replay of batch 0 (deletes included) is a no-op
+    val v = GraftCatalog.applyCdcSnapshotBatch(spark, root,
+      Seq((2L, "u2", "U"), (3L, "x", "D")).toDF("id", "v", "_op"), "id", 0L)
+    assert(v == 2L && GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 2L, 3L))
+    // a SnapshotTailer consumer sees one CDC version per micro-batch
+    val ch = GraftCatalog.readChanges(spark, root, 1L, 3L)
+    assert(ch.where(org.apache.spark.sql.functions.col("_version") === 2L).count() > 0 &&
+      ch.where(org.apache.spark.sql.functions.col("_version") === 3L).count() > 0)
+  }
+
   test("streaming dedup verdicts: d19 semantics live, canonical pointers, replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
