@@ -1138,6 +1138,42 @@ object GraftCatalog {
     predicate.fold(df)(df.where)
   }
 
+  /** Read a snapshot as a CATALYST-INTEGRATED relation: unlike
+    * [[readSnapshot]]'s explicit `predicate` parameter, the returned
+    * DataFrame's custom [[org.apache.spark.sql.GraftSnapshotFileIndex]]
+    * receives the query's OWN resolved data filters at planning time
+    * and prunes the manifest's file list against the per-file stats —
+    * so ANY `.where`, join filter, or pushed subquery filter
+    * data-skips automatically, with no predicate plumbing, and the
+    * surviving files still get normal parquet row-group pushdown. At
+    * 100 TB this is the difference between "remembering to pass the
+    * predicate twice" and the Iceberg behavior users expect from a
+    * table format. Planning metadata only — pruning happens on the
+    * driver before any footer I/O. */
+  def readSnapshotAuto(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val (fs, r) = fsOf(spark, root)
+    val v = version.getOrElse {
+      val vs = snapshotVersions(spark, root)
+      require(vs.nonEmpty, s"no snapshots published under $root")
+      vs.last
+    }
+    val files = readManifest(fs, r, v)
+    val stats = readStats(spark, root, v)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val statuses = files.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)))
+    val schema = spark.read.parquet(files.head).schema
+    val keep: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        Seq[org.apache.hadoop.fs.FileStatus] = filters =>
+      if (filters.isEmpty) statuses
+      else statuses.filter { st =>
+        val p = org.apache.hadoop.fs.Path
+          .getPathWithoutSchemeAndAuthority(st.getPath).toString
+        stats.get(p).forall(fst => filters.forall(f => mayContain(fst, f, tz)))
+      }
+    org.apache.spark.sql.GraftSnapshotRelation.dataFrame(spark, r, statuses, schema, keep)
+  }
+
   /** Roll the table back to `to`'s contents by publishing its file
     * list as a NEW version — history is never rewritten, so the bad
     * versions stay inspectable and a concurrent reader of any version

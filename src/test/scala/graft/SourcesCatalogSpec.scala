@@ -1042,6 +1042,46 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 2L))
   }
 
+  test("readSnapshotAuto: the query's own filters data-skip at scan planning, no predicate plumbing") {
+    import spark.implicits._
+    val root = s"$tmp/snapauto_${System.nanoTime()}"
+    Seq(1 to 100, 101 to 200, 201 to 300, 301 to 400).foreach { rng =>
+      GraftCatalog.commitSnapshot(
+        rng.map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(1),
+        root, append = true)
+    }
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // drive the scan so metrics populate
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    }
+    val auto = GraftCatalog.readSnapshotAuto(spark, root)
+
+    // an unfiltered read scans the whole manifest
+    assert(scannedFiles(GraftCatalog.readSnapshotAuto(spark, root)) == 4L)
+
+    // a PLAIN .where — no explicit predicate parameter anywhere —
+    // prunes the file list to the one covering batch
+    val sel = auto.where(col("id").between(150L, 160L))
+    assert(sel.count() == 11)
+    assert(scannedFiles(auto.where(col("id").between(150L, 160L))) == 1L,
+      "the query's own filter must reach the manifest stats")
+
+    // equality and IN prune too; disjunction keeps both touched files
+    assert(scannedFiles(auto.where(col("id") === 50L)) == 1L)
+    assert(scannedFiles(auto.where(col("id").isin(50L, 350L))) == 2L)
+
+    // row-level semantics identical to the plain read
+    val expect = GraftCatalog.readSnapshot(spark, root)
+      .where(col("id").between(150L, 160L)).collect().map(_.getLong(0)).sorted
+    assert(sel.collect().map(_.getLong(0)).sorted.sameElements(expect))
+
+    // an untranslatable filter conservatively keeps everything (and
+    // still answers correctly row-level)
+    val odd = auto.where(col("id") % 2 === 1)
+    assert(odd.count() == 200 && scannedFiles(auto.where(col("id") % 2 === 1)) == 4L)
+  }
+
   test("concurrent appenders with retry both land as serialized versions") {
     import spark.implicits._
     val root = s"$tmp/snapconc_${System.nanoTime()}"
