@@ -1080,6 +1080,14 @@ class SourcesCatalogSpec extends AnyFunSuite {
     // still answers correctly row-level)
     val odd = auto.where(col("id") % 2 === 1)
     assert(odd.count() == 200 && scannedFiles(auto.where(col("id") % 2 === 1)) == 4L)
+
+    // the SQL surface skips identically: a temp view over the auto
+    // relation prunes from a plain WHERE in SQL text
+    GraftCatalog.readSnapshotAuto(spark, root).createOrReplaceTempView("snap_auto")
+    val viaSql = spark.sql("SELECT * FROM snap_auto WHERE id BETWEEN 250 AND 260")
+    assert(viaSql.count() == 11 && scannedFiles(
+      spark.sql("SELECT * FROM snap_auto WHERE id BETWEEN 250 AND 260")) == 1L,
+      "SQL WHERE over the view must reach the manifest stats")
   }
 
   test("concurrent appenders with retry both land as serialized versions") {
