@@ -371,11 +371,52 @@ object SnapshotOps {
       |  COUNT(DISTINCT o_custkey) AS nc
       |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q129 — the Catalyst-integrated snapshot read on the driver
+    * surface: orders lands as the 4-file range snapshot, then the
+    * aggregate runs over `readSnapshotAuto` with a PLAIN `.where` — no
+    * predicate parameter anywhere — and the custom FileIndex prunes
+    * the manifest to the first-quarter file(s) at scan planning
+    * (pruning itself is metric-proven in SourcesCatalogSpec; this
+    * query proves the auto path's ROW-LEVEL semantics against the
+    * relational oracle at both SFs). */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.df(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("pr"))
+    val root = s"/tmp/graft-index/snapauto_${math.abs(d.hashCode.toLong)}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+    GraftCatalog.commitSnapshot(
+      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    GraftCatalog.readSnapshotAuto(s, root)
+      .where(col("o_orderkey") <= mk / 4)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("pr")
+  }
+
+  private val q129Oracle: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |fin AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+      |    o_orderpriority AS pr
+      |  FROM orders, mk WHERE o_orderkey <= mk // 4)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q117_merge_cow", Some(q117Oracle), q117),
     Q("q119_delete_cow", Some(q119Oracle), q119),
     Q("q122_update_cow", Some(q122Oracle), q122),
     Q("q123_incr_mv", Some(q123Oracle), q123),
     Q("q124_replace_where", Some(q124Oracle), q124),
-    Q("q126_cdc_apply", Some(q126Oracle), q126))
+    Q("q126_cdc_apply", Some(q126Oracle), q126),
+    Q("q129_auto_skip", Some(q129Oracle), q129))
 }

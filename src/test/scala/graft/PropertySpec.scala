@@ -281,6 +281,46 @@ class PropertySpec extends AnyFunSuite {
 
   // ----- d02 capped shingle-Jaccard vs set-based reference --------------
 
+  test("property: sCore peeling equals the definitional max-survivable-threshold") {
+    import spark.implicits._
+    // Independent reference straight from the generalized-cores
+    // DEFINITION (not a restatement of the peeling loop): core(s) =
+    // the maximal subgraph where every node's weighted degree ≥ s
+    // (fixpoint deletion); score(v) = max s with v ∈ core(s), swept
+    // over every integer threshold up to the max strength.
+    val graphGen = for {
+      n <- Gen.chooseNum(6, 14)
+      es <- Gen.listOfN(n * 2, Gen.zip(
+        Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L), Gen.chooseNum(1L, 10L)))
+    } yield (n, es.collect { case (a, b, w) if a != b =>
+      (math.min(a, b), math.max(a, b), w) }.distinctBy(e => (e._1, e._2)))
+    for (seed <- 1L to 5L) {
+      val (n, edges) = sample(graphGen, seed)
+      val nodes = (0L until n.toLong).toSet
+      def coreAt(s: Long): Set[Long] = {
+        var live = nodes
+        var changed = true
+        while (changed) {
+          val str = live.map(v => v -> edges.collect {
+            case (a, b, w) if (a == v && live(b)) || (b == v && live(a)) => w
+          }.sum).toMap
+          val dead = live.filter(v => str(v) < s)
+          changed = dead.nonEmpty
+          live --= dead
+        }
+        live
+      }
+      val maxStr = nodes.map(v => edges.collect {
+        case (a, b, w) if a == v || b == v => w }.sum).maxOption.getOrElse(0L)
+      val want = nodes.map(v =>
+        v -> (0L to maxStr).filter(s => coreAt(s)(v)).max).toMap
+      val got = graft.operators.Dedup.sCore(
+        nodes.toSeq.toDF("id"), edges.toSeq.toDF("a", "b", "w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed: got $got want $want")
+    }
+  }
+
   test("property: capped shingle-Jaccard equals a set reference, hot bucket dropped") {
     import spark.implicits._
     val filler = Gen.listOfN(6, Gen.oneOf(
