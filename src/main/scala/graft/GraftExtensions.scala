@@ -120,5 +120,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kll_quantiles",
         "kll_quantiles(sketch, array<double>) - quantile values at the given ranks"),
       es => KllQuantiles(es(0), es(1))))
+    e.injectTableFunction((FunctionIdentifier("graft_snapshot"),
+      info("graft_snapshot",
+        "graft_snapshot(root[, version]) - a graft snapshot table (head or time travel) as a table-valued function; WHERE clauses data-skip via manifest stats"),
+      graft.sources.GraftTvf.snapshotBuilder))
   }
 }

@@ -630,5 +630,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("kll_sketch_agg", es => KllSketchAgg(es.head), "built-in")
     reg.createOrReplaceTempFunction("kll_merge_agg", es => KllMergeAgg(es.head), "built-in")
     reg.createOrReplaceTempFunction("kll_quantiles", es => KllQuantiles(es(0), es(1)), "built-in")
+    // table functions live in their own registry — keep parity with
+    // GraftExtensions' injectTableFunction
+    graft.sources.GraftTvf.register(spark)
   }
 }

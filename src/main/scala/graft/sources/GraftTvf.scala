@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** `graft_snapshot('<root>'[, <version>])` — the snapshot table as a
+  * SQL TABLE-VALUED FUNCTION, so a pure-SQL client (Thrift/Connect,
+  * notebook `%sql`) reads versioned tables with no Scala call site at
+  * all:
+  *
+  * {{{
+  *   SELECT * FROM graft_snapshot('/data/orders')            -- head
+  *   SELECT * FROM graft_snapshot('/data/orders', 3)         -- time travel
+  *   SELECT ... FROM graft_snapshot('/data/orders') WHERE k = 5
+  * }}}
+  *
+  * The TVF resolves at ANALYSIS time to [[GraftCatalog.readSnapshotAuto]]'s
+  * Catalyst-integrated relation, so the WHERE in the third form
+  * data-skips through the manifest stats exactly like the DataFrame
+  * path — SQL users get the Iceberg behavior for free. Arguments must
+  * be literals (a TVF's table identity has to be known at planning).
+  * Registered per-session here or cluster-wide via
+  * [[graft.GraftExtensions]]'s `injectTableFunction`.
+  */
+object GraftTvf {
+
+  private[graft] val snapshotBuilder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.nonEmpty && args.size <= 2,
+      "graft_snapshot(root[, version]) takes 1 or 2 arguments")
+    require(args.forall(_.foldable),
+      "graft_snapshot arguments must be literals")
+    val root = String.valueOf(args.head.eval())
+    val version = args.lift(1).map(v => String.valueOf(v.eval()).toLong)
+    val spark = SparkSession.active
+    GraftCatalog.readSnapshotAuto(spark, root, version).queryExecution.logical
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_snapshot", snapshotBuilder, "built-in")
+}

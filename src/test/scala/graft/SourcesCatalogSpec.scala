@@ -1088,6 +1088,17 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(viaSql.count() == 11 && scannedFiles(
       spark.sql("SELECT * FROM snap_auto WHERE id BETWEEN 250 AND 260")) == 1L,
       "SQL WHERE over the view must reach the manifest stats")
+
+    // the TABLE-VALUED FUNCTION surface: pure SQL, head and time
+    // travel, with the same automatic data skipping
+    graft.sources.GraftTvf.register(spark)
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$root')")
+      .head().getLong(0) == 400L)
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$root', 2)")
+      .head().getLong(0) == 200L, "TVF time travel")
+    assert(scannedFiles(spark.sql(
+      s"SELECT * FROM graft_snapshot('$root') WHERE id = 50")) == 1L,
+      "TVF WHERE must data-skip")
   }
 
   test("concurrent appenders with retry both land as serialized versions") {
