@@ -1174,6 +1174,46 @@ object GraftCatalog {
     org.apache.spark.sql.GraftSnapshotRelation.dataFrame(spark, r, statuses, schema, keep)
   }
 
+  /** DESCRIBE HISTORY — the table's commit log as a DataFrame (the
+    * Delta surface every operator dashboard reads): one row per
+    * version with commit time (manifest mtime), file/row/byte counts
+    * (rows from the manifest's OWN stats sidecar — no data I/O), the
+    * net file delta vs the previous version (how much the commit
+    * rewrote vs carried — a CoW merge shows few added/removed, an
+    * overwrite shows everything), and the commit's meta tags (`#batch:`
+    * ids etc.). Pure driver-side metadata: cost ∝ versions × files
+    * LISTED, zero parquet opens. */
+  def describeSnapshotHistory(spark: SparkSession, root: String): DataFrame = {
+    val (fs, r) = fsOf(spark, root)
+    val versions = snapshotVersions(spark, root)
+    var prev = Set.empty[String]
+    val rows = versions.map { v =>
+      val lines = readManifestLines(fs, r, v)
+      val files = lines.filterNot(l => l.startsWith("#"))
+      val tags = lines.filter(l => l.startsWith("#") && !l.startsWith("#stats:") &&
+        l != "#eof")
+      val stats = readStats(spark, root, v)
+      val nRows: Option[Long] =
+        if (files.nonEmpty && files.forall(stats.contains))
+          Some(files.map(f => stats(f).rows).sum)
+        else None
+      val bytes = files.map(f =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+      val mtime = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(manifestDir(r), s"v$v.manifest"))
+        .getModificationTime
+      val cur = files.toSet
+      val row = (v, new java.sql.Timestamp(mtime), files.size,
+        nRows, bytes, (cur -- prev).size, (prev -- cur).size, tags.mkString(","))
+      prev = cur
+      row
+    }
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("version", "committed_at", "n_files", "n_rows", "bytes",
+      "files_added", "files_removed", "meta")
+  }
+
   /** Roll the table back to `to`'s contents by publishing its file
     * list as a NEW version — history is never rewritten, so the bad
     * versions stay inspectable and a concurrent reader of any version

@@ -1101,6 +1101,33 @@ class SourcesCatalogSpec extends AnyFunSuite {
       "TVF WHERE must data-skip")
   }
 
+  test("describeSnapshotHistory reports the commit log with CoW deltas, from metadata only") {
+    import spark.implicits._
+    val root = s"$tmp/snaphist_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(2),
+      root, append = false)
+    GraftCatalog.commitSnapshot(
+      (101 to 150).map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(1),
+      root, append = true)
+    GraftCatalog.mergeSnapshotBatch(spark, root,
+      Seq((120L, "UPD")).toDF("id", "v"), "id", batchId = 42L)
+
+    val h = GraftCatalog.describeSnapshotHistory(spark, root)
+      .orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // rows come from the stats sidecar, not a scan
+    assert(h.map(r => r.getLong(3)).toSeq == Seq(100L, 150L, 150L))
+    // v2 appended one file and carried v1's two; the CoW merge swapped
+    // exactly the file holding key 120
+    assert(h(1).getInt(2) == 3 && h(1).getInt(5) == 1 && h(1).getInt(6) == 0)
+    assert(h(2).getInt(6) == 1 && h(2).getInt(5) >= 1,
+      s"merge must show exactly one file leaving (the matched one): ${h(2)}")
+    // the exactly-once tag surfaces in meta
+    assert(h(2).getString(7).contains("#batch:42"))
+    assert(h.forall(_.getLong(4) > 0L))
+  }
+
   test("concurrent appenders with retry both land as serialized versions") {
     import spark.implicits._
     val root = s"$tmp/snapconc_${System.nanoTime()}"
