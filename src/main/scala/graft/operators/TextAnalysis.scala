@@ -1036,7 +1036,54 @@ object TextAnalysis {
     Q("t22_dup_ngrams", Some(t22Oracle), t22),
     Q("t23_collocations", Some(t23Oracle), t23),
     Q("t24_crossdoc_coverage", Some(t24Oracle), t24),
-    Q("t25_gopher_char_fracs", Some(t25Oracle), t25))
+    Q("t25_gopher_char_fracs", Some(t25Oracle), t25),
+    Q("t26_dsir_scores", None, t26))
+
+  /** t26 — DSIR-style importance scores (the published
+    * data-selection-via-importance-resampling recipe: select raw docs
+    * that RESEMBLE a target domain by the likelihood ratio of
+    * hashed-bigram features): bag-of-bigrams hashed into B=256
+    * buckets, add-one-smoothed multinomials fitted for the target
+    * (here: `source = 'src0'`, the domain proxy) and the raw pool,
+    * per-doc log-importance = Σ over bigram positions of
+    * ln p_target(b) − ln p_raw(b). The 100 TB shape: TWO B-bounded
+    * bucket aggregates (256 longs each — the documented bounded
+    * metadata collect), the log-ratio table re-enters as a LITERAL
+    * array column, and the scoring pass is then NARROW — one
+    * higher-order fold per doc, no join, no shuffle until the final
+    * top-50. Rows-only (ln has no cross-engine-stable restatement —
+    * the t23 reasoning); PipelineSpec proves the separation property
+    * on a constructed two-domain corpus. */
+  private def t26(s: SparkSession, d: String): DataFrame =
+    dsirScores(Tables.df(s, d, "documents"), col("source") === "src0")
+
+  private[graft] def dsirScores(docsDf: DataFrame,
+      isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val B = 256
+    val bucketed = docsDf
+      .withColumn("t", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .where(size(col("t")) >= 2)
+      .withColumn("bk", expr(
+        s"transform(sequence(0, size(t) - 2), i -> pmod(hash(concat(t[i], ' ', t[i+1])), $B))"))
+    def smoothed(df: DataFrame): Array[Double] = {
+      val counts = df.select(explode(col("bk")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      Array.tabulate(B)(i =>
+        (counts.getOrElse(i, 0L) + 1.0) / (total + B.toDouble))
+    }
+    val p = smoothed(bucketed.where(isTarget))
+    val q = smoothed(bucketed.where(!isTarget))
+    val ratio = Array.tabulate(B)(i => math.log(p(i)) - math.log(q(i)))
+    bucketed.where(!isTarget)
+      .withColumn("rarr", array(ratio.map(lit): _*))
+      .select(col("doc_id"), size(col("bk")).as("n_bigrams"),
+        round(expr("aggregate(bk, 0D, (a, x) -> a + element_at(rarr, x + 1))"), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
 
   // NOTE: t25Oracle is referenced by `all` above; `all` is lazy so the
   // below initializes first on any access path.

@@ -1224,6 +1224,30 @@ class PipelineSpec extends AnyFunSuite {
       "s-core must cover exactly the edge-touching docs")
   }
 
+  test("t26 DSIR scores separate target-like raw docs from off-domain ones") {
+    import spark.implicits._
+    val aWords = Seq("alpha", "bravo", "carbon", "delta", "echo")
+    val bWords = Seq("xray", "yankee", "zulu", "whiskey", "victor")
+    def doc(ws: Seq[String], n: Int, seed: Int): String =
+      (0 until n).map(i => ws((i * 7 + seed) % ws.size)).mkString(" ")
+    val rows =
+      (1 to 10).map(i => (i.toLong, doc(aWords, 30, i), "target")) ++
+      (101 to 105).map(i => (i.toLong, doc(aWords, 25, i), "raw")) ++
+      (201 to 205).map(i => (i.toLong, doc(bWords, 25, i), "raw"))
+    val df = rows.toDF("doc_id", "text", "grp")
+    val got = graft.operators.TextAnalysis
+      .dsirScores(df, col("grp") === "target")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every raw doc scores; target docs are excluded from the output
+    assert(got.keySet == ((101L to 105L) ++ (201L to 205L)).toSet)
+    val aMin = (101L to 105L).map(got).min
+    val bMax = (201L to 205L).map(got).max
+    assert(aMin > bMax,
+      s"target-like docs must outrank off-domain: aMin=$aMin bMax=$bMax")
+    assert(aMin > 0 && bMax < 0,
+      "likelihood-ratio sign must follow domain membership")
+  }
+
   test("d20 driver-corpus cores are positive and bounded by d17 degrees") {
     val cores = rows("d20_kcore")
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core")).toMap
