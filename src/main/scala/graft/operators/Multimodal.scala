@@ -293,9 +293,12 @@ object Multimodal {
     * m01, return per-clip quality features. Payloads stay in executor
     * memory one partition at a time; rows-only, semantics golden-pinned
     * in PipelineSpec. */
-  private def m03(s: SparkSession, d: String): DataFrame = {
+  /** The synthesized audio corpus shared by m03/m10: deterministic
+    * triangle waves (integer math, doc_id-seeded period/length, a
+    * clipped stretch on every 3rd clip). */
+  private[graft] def audioCorpus(s: SparkSession, d: String): Dataset[AudioRow] = {
     import s.implicits._
-    val audio: Dataset[AudioRow] = graft.Tables.df(s, d, "documents")
+    graft.Tables.df(s, d, "documents")
       .where(col("doc_id") % 5 === 0) // an audio corpus subset
       .select(col("doc_id"),
         (pmod(xxhash64(col("doc_id")), lit(64)) + 16).cast("int").as("period"),
@@ -313,11 +316,63 @@ object Multimodal {
           math.max(-32768, math.min(32767, v)).toShort
         }))
       })
-    audio
+  }
+
+  private def m03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioCorpus(s, d)
       .mapPartitions(_.map(decodeWav))
       .toDF()
       .withColumn("clip_frac", round(col("clip_frac"), 6))
       .orderBy("doc_id")
+  }
+
+  /** Parse a PCM16 mono WAV payload to (sampleRate, samples) — the
+    * same header validation as [[decodeWav]], exposing the raw
+    * samples for the spectral ops. */
+  private[graft] def pcmSamples(r: AudioRow): (Int, Array[Short]) = {
+    val bytes = r.payload
+    require(bytes.length >= 44 &&
+      new String(bytes, 0, 4) == "RIFF" && new String(bytes, 8, 4) == "WAVE",
+      s"doc ${r.doc_id}: not a WAV payload")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getShort(20) == 1 && buf.getShort(22) == 1 && buf.getShort(34) == 16,
+      s"doc ${r.doc_id}: not PCM16 mono")
+    val rate = buf.getInt(24)
+    val n = buf.getInt(40) / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = buf.getShort(44 + i * 2); i += 1 }
+    (rate, out)
+  }
+
+  /** Goertzel power at one probe frequency — the O(n)-per-bin DFT
+    * evaluation used when only a handful of bins matter (DTMF
+    * detection, pitch probes): cheaper than an FFT whenever
+    * bins ≪ log n, and streams the samples once. A Hann window tames
+    * the off-bin leakage that otherwise dominates on short clips
+    * whose fundamental sits between probes (the standard trade:
+    * ~2× wider main lobe for ~30 dB lower sidelobes). Normalized by
+    * the window's coherent gain so a full-scale pure tone AT the
+    * probe reads ≈1. */
+  private[graft] def goertzelPower(samples: Array[Short], rate: Int,
+      freq: Double): Double = {
+    val n = samples.length
+    if (n == 0) return 0.0
+    val w = 2.0 * math.Pi * freq / rate
+    val c = 2.0 * math.cos(w)
+    var s1 = 0.0
+    var s2 = 0.0
+    var wsum = 0.0
+    var i = 0
+    while (i < n) {
+      val win = 0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (n - 1).max(1)))
+      wsum += win
+      val s0 = win * samples(i) / 32768.0 + c * s1 - s2
+      s2 = s1; s1 = s0; i += 1
+    }
+    val p = s1 * s1 + s2 * s2 - c * s1 * s2
+    p / ((wsum / 2.0) * (wsum / 2.0))
   }
 
   final case class FrameRow(doc_id: Long, frame_idx: Int, mean_sq: Long)
@@ -700,6 +755,38 @@ object Multimodal {
       .orderBy("doc_id", "py", "px")
   }
 
+  final case class SpectralRow(doc_id: Long, top_hz: Int, p_top: Double,
+      dominance: Double)
+
+  /** m10 — spectral probe / dominant-frequency detection: Goertzel
+    * power at a fixed probe grid (100–500 Hz — the corpus's f0 range)
+    * per clip, report the winning probe and its dominance over the
+    * runner-up. The per-bin O(n) Goertzel beats an FFT whenever only
+    * a handful of bins matter (DTMF, pitch screening, hum detection
+    * at 50/60 Hz) — and unlike an FFT it needs no power-of-two
+    * padding and streams the PCM once inside the decode boundary;
+    * only 4 small columns per clip leave the scan. Rows-only
+    * (transcendental recurrence); PipelineSpec pins a pure sine to
+    * EXACTLY its probe bin with dominance ≫ 1, and the triangle
+    * corpus's winner to the probe nearest its seeded fundamental. */
+  private def m10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val probes = Array(100.0, 125.0, 160.0, 200.0, 250.0, 320.0, 400.0, 500.0)
+    audioCorpus(s, d)
+      .mapPartitions(_.map { r =>
+        val (rate, samples) = pcmSamples(r)
+        val ps = probes.map(f => goertzelPower(samples, rate, f))
+        val top = ps.indices.maxBy(ps)
+        val second = ps.indices.filter(_ != top).maxBy(ps)
+        SpectralRow(r.doc_id, probes(top).toInt,
+          math.round(ps(top) * 1e6) / 1e6,
+          if (ps(second) > 0) math.round(ps(top) / ps(second) * 1e3) / 1e3
+          else Double.MaxValue)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_multimodal", None, m01),
     Q("m02_frame_sample", None, m02),
@@ -709,5 +796,6 @@ object Multimodal {
     Q("m06_shot_boundaries", None, m06),
     Q("m07_shared_segments", None, m07),
     Q("m08_audio_dup", None, m08),
-    Q("m09_patch_grid", None, m09))
+    Q("m09_patch_grid", None, m09),
+    Q("m10_spectral_probe", None, m10))
 }

@@ -1248,6 +1248,43 @@ class PipelineSpec extends AnyFunSuite {
       "likelihood-ratio sign must follow domain membership")
   }
 
+  test("m10 Goertzel pins a pure sine to exactly its probe bin; corpus winners track the seeded fundamental") {
+    import graft.operators.Multimodal
+    // golden: a full-scale 250 Hz sine (on the probe grid) must win its
+    // own bin with overwhelming dominance, and read power ≈ amp²
+    val sine = Multimodal.AudioRow(1L, Multimodal.encodeWav(8000, 4000,
+      i => (30000 * math.sin(2 * math.Pi * 250.0 * i / 8000.0)).toShort))
+    val (rate, samples) = Multimodal.pcmSamples(sine)
+    val probes = Seq(100.0, 125.0, 160.0, 200.0, 250.0, 320.0, 400.0, 500.0)
+    val powers = probes.map(f => f -> Multimodal.goertzelPower(samples, rate, f))
+    val (topF, topP) = powers.maxBy(_._2)
+    assert(topF == 250.0, s"sine must win its own bin: $powers")
+    assert(topP > 0.5 && topP < 1.1, s"normalized tone power off: $topP")
+    assert(powers.filter(_._1 != 250.0).forall(_._2 * 10 < topP),
+      "pure tone must dominate every other probe 10x")
+
+    // driver corpus: each clip's winner lands near its seeded
+    // fundamental f0 = 8000 / period (probes are ~25% apart, so the
+    // winner must sit within 35% of f0 despite off-bin leakage)
+    val periods = graft.Tables.df(spark, sf, "documents")
+      .where(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        (org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("doc_id")),
+          org.apache.spark.sql.functions.lit(64)) + 16).cast("int").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = rows("m10_spectral_probe")
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val f0 = 8000.0 / periods(id)
+      val top = r.getAs[Int]("top_hz").toDouble
+      assert(math.abs(top - f0) / f0 < 0.35,
+        s"doc $id: winner $top too far from fundamental $f0")
+    }
+  }
+
   test("d20 driver-corpus cores are positive and bounded by d17 degrees") {
     val cores = rows("d20_kcore")
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core")).toMap
