@@ -1060,29 +1060,47 @@ object TextAnalysis {
   private[graft] def dsirScores(docsDf: DataFrame,
       isTarget: org.apache.spark.sql.Column): DataFrame = {
     val B = 256
-    val bucketed = docsDf
+    // Tokenize ONCE; both the fit pass and the score pass reuse it
+    // (the regex is the dominant per-doc cost — paying it twice is the
+    // naive 3-pass shape's whole overhead).
+    val positions = docsDf
       .withColumn("t", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
       .where(size(col("t")) >= 2)
-      .withColumn("bk", expr(
+      .withColumn("tgt", isTarget)
+      .select(col("doc_id"), col("tgt"), explode(expr(
         s"transform(sequence(0, size(t) - 2), i -> pmod(hash(concat(t[i], ' ', t[i+1])), $B))"))
-    def smoothed(df: DataFrame): Array[Double] = {
-      val counts = df.select(explode(col("bk")).as("b"))
-        .groupBy("b").agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val total = counts.values.sum
-      Array.tabulate(B)(i =>
-        (counts.getOrElse(i, 0L) + 1.0) / (total + B.toDouble))
-    }
-    val p = smoothed(bucketed.where(isTarget))
-    val q = smoothed(bucketed.where(!isTarget))
-    val ratio = Array.tabulate(B)(i => math.log(p(i)) - math.log(q(i)))
-    bucketed.where(!isTarget)
-      .withColumn("rarr", array(ratio.map(lit): _*))
-      .select(col("doc_id"), size(col("bk")).as("n_bigrams"),
-        round(expr("aggregate(bk, 0D, (a, x) -> a + element_at(rarr, x + 1))"), 4)
-          .as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(50)
+        .as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE aggregate fits BOTH add-one-smoothed multinomials: 256
+      // rows × (target count, raw count) — the bounded metadata
+      // collect.
+      val counts = positions.groupBy("b").agg(
+        count(when(col("tgt"), 1)).as("cp"),
+        count(when(!col("tgt"), 1)).as("cq"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val (pTot, qTot) = (counts.values.map(_._1).sum, counts.values.map(_._2).sum)
+      def lr(i: Int): Double = {
+        val (cp, cq) = counts.getOrElse(i, (0L, 0L))
+        math.log((cp + 1.0) / (pTot + B.toDouble)) -
+          math.log((cq + 1.0) / (qTot + B.toDouble))
+      }
+      // Score pass: bucket-keyed broadcast join + hash aggregate —
+      // whole-stage codegen end to end (no interpreted HOF fold, no
+      // per-row 256-literal array).
+      val spark = docsDf.sparkSession
+      val sp = spark
+      import sp.implicits._
+      val ratios = broadcast(
+        (0 until B).map(i => (i, lr(i))).toDF("b", "lr"))
+      positions.where(!col("tgt"))
+        .join(ratios, "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(sum(col("lr")), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+        .localCheckpoint(true)
+    } finally positions.unpersist(blocking = false)
   }
 
   // NOTE: t25Oracle is referenced by `all` above; `all` is lazy so the
