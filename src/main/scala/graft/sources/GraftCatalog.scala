@@ -1496,6 +1496,84 @@ object GraftCatalog {
     1L
   }
 
+  /** Where a branch's own snapshot line lives: a full table root under
+    * the parent. */
+  def snapshotBranchRoot(root: String, name: String): String =
+    s"$root/_branches/$name"
+
+  private def branchBaseTag(name: String) = s"branch-$name-base"
+
+  /** Create a BRANCH — the safe experimentation workflow the shallow
+    * clone alone can't give: fork the head into a table line of its
+    * own under `root/_branches/<name>` (zero-copy, files carried by
+    * path) AND pin the fork point with a tag, so the parent's vacuum
+    * can never reap files the branch still references (the documented
+    * clone hazard, closed by construction). Every snapshot operation —
+    * CoW DML, CDC apply, time travel, its own tags — works on the
+    * branch root directly; the parent is bit-undisturbed until
+    * [[mergeSnapshotBranch]] fast-forwards it. Returns the branch
+    * root. */
+  def createSnapshotBranch(spark: SparkSession, root: String,
+      name: String): String = {
+    require(refName.matches(name), s"invalid branch name: $name")
+    val base = snapshotVersions(spark, root).last
+    tagSnapshot(spark, root, branchBaseTag(name), base)
+    val br = snapshotBranchRoot(root, name)
+    try cloneSnapshot(spark, root, br)
+    catch { case e: Throwable =>
+      deleteSnapshotTag(spark, root, branchBaseTag(name)); throw e
+    }
+    br
+  }
+
+  /** All branches on the table (names, from the pin tags). */
+  def listSnapshotBranches(spark: SparkSession, root: String): Seq[String] =
+    listSnapshotTags(spark, root).map(_._1)
+      .filter(t => t.startsWith("branch-") && t.endsWith("-base"))
+      .map(t => t.stripPrefix("branch-").stripSuffix("-base")).sorted
+
+  /** FAST-FORWARD merge a branch back: publish the branch head's file
+    * list (and stats) as the parent's next version — pure metadata,
+    * no data moves (the branch's rewrites already live under the
+    * parent's directory tree). Requires the parent head to still BE
+    * the fork point: if the parent moved, a fast-forward would
+    * silently discard its commits, so the merge throws and the caller
+    * rebases (re-branch from the new head, re-apply) — the git
+    * fast-forward contract. Drops the branch directory and its pin
+    * tag on success. */
+  def mergeSnapshotBranch(spark: SparkSession, root: String,
+      name: String): Long = {
+    val base = resolveSnapshotTag(spark, root, branchBaseTag(name))
+    val head = snapshotVersions(spark, root).last
+    if (head != base) throw new SnapshotConflictException(
+      s"branch $name forked at v$base but $root is at v$head — " +
+        "fast-forward would discard parent commits; rebase the branch")
+    val br = snapshotBranchRoot(root, name)
+    val (bfs, br2) = fsOf(spark, br)
+    val bHead = snapshotVersions(spark, br).last
+    val files = readManifest(bfs, br2, bHead)
+    val stats = readStats(spark, br, bHead)
+    val (fs, r) = fsOf(spark, root)
+    val statsName = writeStatsFile(spark, fs, r, stats.values.toSeq.sortBy(_.path))
+    publishManifest(fs, r, head + 1,
+      Seq(s"#stats:$statsName", s"#branch-merge:$name") ++ files)
+    deleteSnapshotTag(spark, root, branchBaseTag(name))
+    // Drop only the branch's MANIFEST line and refs: its data batches
+    // are now referenced by the parent's new version and must survive
+    // (a later parent compaction migrates them into root/data).
+    fs.delete(manifestDir(br2), true)
+    fs.delete(refsDir(br2), true)
+    head + 1
+  }
+
+  /** Abandon a branch: remove its directory and release the fork-point
+    * pin. The parent is untouched (it never saw the branch). */
+  def dropSnapshotBranch(spark: SparkSession, root: String, name: String): Unit = {
+    val (fs, r) = fsOf(spark, root)
+    deleteSnapshotTag(spark, root, branchBaseTag(name))
+    fs.delete(new org.apache.hadoop.fs.Path(snapshotBranchRoot(root, name)), true)
+  }
+
   /** The compaction two-rename swap (see [[compactParquet]]'s scope
     * notes): `tmp` replaces `d`, restore-on-failed-swap-in, trash
     * removed last. Shared with the streaming z-sink's re-clustering

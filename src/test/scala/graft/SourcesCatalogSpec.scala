@@ -1128,6 +1128,53 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(h.forall(_.getLong(4) > 0L))
   }
 
+  test("branches fork safely, mutate independently, fast-forward merge back, and refuse to discard parent commits") {
+    import spark.implicits._
+    val root = s"$tmp/snapbr_${System.nanoTime()}"
+    Seq(1 to 100, 101 to 200, 201 to 300).foreach { rng =>
+      GraftCatalog.commitSnapshot(
+        rng.map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(1),
+        root, append = true)
+    }
+
+    // fork: zero-copy, fork point pinned against parent vacuum
+    val br = GraftCatalog.createSnapshotBranch(spark, root, "exp")
+    assert(GraftCatalog.listSnapshotBranches(spark, root) == Seq("exp"))
+    assert(GraftCatalog.readSnapshot(spark, br).count() == 300)
+
+    // the branch mutates; the parent is bit-undisturbed
+    GraftCatalog.deleteSnapshotWhere(spark, br, col("id").between(1L, 100L))
+    assert(GraftCatalog.readSnapshot(spark, br).count() == 200)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 300)
+
+    // parent vacuum during the branch's life keeps the pinned fork
+    GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 4L,
+      orphanGraceMs = Long.MaxValue)
+    assert(GraftCatalog.readSnapshot(spark, br).count() == 200,
+      "vacuum must not reap files the branch references")
+
+    // fast-forward: parent head becomes the branch head, pure metadata
+    val vm = GraftCatalog.mergeSnapshotBranch(spark, root, "exp")
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.count() == 200 && head.where(col("id") === 50L).count() == 0)
+    assert(GraftCatalog.listSnapshotBranches(spark, root).isEmpty)
+    val hist = GraftCatalog.describeSnapshotHistory(spark, root)
+      .orderBy("version").collect()
+    assert(hist.last.getLong(0) == vm &&
+      hist.last.getString(7).contains("#branch-merge:exp"))
+
+    // a parent that MOVED refuses the fast-forward (the git contract)
+    GraftCatalog.createSnapshotBranch(spark, root, "exp2")
+    GraftCatalog.commitSnapshot(
+      Seq((900L, "new")).toDF("id", "v"), root, append = true)
+    intercept[graft.sources.SnapshotConflictException] {
+      GraftCatalog.mergeSnapshotBranch(spark, root, "exp2")
+    }
+    GraftCatalog.dropSnapshotBranch(spark, root, "exp2")
+    assert(GraftCatalog.listSnapshotBranches(spark, root).isEmpty)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 201)
+  }
+
   test("concurrent appenders with retry both land as serialized versions") {
     import spark.implicits._
     val root = s"$tmp/snapconc_${System.nanoTime()}"
