@@ -1566,6 +1566,72 @@ object GraftCatalog {
     head + 1
   }
 
+  /** THREE-WAY branch merge — the diverged-parent case the
+    * fast-forward refuses: reconcile by row against the common fork
+    * base (git's merge-base semantics, done relationally):
+    *
+    *  - branch changes  = snapshotDiff(branch v1 → branch head)
+    *  - parent changes  = snapshotDiff(parent base → parent head)
+    *  - CONFLICTS       = keys modified on BOTH sides (changed/removed/
+    *    added on each) — `resolve = "fail"` (default) aborts listing
+    *    them, `"branch"` lets the branch's version win, `"parent"`
+    *    drops the branch's ops on conflicted keys.
+    *  - the branch's surviving changes apply to the parent HEAD as one
+    *    [[applyCdcSnapshot]] batch (upserts from the branch head,
+    *    deletes by key) — ONE manifest flip, parent commits since the
+    *    fork are preserved.
+    *
+    * A parent that did NOT move falls back to the pure-metadata
+    * fast-forward. Cost ∝ the two diffs plus the touched files —
+    * never the table. Drops the branch on success (its rewrites were
+    * re-landed into the parent's own data dir by the CDC apply, so
+    * the whole branch dir is unreferenced). */
+  def mergeSnapshotBranch3Way(spark: SparkSession, root: String,
+      name: String, pk: String, resolve: String = "fail"): Long = {
+    require(Set("fail", "branch", "parent")(resolve),
+      s"resolve must be fail|branch|parent, got $resolve")
+    val base = resolveSnapshotTag(spark, root, branchBaseTag(name))
+    val head = snapshotVersions(spark, root).last
+    if (head == base) return mergeSnapshotBranch(spark, root, name)
+    val br = snapshotBranchRoot(root, name)
+    val bHead = snapshotVersions(spark, br).last
+    val bd = snapshotDiff(spark, br, 1L, bHead, pk)
+      .where(col("change") =!= "unchanged")
+      .select(col(pk), col("change").as("bstat"))
+    val pd = snapshotDiff(spark, root, base, head, pk)
+      .where(col("change") =!= "unchanged")
+      .select(col(pk), col("change").as("pstat"))
+    val conflicts = bd.join(pd, Seq(pk))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val effective = resolve match {
+        case "fail" =>
+          val cs = conflicts.limit(11).collect()
+          if (cs.nonEmpty) throw new SnapshotConflictException(
+            s"branch $name: ${cs.length}${if (cs.length > 10) "+" else ""} key(s) " +
+              s"modified on both sides since fork v$base (e.g. " +
+              cs.take(3).map(r => s"${r.get(0)}:${r.getString(1)}/${r.getString(2)}")
+                .mkString(", ") + ") — merge with resolve=branch|parent")
+          bd
+        case "branch" => bd
+        case "parent" => bd.join(conflicts.select(pk), Seq(pk), "left_anti")
+      }
+      val upKeys = effective.where(col("bstat") =!= "removed").select(pk)
+      val delKeys = effective.where(col("bstat") === "removed").select(pk)
+      val upserts = readSnapshot(spark, br, Some(bHead), mergeSchema = true)
+        .join(upKeys, Seq(pk), "left_semi").withColumn("_op", lit("U"))
+      val dels = readSnapshot(spark, br, Some(1L), mergeSchema = true)
+        .join(delKeys, Seq(pk), "left_semi").withColumn("_op", lit("D"))
+      val v = applyCdcSnapshot(spark, root,
+        upserts.unionByName(dels, allowMissingColumns = true), pk,
+        meta = Seq(s"#branch-merge3:$name"))
+      deleteSnapshotTag(spark, root, branchBaseTag(name))
+      val (fs, _) = fsOf(spark, root)
+      fs.delete(new org.apache.hadoop.fs.Path(br), true)
+      v
+    } finally conflicts.unpersist(blocking = false)
+  }
+
   /** Abandon a branch: remove its directory and release the fork-point
     * pin. The parent is untouched (it never saw the branch). */
   def dropSnapshotBranch(spark: SparkSession, root: String, name: String): Unit = {

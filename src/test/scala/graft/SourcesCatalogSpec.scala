@@ -1175,6 +1175,61 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(GraftCatalog.readSnapshot(spark, root).count() == 201)
   }
 
+  test("three-way branch merge reconciles a diverged parent by row; conflicts fail loudly or resolve by policy") {
+    import spark.implicits._
+    val root = s"$tmp/snapbr3_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(1),
+      root, append = false)
+
+    // fork, then BOTH sides move: branch updates 10, deletes 20,
+    // inserts 200; parent updates 50 (disjoint) and 10 (CONFLICT)
+    GraftCatalog.createSnapshotBranch(spark, root, "exp")
+    val br = GraftCatalog.snapshotBranchRoot(root, "exp")
+    GraftCatalog.mergeSnapshot(spark, br,
+      Seq((10L, "b10"), (200L, "b200")).toDF("id", "v"), "id")
+    GraftCatalog.deleteSnapshotWhere(spark, br, col("id") === 20L)
+    GraftCatalog.mergeSnapshot(spark, root,
+      Seq((50L, "p50"), (10L, "p10")).toDF("id", "v"), "id")
+
+    // default policy: the overlapping key fails the merge, loudly
+    val e = intercept[graft.sources.SnapshotConflictException] {
+      GraftCatalog.mergeSnapshotBranch3Way(spark, root, "exp", "id")
+    }
+    assert(e.getMessage.contains("10"), s"conflict key must be named: ${e.getMessage}")
+    assert(GraftCatalog.listSnapshotBranches(spark, root) == Seq("exp"),
+      "failed merge must leave the branch intact")
+
+    // branch-wins: branch ops apply wholesale; parent's disjoint
+    // commit survives
+    val v = GraftCatalog.mergeSnapshotBranch3Way(spark, root, "exp", "id",
+      resolve = "branch")
+    val byId = GraftCatalog.readSnapshot(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(10L) == "b10", "conflicted key resolves to the branch")
+    assert(byId(50L) == "p50", "parent's disjoint commit survives")
+    assert(!byId.contains(20L) && byId(200L) == "b200")
+    assert(byId(30L) == "r30")
+    assert(GraftCatalog.listSnapshotBranches(spark, root).isEmpty)
+    // parent history intact: time travel to the pre-merge head works
+    assert(GraftCatalog.readSnapshot(spark, root, Some(v - 1))
+      .where(col("id") === 10L).head().getString(1) == "p10")
+
+    // parent-wins policy on a fresh conflict drops the branch's op on
+    // the conflicted key only
+    GraftCatalog.createSnapshotBranch(spark, root, "exp2")
+    val br2 = GraftCatalog.snapshotBranchRoot(root, "exp2")
+    GraftCatalog.mergeSnapshot(spark, br2,
+      Seq((30L, "b30"), (40L, "b40")).toDF("id", "v"), "id")
+    GraftCatalog.mergeSnapshot(spark, root,
+      Seq((30L, "p30")).toDF("id", "v"), "id")
+    GraftCatalog.mergeSnapshotBranch3Way(spark, root, "exp2", "id",
+      resolve = "parent")
+    val byId2 = GraftCatalog.readSnapshot(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId2(30L) == "p30" && byId2(40L) == "b40")
+  }
+
   test("concurrent appenders with retry both land as serialized versions") {
     import spark.implicits._
     val root = s"$tmp/snapconc_${System.nanoTime()}"
