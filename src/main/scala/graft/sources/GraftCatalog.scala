@@ -1572,10 +1572,12 @@ object GraftCatalog {
     *
     *  - branch changes  = snapshotDiff(branch v1 → branch head)
     *  - parent changes  = snapshotDiff(parent base → parent head)
-    *  - CONFLICTS       = keys modified on BOTH sides (changed/removed/
-    *    added on each) — `resolve = "fail"` (default) aborts listing
-    *    them, `"branch"` lets the branch's version win, `"parent"`
-    *    drops the branch's ops on conflicted keys.
+    *  - CONFLICTS       = keys modified on BOTH sides whose FINAL
+    *    states actually DIFFER (value-aware: both deleting a key, or
+    *    both writing the same row, is agreement, not a conflict) —
+    *    `resolve = "fail"` (default) aborts listing them, `"branch"`
+    *    lets the branch's version win, `"parent"` drops the branch's
+    *    ops on conflicted keys.
     *  - the branch's surviving changes apply to the parent HEAD as one
     *    [[applyCdcSnapshot]] batch (upserts from the branch head,
     *    deletes by key) — ONE manifest flip, parent commits since the
@@ -1601,7 +1603,26 @@ object GraftCatalog {
     val pd = snapshotDiff(spark, root, base, head, pk)
       .where(col("change") =!= "unchanged")
       .select(col(pk), col("change").as("pstat"))
-    val conflicts = bd.join(pd, Seq(pk))
+    // VALUE-AWARE conflicts: a key modified on both sides is only a
+    // conflict if the two sides' FINAL states actually differ — both
+    // deleting it, or both writing the same row, is agreement (the
+    // pseudo-conflict a status-only check would flag).
+    val overlap = bd.join(pd, Seq(pk))
+    val bFin = readSnapshot(spark, br, Some(bHead), mergeSchema = true)
+    val pFin = readSnapshot(spark, root, Some(head), mergeSchema = true)
+    val vcols = (bFin.columns ++ pFin.columns).distinct.filterNot(_ == pk).sorted
+    def packedFin(df: DataFrame, other: DataFrame, side: String) = {
+      val aligned = vcols.foldLeft(df) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(other.schema(c).dataType))
+      }
+      aligned.select(col(pk), struct(vcols.map(col): _*).as(s"fin_$side"))
+    }
+    val conflicts = overlap
+      .join(packedFin(bFin, pFin, "b"), Seq(pk), "left_outer")
+      .join(packedFin(pFin, bFin, "p"), Seq(pk), "left_outer")
+      .where(!(col("fin_b") <=> col("fin_p")))
+      .select(col(pk), col("bstat"), col("pstat"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val effective = resolve match {

@@ -1228,6 +1228,21 @@ class SourcesCatalogSpec extends AnyFunSuite {
     val byId2 = GraftCatalog.readSnapshot(spark, root)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(byId2(30L) == "p30" && byId2(40L) == "b40")
+
+    // value-aware: both sides writing the SAME row (and both deleting
+    // the same key) is agreement — the default policy merges cleanly
+    GraftCatalog.createSnapshotBranch(spark, root, "exp3")
+    val br3 = GraftCatalog.snapshotBranchRoot(root, "exp3")
+    GraftCatalog.mergeSnapshot(spark, br3,
+      Seq((60L, "same60"), (61L, "b61")).toDF("id", "v"), "id")
+    GraftCatalog.deleteSnapshotWhere(spark, br3, col("id") === 70L)
+    GraftCatalog.mergeSnapshot(spark, root,
+      Seq((60L, "same60")).toDF("id", "v"), "id")
+    GraftCatalog.deleteSnapshotWhere(spark, root, col("id") === 70L)
+    GraftCatalog.mergeSnapshotBranch3Way(spark, root, "exp3", "id")
+    val byId3 = GraftCatalog.readSnapshot(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId3(60L) == "same60" && byId3(61L) == "b61" && !byId3.contains(70L))
   }
 
   test("concurrent appenders with retry both land as serialized versions") {
