@@ -600,6 +600,34 @@ object GraftCatalog {
     parts.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** ROW-LEVEL CDC between two versions: [[readChanges]]' file-level
+    * stream is the cheap subscription path (cost ∝ changed files, CoW
+    * rewrites surface carried rows as delete+insert pairs); this is
+    * the NET view a consumer wants when replaying into a keyed store —
+    * each key appears at most once, tagged `upsert` (with the toV row)
+    * or `delete` (with the fromV image), rewrite-carried rows absent
+    * entirely. Built on [[snapshotDiff]]'s key reconciliation joined
+    * back to the version snapshots for values; schema-evolving
+    * histories work (mergeSchema both sides). Cost ∝ the two version
+    * reads — use the file-level stream for per-commit tailing and
+    * this for checkpoint-to-checkpoint reconciliation. */
+  def readRowChanges(spark: SparkSession, root: String,
+      fromV: Long, toV: Long, pk: String): DataFrame = {
+    val diff = snapshotDiff(spark, root, fromV, toV, pk)
+      .where(col("change") =!= "unchanged")
+    val to = readSnapshot(spark, root, Some(toV), mergeSchema = true)
+    val from = readSnapshot(spark, root, Some(fromV), mergeSchema = true)
+    val ups = to.join(
+        diff.where(col("change").isin("added", "changed")).select(pk),
+        Seq(pk), "left_semi")
+      .withColumn("_change", lit("upsert"))
+    val dels = from.join(
+        diff.where(col("change") === "removed").select(pk),
+        Seq(pk), "left_semi")
+      .withColumn("_change", lit("delete"))
+    ups.unionByName(dels, allowMissingColumns = true)
+  }
+
   /** Copy-on-write row-level MERGE (upsert by `pk`): rows of `updates`
     * replace same-key rows; new keys append. The composition every
     * warehouse user hits within a week, done the way a table format

@@ -1245,6 +1245,43 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(byId3(60L) == "same60" && byId3(61L) == "b61" && !byId3.contains(70L))
   }
 
+  test("readRowChanges nets a CoW history to one row per key; applying it reconstructs the head") {
+    import spark.implicits._
+    val root = s"$tmp/snaprowcdc_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(2),
+      root, append = false)
+    // a CoW-heavy history: merge (rewrites a file), delete, append
+    GraftCatalog.mergeSnapshot(spark, root,
+      Seq((10L, "u10"), (200L, "n200")).toDF("id", "v"), "id")
+    GraftCatalog.deleteSnapshotWhere(spark, root, col("id") === 20L)
+    GraftCatalog.commitSnapshot(
+      Seq((300L, "n300")).toDF("id", "v"), root, append = true)
+
+    val rc = GraftCatalog.readRowChanges(spark, root, 1L, 4L, "id").collect()
+    val byId = rc.map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // NET view: one row per touched key, carried rewrite rows absent
+    assert(rc.length == byId.size && byId.size == 4,
+      s"expected exactly the 4 net-changed keys, got ${byId.keySet}")
+    assert(byId(10L) == ("u10", "upsert") && byId(200L) == ("n200", "upsert"))
+    assert(byId(300L) == ("n300", "upsert"))
+    assert(byId(20L)._2 == "delete")
+    // the file-level stream for the same span surfaces MANY more rows
+    // (the rewrite's delete+insert pairs) — the two views trade cost
+    // for netness
+    assert(GraftCatalog.readChanges(spark, root, 1L, 4L).count() > rc.length)
+
+    // replaying the net changes onto the v1 image == the head
+    val base = GraftCatalog.readSnapshot(spark, root, Some(1L))
+    val ups = rc.filter(_.getString(2) == "upsert").map(r => (r.getLong(0), r.getString(1)))
+    val delKeys = rc.filter(_.getString(2) == "delete").map(_.getLong(0)).toSet
+    val rebuilt = base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .removedAll(delKeys) ++ ups
+    val head = GraftCatalog.readSnapshot(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt == head, "net changes must reconstruct the head exactly")
+  }
+
   test("concurrent appenders with retry both land as serialized versions") {
     import spark.implicits._
     val root = s"$tmp/snapconc_${System.nanoTime()}"
