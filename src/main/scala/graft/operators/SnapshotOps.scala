@@ -411,6 +411,46 @@ object SnapshotOps {
       |  COUNT(DISTINCT o_custkey) AS nc
       |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q130 — the snapshot table through PURE SQL: the aggregate is one
+    * SQL text over the `graft_snapshot` table-valued function — no
+    * DataFrame call site between the text and the versioned table —
+    * with a WHERE that data-skips via the TVF's Catalyst-integrated
+    * relation (metric-proven in SourcesCatalogSpec; here the
+    * row-level semantics hash-match the relational oracle at both
+    * SFs). The SQL a Thrift/notebook user would actually type. */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.df(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("pr"))
+    val root = s"/tmp/graft-index/snaptvf_${math.abs(d.hashCode.toLong)}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+    GraftCatalog.commitSnapshot(
+      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    graft.sources.GraftTvf.register(s)
+    s.sql(
+      s"""SELECT pr, COUNT(*) AS n,
+         |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  COUNT(DISTINCT o_custkey) AS nc
+         |FROM graft_snapshot('$root')
+         |WHERE o_orderkey <= ${mk / 4}
+         |GROUP BY pr ORDER BY pr""".stripMargin)
+  }
+
+  private val q130Oracle: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |fin AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+      |    o_orderpriority AS pr
+      |  FROM orders, mk WHERE o_orderkey <= mk // 4)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q117_merge_cow", Some(q117Oracle), q117),
     Q("q119_delete_cow", Some(q119Oracle), q119),
@@ -418,5 +458,6 @@ object SnapshotOps {
     Q("q123_incr_mv", Some(q123Oracle), q123),
     Q("q124_replace_where", Some(q124Oracle), q124),
     Q("q126_cdc_apply", Some(q126Oracle), q126),
-    Q("q129_auto_skip", Some(q129Oracle), q129))
+    Q("q129_auto_skip", Some(q129Oracle), q129),
+    Q("q130_tvf_sql", Some(q130Oracle), q130))
 }
