@@ -1101,6 +1101,42 @@ object Sampling {
       |FROM rk JOIN tgt ON rk.lang = tgt.lang AND rk.pick_rank <= tgt.t
       |ORDER BY rk.lang, rk.doc_id""".stripMargin
 
+  /** Deterministic Gumbel-top-k importance RESAMPLING — the published
+    * companion to importance scoring (sampling k items ∝ exp(score/τ)
+    * without replacement == top-k on score/τ + Gumbel noise, the
+    * Gumbel-max trick): τ → 0 degenerates to exact top-k (pure
+    * exploitation), τ large to the seeded-hash shuffle (pure
+    * exploration) — ONE operator spans the curriculum knob. The noise
+    * is derived from xxhash64(id) (u strictly inside (0,1) via the
+    * half-ulp offset, so ln never sees 0), which makes the draw
+    * REPRODUCIBLE on any cluster, any partitioning — the same
+    * derandomization discipline as p01/p19; the plan is one narrow
+    * projection + TakeOrdered, no shuffle of the corpus. */
+  private[graft] def gumbelTopK(scored: DataFrame, idCol: String,
+      scoreCol: String, k: Int, tau: Double): DataFrame = {
+    require(k > 0 && tau > 0, s"need k > 0 and tau > 0, got k=$k tau=$tau")
+    val u = (pmod(xxhash64(col(idCol)), lit(1L << 52)).cast("double") + 0.5) /
+      (1L << 52).toDouble
+    scored
+      .withColumn("gkey", col(scoreCol) / tau - log(-log(u)))
+      .orderBy(col("gkey").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** p24 — DSIR scores (t26) resampled by Gumbel-top-k at τ = 0.5:
+    * the end-to-end published data-selection pipeline (fit importance
+    * weights, then draw a diverse-but-weighted sample) as one
+    * composition. Rows-only (ln on both stages — the t23 reasoning);
+    * PipelineSpec pins τ→0 == exact top-k, exact-k size, and
+    * partition-count independence. */
+  private def p24(s: SparkSession, d: String): DataFrame =
+    gumbelTopK(
+      TextAnalysis.dsirScores(Tables.df(s, d, "documents"),
+        col("source") === "src0"),
+      "doc_id", "score", 20, 0.5)
+      .select(col("doc_id"), col("score"), round(col("gkey"), 4).as("gkey"))
+      .orderBy(col("gkey").desc, col("doc_id"))
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -1124,5 +1160,6 @@ object Sampling {
     Q("p20_pps_sample", Some(p20Oracle), p20),
     Q("p21_pps_stratified", Some(p21Oracle), p21),
     Q("p22_budget_fill", Some(p22Oracle), p22),
-    Q("p23_alpha_mix", Some(p23Oracle), p23))
+    Q("p23_alpha_mix", Some(p23Oracle), p23),
+    Q("p24_gumbel_topk", None, p24))
 }

@@ -1285,6 +1285,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p24 Gumbel-top-k: tiny tau equals exact top-k; draws are partition-independent and exactly k") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val scored = (1 to 200).map(i => (i.toLong, (i * 37 % 199).toDouble))
+    val df = scored.toDF("doc_id", "score")
+    // tau -> 0: pure exploitation == exact top-k by score
+    val tiny = Sampling.gumbelTopK(df, "doc_id", "score", 10, 1e-9)
+      .collect().map(_.getLong(0)).toSet
+    val wantTop = scored.sortBy(-_._2).take(10).map(_._1).toSet
+    assert(tiny == wantTop, s"tiny-tau must equal top-k: $tiny vs $wantTop")
+    // exact k, and the draw is identical under any partitioning
+    val draws = Seq(1, 4, 16).map { p =>
+      Sampling.gumbelTopK(df.repartition(p), "doc_id", "score", 25, 1.0)
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(draws.forall(_.size == 25))
+    assert(draws.distinct.size == 1, "draw must not depend on partitioning")
+    // temperature matters: the tempered draw differs from pure top-k
+    // (exploration happened) yet still leans high-score
+    val tempered = draws.head
+    val top25 = scored.sortBy(-_._2).take(25).map(_._1).toSet
+    assert(tempered != top25, "tau=1 must explore beyond the argmax set")
+    val meanSel = tempered.map(id => scored(id.toInt - 1)._2).sum / 25
+    val meanAll = scored.map(_._2).sum / 200
+    assert(meanSel > meanAll, "the draw must still lean toward high scores")
+  }
+
   test("d20 driver-corpus cores are positive and bounded by d17 degrees") {
     val cores = rows("d20_kcore")
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core")).toMap

@@ -1282,6 +1282,38 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(rebuilt == head, "net changes must reconstruct the head exactly")
   }
 
+  test("a CoW UPDATE losing its commit race aborts cleanly through the shared commit tail") {
+    import spark.implicits._
+    val root = s"$tmp/snapupdrace_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(1),
+      root, append = false)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
+    val dirsBefore = fs.listStatus(dataDir).count(_.isDirectory)
+    // the clash lands DURING the update (first evaluation of the SET
+    // expression happens after the update pins its base version), so
+    // the update plans against v1 and finds v2 taken at publish time
+    val mkClash = udf(() => {
+      val p = new org.apache.hadoop.fs.Path(s"$root/_manifests/v2.manifest")
+      val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (!f.exists(p)) {
+        val o = f.create(p, true); o.write("#eof\n".getBytes("UTF-8")); o.close()
+      }
+      "clash"
+    })
+    intercept[graft.sources.SnapshotConflictException] {
+      GraftCatalog.updateSnapshotWhere(spark, root, col("id") === 10L,
+        Seq("v" -> mkClash()))
+    }
+    assert(fs.listStatus(dataDir).count(_.isDirectory) == dirsBefore,
+      "aborted update must not orphan its batch directory")
+    // the table is undisturbed (the torn clash manifest is refused by
+    // strict readers, so the head is still v1's content)
+    assert(GraftCatalog.readSnapshot(spark, root, Some(1L)).count() == 100)
+  }
+
   test("concurrent appenders with retry both land as serialized versions") {
     import spark.implicits._
     val root = s"$tmp/snapconc_${System.nanoTime()}"
