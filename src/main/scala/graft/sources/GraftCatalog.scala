@@ -918,12 +918,18 @@ object GraftCatalog {
       s"UPDATE SET on unknown column(s): ${unknown.mkString(", ")}")
     val setMap = set.toMap
     val hit = coalesce(pred, lit(false))
-    val updated = src.select(src.schema.fields.toSeq.map { f =>
-      setMap.get(f.name).fold(col(f.name)) { e =>
-        when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-      }
-    }: _*)
-    validateChecks(spark, root, updated.where(hit))
+    // The hit mask is evaluated on the PRE-update row and carried as a
+    // column: re-applying `pred` AFTER the assignments would miss every
+    // row whose SET rewrote the predicate's own column (e.g. UPDATE
+    // SET pr = 'X' WHERE pr = 'Y') and validate CHECKs against nothing.
+    val marked = src.withColumn("__hit", hit)
+      .select((src.schema.fields.toSeq.map { f =>
+        setMap.get(f.name).fold(col(f.name)) { e =>
+          when(col("__hit"), e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        }
+      } :+ col("__hit")): _*)
+    validateChecks(spark, root, marked.where(col("__hit")).drop("__hit"))
+    val updated = marked.drop("__hit")
     commitCow(spark, fs, r, head, carried,
       stats.filter { case (p, _) => carried.contains(p) }, updated, meta)
   }

@@ -969,6 +969,15 @@ class SourcesCatalogSpec extends AnyFunSuite {
         Seq("amt" -> (col("amt") - lit(100.0))))
     }
 
+    // an UPDATE whose SET rewrites the predicate's OWN column must
+    // still validate against the post-assignment rows (the mask is
+    // evaluated pre-update and carried — re-applying the predicate
+    // after the assignments would validate nothing)
+    intercept[graft.sources.SnapshotCheckViolation] {
+      GraftCatalog.updateSnapshotWhere(spark, root, col("amt") >= 10.0,
+        Seq("amt" -> (col("amt") - lit(1000.0))))
+    }
+
     // passing writes land; NULL-valued rows pass everywhere
     GraftCatalog.commitSnapshot(
       Seq((4L, Option.empty[Double]), (5L, Some(0.0))).toDF("id", "amt"),
