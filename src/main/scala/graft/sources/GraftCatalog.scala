@@ -1434,12 +1434,22 @@ object GraftCatalog {
 
   /** Validate `batch` against every CHECK on the table; called by the
     * write paths BEFORE any data lands, so a violation aborts with
-    * zero cleanup. */
+    * zero cleanup. Table columns ABSENT from the batch (a
+    * schema-evolving feed may omit them — they land as NULL) are
+    * aligned in as NULLs first, so a check on such a column applies
+    * its SQL NULL-passes semantics instead of failing resolution. */
   private[graft] def validateChecks(spark: SparkSession, root: String,
-      batch: DataFrame): Unit =
-    listSnapshotChecks(spark, root).foreach { case (n, e) =>
-      requireCheckHolds(batch, n, e)
+      batch: DataFrame): Unit = {
+    val checks = listSnapshotChecks(spark, root)
+    if (checks.nonEmpty) {
+      val aligned =
+        if (snapshotVersions(spark, root).isEmpty) batch
+        else readSnapshot(spark, root).schema.fields
+          .filterNot(f => batch.columns.contains(f.name))
+          .foldLeft(batch)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      checks.foreach { case (n, e) => requireCheckHolds(aligned, n, e) }
     }
+  }
 
   private val refName = "[A-Za-z0-9][A-Za-z0-9._-]*".r
 

@@ -984,6 +984,14 @@ class SourcesCatalogSpec extends AnyFunSuite {
       root, append = true)
     assert(GraftCatalog.readSnapshot(spark, root).count() == 4)
 
+    // a batch OMITTING the checked column (schema-evolving feed — the
+    // column lands as NULL) passes by SQL NULL semantics instead of
+    // failing resolution
+    GraftCatalog.mergeSnapshot(spark, root,
+      Seq(Tuple1(4L)).toDF("id"), "id", allowSchemaEvolution = true)
+    assert(GraftCatalog.readSnapshot(spark, root, mergeSchema = true)
+      .where(col("id") === 4L).head().isNullAt(1))
+
     // dropping the check re-opens the gate
     GraftCatalog.dropSnapshotCheck(spark, root, "amt_pos")
     GraftCatalog.commitSnapshot(
