@@ -1185,7 +1185,7 @@ object GraftCatalog {
     * table format. Planning metadata only — pruning happens on the
     * driver before any footer I/O. */
   def readSnapshotAuto(spark: SparkSession, root: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None, mergeSchema: Boolean = false): DataFrame = {
     val (fs, r) = fsOf(spark, root)
     val v = version.getOrElse {
       val vs = snapshotVersions(spark, root)
@@ -1196,7 +1196,14 @@ object GraftCatalog {
     val stats = readStats(spark, root, v)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val statuses = files.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)))
-    val schema = spark.read.parquet(files.head).schema
+    // mergeSchema unions the per-file schemas (evolved tables — a
+    // footer read per file, the same opt-in trade as readSnapshot);
+    // the default reads the first file's schema and the parquet
+    // reader clips newer files to it.
+    val schema =
+      if (mergeSchema)
+        spark.read.option("mergeSchema", "true").parquet(files: _*).schema
+      else spark.read.parquet(files.head).schema
     val keep: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         Seq[org.apache.hadoop.fs.FileStatus] = filters =>
       if (filters.isEmpty) statuses

@@ -1106,11 +1106,23 @@ class SourcesCatalogSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM snap_auto WHERE id BETWEEN 250 AND 260")) == 1L,
       "SQL WHERE over the view must reach the manifest stats")
 
+    // schema evolution: an appended batch's NEW column is visible
+    // under mergeSchema (older files read NULL), and pruning on the
+    // original column still works
+    GraftCatalog.commitSnapshot(
+      Seq((401L, "r401", "X")).toDF("id", "v", "extra"), root, append = true)
+    val evolved = GraftCatalog.readSnapshotAuto(spark, root, mergeSchema = true)
+    assert(evolved.columns.toSeq == Seq("id", "v", "extra"))
+    assert(evolved.where(col("id") === 401L).head().getString(2) == "X")
+    assert(evolved.where(col("id") === 50L).head().isNullAt(2))
+    assert(scannedFiles(GraftCatalog.readSnapshotAuto(spark, root, mergeSchema = true)
+      .where(col("id") === 50L)) == 1L)
+
     // the TABLE-VALUED FUNCTION surface: pure SQL, head and time
     // travel, with the same automatic data skipping
     graft.sources.GraftTvf.register(spark)
     assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$root')")
-      .head().getLong(0) == 400L)
+      .head().getLong(0) == 401L)
     assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$root', 2)")
       .head().getLong(0) == 200L, "TVF time travel")
     assert(scannedFiles(spark.sql(
