@@ -124,5 +124,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_snapshot",
         "graft_snapshot(root[, version]) - a graft snapshot table (head or time travel) as a table-valued function; WHERE clauses data-skip via manifest stats"),
       graft.sources.GraftTvf.snapshotBuilder))
+    e.injectTableFunction((FunctionIdentifier("graft_snapshot_changes"),
+      info("graft_snapshot_changes",
+        "graft_snapshot_changes(root, fromV, toV) - the snapshot table's CDC changelog over (fromV, toV] with _change/_version tags"),
+      graft.sources.GraftTvf.changesBuilder))
   }
 }

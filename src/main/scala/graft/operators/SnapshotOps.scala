@@ -451,6 +451,132 @@ object SnapshotOps {
       |  COUNT(DISTINCT o_custkey) AS nc
       |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q131 — the CDC changelog through PURE SQL: a 4-commit history
+    * (base overwrite, two appends, a rollback) read back as one SQL
+    * text over the `graft_snapshot_changes` TVF. The history is built
+    * so every change set is RELATIONALLY identifiable (appends add
+    * whole batches; the rollback's delete side is exactly the batch it
+    * undoes), so DuckDB — which never sees the table format — recomputes
+    * the per-(version, change) row counts and money sums from the
+    * `orders` predicates alone. A hash match proves the file-level
+    * changelog surfaces exactly the rows each commit added/removed. */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.df(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("pr"))
+    val root = s"/tmp/graft-index/snapchanges_${math.abs(d.hashCode.toLong)}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    GraftCatalog.commitSnapshot(orders.repartition(2), root, append = false)
+    val batchA = orders.where(col("o_orderkey") % 7 === 0)
+    val batchB = orders.where(col("o_orderkey") % 7 =!= 0 &&
+      col("o_orderkey") % 13 === 0)
+    GraftCatalog.commitSnapshot(batchA.repartition(1), root, append = true) // v2
+    GraftCatalog.commitSnapshot(batchB.repartition(1), root, append = true) // v3
+    GraftCatalog.rollbackSnapshot(s, root, 2L)                              // v4 undoes v3
+    graft.sources.GraftTvf.register(s)
+    s.sql(
+      s"""SELECT _version, _change, COUNT(*) AS n,
+         |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM graft_snapshot_changes('$root', 1, 4)
+         |GROUP BY _version, _change ORDER BY _version, _change""".stripMargin)
+  }
+
+  private val q131Oracle: String =
+    """WITH a AS (
+      |  SELECT CAST(o_totalprice AS DOUBLE) AS price FROM orders
+      |  WHERE o_orderkey % 7 = 0),
+      |b AS (
+      |  SELECT CAST(o_totalprice AS DOUBLE) AS price FROM orders
+      |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 = 0)
+      |SELECT CAST(2 AS BIGINT) AS _version, 'insert' AS _change,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total FROM a
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'insert', COUNT(*),
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) FROM b
+      |UNION ALL
+      |SELECT CAST(4 AS BIGINT), 'delete', COUNT(*),
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) FROM b
+      |ORDER BY _version, _change""".stripMargin
+
+  /** q132 — LAST-WINS CDC apply with multi-event keys, oracle-
+    * reconciled: the 4-file orders snapshot takes ONE Debezium-shaped
+    * batch in which some keys carry TWO events (a re-pricing U at
+    * seq 1, then for every 20th key a D at seq 2) plus fresh inserts —
+    * the shape a real replication feed delivers and the shape a naive
+    * apply corrupts (landing both rows, or losing the delete).
+    * `seqCol` reduces the batch to each key's final event before the
+    * copy-on-write plan; the head's per-priority aggregate hash-matches
+    * DuckDB's recompute of "delete the %20 keys, update the other %10
+    * keys, insert the new ones" — i.e. last-wins apply == the feed's
+    * sequential effect. */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.df(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("pr"))
+    val root = s"/tmp/graft-index/snapseq_${math.abs(d.hashCode.toLong)}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+    GraftCatalog.commitSnapshot(
+      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    val touched = orders.where(col("o_orderkey") % 10 === 0 &&
+      col("o_orderkey") <= mk / 4)
+    val upds = touched.select(col("o_orderkey"), col("o_custkey"),
+      (col("price") + lit(50.0)).as("price"), lit("0-RUSH").as("pr"),
+      lit("U").as("_op"), lit(1L).as("seq"))
+    val lateDels = touched.where(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("price"), col("pr"),
+        lit("D").as("_op"), lit(2L).as("seq"))
+    val ins = orders.where(col("o_orderkey") % 1000 === 0)
+      .select((col("o_orderkey") + lit(500000000L)).as("o_orderkey"),
+        col("o_custkey"), col("price"), lit("9-NEW").as("pr"),
+        lit("I").as("_op"), lit(1L).as("seq"))
+    GraftCatalog.applyCdcSnapshot(s, root,
+      upds.unionByName(lateDels).unionByName(ins), "o_orderkey",
+      seqCol = Some("seq"))
+    GraftCatalog.readSnapshot(s, root)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("pr")
+  }
+
+  private val q132Oracle: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |del AS (
+      |  SELECT o_orderkey FROM orders, mk
+      |  WHERE o_orderkey % 20 = 0 AND o_orderkey <= mk // 4),
+      |upd AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) + 50.0 AS price, '0-RUSH' AS pr
+      |  FROM orders, mk
+      |  WHERE o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0
+      |    AND o_orderkey <= mk // 4),
+      |ins AS (
+      |  SELECT o_orderkey + 500000000 AS o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, '9-NEW' AS pr
+      |  FROM orders WHERE o_orderkey % 1000 = 0),
+      |base AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+      |    o_orderpriority AS pr
+      |  FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+      |    AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)),
+      |fin AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q117_merge_cow", Some(q117Oracle), q117),
     Q("q119_delete_cow", Some(q119Oracle), q119),
@@ -459,5 +585,7 @@ object SnapshotOps {
     Q("q124_replace_where", Some(q124Oracle), q124),
     Q("q126_cdc_apply", Some(q126Oracle), q126),
     Q("q129_auto_skip", Some(q129Oracle), q129),
-    Q("q130_tvf_sql", Some(q130Oracle), q130))
+    Q("q130_tvf_sql", Some(q130Oracle), q130),
+    Q("q131_changes_tvf", Some(q131Oracle), q131),
+    Q("q132_cdc_lastwins", Some(q132Oracle), q132))
 }

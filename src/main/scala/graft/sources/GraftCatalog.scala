@@ -12,8 +12,15 @@ final case class ColStat(col: String, typ: String, mn: String, mx: String, nc: L
 
 /** Manifest-level stats of one data file — the Iceberg/Delta idea that
   * makes a selective read of a 100 TB snapshot a METADATA operation:
-  * planning prunes the file list against these before any footer I/O. */
-final case class FileStat(path: String, rows: Long, cols: Seq[ColStat])
+  * planning prunes the file list against these before any footer I/O.
+  * `len`/`mtime` (bytes, epoch millis) are captured from the writer's
+  * own directory listing at commit, so scan PLANNING (file splits,
+  * sizeInBytes costing) never issues a per-file status RPC — at
+  * 10^5-10^6 files per version that RPC storm is exactly what a
+  * metadata layer exists to avoid. `None` on sidecars written before
+  * the fields existed; every consumer falls back to the filesystem. */
+final case class FileStat(path: String, rows: Long, cols: Seq[ColStat],
+    len: Option[Long] = None, mtime: Option[Long] = None)
 
 /** Thrown when a snapshot commit loses the optimistic-concurrency race
   * for its version slot. Extends IllegalStateException so pre-existing
@@ -390,7 +397,8 @@ object GraftCatalog {
     * zero-read alternative is parquet footer scraping; the one-pass agg
     * is simpler, engine-portable, and the batch is hot in page cache
     * right after its own write.) */
-  private[graft] def computeFileStats(spark: SparkSession, files: Seq[String]): Seq[FileStat] = {
+  private[graft] def computeFileStats(spark: SparkSession, files: Seq[String],
+      fsMeta: Map[String, (Long, Long)] = Map.empty): Seq[FileStat] = {
     if (files.isEmpty) return Seq.empty
     val df = spark.read.parquet(files: _*)
     val fields = df.schema.fields.filter(f => statable(f.dataType)).toSeq
@@ -407,9 +415,18 @@ object GraftCatalog {
           ColStat(f.name, f.dataType.catalogString,
             row.getString(2 + i * 3), row.getString(3 + i * 3), row.getLong(4 + i * 3))
         }
-        FileStat(p, row.getLong(1), cols)
+        FileStat(p, row.getLong(1), cols,
+          fsMeta.get(p).map(_._1), fsMeta.get(p).map(_._2))
       }
   }
+
+  /** (path → (len, mtime)) of a just-listed batch — the writer already
+    * holds these `FileStatus`es; recording them in the sidecar is what
+    * lets every later read plan with zero per-file status RPCs. */
+  private def fsMetaOf(statuses: Seq[org.apache.hadoop.fs.FileStatus]): Map[String, (Long, Long)] =
+    statuses.map(st => org.apache.hadoop.fs.Path
+      .getPathWithoutSchemeAndAuthority(st.getPath).toString ->
+      (st.getLen, st.getModificationTime)).toMap
 
   /** Write a stats sidecar (JSON lines, one [[FileStat]] per data file)
     * under a UNIQUE name and return that name. The manifest references
@@ -451,6 +468,56 @@ object GraftCatalog {
     }
   }
 
+  /** The committed schema recorded in a version's manifest (`#schema:`
+    * meta line, schema JSON), if the version carries one. */
+  private def readSchemaLine(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long): Option[org.apache.spark.sql.types.StructType] =
+    readManifestLines(fs, root, v).find(_.startsWith("#schema:"))
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s.stripPrefix("#schema:"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The table schema of a version (head by default) as COMMITTED in
+    * the manifest — the authoritative answer on a schema-evolved table,
+    * independent of which file the manifest happens to list first.
+    * None for versions written before schema recording existed (readers
+    * fall back to file-footer sniffing). */
+  def snapshotSchema(spark: SparkSession, root: String,
+      version: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, r) = fsOf(spark, root)
+    val vs = snapshotVersions(spark, root)
+    if (vs.isEmpty) None else readSchemaLine(fs, r, version.getOrElse(vs.last))
+  }
+
+  /** Recursively nullable-normalized: the committed schema is a READ
+    * contract over many files, and a file written before a column
+    * existed serves NULLs for it — Spark's vectorized reader enforces
+    * exactly this (a missing column that the requested schema marks
+    * required is an error; nullable reads as nulls), and Spark itself
+    * applies the same normalization to user-specified read schemas. */
+  private def nullify(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = nullify(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = nullify(a.elementType), containsNull = true)
+      case m: MapType =>
+        m.copy(valueType = nullify(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private def schemaLineOf(s: org.apache.spark.sql.types.StructType): String =
+    s"#schema:${nullify(s).json}"
+
+  /** Monotone schema union for append/CoW commits: prior columns keep
+    * their position and declared type; batch-only columns append in
+    * batch order. The committed-schema analog of mergeSchema, computed
+    * once at commit instead of from N footers at every read. */
+  private def unionSchema(prior: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      prior.fields ++ batch.fields.filterNot(f => prior.fieldNames.contains(f.name)))
+
   /** Publish `df` as the next snapshot version. `append = true` carries
     * the previous version's files forward (ingest batch); `false`
     * replaces the table contents (the manifest flips, no data file is
@@ -473,11 +540,12 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
     df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
-    val newFiles = fs.listStatus(batch)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val newStatuses = fs.listStatus(batch)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
+    val newFiles = newStatuses
       .map(st => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(st.getPath).toString)
-      .sorted.toSeq
-    val newStats = computeFileStats(spark, newFiles)
+      .sorted
+    val newStats = computeFileStats(spark, newFiles, fsMetaOf(newStatuses))
     var attempt = 0
     while (true) {
       val versions = snapshotVersions(spark, root)
@@ -490,9 +558,19 @@ object GraftCatalog {
         else Map.empty[String, FileStat]
       val statsName = writeStatsFile(spark, fs, r,
         (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
+      // Committed schema: an overwrite IS the batch's schema; an append
+      // unions the prior committed schema (falling back to one carried
+      // footer on pre-schema-line tables) with the batch's.
+      val priorSchema =
+        if (append && versions.nonEmpty)
+          readSchemaLine(fs, r, versions.last)
+            .orElse(carried.headOption.map(f => spark.read.parquet(f).schema))
+        else None
+      val schemaLine =
+        schemaLineOf(priorSchema.fold(df.schema)(p => unionSchema(p, df.schema)))
       try {
         publishManifest(fs, r, next,
-          Seq(s"#stats:$statsName") ++ meta ++ carried ++ newFiles)
+          Seq(s"#stats:$statsName", schemaLine) ++ meta ++ carried ++ newFiles)
         return next
       } catch {
         case e: SnapshotConflictException =>
@@ -516,10 +594,11 @@ object GraftCatalog {
     * reader needs no dedup logic. Returns the committed (or already-
     * present) version. Wire as
     * `.foreachBatch((b, id) => commitSnapshotBatch(b, root, id))`. */
-  def commitSnapshotBatch(df: DataFrame, root: String, batchId: Long): Long = {
+  def commitSnapshotBatch(df: DataFrame, root: String, batchId: Long,
+      sinkId: String = ""): Long = {
     val spark = df.sparkSession
     val (fs, r) = fsOf(spark, root)
-    val tag = s"#batch:$batchId"
+    val tag = if (sinkId.isEmpty) s"#batch:$batchId" else s"#batch:$sinkId:$batchId"
     snapshotVersions(spark, root).reverse // replays hit recent versions
       .find(v => readManifestLines(fs, r, v).contains(tag)) match {
       case Some(v) => v // replay — already committed
@@ -634,9 +713,11 @@ object GraftCatalog {
     * must at 100 TB:
     *
     *  1. PLAN on metadata — candidate files are the manifest entries
-    *     whose [min, max] envelope on `pk` overlaps the updates' key
-    *     range ([[mayContain]]); with stats present, files outside the
-    *     range are never opened.
+    *     whose OWN [min, max] envelope on `pk` contains at least one
+    *     actual update key ([[nominateFilesByKey]] — per-file, so a
+    *     scattered-key CDC feed touching 2 of 1000 files nominates 2,
+    *     not the whole table); with stats present, files whose
+    *     envelope holds no key are never opened.
     *  2. PIN exactly — candidates are semi-joined against the update
     *     keys (`input_file_name` per row) so only files that TRULY
     *     contain a matched key are rewritten; range-overlapping but
@@ -665,13 +746,8 @@ object GraftCatalog {
     if (updates.isEmpty) return head
     validateChecks(spark, root, updates)
     val stats = readStats(spark, root, head)
-    val tz = spark.sessionState.conf.sessionLocalTimeZone
-    val b = updates.agg(min(col(pk)).as("lo"), max(col(pk)).as("hi")).head()
-    val rangePred = org.apache.spark.sql.GraftColumnBridge.expression(
-      col(pk).between(lit(b.get(0)), lit(b.get(1))))
-    val candidates = files.filter(f =>
-      stats.get(f).forall(st => mayContain(st, rangePred, tz)))
     val keys = updates.select(col(pk)).distinct()
+    val candidates = nominateFilesByKey(spark, files, stats, keys, pk)
     val matchedFiles: Set[String] =
       if (candidates.isEmpty) Set.empty
       else pinnedPaths(spark.read.parquet(candidates: _*)
@@ -715,9 +791,10 @@ object GraftCatalog {
     * the race was lost AFTER publish. Wire as
     * `.foreachBatch((b, id) => mergeSnapshotBatch(spark, root, b, pk, id))`. */
   def mergeSnapshotBatch(spark: SparkSession, root: String,
-      updates: DataFrame, pk: String, batchId: Long): Long = {
+      updates: DataFrame, pk: String, batchId: Long,
+      sinkId: String = ""): Long = {
     val (fs, r) = fsOf(spark, root)
-    val tag = s"#batch:$batchId"
+    val tag = if (sinkId.isEmpty) s"#batch:$batchId" else s"#batch:$sinkId:$batchId"
     snapshotVersions(spark, root).reverse
       .find(v => readManifestLines(fs, r, v).contains(tag)) match {
       case Some(v) => v // replay — already applied
@@ -737,28 +814,53 @@ object GraftCatalog {
     * `input_file_name` semi-join pinning, survivors = matched files
     * anti-joined against ALL touched keys, upserts unioned back,
     * deletes simply never return. CHECK constraints validate the
-    * upsert side only (a delete cannot violate a row predicate). */
+    * upsert side only (a delete cannot violate a row predicate).
+    *
+    * MULTI-EVENT KEYS: a real Debezium feed can carry several events
+    * for one key in a single batch (U then D, two Us). The apply
+    * contract is per-key LAST-WINS, and the batch must make "last"
+    * well-defined: pass `seqCol` (a source LSN / sequence / event-time
+    * column that totally orders each key's events) and the batch is
+    * reduced to each key's highest-sequence event before planning — a
+    * U followed by a D deletes, a D followed by a U re-inserts.
+    * Without `seqCol` the batch MUST be key-unique (the common
+    * pre-compacted case); a duplicate key then aborts the apply with
+    * `IllegalArgumentException` rather than silently landing both rows
+    * (which would violate pk uniqueness) or losing a delete. */
   def applyCdcSnapshot(spark: SparkSession, root: String,
       batch: DataFrame, pk: String, opCol: String = "_op",
-      meta: Seq[String] = Seq.empty): Long = {
+      meta: Seq[String] = Seq.empty, seqCol: Option[String] = None): Long = {
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
     if (batch.isEmpty) return head
-    val ops = batch.select(col(opCol)).distinct()
+    val batchCols = batch.columns.toSet
+    val resolved = seqCol match {
+      case Some(sc) =>
+        require(batchCols.contains(sc), s"CDC seqCol $sc absent from the batch")
+        val rn = Iterator.from(0).map(i => s"__seq$i").find(!batchCols(_)).get
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(pk)).orderBy(col(sc).desc)
+        batch.withColumn(rn, row_number().over(w))
+          .where(col(rn) === 1).drop(rn)
+      case None =>
+        require(batch.groupBy(col(pk)).count().where(col("count") > 1).isEmpty,
+          s"CDC batch carries multiple events for one $pk — pass seqCol " +
+            "for last-wins resolution or pre-compact the batch")
+        batch
+    }
+    val ops = resolved.select(col(opCol)).distinct()
       .collect().map(_.getString(0)).toSet
     require(ops.subsetOf(Set("I", "U", "D")),
       s"CDC ops must be I/U/D, got ${ops.mkString(", ")}")
-    val upserts = batch.where(col(opCol) =!= "D").drop(opCol)
+    // Only the op tag drops here: a seqCol that is also a table column
+    // must survive; a metadata-only seqCol is clipped by the
+    // table-schema select below like any other extra column.
+    val upserts = resolved.where(col(opCol) =!= "D").drop(opCol)
     validateChecks(spark, root, upserts)
     val files = readManifest(fs, r, head)
     val stats = readStats(spark, root, head)
-    val tz = spark.sessionState.conf.sessionLocalTimeZone
-    val keys = batch.select(col(pk)).distinct()
-    val b = batch.agg(min(col(pk)).as("lo"), max(col(pk)).as("hi")).head()
-    val rangePred = org.apache.spark.sql.GraftColumnBridge.expression(
-      col(pk).between(lit(b.get(0)), lit(b.get(1))))
-    val candidates = files.filter(f =>
-      stats.get(f).forall(st => mayContain(st, rangePred, tz)))
+    val keys = resolved.select(col(pk)).distinct()
+    val candidates = nominateFilesByKey(spark, files, stats, keys, pk)
     val matchedFiles: Set[String] =
       if (candidates.isEmpty) Set.empty
       else pinnedPaths(spark.read.parquet(candidates: _*)
@@ -780,16 +882,23 @@ object GraftCatalog {
   /** EXACTLY-ONCE streaming CDC apply — [[applyCdcSnapshot]] under the
     * batch-id replay guard of [[mergeSnapshotBatch]]: wire as
     * `.foreachBatch((b, id) => applyCdcSnapshotBatch(spark, root, b, pk, id))`
-    * and a crash-replayed micro-batch (including deletes) is a no-op. */
+    * and a crash-replayed micro-batch (including deletes) is a no-op.
+    * The replay tag lives in its OWN `#cdcbatch:` namespace (optionally
+    * `#cdcbatch:<sinkId>:<id>`): micro-batch ids are per-QUERY
+    * counters, so a merge stream and a CDC stream (or two CDC streams
+    * — then pass distinct `sinkId`s) feeding one table must never
+    * mistake each other's batch 7 for their own and silently skip it. */
   def applyCdcSnapshotBatch(spark: SparkSession, root: String,
       batch: DataFrame, pk: String, batchId: Long,
-      opCol: String = "_op"): Long = {
+      opCol: String = "_op", seqCol: Option[String] = None,
+      sinkId: String = ""): Long = {
     val (fs, r) = fsOf(spark, root)
-    val tag = s"#batch:$batchId"
+    val tag =
+      if (sinkId.isEmpty) s"#cdcbatch:$batchId" else s"#cdcbatch:$sinkId:$batchId"
     snapshotVersions(spark, root).reverse
       .find(v => readManifestLines(fs, r, v).contains(tag)) match {
       case Some(v) => v // replay — already applied
-      case None => applyCdcSnapshot(spark, root, batch, pk, opCol, Seq(tag))
+      case None => applyCdcSnapshot(spark, root, batch, pk, opCol, Seq(tag), seqCol)
     }
   }
 
@@ -834,6 +943,51 @@ object GraftCatalog {
       stats.filter { case (p, _) => carried.contains(p) }, survivors, meta)
   }
 
+  /** PER-FILE key nomination for the copy-on-write verbs: the files
+    * whose OWN [min, max] stat envelope on `pk` contains at least one
+    * actual update key. The earlier formulation tested each file
+    * against ONE global `pk BETWEEN batch-min, batch-max` envelope of
+    * the whole batch — correct but useless for the common CDC shape
+    * where a batch's keys are SCATTERED across the key domain (updates
+    * hit old and new customers alike): the global envelope covers every
+    * file and the exact pin scan opens the entire table at planning.
+    * Here each file's envelope is range-joined against the DISTINCT
+    * update keys (file envelopes broadcast — they are |files| tiny rows
+    * of driver-held manifest stats; the keys stream), so a dispersed
+    * feed touching 2 of 1000 files nominates exactly those 2. Cost is
+    * O(|distinct keys| x |enveloped files|) codegen'd comparisons,
+    * distributed — metadata-priced next to the O(table bytes) pin scan
+    * it replaces. Files with no stats, or no envelope on `pk`, stay
+    * unconditional candidates (the conservative contract everywhere
+    * stats are consulted); all-NULL-pk files have NULL envelopes and
+    * can never match a key. Manifest order is preserved. */
+  private[graft] def nominateFilesByKey(spark: SparkSession,
+      files: Seq[String], stats: Map[String, FileStat],
+      keys: DataFrame, pk: String): Seq[String] = {
+    val keyType = keys.schema(pk).dataType
+    // Three file classes: enveloped (pk stats with a real range — the
+    // join decides), all-NULL pk (range provably empty — never a
+    // candidate for non-null keys), blind (no stats / no pk column
+    // recorded — unconditional candidate).
+    def pkStat(f: String): Option[ColStat] =
+      stats.get(f).flatMap(_.cols.find(_.col == pk))
+    val enveloped = files.filter(f =>
+      pkStat(f).exists(c => c.mn != null && c.mx != null))
+    val blind = files.filter(f => pkStat(f).isEmpty).toSet
+    if (enveloped.isEmpty) return files.filter(blind)
+    val sp = spark; import sp.implicits._
+    val envDf = enveloped.map { f =>
+        val c = pkStat(f).get
+        (f, c.mn, c.mx)
+      }.toDF("__path", "__lo", "__hi").select(col("__path"),
+        expr(s"try_cast(__lo AS ${keyType.sql})").as("__lo"),
+        expr(s"try_cast(__hi AS ${keyType.sql})").as("__hi"))
+    val hits = keys.select(col(pk)).distinct()
+      .join(broadcast(envDf), col(pk) >= col("__lo") && col(pk) <= col("__hi"))
+      .select("__path").distinct().collect().map(_.getString(0)).toSet
+    files.filter(f => hits(f) || blind(f))
+  }
+
   /** Normalize `input_file_name()` URIs back to the scheme-less paths
     * the manifest stores. */
   private def pinnedPaths(rows: Array[org.apache.spark.sql.Row]): Set[String] =
@@ -863,17 +1017,24 @@ object GraftCatalog {
       newData: DataFrame, meta: Seq[String]): Long = {
     val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
     newData.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
-    val newFiles = fs.listStatus(batch)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val newStatuses = fs.listStatus(batch)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
+    val newFiles = newStatuses
       .map(st => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(st.getPath).toString)
-      .sorted.toSeq
-    val newStats = computeFileStats(spark, newFiles)
+      .sorted
+    val newStats = computeFileStats(spark, newFiles, fsMetaOf(newStatuses))
     val statsName = writeStatsFile(spark, fs, r,
       (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
+    // Committed schema: carried files are covered by the head's
+    // recorded schema; the rewritten batch may add evolved columns.
+    val priorSchema = readSchemaLine(fs, r, head)
+      .orElse(carried.headOption.map(f => spark.read.parquet(f).schema))
+    val schemaLine =
+      schemaLineOf(priorSchema.fold(newData.schema)(p => unionSchema(p, newData.schema)))
     try {
       val next = head + 1
       publishManifest(fs, r, next,
-        Seq(s"#stats:$statsName") ++ meta ++ carried ++ newFiles)
+        Seq(s"#stats:$statsName", schemaLine) ++ meta ++ carried ++ newFiles)
       next
     } catch {
       case e: SnapshotConflictException =>
@@ -922,14 +1083,18 @@ object GraftCatalog {
     // column: re-applying `pred` AFTER the assignments would miss every
     // row whose SET rewrote the predicate's own column (e.g. UPDATE
     // SET pr = 'X' WHERE pr = 'Y') and validate CHECKs against nothing.
-    val marked = src.withColumn("__hit", hit)
+    // The marker name is chosen OUTSIDE the table's own column space —
+    // a table that happens to carry a `__hit` column must not have it
+    // clobbered by the staging projection.
+    val hitCol = Iterator.from(0).map(i => s"__hit$i").find(!known(_)).get
+    val marked = src.withColumn(hitCol, hit)
       .select((src.schema.fields.toSeq.map { f =>
         setMap.get(f.name).fold(col(f.name)) { e =>
-          when(col("__hit"), e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          when(col(hitCol), e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
         }
-      } :+ col("__hit")): _*)
-    validateChecks(spark, root, marked.where(col("__hit")).drop("__hit"))
-    val updated = marked.drop("__hit")
+      } :+ col(hitCol)): _*)
+    validateChecks(spark, root, marked.where(col(hitCol)).drop(hitCol))
+    val updated = marked.drop(hitCol)
     commitCow(spark, fs, r, head, carried,
       stats.filter { case (p, _) => carried.contains(p) }, updated, meta)
   }
@@ -1158,17 +1323,22 @@ object GraftCatalog {
       predicate: Option[Column] = None): DataFrame = {
     val (kept, total) = snapshotScanFiles(spark, root, version, predicate)
     require(total > 0, s"snapshot of $root is empty")
+    val (fs, r) = fsOf(spark, root)
+    val v = version.getOrElse(snapshotVersions(spark, root).last)
     // All files pruned: scan one manifest file so the schema survives;
     // the row filter below still yields the (correct) empty result.
-    val files =
-      if (kept.nonEmpty) kept
-      else {
-        val (fs, r) = fsOf(spark, root)
-        val v = version.getOrElse(snapshotVersions(spark, root).last)
-        readManifest(fs, r, v).take(1)
-      }
+    val files = if (kept.nonEmpty) kept else readManifest(fs, r, v).take(1)
     val rd = spark.read
-    val df = (if (mergeSchema) rd.option("mergeSchema", "true") else rd).parquet(files: _*)
+    // Non-merge reads use the manifest's COMMITTED schema when recorded:
+    // on a schema-evolved table this surfaces every committed column
+    // (older files read NULL for columns they predate) regardless of
+    // which file the manifest lists first, with zero footer reconnaisance.
+    // mergeSchema=true keeps the footer-union read (ground truth when a
+    // file was written wider than its commit declared).
+    val df =
+      if (mergeSchema) rd.option("mergeSchema", "true").parquet(files: _*)
+      else readSchemaLine(fs, r, v)
+        .fold(rd.parquet(files: _*))(s => rd.schema(s).parquet(files: _*))
     predicate.fold(df)(df.where)
   }
 
@@ -1195,15 +1365,28 @@ object GraftCatalog {
     val files = readManifest(fs, r, v)
     val stats = readStats(spark, root, v)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
-    val statuses = files.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)))
+    // Planning metadata comes from the manifest's own sidecar: file
+    // length + mtime were recorded at commit, so building the scan's
+    // FileStatus list issues ZERO per-file status RPCs — the listing
+    // storm a 10^5-file version would otherwise pay on an object store.
+    // Pre-len sidecars fall back to the filesystem per missing entry.
+    val statuses = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      stats.get(f).flatMap(st => st.len.map(l =>
+        new org.apache.hadoop.fs.FileStatus(l, false, 1, 128L * 1024 * 1024,
+          st.mtime.getOrElse(0L), p)))
+        .getOrElse(fs.getFileStatus(p))
+    }
     // mergeSchema unions the per-file schemas (evolved tables — a
     // footer read per file, the same opt-in trade as readSnapshot);
-    // the default reads the first file's schema and the parquet
-    // reader clips newer files to it.
+    // the default is the manifest's COMMITTED schema (evolved columns
+    // included, older files read NULL), falling back to head-file
+    // sniffing only on pre-schema-line tables.
     val schema =
       if (mergeSchema)
         spark.read.option("mergeSchema", "true").parquet(files: _*).schema
-      else spark.read.parquet(files.head).schema
+      else readSchemaLine(fs, r, v)
+        .getOrElse(spark.read.parquet(files.head).schema)
     val keep: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         Seq[org.apache.hadoop.fs.FileStatus] = filters =>
       if (filters.isEmpty) statuses
@@ -1238,8 +1421,8 @@ object GraftCatalog {
         if (files.nonEmpty && files.forall(stats.contains))
           Some(files.map(f => stats(f).rows).sum)
         else None
-      val bytes = files.map(f =>
-        fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+      val bytes = files.map(f => stats.get(f).flatMap(_.len).getOrElse(
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)).sum
       val mtime = fs.getFileStatus(
         new org.apache.hadoop.fs.Path(manifestDir(r), s"v$v.manifest"))
         .getModificationTime
@@ -1263,8 +1446,11 @@ object GraftCatalog {
   def rollbackSnapshot(spark: SparkSession, root: String, to: Long): Long = {
     val (fs, r) = fsOf(spark, root)
     val next = snapshotVersions(spark, root).last + 1
-    val carriedStats = readManifestLines(fs, r, to).filter(_.startsWith("#stats:"))
-    publishManifest(fs, r, next, carriedStats ++ readManifest(fs, r, to))
+    // The target's #stats and #schema meta carry with its file list, so
+    // data skipping and the committed schema survive the rollback.
+    val carriedMeta = readManifestLines(fs, r, to)
+      .filter(l => l.startsWith("#stats:") || l.startsWith("#schema:"))
+    publishManifest(fs, r, next, carriedMeta ++ readManifest(fs, r, to))
     next
   }
 
@@ -1279,9 +1465,11 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     val v = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, v)
-    val bytes = files.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val stats = readStats(spark, root, v)
+    val bytes = files.map(f => stats.get(f).flatMap(_.len).getOrElse(
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    commitSnapshot(spark.read.parquet(files: _*).coalesce(nOut), root, append = false)
+    commitSnapshot(readSnapshot(spark, root, Some(v)).coalesce(nOut), root, append = false)
   }
 
   /** Z-ORDERED snapshot compaction: rewrite the current head
@@ -1298,18 +1486,21 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     val v = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, v)
+    val df = readSnapshot(spark, root, Some(v))
     val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
-    zOrderWriteN(spark.read.parquet(files: _*), cols, batch.toString,
-      nFiles, rowGroupBytes)
-    val newFiles = fs.listStatus(batch)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    zOrderWriteN(df, cols, batch.toString, nFiles, rowGroupBytes)
+    val newStatuses = fs.listStatus(batch)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
+    val newFiles = newStatuses
       .map(st => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(st.getPath).toString)
-      .sorted.toSeq
+      .sorted
     // z-clustered files have TIGHT per-file envelopes on every cluster
     // column — exactly where manifest stats pay most.
-    val statsName = writeStatsFile(spark, fs, r, computeFileStats(spark, newFiles))
+    val statsName = writeStatsFile(spark, fs, r,
+      computeFileStats(spark, newFiles, fsMetaOf(newStatuses)))
+    val schemaLine = schemaLineOf(df.schema)
     val next = snapshotVersions(spark, root).last + 1
-    try publishManifest(fs, r, next, s"#stats:$statsName" +: newFiles)
+    try publishManifest(fs, r, next, Seq(s"#stats:$statsName", schemaLine) ++ newFiles)
     catch {
       case e: SnapshotConflictException =>
         fs.delete(new org.apache.hadoop.fs.Path(manifestDir(r), statsName), false)
@@ -1331,7 +1522,16 @@ object GraftCatalog {
     * IN-FLIGHT commit's batch is also unreferenced-but-alive; size it
     * above your longest commit. Time travel to vacuumed versions is
     * gone — the explicit retention trade every table format makes.
-    * Returns the number of data files deleted. */
+    * Returns the number of data files deleted.
+    *
+    * OWNERSHIP GUARD: only files physically under THIS table's root
+    * are ever deleted. A shallow clone or branch carries the SOURCE
+    * table's data files by path ([[cloneSnapshot]]); without the
+    * guard, vacuuming the clone after its old versions age out would
+    * delete source-owned files and corrupt the source. Foreign-rooted
+    * manifest entries are dropped from the clone's manifests like any
+    * dead file, but their bytes are left for their owning table's own
+    * vacuum to govern. */
   def vacuumSnapshots(spark: SparkSession, root: String, keepFrom: Long,
       orphanGraceMs: Long = 10 * 60 * 1000L): Int = {
     val (fs, r) = fsOf(spark, root)
@@ -1351,8 +1551,11 @@ object GraftCatalog {
       .partition(v => v < keepFrom && !tagged(v))
     val old = old0 ++ torn
     val keepFiles = kept.flatMap(readManifest(fs, r, _, strict = false)).toSet
+    val rootPrefix = org.apache.hadoop.fs.Path
+      .getPathWithoutSchemeAndAuthority(fs.makeQualified(r)).toString + "/"
     val dead = old.flatMap(readManifest(fs, r, _, strict = false))
       .distinct.filterNot(keepFiles)
+      .filter(_.startsWith(rootPrefix)) // never delete clone/branch-carried foreign files
     dead.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     old.foreach(v => fs.delete(
       new org.apache.hadoop.fs.Path(manifestDir(r), s"v$v.manifest"), false))
@@ -1543,7 +1746,8 @@ object GraftCatalog {
       s"clone target $dstRoot already has snapshots")
     val statsName = writeStatsFile(spark, dfs, dr,
       stats.values.toSeq.sortBy(_.path))
-    publishManifest(dfs, dr, 1L, Seq(s"#stats:$statsName") ++ files)
+    val schemaLine = readSchemaLine(sfs, sr, v).map(s => schemaLineOf(s)).toSeq
+    publishManifest(dfs, dr, 1L, Seq(s"#stats:$statsName") ++ schemaLine ++ files)
     1L
   }
 
@@ -1606,8 +1810,9 @@ object GraftCatalog {
     val stats = readStats(spark, br, bHead)
     val (fs, r) = fsOf(spark, root)
     val statsName = writeStatsFile(spark, fs, r, stats.values.toSeq.sortBy(_.path))
+    val schemaLine = readSchemaLine(bfs, br2, bHead).map(s => schemaLineOf(s)).toSeq
     publishManifest(fs, r, head + 1,
-      Seq(s"#stats:$statsName", s"#branch-merge:$name") ++ files)
+      Seq(s"#stats:$statsName", s"#branch-merge:$name") ++ schemaLine ++ files)
     deleteSnapshotTag(spark, root, branchBaseTag(name))
     // Drop only the branch's MANIFEST line and refs: its data batches
     // are now referenced by the parent's new version and must survive

@@ -36,7 +36,35 @@ object GraftTvf {
     GraftCatalog.readSnapshotAuto(spark, root, version).queryExecution.logical
   }
 
-  def register(spark: SparkSession): Unit =
+  /** `graft_snapshot_changes('<root>', fromV, toV)` — the table's CDC
+    * changelog as a TVF: [[GraftCatalog.readChanges]]' file-level
+    * stream ((fromV, toV]; `insert` rows from files a version added,
+    * `delete` rows from files it removed, tagged `_change`/`_version`)
+    * with no Scala call site, so a pure-SQL consumer reads
+    * "what did last night's commits do" directly:
+    *
+    * {{{
+    *   SELECT _version, _change, count(*) n
+    *   FROM graft_snapshot_changes('/data/orders', 3, 7)
+    *   GROUP BY 1, 2 ORDER BY 1, 2
+    * }}}
+    */
+  private[graft] val changesBuilder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 3,
+      "graft_snapshot_changes(root, fromV, toV) takes 3 arguments")
+    require(args.forall(_.foldable),
+      "graft_snapshot_changes arguments must be literals")
+    val root = String.valueOf(args.head.eval())
+    val fromV = String.valueOf(args(1).eval()).toLong
+    val toV = String.valueOf(args(2).eval()).toLong
+    val spark = SparkSession.active
+    GraftCatalog.readChanges(spark, root, fromV, toV).queryExecution.logical
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_snapshot", snapshotBuilder, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_snapshot_changes", changesBuilder, "built-in")
+  }
 }

@@ -1,0 +1,168 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.sources.GraftCatalog
+
+/** NATIVE Structured Streaming SOURCE over a manifest-pointer snapshot
+  * table — `spark.readStream.format(GraftSnapshotStream.FORMAT)
+  * .option("path", root).load()` makes the table a first-class CDC
+  * stream with no outbox copy (the [[SnapshotTailer]]'s `exportChanges`
+  * bridge duplicates every changed row into a parquet directory; this
+  * source serves the table's OWN files).
+  *
+  * Offsets ARE snapshot versions: micro-batch (start, end] carries
+  * `readChanges(start, end)` — each committed version's added files as
+  * `insert` rows and removed files as `delete` rows, tagged
+  * `_change`/`_version` on top of the table schema. With the default
+  * `maxVersionsPerBatch = 1` the stream replays the commit history one
+  * version per micro-batch, in order; a checkpoint restart resumes at
+  * the exact version the offset log recorded (version numbers are the
+  * only state, and they are stable across restarts by construction).
+  * Per-batch cost is proportional to that version's changed files,
+  * never the table — the changelog-subscription shape a 100 TB table
+  * needs.
+  *
+  * Options: `path` (table root, required), `startAfter` (emit versions
+  * strictly greater; default 0 = full history), `maxVersionsPerBatch`
+  * (admission control; default 1).
+  *
+  * The batch DataFrame is built on the driver from the manifest and
+  * converted via `internalCreateDataFrame(isStreaming = true)` — the
+  * same bridge Spark's own FileStreamSource uses; executors stream the
+  * parquet bytes as a normal scan. Schema is pinned at stream start
+  * (committed `#schema:` line when recorded): files evolved before the
+  * pin read NULL for late columns, exactly like the batch readers. */
+final class GraftSnapshotSource(sqlContext: SQLContext, root: String,
+    startAfter: Long, maxVersionsPerBatch: Int) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadLimit}
+
+  private val spark = sqlContext.sparkSession
+  override val schema: StructType = GraftSnapshotStream.schemaOf(spark, root)
+
+  // Highest version exposed to the engine so far. latestOffset lifts it
+  // from the engine-supplied start offset on checkpoint recovery, and
+  // getBatch lifts it when replaying a pending range from the offset log.
+  private var cursor: Long = startAfter
+  // Trigger.AvailableNow: versions committed after prepare() are left
+  // for the next run — the run drains a FIXED backlog and terminates
+  // (the FileStreamSource contract, one micro-batch per version here).
+  private var availableNowCap: Option[Long] = None
+
+  private def head(): Long =
+    GraftCatalog.snapshotVersions(spark, root).lastOption.getOrElse(startAfter)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(head())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  // The admission-controlled offset negotiation (the engine prefers
+  // this over getOffset once SupportsAdmissionControl is implemented):
+  // advance at most maxVersionsPerBatch versions past the engine's own
+  // start, never past the head (or the AvailableNow pin).
+  override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
+    val from = Option(start).map(versionOf).getOrElse(startAfter)
+    if (from > cursor) cursor = from
+    val hd = availableNowCap.fold(head())(c => math.min(head(), c))
+    if (hd > cursor) cursor = math.min(hd, cursor + maxVersionsPerBatch)
+    if (cursor == startAfter) null else LongOffset(cursor)
+  }
+
+  override def reportLatestOffset(): ConnOffset = {
+    val hd = head()
+    if (hd == startAfter) null else LongOffset(hd)
+  }
+
+  // Plain-getOffset path (engines without admission control).
+  override def getOffset: Option[Offset] = {
+    val hd = head()
+    if (hd > cursor) cursor = math.min(hd, cursor + maxVersionsPerBatch)
+    if (cursor == startAfter) None else Some(LongOffset(cursor))
+  }
+
+  private def versionOf(o: ConnOffset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset from the checkpoint log
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromV = start.map(versionOf).getOrElse(startAfter)
+    val toV = versionOf(end)
+    cursor = math.max(cursor, toV)
+    val batch =
+      if (toV <= fromV) GraftSnapshotStream.empty(spark, schema)
+      else {
+        val changes = GraftCatalog.readChanges(spark, root, fromV, toV)
+        changes.select(schema.fields.toSeq.map { f =>
+          (if (changes.columns.contains(f.name)) col(f.name).cast(f.dataType)
+           else lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
+      }
+    // A v1 Source must hand back a STREAMING DataFrame; route the batch
+    // plan's rows through the same internal bridge FileStreamSource uses.
+    org.apache.spark.sql.GraftStreamBridge.streamingDataFrame(
+      spark, batch.queryExecution.toRdd, schema)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** The v1 provider `spark.readStream.format(...)` resolves by class
+  * name. Stateless — all state is the offset log's version numbers. */
+final class GraftSnapshotStreamProvider extends StreamSourceProvider {
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot stream requires .option(\"path\", <table root>) or .load(<root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graft-snapshot", GraftSnapshotStream.schemaOf(
+      sqlContext.sparkSession, rootOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftSnapshotSource(sqlContext, rootOf(parameters),
+      parameters.get("startAfter").map(_.toLong).getOrElse(0L),
+      parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(1))
+}
+
+object GraftSnapshotStream {
+  /** Pass to `spark.readStream.format(...)`. */
+  val FORMAT: String = classOf[GraftSnapshotStreamProvider].getName
+
+  /** Table schema (committed `#schema:` line when recorded, else the
+    * head read's) plus the CDC tags. */
+  private[streaming] def schemaOf(spark: org.apache.spark.sql.SparkSession,
+      root: String): StructType = {
+    val base = GraftCatalog.snapshotSchema(spark, root)
+      .getOrElse(GraftCatalog.readSnapshot(spark, root).schema)
+    StructType(base.fields ++ Seq(
+      StructField("_change", StringType, nullable = true),
+      StructField("_version", LongType, nullable = true)))
+  }
+
+  private[streaming] def empty(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  /** Convenience reader: the table as a version-tailing CDC stream. */
+  def read(spark: org.apache.spark.sql.SparkSession, root: String,
+      startAfter: Long = 0L, maxVersionsPerBatch: Int = 1): DataFrame =
+    spark.readStream.format(FORMAT)
+      .option("path", root)
+      .option("startAfter", startAfter.toString)
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+      .load()
+}

@@ -1435,4 +1435,193 @@ class SourcesCatalogSpec extends AnyFunSuite {
       .where(col("dv").isNull || col("iv") > col("dv"))
     assert(net.select("id").collect().map(_.getLong(0)).toSet == Set(100L, 101L))
   }
+
+  test("vacuum never deletes clone/branch-carried foreign files: the source survives a clone's vacuum") {
+    import spark.implicits._
+    val src = s"$tmp/snapvacsrc_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 200).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+        .repartitionByRange(2, col("id")), src, append = false)
+    val dst = s"$tmp/snapvacdst_${System.nanoTime()}"
+    GraftCatalog.cloneSnapshot(spark, src, dst)
+    // CoW-rewrite the clone twice so its v1 (carrying SOURCE files by
+    // path) ages out of retention entirely
+    GraftCatalog.deleteSnapshotWhere(spark, dst, col("id") <= 50L)
+    GraftCatalog.updateSnapshotWhere(spark, dst, col("id") === 60L,
+      Seq("v" -> lit("xx")))
+    assert(GraftCatalog.snapshotVersions(spark, dst) == Seq(1L, 2L, 3L))
+    // vacuum the CLONE with every old version dead: without the
+    // ownership guard this deletes source-owned data files
+    GraftCatalog.vacuumSnapshots(spark, dst, keepFrom = 3L,
+      orphanGraceMs = Long.MaxValue)
+    assert(GraftCatalog.snapshotVersions(spark, dst) == Seq(3L))
+    assert(GraftCatalog.readSnapshot(spark, src).count() == 200,
+      "vacuuming the clone must never reap the source's files")
+    assert(GraftCatalog.readSnapshot(spark, dst).count() == 150)
+    // and the source's OWN vacuum still reclaims its own dead files
+    GraftCatalog.commitSnapshot(
+      Seq((999L, "z")).toDF("id", "v"), src, append = false)
+    assert(GraftCatalog.vacuumSnapshots(spark, src, keepFrom = 2L,
+      orphanGraceMs = Long.MaxValue) > 0)
+  }
+
+  test("scattered-key CoW planning nominates per-file: a two-extreme-keys batch pins 2 of 100 files") {
+    import spark.implicits._
+    val root = s"$tmp/snapnom_${System.nanoTime()}"
+    // 100 files, each a tight contiguous id envelope of 100 keys
+    GraftCatalog.commitSnapshot(
+      (1 to 10000).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+        .repartitionByRange(100, col("id")), root, append = false)
+    val files0 = GraftCatalog.snapshotScanFiles(spark, root, None, None)._1
+    assert(files0.size == 100)
+    // the batch's GLOBAL envelope [1, 10000] covers every file; the
+    // per-file test must still nominate only the 2 files whose own
+    // envelope holds an actual key
+    val updates = Seq((1L, "lo"), (10000L, "hi")).toDF("id", "v")
+    val nominated = GraftCatalog.nominateFilesByKey(spark, files0,
+      GraftCatalog.readStats(spark, root, 1L), updates.select("id"), "id")
+    assert(nominated.size == 2,
+      s"expected 2 nominated files, got ${nominated.size}")
+    // the merge itself still lands correctly through the same planner
+    val v = GraftCatalog.mergeSnapshot(spark, root, updates, "id")
+    val head = GraftCatalog.readSnapshot(spark, root, Some(v))
+    assert(head.count() == 10000)
+    assert(head.where(col("id").isin(1L, 10000L))
+      .select("v").collect().map(_.getString(0)).toSet == Set("lo", "hi"))
+    // exactly 2 manifest files rewritten, 98 carried by path
+    val pre = files0.toSet
+    val post = GraftCatalog.snapshotScanFiles(spark, root, Some(v), None)._1.toSet
+    assert((pre -- post).size == 2 && (pre & post).size == 98)
+  }
+
+  test("snapshot planning is metadata-only: sidecar len/schema plan a read with zero file RPCs") {
+    import spark.implicits._
+    val root = s"$tmp/snapmeta_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 400).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")), root, append = false)
+    val files = GraftCatalog.snapshotScanFiles(spark, root, None, None)._1
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // sidecar carries len+mtime equal to the filesystem's own answer
+    val stats = GraftCatalog.readStats(spark, root, 1L)
+    files.foreach { f =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+      assert(stats(f).len.contains(st.getLen) &&
+        stats(f).mtime.contains(st.getModificationTime))
+    }
+    // the scan's costing comes from the sidecar sum
+    val df = GraftCatalog.readSnapshotAuto(spark, root)
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong ==
+      files.map(f => stats(f).len.get).sum)
+    // the PROOF of zero per-file RPCs and zero footer sniffing at
+    // planning: physically delete the manifest's FIRST file — schema
+    // comes from the #schema line and statuses from the sidecar, so a
+    // query whose filter prunes the deleted file still plans AND runs
+    val victim = files.head // lowest id range after the sorted listing
+    val victimHi = GraftCatalog.readStats(spark, root, 1L)(victim)
+      .cols.find(_.col == "id").get.mx.toLong
+    fs.delete(new org.apache.hadoop.fs.Path(victim), false)
+    val got = GraftCatalog.readSnapshotAuto(spark, root)
+      .where(col("id") > victimHi).agg(count(lit(1))).head().getLong(0)
+    assert(got == 400 - victimHi,
+      "pruned read must never touch (or stat) the deleted file")
+  }
+
+  test("committed schema line: evolved columns surface on non-merge reads regardless of manifest order") {
+    import spark.implicits._
+    val root = s"$tmp/snapschema_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 5).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = false)
+    GraftCatalog.commitSnapshot(
+      (6 to 8).map(i => (i.toLong, s"r$i", i * 10)).toDF("id", "v", "score"),
+      root, append = true)
+    // committed schema = prior ∪ batch, recorded in the manifest
+    assert(GraftCatalog.snapshotSchema(spark, root).get.fieldNames.toSeq ==
+      Seq("id", "v", "score"))
+    // DEFAULT (non-merge) reads serve the committed schema: pre-evolution
+    // rows read NULL for the evolved column — no head-file lottery
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.columns.toSeq == Seq("id", "v", "score"))
+    assert(head.where(col("score").isNull).count() == 5)
+    val auto = GraftCatalog.readSnapshotAuto(spark, root)
+    assert(auto.columns.toSeq == Seq("id", "v", "score"))
+    assert(auto.where(col("score").isNotNull).count() == 3)
+    // pure-SQL users get the evolved schema through the TVF too
+    graft.sources.GraftTvf.register(spark)
+    assert(spark.sql(s"SELECT score FROM graft_snapshot('$root') WHERE score IS NOT NULL")
+      .count() == 3)
+    // rollback carries the schema line with the file list
+    val rb = GraftCatalog.rollbackSnapshot(spark, root, 1L)
+    assert(GraftCatalog.snapshotSchema(spark, root, Some(rb)).get.fieldNames.toSeq ==
+      Seq("id", "v"))
+  }
+
+  test("CDC multi-event keys: seqCol resolves last-wins; without it duplicate keys abort") {
+    import spark.implicits._
+    val root = s"$tmp/snapcdcseq_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 6).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = false)
+    // U then D for key 2 (delete wins), D then U for key 3 (row wins),
+    // two Us for key 4 (later value wins) — all ordered by seq
+    val batch = Seq(
+      (2L, "u2", "U", 1L), (2L, null.asInstanceOf[String], "D", 2L),
+      (3L, null.asInstanceOf[String], "D", 1L), (3L, "u3", "U", 2L),
+      (4L, "old4", "U", 1L), (4L, "new4", "U", 2L)
+    ).toDF("id", "v", "_op", "seq")
+    val v = GraftCatalog.applyCdcSnapshot(spark, root, batch, "id",
+      seqCol = Some("seq"))
+    val head = GraftCatalog.readSnapshot(spark, root, Some(v))
+    assert(head.count() == 5, "key 2's U-then-D must resolve to delete")
+    assert(head.where(col("id") === 2L).isEmpty)
+    assert(head.where(col("id") === 3L).head().getString(1) == "u3")
+    assert(head.where(col("id") === 4L).head().getString(1) == "new4")
+    // pk uniqueness still holds after the apply
+    assert(head.groupBy("id").count().where(col("count") > 1).isEmpty)
+    // without seqCol, multi-event keys must abort loudly, not land both
+    val dup = Seq((5L, "a", "U"), (5L, "b", "U")).toDF("id", "v", "_op")
+    intercept[IllegalArgumentException] {
+      GraftCatalog.applyCdcSnapshot(spark, root, dup, "id")
+    }
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 5,
+      "the aborted apply must not have published")
+  }
+
+  test("streaming replay tags are namespaced per sink: merge batch N and CDC batch N do not collide") {
+    import spark.implicits._
+    val root = s"$tmp/snaptagns_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 4).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = false)
+    // a merge stream lands ITS batch 7
+    GraftCatalog.mergeSnapshotBatch(spark, root,
+      Seq((1L, "m")).toDF("id", "v"), "id", batchId = 7L)
+    // a CDC stream's batch 7 must still apply (different namespace)...
+    val v = GraftCatalog.applyCdcSnapshotBatch(spark, root,
+      Seq((2L, "c", "U")).toDF("id", "v", "_op"), "id", batchId = 7L)
+    assert(GraftCatalog.readSnapshot(spark, root, Some(v))
+      .where(col("id") === 2L).head().getString(1) == "c")
+    // ...and ITS replay is still a no-op
+    assert(GraftCatalog.applyCdcSnapshotBatch(spark, root,
+      Seq((2L, "zz", "U")).toDF("id", "v", "_op"), "id", batchId = 7L) == v)
+    // two distinct CDC sinks separate by sinkId
+    val v2 = GraftCatalog.applyCdcSnapshotBatch(spark, root,
+      Seq((3L, "s2", "U")).toDF("id", "v", "_op"), "id", batchId = 7L,
+      sinkId = "feed-b")
+    assert(v2 > v, "a second sink's batch 7 must not be mistaken for a replay")
+  }
+
+  test("a table owning a literal __hit column updates without clobbering it") {
+    import spark.implicits._
+    val root = s"$tmp/snaphit_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 6).map(i => (i.toLong, s"r$i", s"h$i")).toDF("id", "v", "__hit"),
+      root, append = false)
+    GraftCatalog.updateSnapshotWhere(spark, root, col("id") <= 3L,
+      Seq("v" -> lit("upd")))
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.where(col("v") === "upd").count() == 3)
+    assert(head.select("__hit").collect().map(_.getString(0)).toSet ==
+      (1 to 6).map(i => s"h$i").toSet,
+      "the table's own __hit column must survive the update untouched")
+  }
 }

@@ -1053,4 +1053,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(m.refresh().isEmpty && m.lastSeen == 3L)
     assert(mvSet(m) == after)
   }
+
+  test("native snapshot stream source: one micro-batch per version, checkpoint resumes at the right version") {
+    import spark.implicits._
+    import graft.streaming.GraftSnapshotStream
+    val root = "/tmp/graft-streams/snapsrc_" + System.nanoTime()
+    val ckpt = root + "_ckpt"
+    val outRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    GraftCatalog.commitSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, append = false)
+    GraftCatalog.commitSnapshot(Seq((3L, "c")).toDF("id", "v"), root, append = true)
+    GraftCatalog.commitSnapshot(Seq((4L, "d")).toDF("id", "v"), root, append = true)
+
+    def drain(): Seq[Long] = {
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = GraftSnapshotStream.read(spark, root).writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches += id
+          outRows ++= b.collect().map(r =>
+            (r.getLong(0), r.getAs[Long]("_version"), r.getString(2), id))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      batches.toSeq
+    }
+
+    // 3-commit history drains as EXACTLY one micro-batch per version
+    val b1 = drain()
+    assert(b1.size == 3, s"expected 3 micro-batches, got ${b1.size}")
+    val byVersion = outRows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byVersion == Map(1L -> Set(1L, 2L), 2L -> Set(3L), 3L -> Set(4L)))
+    // each version landed in its own micro-batch
+    assert(outRows.groupBy(_._4).values.forall(_.map(_._2).distinct.size == 1))
+    // union of the insert stream == the head snapshot
+    assert(outRows.filter(_._3 == "insert").map(_._1).toSet ==
+      GraftCatalog.readSnapshot(spark, root)
+        .select("id").collect().map(_.getLong(0)).toSet)
+
+    // two more commits, then resume from the SAME checkpoint: only the
+    // new versions replay, one batch each
+    outRows.clear()
+    GraftCatalog.commitSnapshot(Seq((5L, "e")).toDF("id", "v"), root, append = true)
+    GraftCatalog.commitSnapshot(Seq((6L, "f")).toDF("id", "v"), root, append = true)
+    val b2 = drain()
+    assert(b2.size == 2, s"checkpoint resume must replay only v4+v5, got ${b2.size} batches")
+    assert(outRows.map(_._2).toSet == Set(4L, 5L))
+    assert(outRows.map(_._1).toSet == Set(5L, 6L))
+
+    // an idle resume emits nothing new
+    outRows.clear()
+    drain()
+    assert(outRows.isEmpty, "no new commits -> no new rows")
+  }
 }
