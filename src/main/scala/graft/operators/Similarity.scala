@@ -883,6 +883,68 @@ object Similarity {
       .limit(10)
   }
 
+  /** s12 — CDC-MAINTAINED IVF assignments over a VERSIONED vector
+    * table: the embedding corpus lives as a snapshot table (the thing
+    * a production vector store actually is — re-embeddings arrive as
+    * CoW merges, not directory rewrites), the coarse quantizer stays
+    * FIXED (s03's build-once contract), and the assignment table is
+    * brought to the head by re-assigning ONLY the rows the merge
+    * touched — `readRowChanges` nets the delta, upserts re-assign
+    * through the exact [[assignToCentroids]] path the builder used,
+    * deletes drop. Maintenance cost ∝ the CDC batch, never the
+    * corpus: the "keep the ANN index current against a feed" story at
+    * 100 TB with zero full re-clusters and zero base rescans (drift
+    * stays [[assignmentQuality]]'s rebuild trigger). Output: per-
+    * centroid membership counts of the maintained table; rows-only
+    * (learned quantizer — the s03 reasoning); PipelineSpec proves
+    * maintained == full re-assign of the head EXACTLY. */
+  private def s12(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.GraftCatalog
+    val (_, cents) = ivfIndex(s, d)
+    val centDf = centroidsDf(s, cents)
+    val base = emb(s, d).select(col("vec_id"), col("embedding"))
+    val root = s"/tmp/graft-index/snapvec_${math.abs(d.hashCode.toLong)}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    GraftCatalog.commitSnapshot(
+      base.repartitionByRange(4, col("vec_id")), root, append = false)
+    val a1 = snapshotIvfAssign(base, centDf)
+    // CDC batch: every 20th vector re-embedded (reversed — same norm,
+    // different direction), plus new vectors under fresh ids
+    val upd = base.where(col("vec_id") % 20 === 0)
+      .withColumn("embedding", reverse(col("embedding")))
+    val news = base.where(col("vec_id") % 40 === 1)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val head = GraftCatalog.mergeSnapshot(s, root,
+      upd.unionByName(news), "vec_id")
+    val maintained = maintainIvfAssign(s, root, a1, centDf, 1L, head)
+    maintained.groupBy("cl").agg(count(lit(1)).as("n")).orderBy("cl")
+  }
+
+  /** Assign a (vec_id, embedding) frame against fixed centroids. */
+  private[graft] def snapshotIvfAssign(rows: DataFrame,
+      centDf: DataFrame): DataFrame =
+    assignToCentroids(
+      rows.select(col("vec_id"), col("embedding").as("e"),
+        expr("vec_norm(embedding)").as("nrm")), centDf)
+      .select("vec_id", "cl")
+
+  /** Fold a snapshot table's net row changes (fromV, toV] into an
+    * existing assignment table: touched keys leave, upserts re-assign
+    * against the SAME centroids. Cost ∝ the delta. */
+  private[graft] def maintainIvfAssign(s: SparkSession, root: String,
+      assign: DataFrame, centDf: DataFrame, fromV: Long, toV: Long): DataFrame = {
+    val delta = graft.sources.GraftCatalog
+      .readRowChanges(s, root, fromV, toV, "vec_id")
+    val re = snapshotIvfAssign(
+      delta.where(col("_change") === "upsert").select("vec_id", "embedding"),
+      centDf)
+    assign.join(delta.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .unionByName(re)
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_ann_brute", Some(s01Oracle), s01),
     Q("s02_ann_lsh", None, s02),
@@ -894,5 +956,6 @@ object Similarity {
     Q("s08_ann_ivfpq", None, s08),
     Q("s09_ann_filtered_ivf", None, s09),
     Q("s10_ann_recall_eval", None, s10),
-    Q("s11_ann_sq8", None, s11))
+    Q("s11_ann_sq8", None, s11),
+    Q("s12_snapshot_ivf_maintain", None, s12))
 }

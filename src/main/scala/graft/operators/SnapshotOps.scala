@@ -20,6 +20,54 @@ import graft.sources.GraftCatalog
   */
 object SnapshotOps {
 
+  private def ordersDf(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("pr"))
+
+  private def wipe(s: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+  }
+
+  private val basePool = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long)]()
+
+  /** The 4-file range-partitioned orders base snapshot + its max key,
+    * built ONCE per (session, sf dir) per JVM (root wiped at first
+    * touch so a stale /tmp table from a previous data generation can
+    * never leak in). Every verb query CLONES it — [[GraftCatalog
+    * .cloneSnapshot]] is a zero-copy manifest flip — so the per-query
+    * cost is verb + read, not a 15 k-row table rebuild per query: the
+    * bench then measures the FORMAT (CoW planning, pinning, manifest,
+    * stats), which is the number that matters at 100 TB where nobody
+    * rebuilds the base per mutation. Correctness is untouched: each
+    * clone is an independent table line whose v1 content IS the base,
+    * and every oracle recomputes from the raw parquet. */
+  private def baseOrders(s: SparkSession, d: String): (String, Long) =
+    basePool.computeIfAbsent((s, d), { _ =>
+      val orders = ordersDf(s, d)
+      val root = s"/tmp/graft-index/snapbase_${math.abs(d.hashCode.toLong)}"
+      wipe(s, root)
+      val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+      GraftCatalog.commitSnapshot(
+        orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+      (root, mk)
+    })
+
+  /** A fresh zero-copy clone of the base snapshot for one verb query:
+    * v1 = base content (4 files carried by path), fully independent
+    * evolution, wiped per run so the query stays deterministic. */
+  private def cloneBase(s: SparkSession, d: String, tag: String): (String, Long) = {
+    val (base, mk) = baseOrders(s, d)
+    val root = s"/tmp/graft-index/${tag}_${math.abs(d.hashCode.toLong)}"
+    wipe(s, root)
+    GraftCatalog.cloneSnapshot(s, base, root)
+    (root, mk)
+  }
+
   /** q117 — copy-on-write MERGE, oracle-reconciled: orders lands as a
     * range-partitioned 4-file snapshot (ONE commit — each file gets a
     * tight orderkey envelope in the manifest stats); an update feed
@@ -30,21 +78,13 @@ object SnapshotOps {
     * the table format: it recomputes the post-merge state relationally
     * (base minus touched keys, union updates, union new rows), so a
     * hash match proves merge == full recompute row-for-row. Money sums
-    * follow the SURVEY §5 decimal discipline. Rebuilt per run (root
-    * wiped first) so the query is deterministic and self-contained;
-    * the merge itself is metadata + one-batch I/O — the 100 TB shape. */
+    * follow the SURVEY §5 decimal discipline. The table is a zero-copy
+    * clone of the shared base fixture ([[cloneBase]]), so the measured
+    * cost is the merge itself: metadata + one-batch I/O — the 100 TB
+    * shape. */
   private def q117(s: SparkSession, d: String): DataFrame = {
-    val orders = Tables.df(s, d, "orders").select(
-      col("o_orderkey"), col("o_custkey"),
-      col("o_totalprice").cast("double").as("price"),
-      col("o_orderpriority").as("pr"))
-    val root = s"/tmp/graft-index/snapmerge_${math.abs(d.hashCode.toLong)}"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(p, true)
-    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
-    GraftCatalog.commitSnapshot(
-      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    val orders = ordersDf(s, d)
+    val (root, mk) = cloneBase(s, d, "snapmerge")
     val updates = orders
       .where(col("o_orderkey") % 10 === 0 && col("o_orderkey") <= mk / 4)
       .select(col("o_orderkey"), col("o_custkey"),
@@ -92,19 +132,9 @@ object SnapshotOps {
     * the deleted set); the other three carry by path. The head is then
     * aggregated per priority class and hash-matched against DuckDB's
     * relational `WHERE NOT(pred)` recompute — delete == anti-filter
-    * row-for-row. Deterministic, self-contained (root wiped per run). */
+    * row-for-row. Deterministic: a fresh [[cloneBase]] clone per run. */
   private def q119(s: SparkSession, d: String): DataFrame = {
-    val orders = Tables.df(s, d, "orders").select(
-      col("o_orderkey"), col("o_custkey"),
-      col("o_totalprice").cast("double").as("price"),
-      col("o_orderpriority").as("pr"))
-    val root = s"/tmp/graft-index/snapdel_${math.abs(d.hashCode.toLong)}"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(p, true)
-    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
-    GraftCatalog.commitSnapshot(
-      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    val (root, mk) = cloneBase(s, d, "snapdel")
     GraftCatalog.deleteSnapshotWhere(s, root,
       col("o_orderkey") <= mk / 4 && col("o_custkey") % 7 === 0)
     GraftCatalog.readSnapshot(s, root)
@@ -136,19 +166,9 @@ object SnapshotOps {
     * assignments applied against the PRE-update row); the other three
     * files carry by path. The head's per-priority aggregate
     * hash-matches DuckDB's relational CASE-WHEN recompute — update ==
-    * full recompute row-for-row. Deterministic, root wiped per run. */
+    * full recompute row-for-row. Deterministic: fresh clone per run. */
   private def q122(s: SparkSession, d: String): DataFrame = {
-    val orders = Tables.df(s, d, "orders").select(
-      col("o_orderkey"), col("o_custkey"),
-      col("o_totalprice").cast("double").as("price"),
-      col("o_orderpriority").as("pr"))
-    val root = s"/tmp/graft-index/snapupd_${math.abs(d.hashCode.toLong)}"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(p, true)
-    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
-    GraftCatalog.commitSnapshot(
-      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    val (root, mk) = cloneBase(s, d, "snapupd")
     GraftCatalog.updateSnapshotWhere(s, root,
       col("o_orderkey") <= mk / 4 && col("pr") === "1-URGENT",
       Seq("price" -> (col("price") + lit(50.0)), "pr" -> lit("0-RUSH")))
@@ -188,17 +208,9 @@ object SnapshotOps {
     * state relationally and aggregates from scratch: a hash match
     * proves fold(MV@v1, CDC) == full recompute. */
   private def q123(s: SparkSession, d: String): DataFrame = {
-    val orders = Tables.df(s, d, "orders").select(
-      col("o_orderkey"), col("o_custkey"),
-      col("o_totalprice").cast("double").as("price"),
-      col("o_orderpriority").as("pr"))
-    val root = s"/tmp/graft-index/snapmv_${math.abs(d.hashCode.toLong)}"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(p, true)
-    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
-    val v1 = GraftCatalog.commitSnapshot(
-      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    val orders = ordersDf(s, d)
+    val (root, mk) = cloneBase(s, d, "snapmv")
+    val v1 = 1L // the clone's v1 IS the base content
     GraftCatalog.commitSnapshot(
       orders.where(col("o_orderkey") % 1000 === 0)
         .select((col("o_orderkey") + lit(200000000L)).as("o_orderkey"),
@@ -255,17 +267,8 @@ object SnapshotOps {
     * Hash-matched against DuckDB's relational splice (outside-slice ∪
     * recomputed slice). */
   private def q124(s: SparkSession, d: String): DataFrame = {
-    val orders = Tables.df(s, d, "orders").select(
-      col("o_orderkey"), col("o_custkey"),
-      col("o_totalprice").cast("double").as("price"),
-      col("o_orderpriority").as("pr"))
-    val root = s"/tmp/graft-index/snaprw_${math.abs(d.hashCode.toLong)}"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(p, true)
-    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
-    GraftCatalog.commitSnapshot(
-      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    val orders = ordersDf(s, d)
+    val (root, mk) = cloneBase(s, d, "snaprw")
     val slice = col("o_orderkey") <= mk / 4
     val backfill = orders.where(slice && col("o_custkey") % 3 === 0)
       .select(col("o_orderkey"), col("o_custkey"),
@@ -308,17 +311,8 @@ object SnapshotOps {
     * deleted-but-not-yet-upserted intermediate that a two-commit
     * delete+merge would expose. */
   private def q126(s: SparkSession, d: String): DataFrame = {
-    val orders = Tables.df(s, d, "orders").select(
-      col("o_orderkey"), col("o_custkey"),
-      col("o_totalprice").cast("double").as("price"),
-      col("o_orderpriority").as("pr"))
-    val root = s"/tmp/graft-index/snapcdc_${math.abs(d.hashCode.toLong)}"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(p, true)
-    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
-    GraftCatalog.commitSnapshot(
-      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    val orders = ordersDf(s, d)
+    val (root, mk) = cloneBase(s, d, "snapcdc")
     val dels = orders
       .where(col("o_orderkey") <= mk / 4 && col("o_custkey") % 11 === 0)
       .withColumn("_op", lit("D"))
@@ -380,17 +374,7 @@ object SnapshotOps {
     * query proves the auto path's ROW-LEVEL semantics against the
     * relational oracle at both SFs). */
   private def q129(s: SparkSession, d: String): DataFrame = {
-    val orders = Tables.df(s, d, "orders").select(
-      col("o_orderkey"), col("o_custkey"),
-      col("o_totalprice").cast("double").as("price"),
-      col("o_orderpriority").as("pr"))
-    val root = s"/tmp/graft-index/snapauto_${math.abs(d.hashCode.toLong)}"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(p, true)
-    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
-    GraftCatalog.commitSnapshot(
-      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    val (root, mk) = cloneBase(s, d, "snapauto")
     GraftCatalog.readSnapshotAuto(s, root)
       .where(col("o_orderkey") <= mk / 4)
       .groupBy("pr")
@@ -419,17 +403,7 @@ object SnapshotOps {
     * row-level semantics hash-match the relational oracle at both
     * SFs). The SQL a Thrift/notebook user would actually type. */
   private def q130(s: SparkSession, d: String): DataFrame = {
-    val orders = Tables.df(s, d, "orders").select(
-      col("o_orderkey"), col("o_custkey"),
-      col("o_totalprice").cast("double").as("price"),
-      col("o_orderpriority").as("pr"))
-    val root = s"/tmp/graft-index/snaptvf_${math.abs(d.hashCode.toLong)}"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(p, true)
-    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
-    GraftCatalog.commitSnapshot(
-      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    val (root, mk) = cloneBase(s, d, "snaptvf")
     graft.sources.GraftTvf.register(s)
     s.sql(
       s"""SELECT pr, COUNT(*) AS n,
@@ -461,15 +435,8 @@ object SnapshotOps {
     * `orders` predicates alone. A hash match proves the file-level
     * changelog surfaces exactly the rows each commit added/removed. */
   private def q131(s: SparkSession, d: String): DataFrame = {
-    val orders = Tables.df(s, d, "orders").select(
-      col("o_orderkey"), col("o_custkey"),
-      col("o_totalprice").cast("double").as("price"),
-      col("o_orderpriority").as("pr"))
-    val root = s"/tmp/graft-index/snapchanges_${math.abs(d.hashCode.toLong)}"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(p, true)
-    GraftCatalog.commitSnapshot(orders.repartition(2), root, append = false)
+    val orders = ordersDf(s, d)
+    val (root, _) = cloneBase(s, d, "snapchanges")
     val batchA = orders.where(col("o_orderkey") % 7 === 0)
     val batchB = orders.where(col("o_orderkey") % 7 =!= 0 &&
       col("o_orderkey") % 13 === 0)
@@ -514,17 +481,8 @@ object SnapshotOps {
     * keys, insert the new ones" — i.e. last-wins apply == the feed's
     * sequential effect. */
   private def q132(s: SparkSession, d: String): DataFrame = {
-    val orders = Tables.df(s, d, "orders").select(
-      col("o_orderkey"), col("o_custkey"),
-      col("o_totalprice").cast("double").as("price"),
-      col("o_orderpriority").as("pr"))
-    val root = s"/tmp/graft-index/snapseq_${math.abs(d.hashCode.toLong)}"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(p, true)
-    val mk = orders.agg(max("o_orderkey")).head().getLong(0)
-    GraftCatalog.commitSnapshot(
-      orders.repartitionByRange(4, col("o_orderkey")), root, append = false)
+    val orders = ordersDf(s, d)
+    val (root, mk) = cloneBase(s, d, "snapseq")
     val touched = orders.where(col("o_orderkey") % 10 === 0 &&
       col("o_orderkey") <= mk / 4)
     val upds = touched.select(col("o_orderkey"), col("o_custkey"),
@@ -577,6 +535,99 @@ object SnapshotOps {
       |  COUNT(DISTINCT o_custkey) AS nc
       |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q133 — HIDDEN PARTITIONING, the hash-bucket prune stats cannot
+    * make: orders lands under a `bucket(8, o_custkey)` partition spec
+    * (the table derives the tuple; the writer never sees a partition
+    * column), then a point lookup `WHERE o_custkey = min(custkey)`
+    * reads via the predicate path — planning drops every file whose
+    * PATH tuple pins a different bucket (a hash bucket has no min/max
+    * correlation, so the stats envelope keeps everything; the
+    * file-count proof is in SourcesCatalogSpec). The DuckDB oracle
+    * recomputes the lookup from raw parquet: a hash match proves the
+    * tuple prune is an inclusive projection, row-for-row. */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val orders = ordersDf(s, d)
+    val root = s"/tmp/graft-index/snappt_${math.abs(d.hashCode.toLong)}"
+    wipe(s, root)
+    GraftCatalog.setSnapshotPartitionSpec(s, root,
+      Seq(graft.sources.PartitionField("o_custkey", "bucket", 8)))
+    GraftCatalog.commitSnapshot(orders.repartition(2), root, append = false)
+    val ck = orders.agg(min("o_custkey")).head().getLong(0)
+    GraftCatalog.readSnapshot(s, root,
+        predicate = Some(col("o_custkey") === ck))
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+      .orderBy("pr")
+  }
+
+  private val q133Oracle: String =
+    """WITH ck AS (SELECT MIN(o_custkey) AS ck FROM orders)
+      |SELECT o_orderpriority AS pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2)))
+      |    AS DOUBLE) AS total
+      |FROM orders, ck WHERE o_custkey = ck
+      |GROUP BY pr ORDER BY pr""".stripMargin
+
+  /** q134 — DESCRIBE PARTITIONS as an ORACLE query: orders lands under
+    * a `month(o_orderdate)` hidden spec, and the per-month row counts
+    * come from PURE METADATA (path tuples × the stats sidecar — zero
+    * parquet opens), while DuckDB aggregates the raw data. A hash
+    * match proves the metadata layer's bookkeeping equals the data —
+    * the property that makes "which months are skewed" a free
+    * planning-time question on a 100 TB table. */
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    val orders = ordersDf2(s, d)
+    val root = s"/tmp/graft-index/snapptm_${math.abs(d.hashCode.toLong)}"
+    wipe(s, root)
+    GraftCatalog.setSnapshotPartitionSpec(s, root,
+      Seq(graft.sources.PartitionField("o_orderdate", "month")))
+    GraftCatalog.commitSnapshot(orders.repartition(2), root, append = false)
+    GraftCatalog.describeSnapshotPartitions(s, root)
+      .select(col("o_orderdate_month").as("om"), col("n_rows"))
+      .orderBy("om")
+  }
+
+  /** orders with the date column kept — q134 partitions on it. */
+  private def ordersDf2(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("pr"))
+
+  private val q134Oracle: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS om, COUNT(*) AS n_rows
+      |FROM orders GROUP BY om ORDER BY om""".stripMargin
+
+  /** q135 — pure-SQL time travel BY TAG: v1 is tagged `baseline`, the
+    * head then moves past it (a CoW delete), and the aggregate runs as
+    * ONE SQL text over `graft_snapshot(root, 'baseline')` — the
+    * release-pinning loop closed end-to-end: a training run records a
+    * NAME, and anyone can reproduce its exact corpus from a notebook
+    * with no Scala and no version number. The DuckDB oracle aggregates
+    * the raw orders (v1 == full base by construction): a hash match
+    * proves the tag still serves the pinned version byte-for-byte
+    * after the table moved on. */
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    val (root, _) = cloneBase(s, d, "snaptag")
+    GraftCatalog.tagSnapshot(s, root, "baseline", 1L)
+    GraftCatalog.deleteSnapshotWhere(s, root, col("o_orderkey") % 3 === 0)
+    graft.sources.GraftTvf.register(s)
+    s.sql(
+      s"""SELECT pr, COUNT(*) AS n,
+         |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  COUNT(DISTINCT o_custkey) AS nc
+         |FROM graft_snapshot('$root', 'baseline')
+         |GROUP BY pr ORDER BY pr""".stripMargin)
+  }
+
+  private val q135Oracle: String =
+    """SELECT o_orderpriority AS pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2)))
+      |    AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM orders GROUP BY pr ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q117_merge_cow", Some(q117Oracle), q117),
     Q("q119_delete_cow", Some(q119Oracle), q119),
@@ -587,5 +638,8 @@ object SnapshotOps {
     Q("q129_auto_skip", Some(q129Oracle), q129),
     Q("q130_tvf_sql", Some(q130Oracle), q130),
     Q("q131_changes_tvf", Some(q131Oracle), q131),
-    Q("q132_cdc_lastwins", Some(q132Oracle), q132))
+    Q("q132_cdc_lastwins", Some(q132Oracle), q132),
+    Q("q133_hidden_partition", Some(q133Oracle), q133),
+    Q("q134_partition_describe", Some(q134Oracle), q134),
+    Q("q135_tag_tvf", Some(q135Oracle), q135))
 }

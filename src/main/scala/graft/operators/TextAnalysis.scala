@@ -1011,6 +1011,62 @@ object TextAnalysis {
       |ORDER BY coverage DESC, doc_id
       |LIMIT 25""".stripMargin
 
+  /** t27 — cross-SOURCE n-gram overlap matrix: pairwise Jaccard
+    * between each source's distinct-3-gram SET — the corpus-mixture
+    * diligence check (how much of source A is already in source B
+    * decides dedup priority and mixture weights; the published
+    * training-corpus overlap methodology at 3-gram granularity). Plan:
+    * one Generate → distinct (source, gram) — the gram frame collapses
+    * to set membership map-side — then a GRAM-KEYED self-join whose
+    * per-key expansion is bounded by C(|sources|, 2), never doc×doc or
+    * source×source data movement; set sizes broadcast. At 100 TB the
+    * distinct gram frame is the dominant shuffle, and |sources|² stays
+    * planning-sized. Grams stay strings so the oracle rebuilds them
+    * verbatim (the t24 trade). */
+  private def t27(s: SparkSession, d: String): DataFrame = {
+    val sg = Tables.df(s, d, "documents")
+      .withColumn("tk", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .where(size(col("tk")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', slice(tk, i + 1, 3)))"))
+        .as("g"))
+      .distinct()
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sg.alias("a").join(sg.alias("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("source", "sa")
+        .withColumnRenamed("n", "na")), "sa")
+      .join(broadcast(sizes.withColumnRenamed("source", "sb")
+        .withColumnRenamed("n", "nb")), "sb")
+      .withColumn("jac",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .select("sa", "sb", "inter", "na", "nb", "jac")
+      .orderBy("sa", "sb")
+  }
+
+  private val t27Oracle: String =
+    """WITH toks AS (
+      |  SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS tk
+      |  FROM documents),
+      |grams0 AS (
+      |  SELECT source,
+      |    unnest([array_to_string(tk[i+1:i+3], ' ') for i in range(len(tk) - 2)]) AS g
+      |  FROM toks WHERE len(tk) >= 3),
+      |grams AS (SELECT DISTINCT source, g FROM grams0),
+      |sz AS (SELECT source, COUNT(*) AS n FROM grams GROUP BY source),
+      |pr AS (
+      |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS inter
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sa, sb, inter, za.n AS na, zb.n AS nb,
+      |  round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jac
+      |FROM pr JOIN sz za ON za.source = pr.sa
+      |JOIN sz zb ON zb.source = pr.sb
+      |ORDER BY sa, sb""".stripMargin
+
   lazy val all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
@@ -1037,7 +1093,8 @@ object TextAnalysis {
     Q("t23_collocations", Some(t23Oracle), t23),
     Q("t24_crossdoc_coverage", Some(t24Oracle), t24),
     Q("t25_gopher_char_fracs", Some(t25Oracle), t25),
-    Q("t26_dsir_scores", None, t26))
+    Q("t26_dsir_scores", None, t26),
+    Q("t27_source_overlap", Some(t27Oracle), t27))
 
   /** t26 — DSIR-style importance scores (the published
     * data-selection-via-importance-resampling recipe: select raw docs

@@ -22,6 +22,15 @@ final case class ColStat(col: String, typ: String, mn: String, mx: String, nc: L
 final case class FileStat(path: String, rows: Long, cols: Seq[ColStat],
     len: Option[Long] = None, mtime: Option[Long] = None)
 
+/** One field of a snapshot table's HIDDEN partition spec: a named
+  * TRANSFORM of a source column (Iceberg's partitioning model — the
+  * user writes and queries raw columns; the table derives the
+  * partition tuple itself, so nobody can forget the derived column or
+  * write it inconsistently). Transforms: `identity`, `bucket` (xxhash64
+  * mod `n`), `truncate` (numeric width / string prefix `n`), `year`,
+  * `month`, `day`, `hour` (UTC-rendered from a timestamp/date). */
+final case class PartitionField(col: String, transform: String, n: Int = 0)
+
 /** Thrown when a snapshot commit loses the optimistic-concurrency race
   * for its version slot. Extends IllegalStateException so pre-existing
   * callers catching that still work. */
@@ -342,6 +351,25 @@ object GraftCatalog {
     }).sorted
   }
 
+  /** TIME TRAVEL BY TIMESTAMP (Delta's `timestampAsOf`): the latest
+    * version whose commit time — the manifest file's own mtime, i.e.
+    * the moment the create-exclusive publish completed — is ≤
+    * `tsMillis`. One directory listing resolves it ("what did the
+    * table look like when last night's job ran" without anyone
+    * remembering a version number); feed the result to
+    * [[readSnapshot]]/[[readSnapshotAuto]]. Throws when the table is
+    * younger than the asked instant — serving the oldest version
+    * instead would silently answer a different question. */
+  def snapshotVersionAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val at = snapshotVersions(spark, root).filter(v =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(manifestDir(r),
+        s"v$v.manifest")).getModificationTime <= tsMillis)
+    require(at.nonEmpty, s"no snapshot of $root existed at or before $tsMillis")
+    at.last
+  }
+
   /** Manifest lines of a version. `strict = true` additionally demands
     * the `#eof` terminator publishManifest writes last — its absence
     * means the manifest is MID-WRITE (the create-exclusive commit
@@ -427,6 +455,50 @@ object GraftCatalog {
     statuses.map(st => org.apache.hadoop.fs.Path
       .getPathWithoutSchemeAndAuthority(st.getPath).toString ->
       (st.getLen, st.getModificationTime)).toMap
+
+  /** Write one batch directory for a commit, honoring the table's
+    * HIDDEN partition spec when one is set: the transform columns are
+    * derived on the fly and the batch lands `partitionBy(tuple)` —
+    * the tuple is encoded in the file PATH only (Hive dirs under the
+    * batch dir), the data files keep exactly the user's columns, and
+    * the derived columns never reach the committed schema or any read
+    * (explicit leaf-file reads infer no partition columns). Returns
+    * (batch dir, sorted data-file paths, their statuses). */
+  private def writeBatch(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
+      df: DataFrame): (org.apache.hadoop.fs.Path, Seq[String],
+        Seq[org.apache.hadoop.fs.FileStatus]) = {
+    val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
+    val spec = readPartitionSpecAt(fs, r)
+    if (spec.isEmpty)
+      df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    else {
+      val withPt = spec.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+        d.withColumn(s"__pt_$i", partitionColumn(f, df.schema))
+      }
+      // Hash-distribute by the tuple before partitionBy (Iceberg's
+      // default write distribution): without it every writer task
+      // holding k tuples emits k files — a 32-task batch over 80
+      // months is 2 560 small files; with it each tuple lands in one
+      // task → |tuples| right-sized files per commit.
+      val ptCols = spec.indices.map(i => col(s"__pt_$i"))
+      withPt.repartition(ptCols: _*)
+        .write.mode(SaveMode.ErrorIfExists)
+        .partitionBy(spec.indices.map(i => s"__pt_$i"): _*)
+        .parquet(batch.toString)
+    }
+    val it = fs.listFiles(batch, true)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) buf += f
+    }
+    val newStatuses: Seq[org.apache.hadoop.fs.FileStatus] = buf.toSeq
+    val newFiles = newStatuses.map(st => org.apache.hadoop.fs.Path
+      .getPathWithoutSchemeAndAuthority(st.getPath).toString).sorted
+    (batch, newFiles, newStatuses)
+  }
 
   /** Write a stats sidecar (JSON lines, one [[FileStat]] per data file)
     * under a UNIQUE name and return that name. The manifest references
@@ -538,13 +610,7 @@ object GraftCatalog {
     val spark = df.sparkSession
     validateChecks(spark, root, df)
     val (fs, r) = fsOf(spark, root)
-    val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
-    val newStatuses = fs.listStatus(batch)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
-    val newFiles = newStatuses
-      .map(st => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(st.getPath).toString)
-      .sorted
+    val (batch, newFiles, newStatuses) = writeBatch(spark, fs, r, df)
     val newStats = computeFileStats(spark, newFiles, fsMetaOf(newStatuses))
     var attempt = 0
     while (true) {
@@ -931,8 +997,11 @@ object GraftCatalog {
     val stats = readStats(spark, root, head)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
+    val ptSpec = readPartitionSpecAt(fs, r)
+    val ptSchema = if (ptSpec.isEmpty) None else readSchemaLine(fs, r, head)
     val candidates = files.filter(f =>
-      stats.get(f).forall(st => mayContain(st, predExpr, tz)))
+      stats.get(f).forall(st => mayContain(st, predExpr, tz)) &&
+        tupleMayMatch(ptSpec, ptSchema, f, predExpr, tz))
     val matchedFiles: Set[String] = pinFilesWhere(spark, candidates, pred)
     if (matchedFiles.isEmpty) return head
     val carried = files.filterNot(matchedFiles)
@@ -1015,13 +1084,7 @@ object GraftCatalog {
       fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
       head: Long, carried: Seq[String], carriedStats: Map[String, FileStat],
       newData: DataFrame, meta: Seq[String]): Long = {
-    val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
-    newData.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
-    val newStatuses = fs.listStatus(batch)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
-    val newFiles = newStatuses
-      .map(st => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(st.getPath).toString)
-      .sorted
+    val (batch, newFiles, newStatuses) = writeBatch(spark, fs, r, newData)
     val newStats = computeFileStats(spark, newFiles, fsMetaOf(newStatuses))
     val statsName = writeStatsFile(spark, fs, r,
       (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
@@ -1067,8 +1130,11 @@ object GraftCatalog {
     val stats = readStats(spark, root, head)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
+    val ptSpec = readPartitionSpecAt(fs, r)
+    val ptSchema = if (ptSpec.isEmpty) None else readSchemaLine(fs, r, head)
     val candidates = files.filter(f =>
-      stats.get(f).forall(st => mayContain(st, predExpr, tz)))
+      stats.get(f).forall(st => mayContain(st, predExpr, tz)) &&
+        tupleMayMatch(ptSpec, ptSchema, f, predExpr, tz))
     val matchedFiles = pinFilesWhere(spark, candidates, pred)
     if (matchedFiles.isEmpty) return head
     val carried = files.filterNot(matchedFiles)
@@ -1122,8 +1188,11 @@ object GraftCatalog {
     val stats = readStats(spark, root, head)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
+    val ptSpec = readPartitionSpecAt(fs, r)
+    val ptSchema = if (ptSpec.isEmpty) None else readSchemaLine(fs, r, head)
     val candidates = files.filter(f =>
-      stats.get(f).forall(st => mayContain(st, predExpr, tz)))
+      stats.get(f).forall(st => mayContain(st, predExpr, tz)) &&
+        tupleMayMatch(ptSpec, ptSchema, f, predExpr, tz))
     val matchedFiles = pinFilesWhere(spark, candidates, pred)
     if (matchedFiles.isEmpty && rows.isEmpty) return head
     val carried = files.filterNot(matchedFiles)
@@ -1183,28 +1252,15 @@ object GraftCatalog {
     * are Spark's own, never a hand-rolled ordering. A null stat value
     * with the column present means the file's column is entirely NULL
     * — comparisons prune it, IS NULL keeps it. */
-  private[graft] def mayContain(fstat: FileStat,
-      pred: org.apache.spark.sql.catalyst.expressions.Expression, tz: String): Boolean = {
-    import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  /** Spark 4 Columns convert to UnresolvedFunction nodes ('and, '>=,
+    * 'in, …) that only the ANALYZER rewrites into catalyst operators;
+    * the pruning evaluators run pre-analysis, so normalize the
+    * comparison vocabulary itself. Unknown functions stay as-is and
+    * fall to the conservative keep. */
+  private def norm(e: org.apache.spark.sql.catalyst.expressions.Expression):
+      org.apache.spark.sql.catalyst.expressions.Expression = {
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
-    import org.apache.spark.unsafe.types.UTF8String
-
-    val byName = fstat.cols.map(c => c.col -> c).toMap
-    object A {
-      def unapply(e: Expression): Option[String] = e match {
-        case a: UnresolvedAttribute => Some(a.name)
-        case a: AttributeReference => Some(a.name)
-        case _ => None
-      }
-    }
-    // Spark 4 Columns convert to UnresolvedFunction nodes ('and, '>=,
-    // 'in, …) that only the ANALYZER rewrites into catalyst operators;
-    // this evaluator runs pre-analysis, so normalize the comparison
-    // vocabulary itself. Unknown functions stay as-is and fall to the
-    // conservative keep.
-    def norm(e: Expression): Expression = e match {
+    e match {
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
         val as = f.arguments.map(norm)
         (f.nameParts.last.toLowerCase(java.util.Locale.ROOT), as) match {
@@ -1222,6 +1278,24 @@ object GraftCatalog {
           case _ => f
         }
       case other => other.mapChildren(norm)
+    }
+  }
+
+  private[graft] def mayContain(fstat: FileStat,
+      pred: org.apache.spark.sql.catalyst.expressions.Expression, tz: String): Boolean = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val byName = fstat.cols.map(c => c.col -> c).toMap
+    object A {
+      def unapply(e: Expression): Option[String] = e match {
+        case a: UnresolvedAttribute => Some(a.name)
+        case a: AttributeReference => Some(a.name)
+        case _ => None
+      }
     }
     def statLit(s: String, dt: DataType): Expression =
       Cast(Literal(UTF8String.fromString(s), StringType), dt, Option(tz), EvalMode.TRY)
@@ -1298,7 +1372,13 @@ object GraftCatalog {
         val stats = readStats(spark, root, v)
         val tz = spark.sessionState.conf.sessionLocalTimeZone
         val expr = org.apache.spark.sql.GraftColumnBridge.expression(p)
-        (files.filter(f => stats.get(f).forall(st => mayContain(st, expr, tz))), files.size)
+        // Stats envelopes first, then the hidden-partition tuple (the
+        // hash-bucket case stats cannot express).
+        val spec = readPartitionSpecAt(fs, r)
+        val schema = if (spec.isEmpty) None else readSchemaLine(fs, r, v)
+        (files.filter(f =>
+          stats.get(f).forall(st => mayContain(st, expr, tz)) &&
+            tupleMayMatch(spec, schema, f, expr, tz)), files.size)
     }
   }
 
@@ -1387,13 +1467,16 @@ object GraftCatalog {
         spark.read.option("mergeSchema", "true").parquet(files: _*).schema
       else readSchemaLine(fs, r, v)
         .getOrElse(spark.read.parquet(files.head).schema)
+    val spec = readPartitionSpecAt(fs, r)
+    val specSchema = if (spec.isEmpty) None else readSchemaLine(fs, r, v)
     val keep: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         Seq[org.apache.hadoop.fs.FileStatus] = filters =>
       if (filters.isEmpty) statuses
       else statuses.filter { st =>
         val p = org.apache.hadoop.fs.Path
           .getPathWithoutSchemeAndAuthority(st.getPath).toString
-        stats.get(p).forall(fst => filters.forall(f => mayContain(fst, f, tz)))
+        stats.get(p).forall(fst => filters.forall(f => mayContain(fst, f, tz))) &&
+          filters.forall(f => tupleMayMatch(spec, specSchema, p, f, tz))
       }
     org.apache.spark.sql.GraftSnapshotRelation.dataFrame(spark, r, statuses, schema, keep)
   }
@@ -1584,6 +1667,243 @@ object GraftCatalog {
 
   private def refsDir(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_refs")
+
+  // ---------------------------------------------------------------------
+  // Hidden partitioning (Iceberg's model): the table owns a PARTITION
+  // SPEC of column transforms; writers derive the partition tuple on
+  // the fly and encode it in the file PATH ONLY — data files keep
+  // exactly the user's columns, reads never see a derived column, and
+  // a query on the RAW column still prunes (stats for ordered
+  // transforms, the path tuple for hash buckets). The failure mode
+  // this kills at 100 TB: a pipeline that materializes `event_month`
+  // by hand, then someone filters on `event_ts` and scans the world.
+  // ---------------------------------------------------------------------
+
+  private val ptTransforms = Set("identity", "bucket", "truncate",
+    "year", "month", "day", "hour")
+
+  /** Declare the table's hidden partition spec — create-exclusive and
+    * immutable (spec evolution is a non-goal of v1; Iceberg's spec-id
+    * chain is the extension point). Applies to every SUBSEQUENT commit,
+    * including CoW rewrites (which re-derive tuples from the raw
+    * columns — transforms are deterministic); files committed before
+    * the spec carry no tuple and stay unprunable-by-tuple until
+    * [[compactSnapshotPartitioned]] migrates them. */
+  def setSnapshotPartitionSpec(spark: SparkSession, root: String,
+      spec: Seq[PartitionField]): Unit = {
+    require(spec.nonEmpty, "empty partition spec")
+    spec.foreach { f =>
+      require(ptTransforms(f.transform), s"unknown transform ${f.transform}")
+      require(!Set("bucket", "truncate")(f.transform) || f.n > 0,
+        s"${f.transform}(${f.col}) needs n > 0")
+    }
+    val (fs, r) = fsOf(spark, root)
+    fs.mkdirs(refsDir(r))
+    val p = new org.apache.hadoop.fs.Path(refsDir(r), "partition.spec")
+    val out =
+      try fs.create(p, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(s"partition spec already set on $root")
+      }
+    try out.write(spec.map(f => s"${f.col}\t${f.transform}\t${f.n}")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The table's hidden partition spec (empty when unpartitioned). */
+  def snapshotPartitionSpec(spark: SparkSession, root: String): Seq[PartitionField] = {
+    val (fs, r) = fsOf(spark, root)
+    readPartitionSpecAt(fs, r)
+  }
+
+  private def readPartitionSpecAt(fs: org.apache.hadoop.fs.FileSystem,
+      r: org.apache.hadoop.fs.Path): Seq[PartitionField] = {
+    val p = new org.apache.hadoop.fs.Path(refsDir(r), "partition.spec")
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.nonEmpty).map { l =>
+        val Array(c, t, n) = l.split("\t", 3)
+        PartitionField(c, t, n.toInt)
+      }
+    }
+  }
+
+  /** The derived partition-value Column for one spec field. Date
+    * transforms render through `date_format` (session TZ — GraftSession
+    * pins UTC, the SURVEY §5 cross-engine discipline); bucket is
+    * `pmod(xxhash64(col), n)` (xxhash64 seed 42 — Spark's own, and the
+    * repo-wide derandomization hash); truncate is width-floor on
+    * numerics (pmod keeps negatives on the floor multiple) and prefix
+    * on strings. */
+  private def partitionColumn(f: PartitionField,
+      schema: org.apache.spark.sql.types.StructType): Column = f.transform match {
+    case "identity" => col(f.col)
+    case "bucket"   => pmod(xxhash64(col(f.col)), lit(f.n.toLong))
+    case "truncate" =>
+      if (schema(f.col).dataType == org.apache.spark.sql.types.StringType)
+        substring(col(f.col), 1, f.n)
+      else col(f.col) - pmod(col(f.col), lit(f.n.toLong))
+    case "year"  => date_format(col(f.col), "yyyy")
+    case "month" => date_format(col(f.col), "yyyy-MM")
+    case "day"   => date_format(col(f.col), "yyyy-MM-dd")
+    case "hour"  => date_format(col(f.col), "yyyy-MM-dd-HH")
+  }
+
+  /** Parse a data file's partition tuple out of its PATH (`__pt_i=V`
+    * segments, Hive-encoded by the writer). Empty for pre-spec files.
+    * The Hive null sentinel decodes to None for that position. */
+  private[graft] def filePartitionTuple(path: String): Map[Int, Option[String]] =
+    "__pt_(\\d+)=([^/]+)".r.findAllMatchIn(path).map { m =>
+      val v = m.group(2)
+      m.group(1).toInt ->
+        (if (v == "__HIVE_DEFAULT_PARTITION__") None
+         else Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+           .unescapePathName(v)))
+    }.toMap
+
+  /** Driver-side bucket of a literal: cast to the COLUMN's declared
+    * type first (the writer hashed column-typed values; an Int literal
+    * against a Long column must hash as Long or the prune is wrong),
+    * then xxhash64 mod n. None (= cannot prune) when the cast fails or
+    * the value is null. */
+  private def bucketOfLiteral(
+      l: org.apache.spark.sql.catalyst.expressions.Literal,
+      colType: org.apache.spark.sql.types.DataType, n: Int,
+      tz: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions._
+    if (l.value == null) return None
+    Option(Cast(l, colType, Option(tz), EvalMode.TRY).eval(InternalRow.empty))
+      .map { v =>
+        val h = new XxHash64(Seq(Literal.create(v, colType)))
+          .eval(InternalRow.empty).asInstanceOf[Long]
+        (((h % n) + n) % n).toString
+      }
+  }
+
+  /** Partition-tuple pruning — the capability column STATS cannot
+    * express: a hash bucket has no min/max correlation with its source
+    * column, so `WHERE user_id = X` on a bucket-partitioned table is
+    * unprunable by envelope; the path tuple pins each file's bucket
+    * exactly. Top-level equality conjuncts on bucket-source columns
+    * compare the literal's bucket against the file's tuple; everything
+    * else (OR branches, other transforms — those are stats-prunable
+    * already) conservatively keeps. Files without a tuple (pre-spec
+    * commits) always keep. */
+  private def tupleMayMatch(spec: Seq[PartitionField],
+      schema: Option[org.apache.spark.sql.types.StructType], path: String,
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      tz: String): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    if (spec.isEmpty || schema.isEmpty) return true
+    val tuple = filePartitionTuple(path)
+    if (tuple.isEmpty) return true
+    object A {
+      def unapply(e: Expression): Option[String] = e match {
+        case a: UnresolvedAttribute => Some(a.name)
+        case a: AttributeReference => Some(a.name)
+        case _ => None
+      }
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def eqKeeps(name: String, l: Literal): Boolean =
+      spec.zipWithIndex.forall { case (f, i) =>
+        if (f.transform != "bucket" || f.col != name) true
+        else (tuple.get(i).flatten, schema.get.fields.find(_.name == name)) match {
+          case (Some(fileBucket), Some(sf)) =>
+            bucketOfLiteral(l, sf.dataType, f.n, tz).forall(_ == fileBucket)
+          case _ => true
+        }
+      }
+    conjuncts(norm(pred)).forall {
+      case EqualTo(A(n), l: Literal) => eqKeeps(n, l)
+      case EqualTo(l: Literal, A(n)) => eqKeeps(n, l)
+      case EqualNullSafe(A(n), l: Literal) if l.value != null => eqKeeps(n, l)
+      case EqualNullSafe(l: Literal, A(n)) if l.value != null => eqKeeps(n, l)
+      case In(A(n), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        // an IN-list keeps the file iff ANY member could live in it
+        vs.exists(v => eqKeeps(n, v.asInstanceOf[Literal]))
+      case _ => true
+    }
+  }
+
+  /** DESCRIBE PARTITIONS — per-partition file/row/byte counts of a
+    * version, from PURE metadata (path tuples + the stats sidecar; zero
+    * parquet opens). One output column per spec field (named
+    * `col_transform`), NULL for files that predate the spec, plus
+    * n_files / n_rows / bytes. The operational questions this answers
+    * at 100 TB — "which months are skewed", "did the backfill land in
+    * the right buckets" — otherwise need a full scan. */
+  def describeSnapshotPartitions(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val spec = snapshotPartitionSpec(spark, root)
+    require(spec.nonEmpty, s"no partition spec on $root")
+    val (fs, r) = fsOf(spark, root)
+    val v = version.getOrElse(snapshotVersions(spark, root).last)
+    val files = readManifest(fs, r, v)
+    val stats = readStats(spark, root, v)
+    val grouped = files.groupBy { f =>
+      val t = filePartitionTuple(f)
+      spec.indices.map(i => t.get(i).flatten.orNull)
+    }
+    val rows = grouped.toSeq.map { case (tup, fsOfTup) =>
+      val nRows = fsOfTup.map(f => stats.get(f).map(_.rows)).reduce(
+        (a, b) => for (x <- a; y <- b) yield x + y)
+      val bytes = fsOfTup.map(f => stats.get(f).flatMap(_.len).getOrElse(
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)).sum
+      org.apache.spark.sql.Row.fromSeq(
+        tup ++ Seq(fsOfTup.size, nRows.orNull, bytes))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      spec.map(f => org.apache.spark.sql.types.StructField(
+        s"${f.col}_${f.transform}", org.apache.spark.sql.types.StringType)) ++
+      Seq(org.apache.spark.sql.types.StructField("n_files",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
+  /** PARTITION-AWARE compaction: rewrite only partitions fragmented
+    * into >1 file (plus any pre-spec files, which MIGRATE into the
+    * spec layout — tuples are re-derived from raw columns), carrying
+    * every already-single-file partition by path. One commit; the
+    * batch writer re-clusters so each rewritten partition lands
+    * contiguous. The plain [[compactSnapshot]] would happily merge
+    * January into one file with March and destroy the layout. */
+  def compactSnapshotPartitioned(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val spec = snapshotPartitionSpec(spark, root)
+    require(spec.nonEmpty, s"no partition spec on $root")
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val files = readManifest(fs, r, head)
+    val stats = readStats(spark, root, head)
+    val groups = files.groupBy(f => filePartitionTuple(f))
+    val rewrite = groups.collect {
+      case (t, fsOfTup) if t.isEmpty || fsOfTup.size > 1 => fsOfTup
+    }.flatten.toSeq.sorted
+    if (rewrite.isEmpty) return head
+    val carried = files.filterNot(rewrite.toSet)
+    // writeBatch hash-distributes by the tuple itself, so the rewrite
+    // needs no pre-clustering here; targetBytes bounds file size via
+    // the normal maxRecordsPerFile-style knobs if a tuple outgrows it.
+    val newData = spark.read.parquet(rewrite: _*)
+    commitCow(spark, fs, r, head, carried,
+      stats.filter { case (p, _) => carried.contains(p) }, newData,
+      Seq("#compact:partitioned"))
+  }
 
   /** Table-level CHECK constraints (Delta's CHECK / Iceberg's write
     * validation): a named SQL predicate every INCOMING batch must

@@ -12,8 +12,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * {{{
   *   SELECT * FROM graft_snapshot('/data/orders')            -- head
   *   SELECT * FROM graft_snapshot('/data/orders', 3)         -- time travel
+  *   SELECT * FROM graft_snapshot('/data/orders', 'rel-v1')  -- by TAG
   *   SELECT ... FROM graft_snapshot('/data/orders') WHERE k = 5
   * }}}
+  *
+  * A non-numeric second argument resolves as an immutable TAG name —
+  * "the corpus this model trained on" is readable by NAME from pure
+  * SQL, completing the release-pinning loop tags opened.
   *
   * The TVF resolves at ANALYSIS time to [[GraftCatalog.readSnapshotAuto]]'s
   * Catalyst-integrated relation, so the WHERE in the third form
@@ -31,8 +36,11 @@ object GraftTvf {
     require(args.forall(_.foldable),
       "graft_snapshot arguments must be literals")
     val root = String.valueOf(args.head.eval())
-    val version = args.lift(1).map(v => String.valueOf(v.eval()).toLong)
     val spark = SparkSession.active
+    val version = args.lift(1).map { v =>
+      val s = String.valueOf(v.eval())
+      s.toLongOption.getOrElse(GraftCatalog.resolveSnapshotTag(spark, root, s))
+    }
     GraftCatalog.readSnapshotAuto(spark, root, version).queryExecution.logical
   }
 

@@ -888,6 +888,48 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s12: CDC-maintained IVF assignments equal a full head re-assign exactly") {
+    // the snapshot-table maintenance loop: base corpus committed as a
+    // versioned table, a CoW merge re-embeds some vectors / deletes
+    // others / adds new ones, and the assignment table is folded
+    // forward from readRowChanges — the maintained result must equal
+    // re-assigning the ENTIRE head against the same fixed centroids,
+    // key for key. Deletes are included (the merge path can't make
+    // them, so a deleteSnapshotWhere commit exercises that arm).
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val cat = graft.sources.GraftCatalog
+    val sim = graft.operators.Similarity
+    val (_, cents) = sim.ivfIndex(spark, sf)
+    val centDf = sim.centroidsDf(spark, cents)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val root = s"/tmp/graft-index/snapvec_spec_${System.nanoTime()}"
+    cat.commitSnapshot(base.repartitionByRange(4, col("vec_id")),
+      root, append = false)
+    val a1 = sim.snapshotIvfAssign(base, centDf)
+    cat.mergeSnapshot(spark, root,
+      base.where(col("vec_id") % 15 === 0)
+        .withColumn("embedding", reverse(col("embedding")))
+        .unionByName(base.where(col("vec_id") % 31 === 2)
+          .select((col("vec_id") + 500000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"))),
+      "vec_id")
+    val head = cat.deleteSnapshotWhere(spark, root, col("vec_id") % 17 === 3)
+    val maintained = sim
+      .maintainIvfAssign(spark, root, a1, centDf, 1L, head)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cl")).toMap
+    val full = sim.snapshotIvfAssign(cat.readSnapshot(spark, root), centDf)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cl")).toMap
+    assert(maintained == full,
+      s"maintained diverges: missing=${(full.keySet -- maintained.keySet).take(5)} " +
+        s"extra=${(maintained.keySet -- full.keySet).take(5)} " +
+        s"moved=${full.collect { case (k, c) if maintained.get(k).exists(_ != c) => k }.take(5)}")
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("IVF drift signal: in-distribution deltas score high, off-distribution deltas drop") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

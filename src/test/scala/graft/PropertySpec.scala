@@ -451,4 +451,155 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ----- snapshot cross-verb concurrency: serializable histories ---------
+
+  /** One racing operation: a Spark-side execution against the snapshot
+    * table AND the same operation over an in-memory model — the
+    * serializability check replays the model in the table's OWN commit
+    * order and demands exact agreement. */
+  private sealed trait RaceOp {
+    def idx: Int
+    def run(root: String): Long
+    def model(st: scala.collection.mutable.Map[Long, Long]): Unit
+  }
+
+  /** Upsert: existing keys in [lo,hi] with k%10==r re-valued, plus a
+    * block of brand-new keys — both effects state-independent so the
+    * model is exact regardless of interleaving. */
+  private final case class MergeOp(idx: Int, lo: Long, hi: Long,
+      r: Long, insStart: Long) extends RaceOp {
+    def run(root: String): Long = {
+      val s = spark
+      import org.apache.spark.sql.functions._
+      val upd = s.range(lo, hi + 1).where(col("id") % 10 === r)
+        .select(col("id").as("k"), (col("id") + 100000L).as("v"))
+        .union(s.range(insStart, insStart + 30)
+          .select(col("id").as("k"), (col("id") + 5L).as("v")))
+      graft.sources.GraftCatalog.mergeSnapshot(s, root, upd, "k",
+        meta = Seq(s"#op:$idx"))
+    }
+    def model(st: scala.collection.mutable.Map[Long, Long]): Unit = {
+      (lo to hi).filter(_ % 10 == r).foreach(k => st(k) = k + 100000L)
+      (insStart until insStart + 30).foreach(k => st(k) = k + 5L)
+    }
+  }
+
+  private final case class DeleteOp(idx: Int, m: Long, r: Long,
+      hi: Long) extends RaceOp {
+    def run(root: String): Long = {
+      import org.apache.spark.sql.functions._
+      graft.sources.GraftCatalog.deleteSnapshotWhere(spark, root,
+        col("k") % m === r && col("k") <= hi, meta = Seq(s"#op:$idx"))
+    }
+    def model(st: scala.collection.mutable.Map[Long, Long]): Unit =
+      st.keys.filter(k => k % m == r && k <= hi).toSeq.foreach(st.remove)
+  }
+
+  private final case class AppendOp(idx: Int, start: Long) extends RaceOp {
+    def run(root: String): Long = {
+      import org.apache.spark.sql.functions._
+      graft.sources.GraftCatalog.commitSnapshot(
+        spark.range(start, start + 100)
+          .select(col("id").as("k"), (col("id") * 3L).as("v")),
+        root, append = true, meta = Seq(s"#op:$idx"), maxRetries = 16)
+    }
+    def model(st: scala.collection.mutable.Map[Long, Long]): Unit =
+      (start until start + 100).foreach(k => st(k) = k * 3L)
+  }
+
+  /** Randomized cross-verb interleaving: 2 MERGEs, 2 DELETEs and 2
+    * appends race on one snapshot table (overlapping AND disjoint key
+    * ranges), then every cleanly-aborted CoW verb replans sequentially
+    * — the documented caller contract. The surviving history must be
+    * SERIALIZABLE: replaying the committed operations in the table's
+    * own version order through an in-memory model reproduces the head
+    * row-for-row; losers abort with SnapshotConflictException only;
+    * versions stay contiguous; no data file is orphaned. Seeded — the
+    * schedule the OS picks varies, but every assertion is
+    * schedule-independent, so the test cannot flake. */
+  test("property: concurrent MERGE/DELETE/append histories are serializable") {
+    import org.apache.spark.sql.functions._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val cat = graft.sources.GraftCatalog
+    for (seed <- Seq(41L, 42L, 43L)) {
+      val rnd = new scala.util.Random(seed)
+      val root = s"/tmp/graft-index/proprace_${seed}_${System.nanoTime()}"
+      cat.commitSnapshot(
+        spark.range(1000).select(col("id").as("k"), (col("id") * 10L).as("v"))
+          .repartitionByRange(4, col("k")),
+        root, append = false)
+      def span(): (Long, Long) = {
+        val lo = rnd.nextInt(500).toLong; (lo, lo + 100 + rnd.nextInt(400))
+      }
+      val (lo1, hi1) = span(); val (lo2, hi2) = span()
+      val ops: Seq[RaceOp] = rnd.shuffle(Seq[RaceOp](
+        MergeOp(0, lo1, hi1, rnd.nextInt(10).toLong, 10000L),
+        MergeOp(1, lo2, hi2, rnd.nextInt(10).toLong, 11000L),
+        DeleteOp(2, 5L, rnd.nextInt(5).toLong, 300L + rnd.nextInt(700)),
+        DeleteOp(3, 7L, rnd.nextInt(7).toLong, 300L + rnd.nextInt(700)),
+        AppendOp(4, 20000L), AppendOp(5, 21000L)))
+      // Phase 1: race. Every failure must be the clean serializable
+      // abort — anything else (NPE, torn state, wrong exception) fails.
+      val results = Await.result(
+        Future.sequence(ops.map(op => Future(scala.util.Try(op.run(root))))),
+        300.seconds)
+      val aborted = ops.zip(results).collect {
+        case (op, scala.util.Failure(e)) =>
+          assert(e.isInstanceOf[graft.sources.SnapshotConflictException],
+            s"seed $seed op ${op.idx}: dirty abort ${e.getClass}: ${e.getMessage}")
+          op
+      }
+      // Phase 2: losers replan against the new head — sequentially, so
+      // each MUST land (the retry contract the docs promise callers).
+      aborted.sortBy(_.idx).foreach(op => op.run(root))
+      // Recover the table's own commit order from the #op meta tags.
+      val hist = cat.describeSnapshotHistory(spark, root)
+        .select("version", "meta").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      val tagged = hist.collect { case (v, m) if m.contains("#op:") =>
+        v -> "#op:(\\d+)".r.findFirstMatchIn(m).get.group(1).toInt
+      }.sortBy(_._1)
+      assert(tagged.map(_._2).distinct.length == tagged.length,
+        s"seed $seed: an op committed twice: $tagged")
+      // Serializable: model-replay in version order == the head.
+      val st = scala.collection.mutable.Map.empty[Long, Long]
+      (0L until 1000L).foreach(k => st(k) = k * 10L)
+      tagged.foreach { case (_, idx) => ops.find(_.idx == idx).get.model(st) }
+      val head = cat.readSnapshot(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(head.size == cat.readSnapshot(spark, root).count(),
+        s"seed $seed: duplicate keys at head")
+      assert(head == st.toMap,
+        s"seed $seed: head diverges from serial replay " +
+          s"(missing=${(st.keySet -- head.keySet).take(5)}, " +
+          s"extra=${(head.keySet -- st.keySet).take(5)}, " +
+          s"diff=${st.collect { case (k, v) if head.get(k).exists(_ != v) => k }.take(5)})")
+      // Contiguous versions; no orphaned data files.
+      val versions = cat.snapshotVersions(spark, root)
+      assert(versions == (1L to versions.last),
+        s"seed $seed: non-contiguous versions $versions")
+      val referenced = versions.flatMap(v =>
+        cat.readSnapshot(spark, root, Some(v)).inputFiles.toSeq)
+        .map(f => org.apache.hadoop.fs.Path
+          .getPathWithoutSchemeAndAuthority(new org.apache.hadoop.fs.Path(f))
+          .toString).toSet
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$root/data"), true)
+      val onDisk = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          onDisk += org.apache.hadoop.fs.Path
+            .getPathWithoutSchemeAndAuthority(f.getPath).toString
+      }
+      assert(onDisk.subsetOf(referenced),
+        s"seed $seed: orphaned data files ${(onDisk -- referenced).take(3)}")
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    }
+  }
 }

@@ -1624,4 +1624,157 @@ class SourcesCatalogSpec extends AnyFunSuite {
       (1 to 6).map(i => s"h$i").toSet,
       "the table's own __hit column must survive the update untouched")
   }
+
+  test("time travel by timestamp and by tag name through pure SQL") {
+    import spark.implicits._
+    val root = s"$tmp/snapasof_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      spark.range(10).select(col("id")), root, append = false)
+    Thread.sleep(30) // separate the manifests' mtimes
+    val betweenTs = System.currentTimeMillis()
+    Thread.sleep(30)
+    GraftCatalog.commitSnapshot(
+      spark.range(10, 30).select(col("id")), root, append = true)
+    assert(GraftCatalog.snapshotVersionAsOf(spark, root, betweenTs) == 1L,
+      "an instant between the commits must resolve to v1")
+    assert(GraftCatalog.snapshotVersionAsOf(spark, root,
+      System.currentTimeMillis()) == 2L, "now must resolve to the head")
+    intercept[IllegalArgumentException] {
+      GraftCatalog.snapshotVersionAsOf(spark, root, 0L) // pre-table instant
+    }
+    // tag-name travel through the TVF: pure SQL, head has moved on
+    GraftCatalog.tagSnapshot(spark, root, "rel-1", 1L)
+    graft.sources.GraftTvf.register(spark)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft_snapshot('$root', 'rel-1')")
+      .head().getLong(0) == 10L, "the tag must serve the pinned v1")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft_snapshot('$root')")
+      .head().getLong(0) == 30L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft_snapshot('$root', 2)")
+      .head().getLong(0) == 30L, "numeric second arg stays a version")
+  }
+
+  // ----- hidden partitioning -------------------------------------------
+
+  test("hidden partitioning: bucket tuple prunes what stats cannot, rows identical") {
+    import spark.implicits._
+    val root = s"$tmp/snappt_${System.nanoTime()}"
+    GraftCatalog.setSnapshotPartitionSpec(spark, root,
+      Seq(graft.sources.PartitionField("id", "bucket", 4)))
+    // one writer task → exactly one file per bucket, each file's id
+    // RANGE spans nearly the whole domain (hash scatter), so the stats
+    // envelope alone cannot prune a point lookup.
+    GraftCatalog.commitSnapshot(
+      spark.range(1000).select(col("id"), (col("id") % 97).as("v"))
+        .repartition(1),
+      root, append = false)
+    val (all, total) = GraftCatalog.snapshotScanFiles(spark, root)
+    assert(total == 4, s"expected 4 bucket files, got $total: $all")
+    assert(all.forall(_.contains("__pt_0=")), "tuples must be in the paths")
+    val (kept, _) = GraftCatalog.snapshotScanFiles(spark, root,
+      predicate = Some(col("id") === 123L))
+    assert(kept.size == 1, s"bucket prune must keep exactly 1 of 4: $kept")
+    // row-level identity: pruned read == unpruned filter
+    val pruned = GraftCatalog.readSnapshot(spark, root,
+      predicate = Some(col("id") === 123L)).collect().toSet
+    val plain = GraftCatalog.readSnapshot(spark, root)
+      .where(col("id") === 123L).collect().toSet
+    assert(pruned == plain && pruned.nonEmpty)
+    // an Int-typed literal must hash as the column's Long type (or not
+    // prune at all) — never prune the true bucket away
+    val viaInt = GraftCatalog.readSnapshot(spark, root,
+      predicate = Some(col("id") === 123)).collect().toSet
+    assert(viaInt == plain, "Int literal against Long column must still match")
+    // derived columns never surface
+    assert(GraftCatalog.readSnapshot(spark, root).columns.toSeq == Seq("id", "v"))
+    // the Catalyst-integrated auto read prunes from its own filters too
+    val auto = GraftCatalog.readSnapshotAuto(spark, root)
+      .where(col("id") === 123L)
+    assert(auto.collect().toSet == plain)
+    val scans = auto.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.head.metrics("numFiles").value == 1,
+      "auto read must open exactly the one bucket file")
+    // IN-lists prune to the union of member buckets
+    val (keptIn, _) = GraftCatalog.snapshotScanFiles(spark, root,
+      predicate = Some(col("id").isin(123L, 124L)))
+    assert(keptIn.size <= 2, s"IN-list must keep at most 2 bucket files: $keptIn")
+    val inRows = GraftCatalog.readSnapshot(spark, root,
+      predicate = Some(col("id").isin(123L, 124L))).collect().toSet
+    assert(inRows == GraftCatalog.readSnapshot(spark, root)
+      .where(col("id").isin(123L, 124L)).collect().toSet)
+  }
+
+  test("hidden partitioning: CoW delete nominates only the predicate's bucket file") {
+    import spark.implicits._
+    val root = s"$tmp/snapptdel_${System.nanoTime()}"
+    GraftCatalog.setSnapshotPartitionSpec(spark, root,
+      Seq(graft.sources.PartitionField("id", "bucket", 4)))
+    GraftCatalog.commitSnapshot(
+      spark.range(1000).select(col("id"), (col("id") % 97).as("v"))
+        .repartition(1),
+      root, append = false)
+    val before = GraftCatalog.snapshotScanFiles(spark, root)._1.toSet
+    GraftCatalog.deleteSnapshotWhere(spark, root, col("id") === 123L)
+    val after = GraftCatalog.snapshotScanFiles(spark, root)._1.toSet
+    assert((before -- after).size == 1 && (after -- before).size >= 1,
+      s"exactly one bucket file rewrites; carried=${(before & after).size}")
+    assert((before & after).size == 3, "the other three buckets carry by path")
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 999)
+  }
+
+  test("describeSnapshotPartitions: pure-metadata counts equal data group-by") {
+    import spark.implicits._
+    val root = s"$tmp/snapptdesc_${System.nanoTime()}"
+    GraftCatalog.setSnapshotPartitionSpec(spark, root,
+      Seq(graft.sources.PartitionField("ts", "month")))
+    val df = spark.range(500).select(
+      col("id"),
+      expr("timestampadd(HOUR, CAST(id * 7 AS INT), TIMESTAMP'2024-01-01 00:00:00')")
+        .as("ts"))
+    GraftCatalog.commitSnapshot(df.repartition(3), root, append = false)
+    val desc = GraftCatalog.describeSnapshotPartitions(spark, root)
+      .select("ts_month", "n_rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val data = GraftCatalog.readSnapshot(spark, root)
+      .groupBy(date_format(col("ts"), "yyyy-MM").as("m"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(desc == data, s"metadata $desc != data $data")
+  }
+
+  test("partition-aware compaction: merges within partitions, migrates pre-spec files") {
+    import spark.implicits._
+    val root = s"$tmp/snapptcomp_${System.nanoTime()}"
+    // v1 lands BEFORE the spec exists — no tuples in its paths
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id"), (col("id") % 9).as("v")),
+      root, append = false)
+    GraftCatalog.setSnapshotPartitionSpec(spark, root,
+      Seq(graft.sources.PartitionField("id", "bucket", 4)))
+    // two partitioned appends fragment each bucket into 2 files
+    GraftCatalog.commitSnapshot(
+      spark.range(100, 200).select(col("id"), (col("id") % 9).as("v"))
+        .repartition(1), root, append = true)
+    GraftCatalog.commitSnapshot(
+      spark.range(200, 300).select(col("id"), (col("id") % 9).as("v"))
+        .repartition(1), root, append = true)
+    val beforeRows = GraftCatalog.readSnapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    GraftCatalog.compactSnapshotPartitioned(spark, root)
+    val files = GraftCatalog.snapshotScanFiles(spark, root)._1
+    assert(files.forall(_.contains("__pt_0=")),
+      s"every head file must carry a tuple after compaction: $files")
+    assert(files.size == 4, s"one file per bucket after compaction: $files")
+    val afterRows = GraftCatalog.readSnapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterRows == beforeRows, "compaction must not change content")
+    // point lookup now prunes to one file even over migrated history
+    val (kept, total) = GraftCatalog.snapshotScanFiles(spark, root,
+      predicate = Some(col("id") === 42L))
+    assert(total == 4 && kept.size == 1)
+    // idempotent: a second compaction finds nothing fragmented
+    val head = GraftCatalog.snapshotVersions(spark, root).last
+    assert(GraftCatalog.compactSnapshotPartitioned(spark, root) == head,
+      "nothing to compact → head unchanged")
+  }
 }
