@@ -628,6 +628,32 @@ object SnapshotOps {
       |  COUNT(DISTINCT o_custkey) AS nc
       |FROM orders GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q136 — BLOOM-sidecar point lookup on the driver surface: orders
+    * lands range-partitioned by ORDERKEY with `o_custkey` bloom-
+    * enrolled — every file's custkey envelope spans the customer
+    * domain (the classic foreign-key shape min/max can never prune and
+    * nobody partitions by), so `WHERE o_custkey = K` keeps only the
+    * files whose bloom admits K. The DuckDB oracle recomputes from raw
+    * parquet: a hash match proves the bloom is an inclusive projection
+    * — false positives cost a wasted open, misses are impossible. The
+    * file-count proof is in SourcesCatalogSpec; at 100 TB this is a
+    * point lookup as a handful of file opens instead of a scan. */
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    val orders = ordersDf(s, d)
+    val root = s"/tmp/graft-index/snapbloom_${math.abs(d.hashCode.toLong)}"
+    wipe(s, root)
+    GraftCatalog.setSnapshotBloomFilters(s, root, Seq("o_custkey"))
+    GraftCatalog.commitSnapshot(
+      orders.repartitionByRange(8, col("o_orderkey")), root, append = false)
+    val ck = orders.agg(min("o_custkey")).head().getLong(0)
+    GraftCatalog.readSnapshot(s, root,
+        predicate = Some(col("o_custkey") === ck))
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+      .orderBy("pr")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q117_merge_cow", Some(q117Oracle), q117),
     Q("q119_delete_cow", Some(q119Oracle), q119),
@@ -641,5 +667,6 @@ object SnapshotOps {
     Q("q132_cdc_lastwins", Some(q132Oracle), q132),
     Q("q133_hidden_partition", Some(q133Oracle), q133),
     Q("q134_partition_describe", Some(q134Oracle), q134),
-    Q("q135_tag_tvf", Some(q135Oracle), q135))
+    Q("q135_tag_tvf", Some(q135Oracle), q135),
+    Q("q136_bloom_prune", Some(q133Oracle), q136))
 }

@@ -7,8 +7,15 @@ import org.apache.spark.sql.functions._
   * `CAST(x AS STRING)` (round-trips through the inverse cast at prune
   * time), plus the null count. A null `mn`/`mx` with the column PRESENT
   * means the file's column is entirely NULL — a pruneable fact, distinct
-  * from "no stats recorded" (column absent from `cols`). */
-final case class ColStat(col: String, typ: String, mn: String, mx: String, nc: Long)
+  * from "no stats recorded" (column absent from `cols`). `bloom` is an
+  * optional base64 bit-set over the file's values (two probes derived
+  * from one xxhash64 — the Iceberg-puffin/Delta idea): point lookups on
+  * columns whose per-file RANGE spans the domain (ids, hashes, UUIDs —
+  * the case envelopes can never prune) skip files whose bloom provably
+  * lacks the value. Absent on sidecars written before the column was
+  * bloom-enrolled — consumers keep the file. */
+final case class ColStat(col: String, typ: String, mn: String, mx: String, nc: Long,
+    bloom: Option[String] = None)
 
 /** Manifest-level stats of one data file — the Iceberg/Delta idea that
   * makes a selective read of a 100 TB snapshot a METADATA operation:
@@ -426,7 +433,8 @@ object GraftCatalog {
     * is simpler, engine-portable, and the batch is hot in page cache
     * right after its own write.) */
   private[graft] def computeFileStats(spark: SparkSession, files: Seq[String],
-      fsMeta: Map[String, (Long, Long)] = Map.empty): Seq[FileStat] = {
+      fsMeta: Map[String, (Long, Long)] = Map.empty,
+      bloomConf: Map[String, Int] = Map.empty): Seq[FileStat] = {
     if (files.isEmpty) return Seq.empty
     val df = spark.read.parquet(files: _*)
     val fields = df.schema.fields.filter(f => statable(f.dataType)).toSeq
@@ -435,13 +443,36 @@ object GraftCatalog {
       max(col(f.name)).cast("string"),
       sum(when(col(f.name).isNull, 1L).otherwise(0L)))
     }
+    // Bloom-enrolled columns add two bounded collect_sets per file (the
+    // distinct BIT POSITIONS, capped at the filter width — never the
+    // values): both probes derive from ONE xxhash64, low bits and high
+    // bits, the standard double-hashing split. Same one-pass batch agg.
+    val bloomFields = fields.filter(f => bloomConf.contains(f.name))
+    val bloomAggs = bloomFields.flatMap { f =>
+      val m = bloomConf(f.name)
+      Seq(collect_set(expr(s"pmod(xxhash64(`${f.name}`), ${m}L)")),
+        collect_set(expr(
+          s"pmod(shiftrightunsigned(xxhash64(`${f.name}`), 32), ${m}L)")))
+    }
+    val allAggs = aggs ++ bloomAggs
     df.groupBy(input_file_name().as("__path"))
-      .agg(aggs.head, aggs.tail: _*).collect().toSeq.map { row =>
+      .agg(allAggs.head, allAggs.tail: _*).collect().toSeq.map { row =>
         val p = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
           new org.apache.hadoop.fs.Path(new java.net.URI(row.getString(0)))).toString
+        val bloomBase = 2 + fields.size * 3
         val cols = fields.zipWithIndex.map { case (f, i) =>
+          val bl = bloomConf.get(f.name).map { m =>
+            val bi = bloomFields.indexWhere(_.name == f.name)
+            val bits = new java.util.BitSet(m)
+            Seq(bloomBase + bi * 2, bloomBase + bi * 2 + 1).foreach { idx =>
+              row.getAs[scala.collection.Seq[Long]](idx)
+                .foreach(pos => bits.set(pos.toInt))
+            }
+            s"$m:" + java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
+          }
           ColStat(f.name, f.dataType.catalogString,
-            row.getString(2 + i * 3), row.getString(3 + i * 3), row.getLong(4 + i * 3))
+            row.getString(2 + i * 3), row.getString(3 + i * 3),
+            row.getLong(4 + i * 3), bl)
         }
         FileStat(p, row.getLong(1), cols,
           fsMeta.get(p).map(_._1), fsMeta.get(p).map(_._2))
@@ -470,8 +501,16 @@ object GraftCatalog {
         Seq[org.apache.hadoop.fs.FileStatus]) = {
     val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
     val spec = readPartitionSpecAt(fs, r)
+    // Declared sort order: applied within write tasks (after the
+    // partition-tuple shuffle when one exists) so every file's row
+    // groups carry tight sort-key envelopes.
+    val sortCols = readSortOrderAt(fs, r)
+    def sorted(d: DataFrame, prefix: Seq[Column]): DataFrame =
+      if (sortCols.isEmpty) d
+      else d.sortWithinPartitions(prefix ++ sortCols.map(col): _*)
     if (spec.isEmpty)
-      df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+      sorted(df, Seq.empty).write.mode(SaveMode.ErrorIfExists)
+        .parquet(batch.toString)
     else {
       val withPt = spec.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
         d.withColumn(s"__pt_$i", partitionColumn(f, df.schema))
@@ -482,7 +521,7 @@ object GraftCatalog {
       // months is 2 560 small files; with it each tuple lands in one
       // task → |tuples| right-sized files per commit.
       val ptCols = spec.indices.map(i => col(s"__pt_$i"))
-      withPt.repartition(ptCols: _*)
+      sorted(withPt.repartition(ptCols: _*), ptCols)
         .write.mode(SaveMode.ErrorIfExists)
         .partitionBy(spec.indices.map(i => s"__pt_$i"): _*)
         .parquet(batch.toString)
@@ -611,7 +650,8 @@ object GraftCatalog {
     validateChecks(spark, root, df)
     val (fs, r) = fsOf(spark, root)
     val (batch, newFiles, newStatuses) = writeBatch(spark, fs, r, df)
-    val newStats = computeFileStats(spark, newFiles, fsMetaOf(newStatuses))
+    val newStats = computeFileStats(spark, newFiles, fsMetaOf(newStatuses),
+      readBloomConfAt(fs, r))
     var attempt = 0
     while (true) {
       val versions = snapshotVersions(spark, root)
@@ -1085,7 +1125,8 @@ object GraftCatalog {
       head: Long, carried: Seq[String], carriedStats: Map[String, FileStat],
       newData: DataFrame, meta: Seq[String]): Long = {
     val (batch, newFiles, newStatuses) = writeBatch(spark, fs, r, newData)
-    val newStats = computeFileStats(spark, newFiles, fsMetaOf(newStatuses))
+    val newStats = computeFileStats(spark, newFiles, fsMetaOf(newStatuses),
+      readBloomConfAt(fs, r))
     val statsName = writeStatsFile(spark, fs, r,
       (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
     // Committed schema: carried files are covered by the head's
@@ -1301,13 +1342,40 @@ object GraftCatalog {
       Cast(Literal(UTF8String.fromString(s), StringType), dt, Option(tz), EvalMode.TRY)
     def evalB(e: Expression): Option[Boolean] =
       Option(e.eval(InternalRow.empty)).map(_ == true)
+    // Bloom probe for point lookups: two positions split out of one
+    // xxhash64 of the literal CAST TO THE COLUMN'S DECLARED TYPE (the
+    // file side hashed column-typed values — an Int literal against a
+    // Long column must hash as Long or a true member would be pruned);
+    // either bit clear ⇒ the value is provably absent. Anything
+    // unparseable/un-castable keeps the file.
+    def bloomHas(c: ColStat, l: Literal): Boolean = c.bloom match {
+      case None => true
+      case Some(enc) =>
+        try {
+          val Array(ms, data) = enc.split(":", 2)
+          val m = ms.toInt
+          val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(c.typ)
+          Option(Cast(l, dt, Option(tz), EvalMode.TRY).eval(InternalRow.empty)) match {
+            case None => true
+            case Some(v) =>
+              val h = new XxHash64(Seq(Literal.create(v, dt)))
+                .eval(InternalRow.empty).asInstanceOf[Long]
+              val bits = java.util.BitSet.valueOf(
+                java.util.Base64.getDecoder.decode(data))
+              bits.get((((h % m) + m) % m).toInt) &&
+                bits.get(((h >>> 32) % m).toInt)
+          }
+        } catch { case scala.util.control.NonFatal(_) => true }
+    }
     def rangeHas(n: String, l: Literal): Boolean = byName.get(n) match {
       case None => true
       case Some(c) =>
         if (l.value == null) true
         else if (c.mn == null || c.mx == null) false // all-NULL file: a = v unsatisfiable
         else evalB(LessThanOrEqual(statLit(c.mn, l.dataType), l)).getOrElse(true) &&
-          evalB(GreaterThanOrEqual(statLit(c.mx, l.dataType), l)).getOrElse(true)
+          evalB(GreaterThanOrEqual(statLit(c.mx, l.dataType), l)).getOrElse(true) &&
+          bloomHas(c, l)
     }
     def cmp(n: String, l: Literal, useMax: Boolean, strict: Boolean): Boolean =
       byName.get(n) match {
@@ -1729,6 +1797,103 @@ object GraftCatalog {
         val Array(c, t, n) = l.split("\t", 3)
         PartitionField(c, t, n.toInt)
       }
+    }
+  }
+
+  /** Enroll columns for per-file BLOOM sidecars (the Iceberg-puffin /
+    * Delta-bloom idea): every SUBSEQUENT commit records, per data file
+    * and enrolled column, a `bits`-wide bit-set over the values (two
+    * probes split out of one xxhash64), and every point lookup —
+    * `readSnapshot(predicate)`, the auto-skipping FileIndex, the CoW
+    * verbs' nomination — skips files whose bloom provably lacks the
+    * value. This is the prune for columns whose PER-FILE RANGE spans
+    * the domain (foreign keys, UUIDs, content hashes — the common
+    * lookup columns min/max can never prune and nobody partitions by):
+    * at 100 TB, `WHERE request_id = X` becomes a handful of file opens
+    * instead of a table scan. False positives only cost a wasted open;
+    * misses are impossible (same hash both sides, literals cast to the
+    * column's declared type). Default 32 768 bits ≈ 5.5 KB base64 per
+    * file per column, ~2% fill at 500 distinct values. Create-exclusive
+    * like the partition spec; files committed earlier carry no bloom
+    * and always keep. */
+  def setSnapshotBloomFilters(spark: SparkSession, root: String,
+      cols: Seq[String], bits: Int = 32768): Unit = {
+    require(cols.nonEmpty, "no bloom columns given")
+    require(bits >= 64 && bits <= (1 << 24), s"unreasonable bloom width $bits")
+    val (fs, r) = fsOf(spark, root)
+    fs.mkdirs(refsDir(r))
+    val p = new org.apache.hadoop.fs.Path(refsDir(r), "bloom.conf")
+    val out =
+      try fs.create(p, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(s"bloom config already set on $root")
+      }
+    try out.write(cols.map(c => s"$c\t$bits").mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The table's bloom-enrolled columns (col → bits); empty when none. */
+  def snapshotBloomFilters(spark: SparkSession, root: String): Map[String, Int] = {
+    val (fs, r) = fsOf(spark, root)
+    readBloomConfAt(fs, r)
+  }
+
+  private def readBloomConfAt(fs: org.apache.hadoop.fs.FileSystem,
+      r: org.apache.hadoop.fs.Path): Map[String, Int] = {
+    val p = new org.apache.hadoop.fs.Path(refsDir(r), "bloom.conf")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.nonEmpty).map { l =>
+        val Array(c, b) = l.split("\t", 2); c -> b.toInt
+      }.toMap
+    }
+  }
+
+  /** Declare the table's SORT ORDER (Iceberg's sort_order / Delta's
+    * OPTIMIZE ZORDER's simpler cousin): every subsequent batch —
+    * append, CoW rewrite, compaction — lands `sortWithinPartitions`
+    * by these columns (after the partition tuple when one exists), so
+    * parquet row groups get tight envelopes on the sort key and scans
+    * with sort-key predicates skip row groups inside every file, on
+    * top of the file-level stats skip. Metadata-declared ONCE instead
+    * of remembered per writer — the failure this kills is the one
+    * ingest job that forgets the sort and quietly fattens every
+    * row-group envelope. Create-exclusive like the partition spec. */
+  def setSnapshotSortOrder(spark: SparkSession, root: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "no sort columns given")
+    val (fs, r) = fsOf(spark, root)
+    fs.mkdirs(refsDir(r))
+    val p = new org.apache.hadoop.fs.Path(refsDir(r), "sort.conf")
+    val out =
+      try fs.create(p, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(s"sort order already set on $root")
+      }
+    try out.write(cols.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The table's declared sort order; empty when none. */
+  def snapshotSortOrder(spark: SparkSession, root: String): Seq[String] = {
+    val (fs, r) = fsOf(spark, root)
+    readSortOrderAt(fs, r)
+  }
+
+  private def readSortOrderAt(fs: org.apache.hadoop.fs.FileSystem,
+      r: org.apache.hadoop.fs.Path): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(refsDir(r), "sort.conf")
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .toList.filter(_.nonEmpty)
+      finally in.close()
     }
   }
 

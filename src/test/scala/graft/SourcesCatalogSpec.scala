@@ -1653,6 +1653,81 @@ class SourcesCatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 30L, "numeric second arg stays a version")
   }
 
+  test("declared sort order: every writer lands files sorted, through CoW too") {
+    import spark.implicits._
+    val root = s"$tmp/snapsort_${System.nanoTime()}"
+    GraftCatalog.setSnapshotSortOrder(spark, root, Seq("v"))
+    // deliberately UNSORTED input in 2 partitions
+    val df = spark.range(1000).select(col("id"),
+      expr("pmod(xxhash64(id), 100000L)").as("v"))
+    GraftCatalog.commitSnapshot(df.repartition(2), root, append = false)
+    def assertFilesSorted(): Unit =
+      GraftCatalog.snapshotScanFiles(spark, root)._1.foreach { f =>
+        val vs = spark.read.parquet(f).select("v").collect().map(_.getLong(0))
+        assert(vs.sameElements(vs.sorted),
+          s"$f not sorted by declared order (${vs.take(5).mkString(",")}…)")
+      }
+    assertFilesSorted()
+    // a CoW rewrite re-sorts its batch through the same writer
+    GraftCatalog.deleteSnapshotWhere(spark, root, col("id") % 7 === 0)
+    assertFilesSorted()
+    assert(GraftCatalog.snapshotSortOrder(spark, root) == Seq("v"))
+    assert(GraftCatalog.readSnapshot(spark, root).count() ==
+      1000 - spark.range(1000).where(col("id") % 7 === 0).count())
+  }
+
+  test("bloom sidecars prune point lookups that min/max envelopes cannot") {
+    import spark.implicits._
+    val root = s"$tmp/snapbloom_${System.nanoTime()}"
+    GraftCatalog.setSnapshotBloomFilters(spark, root, Seq("v"), bits = 32768)
+    // ids range-split into 4 files; v is hash-scattered, so every
+    // file's v-envelope spans the domain and min/max can never prune a
+    // point lookup on it
+    val df = spark.range(1000).select(col("id"),
+      expr("pmod(xxhash64(id), 1000000L)").as("v"))
+    GraftCatalog.commitSnapshot(df.repartitionByRange(4, col("id")),
+      root, append = false)
+    val target = df.where(col("id") === 5L).head().getLong(1)
+    val (all, total) = GraftCatalog.snapshotScanFiles(spark, root)
+    assert(total == 4)
+    // prove the envelopes are useless here: every file's v-range
+    // contains the target
+    val stats = GraftCatalog.readStats(spark, root, 1L)
+    all.foreach { f =>
+      val c = stats(f).cols.find(_.col == "v").get
+      assert(c.mn.toLong <= target && target <= c.mx.toLong,
+        s"fixture broke: $f envelope [${c.mn},${c.mx}] excludes $target")
+      assert(c.bloom.isDefined, "bloom must be recorded at commit")
+    }
+    val (kept, _) = GraftCatalog.snapshotScanFiles(spark, root,
+      predicate = Some(col("v") === target))
+    assert(kept.size == 1, s"bloom must prune to the one true file: $kept")
+    val pruned = GraftCatalog.readSnapshot(spark, root,
+      predicate = Some(col("v") === target)).collect().toSet
+    assert(pruned == GraftCatalog.readSnapshot(spark, root)
+      .where(col("v") === target).collect().toSet && pruned.nonEmpty)
+    // an absent value prunes everything and reads empty (not an error)
+    val (keptNone, _) = GraftCatalog.snapshotScanFiles(spark, root,
+      predicate = Some(col("v") === -1L))
+    assert(keptNone.isEmpty)
+    assert(GraftCatalog.readSnapshot(spark, root,
+      predicate = Some(col("v") === -1L)).count() == 0)
+    // an Int-typed literal must hash as the column's Long type
+    if (target <= Int.MaxValue) {
+      val (keptInt, _) = GraftCatalog.snapshotScanFiles(spark, root,
+        predicate = Some(col("v") === target.toInt))
+      assert(keptInt == kept, "Int literal against Long column must not mis-prune")
+    }
+    // the auto-skipping read probes blooms through its own filters too
+    val auto = GraftCatalog.readSnapshotAuto(spark, root)
+      .where(col("v") === target)
+    assert(auto.collect().toSet == pruned)
+    val scans = auto.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty && scans.head.metrics("numFiles").value == 1)
+  }
+
   // ----- hidden partitioning -------------------------------------------
 
   test("hidden partitioning: bucket tuple prunes what stats cannot, rows identical") {
