@@ -128,5 +128,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_snapshot_changes",
         "graft_snapshot_changes(root, fromV, toV) - the snapshot table's CDC changelog over (fromV, toV] with _change/_version tags"),
       graft.sources.GraftTvf.changesBuilder))
+    e.injectTableFunction((FunctionIdentifier("graft_snapshot_history"),
+      info("graft_snapshot_history",
+        "graft_snapshot_history(root) - the snapshot table's commit log (DESCRIBE HISTORY) from pure metadata"),
+      graft.sources.GraftTvf.historyBuilder))
+    e.injectTableFunction((FunctionIdentifier("graft_snapshot_partitions"),
+      info("graft_snapshot_partitions",
+        "graft_snapshot_partitions(root) - per-partition file/row/byte counts (DESCRIBE PARTITIONS) from pure metadata"),
+      graft.sources.GraftTvf.partitionsBuilder))
   }
 }

@@ -654,6 +654,25 @@ object SnapshotOps {
       .orderBy("pr")
   }
 
+  /** q137 — DESCRIBE PARTITIONS through PURE SQL: q134's
+    * metadata-equals-data property, but the consumer is one SQL text
+    * over the `graft_snapshot_partitions` TVF — the skew dashboard a
+    * Thrift/notebook user actually types, hash-matched against
+    * DuckDB's aggregation of the raw data. */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    val orders = ordersDf2(s, d)
+    val root = s"/tmp/graft-index/snapptsql_${math.abs(d.hashCode.toLong)}"
+    wipe(s, root)
+    GraftCatalog.setSnapshotPartitionSpec(s, root,
+      Seq(graft.sources.PartitionField("o_orderdate", "month")))
+    GraftCatalog.commitSnapshot(orders.repartition(2), root, append = false)
+    graft.sources.GraftTvf.register(s)
+    s.sql(
+      s"""SELECT o_orderdate_month AS om, n_rows
+         |FROM graft_snapshot_partitions('$root')
+         |ORDER BY om""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     Q("q117_merge_cow", Some(q117Oracle), q117),
     Q("q119_delete_cow", Some(q119Oracle), q119),
@@ -668,5 +687,6 @@ object SnapshotOps {
     Q("q133_hidden_partition", Some(q133Oracle), q133),
     Q("q134_partition_describe", Some(q134Oracle), q134),
     Q("q135_tag_tvf", Some(q135Oracle), q135),
-    Q("q136_bloom_prune", Some(q133Oracle), q136))
+    Q("q136_bloom_prune", Some(q133Oracle), q136),
+    Q("q137_partitions_tvf", Some(q134Oracle), q137))
 }

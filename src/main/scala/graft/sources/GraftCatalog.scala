@@ -2233,6 +2233,32 @@ object GraftCatalog {
       stats.values.toSeq.sortBy(_.path))
     val schemaLine = readSchemaLine(sfs, sr, v).map(s => schemaLineOf(s)).toSeq
     publishManifest(dfs, dr, 1L, Seq(s"#stats:$statsName") ++ schemaLine ++ files)
+    // The clone inherits the source's TABLE CONFIGURATION — CHECK
+    // constraints, partition spec, bloom enrollment, sort order — or a
+    // clone of a governed table would silently write unvalidated,
+    // unpartitioned, unsorted batches. Tags and branch pins stay
+    // behind: they name SOURCE versions the clone doesn't have.
+    val srd = refsDir(sr)
+    if (sfs.exists(srd)) {
+      val cfg = sfs.listStatus(srd).filter(st => st.isFile && {
+        val n = st.getPath.getName
+        n.endsWith(".check") || n == "partition.spec" ||
+          n == "bloom.conf" || n == "sort.conf"
+      })
+      if (cfg.nonEmpty) dfs.mkdirs(refsDir(dr))
+      cfg.foreach { st =>
+        val in = sfs.open(st.getPath)
+        val bytes =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+            buf.toByteArray
+          } finally in.close()
+        val out = dfs.create(
+          new org.apache.hadoop.fs.Path(refsDir(dr), st.getPath.getName), false)
+        try out.write(bytes) finally out.close()
+      }
+    }
     1L
   }
 

@@ -69,10 +69,38 @@ object GraftTvf {
     GraftCatalog.readChanges(spark, root, fromV, toV).queryExecution.logical
   }
 
+  /** `graft_snapshot_history('<root>')` — DESCRIBE HISTORY as a TVF:
+    * the commit log (version, time, file/row/byte counts, net file
+    * delta, meta tags) from pure metadata, for the SQL-only operator
+    * dashboard. */
+  private[graft] val historyBuilder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 1, "graft_snapshot_history(root) takes 1 argument")
+    require(args.forall(_.foldable),
+      "graft_snapshot_history arguments must be literals")
+    GraftCatalog.describeSnapshotHistory(SparkSession.active,
+      String.valueOf(args.head.eval())).queryExecution.logical
+  }
+
+  /** `graft_snapshot_partitions('<root>')` — DESCRIBE PARTITIONS as a
+    * TVF: per-partition file/row/byte counts from path tuples × the
+    * stats sidecar, zero parquet opens — "which months are skewed" as
+    * one SQL text. */
+  private[graft] val partitionsBuilder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 1, "graft_snapshot_partitions(root) takes 1 argument")
+    require(args.forall(_.foldable),
+      "graft_snapshot_partitions arguments must be literals")
+    GraftCatalog.describeSnapshotPartitions(SparkSession.active,
+      String.valueOf(args.head.eval())).queryExecution.logical
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_snapshot", snapshotBuilder, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_snapshot_changes", changesBuilder, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_snapshot_history", historyBuilder, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_snapshot_partitions", partitionsBuilder, "built-in")
   }
 }

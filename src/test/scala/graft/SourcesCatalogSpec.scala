@@ -1651,6 +1651,53 @@ class SourcesCatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 30L)
     assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft_snapshot('$root', 2)")
       .head().getLong(0) == 30L, "numeric second arg stays a version")
+    // the commit log reads as one SQL text too
+    val hist = spark.sql(
+      s"SELECT version, n_rows FROM graft_snapshot_history('$root') ORDER BY version")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(hist.toSeq == Seq(1L -> 10L, 2L -> 30L),
+      s"history TVF must serve the commit log: ${hist.toSeq}")
+  }
+
+  test("clone and branch inherit table configuration: checks, partition spec, sort, bloom") {
+    import spark.implicits._
+    val src = s"$tmp/snapcfg_${System.nanoTime()}"
+    GraftCatalog.setSnapshotPartitionSpec(spark, src,
+      Seq(graft.sources.PartitionField("id", "bucket", 4)))
+    GraftCatalog.setSnapshotBloomFilters(spark, src, Seq("v"))
+    GraftCatalog.setSnapshotSortOrder(spark, src, Seq("v"))
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id"), (col("id") * 3).as("v")),
+      root = src, append = false)
+    GraftCatalog.addSnapshotCheck(spark, src, "v-nonneg", "v >= 0")
+    val dst = s"$tmp/snapcfg_clone_${System.nanoTime()}"
+    GraftCatalog.cloneSnapshot(spark, src, dst)
+    assert(GraftCatalog.snapshotPartitionSpec(spark, dst) ==
+      Seq(graft.sources.PartitionField("id", "bucket", 4)))
+    assert(GraftCatalog.snapshotBloomFilters(spark, dst) == Map("v" -> 32768))
+    assert(GraftCatalog.snapshotSortOrder(spark, dst) == Seq("v"))
+    assert(GraftCatalog.listSnapshotChecks(spark, dst) ==
+      Seq("v-nonneg" -> "v >= 0"))
+    // the inherited CHECK actually gates the clone's writes
+    intercept[graft.sources.SnapshotCheckViolation] {
+      GraftCatalog.commitSnapshot(
+        spark.range(5).select(col("id") + 1000, lit(-1L).as("v")),
+        root = dst, append = true)
+    }
+    // an accepted append lands PARTITIONED on the clone
+    GraftCatalog.commitSnapshot(
+      spark.range(200, 250).select(col("id"), (col("id") * 3).as("v")),
+      root = dst, append = true)
+    val newFiles = GraftCatalog.snapshotScanFiles(spark, dst)._1
+      .filterNot(_.contains(src.substring(src.lastIndexOf('/') + 1)))
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("__pt_0=")),
+      s"clone's own batches must follow the inherited spec: $newFiles")
+    // branches go through cloneSnapshot → same inheritance
+    val br = GraftCatalog.createSnapshotBranch(spark, src, "cfg-exp")
+    assert(GraftCatalog.listSnapshotChecks(spark, br) ==
+      Seq("v-nonneg" -> "v >= 0"))
+    assert(GraftCatalog.snapshotPartitionSpec(spark, br).nonEmpty)
+    GraftCatalog.dropSnapshotBranch(spark, src, "cfg-exp")
   }
 
   test("declared sort order: every writer lands files sorted, through CoW too") {
