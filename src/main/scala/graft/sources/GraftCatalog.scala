@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * lacks the value. Absent on sidecars written before the column was
   * bloom-enrolled — consumers keep the file. */
 final case class ColStat(col: String, typ: String, mn: String, mx: String, nc: Long,
-    bloom: Option[String] = None)
+    bloom: Option[String] = None, ndv: Option[Long] = None)
 
 /** Manifest-level stats of one data file — the Iceberg/Delta idea that
   * makes a selective read of a 100 TB snapshot a METADATA operation:
@@ -438,10 +438,15 @@ object GraftCatalog {
     if (files.isEmpty) return Seq.empty
     val df = spark.read.parquet(files: _*)
     val fields = df.schema.fields.filter(f => statable(f.dataType)).toSeq
+    // Per-column approx NDV (HLL++, default 5% rsd) rides the same
+    // one-pass agg: the planning-time cardinality signal CBO-style
+    // join sizing and "is this column key-like" questions need, at
+    // zero extra scans.
     val aggs = count(lit(1)).as("__rows") +: fields.flatMap { f => Seq(
       min(col(f.name)).cast("string"),
       max(col(f.name)).cast("string"),
-      sum(when(col(f.name).isNull, 1L).otherwise(0L)))
+      sum(when(col(f.name).isNull, 1L).otherwise(0L)),
+      approx_count_distinct(col(f.name)))
     }
     // Bloom-enrolled columns add two bounded collect_sets per file (the
     // distinct BIT POSITIONS, capped at the filter width — never the
@@ -459,7 +464,7 @@ object GraftCatalog {
       .agg(allAggs.head, allAggs.tail: _*).collect().toSeq.map { row =>
         val p = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
           new org.apache.hadoop.fs.Path(new java.net.URI(row.getString(0)))).toString
-        val bloomBase = 2 + fields.size * 3
+        val bloomBase = 2 + fields.size * 4
         val cols = fields.zipWithIndex.map { case (f, i) =>
           val bl = bloomConf.get(f.name).map { m =>
             val bi = bloomFields.indexWhere(_.name == f.name)
@@ -471,8 +476,8 @@ object GraftCatalog {
             s"$m:" + java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
           }
           ColStat(f.name, f.dataType.catalogString,
-            row.getString(2 + i * 3), row.getString(3 + i * 3),
-            row.getLong(4 + i * 3), bl)
+            row.getString(2 + i * 4), row.getString(3 + i * 4),
+            row.getLong(4 + i * 4), bl, Some(row.getLong(5 + i * 4)))
         }
         FileStat(p, row.getLong(1), cols,
           fsMeta.get(p).map(_._1), fsMeta.get(p).map(_._2))
@@ -2040,6 +2045,73 @@ object GraftCatalog {
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
 
+  /** Table-level COLUMN PROFILE from PURE metadata (the ANALYZE TABLE
+    * a 100 TB table can actually afford — zero data I/O): per column,
+    * exact null count and typed min/max folded across the per-file
+    * sidecar entries, plus NDV BOUNDS from the per-file HLL counts —
+    * `ndv_lo` = max over files (every file's distincts exist in the
+    * table), `ndv_hi` = sum over files (distincts can't exceed the
+    * disjoint union) — the honest bracket metadata can give without a
+    * global sketch merge. Columns missing stats in ANY file report
+    * NULL for the affected measures rather than a wrong number. */
+  def snapshotColumnProfile(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val (fs, r) = fsOf(spark, root)
+    val v = version.getOrElse(snapshotVersions(spark, root).last)
+    val files = readManifest(fs, r, v)
+    val stats = readStats(spark, root, v)
+    require(files.forall(stats.contains), s"version $v of $root lacks stats")
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val perFile = files.map(stats)
+    val nRows = perFile.map(_.rows).sum
+    def better(a: String, b: String, typ: String, wantMin: Boolean): String = {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.unsafe.types.UTF8String
+      if (a == null) return b
+      if (b == null) return a
+      val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(typ)
+      def lift(s: String) = Cast(
+        Literal(UTF8String.fromString(s), org.apache.spark.sql.types.StringType),
+        dt, Option(tz), EvalMode.TRY)
+      val aLeB = Option(LessThanOrEqual(lift(a), lift(b)).eval(InternalRow.empty))
+        .exists(_ == true)
+      if (aLeB == wantMin) a else b
+    }
+    val colNames = perFile.flatMap(_.cols.map(_.col)).distinct
+    val rows = colNames.map { c =>
+      val entries = perFile.map(_.cols.find(_.col == c))
+      if (entries.exists(_.isEmpty)) {
+        // column absent from some file's stats (pre-evolution files):
+        // only the null count over covered files would mislead — NULLs
+        val typ = entries.flatten.head.typ
+        org.apache.spark.sql.Row(c, typ, null, null, null, null, null)
+      } else {
+        val cs = entries.flatten
+        val typ = cs.head.typ
+        val mn = cs.map(_.mn).reduce((a, b) => better(a, b, typ, wantMin = true))
+        val mx = cs.map(_.mx).reduce((a, b) => better(a, b, typ, wantMin = false))
+        val nulls = cs.map(_.nc).sum
+        val (lo, hi) =
+          if (cs.exists(_.ndv.isEmpty)) (null, null)
+          else (java.lang.Long.valueOf(cs.map(_.ndv.get).max),
+            java.lang.Long.valueOf(cs.map(_.ndv.get).sum))
+        org.apache.spark.sql.Row(c, typ, mn, mx, java.lang.Long.valueOf(nulls), lo, hi)
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("col", StringType, nullable = false),
+      StructField("typ", StringType, nullable = false),
+      StructField("min", StringType), StructField("max", StringType),
+      StructField("nulls", LongType), StructField("ndv_lo", LongType),
+      StructField("ndv_hi", LongType)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+      .withColumn("n_rows", lit(nRows))
+  }
+
   /** PARTITION-AWARE compaction: rewrite only partitions fragmented
     * into >1 file (plus any pre-spec files, which MIGRATE into the
     * spec layout — tuples are re-derived from raw columns), carrying
@@ -2247,16 +2319,22 @@ object GraftCatalog {
       })
       if (cfg.nonEmpty) dfs.mkdirs(refsDir(dr))
       cfg.foreach { st =>
-        val in = sfs.open(st.getPath)
-        val bytes =
+        val dst = new org.apache.hadoop.fs.Path(refsDir(dr), st.getPath.getName)
+        // a config the caller pre-set on the clone target wins — the
+        // copy must not fail the clone after its manifest published
+        if (!dfs.exists(dst)) {
+          val in = sfs.open(st.getPath)
+          val bytes =
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+              buf.toByteArray
+            } finally in.close()
           try {
-            val buf = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-            buf.toByteArray
-          } finally in.close()
-        val out = dfs.create(
-          new org.apache.hadoop.fs.Path(refsDir(dr), st.getPath.getName), false)
-        try out.write(bytes) finally out.close()
+            val out = dfs.create(dst, false)
+            try out.write(bytes) finally out.close()
+          } catch { case _: java.io.IOException => /* racing pre-set: theirs wins */ }
+        }
       }
     }
     1L

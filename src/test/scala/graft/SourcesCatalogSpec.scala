@@ -1659,6 +1659,30 @@ class SourcesCatalogSpec extends AnyFunSuite {
       s"history TVF must serve the commit log: ${hist.toSeq}")
   }
 
+  test("snapshotColumnProfile: zero-I/O profile with exact min/max/nulls and NDV bounds") {
+    import spark.implicits._
+    val root = s"$tmp/snapprof_${System.nanoTime()}"
+    // 1000 rows over 4 files; k has 100 distinct values, s has nulls
+    val df = spark.range(1000).select(
+      col("id"), (col("id") % 100).as("k"),
+      when(col("id") % 10 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("v"), col("id") % 7)).as("s"))
+    GraftCatalog.commitSnapshot(df.repartitionByRange(4, col("id")),
+      root, append = false)
+    val prof = GraftCatalog.snapshotColumnProfile(spark, root)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof("id").getString(2) == "0" && prof("id").getString(3) == "999")
+    assert(prof("k").getString(2) == "0" && prof("k").getString(3) == "99")
+    assert(prof("s").getLong(4) == 100, "exact null count for s")
+    assert(prof.values.forall(_.getLong(7) == 1000L), "n_rows total")
+    // NDV bounds bracket the truth: k has exactly 100 distinct values
+    val (lo, hi) = (prof("k").getLong(5), prof("k").getLong(6))
+    assert(lo <= 105 && hi >= 95 && lo <= hi,
+      s"NDV bracket [$lo,$hi] must straddle ~100 (5% HLL rsd)")
+    // id: every file holds ~250 distinct ids → lo ~250, hi ~1000
+    assert(prof("id").getLong(5) < prof("id").getLong(6))
+  }
+
   test("clone and branch inherit table configuration: checks, partition spec, sort, bloom") {
     import spark.implicits._
     val src = s"$tmp/snapcfg_${System.nanoTime()}"
