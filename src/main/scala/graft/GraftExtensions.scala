@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // SQL DML over snapshot tables: Spark's parser already yields
+    // DeleteFromTable/UpdateTable/MergeIntoTable plans; this rule
+    // lowers them onto the CoW verbs (GraftDml has the shared lowering)
+    e.injectResolutionRule(session => graft.sources.GraftDmlRule(session))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash of a token array"),
       es => SimHash64(es.head)))

@@ -113,7 +113,8 @@ object Dedup {
   private[graft] def sharedShinglePairs(docsDf: DataFrame,
       nDocs: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
-    val cap = math.max(20L, (nDocs.getOrElse(approxRowCount(docsDf)) * 0.01).toLong)
+    val nd = nDocs.getOrElse(approxRowCount(docsDf))
+    val cap = math.max(20L, (nd * 0.01).toLong)
     val hashed = docsDf
       .withColumn("shs", expr(s"shingle_hashes($tokExpr)"))
       .where(size(col("shs")) >= 1) // <3-token docs have no 3-shingle
@@ -127,14 +128,22 @@ object Dedup {
       .select(explode(expr("ordered_pairs64(ids)")).as("p"))
       .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
-    // both denominator joins broadcast the IDENTICAL sizes subplan (the
+    // Both denominator joins use the IDENTICAL sizes subplan (the
     // rename happens above the join, not inside the build side), so
     // ReuseExchange materializes it once — a per-branch rename would
-    // re-run the tokenize+hash scan per join
+    // re-run the tokenize+hash scan per join. The broadcast hint is
+    // GATED on corpus size: sizes is one row PER DOCUMENT, and an
+    // unconditional broadcast(sizes) is a multi-GB driver/executor
+    // broadcast at 100 TB. Under the gate (16-byte rows × 5M ≈ 80 MB
+    // raw, well inside a bench driver) the hint wins the exchange
+    // reuse; above it the hint is dropped and the join shuffles — AQE
+    // still promotes it to broadcast if the RUNTIME size turns out
+    // small, so the gate only ever removes a footgun, never a win.
+    def dim(): DataFrame = if (nd <= 5_000_000L) broadcast(sizes) else sizes
     pairs
-      .join(broadcast(sizes), col("a_id") === sizes("doc_id"))
+      .join(dim(), col("a_id") === sizes("doc_id"))
       .drop("doc_id").withColumnRenamed("n_sh", "na")
-      .join(broadcast(sizes), col("b_id") === sizes("doc_id"))
+      .join(dim(), col("b_id") === sizes("doc_id"))
       .drop("doc_id").withColumnRenamed("n_sh", "nb")
   }
 

@@ -50,18 +50,33 @@ object Sampling {
       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
       |FROM documents GROUP BY fold ORDER BY fold""".stripMargin
 
-  /** p03 — stratified sampling by language via sampleBy (seeded
-    * Bernoulli per stratum; rows-only — rates are exact in expectation,
-    * bounded in PipelineSpec). Balances a skewed corpus: the dominant
-    * language is downsampled to ~1/4 rate. */
+  /** p03 — stratified sampling by language, DETERMINISTIC per-stratum
+    * Bernoulli via the portable hash (keep a doc iff its hash residue
+    * clears the stratum's per-mille rate): balances a skewed corpus by
+    * downsampling the dominant language to 1/4 rate. The hash-gate
+    * formulation is what a production corpus pipeline wants anyway —
+    * the SAME doc set reproduces on any engine, any rerun, any
+    * partitioning (Spark's `sampleBy` seeds per-partition RNG, so its
+    * selection silently changes with the file split) — and it makes
+    * the whole sample DuckDB-recomputable: hash-pass, not rows-only.
+    * Rate calibration floors stay asserted in PipelineSpec. */
   private def p03(s: SparkSession, d: String): DataFrame = {
-    val fractions = Map("en" -> 0.1, "de" -> 0.4, "es" -> 0.4, "fr" -> 0.4, "zh" -> 0.4)
+    val permille = Map("en" -> 100, "de" -> 400, "es" -> 400, "fr" -> 400,
+      "zh" -> 400).map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString(" ")
     Tables.df(s, d, "documents")
-      .stat.sampleBy("lang", fractions, 42L)
+      .where(expr(s"pmod($hashCol, 1000L) < CASE lang $permille ELSE 0 END"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
   }
+
+  private val p03Oracle: String =
+    """SELECT lang, COUNT(*) AS n_sampled FROM documents
+      |WHERE ((doc_id * 2654435761 + 104729) % 1000000) % 1000 <
+      |  CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 400 WHEN 'es' THEN 400
+      |            WHEN 'fr' THEN 400 WHEN 'zh' THEN 400 ELSE 0 END
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** p04 — context packing (the concat-and-chunk step before
     * pretraining): docs are laid out in stable-hash order WITHIN a
@@ -1140,7 +1155,7 @@ object Sampling {
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
-    Q("p03_sample_stratified", None, p03),
+    Q("p03_sample_stratified", Some(p03Oracle), p03),
     Q("p04_pack_contexts", Some(p04Oracle), p04),
     Q("p05_contamination", Some(p05Oracle), p05),
     Q("p06_sample_temperature", Some(p06Oracle), p06),

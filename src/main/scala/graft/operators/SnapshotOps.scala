@@ -693,6 +693,131 @@ object SnapshotOps {
          |ORDER BY om""".stripMargin)
   }
 
+  /** q138 — the ENTIRE mutation surface through SQL TEXT: DELETE,
+    * UPDATE and upsert-form MERGE statements (Spark's own parser →
+    * [[graft.sources.GraftDml]] lowering → the CoW verbs) run against
+    * a backticked root path — zero Scala verb call sites — and the
+    * resulting head is aggregated. The MERGE feed derives from the RAW
+    * orders (not the mutated table), so DuckDB replays the exact
+    * delete → update → upsert pipeline relationally: a hash match
+    * proves the SQL surface and the Scala verbs are the same engine.
+    * Note the deliberate overlap: keys ≡ 0 (mod 485) are deleted by
+    * statement 1 and RE-inserted by the merge's NOT MATCHED arm. */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    val (root, _) = cloneBase(s, d, "snapsqldml")
+    val orders = ordersDf(s, d)
+    orders.where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit(1.0).as("price"), lit("0-SQL").as("pr"))
+      .unionByName(orders.where(col("o_orderkey") % 997 === 0)
+        .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+          col("o_custkey"), col("price"), lit("9-SQLNEW").as("pr")))
+      .createOrReplaceTempView("q138_feed")
+    graft.sources.GraftDml.sql(s,
+      s"DELETE FROM `$root` WHERE o_orderkey % 5 = 0")
+    graft.sources.GraftDml.sql(s,
+      s"UPDATE `$root` SET price = price + 50 WHERE pr = '1-URGENT'")
+    graft.sources.GraftDml.sql(s,
+      s"""MERGE INTO `$root` AS t USING q138_feed AS f
+         |ON t.o_orderkey = f.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    GraftCatalog.readSnapshot(s, root)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("pr")
+  }
+
+  private val q138Oracle: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, o_orderpriority AS pr
+      |  FROM orders),
+      |feed AS (
+      |  SELECT o_orderkey, o_custkey, 1.0 AS price, '0-SQL' AS pr
+      |  FROM base WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 200000000, o_custkey, price, '9-SQLNEW'
+      |  FROM base WHERE o_orderkey % 997 = 0),
+      |d1 AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0),
+      |u1 AS (SELECT o_orderkey, o_custkey,
+      |    CASE WHEN pr = '1-URGENT' THEN price + 50 ELSE price END AS price, pr
+      |  FROM d1),
+      |m AS (
+      |  SELECT * FROM u1
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM feed)
+      |  UNION ALL SELECT * FROM feed)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM m GROUP BY pr ORDER BY pr""".stripMargin
+
+  /** q139 — time travel BY TIMESTAMP through pure SQL: the head moves
+    * past v1 (a CoW delete), and the aggregate reads
+    * `graft_snapshot(root, TIMESTAMP '…')` with an instant captured
+    * between the two commits — [[GraftCatalog.snapshotVersionAsOf]]
+    * resolves it to v1 from ONE manifest-directory listing. The DuckDB
+    * oracle aggregates the raw orders (v1 == full base): a hash match
+    * proves "what did the table look like when last night's job ran"
+    * is answerable from a notebook with no version number and no
+    * Scala. The 15 ms pause pins the two manifests to distinct mtimes
+    * (local-FS mtime granularity). */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    val (root, _) = cloneBase(s, d, "snaptstvl")
+    Thread.sleep(15)
+    val ts = System.currentTimeMillis()
+    Thread.sleep(15)
+    GraftCatalog.deleteSnapshotWhere(s, root, col("o_orderkey") % 3 === 0)
+    graft.sources.GraftTvf.register(s)
+    val tsLit = java.time.Instant.ofEpochMilli(ts)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    s.sql(
+      s"""SELECT pr, COUNT(*) AS n,
+         |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  COUNT(DISTINCT o_custkey) AS nc
+         |FROM graft_snapshot('$root', TIMESTAMP '$tsLit')
+         |GROUP BY pr ORDER BY pr""".stripMargin)
+  }
+
+  /** q140 — MERGE-ON-READ deletion vectors, oracle-reconciled: a
+    * scattered delete (every 50th key — rows in EVERY file, the shape
+    * where CoW's file rewrite is pure write amplification) publishes
+    * one (path, pos) sidecar and ZERO rewritten data files, then a
+    * second MoR delete accumulates on top, and the head aggregate runs
+    * through the DV anti-join read path. The DuckDB oracle recomputes
+    * both filters relationally from raw parquet: a hash match proves
+    * merge-on-read == copy-on-write row-for-row, at 1/1000th the write
+    * cost. The zero-rewrite property itself is spec-proven
+    * (MorDvSpec); here the driver hashes the read semantics. */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val (root, mk) = cloneBase(s, d, "snapmor")
+    GraftCatalog.deleteSnapshotWhereMor(s, root, col("o_orderkey") % 50 === 7)
+    GraftCatalog.deleteSnapshotWhereMor(s, root,
+      col("o_orderkey") > mk / 2 && col("o_orderkey") % 10 === 3)
+    GraftCatalog.readSnapshot(s, root)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("pr")
+  }
+
+  private val q140Oracle: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |kept AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, o_orderpriority AS pr
+      |  FROM orders, mk
+      |  WHERE o_orderkey % 50 <> 7
+      |    AND NOT (o_orderkey > mk // 2 AND o_orderkey % 10 = 3))
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM kept GROUP BY pr ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q117_merge_cow", Some(q117Oracle), q117),
     Q("q119_delete_cow", Some(q119Oracle), q119),
@@ -708,5 +833,8 @@ object SnapshotOps {
     Q("q134_partition_describe", Some(q134Oracle), q134),
     Q("q135_tag_tvf", Some(q135Oracle), q135),
     Q("q136_bloom_prune", Some(q133Oracle), q136),
-    Q("q137_partitions_tvf", Some(q134Oracle), q137))
+    Q("q137_partitions_tvf", Some(q134Oracle), q137),
+    Q("q138_sql_dml", Some(q138Oracle), q138),
+    Q("q139_timestamp_travel", Some(q135Oracle), q139),
+    Q("q140_mor_delete", Some(q140Oracle), q140))
 }

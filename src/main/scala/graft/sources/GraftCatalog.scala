@@ -350,6 +350,11 @@ object GraftCatalog {
   /** All published versions of a snapshot table, ascending. */
   def snapshotVersions(spark: SparkSession, root: String): Seq[Long] = {
     val (fs, r) = fsOf(spark, root)
+    versionsAt(fs, r)
+  }
+
+  private def versionsAt(fs: org.apache.hadoop.fs.FileSystem,
+      r: org.apache.hadoop.fs.Path): Seq[Long] = {
     val md = manifestDir(r)
     if (!fs.exists(md)) Seq.empty
     else fs.listStatus(md).toSeq.flatMap(st => st.getPath.getName match {
@@ -370,9 +375,17 @@ object GraftCatalog {
   def snapshotVersionAsOf(spark: SparkSession, root: String,
       tsMillis: Long): Long = {
     val (fs, r) = fsOf(spark, root)
-    val at = snapshotVersions(spark, root).filter(v =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(manifestDir(r),
-        s"v$v.manifest")).getModificationTime <= tsMillis)
+    // ONE listStatus of the manifest dir yields every version's mtime
+    // in the returned FileStatus array — not one getFileStatus RPC per
+    // version, which on an object store is O(versions) round trips
+    val md = manifestDir(r)
+    val mtimes: Map[Long, Long] =
+      if (!fs.exists(md)) Map.empty
+      else fs.listStatus(md).toSeq.flatMap(st => st.getPath.getName match {
+        case ManifestName(n) => Some(n.toLong -> st.getModificationTime)
+        case _ => None
+      }).toMap
+    val at = mtimes.keys.toSeq.sorted.filter(v => mtimes(v) <= tsMillis)
     require(at.nonEmpty, s"no snapshot of $root existed at or before $tsMillis")
     at.last
   }
@@ -504,8 +517,15 @@ object GraftCatalog {
       fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
       df: DataFrame): (org.apache.hadoop.fs.Path, Seq[String],
         Seq[org.apache.hadoop.fs.FileStatus]) = {
-    val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
-    val spec = readPartitionSpecAt(fs, r)
+    val specs = readPartitionSpecsAt(fs, r)
+    val specId = if (specs.isEmpty) 0 else specs.keys.max
+    val spec = specs.getOrElse(specId, Seq.empty)
+    // spec-1 batches keep the legacy `data/b…` name; evolved-spec
+    // batches encode their spec id so per-file pruning knows which
+    // spec's fields a path tuple means (specIdOfPath)
+    val batch = new org.apache.hadoop.fs.Path(r,
+      if (specId <= 1) s"data/b${System.nanoTime()}"
+      else s"data/s$specId-b${System.nanoTime()}")
     // Declared sort order: applied within write tasks (after the
     // partition-tuple shuffle when one exists) so every file's row
     // groups carry tight sort-key envelopes.
@@ -517,8 +537,16 @@ object GraftCatalog {
       sorted(df, Seq.empty).write.mode(SaveMode.ErrorIfExists)
         .parquet(batch.toString)
     else {
+      // the committed schema's types govern tuple derivation (see
+      // partitionColumn); first commit falls back to the batch schema,
+      // which then BECOMES the committed schema
+      val committed = versionsAt(fs, r).lastOption
+        .flatMap(v => readSchemaLine(fs, r, v))
+      def declaredType(c: String) = committed
+        .flatMap(cs => cs.fields.find(_.name == c)).map(_.dataType)
+        .getOrElse(df.schema(c).dataType)
       val withPt = spec.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
-        d.withColumn(s"__pt_$i", partitionColumn(f, df.schema))
+        d.withColumn(s"__pt_$i", partitionColumn(f, declaredType(f.col)))
       }
       // Hash-distribute by the tuple before partitionBy (Iceberg's
       // default write distribution): without it every writer task
@@ -679,9 +707,15 @@ object GraftCatalog {
         else None
       val schemaLine =
         schemaLineOf(priorSchema.fold(df.schema)(p => unionSchema(p, df.schema)))
+      // appends carry the head's deletion vectors (same files, same
+      // deleted positions); an overwrite starts a clean file list
+      val dvCarried =
+        if (append && versions.nonEmpty)
+          readManifestLines(fs, r, versions.last).filter(_.startsWith("#dv:"))
+        else Seq.empty
       try {
         publishManifest(fs, r, next,
-          Seq(s"#stats:$statsName", schemaLine) ++ meta ++ carried ++ newFiles)
+          Seq(s"#stats:$statsName", schemaLine) ++ dvCarried ++ meta ++ carried ++ newFiles)
         return next
       } catch {
         case e: SnapshotConflictException =>
@@ -772,11 +806,34 @@ object GraftCatalog {
     require(versions.nonEmpty, s"no versions in ($fromV, $toV] under $root")
     var prev: Set[String] =
       if (fromV <= 0) Set.empty else readManifest(fs, r, fromV).toSet
+    var prevDv: Set[String] =
+      if (fromV <= 0) Set.empty else readDvNames(fs, r, fromV).toSet
     val parts = versions.flatMap { v =>
       val cur = readManifest(fs, r, v).toSet
       val added = (cur -- prev).toSeq.sorted
       val removed = (prev -- cur).toSeq.sorted
       prev = cur
+      // A merge-on-read delete changes NO files — its delta is the new
+      // `#dv:` sidecars. The deleted ROWS come from joining the (still
+      // present) data files against the fresh (path, pos) pairs on the
+      // scan's own metadata columns; the read opens only the files the
+      // DV actually references, so cost ∝ touched files, like the
+      // file-level stream everywhere else.
+      val curDv = readDvNames(fs, r, v).toSet
+      val freshDv = (curDv -- prevDv).toSeq.sorted
+      prevDv = curDv
+      val dvDel =
+        if (freshDv.isEmpty) None
+        else dvDf(spark, r, freshDv).map { dv =>
+          val touched = dv.select("__path").distinct()
+            .collect().map(_.getString(0)).sorted
+          spark.read.option("mergeSchema", "true").parquet(touched: _*)
+            .withColumn("__path", dvPathKey(col("_metadata.file_path")))
+            .withColumn("__pos", col("_metadata.row_index"))
+            .join(dv, Seq("__path", "__pos"), "left_semi")
+            .drop("__path", "__pos")
+            .withColumn("_change", lit("delete")).withColumn("_version", lit(v))
+        }
       val ins =
         if (added.isEmpty) None
         else Some(spark.read.option("mergeSchema", "true").parquet(added: _*)
@@ -785,8 +842,10 @@ object GraftCatalog {
         if (removed.isEmpty) None
         else Some(spark.read.option("mergeSchema", "true").parquet(removed: _*)
           .withColumn("_change", lit("delete")).withColumn("_version", lit(v)))
-      ins.toSeq ++ del.toSeq
+      ins.toSeq ++ del.toSeq ++ dvDel.toSeq
     }
+    require(parts.nonEmpty,
+      s"no file or deletion-vector changes in ($fromV, $toV] under $root")
     parts.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
@@ -868,7 +927,7 @@ object GraftCatalog {
     val carried = files.filterNot(matchedFiles)
     val survivors =
       if (matchedFiles.isEmpty) spark.read.parquet(files.head).where(lit(false))
-      else spark.read.parquet(matchedFiles.toSeq.sorted: _*)
+      else readFilesDv(spark, fs, r, head, matchedFiles.toSeq.sorted)
         .join(keys, Seq(pk), "left_anti")
     // Schema evolution (opt-in, Delta's mergeSchema-on-MERGE): columns
     // new in `updates` land in the rewritten batch; carried files stay
@@ -982,7 +1041,7 @@ object GraftCatalog {
     val carried = files.filterNot(matchedFiles)
     val survivors =
       if (matchedFiles.isEmpty) spark.read.parquet(files.head).where(lit(false))
-      else spark.read.parquet(matchedFiles.toSeq.sorted: _*)
+      else readFilesDv(spark, fs, r, head, matchedFiles.toSeq.sorted)
         .join(keys, Seq(pk), "left_anti")
     val newData = survivors.unionByName(
       upserts.select(survivors.columns.toSeq.map(col): _*))
@@ -1042,7 +1101,7 @@ object GraftCatalog {
     val stats = readStats(spark, root, head)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
-    val ptSpec = readPartitionSpecAt(fs, r)
+    val ptSpec = readPartitionSpecsAt(fs, r)
     val ptSchema = if (ptSpec.isEmpty) None else readSchemaLine(fs, r, head)
     val candidates = files.filter(f =>
       stats.get(f).forall(st => mayContain(st, predExpr, tz)) &&
@@ -1051,10 +1110,166 @@ object GraftCatalog {
     if (matchedFiles.isEmpty) return head
     val carried = files.filterNot(matchedFiles)
     // DELETE WHERE p removes rows where p is TRUE; FALSE and NULL stay.
-    val survivors = spark.read.parquet(matchedFiles.toSeq.sorted: _*)
+    val survivors = readFilesDv(spark, fs, r, head, matchedFiles.toSeq.sorted)
       .where(!coalesce(pred, lit(false)))
     commitCow(spark, fs, r, head, carried,
       stats.filter { case (p, _) => carried.contains(p) }, survivors, meta)
+  }
+
+  // ---------------------------------------------------------------------
+  // MERGE-ON-READ deletion vectors (Iceberg v2 positional deletes /
+  // Delta DV semantics): a delete of k SCATTERED rows publishes a tiny
+  // (path, pos) sidecar and ZERO rewritten data files — at 100 TB with
+  // a trickle CDC feed, CoW's rewrite-a-128MB-file-per-row is the
+  // dominant write amplification, and this kills it. Readers anti-join
+  // the DV (row positions come from the scan's own `_metadata.
+  // row_index` — no synthetic key column anywhere); every CoW rewrite
+  // is DV-aware so deleted rows can never resurrect; compaction folds
+  // DVs into a clean rewrite. DV rows are keyed by FILE PATH, so a
+  // rewrite that replaces a file self-invalidates its DV rows — no
+  // bookkeeping to forget.
+  // ---------------------------------------------------------------------
+
+  private def deletesDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_deletes")
+
+  /** Scheme-normalized file path for DV keys: different scan paths
+    * render `_metadata.file_path` differently ("file:/x", "file:///x",
+    * plain "/x" from the manifest-built FileIndex) — the DV writer and
+    * every DV reader must agree on ONE canonical key or the anti-join
+    * silently deletes nothing. */
+  private def dvPathKey(c: Column): Column =
+    regexp_replace(c, "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** DV sidecar names a version's manifest references (`#dv:` lines,
+    * accumulating across MoR deletes until a compaction folds them). */
+  private def readDvNames(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long): Seq[String] =
+    readManifestLines(fs, root, v).filter(_.startsWith("#dv:"))
+      .map(_.stripPrefix("#dv:"))
+
+  /** The union of a version's DV sidecars as (__path, __pos), or None
+    * when the version carries no deletion vectors. */
+  private def dvDf(spark: SparkSession, root: org.apache.hadoop.fs.Path,
+      names: Seq[String]): Option[DataFrame] =
+    if (names.isEmpty) None
+    else Some(spark.read.parquet(
+      names.map(n => new org.apache.hadoop.fs.Path(deletesDir(root), n).toString): _*))
+
+  /** Filter a files-scan DataFrame through the version's deletion
+    * vectors: anti-join on the scan's own (file_path, row_index)
+    * metadata columns. Zero plan change when the version has no DVs;
+    * with DVs the anti-join's build side is deleted-rows-sized and AQE
+    * broadcasts it when genuinely small (no unconditional hint — a DV
+    * can be large right before a compaction). Join-key columns are
+    * generated OUTSIDE the table's own column space. */
+  private def applyDv(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      v: Long, df: DataFrame): DataFrame =
+    dvDf(spark, root, readDvNames(fs, root, v)).fold(df) { dv =>
+      val cols = df.columns.toSeq
+      val known = cols.toSet
+      val pCol = Iterator.from(0).map(i => s"__dvp$i").find(!known(_)).get
+      val xCol = Iterator.from(0).map(i => s"__dvx$i").find(!known(_)).get
+      df.withColumn(pCol, dvPathKey(col("_metadata.file_path")))
+        .withColumn(xCol, col("_metadata.row_index"))
+        .join(dv.select(col("__path").as(pCol), col("__pos").as(xCol)),
+          Seq(pCol, xCol), "left_anti")
+        .select(cols.map(col): _*)
+    }
+
+  /** DV-aware read of specific data files at a version — what every
+    * CoW rewrite uses for its survivor/source rows, so a file rewrite
+    * can never resurrect rows a deletion vector removed. */
+  private def readFilesDv(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      v: Long, files: Seq[String]): DataFrame =
+    applyDv(spark, fs, root, v, spark.read.parquet(files: _*))
+
+  /** Copy a version's DV sidecars into ANOTHER table root's
+    * `_deletes/` dir under fresh unique names, returning the `#dv:`
+    * manifest lines for the destination. Clones and branch
+    * fast-forwards carry data files by PATH but must not reference a
+    * foreign `_deletes/` dir — the source's vacuum could reap it.
+    * Cost ∝ deleted rows (DVs are tiny by construction). */
+  private def copyDvSidecars(sfs: org.apache.hadoop.fs.FileSystem,
+      sr: org.apache.hadoop.fs.Path, v: Long,
+      dfs: org.apache.hadoop.fs.FileSystem,
+      dr: org.apache.hadoop.fs.Path): Seq[String] =
+    readDvNames(sfs, sr, v).map { n =>
+      val newName = s"dv-${System.nanoTime()}"
+      org.apache.hadoop.fs.FileUtil.copy(
+        sfs, new org.apache.hadoop.fs.Path(deletesDir(sr), n),
+        dfs, new org.apache.hadoop.fs.Path(deletesDir(dr), newName),
+        false, sfs.getConf)
+      s"#dv:$newName"
+    }
+
+  /** MERGE-ON-READ row-level DELETE: same statement semantics as
+    * [[deleteSnapshotWhere]] (rows where `pred` is TRUE go; FALSE and
+    * NULL stay), different physical contract — the commit publishes
+    * the SAME data file list plus one `#dv:` sidecar of (file, pos)
+    * positions, rewriting nothing:
+    *
+    *  1. PLAN on metadata — stats envelopes + partition tuples
+    *     nominate candidate files exactly like the CoW verb.
+    *  2. POSITIONS, not rewrites — one scan of the candidates emits
+    *     the matching rows' `_metadata` (file_path, row_index) pairs,
+    *     minus positions already deleted by prior DVs.
+    *  3. SIDECAR — the pairs land as parquet under `_deletes/` (cost ∝
+    *     deleted rows, not touched files).
+    *  4. FLIP — the next manifest lists the same files, carries prior
+    *     `#dv:` lines, and adds the new one. Time travel to the
+    *     pre-delete version is untouched (DV references are
+    *     per-version manifest lines).
+    *
+    * Use this for scattered single-row/trickle deletes; use the CoW
+    * verb when a delete clears whole file ranges (it drops files
+    * outright). [[compactSnapshot]] folds accumulated DVs back into
+    * clean files. Returns the committed version (head unchanged on a
+    * no-op). */
+  def deleteSnapshotWhereMor(spark: SparkSession, root: String,
+      pred: Column, meta: Seq[String] = Seq.empty): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val files = readManifest(fs, r, head)
+    val stats = readStats(spark, root, head)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
+    val ptSpec = readPartitionSpecsAt(fs, r)
+    val ptSchema = if (ptSpec.isEmpty) None else readSchemaLine(fs, r, head)
+    val candidates = files.filter(f =>
+      stats.get(f).forall(st => mayContain(st, predExpr, tz)) &&
+        tupleMayMatch(ptSpec, ptSchema, f, predExpr, tz))
+    if (candidates.isEmpty) return head
+    val hits = spark.read.parquet(candidates: _*)
+      .where(coalesce(pred, lit(false)))
+      .select(dvPathKey(col("_metadata.file_path")).as("__path"),
+        col("_metadata.row_index").as("__pos"))
+    val prior = dvDf(spark, r, readDvNames(fs, r, head))
+    val fresh = prior.fold(hits)(p =>
+      hits.join(p, Seq("__path", "__pos"), "left_anti"))
+    val name = s"dv-${System.nanoTime()}"
+    fresh.write.parquet(new org.apache.hadoop.fs.Path(deletesDir(r), name).toString)
+    // an empty DV (nothing matched, or everything already deleted) is
+    // a no-op: drop the just-written empty sidecar, head unchanged
+    if (spark.read.parquet(
+        new org.apache.hadoop.fs.Path(deletesDir(r), name).toString).isEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(deletesDir(r), name), true)
+      return head
+    }
+    val carriedMeta = readManifestLines(fs, r, head).filter(l =>
+      l.startsWith("#stats:") || l.startsWith("#schema:") || l.startsWith("#dv:"))
+    try {
+      val next = head + 1
+      publishManifest(fs, r, next,
+        carriedMeta ++ (s"#dv:$name" +: meta) ++ files)
+      next
+    } catch {
+      case e: SnapshotConflictException =>
+        fs.delete(new org.apache.hadoop.fs.Path(deletesDir(r), name), true)
+        throw e
+    }
   }
 
   /** PER-FILE key nomination for the copy-on-write verbs: the files
@@ -1140,10 +1355,13 @@ object GraftCatalog {
       .orElse(carried.headOption.map(f => spark.read.parquet(f).schema))
     val schemaLine =
       schemaLineOf(priorSchema.fold(newData.schema)(p => unionSchema(p, newData.schema)))
+    // Deletion vectors carry forward: carried files may still have
+    // DV'd rows; rewritten files' DV rows self-invalidate (path-keyed)
+    val dvCarried = readManifestLines(fs, r, head).filter(_.startsWith("#dv:"))
     try {
       val next = head + 1
       publishManifest(fs, r, next,
-        Seq(s"#stats:$statsName", schemaLine) ++ meta ++ carried ++ newFiles)
+        Seq(s"#stats:$statsName", schemaLine) ++ dvCarried ++ meta ++ carried ++ newFiles)
       next
     } catch {
       case e: SnapshotConflictException =>
@@ -1176,7 +1394,7 @@ object GraftCatalog {
     val stats = readStats(spark, root, head)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
-    val ptSpec = readPartitionSpecAt(fs, r)
+    val ptSpec = readPartitionSpecsAt(fs, r)
     val ptSchema = if (ptSpec.isEmpty) None else readSchemaLine(fs, r, head)
     val candidates = files.filter(f =>
       stats.get(f).forall(st => mayContain(st, predExpr, tz)) &&
@@ -1184,7 +1402,7 @@ object GraftCatalog {
     val matchedFiles = pinFilesWhere(spark, candidates, pred)
     if (matchedFiles.isEmpty) return head
     val carried = files.filterNot(matchedFiles)
-    val src = spark.read.parquet(matchedFiles.toSeq.sorted: _*)
+    val src = readFilesDv(spark, fs, r, head, matchedFiles.toSeq.sorted)
     val known = src.schema.fieldNames.toSet
     val unknown = set.map(_._1).filterNot(known)
     require(unknown.isEmpty,
@@ -1234,7 +1452,7 @@ object GraftCatalog {
     val stats = readStats(spark, root, head)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
-    val ptSpec = readPartitionSpecAt(fs, r)
+    val ptSpec = readPartitionSpecsAt(fs, r)
     val ptSchema = if (ptSpec.isEmpty) None else readSchemaLine(fs, r, head)
     val candidates = files.filter(f =>
       stats.get(f).forall(st => mayContain(st, predExpr, tz)) &&
@@ -1245,7 +1463,7 @@ object GraftCatalog {
     val tableCols = spark.read.parquet(files.head).columns.toSeq
     val survivors =
       if (matchedFiles.isEmpty) rows.select(tableCols.map(col): _*).where(lit(false))
-      else spark.read.parquet(matchedFiles.toSeq.sorted: _*)
+      else readFilesDv(spark, fs, r, head, matchedFiles.toSeq.sorted)
         .where(!coalesce(pred, lit(false)))
     val newData = survivors.select(tableCols.map(col): _*)
       .unionByName(rows.select(tableCols.map(col): _*))
@@ -1253,37 +1471,75 @@ object GraftCatalog {
       stats.filter { case (p, _) => carried.contains(p) }, newData, meta)
   }
 
-  /** The commit point: CREATE-EXCLUSIVE of the FINAL manifest path,
-    * content written directly, `#eof` terminator last. The earlier
-    * write-tmp + exists() + rename() protocol was only atomic on HDFS —
-    * on RawLocalFileSystem (and object-store connectors) rename()
-    * overwrites an existing destination, so two same-version racers
-    * could both pass the exists() check and one manifest was silently
-    * replaced. create(fin, overwrite = false) makes the conflict check
-    * and the claim a single FS operation; the cost is a torn-write
-    * window if the writer dies mid-write, which the `#eof` terminator
-    * turns into a DETECTED failure (strict readers refuse the version;
-    * [[vacuumSnapshots]] reaps it) instead of a silently short file
-    * list. */
+  /** The commit point: an ATOMIC CREATE-EXCLUSIVE claim of the FINAL
+    * manifest path, content written after the claim, `#eof` terminator
+    * last. Protocol history, because each step was a real lost-batch
+    * bug: (1) write-tmp + exists() + rename() was only atomic on HDFS —
+    * POSIX rename(2) silently overwrites an existing destination, so
+    * two same-version racers could both pass the exists() check;
+    * (2) `fs.create(fin, overwrite = false)` looked like one FS op but
+    * on Hadoop's local `RawLocalFileSystem`/`ChecksumFileSystem` it is
+    * implemented as exists() FOLLOWED BY open — a TOCTOU window a
+    * 4-appender race spec actually hit (two writers both "published"
+    * v3, one batch silently truncated away). The claim must come from
+    * the platform's genuinely atomic exclusive-create: for `file://`
+    * that is `O_EXCL` via `java.nio.file.Files.createFile` (one
+    * open(2) with O_CREAT|O_EXCL — the kernel serializes racers); for
+    * HDFS `fs.create(fin, false)` IS atomic (the namenode serializes
+    * the create under its namespace lock), so the Hadoop call stands.
+    * Object stores without conditional-put would need a commit service
+    * (Delta's LogStore abstraction) — out of scope, documented here.
+    * The residual cost on every path is a torn-write window if the
+    * writer dies after claiming but mid-content-write, which the
+    * `#eof` terminator turns into a DETECTED failure (strict readers
+    * refuse the version; [[vacuumSnapshots]] reaps it) instead of a
+    * silently short file list. */
   private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long, files: Seq[String]): Unit = {
     val md = manifestDir(root)
     fs.mkdirs(md)
     val fin = new org.apache.hadoop.fs.Path(md, s"v$v.manifest")
-    val out =
-      try fs.create(fin, false)
-      catch {
-        // HDFS/local throw FileAlreadyExistsException; some connectors a
-        // plain IOException — treat any create failure with the
-        // destination present as the conflict it is.
-        case e: java.io.IOException
-            if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
-               fs.exists(fin) =>
-          throw new SnapshotConflictException(
-            s"snapshot commit conflict: version $v already published under $root")
-      }
-    try out.write(((files :+ "#eof").mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    if (!claimExclusive(fs, fin,
+        ((files :+ "#eof").mkString("\n") + "\n").getBytes("UTF-8")))
+      throw new SnapshotConflictException(
+        s"snapshot commit conflict: version $v already published under $root")
+  }
+
+  /** Claim `fin` with a genuinely ATOMIC exclusive create and write
+    * `bytes` into the claimed file; returns false if someone else holds
+    * the path (the caller's conflict). Used by every claim in the
+    * format — manifests, partition.spec, sort.order, bloom/tag/branch
+    * refs — so one primitive carries the whole protocol's atomicity. */
+  private def claimExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      fin: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean = {
+    val qualified = fs.makeQualified(fin)
+    if (qualified.toUri.getScheme == "file") {
+      val p = java.nio.file.Paths.get(qualified.toUri.getPath)
+      // the claim: one open(2) with O_CREAT|O_EXCL — atomic on every
+      // POSIX filesystem, unlike Hadoop's local exists()-then-open
+      try java.nio.file.Files.createFile(p)
+      catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+      // we own the (empty) claimed file; content lands after the claim.
+      // ChecksumFileSystem reads files without a .crc sidecar
+      // unverified, so Hadoop-API readers still open this file.
+      java.nio.file.Files.write(p, bytes)
+      true
+    } else {
+      val out =
+        try fs.create(fin, false)
+        catch {
+          // HDFS throws FileAlreadyExistsException (namenode-atomic);
+          // some connectors a plain IOException — treat any create
+          // failure with the destination present as the conflict it is.
+          case e: java.io.IOException
+              if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+                 fs.exists(fin) =>
+            return false
+        }
+      try out.write(bytes)
+      finally out.close()
+      true
+    }
   }
 
   /** Inclusive-projection pruning: may `st`'s file contain a row
@@ -1447,7 +1703,7 @@ object GraftCatalog {
         val expr = org.apache.spark.sql.GraftColumnBridge.expression(p)
         // Stats envelopes first, then the hidden-partition tuple (the
         // hash-bucket case stats cannot express).
-        val spec = readPartitionSpecAt(fs, r)
+        val spec = readPartitionSpecsAt(fs, r)
         val schema = if (spec.isEmpty) None else readSchemaLine(fs, r, v)
         (files.filter(f =>
           stats.get(f).forall(st => mayContain(st, expr, tz)) &&
@@ -1492,7 +1748,8 @@ object GraftCatalog {
       if (mergeSchema) rd.option("mergeSchema", "true").parquet(files: _*)
       else readSchemaLine(fs, r, v)
         .fold(rd.parquet(files: _*))(s => rd.schema(s).parquet(files: _*))
-    predicate.fold(df)(df.where)
+    predicate.fold(applyDv(spark, fs, r, v, df))(p =>
+      applyDv(spark, fs, r, v, df).where(p))
   }
 
   /** Read a snapshot as a CATALYST-INTEGRATED relation: unlike
@@ -1540,7 +1797,7 @@ object GraftCatalog {
         spark.read.option("mergeSchema", "true").parquet(files: _*).schema
       else readSchemaLine(fs, r, v)
         .getOrElse(spark.read.parquet(files.head).schema)
-    val spec = readPartitionSpecAt(fs, r)
+    val spec = readPartitionSpecsAt(fs, r)
     val specSchema = if (spec.isEmpty) None else readSchemaLine(fs, r, v)
     val keep: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         Seq[org.apache.hadoop.fs.FileStatus] = filters =>
@@ -1551,7 +1808,55 @@ object GraftCatalog {
         stats.get(p).forall(fst => filters.forall(f => mayContain(fst, f, tz))) &&
           filters.forall(f => tupleMayMatch(spec, specSchema, p, f, tz))
       }
-    org.apache.spark.sql.GraftSnapshotRelation.dataFrame(spark, r, statuses, schema, keep)
+    applyDv(spark, fs, r, v,
+      org.apache.spark.sql.GraftSnapshotRelation.dataFrame(spark, r, statuses, schema, keep))
+  }
+
+  /** STORAGE-PARTITIONED read: expose the table's hidden `bucket(n,
+    * col)` layout to Catalyst as a DSv2 KeyGroupedPartitioning scan,
+    * so two snapshot tables bucketed by the SAME spec join on the
+    * bucket column with ZERO shuffle exchanges (set
+    * `spark.sql.sources.v2.bucketing.enabled=true`; Iceberg's
+    * storage-partitioned join, reproduced on this format). Each
+    * populated bucket becomes one input partition keyed by its
+    * ordinal — Spark's join planning aligns equal keys across the two
+    * sides instead of hashing either. Requirements, checked loudly:
+    * the ACTIVE spec must be exactly one `bucket` field, every file
+    * must carry that spec's tuple (run [[compactSnapshotPartitioned]]
+    * after a spec change or on a pre-spec table), and the version must
+    * hold no deletion vectors (compaction folds them). Use
+    * [[readSnapshotAuto]] for general reads — this path trades the
+    * stats-skipping FileIndex for the co-located-join layout. */
+  def readSnapshotSpj(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val (fs, r) = fsOf(spark, root)
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots published under $root")
+    val v = version.getOrElse(vs.last)
+    require(readDvNames(fs, r, v).isEmpty,
+      s"SPJ read of $root v$v: deletion vectors present — compact first")
+    val specs = readPartitionSpecsAt(fs, r)
+    require(specs.nonEmpty, s"SPJ read of $root: no partition spec")
+    val activeId = specs.keys.max
+    val spec = specs(activeId)
+    require(spec.size == 1 && spec.head.transform == "bucket",
+      s"SPJ read of $root: active spec must be a single bucket field, got $spec")
+    val files = readManifest(fs, r, v)
+    val stats = readStats(spark, root, v)
+    val buckets: Map[Int, Seq[(String, Long)]] = files.map { f =>
+      require(specIdOfPath(f) == activeId && filePartitionTuple(f).nonEmpty,
+        s"SPJ read of $root: $f lacks the active spec's tuple — " +
+          "compactSnapshotPartitioned migrates it")
+      val b = filePartitionTuple(f)(0).getOrElse(
+        throw new IllegalStateException(s"null bucket tuple on $f")).toInt
+      val len = stats.get(f).flatMap(_.len).getOrElse(
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+      (b, (f, len))
+    }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
+    val schema = readSchemaLine(fs, r, v).getOrElse(
+      spark.read.parquet(files.head).schema)
+    org.apache.spark.sql.GraftSpjBridge.dataFrame(spark, root, schema,
+      spec.head.col, spec.head.n, buckets)
   }
 
   /** DESCRIBE HISTORY — the table's commit log as a DataFrame (the
@@ -1602,10 +1907,12 @@ object GraftCatalog {
   def rollbackSnapshot(spark: SparkSession, root: String, to: Long): Long = {
     val (fs, r) = fsOf(spark, root)
     val next = snapshotVersions(spark, root).last + 1
-    // The target's #stats and #schema meta carry with its file list, so
-    // data skipping and the committed schema survive the rollback.
+    // The target's #stats/#schema/#dv meta carry with its file list, so
+    // data skipping, the committed schema, and the deletion vectors
+    // survive the rollback.
     val carriedMeta = readManifestLines(fs, r, to)
-      .filter(l => l.startsWith("#stats:") || l.startsWith("#schema:"))
+      .filter(l => l.startsWith("#stats:") || l.startsWith("#schema:") ||
+        l.startsWith("#dv:"))
     publishManifest(fs, r, next, carriedMeta ++ readManifest(fs, r, to))
     next
   }
@@ -1723,6 +2030,17 @@ object GraftCatalog {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".stats"))
       .filterNot(st => keepStats(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, false))
+    // Deletion-vector sidecars referenced by no surviving manifest —
+    // aged past the grace window so an in-flight MoR commit (sidecar
+    // written, manifest not yet published) is never reaped from under
+    // its publish.
+    val keepDv = kept.flatMap(v => readManifestLines(fs, r, v, strict = false)
+      .filter(_.startsWith("#dv:")).map(_.stripPrefix("#dv:"))).toSet
+    val dd = deletesDir(r)
+    if (fs.exists(dd)) fs.listStatus(dd)
+      .filter(st => st.getModificationTime < horizon0)
+      .filterNot(st => keepDv(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true))
     // Orphan batch dirs: unreferenced by any surviving manifest, aged
     // past the in-flight-commit grace window.
     val dataDir = new org.apache.hadoop.fs.Path(r, "data")
@@ -1773,14 +2091,9 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     fs.mkdirs(refsDir(r))
     val p = new org.apache.hadoop.fs.Path(refsDir(r), "partition.spec")
-    val out =
-      try fs.create(p, false)
-      catch { case _: java.io.IOException =>
-        throw new IllegalStateException(s"partition spec already set on $root")
-      }
-    try out.write(spec.map(f => s"${f.col}\t${f.transform}\t${f.n}")
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
+    if (!claimExclusive(fs, p, spec.map(f => s"${f.col}\t${f.transform}\t${f.n}")
+        .mkString("", "\n", "\n").getBytes("UTF-8")))
+      throw new IllegalStateException(s"partition spec already set on $root")
   }
 
   /** The table's hidden partition spec (empty when unpartitioned). */
@@ -1789,20 +2102,77 @@ object GraftCatalog {
     readPartitionSpecAt(fs, r)
   }
 
+  /** The ACTIVE (highest-id) partition spec — what writers derive
+    * tuples from. Older spec versions still govern the files they
+    * wrote (see [[readPartitionSpecsAt]]/[[specIdOfPath]]). */
   private def readPartitionSpecAt(fs: org.apache.hadoop.fs.FileSystem,
-      r: org.apache.hadoop.fs.Path): Seq[PartitionField] = {
-    val p = new org.apache.hadoop.fs.Path(refsDir(r), "partition.spec")
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val in = fs.open(p)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      lines.filter(_.nonEmpty).map { l =>
-        val Array(c, t, n) = l.split("\t", 3)
-        PartitionField(c, t, n.toInt)
+      r: org.apache.hadoop.fs.Path): Seq[PartitionField] =
+    readPartitionSpecsAt(fs, r).toSeq.sortBy(_._1).lastOption
+      .map(_._2).getOrElse(Seq.empty)
+
+  /** EVERY spec version of the table, id → fields. `partition.spec`
+    * is spec 1; [[evolveSnapshotPartitionSpec]] adds
+    * `partition.spec.N`. Pruning resolves each FILE's spec by the id
+    * its batch dir encodes, so files written under two different specs
+    * both prune correctly — Iceberg's spec-id chain. */
+  private def readPartitionSpecsAt(fs: org.apache.hadoop.fs.FileSystem,
+      r: org.apache.hadoop.fs.Path): Map[Int, Seq[PartitionField]] = {
+    val rd = refsDir(r)
+    if (!fs.exists(rd)) return Map.empty
+    fs.listStatus(rd).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      val id: Option[Int] =
+        if (n == "partition.spec") Some(1)
+        else if (n.startsWith("partition.spec."))
+          n.stripPrefix("partition.spec.").toIntOption
+        else None
+      id.map { i =>
+        val in = fs.open(st.getPath)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        i -> lines.filter(_.nonEmpty).map { l =>
+          val Array(c, t, n2) = l.split("\t", 3)
+          PartitionField(c, t, n2.toInt)
+        }
       }
+    }.toMap
+  }
+
+  /** The spec id that wrote a data file: batch dirs carry it as
+    * `data/s<id>-b<nano>` (spec-1 batches keep the legacy `data/b…`
+    * name, so pre-evolution tables are untouched). Files with no
+    * partition tuple at all return 0 (pre-spec). */
+  private[graft] def specIdOfPath(path: String): Int =
+    "/s(\\d+)-b\\d".r.findFirstMatchIn(path).map(_.group(1).toInt)
+      .getOrElse(if (path.contains("__pt_")) 1 else 0)
+
+  /** PARTITION-SPEC EVOLUTION (a real table's first birthday problem:
+    * the month layout that was right at launch needs day grain, or a
+    * new bucket count): declare a NEW spec version. Files already
+    * written keep their old-spec tuples and keep pruning under the
+    * spec that wrote them; every subsequent batch derives tuples from
+    * the new spec. [[compactSnapshotPartitioned]] migrates old-spec
+    * files into the active layout. Same create-exclusive claim
+    * discipline as the original spec. */
+  def evolveSnapshotPartitionSpec(spark: SparkSession, root: String,
+      spec: Seq[PartitionField]): Unit = {
+    require(spec.nonEmpty, "empty partition spec")
+    spec.foreach { f =>
+      require(ptTransforms(f.transform), s"unknown transform ${f.transform}")
+      require(!Set("bucket", "truncate")(f.transform) || f.n > 0,
+        s"${f.transform}(${f.col}) needs n > 0")
     }
+    val (fs, r) = fsOf(spark, root)
+    val specs = readPartitionSpecsAt(fs, r)
+    require(specs.nonEmpty,
+      s"no partition spec on $root to evolve — use setSnapshotPartitionSpec")
+    val nextId = specs.keys.max + 1
+    val p = new org.apache.hadoop.fs.Path(refsDir(r), s"partition.spec.$nextId")
+    if (!claimExclusive(fs, p, spec.map(f => s"${f.col}\t${f.transform}\t${f.n}")
+        .mkString("", "\n", "\n").getBytes("UTF-8")))
+      throw new IllegalStateException(
+        s"partition spec $nextId already claimed on $root (racing evolve)")
   }
 
   /** Enroll columns for per-file BLOOM sidecars (the Iceberg-puffin /
@@ -1828,14 +2198,9 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     fs.mkdirs(refsDir(r))
     val p = new org.apache.hadoop.fs.Path(refsDir(r), "bloom.conf")
-    val out =
-      try fs.create(p, false)
-      catch { case _: java.io.IOException =>
-        throw new IllegalStateException(s"bloom config already set on $root")
-      }
-    try out.write(cols.map(c => s"$c\t$bits").mkString("", "\n", "\n")
-      .getBytes("UTF-8"))
-    finally out.close()
+    if (!claimExclusive(fs, p, cols.map(c => s"$c\t$bits")
+        .mkString("", "\n", "\n").getBytes("UTF-8")))
+      throw new IllegalStateException(s"bloom config already set on $root")
   }
 
   /** The table's bloom-enrolled columns (col → bits); empty when none. */
@@ -1875,13 +2240,8 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     fs.mkdirs(refsDir(r))
     val p = new org.apache.hadoop.fs.Path(refsDir(r), "sort.conf")
-    val out =
-      try fs.create(p, false)
-      catch { case _: java.io.IOException =>
-        throw new IllegalStateException(s"sort order already set on $root")
-      }
-    try out.write(cols.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
+    if (!claimExclusive(fs, p, cols.mkString("", "\n", "\n").getBytes("UTF-8")))
+      throw new IllegalStateException(s"sort order already set on $root")
   }
 
   /** The table's declared sort order; empty when none. */
@@ -1908,19 +2268,33 @@ object GraftCatalog {
     * `pmod(xxhash64(col), n)` (xxhash64 seed 42 — Spark's own, and the
     * repo-wide derandomization hash); truncate is width-floor on
     * numerics (pmod keeps negatives on the floor multiple) and prefix
-    * on strings. */
+    * on strings.
+    *
+    * `declaredType` is the COMMITTED schema's type for the source
+    * column, and the source is cast to it BEFORE any hashing: xxhash64
+    * is type-sensitive (the same value hashes differently as Int vs
+    * Long), and the read side ([[bucketOfLiteral]], used by tuple
+    * pruning AND CoW file nomination) casts literals to the committed
+    * type. Without this cast, an int batch landing in a bigint column
+    * (legal via parquet type widening) would carry path tuples the
+    * reader's bucket computation disagrees with — silent false prunes
+    * and skipped deletes. The cast is a no-op when batch and committed
+    * types already agree (every pre-existing case). */
   private def partitionColumn(f: PartitionField,
-      schema: org.apache.spark.sql.types.StructType): Column = f.transform match {
-    case "identity" => col(f.col)
-    case "bucket"   => pmod(xxhash64(col(f.col)), lit(f.n.toLong))
-    case "truncate" =>
-      if (schema(f.col).dataType == org.apache.spark.sql.types.StringType)
-        substring(col(f.col), 1, f.n)
-      else col(f.col) - pmod(col(f.col), lit(f.n.toLong))
-    case "year"  => date_format(col(f.col), "yyyy")
-    case "month" => date_format(col(f.col), "yyyy-MM")
-    case "day"   => date_format(col(f.col), "yyyy-MM-dd")
-    case "hour"  => date_format(col(f.col), "yyyy-MM-dd-HH")
+      declaredType: org.apache.spark.sql.types.DataType): Column = {
+    val src = col(f.col).cast(declaredType)
+    f.transform match {
+      case "identity" => src
+      case "bucket"   => pmod(xxhash64(src), lit(f.n.toLong))
+      case "truncate" =>
+        if (declaredType == org.apache.spark.sql.types.StringType)
+          substring(src, 1, f.n)
+        else src - pmod(src, lit(f.n.toLong))
+      case "year"  => date_format(src, "yyyy")
+      case "month" => date_format(src, "yyyy-MM")
+      case "day"   => date_format(src, "yyyy-MM-dd")
+      case "hour"  => date_format(src, "yyyy-MM-dd-HH")
+    }
   }
 
   /** Parse a data file's partition tuple out of its PATH (`__pt_i=V`
@@ -1964,15 +2338,18 @@ object GraftCatalog {
     * else (OR branches, other transforms — those are stats-prunable
     * already) conservatively keeps. Files without a tuple (pre-spec
     * commits) always keep. */
-  private def tupleMayMatch(spec: Seq[PartitionField],
+  private def tupleMayMatch(specs: Map[Int, Seq[PartitionField]],
       schema: Option[org.apache.spark.sql.types.StructType], path: String,
       pred: org.apache.spark.sql.catalyst.expressions.Expression,
       tz: String): Boolean = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
-    if (spec.isEmpty || schema.isEmpty) return true
+    if (specs.isEmpty || schema.isEmpty) return true
     val tuple = filePartitionTuple(path)
     if (tuple.isEmpty) return true
+    // the spec that WROTE this file interprets its tuple — files under
+    // a retired spec keep pruning by it (an unknown id keeps the file)
+    val spec = specs.getOrElse(specIdOfPath(path), return true)
     object A {
       def unapply(e: Expression): Option[String] = e match {
         case a: UnresolvedAttribute => Some(a.name)
@@ -2020,8 +2397,14 @@ object GraftCatalog {
     val v = version.getOrElse(snapshotVersions(spark, root).last)
     val files = readManifest(fs, r, v)
     val stats = readStats(spark, root, v)
+    val (fs2, r2) = fsOf(spark, root)
+    val activeId = readPartitionSpecsAt(fs2, r2).keys.max
     val grouped = files.groupBy { f =>
-      val t = filePartitionTuple(f)
+      // files written under a RETIRED spec report as unpartitioned
+      // (all-null tuple) rather than misreading their positional
+      // tuple through the active spec's field names
+      val t = if (specIdOfPath(f) == activeId) filePartitionTuple(f)
+        else Map.empty[Int, Option[String]]
       spec.indices.map(i => t.get(i).flatten.orNull)
     }
     val rows = grouped.toSeq.map { case (tup, fsOfTup) =>
@@ -2127,19 +2510,76 @@ object GraftCatalog {
     val head = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, head)
     val stats = readStats(spark, root, head)
-    val groups = files.groupBy(f => filePartitionTuple(f))
-    val rewrite = groups.collect {
+    val activeId = readPartitionSpecsAt(fs, r).keys.max
+    val groups = files.groupBy(f =>
+      // retired-spec files group as tuple-less -> they MIGRATE into
+      // the active layout alongside pre-spec files
+      if (specIdOfPath(f) == activeId) filePartitionTuple(f)
+      else Map.empty[Int, Option[String]])
+    val rewrite0 = groups.collect {
       case (t, fsOfTup) if t.isEmpty || fsOfTup.size > 1 => fsOfTup
     }.flatten.toSeq.sorted
-    if (rewrite.isEmpty) return head
+    if (rewrite0.isEmpty) return head
+    // ONE-PASS convergence: migrating rows (pre-spec / retired-spec
+    // files) land in active tuples that may already hold a carried
+    // single file — which would leave 2 files per tuple and force a
+    // second pass. Derive the migrants' TARGET tuples (one distinct
+    // aggregate over rows being rewritten anyway) and pull those
+    // tuples' files into the rewrite too.
+    val migrating = groups.collect {
+      case (t, fsOfTup) if t.isEmpty => fsOfTup }.flatten.toSeq.sorted
+    val rewrite: Seq[String] =
+      if (migrating.isEmpty) rewrite0
+      else {
+        val committed = readSchemaLine(fs, r, head)
+        val mdf = readFilesDv(spark, fs, r, head, migrating)
+        def declared(c: String) = committed
+          .flatMap(cs => cs.fields.find(_.name == c)).map(_.dataType)
+          .getOrElse(mdf.schema(c).dataType)
+        val targets = mdf.select(spec.zipWithIndex.map { case (f, i) =>
+            partitionColumn(f, declared(f.col)).cast("string").as(s"__t$i")
+          }: _*).distinct().collect()
+          .map(row => spec.indices.map(i =>
+            Option(row.getString(i))).toIndexedSeq).toSet
+        val extra = groups.collect {
+          case (t, fsOfTup) if t.nonEmpty &&
+            targets.contains(spec.indices.map(i => t.get(i).flatten).toIndexedSeq) =>
+            fsOfTup
+        }.flatten
+        (rewrite0 ++ extra).distinct.sorted
+      }
     val carried = files.filterNot(rewrite.toSet)
     // writeBatch hash-distributes by the tuple itself, so the rewrite
-    // needs no pre-clustering here; targetBytes bounds file size via
-    // the normal maxRecordsPerFile-style knobs if a tuple outgrows it.
-    val newData = spark.read.parquet(rewrite: _*)
-    commitCow(spark, fs, r, head, carried,
+    // needs no pre-clustering here. targetBytes bounds rewritten file
+    // size through spark.sql.files.maxRecordsPerFile, derived from the
+    // sidecar's OWN rows/len averages over the files being rewritten —
+    // a tuple that outgrows targetBytes splits instead of landing as
+    // one giant file. Zero extra I/O: both numbers are already in the
+    // stats the compactor holds.
+    val rewriteStats = stats.collect {
+      case (p, st) if rewrite.contains(p) && st.len.isDefined && st.rows > 0 =>
+        (st.rows, st.len.get)
+    }
+    val maxRecords: Option[Long] = {
+      val (rows, bytes) = rewriteStats.foldLeft((0L, 0L)) {
+        case ((rr, bb), (r2, b2)) => (rr + r2, bb + b2) }
+      if (rows <= 0 || bytes <= 0) None
+      else Some(math.max(1L, targetBytes / math.max(1L, bytes / rows)))
+    }
+    // DV-aware rewrite: folds this partition's deleted positions into
+    // the clean files; carried partitions keep their #dv protection
+    // via commitCow's dv carry (their DV rows stay path-valid).
+    val newData = readFilesDv(spark, fs, r, head, rewrite)
+    val confKey = "spark.sql.files.maxRecordsPerFile"
+    val prior = spark.conf.getOption(confKey)
+    maxRecords.foreach(n => spark.conf.set(confKey, n.toString))
+    try commitCow(spark, fs, r, head, carried,
       stats.filter { case (p, _) => carried.contains(p) }, newData,
       Seq("#compact:partitioned"))
+    finally prior match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
   }
 
   /** Table-level CHECK constraints (Delta's CHECK / Iceberg's write
@@ -2161,12 +2601,8 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     fs.mkdirs(refsDir(r))
     val p = new org.apache.hadoop.fs.Path(refsDir(r), s"$name.check")
-    val out =
-      try fs.create(p, false)
-      catch { case _: java.io.IOException =>
-        throw new IllegalStateException(s"check $name already exists on $root")
-      }
-    try out.write(s"$sqlPredicate\n".getBytes("UTF-8")) finally out.close()
+    if (!claimExclusive(fs, p, s"$sqlPredicate\n".getBytes("UTF-8")))
+      throw new IllegalStateException(s"check $name already exists on $root")
   }
 
   /** All CHECK constraints on the table, (name, predicate). */
@@ -2236,12 +2672,8 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     fs.mkdirs(refsDir(r))
     val p = new org.apache.hadoop.fs.Path(refsDir(r), s"$name.tag")
-    val out =
-      try fs.create(p, false)
-      catch { case _: java.io.IOException =>
-        throw new IllegalStateException(s"tag $name already exists on $root")
-      }
-    try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+    if (!claimExclusive(fs, p, s"$version\n".getBytes("UTF-8")))
+      throw new IllegalStateException(s"tag $name already exists on $root")
   }
 
   /** All tags on the table, (name, version), name-sorted. */
@@ -2304,7 +2736,9 @@ object GraftCatalog {
     val statsName = writeStatsFile(spark, dfs, dr,
       stats.values.toSeq.sortBy(_.path))
     val schemaLine = readSchemaLine(sfs, sr, v).map(s => schemaLineOf(s)).toSeq
-    publishManifest(dfs, dr, 1L, Seq(s"#stats:$statsName") ++ schemaLine ++ files)
+    val dvLines = copyDvSidecars(sfs, sr, v, dfs, dr)
+    publishManifest(dfs, dr, 1L,
+      Seq(s"#stats:$statsName") ++ schemaLine ++ dvLines ++ files)
     // The clone inherits the source's TABLE CONFIGURATION — CHECK
     // constraints, partition spec, bloom enrollment, sort order — or a
     // clone of a governed table would silently write unvalidated,
@@ -2314,7 +2748,7 @@ object GraftCatalog {
     if (sfs.exists(srd)) {
       val cfg = sfs.listStatus(srd).filter(st => st.isFile && {
         val n = st.getPath.getName
-        n.endsWith(".check") || n == "partition.spec" ||
+        n.endsWith(".check") || n.startsWith("partition.spec") ||
           n == "bloom.conf" || n == "sort.conf"
       })
       if (cfg.nonEmpty) dfs.mkdirs(refsDir(dr))
@@ -2330,10 +2764,7 @@ object GraftCatalog {
               org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
               buf.toByteArray
             } finally in.close()
-          try {
-            val out = dfs.create(dst, false)
-            try out.write(bytes) finally out.close()
-          } catch { case _: java.io.IOException => /* racing pre-set: theirs wins */ }
+          claimExclusive(dfs, dst, bytes) // racing pre-set: theirs wins
         }
       }
     }
@@ -2400,8 +2831,10 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     val statsName = writeStatsFile(spark, fs, r, stats.values.toSeq.sortBy(_.path))
     val schemaLine = readSchemaLine(bfs, br2, bHead).map(s => schemaLineOf(s)).toSeq
+    val dvLines = copyDvSidecars(bfs, br2, bHead, fs, r)
     publishManifest(fs, r, head + 1,
-      Seq(s"#stats:$statsName", s"#branch-merge:$name") ++ schemaLine ++ files)
+      Seq(s"#stats:$statsName", s"#branch-merge:$name") ++ schemaLine ++
+        dvLines ++ files)
     deleteSnapshotTag(spark, root, branchBaseTag(name))
     // Drop only the branch's MANIFEST line and refs: its data batches
     // are now referenced by the parent's new version and must survive

@@ -1,0 +1,239 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.LongType
+
+/** SQL-parsed DML over snapshot tables: `MERGE INTO` / `UPDATE` /
+  * `DELETE FROM` statements lowered onto the existing copy-on-write
+  * verbs ([[GraftCatalog.mergeSnapshot]] /
+  * [[GraftCatalog.updateSnapshotWhere]] /
+  * [[GraftCatalog.deleteSnapshotWhere]]).
+  *
+  * Spark's OWN parser already produces `DeleteFromTable` /
+  * `UpdateTable` / `MergeIntoTable` logical plans for these statements
+  * (they just have no v1 execution path), so there is no custom
+  * grammar anywhere — the engine intercepts the catalyst plans and
+  * rewrites them into `LeafRunnableCommand`s. Two entry paths share
+  * one lowering:
+  *
+  *  - [[GraftDml.sql]]: parse + lower + run on ANY session (the
+  *    driver/test path — no session-construction opt-in needed);
+  *  - [[graft.GraftExtensions]] injects [[GraftDmlRule]] as a
+  *    resolution rule, so a pure-SQL client (Thrift / Connect /
+  *    notebook `spark.sql`) mutates versioned tables with zero Scala
+  *    call sites.
+  *
+  * Target addressing, both registration-free and registered:
+  *  - a BACKTICKED ROOT PATH is its own address:
+  *    {{{ DELETE FROM `/data/orders` WHERE o_status = 'X' }}}
+  *    (accepted iff the path has a published snapshot version);
+  *  - [[GraftDml.registerSnapshotTable]] binds a name to a root AND
+  *    maintains a same-named temp view for reads, refreshed after
+  *    every DML so `SELECT`s observe the new head.
+  *
+  * Each statement returns one row `(version BIGINT)` — the snapshot
+  * version the mutation published (or the unchanged head when nothing
+  * matched), so scripts can pin/tag exactly what they produced.
+  *
+  * Reference anchor: the reference engine has no DML surface at all
+  * (docs/2 registers external tables read-only); this is part of the
+  * snapshot-format extension (SURVEY §2.A), modeled on Delta/Iceberg
+  * SQL semantics.
+  */
+object GraftDml {
+
+  /** Opaque holder for expressions a command carries to RUN time.
+    * The conditions/assignments are intentionally unresolved until the
+    * CoW verb applies them to the snapshot's own DataFrame — but
+    * `QueryPlan.expressions` discovers any `Expression`-typed product
+    * element, and CheckAnalysis would reject the (correctly)
+    * unresolved attributes at analysis time. A non-Expression wrapper
+    * keeps them out of the tree walk. */
+  final case class Raw(e: Expression)
+
+  /** (session, lowercase name) → snapshot root. Session-scoped like the
+    * temp-view namespace it mirrors. */
+  private val tables = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Bind `name` to a snapshot root for DML AND (when the table has a
+    * published version) create/refresh a same-named temp view for
+    * reads. */
+  def registerSnapshotTable(spark: SparkSession, name: String,
+      root: String): Unit = {
+    tables.put((spark, name.toLowerCase(java.util.Locale.ROOT)), root)
+    refreshView(spark, name, root)
+  }
+
+  def unregisterSnapshotTable(spark: SparkSession, name: String): Unit = {
+    tables.remove((spark, name.toLowerCase(java.util.Locale.ROOT)))
+    spark.catalog.dropTempView(name)
+  }
+
+  private[sources] def refreshView(spark: SparkSession, name: String,
+      root: String): Unit =
+    if (GraftCatalog.snapshotVersions(spark, root).nonEmpty)
+      GraftCatalog.readSnapshotAuto(spark, root).createOrReplaceTempView(name)
+
+  /** Resolve a DML target's snapshot root: a registered name, or a
+    * backticked root path (absolute or URI) that actually holds a
+    * snapshot table. `None` → not ours, leave the plan alone. */
+  private def rootForName(spark: SparkSession, name: String): Option[String] =
+    Option(tables.get((spark, name.toLowerCase(java.util.Locale.ROOT))))
+      .orElse {
+        if ((name.startsWith("/") || name.contains("://")) &&
+            scala.util.Try(GraftCatalog.snapshotVersions(spark, name))
+              .toOption.exists(_.nonEmpty)) Some(name)
+        else None
+      }
+
+  /** The (root, registered-view-name) of a DML target plan. Matches the
+    * pre-resolution `UnresolvedRelation` and the post-view-resolution
+    * `SubqueryAlias(name, …)` shapes — extension-injected rules run in
+    * the analyzer's fixed-point Resolution batch, so either can appear
+    * first. */
+  private def targetRoot(spark: SparkSession,
+      plan: LogicalPlan): Option[(String, Option[String])] = plan match {
+    case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
+      val n = u.multipartIdentifier.head
+      rootForName(spark, n).map(r => (r, Some(n).filter(_ => !n.startsWith("/") && !n.contains("://"))))
+    case a: SubqueryAlias =>
+      targetRoot(spark, a.child).orElse {
+        val n = a.alias
+        rootForName(spark, n)
+          .map(r => (r, Some(n).filter(_ => !n.startsWith("/") && !n.contains("://"))))
+      }
+    case _ => None
+  }
+
+  private def colName(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case a: AttributeReference => a.name
+    case other => throw new IllegalArgumentException(
+      s"expected a column reference, got: ${other.sql}")
+  }
+
+  /** Lower a parsed DML plan onto a runnable command; `None` when the
+    * plan is not a DML statement against a snapshot table. */
+  private[graft] def lower(spark: SparkSession,
+      plan: LogicalPlan): Option[LogicalPlan] = plan match {
+    case DeleteFromTable(t, cond) =>
+      targetRoot(spark, t).map { case (root, view) =>
+        GraftDeleteCommand(root, view, GraftDml.Raw(cond))
+      }
+    case UpdateTable(t, assignments, cond) =>
+      targetRoot(spark, t).map { case (root, view) =>
+        val set = assignments.map(a => colName(a.key) -> GraftDml.Raw(a.value))
+        GraftUpdateCommand(root, view, set,
+          GraftDml.Raw(cond.getOrElse(Literal.TrueLiteral)))
+      }
+    case m: MergeIntoTable =>
+      targetRoot(spark, m.targetTable).map { case (root, view) =>
+        // mergeSnapshot is a full-row upsert by key — require exactly
+        // that statement shape and reject the rest loudly (a silent
+        // partial lowering would be a wrong-answer machine):
+        //   MERGE INTO t USING s ON t.k = s.k
+        //   WHEN MATCHED THEN UPDATE SET *
+        //   WHEN NOT MATCHED THEN INSERT *
+        val pk = m.mergeCondition match {
+          case EqualTo(l, r) =>
+            val (ln, rn) = (colName(l), colName(r))
+            require(ln.equalsIgnoreCase(rn),
+              s"MERGE ON must equate the same key column on both sides, got $ln = $rn")
+            ln
+          case other => throw new IllegalArgumentException(
+            "MERGE ON must be a single key equality (t.k = s.k), got: " +
+              other.sql)
+        }
+        def bad(what: String): Nothing = throw new IllegalArgumentException(
+          s"unsupported MERGE shape ($what); supported: " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+        m.matchedActions match {
+          case Seq(UpdateStarAction(None)) => ()
+          case other => bad(s"matched actions: $other")
+        }
+        m.notMatchedActions match {
+          case Seq(InsertStarAction(None)) => ()
+          case other => bad(s"not-matched actions: $other")
+        }
+        if (m.notMatchedBySourceActions.nonEmpty)
+          bad("WHEN NOT MATCHED BY SOURCE")
+        GraftMergeCommand(root, view, m.sourceTable, pk, m.withSchemaEvolution)
+      }
+    case _ => None
+  }
+
+  /** Parse + lower + run a DML statement on any session — the path
+    * that needs NO session-construction opt-in. Returns the one-row
+    * `(version BIGINT)` result; throws if the text is not a DML
+    * statement against a snapshot table (use plain `spark.sql` for
+    * everything else). */
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val cmd = lower(spark, parsed).getOrElse(throw new IllegalArgumentException(
+      "not a snapshot-table DML statement (is the target registered " +
+        s"via registerSnapshotTable, or a backticked root path?): $text"))
+    GraftColumnBridge.ofRows(spark, cmd)
+  }
+}
+
+/** Analyzer rule injected by [[graft.GraftExtensions]]: rewrites
+  * parsed DML plans whose target is a snapshot table into runnable
+  * commands, so plain `spark.sql("MERGE INTO …")` works end-to-end for
+  * SQL-only clients. Non-snapshot targets pass through untouched. */
+case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    GraftDml.lower(spark, plan).getOrElse(plan)
+}
+
+/** `DELETE FROM <t> WHERE <cond>` → [[GraftCatalog.deleteSnapshotWhere]]. */
+case class GraftDeleteCommand(root: String, view: Option[String],
+    cond: GraftDml.Raw) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = GraftCatalog.deleteSnapshotWhere(spark, root,
+      GraftColumnBridge.column(cond.e))
+    view.foreach(GraftDml.refreshView(spark, _, root))
+    Seq(Row(v))
+  }
+}
+
+/** `UPDATE <t> SET … WHERE <cond>` → [[GraftCatalog.updateSnapshotWhere]]. */
+case class GraftUpdateCommand(root: String, view: Option[String],
+    set: Seq[(String, GraftDml.Raw)], cond: GraftDml.Raw)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = GraftCatalog.updateSnapshotWhere(spark, root,
+      GraftColumnBridge.column(cond.e),
+      set.map { case (c, r) => c -> GraftColumnBridge.column(r.e) })
+    view.foreach(GraftDml.refreshView(spark, _, root))
+    Seq(Row(v))
+  }
+}
+
+/** Upsert-form `MERGE INTO` → [[GraftCatalog.mergeSnapshot]]. The
+  * source plan stays UNRESOLVED inside the command (not a child, so
+  * the analyzer leaves it alone) and is analyzed at run time — it can
+  * be a table, subquery, VALUES list, or a graft TVF. */
+case class GraftMergeCommand(root: String, view: Option[String],
+    source: LogicalPlan, pk: String, schemaEvolution: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftColumnBridge.ofRows(spark, source)
+    val v = GraftCatalog.mergeSnapshot(spark, root, src, pk,
+      allowSchemaEvolution = schemaEvolution)
+    view.foreach(GraftDml.refreshView(spark, _, root))
+    Seq(Row(v))
+  }
+}

@@ -37,9 +37,28 @@ object GraftTvf {
       "graft_snapshot arguments must be literals")
     val root = String.valueOf(args.head.eval())
     val spark = SparkSession.active
+    // Second-arg resolution is TYPE-directed: an integer literal is a
+    // version; a TIMESTAMP literal time-travels via snapshotVersionAsOf
+    // (Catalyst timestamps eval to epoch micros); a string literal is
+    // a TAG first — tag names may be all-digit ('2024'), and resolving
+    // digits as versions first would silently read version 2024
+    // instead of the tagged snapshot — with a version-number fallback
+    // only when no such tag exists.
     val version = args.lift(1).map { v =>
-      val s = String.valueOf(v.eval())
-      s.toLongOption.getOrElse(GraftCatalog.resolveSnapshotTag(spark, root, s))
+      import org.apache.spark.sql.types._
+      v.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          String.valueOf(v.eval()).toLong
+        case TimestampType | TimestampNTZType =>
+          GraftCatalog.snapshotVersionAsOf(spark, root,
+            v.eval().asInstanceOf[Long] / 1000L)
+        case _ =>
+          val s = String.valueOf(v.eval())
+          scala.util.Try(GraftCatalog.resolveSnapshotTag(spark, root, s))
+            .getOrElse(s.toLongOption.getOrElse(
+              throw new NoSuchElementException(
+                s"'$s' is neither a tag on $root nor a version number")))
+      }
     }
     GraftCatalog.readSnapshotAuto(spark, root, version).queryExecution.logical
   }

@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftCatalog, GraftDml}
+
+/** SURVEY §2.A: SQL-parsed DML (`MERGE INTO` / `UPDATE` / `DELETE
+  * FROM`) lowered onto the CoW verbs — the surface a pure-SQL client
+  * needs to MUTATE versioned tables, not just read them via TVFs. */
+class DmlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val tmp = "/tmp/graft-dml"
+
+  private def freshTable(prefix: String): String = {
+    import spark.implicits._
+    val root = s"$tmp/${prefix}_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id"),
+        (col("id") % 7).as("grp"), (col("id") * 10).as("amount")),
+      root, append = false)
+    root
+  }
+
+  test("DELETE FROM a backticked root path — registration-free SQL delete") {
+    val root = freshTable("del")
+    val out = GraftDml.sql(spark, s"DELETE FROM `$root` WHERE grp = 3")
+    assert(out.columns.toSeq == Seq("version"))
+    assert(out.head().getLong(0) == 2L, "delete publishes version 2")
+    val left = GraftCatalog.readSnapshot(spark, root)
+    assert(left.where(col("grp") === 3).count() == 0)
+    assert(left.count() == 100 - 14) // ids ≡ 3 (mod 7): 14 of 0..99
+    // time travel still serves the pre-delete rows
+    assert(GraftCatalog.readSnapshot(spark, root, Some(1L)).count() == 100)
+  }
+
+  test("UPDATE with SET expressions over the pre-update row") {
+    val root = freshTable("upd")
+    GraftDml.sql(spark,
+      s"UPDATE `$root` SET amount = amount + 1000, grp = 99 WHERE id < 10")
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.where(col("grp") === 99).count() == 10)
+    assert(t.where(col("id") === 5).head().getLong(2) == 1050L)
+    assert(t.where(col("id") === 50).head().getLong(2) == 500L,
+      "non-matching rows untouched")
+  }
+
+  test("MERGE INTO upsert form with a VALUES source") {
+    val root = freshTable("mrg")
+    val out = GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (VALUES (5L, 0L, 999L), (200L, 1L, 111L) AS s(id, grp, amount)) AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(out.head().getLong(0) == 2L)
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.count() == 101, "one insert, one update")
+    assert(t.where(col("id") === 5).head().getLong(2) == 999L)
+    assert(t.where(col("id") === 200).head().getLong(2) == 111L)
+  }
+
+  test("registered name: DML by name and the read view tracks the head") {
+    val root = freshTable("reg")
+    GraftDml.registerSnapshotTable(spark, "dml_orders", root)
+    assert(spark.table("dml_orders").count() == 100)
+    GraftDml.sql(spark, "DELETE FROM dml_orders WHERE id >= 90")
+    // the registered view was refreshed to the post-DML head
+    assert(spark.table("dml_orders").count() == 90)
+    GraftDml.sql(spark,
+      """MERGE INTO dml_orders AS t
+        |USING (SELECT 500L AS id, 2L AS grp, 42L AS amount) AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("dml_orders").count() == 91)
+    GraftDml.unregisterSnapshotTable(spark, "dml_orders")
+  }
+
+  test("unsupported MERGE shapes are rejected loudly, not half-lowered") {
+    val root = freshTable("shape")
+    GraftDml.registerSnapshotTable(spark, "dml_shape", root)
+    val e = intercept[IllegalArgumentException] {
+      GraftDml.sql(spark,
+        """MERGE INTO dml_shape AS t
+          |USING (SELECT 1L AS id) AS s ON t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("unsupported MERGE shape"))
+    // non-snapshot targets are not ours
+    val e2 = intercept[IllegalArgumentException] {
+      GraftDml.sql(spark, "DELETE FROM some_unknown_table WHERE x = 1")
+    }
+    assert(e2.getMessage.contains("not a snapshot-table DML"))
+    GraftDml.unregisterSnapshotTable(spark, "dml_shape")
+  }
+
+  test("pure spark.sql DML through GraftExtensions (Thrift-client wiring)") {
+    // the production path: no Scala call site at all — the rule
+    // injected at session construction lowers the parsed DML plans
+    import org.apache.spark.sql.SparkSession
+    val root = freshTable("ext")
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-dml-ext")
+      .withExtensions(new graft.GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .getOrCreate()
+    try {
+      val out = s2.sql(s"DELETE FROM `$root` WHERE grp = 0")
+      assert(out.columns.toSeq == Seq("version") && out.head().getLong(0) == 2L)
+      assert(GraftCatalog.readSnapshot(s2, root)
+        .where(col("grp") === 0).count() == 0)
+      s2.sql(s"UPDATE `$root` SET amount = 0 WHERE id = 99")
+      assert(GraftCatalog.readSnapshot(s2, root)
+        .where(col("id") === 99).head().getLong(2) == 0L)
+      s2.sql(
+        s"""MERGE INTO `$root` AS t
+           |USING (SELECT 300L AS id, 1L AS grp, 7L AS amount) AS s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(GraftCatalog.readSnapshot(s2, root)
+        .where(col("id") === 300).count() == 1)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      TestSpark.spark // restore the shared session as active
+    }
+  }
+}

@@ -1,0 +1,184 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftCatalog
+
+/** SURVEY §2.A: merge-on-read deletion vectors — scattered deletes as
+  * positional sidecars with ZERO rewritten data files, DV-aware reads
+  * and CoW rewrites, compaction fold-in, CDC/vacuum/time-travel/clone
+  * integration. */
+class MorDvSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val tmp = "/tmp/graft-mordv"
+
+  private def freshTable(prefix: String, n: Int = 1000): String = {
+    val root = s"$tmp/${prefix}_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      spark.range(n).select(col("id"), (col("id") % 7).as("grp"),
+        (col("id") * 10).as("amount"))
+        .repartitionByRange(4, col("id")),
+      root, append = false)
+    root
+  }
+
+  private def dataFiles(root: String): Seq[String] =
+    GraftCatalog.snapshotScanFiles(spark, root)._1
+
+  test("MoR delete of scattered keys publishes zero rewritten data files") {
+    val root = freshTable("scatter")
+    val before = dataFiles(root).toSet
+    // 10 single rows scattered across all 4 files — CoW would rewrite
+    // every file; MoR writes one tiny sidecar
+    val v = GraftCatalog.deleteSnapshotWhereMor(spark, root,
+      col("id") % 100 === 37)
+    assert(v == 2L)
+    assert(dataFiles(root).toSet == before,
+      "MoR delete must not add/remove/rewrite any data file")
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.count() == 990)
+    assert(t.where(col("id") % 100 === 37).count() == 0)
+    // hash-equivalence with the CoW result: same rows as a plain filter
+    val expect = spark.range(1000).select(col("id"), (col("id") % 7).as("grp"),
+        (col("id") * 10).as("amount"))
+      .where(!(col("id") % 100 === 37)).collect().toSet
+    assert(t.collect().toSet == expect)
+    // time travel to the pre-delete version is untouched
+    assert(GraftCatalog.readSnapshot(spark, root, Some(1L)).count() == 1000)
+    // the catalyst-integrated auto read honors the DV too
+    assert(GraftCatalog.readSnapshotAuto(spark, root).count() == 990)
+    assert(GraftCatalog.readSnapshotAuto(spark, root)
+      .where(col("grp") === 2).collect().toSet ==
+      spark.range(1000).select(col("id"), (col("id") % 7).as("grp"),
+          (col("id") * 10).as("amount"))
+        .where(!(col("id") % 100 === 37) && col("id") % 7 === 2)
+        .collect().toSet)
+  }
+
+  test("DVs accumulate across deletes; no-op MoR delete publishes nothing") {
+    val root = freshTable("accum")
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("id") === 5L)
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("id") === 700L)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 998)
+    // deleting an already-DV'd row is a no-op: head unchanged
+    val head = GraftCatalog.snapshotVersions(spark, root).last
+    assert(GraftCatalog.deleteSnapshotWhereMor(spark, root,
+      col("id") === 5L) == head)
+    assert(GraftCatalog.snapshotVersions(spark, root).last == head)
+    // and a miss outside every envelope is a no-op too
+    assert(GraftCatalog.deleteSnapshotWhereMor(spark, root,
+      col("id") === 99999L) == head)
+  }
+
+  test("compaction folds deletion vectors into clean files") {
+    val root = freshTable("fold")
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("id") % 250 === 3)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 996)
+    GraftCatalog.compactSnapshot(spark, root)
+    val head = GraftCatalog.snapshotVersions(spark, root).last
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 996)
+    // a fresh append on the compacted head must NOT carry stale #dv
+    // lines: the folded files are gone, and rows at the same positions
+    // of NEW files must not be shadowed
+    GraftCatalog.commitSnapshot(
+      spark.range(2000, 2010).select(col("id"), (col("id") % 7).as("grp"),
+        (col("id") * 10).as("amount")),
+      root, append = true)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 1006)
+    assert(GraftCatalog.readSnapshot(spark, root, Some(head)).count() == 996)
+  }
+
+  test("CoW verbs after a MoR delete never resurrect DV'd rows") {
+    val root = freshTable("resurrect")
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("id") === 10L)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 999)
+    // id=11 lives in the same file as the DV'd id=10 — the CoW update
+    // rewrites that file; the rewrite must exclude id=10
+    GraftCatalog.updateSnapshotWhere(spark, root, col("id") === 11L,
+      Seq("amount" -> lit(0L)))
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.count() == 999, "CoW rewrite resurrected a DV-deleted row")
+    assert(t.where(col("id") === 10L).count() == 0)
+    assert(t.where(col("id") === 11L).head().getLong(2) == 0L)
+    // CoW delete in another file: both delete kinds compose
+    GraftCatalog.deleteSnapshotWhere(spark, root, col("id") === 900L)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 998)
+    assert(GraftCatalog.readSnapshot(spark, root)
+      .where(col("id").isin(10L, 900L)).count() == 0)
+  }
+
+  test("readChanges emits the DV'd rows as deletes at their version") {
+    val root = freshTable("cdc")
+    GraftCatalog.deleteSnapshotWhereMor(spark, root,
+      col("id").isin(3L, 500L, 997L))
+    val ch = GraftCatalog.readChanges(spark, root, 1L, 2L)
+    val dels = ch.where(col("_change") === "delete")
+    assert(dels.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(3L, 500L, 997L))
+    assert(dels.select("_version").distinct().head().getLong(0) == 2L)
+    assert(ch.where(col("_change") === "insert").count() == 0,
+      "a MoR delete adds no files, so no insert rows")
+  }
+
+  test("vacuum keeps referenced DV sidecars and reaps orphaned ones") {
+    val root = freshTable("vac")
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("id") === 1L) // v2
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("id") === 2L) // v3
+    // CoW-compact to v4: folds DVs, head no longer references them
+    GraftCatalog.compactSnapshot(spark, root)
+    Thread.sleep(30)
+    GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 4L, orphanGraceMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dd = new org.apache.hadoop.fs.Path(s"$root/_deletes")
+    val left = if (fs.exists(dd)) fs.listStatus(dd).length else 0
+    assert(left == 0, s"orphaned DV sidecars survived vacuum: $left")
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 998)
+  }
+
+  test("vacuum never reaps a DV a kept version still references") {
+    val root = freshTable("vackeep")
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("id") === 1L) // v2
+    GraftCatalog.commitSnapshot(
+      spark.range(5000, 5010).select(col("id"), (col("id") % 7).as("grp"),
+        (col("id") * 10).as("amount")),
+      root, append = true) // v3 carries the #dv line
+    Thread.sleep(30)
+    GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 3L, orphanGraceMs = 0L)
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.count() == 1009)
+    assert(t.where(col("id") === 1L).count() == 0,
+      "vacuum reaped a DV the head still needs")
+  }
+
+  test("clone copies deletion vectors into its own root") {
+    val root = freshTable("clonesrc")
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("id") === 42L)
+    val dst = s"$tmp/clonedst_${System.nanoTime()}"
+    GraftCatalog.cloneSnapshot(spark, root, dst)
+    assert(GraftCatalog.readSnapshot(spark, dst).count() == 999)
+    assert(GraftCatalog.readSnapshot(spark, dst)
+      .where(col("id") === 42L).count() == 0)
+    // the clone survives the source's vacuum reaping everything
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_deletes"), true)
+    assert(GraftCatalog.readSnapshot(spark, dst)
+      .where(col("id") === 42L).count() == 0,
+      "clone must not depend on the source's _deletes dir")
+  }
+
+  test("SQL DELETE can choose the MoR path per-table default") {
+    // the DML surface composes: MoR via the Scala verb, then SQL DML
+    // (CoW) on the same table — both see the same logical content
+    val root = freshTable("sqlmix")
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("id") === 77L)
+    graft.sources.GraftDml.sql(spark, s"DELETE FROM `$root` WHERE grp = 6")
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.where(col("id") === 77L).count() == 0)
+    assert(t.where(col("grp") === 6).count() == 0)
+    // ids ≡ 6 (mod 7) in 0..999: 142; id=77 is grp 0 → 1000-142-1
+    assert(t.count() == 1000 - 142 - 1)
+  }
+}

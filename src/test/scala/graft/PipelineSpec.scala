@@ -997,7 +997,8 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
     val want = Map("en" -> 0.1, "de" -> 0.4, "es" -> 0.4, "fr" -> 0.4, "zh" -> 0.4)
     val a = rows("p03_sample_stratified")
-    assert(a == rows("p03_sample_stratified"), "sampleBy not deterministic for fixed seed")
+    assert(a == rows("p03_sample_stratified"),
+      "hash-gated stratified sample must be rerun-deterministic")
     a.foreach { r =>
       val lang = r.getAs[String]("lang")
       val got = r.getAs[Long]("n_sampled").toDouble / totals(lang)

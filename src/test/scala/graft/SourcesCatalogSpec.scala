@@ -1367,6 +1367,47 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(ids == Set(0L, 1L, 2L, 3L, 4L), s"lost a racing batch: $ids")
   }
 
+  test("barrier-synced writer pairs never both claim a version (20 rounds)") {
+    // The r10 lost-batch race: Hadoop's local create(fin, false) is
+    // exists()-then-open — two writers could both pass the window and
+    // both "publish" the same version, one batch silently truncated.
+    // The claim is now an atomic O_EXCL createFile; this spec forces
+    // the narrow interleaving 20× by RELEASING both writers from a
+    // CyclicBarrier immediately before each commit attempt, so the
+    // claims collide within microseconds every round instead of
+    // relying on scheduler luck.
+    import spark.implicits._
+    val root = s"$tmp/snapbarrier_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      Seq((0L, "base")).toDF("id", "v"), root, append = false)
+    val rounds = 20
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val landed = Await.result(Future.sequence((0 until 2).map { w =>
+      Future {
+        (0 until rounds).map { k =>
+          barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+          GraftCatalog.commitSnapshot(
+            Seq((w * 1000L + k, s"w${w}r$k")).toDF("id", "v"), root,
+            append = true, maxRetries = 64)
+        }
+      }
+    }), 300.seconds)
+    val versions = landed.flatten
+    assert(versions.toSet.size == 2 * rounds,
+      s"two writers claimed the same version: ${versions.sorted}")
+    assert(GraftCatalog.snapshotVersions(spark, root) ==
+      (1L to (1L + 2 * rounds)), "contiguous versions, none torn/lost")
+    val ids = GraftCatalog.readSnapshot(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expect = (0 until 2).flatMap(w =>
+      (0 until rounds).map(k => w * 1000L + k)).toSet + 0L
+    assert(ids == expect, s"lost a racing batch: missing ${expect -- ids}")
+  }
+
   test("vacuum reaps unreferenced sidecars, aged orphan batch dirs, and aged torn manifests") {
     import spark.implicits._
     val root = s"$tmp/snapreap_${System.nanoTime()}"
@@ -1849,6 +1890,149 @@ class SourcesCatalogSpec extends AnyFunSuite {
       predicate = Some(col("id").isin(123L, 124L))).collect().toSet
     assert(inRows == GraftCatalog.readSnapshot(spark, root)
       .where(col("id").isin(123L, 124L)).collect().toSet)
+  }
+
+  test("hidden partitioning: an int batch into a bigint bucket column lands reader-agreeing tuples") {
+    // xxhash64 is type-sensitive: the same value hashes differently as
+    // Int vs Long. The writer must derive bucket tuples from the
+    // COMMITTED schema's type (bigint), not the batch's own (int) —
+    // otherwise a widenable int batch lands tuples the read-side
+    // bucketOfLiteral (which casts literals to the committed type)
+    // disagrees with: silent false prunes on reads AND skipped files in
+    // CoW delete/update nomination.
+    import spark.implicits._
+    val root = s"$tmp/snapptwide_${System.nanoTime()}"
+    GraftCatalog.setSnapshotPartitionSpec(spark, root,
+      Seq(graft.sources.PartitionField("id", "bucket", 4)))
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id"), (col("id") % 7).as("v"))
+        .repartition(1),
+      root, append = false) // committed schema: id BIGINT
+    // the widenable batch: id arrives as INT
+    GraftCatalog.commitSnapshot(
+      spark.range(1000, 1050)
+        .select(col("id").cast("int").as("id"), (col("id") % 7).as("v"))
+        .repartition(1),
+      root, append = true)
+    // every appended key must be findable through the pruned read path
+    val missing = (1000L until 1050L).filter { k =>
+      GraftCatalog.readSnapshot(spark, root,
+        predicate = Some(col("id") === k)).count() != 1L
+    }
+    assert(missing.isEmpty,
+      s"widened-batch keys falsely pruned: ${missing.take(5)}…")
+    // and CoW delete must nominate the widened batch's files too
+    GraftCatalog.deleteSnapshotWhere(spark, root, col("id") === 1013L)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 149,
+      "delete skipped the widened batch's file")
+    assert(GraftCatalog.readSnapshot(spark, root)
+      .where(col("id") === 1013L).count() == 0)
+  }
+
+  test("storage-partitioned join: bucket-aligned snapshot⋈snapshot plans zero exchanges") {
+    import spark.implicits._
+    def mkTable(prefix: String, nRows: Int, valCol: String): String = {
+      val root = s"$tmp/snapspj_${prefix}_${System.nanoTime()}"
+      GraftCatalog.setSnapshotPartitionSpec(spark, root,
+        Seq(graft.sources.PartitionField("k", "bucket", 8)))
+      GraftCatalog.commitSnapshot(
+        spark.range(nRows).select(col("id").as("k"),
+          (col("id") * 3).as(valCol)).repartition(1),
+        root, append = false)
+      root
+    }
+    val left = mkTable("l", 1000, "lv")
+    val right = mkTable("r", 800, "rv")
+    val priorConf = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val l = GraftCatalog.readSnapshotSpj(spark, left)
+      val r = GraftCatalog.readSnapshotSpj(spark, right)
+      val joined = l.join(r, "k")
+      val plan = joined.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucket-aligned SPJ must not shuffle:\n${plan.treeString.take(3000)}")
+      // row-level identity vs the plain (shuffling) join
+      val expect = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("lv"))
+        .join(spark.range(800).select(col("id").as("k"), (col("id") * 3).as("rv")), "k")
+        .collect().toSet
+      assert(joined.collect().toSet == expect && expect.size == 800)
+      // aggregation on the bucket key also avoids the exchange
+      val agg = l.groupBy("k").agg(sum("lv").as("s"))
+      // (grouping key == partition key → partial agg is already final
+      // per partition; Spark still plans it through the key-grouped
+      // layout. We only assert correctness here.)
+      assert(agg.count() == 1000)
+      // loud preconditions: DVs and non-bucket specs refuse
+      GraftCatalog.deleteSnapshotWhereMor(spark, left, col("k") === 5L)
+      val e = intercept[IllegalArgumentException] {
+        GraftCatalog.readSnapshotSpj(spark, left)
+      }
+      assert(e.getMessage.contains("deletion vectors"))
+    } finally priorConf match {
+      case Some(vv) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", vv)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("partition-spec evolution: files under two specs both prune; compaction migrates") {
+    import spark.implicits._
+    val root = s"$tmp/snapptevo_${System.nanoTime()}"
+    GraftCatalog.setSnapshotPartitionSpec(spark, root,
+      Seq(graft.sources.PartitionField("id", "bucket", 4)))
+    // batch A: written under spec 1 (bucket 4), one file per bucket
+    GraftCatalog.commitSnapshot(
+      spark.range(500).select(col("id"), (col("id") % 97).as("v"))
+        .repartition(1),
+      root, append = false)
+    GraftCatalog.evolveSnapshotPartitionSpec(spark, root,
+      Seq(graft.sources.PartitionField("id", "bucket", 8)))
+    // batch B: written under spec 2 (bucket 8)
+    GraftCatalog.commitSnapshot(
+      spark.range(500, 1000).select(col("id"), (col("id") % 97).as("v"))
+        .repartition(1),
+      root, append = true)
+    val (allFiles, total) = GraftCatalog.snapshotScanFiles(spark, root)
+    assert(total == 12, s"4 spec-1 files + 8 spec-2 files, got $total")
+    assert(allFiles.count(_.contains("/s2-b")) == 8,
+      "spec-2 batches must encode their spec id in the path")
+    // Point lookups prune BOTH generations by the spec that wrote
+    // them, composing with the stats envelope: id=123 lives in batch A
+    // (ids 0..499) — the 4-bucket tuple keeps 1 of the 4 spec-1 files
+    // and the id-envelope prunes all 8 spec-2 files; id=777 is the
+    // mirror case, where among batch B's hash-scattered files ONLY the
+    // 8-bucket tuple can prune (every file's id envelope spans
+    // 500..999).
+    def prunedFor(k: Long): Seq[String] =
+      GraftCatalog.snapshotScanFiles(spark, root,
+        predicate = Some(col("id") === k))._1
+    assert(prunedFor(123L).size == 1 && !prunedFor(123L).head.contains("/s2-b"),
+      s"spec-1 tuple prune failed: ${prunedFor(123L)}")
+    assert(prunedFor(777L).size == 1 && prunedFor(777L).head.contains("/s2-b"),
+      s"spec-2 tuple prune failed: ${prunedFor(777L)}")
+    // row-level identity across the mixed-spec table
+    for (k <- Seq(123L, 777L)) {
+      val pruned = GraftCatalog.readSnapshot(spark, root,
+        predicate = Some(col("id") === k)).collect().toSet
+      assert(pruned == GraftCatalog.readSnapshot(spark, root)
+        .where(col("id") === k).collect().toSet && pruned.size == 1)
+    }
+    // DESCRIBE attributes retired-spec files as unpartitioned instead
+    // of misreading their tuples through the active spec
+    val desc = GraftCatalog.describeSnapshotPartitions(spark, root)
+    assert(desc.where(col("id_bucket").isNull).head().getLong(2) == 500L,
+      "spec-1 rows must report under the null tuple")
+    // compaction migrates everything into the ACTIVE spec's layout
+    GraftCatalog.compactSnapshotPartitioned(spark, root)
+    val (migrated, totalAfter) = GraftCatalog.snapshotScanFiles(spark, root)
+    assert(migrated.forall(_.contains("/s2-b")),
+      s"migration left retired-spec files: ${migrated.filterNot(_.contains("/s2-b"))}")
+    assert(totalAfter == 8, s"one file per active bucket, got $totalAfter")
+    assert(prunedFor(123L).size == 1, "post-migration point lookup keeps 1 of 8")
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 1000)
   }
 
   test("hidden partitioning: CoW delete nominates only the predicate's bucket file") {
