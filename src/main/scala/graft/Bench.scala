@@ -67,6 +67,18 @@ object Bench {
       "q36_topn_agg", "d06_dedup_cluster")
       .foreach(q => once(SparkEntry.queries(q)))
 
+    // Snapshot fixture pre-warm (not reported): the pooled read-only
+    // tables (q133/q134/q136/q137/q141/q142) and the clone base
+    // (q117 family) build on FIRST touch — warming them here means the
+    // measured medians time the pruned READ / describe / join, not a
+    // one-time table build landing in whichever query ran first
+    // (BENCHFOCUS_r10a showed q134 at 3.7 s of which ~3.2 s was the
+    // fixture build).
+    Seq("q117_merge_cow", "q133_hidden_partition", "q134_partition_describe",
+      "q136_bloom_prune", "q137_partitions_tvf", "q141_spec_evolution",
+      "q142_spj_join")
+      .foreach(q => once(SparkEntry.queries(q)))
+
     val results = SparkEntry.allQs.map(q => q.name -> median3(q.run))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -818,6 +818,145 @@ object SnapshotOps {
       |  COUNT(DISTINCT o_custkey) AS nc
       |FROM kept GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q141 — PARTITION-SPEC EVOLUTION, oracle-reconciled: half of
+    * orders commits under `bucket(4, o_custkey)`, the spec evolves to
+    * `bucket(8, o_custkey)`, the other half commits under it, and a
+    * point lookup runs through the predicate path over the MIXED-SPEC
+    * table — each file pruned by the spec that wrote it (the file-count
+    * proof is in SourcesCatalogSpec; here the driver hashes the read
+    * semantics against DuckDB's raw recompute). The first-birthday
+    * problem every real table hits: the launch layout stops fitting,
+    * and re-partitioning 100 TB on the spot is not an option. */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val (root, ck) = pooledTable(s, d, "snapevo") { root =>
+      val orders = ordersDf(s, d)
+      GraftCatalog.setSnapshotPartitionSpec(s, root,
+        Seq(graft.sources.PartitionField("o_custkey", "bucket", 4)))
+      GraftCatalog.commitSnapshot(
+        orders.where(col("o_orderkey") % 2 === 0).repartition(1),
+        root, append = false)
+      GraftCatalog.evolveSnapshotPartitionSpec(s, root,
+        Seq(graft.sources.PartitionField("o_custkey", "bucket", 8)))
+      GraftCatalog.commitSnapshot(
+        orders.where(col("o_orderkey") % 2 =!= 0).repartition(1),
+        root, append = true)
+      orders.agg(min("o_custkey")).head().getLong(0)
+    }
+    GraftCatalog.readSnapshot(s, root,
+        predicate = Some(col("o_custkey") === ck))
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+      .orderBy("pr")
+  }
+
+  /** q142 — STORAGE-PARTITIONED JOIN, oracle-reconciled: orders and a
+    * per-customer dimension land as two snapshot tables bucketed by
+    * the SAME `bucket(8, o_custkey)` hidden spec, then join on the
+    * bucket column through the DSv2 KeyGroupedPartitioning scans —
+    * planned with ZERO shuffle exchanges (plan-asserted in
+    * SourcesCatalogSpec; the conf is scoped to the DSv2 scans, so
+    * setting it session-wide is inert for every other query). DuckDB
+    * recomputes the join relationally: a hash match proves the
+    * co-located join is the same join. At 100 TB this is a fact⋈fact
+    * join that moves zero bytes over the network. */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val (lroot, _) = pooledTable(s, d, "snapspjl") { root =>
+      GraftCatalog.setSnapshotPartitionSpec(s, root,
+        Seq(graft.sources.PartitionField("o_custkey", "bucket", 8)))
+      GraftCatalog.commitSnapshot(ordersDf(s, d).repartition(1),
+        root, append = false)
+      0L
+    }
+    val (rroot, _) = pooledTable(s, d, "snapspjr") { root =>
+      GraftCatalog.setSnapshotPartitionSpec(s, root,
+        Seq(graft.sources.PartitionField("o_custkey", "bucket", 8)))
+      GraftCatalog.commitSnapshot(
+        ordersDf(s, d).groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("cust_total"))
+          .repartition(1),
+        root, append = false)
+      0L
+    }
+    GraftCatalog.readSnapshotSpj(s, lroot)
+      .join(GraftCatalog.readSnapshotSpj(s, rroot), "o_custkey")
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(cust_total AS DECIMAL(18,2))) AS DOUBLE)").as("joined_total"))
+      .orderBy("pr")
+  }
+
+  private val q141Oracle: String =
+    """WITH ck AS (SELECT MIN(o_custkey) AS ck FROM orders)
+      |SELECT o_orderpriority AS pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2)))
+      |    AS DOUBLE) AS total
+      |FROM orders, ck WHERE o_custkey = ck
+      |GROUP BY pr ORDER BY pr""".stripMargin
+
+  private val q142Oracle: String =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2)))
+      |      AS DOUBLE) AS cust_total
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o.o_orderpriority AS pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c.cust_total AS DECIMAL(18,2))) AS DOUBLE) AS joined_total
+      |FROM orders o JOIN cust c ON o.o_custkey = c.o_custkey
+      |GROUP BY pr ORDER BY pr""".stripMargin
+
+  /** q143 — MERGE-ON-READ update + upsert, oracle-reconciled: a MoR
+    * UPDATE re-prices one priority class (DV over the old positions +
+    * one appended batch, zero rewrites), then a MoR MERGE upserts a
+    * feed derived from the RAW orders (matched keys DV'd, full batch
+    * appended). DuckDB replays update-then-upsert relationally: a hash
+    * match proves the delete-vector+append physics equals the
+    * copy-on-write rewrite row-for-row — the full DML surface now runs
+    * under BOTH write modes with identical logical results. */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val (root, _) = cloneBase(s, d, "snapmorup")
+    val orders = ordersDf(s, d)
+    GraftCatalog.updateSnapshotWhereMor(s, root,
+      col("pr") === "1-URGENT", Seq("price" -> (col("price") + 25.0)))
+    val feed = orders.where(col("o_orderkey") % 53 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit(2.0).as("price"), lit("0-MOR").as("pr"))
+      .unionByName(orders.where(col("o_orderkey") % 811 === 0)
+        .select((col("o_orderkey") + 300000000L).as("o_orderkey"),
+          col("o_custkey"), col("price"), lit("9-MORNEW").as("pr")))
+    GraftCatalog.mergeSnapshotMor(s, root, feed, "o_orderkey")
+    GraftCatalog.readSnapshot(s, root)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("pr")
+  }
+
+  private val q143Oracle: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, o_orderpriority AS pr
+      |  FROM orders),
+      |u1 AS (SELECT o_orderkey, o_custkey,
+      |    CASE WHEN pr = '1-URGENT' THEN price + 25 ELSE price END AS price, pr
+      |  FROM base),
+      |feed AS (
+      |  SELECT o_orderkey, o_custkey, 2.0 AS price, '0-MOR' AS pr
+      |  FROM base WHERE o_orderkey % 53 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 300000000, o_custkey, price, '9-MORNEW'
+      |  FROM base WHERE o_orderkey % 811 = 0),
+      |m AS (
+      |  SELECT * FROM u1
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM feed)
+      |  UNION ALL SELECT * FROM feed)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM m GROUP BY pr ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q117_merge_cow", Some(q117Oracle), q117),
     Q("q119_delete_cow", Some(q119Oracle), q119),
@@ -836,5 +975,8 @@ object SnapshotOps {
     Q("q137_partitions_tvf", Some(q134Oracle), q137),
     Q("q138_sql_dml", Some(q138Oracle), q138),
     Q("q139_timestamp_travel", Some(q135Oracle), q139),
-    Q("q140_mor_delete", Some(q140Oracle), q140))
+    Q("q140_mor_delete", Some(q140Oracle), q140),
+    Q("q141_spec_evolution", Some(q141Oracle), q141),
+    Q("q142_spj_join", Some(q142Oracle), q142),
+    Q("q143_mor_upsert", Some(q143Oracle), q143))
 }

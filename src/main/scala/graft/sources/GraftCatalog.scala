@@ -1186,6 +1186,36 @@ object GraftCatalog {
       v: Long, files: Seq[String]): DataFrame =
     applyDv(spark, fs, root, v, spark.read.parquet(files: _*))
 
+  /** Declare the table's row-level WRITE MODE — `"cow"` (default:
+    * DELETE/UPDATE/MERGE rewrite touched files) or `"mor"` (they
+    * publish deletion vectors + appended batches instead). Consulted
+    * by the SQL DML lowering so a pure-SQL client gets the table
+    * owner's chosen physics; the Scala verbs stay explicit. MUTABLE
+    * (an ALTER-able table property, unlike the create-exclusive
+    * layout configs): last write wins, which is safe because both
+    * modes produce the same logical table. */
+  def setSnapshotWriteMode(spark: SparkSession, root: String,
+      mode: String): Unit = {
+    require(mode == "cow" || mode == "mor", s"write mode must be cow|mor: $mode")
+    val (fs, r) = fsOf(spark, root)
+    fs.mkdirs(refsDir(r))
+    val out = fs.create(new org.apache.hadoop.fs.Path(refsDir(r), "write.mode"), true)
+    try out.write(s"$mode\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The table's declared write mode (default `"cow"`). */
+  def snapshotWriteMode(spark: SparkSession, root: String): String = {
+    val (fs, r) = fsOf(spark, root)
+    val p = new org.apache.hadoop.fs.Path(refsDir(r), "write.mode")
+    if (!fs.exists(p)) "cow"
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .next().trim
+      finally in.close()
+    }
+  }
+
   /** Copy a version's DV sidecars into ANOTHER table root's
     * `_deletes/` dir under fresh unique names, returning the `#dv:`
     * manifest lines for the destination. Clones and branch
@@ -1268,6 +1298,123 @@ object GraftCatalog {
     } catch {
       case e: SnapshotConflictException =>
         fs.delete(new org.apache.hadoop.fs.Path(deletesDir(r), name), true)
+        throw e
+    }
+  }
+
+  /** MERGE-ON-READ row-level UPDATE: `UPDATE t SET … WHERE pred` as a
+    * deletion vector over the OLD row positions plus ONE appended
+    * batch of the updated rows — no existing file is rewritten. Same
+    * statement semantics as [[updateSnapshotWhere]] (assignments
+    * evaluate against the pre-update row and cast back to the column's
+    * declared type; CHECKs validate the updated rows); the physical
+    * contract is Iceberg v2's MoR update (delete + insert), so CDC
+    * readers see exactly a delete+insert pair per touched row. Use for
+    * scattered updates; compaction folds. No schema evolution on this
+    * path — the CoW verb owns that. */
+  def updateSnapshotWhereMor(spark: SparkSession, root: String,
+      pred: Column, set: Seq[(String, Column)],
+      meta: Seq[String] = Seq.empty): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val files = readManifest(fs, r, head)
+    val stats = readStats(spark, root, head)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
+    val ptSpec = readPartitionSpecsAt(fs, r)
+    val ptSchema = if (ptSpec.isEmpty) None else readSchemaLine(fs, r, head)
+    val candidates = files.filter(f =>
+      stats.get(f).forall(st => mayContain(st, predExpr, tz)) &&
+        tupleMayMatch(ptSpec, ptSchema, f, predExpr, tz))
+    if (candidates.isEmpty) return head
+    val hit = liveRowsWithPos(spark, fs, r, head, candidates)
+      .where(coalesce(pred, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (hit.isEmpty) return head // no matching live row → no-op
+      val dataCols = hit.columns.filterNot(c => c == "__path" || c == "__pos").toSeq
+      val known = dataCols.toSet
+      val unknown = set.map(_._1).filterNot(known)
+      require(unknown.isEmpty,
+        s"UPDATE SET on unknown column(s): ${unknown.mkString(", ")}")
+      val setMap = set.toMap
+      val updated = hit.select(dataCols.map { c =>
+        setMap.get(c).fold(col(c)) { e =>
+          val dt = hit.schema(c).dataType
+          e.cast(dt).as(c)
+        }
+      }: _*)
+      validateChecks(spark, root, updated)
+      publishDvPlusBatch(spark, fs, r, root, head, files, stats,
+        hit.select("__path", "__pos"), updated, meta)
+    } finally hit.unpersist()
+  }
+
+  /** MERGE-ON-READ upsert by `pk`: deletion-vector the matched rows'
+    * positions and append the FULL updates batch — same statement
+    * semantics as [[mergeSnapshot]] (updates must be pk-unique; new
+    * keys insert), zero rewritten files. CDC shows matched keys as
+    * delete+insert pairs. No schema evolution on this path. */
+  def mergeSnapshotMor(spark: SparkSession, root: String,
+      updates: DataFrame, pk: String, meta: Seq[String] = Seq.empty): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    if (updates.isEmpty) return head
+    validateChecks(spark, root, updates)
+    val files = readManifest(fs, r, head)
+    val stats = readStats(spark, root, head)
+    val keys = updates.select(col(pk)).distinct()
+    val candidates = nominateFilesByKey(spark, files, stats, keys, pk)
+    val matchedPos =
+      if (candidates.isEmpty) None
+      else Some(liveRowsWithPos(spark, fs, r, head, candidates)
+        .join(keys, Seq(pk), "left_semi")
+        .select("__path", "__pos"))
+    val tableCols = readSchemaLine(fs, r, head)
+      .map(_.fieldNames.toSeq)
+      .getOrElse(spark.read.parquet(files.head).columns.toSeq)
+    publishDvPlusBatch(spark, fs, r, root, head, files, stats,
+      matchedPos.getOrElse(spark.emptyDataFrame), // empty → pure append
+      updates.select(tableCols.map(col): _*), meta)
+  }
+
+  /** Live (not-yet-DV-deleted) rows of specific files WITH their
+    * (__path, __pos) metadata keys — the shared front end of the MoR
+    * update/merge verbs. */
+  private def liveRowsWithPos(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
+      v: Long, files: Seq[String]): DataFrame = {
+    val raw = spark.read.parquet(files: _*)
+      .withColumn("__path", dvPathKey(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+    dvDf(spark, r, readDvNames(fs, r, v))
+      .fold(raw)(p => raw.join(p, Seq("__path", "__pos"), "left_anti"))
+  }
+
+  /** Shared MoR commit: write a DV sidecar for `positions` (skipped
+    * when empty), land `newData` as one appended batch, and publish
+    * head+1 carrying ALL existing files. Conflict aborts clean up both
+    * the sidecar and the batch. */
+  private def publishDvPlusBatch(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
+      root: String, head: Long, files: Seq[String],
+      stats: Map[String, FileStat], positions: DataFrame, newData: DataFrame,
+      meta: Seq[String]): Long = {
+    val dvName: Option[String] =
+      if (positions.isEmpty) None
+      else {
+        val n = s"dv-${System.nanoTime()}"
+        positions.select(col("__path"), col("__pos"))
+          .write.parquet(new org.apache.hadoop.fs.Path(deletesDir(r), n).toString)
+        Some(n)
+      }
+    try {
+      commitCow(spark, fs, r, head, carried = files, carriedStats = stats,
+        newData = newData, meta = dvName.map(n => s"#dv:$n").toSeq ++ meta)
+    } catch {
+      case e: SnapshotConflictException =>
+        dvName.foreach(n => fs.delete(
+          new org.apache.hadoop.fs.Path(deletesDir(r), n), true))
         throw e
     }
   }
@@ -2749,7 +2896,7 @@ object GraftCatalog {
       val cfg = sfs.listStatus(srd).filter(st => st.isFile && {
         val n = st.getPath.getName
         n.endsWith(".check") || n.startsWith("partition.spec") ||
-          n == "bloom.conf" || n == "sort.conf"
+          n == "bloom.conf" || n == "sort.conf" || n == "write.mode"
       })
       if (cfg.nonEmpty) dfs.mkdirs(refsDir(dr))
       cfg.foreach { st =>

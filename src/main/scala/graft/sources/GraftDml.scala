@@ -198,8 +198,13 @@ case class GraftDeleteCommand(root: String, view: Option[String],
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val v = GraftCatalog.deleteSnapshotWhere(spark, root,
-      GraftColumnBridge.column(cond.e))
+    // the table's declared write mode picks the physics; both modes
+    // produce the same logical table
+    val pc = GraftColumnBridge.column(cond.e)
+    val v =
+      if (GraftCatalog.snapshotWriteMode(spark, root) == "mor")
+        GraftCatalog.deleteSnapshotWhereMor(spark, root, pc)
+      else GraftCatalog.deleteSnapshotWhere(spark, root, pc)
     view.foreach(GraftDml.refreshView(spark, _, root))
     Seq(Row(v))
   }
@@ -212,9 +217,12 @@ case class GraftUpdateCommand(root: String, view: Option[String],
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val v = GraftCatalog.updateSnapshotWhere(spark, root,
-      GraftColumnBridge.column(cond.e),
-      set.map { case (c, r) => c -> GraftColumnBridge.column(r.e) })
+    val pc = GraftColumnBridge.column(cond.e)
+    val assigns = set.map { case (c, r) => c -> GraftColumnBridge.column(r.e) }
+    val v =
+      if (GraftCatalog.snapshotWriteMode(spark, root) == "mor")
+        GraftCatalog.updateSnapshotWhereMor(spark, root, pc, assigns)
+      else GraftCatalog.updateSnapshotWhere(spark, root, pc, assigns)
     view.foreach(GraftDml.refreshView(spark, _, root))
     Seq(Row(v))
   }
@@ -231,8 +239,13 @@ case class GraftMergeCommand(root: String, view: Option[String],
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftColumnBridge.ofRows(spark, source)
-    val v = GraftCatalog.mergeSnapshot(spark, root, src, pk,
-      allowSchemaEvolution = schemaEvolution)
+    val v =
+      if (GraftCatalog.snapshotWriteMode(spark, root) == "mor") {
+        require(!schemaEvolution,
+          "MERGE WITH SCHEMA EVOLUTION is CoW-only; unset mor write mode")
+        GraftCatalog.mergeSnapshotMor(spark, root, src, pk)
+      } else GraftCatalog.mergeSnapshot(spark, root, src, pk,
+        allowSchemaEvolution = schemaEvolution)
     view.foreach(GraftDml.refreshView(spark, _, root))
     Seq(Row(v))
   }

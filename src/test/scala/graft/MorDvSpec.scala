@@ -169,6 +169,73 @@ class MorDvSpec extends AnyFunSuite {
       "clone must not depend on the source's _deletes dir")
   }
 
+  test("MoR UPDATE: DV over old positions + one appended batch, zero rewrites") {
+    val root = freshTable("morupd")
+    val before = dataFiles(root).toSet
+    GraftCatalog.updateSnapshotWhereMor(spark, root,
+      col("id") % 100 === 7, Seq("amount" -> (col("amount") + 1)))
+    val after = dataFiles(root).toSet
+    assert(before.subsetOf(after), "MoR update must carry every old file")
+    assert((after -- before).nonEmpty, "updated rows land as a new batch")
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.count() == 1000, "update must not change the row count")
+    assert(t.where(col("id") === 107).head().getLong(2) == 1071L)
+    assert(t.where(col("id") === 108).head().getLong(2) == 1080L)
+    // equals the CoW result row-for-row
+    val expect = spark.range(1000).select(col("id"), (col("id") % 7).as("grp"),
+        (col("id") * 10 + when(col("id") % 100 === 7, 1L).otherwise(0L)).as("amount"))
+      .collect().toSet
+    assert(t.collect().toSet == expect)
+    // a second MoR update composes (touches rows updated by the first)
+    GraftCatalog.updateSnapshotWhereMor(spark, root,
+      col("id") === 107L, Seq("amount" -> lit(0L)))
+    val t2 = GraftCatalog.readSnapshot(spark, root)
+    assert(t2.count() == 1000)
+    assert(t2.where(col("id") === 107).head().getLong(2) == 0L)
+    // no-op update publishes nothing
+    val head = GraftCatalog.snapshotVersions(spark, root).last
+    assert(GraftCatalog.updateSnapshotWhereMor(spark, root,
+      col("id") === 99999L, Seq("amount" -> lit(1L))) == head)
+  }
+
+  test("MoR MERGE: matched keys DV'd + full batch appended; CDC shows delete+insert") {
+    import spark.implicits._
+    val root = freshTable("mormrg")
+    val before = dataFiles(root).toSet
+    val updates = Seq((5L, 0L, 999L), (2000L, 1L, 111L))
+      .toDF("id", "grp", "amount")
+    GraftCatalog.mergeSnapshotMor(spark, root, updates, "id")
+    assert(before.subsetOf(dataFiles(root).toSet))
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.count() == 1001)
+    assert(t.where(col("id") === 5).head().getLong(2) == 999L)
+    assert(t.where(col("id") === 2000).head().getLong(2) == 111L)
+    // CDC: the matched key is a delete+insert pair, the new key insert-only
+    val ch = GraftCatalog.readChanges(spark, root, 1L, 2L)
+    val byChange = ch.groupBy("_change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChange.getOrElse("delete", 0L) == 1L, s"one DV'd old row: $byChange")
+    assert(byChange.getOrElse("insert", 0L) == 2L, s"two appended rows: $byChange")
+  }
+
+  test("write mode 'mor' routes SQL DML onto the MoR verbs") {
+    val root = freshTable("mode")
+    GraftCatalog.setSnapshotWriteMode(spark, root, "mor")
+    assert(GraftCatalog.snapshotWriteMode(spark, root) == "mor")
+    val before = dataFiles(root).toSet
+    graft.sources.GraftDml.sql(spark, s"DELETE FROM `$root` WHERE id % 100 = 3")
+    assert(dataFiles(root).toSet == before,
+      "mor-mode SQL DELETE must not rewrite data files")
+    graft.sources.GraftDml.sql(spark,
+      s"UPDATE `$root` SET amount = 0 WHERE id = 500")
+    assert(before.subsetOf(dataFiles(root).toSet))
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.count() == 990)
+    assert(t.where(col("id") === 500).head().getLong(2) == 0L)
+    GraftCatalog.setSnapshotWriteMode(spark, root, "cow")
+    assert(GraftCatalog.snapshotWriteMode(spark, root) == "cow")
+  }
+
   test("SQL DELETE can choose the MoR path per-table default") {
     // the DML surface composes: MoR via the Scala verb, then SQL DML
     // (CoW) on the same table — both see the same logical content
