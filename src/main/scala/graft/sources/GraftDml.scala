@@ -133,6 +133,16 @@ object GraftDml {
         GraftUpdateCommand(root, view, set,
           GraftDml.Raw(cond.getOrElse(Literal.TrueLiteral)))
       }
+    case ins: InsertIntoStatement =>
+      targetRoot(spark, ins.table).map { case (root, view) =>
+        require(ins.partitionSpec.isEmpty && !ins.ifPartitionNotExists,
+          "snapshot tables use HIDDEN partitioning — INSERT has no " +
+            "PARTITION clause (the table derives tuples itself)")
+        require(ins.userSpecifiedCols.isEmpty,
+          "INSERT with an explicit column list is not supported on " +
+            "snapshot tables — project in the SELECT instead")
+        GraftInsertCommand(root, view, ins.query, ins.overwrite)
+      }
     case m: MergeIntoTable =>
       targetRoot(spark, m.targetTable).map { case (root, view) =>
         // mergeSnapshot is a full-row upsert by key — require exactly
@@ -223,6 +233,24 @@ case class GraftUpdateCommand(root: String, view: Option[String],
       if (GraftCatalog.snapshotWriteMode(spark, root) == "mor")
         GraftCatalog.updateSnapshotWhereMor(spark, root, pc, assigns)
       else GraftCatalog.updateSnapshotWhere(spark, root, pc, assigns)
+    view.foreach(GraftDml.refreshView(spark, _, root))
+    Seq(Row(v))
+  }
+}
+
+/** `INSERT INTO` (append) / `INSERT OVERWRITE` (replace) →
+  * [[GraftCatalog.commitSnapshot]] — the ingestion side of the SQL
+  * surface: CHECK constraints validate, hidden partitioning derives
+  * tuples, the declared sort applies, all through the one writer. The
+  * query plan stays unresolved until run time (same contract as
+  * MERGE's source). */
+case class GraftInsertCommand(root: String, view: Option[String],
+    query: LogicalPlan, overwrite: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = GraftColumnBridge.ofRows(spark, query)
+    val v = GraftCatalog.commitSnapshot(df, root, append = !overwrite)
     view.foreach(GraftDml.refreshView(spark, _, root))
     Seq(Row(v))
   }

@@ -77,6 +77,31 @@ class DmlSpec extends AnyFunSuite {
     GraftDml.unregisterSnapshotTable(spark, "dml_orders")
   }
 
+  test("INSERT INTO appends; INSERT OVERWRITE replaces; checks still gate") {
+    val root = freshTable("ins")
+    val v = GraftDml.sql(spark,
+      s"INSERT INTO `$root` SELECT id, id % 7 AS grp, id * 10 AS amount FROM range(100, 120)")
+    assert(v.head().getLong(0) == 2L)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 120)
+    GraftDml.sql(spark,
+      s"INSERT OVERWRITE `$root` SELECT id, id % 7 AS grp, id * 10 AS amount FROM range(50)")
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 50)
+    // time travel across the SQL-ingested history
+    assert(GraftCatalog.readSnapshot(spark, root, Some(2L)).count() == 120)
+    // a CHECK constraint gates the SQL insert like any other writer
+    GraftCatalog.addSnapshotCheck(spark, root, "amt-nonneg", "amount >= 0")
+    intercept[graft.sources.SnapshotCheckViolation] {
+      GraftDml.sql(spark,
+        s"INSERT INTO `$root` SELECT 999L AS id, 0L AS grp, -5L AS amount")
+    }
+    // PARTITION clauses are refused: partitioning is hidden
+    val e = intercept[IllegalArgumentException] {
+      GraftDml.sql(spark,
+        s"INSERT INTO `$root` PARTITION (grp=1) SELECT 1L AS id, 10L AS amount")
+    }
+    assert(e.getMessage.contains("HIDDEN partitioning"))
+  }
+
   test("unsupported MERGE shapes are rejected loudly, not half-lowered") {
     val root = freshTable("shape")
     GraftDml.registerSnapshotTable(spark, "dml_shape", root)

@@ -496,6 +496,39 @@ class PropertySpec extends AnyFunSuite {
       st.keys.filter(k => k % m == r && k <= hi).toSeq.foreach(st.remove)
   }
 
+  /** MoR delete: same logical effect as DeleteOp, different physics —
+    * a deletion-vector publish racing the CoW verbs exercises the
+    * claim protocol from the sidecar path too. */
+  private final case class MorDeleteOp(idx: Int, m: Long, r: Long,
+      hi: Long) extends RaceOp {
+    def run(root: String): Long = {
+      import org.apache.spark.sql.functions._
+      graft.sources.GraftCatalog.deleteSnapshotWhereMor(spark, root,
+        col("k") % m === r && col("k") <= hi, meta = Seq(s"#op:$idx"))
+    }
+    def model(st: scala.collection.mutable.Map[Long, Long]): Unit =
+      st.keys.filter(k => k % m == r && k <= hi).toSeq.foreach(st.remove)
+  }
+
+  /** MoR upsert: DV + appended batch racing everything else. */
+  private final case class MorMergeOp(idx: Int, lo: Long, hi: Long,
+      r: Long, insStart: Long) extends RaceOp {
+    def run(root: String): Long = {
+      val s = spark
+      import org.apache.spark.sql.functions._
+      val upd = s.range(lo, hi + 1).where(col("id") % 10 === r)
+        .select(col("id").as("k"), (col("id") + 200000L).as("v"))
+        .union(s.range(insStart, insStart + 30)
+          .select(col("id").as("k"), (col("id") + 9L).as("v")))
+      graft.sources.GraftCatalog.mergeSnapshotMor(s, root, upd, "k",
+        meta = Seq(s"#op:$idx"))
+    }
+    def model(st: scala.collection.mutable.Map[Long, Long]): Unit = {
+      (lo to hi).filter(_ % 10 == r).foreach(k => st(k) = k + 200000L)
+      (insStart until insStart + 30).foreach(k => st(k) = k + 9L)
+    }
+  }
+
   private final case class AppendOp(idx: Int, start: Long) extends RaceOp {
     def run(root: String): Long = {
       import org.apache.spark.sql.functions._
@@ -525,7 +558,7 @@ class PropertySpec extends AnyFunSuite {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     val cat = graft.sources.GraftCatalog
-    for (seed <- Seq(41L, 42L, 43L)) {
+    for (seed <- Seq(41L, 42L, 43L, 44L, 45L)) {
       val rnd = new scala.util.Random(seed)
       val root = s"/tmp/graft-index/proprace_${seed}_${System.nanoTime()}"
       cat.commitSnapshot(
@@ -536,12 +569,17 @@ class PropertySpec extends AnyFunSuite {
         val lo = rnd.nextInt(500).toLong; (lo, lo + 100 + rnd.nextInt(400))
       }
       val (lo1, hi1) = span(); val (lo2, hi2) = span()
+      val (lo3, hi3) = span()
       val ops: Seq[RaceOp] = rnd.shuffle(Seq[RaceOp](
         MergeOp(0, lo1, hi1, rnd.nextInt(10).toLong, 10000L),
         MergeOp(1, lo2, hi2, rnd.nextInt(10).toLong, 11000L),
         DeleteOp(2, 5L, rnd.nextInt(5).toLong, 300L + rnd.nextInt(700)),
         DeleteOp(3, 7L, rnd.nextInt(7).toLong, 300L + rnd.nextInt(700)),
-        AppendOp(4, 20000L), AppendOp(5, 21000L)))
+        AppendOp(4, 20000L), AppendOp(5, 21000L),
+        // r11: the merge-on-read physics race the CoW verbs on the
+        // SAME table — DV sidecar publishes must serialize identically
+        MorDeleteOp(6, 11L, rnd.nextInt(11).toLong, 300L + rnd.nextInt(700)),
+        MorMergeOp(7, lo3, hi3, rnd.nextInt(10).toLong, 12000L)))
       // Phase 1: race. Every failure must be the clean serializable
       // abort — anything else (NPE, torn state, wrong exception) fails.
       val results = Await.result(
