@@ -1532,6 +1532,63 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** d24 — cross-document VERBATIM SPAN dedup (the C4/RefinedWeb exact
+    * substring pass: boilerplate headers, license blocks and templated
+    * paragraphs repeat verbatim across documents, and near-dup pair
+    * scoring never surfaces them because the CONTAINING docs aren't
+    * similar): every 8-token window is a span; a span seen in ≥2
+    * distinct documents is shared; per doc, the count and ratio of
+    * its window occurrences covered by shared spans — the signal a
+    * pipeline thresholds to strip boilerplate before training. Scale
+    * posture: LINEAR — one explode (≈1 row per token), two gram-keyed
+    * map-side-combined aggregations and one semi-join; no pair
+    * expansion anywhere, unlike the similarity family (a doc sharing a
+    * span with 10 000 others costs 1 aggregation row, not 10 000
+    * pairs). Spans stay strings so DuckDB rebuilds them verbatim and
+    * the WHOLE output hash-checks (t27's trade; production would hash
+    * spans to 8 bytes for the shuffle). */
+  private def d24(s: SparkSession, d: String): DataFrame = {
+    val sp = docs(s, d)
+      .withColumn("t", expr(tokExpr))
+      .where(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 8), i -> array_join(slice(t, i + 1, 8), ' '))"))
+        .as("span"))
+    val shared = sp.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("span")
+    val tot = sp.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val shr = sp.join(shared, Seq("span"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    tot.join(shr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) / col("n_spans"), 6)
+          .as("shared_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val d24Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id, unnest(
+      |    [array_to_string(t[i+1:i+8], ' ') for i in range(len(t) - 7)]) AS span
+      |  FROM toks WHERE len(t) >= 8),
+      |shared AS (
+      |  SELECT span FROM sp GROUP BY span
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id),
+      |shr AS (
+      |  SELECT doc_id, COUNT(*) AS n_shared FROM sp
+      |  WHERE span IN (SELECT span FROM shared) GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_spans,
+      |  COALESCE(s.n_shared, 0) AS n_shared,
+      |  ROUND(COALESCE(s.n_shared, 0) / t.n_spans, 6) AS shared_ratio
+      |FROM tot t LEFT JOIN shr s ON t.doc_id = s.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
@@ -1555,5 +1612,6 @@ object Dedup {
     Q("d20_kcore", None, d20),
     Q("d21_ktruss", None, d21),
     Q("d22_semantic_dedup", None, d22),
-    Q("d23_weighted_core", None, d23))
+    Q("d23_weighted_core", None, d23),
+    Q("d24_span_dedup", Some(d24Oracle), d24))
 }

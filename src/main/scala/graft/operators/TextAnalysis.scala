@@ -1094,7 +1094,62 @@ object TextAnalysis {
     Q("t24_crossdoc_coverage", Some(t24Oracle), t24),
     Q("t25_gopher_char_fracs", Some(t25Oracle), t25),
     Q("t26_dsir_scores", None, t26),
-    Q("t27_source_overlap", Some(t27Oracle), t27))
+    Q("t27_source_overlap", Some(t27Oracle), t27),
+    Q("t28_contamination", Some(t28Oracle), t28))
+
+  /** t28 — train/test CONTAMINATION detection (the diligence gate
+    * every training pipeline runs before reporting eval numbers: did a
+    * benchmark's text leak into the corpus?): the held-out set is
+    * `source = 'src0'` standing in for a benchmark; for every OTHER
+    * document, the fraction of its distinct 5-gram set that appears
+    * ANYWHERE in the held-out set — the standard n-gram contamination
+    * rate (GPT-3 appendix C / PaLM's 13-gram variant, scaled to this
+    * corpus's short docs). LINEAR like d24: the benchmark gram set is
+    * one distinct aggregate, membership is a gram-keyed semi-join, and
+    * a doc overlapping thousands of benchmark docs costs its own gram
+    * count, never a pair. Top-50 most-contaminated for a stable,
+    * compact result; grams stay strings so the whole output
+    * hash-checks against DuckDB. */
+  private def t28(s: SparkSession, d: String): DataFrame = {
+    val dg = Tables.df(s, d, "documents")
+      .withColumn("tk", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .where(size(col("tk")) >= 5)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(tk) - 5), i -> concat_ws(' ', slice(tk, i + 1, 5)))"))
+        .as("g"))
+      .distinct()
+    val bench = dg.where(col("source") === "src0").select("g").distinct()
+    val rest = dg.where(col("source") =!= "src0")
+    val tot = rest.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hit = rest.join(bench, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)) / col("n_grams"), 6)
+          .as("rate"))
+      .orderBy(col("rate").desc, col("doc_id")).limit(50)
+  }
+
+  private val t28Oracle: String =
+    """WITH dg AS (
+      |  SELECT DISTINCT doc_id, source, unnest(
+      |    [array_to_string(t[i+1:i+5], ' ') for i in range(len(t) - 4)]) AS g
+      |  FROM (SELECT doc_id, source,
+      |          regexp_extract_all(lower(text), '[a-z]+') AS t
+      |        FROM documents)
+      |  WHERE len(t) >= 5),
+      |bench AS (SELECT DISTINCT g FROM dg WHERE source = 'src0'),
+      |rest AS (SELECT * FROM dg WHERE source <> 'src0'),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM rest GROUP BY doc_id),
+      |hit AS (
+      |  SELECT doc_id, COUNT(*) AS n_contaminated FROM rest
+      |  WHERE g IN (SELECT g FROM bench) GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_grams,
+      |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+      |  ROUND(COALESCE(h.n_contaminated, 0) / t.n_grams, 6) AS rate
+      |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+      |ORDER BY rate DESC, t.doc_id LIMIT 50""".stripMargin
 
   /** t26 — DSIR-style importance scores (the published
     * data-selection-via-importance-resampling recipe: select raw docs

@@ -1108,5 +1108,16 @@ class StreamingSpec extends AnyFunSuite {
     outRows.clear()
     drain()
     assert(outRows.isEmpty, "no new commits -> no new rows")
+
+    // a MERGE-ON-READ delete (a version that changes NO files, only a
+    // deletion vector) streams its deleted rows as delete-tagged CDC —
+    // subscribers see the retraction, not an empty batch
+    outRows.clear()
+    GraftCatalog.deleteSnapshotWhereMor(spark, root,
+      org.apache.spark.sql.functions.col("id") === 3L)
+    val b3 = drain()
+    assert(b3.size == 1, s"the DV-only version is one micro-batch, got $b3")
+    assert(outRows.map(r => (r._1, r._3)).toList == List((3L, "delete")),
+      s"expected the DV'd row as a delete: $outRows")
   }
 }
