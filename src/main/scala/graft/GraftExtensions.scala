@@ -140,5 +140,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_snapshot_partitions",
         "graft_snapshot_partitions(root) - per-partition file/row/byte counts (DESCRIBE PARTITIONS) from pure metadata"),
       graft.sources.GraftTvf.partitionsBuilder))
+    e.injectTableFunction((FunctionIdentifier("graft_snapshot_files"),
+      info("graft_snapshot_files",
+        "graft_snapshot_files(root[, version]) - per-file layout (rows/bytes/mtime/spec/tuple/DV counts) from pure metadata"),
+      graft.sources.GraftTvf.filesBuilder))
+    e.injectTableFunction((FunctionIdentifier("graft_snapshot_spj"),
+      info("graft_snapshot_spj",
+        "graft_snapshot_spj(root[, version]) - storage-partitioned read reporting the hidden bucket layout for shuffle-free joins"),
+      graft.sources.GraftTvf.spjBuilder))
   }
 }

@@ -860,7 +860,10 @@ object SnapshotOps {
     * recomputes the join relationally: a hash match proves the
     * co-located join is the same join. At 100 TB this is a fact⋈fact
     * join that moves zero bytes over the network. */
-  private def q142(s: SparkSession, d: String): DataFrame = {
+  /** The two same-spec bucketed fixture tables q142/q144 join —
+    * built once per JVM; also flips the session's v2-bucketing conf on
+    * (scoped to DSv2 KeyGrouped scans, inert for every other query). */
+  private def spjFixtures(s: SparkSession, d: String): (String, String) = {
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val (lroot, _) = pooledTable(s, d, "snapspjl") { root =>
       GraftCatalog.setSnapshotPartitionSpec(s, root,
@@ -880,6 +883,11 @@ object SnapshotOps {
         root, append = false)
       0L
     }
+    (lroot, rroot)
+  }
+
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    val (lroot, rroot) = spjFixtures(s, d)
     GraftCatalog.readSnapshotSpj(s, lroot)
       .join(GraftCatalog.readSnapshotSpj(s, rroot), "o_custkey")
       .groupBy("pr")
@@ -957,6 +965,21 @@ object SnapshotOps {
       |  COUNT(DISTINCT o_custkey) AS nc
       |FROM m GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q144 — the storage-partitioned join through PURE SQL: q142's
+    * co-located fact⋈dim, but the consumer is one SQL text over the
+    * `graft_snapshot_spj` TVF — the shuffle-free join a Thrift user
+    * actually types. Same fixtures, same DuckDB oracle. */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val (l, r) = spjFixtures(s, d)
+    graft.sources.GraftTvf.register(s)
+    s.sql(
+      s"""SELECT o.pr, COUNT(*) AS n,
+         |  CAST(SUM(CAST(c.cust_total AS DECIMAL(18,2))) AS DOUBLE) AS joined_total
+         |FROM graft_snapshot_spj('$l') o
+         |JOIN graft_snapshot_spj('$r') c ON o.o_custkey = c.o_custkey
+         |GROUP BY o.pr ORDER BY o.pr""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     Q("q117_merge_cow", Some(q117Oracle), q117),
     Q("q119_delete_cow", Some(q119Oracle), q119),
@@ -978,5 +1001,6 @@ object SnapshotOps {
     Q("q140_mor_delete", Some(q140Oracle), q140),
     Q("q141_spec_evolution", Some(q141Oracle), q141),
     Q("q142_spj_join", Some(q142Oracle), q142),
-    Q("q143_mor_upsert", Some(q143Oracle), q143))
+    Q("q143_mor_upsert", Some(q143Oracle), q143),
+    Q("q144_spj_sql", Some(q142Oracle), q144))
 }

@@ -2006,6 +2006,53 @@ object GraftCatalog {
       spec.head.col, spec.head.n, buckets)
   }
 
+  /** DESCRIBE FILES — the physical layout of a version as a DataFrame,
+    * from PURE metadata (manifest + stats sidecar, zero parquet opens):
+    * per data file its row/byte counts, commit mtime, the partition
+    * spec id that wrote it and its rendered tuple, and how many rows a
+    * deletion vector has removed from it — the table-maintenance
+    * dashboard ("which files are small", "where are the DVs piling up
+    * before I compact") as one metadata query. The only non-metadata
+    * touch is the DV sidecar itself (deleted-rows-sized) when one
+    * exists. */
+  def describeSnapshotFiles(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val (fs, r) = fsOf(spark, root)
+    val v = version.getOrElse(snapshotVersions(spark, root).last)
+    val files = readManifest(fs, r, v)
+    val stats = readStats(spark, root, v)
+    val dvCounts: Map[String, Long] =
+      dvDf(spark, r, readDvNames(fs, r, v)).fold(Map.empty[String, Long])(dv =>
+        dv.groupBy("__path").count().collect()
+          .map(row => row.getString(0) -> row.getLong(1)).toMap)
+    val rows = files.map { f =>
+      val st = stats.get(f)
+      val tuple = filePartitionTuple(f)
+      org.apache.spark.sql.Row(
+        f,
+        st.map(s2 => java.lang.Long.valueOf(s2.rows)).orNull,
+        st.flatMap(_.len).map(java.lang.Long.valueOf).orNull,
+        st.flatMap(_.mtime).map(m => new java.sql.Timestamp(m)).orNull,
+        specIdOfPath(f),
+        if (tuple.isEmpty) null
+        else tuple.toSeq.sortBy(_._1)
+          .map { case (i, ov) => s"__pt_$i=${ov.getOrElse("null")}" }
+          .mkString("/"),
+        java.lang.Long.valueOf(dvCounts.getOrElse(f, 0L)))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("n_rows", LongType),
+      StructField("bytes", LongType),
+      StructField("committed_at", TimestampType),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("partition", StringType),
+      StructField("dv_deleted_rows", LongType, nullable = false)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
   /** DESCRIBE HISTORY — the table's commit log as a DataFrame (the
     * Delta surface every operator dashboard reads): one row per
     * version with commit time (manifest mtime), file/row/byte counts

@@ -112,7 +112,41 @@ object GraftTvf {
       String.valueOf(args.head.eval())).queryExecution.logical
   }
 
+  /** `graft_snapshot_files('<root>'[, version])` — DESCRIBE FILES as a
+    * TVF: the physical layout (per-file rows/bytes/mtime, writing spec
+    * id, rendered partition tuple, DV-deleted row count) from pure
+    * metadata — the compaction/DV dashboard with no Scala call site. */
+  private[graft] val filesBuilder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.nonEmpty && args.size <= 2,
+      "graft_snapshot_files(root[, version]) takes 1 or 2 arguments")
+    require(args.forall(_.foldable),
+      "graft_snapshot_files arguments must be literals")
+    GraftCatalog.describeSnapshotFiles(SparkSession.active,
+      String.valueOf(args.head.eval()),
+      args.lift(1).map(v => String.valueOf(v.eval()).toLong))
+      .queryExecution.logical
+  }
+
+  /** `graft_snapshot_spj('<root>')` — the storage-partitioned read as
+    * a TVF: a pure-SQL join of two same-bucket-spec snapshot tables on
+    * the bucket column plans shuffle-free under
+    * `spark.sql.sources.v2.bucketing.enabled`. */
+  private[graft] val spjBuilder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.nonEmpty && args.size <= 2,
+      "graft_snapshot_spj(root[, version]) takes 1 or 2 arguments")
+    require(args.forall(_.foldable),
+      "graft_snapshot_spj arguments must be literals")
+    GraftCatalog.readSnapshotSpj(SparkSession.active,
+      String.valueOf(args.head.eval()),
+      args.lift(1).map(v => String.valueOf(v.eval()).toLong))
+      .queryExecution.logical
+  }
+
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_snapshot_files", filesBuilder, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_snapshot_spj", spjBuilder, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_snapshot", snapshotBuilder, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

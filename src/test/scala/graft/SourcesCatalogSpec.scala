@@ -1929,6 +1929,65 @@ class SourcesCatalogSpec extends AnyFunSuite {
       .where(col("id") === 1013L).count() == 0)
   }
 
+  test("graft_snapshot_files TVF: per-file layout with spec ids, tuples, DV counts from metadata") {
+    import spark.implicits._
+    val root = s"$tmp/snapfiles_${System.nanoTime()}"
+    GraftCatalog.setSnapshotPartitionSpec(spark, root,
+      Seq(graft.sources.PartitionField("id", "bucket", 4)))
+    GraftCatalog.commitSnapshot(
+      spark.range(400).select(col("id"), (col("id") * 2).as("v")).repartition(1),
+      root, append = false)
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("id").isin(3L, 5L, 7L))
+    graft.sources.GraftTvf.register(spark)
+    val files = spark.sql(
+      s"SELECT * FROM graft_snapshot_files('$root')").collect()
+    assert(files.length == 4, "one file per bucket")
+    assert(files.forall(_.getAs[Int]("spec_id") == 1))
+    assert(files.forall(r => Option(r.getAs[String]("partition"))
+      .exists(_.startsWith("__pt_0="))))
+    assert(files.map(_.getAs[Long]("n_rows")).sum == 400L,
+      "metadata row counts must sum to the table")
+    assert(files.map(_.getAs[Long]("dv_deleted_rows")).sum == 3L,
+      "the DV's positions attribute to their files")
+    // version arg: v1 predates the DV
+    val v1 = spark.sql(
+      s"SELECT SUM(dv_deleted_rows) AS d FROM graft_snapshot_files('$root', 1)")
+      .head().getLong(0)
+    assert(v1 == 0L)
+  }
+
+  test("graft_snapshot_spj TVF: pure-SQL bucket-aligned join plans zero exchanges") {
+    import spark.implicits._
+    def mk(prefix: String, n: Int, vc: String): String = {
+      val root = s"$tmp/snapspjtvf_${prefix}_${System.nanoTime()}"
+      GraftCatalog.setSnapshotPartitionSpec(spark, root,
+        Seq(graft.sources.PartitionField("k", "bucket", 8)))
+      GraftCatalog.commitSnapshot(
+        spark.range(n).select(col("id").as("k"), (col("id") * 5).as(vc))
+          .repartition(1),
+        root, append = false)
+      root
+    }
+    val l = mk("l", 600, "lv")
+    val r = mk("r", 400, "rv")
+    val prior = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      graft.sources.GraftTvf.register(spark)
+      val j = spark.sql(
+        s"""SELECT a.k, a.lv, b.rv FROM graft_snapshot_spj('$l') a
+           |JOIN graft_snapshot_spj('$r') b ON a.k = b.k""".stripMargin)
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, "SQL SPJ must not shuffle")
+      assert(j.count() == 400)
+    } finally prior match {
+      case Some(vv) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", vv)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("storage-partitioned join: bucket-aligned snapshot⋈snapshot plans zero exchanges") {
     import spark.implicits._
     def mkTable(prefix: String, nRows: Int, valCol: String): String = {
