@@ -592,24 +592,53 @@ object GraftCatalog {
   /** Stats of a version, keyed by data-file path. Empty when the
     * version predates stats or the sidecar is gone — every consumer
     * treats a missing entry as "cannot prune", never as an error. */
+  /** Everything a read needs from one version's manifest, parsed from
+    * a SINGLE read of the file: the previous structure re-read the
+    * same manifest 3-4 times per table read (file list, `#schema:`,
+    * `#dv:`, `#stats:` pointer) — 3 redundant GETs of the same small
+    * object per query on an object store. Manifests are immutable once
+    * `#eof`-terminated, so one strict read serves all four. */
+  private final case class ParsedManifest(files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      dvNames: Seq[String], statsName: Option[String])
+
+  private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
+      r: org.apache.hadoop.fs.Path, v: Long): ParsedManifest = {
+    val lines = readManifestLines(fs, r, v)
+    ParsedManifest(
+      lines.filterNot(_.startsWith("#")),
+      lines.find(_.startsWith("#schema:"))
+        .map(l => org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("#schema:"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]),
+      lines.filter(_.startsWith("#dv:")).map(_.stripPrefix("#dv:")),
+      lines.find(_.startsWith("#stats:")).map(_.stripPrefix("#stats:")))
+  }
+
   private[graft] def readStats(spark: SparkSession, root: String, v: Long): Map[String, FileStat] = {
     val (fs, r) = fsOf(spark, root)
-    readManifestLines(fs, r, v).find(_.startsWith("#stats:")).map(_.stripPrefix("#stats:")) match {
-      case None => Map.empty
-      case Some(name) =>
-        val p = new org.apache.hadoop.fs.Path(manifestDir(r), name)
-        if (!fs.exists(p)) Map.empty
-        else {
-          val in = fs.open(p)
-          val lines =
-            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
-            finally in.close()
-          val sp = spark; import sp.implicits._
-          spark.read.schema(org.apache.spark.sql.Encoders.product[FileStat].schema)
-            .json(spark.createDataset(lines)).as[FileStat]
-            .collect().map(fstat => fstat.path -> fstat).toMap
-        }
-    }
+    readStatsNamed(spark, fs, r,
+      readManifestLines(fs, r, v).find(_.startsWith("#stats:"))
+        .map(_.stripPrefix("#stats:")))
+  }
+
+  private def readStatsNamed(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
+      statsName: Option[String]): Map[String, FileStat] = statsName match {
+    case None => Map.empty
+    case Some(name) =>
+      val p = new org.apache.hadoop.fs.Path(manifestDir(r), name)
+      if (!fs.exists(p)) Map.empty
+      else {
+        val in = fs.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+          finally in.close()
+        val sp = spark; import sp.implicits._
+        spark.read.schema(org.apache.spark.sql.Encoders.product[FileStat].schema)
+          .json(spark.createDataset(lines)).as[FileStat]
+          .collect().map(fstat => fstat.path -> fstat).toMap
+      }
   }
 
   /** The committed schema recorded in a version's manifest (`#schema:`
@@ -1166,7 +1195,12 @@ object GraftCatalog {
   private def applyDv(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       v: Long, df: DataFrame): DataFrame =
-    dvDf(spark, root, readDvNames(fs, root, v)).fold(df) { dv =>
+    applyDvNames(spark, root, readDvNames(fs, root, v), df)
+
+  private def applyDvNames(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, names: Seq[String],
+      df: DataFrame): DataFrame =
+    dvDf(spark, root, names).fold(df) { dv =>
       val cols = df.columns.toSeq
       val known = cols.toSet
       val pCol = Iterator.from(0).map(i => s"__dvp$i").find(!known(_)).get
@@ -1877,13 +1911,29 @@ object GraftCatalog {
   def readSnapshot(spark: SparkSession, root: String,
       version: Option[Long] = None, mergeSchema: Boolean = false,
       predicate: Option[Column] = None): DataFrame = {
-    val (kept, total) = snapshotScanFiles(spark, root, version, predicate)
-    require(total > 0, s"snapshot of $root is empty")
     val (fs, r) = fsOf(spark, root)
-    val v = version.getOrElse(snapshotVersions(spark, root).last)
+    val vs = versionsAt(fs, r)
+    require(vs.nonEmpty, s"snapshot of $root is empty")
+    val v = version.getOrElse(vs.last)
+    // ONE manifest read serves the file list, committed schema, DV
+    // names and stats pointer (object-store GET discipline).
+    val pm = parseManifest(fs, r, v)
+    require(pm.files.nonEmpty, s"snapshot of $root is empty")
+    val kept = predicate match {
+      case None => pm.files
+      case Some(p) =>
+        val stats = readStatsNamed(spark, fs, r, pm.statsName)
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        val expr = org.apache.spark.sql.GraftColumnBridge.expression(p)
+        val specs = readPartitionSpecsAt(fs, r)
+        val schema = if (specs.isEmpty) None else pm.schema
+        pm.files.filter(f =>
+          stats.get(f).forall(st => mayContain(st, expr, tz)) &&
+            tupleMayMatch(specs, schema, f, expr, tz))
+    }
     // All files pruned: scan one manifest file so the schema survives;
     // the row filter below still yields the (correct) empty result.
-    val files = if (kept.nonEmpty) kept else readManifest(fs, r, v).take(1)
+    val files = if (kept.nonEmpty) kept else pm.files.take(1)
     val rd = spark.read
     // Non-merge reads use the manifest's COMMITTED schema when recorded:
     // on a schema-evolved table this surfaces every committed column
@@ -1893,10 +1943,10 @@ object GraftCatalog {
     // file was written wider than its commit declared).
     val df =
       if (mergeSchema) rd.option("mergeSchema", "true").parquet(files: _*)
-      else readSchemaLine(fs, r, v)
+      else pm.schema
         .fold(rd.parquet(files: _*))(s => rd.schema(s).parquet(files: _*))
-    predicate.fold(applyDv(spark, fs, r, v, df))(p =>
-      applyDv(spark, fs, r, v, df).where(p))
+    val withDv = applyDvNames(spark, r, pm.dvNames, df)
+    predicate.fold(withDv)(withDv.where)
   }
 
   /** Read a snapshot as a CATALYST-INTEGRATED relation: unlike
@@ -1919,8 +1969,11 @@ object GraftCatalog {
       require(vs.nonEmpty, s"no snapshots published under $root")
       vs.last
     }
-    val files = readManifest(fs, r, v)
-    val stats = readStats(spark, root, v)
+    // ONE manifest read serves the file list, committed schema, DV
+    // names and stats pointer (object-store GET discipline).
+    val pm = parseManifest(fs, r, v)
+    val files = pm.files
+    val stats = readStatsNamed(spark, fs, r, pm.statsName)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     // Planning metadata comes from the manifest's own sidecar: file
     // length + mtime were recorded at commit, so building the scan's
@@ -1942,10 +1995,9 @@ object GraftCatalog {
     val schema =
       if (mergeSchema)
         spark.read.option("mergeSchema", "true").parquet(files: _*).schema
-      else readSchemaLine(fs, r, v)
-        .getOrElse(spark.read.parquet(files.head).schema)
+      else pm.schema.getOrElse(spark.read.parquet(files.head).schema)
     val spec = readPartitionSpecsAt(fs, r)
-    val specSchema = if (spec.isEmpty) None else readSchemaLine(fs, r, v)
+    val specSchema = if (spec.isEmpty) None else pm.schema
     val keep: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         Seq[org.apache.hadoop.fs.FileStatus] = filters =>
       if (filters.isEmpty) statuses
@@ -1955,7 +2007,7 @@ object GraftCatalog {
         stats.get(p).forall(fst => filters.forall(f => mayContain(fst, f, tz))) &&
           filters.forall(f => tupleMayMatch(spec, specSchema, p, f, tz))
       }
-    applyDv(spark, fs, r, v,
+    applyDvNames(spark, r, pm.dvNames,
       org.apache.spark.sql.GraftSnapshotRelation.dataFrame(spark, r, statuses, schema, keep))
   }
 
