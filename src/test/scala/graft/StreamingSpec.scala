@@ -1052,6 +1052,23 @@ class StreamingSpec extends AnyFunSuite {
     // idle refresh between commits is a no-op
     assert(m.refresh().isEmpty && m.lastSeen == 3L)
     assert(mvSet(m) == after)
+
+    // v4: MERGE-ON-READ delete — a version that rewrites NO files, only
+    // a deletion vector; its rows arrive through readChanges as
+    // delete-tagged CDC and the same fold subtracts them
+    GraftCatalog.deleteSnapshotWhereMor(spark, root,
+      org.apache.spark.sql.functions.col("id").isin(4L, 8L, 200L))
+    assert(m.refresh() == Some(4L))
+    assert(mvSet(m) == recompute(),
+      "MV after a MoR delete must equal a full recompute")
+
+    // v5: MERGE-ON-READ upsert — matched key DV'd + batch appended;
+    // the delete+insert pair nets the value change into the MV
+    GraftCatalog.mergeSnapshotMor(spark, root,
+      Seq((10L, "g9", 9999.75), (300L, "g2", 1.25)).toDF("id", "g", "amt"), "id")
+    assert(m.refresh() == Some(5L))
+    assert(mvSet(m) == recompute(),
+      "MV after a MoR upsert must equal a full recompute")
   }
 
   test("native snapshot stream source: one micro-batch per version, checkpoint resumes at the right version") {
