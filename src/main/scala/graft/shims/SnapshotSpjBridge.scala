@@ -6,7 +6,7 @@ import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, InMemoryFileIndex, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -44,38 +44,72 @@ object GraftSpjBridge {
       bucketCol: String, nBuckets: Int,
       buckets: Map[Int, Seq[SpjFile]]): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    // a throwaway ParquetScan configures the reader factory exactly as
-    // a native parquet DSv2 scan would (schema json, session TZ,
-    // vectorization, …) — its (empty) file index is never consulted
-    val dummyIndex = new InMemoryFileIndex(cs, Seq.empty, Map.empty, Some(schema))
-    val factory = ParquetScan(cs, cs.sessionState.newHadoopConf(), dummyIndex,
-      schema, schema, StructType(Nil), Array.empty,
+    val table = new GraftSpjTable(cs, name, schema, bucketCol, nBuckets,
+      buckets)
+    classic.Dataset.ofRows(cs, DataSourceV2Relation.create(table, None, None))
+  }
+
+  /** The reader factory, built AFTER column pruning and filter
+    * pushdown: a throwaway [[ParquetScan]] configures it exactly as a
+    * native parquet DSv2 scan would (requested-schema json, session
+    * TZ, int96/vectorization knobs) — its (empty) file index is never
+    * consulted. `readDataSchema` is the PRUNED projection, so a
+    * 2-column query reads 2 columns; `pushedFilters` reach parquet's
+    * row-group/page skipping. */
+  private[sql] def readerFactory(cs: classic.SparkSession,
+      dataSchema: StructType, readDataSchema: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter]): PartitionReaderFactory = {
+    val dummyIndex = new InMemoryFileIndex(cs, Seq.empty, Map.empty, Some(dataSchema))
+    ParquetScan(cs, cs.sessionState.newHadoopConf(), dummyIndex,
+      dataSchema, readDataSchema, StructType(Nil), filters,
       CaseInsensitiveStringMap.empty(), None, Seq.empty, Seq.empty,
       Array.empty).createReaderFactory()
-    val table = new GraftSpjTable(name, schema, bucketCol, nBuckets,
-      buckets, factory)
-    classic.Dataset.ofRows(cs, DataSourceV2Relation.create(table, None, None))
   }
 }
 
-final class GraftSpjTable(tableName: String, tableSchema: StructType,
-    bucketCol: String, nBuckets: Int,
-    buckets: Map[Int, Seq[GraftSpjBridge.SpjFile]],
-    factory: PartitionReaderFactory) extends Table with SupportsRead {
+final class GraftSpjTable(cs: classic.SparkSession, tableName: String,
+    tableSchema: StructType, bucketCol: String, nBuckets: Int,
+    buckets: Map[Int, Seq[GraftSpjBridge.SpjFile]]) extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan =
-        new GraftSpjScan(tableSchema, bucketCol, nBuckets, buckets, factory)
-    }
+    new GraftSpjScanBuilder(cs, tableSchema, bucketCol, nBuckets, buckets)
 }
 
-final class GraftSpjScan(schema: StructType, bucketCol: String, nBuckets: Int,
-    buckets: Map[Int, Seq[GraftSpjBridge.SpjFile]],
-    factory: PartitionReaderFactory)
+/** Column pruning + filter pushdown for the SPJ scan: Spark hands the
+  * builder the query's REQUIRED schema and translated filters before
+  * `build()`, so the parquet reader materializes only the projected
+  * columns (a 2-column query reads 2 columns) and row-group/page
+  * statistics skip within each file. Every filter is returned as a
+  * residual — parquet pushdown is best-effort skipping, Spark keeps
+  * the exact evaluation (the same contract as its own FileScan). */
+final class GraftSpjScanBuilder(cs: classic.SparkSession,
+    tableSchema: StructType, bucketCol: String, nBuckets: Int,
+    buckets: Map[Int, Seq[GraftSpjBridge.SpjFile]])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = tableSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters // all residual: parquet skipping is advisory
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new GraftSpjScan(
+    GraftSpjBridge.readerFactory(cs, tableSchema, required, pushed),
+    required, bucketCol, nBuckets, buckets)
+}
+
+final class GraftSpjScan(factory: PartitionReaderFactory,
+    schema: StructType, bucketCol: String, nBuckets: Int,
+    buckets: Map[Int, Seq[GraftSpjBridge.SpjFile]])
     extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -83,11 +117,17 @@ final class GraftSpjScan(schema: StructType, bucketCol: String, nBuckets: Int,
   private val keys = buckets.keys.toArray.sorted
 
   /** The layout contract Catalyst joins against: rows are grouped by
-    * `bucket(n, col)`, one input partition per populated bucket. */
+    * `bucket(n, col)`, one input partition per populated bucket. When
+    * the projection pruned the bucket column away, the key expression
+    * would reference a column absent from the output — report
+    * UnknownPartitioning instead (such a query cannot exploit the
+    * layout anyway). */
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      Array[org.apache.spark.sql.connector.expressions.Expression](
-        Expressions.bucket(nBuckets, bucketCol)), keys.length)
+    if (schema.fieldNames.contains(bucketCol))
+      new KeyGroupedPartitioning(
+        Array[org.apache.spark.sql.connector.expressions.Expression](
+          Expressions.bucket(nBuckets, bucketCol)), keys.length)
+    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(keys.length)
 
   override def planInputPartitions(): Array[InputPartition] =
     keys.map { k =>

@@ -2025,6 +2025,19 @@ class SourcesCatalogSpec extends AnyFunSuite {
       // per partition; Spark still plans it through the key-grouped
       // layout. We only assert correctness here.)
       assert(agg.count() == 1000)
+      // COLUMN PRUNING: a projection reads only its columns — the scan
+      // output shrinks to the required schema, not the table schema
+      val proj = GraftCatalog.readSnapshotSpj(spark, left).select("lv")
+      val scans = proj.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.nonEmpty && scans.head.output.map(_.name) == Seq("lv"),
+        s"projection must prune the scan to [lv]: ${scans.map(_.output)}")
+      assert(proj.count() == 1000)
+      // filtered read stays row-correct (filters reach parquet as
+      // advisory row-group skips, Spark keeps exact evaluation)
+      assert(GraftCatalog.readSnapshotSpj(spark, left)
+        .where(col("k") < 10L).count() == 10)
       // loud preconditions: DVs and non-bucket specs refuse
       GraftCatalog.deleteSnapshotWhereMor(spark, left, col("k") === 5L)
       val e = intercept[IllegalArgumentException] {
