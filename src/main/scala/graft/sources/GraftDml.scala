@@ -151,12 +151,40 @@ object GraftDml {
         //   MERGE INTO t USING s ON t.k = s.k
         //   WHEN MATCHED THEN UPDATE SET *
         //   WHEN NOT MATCHED THEN INSERT *
-        val pk = m.mergeCondition match {
+        // Resolve which equality side is the TARGET's key and which
+        // the source's: same-named keys are unambiguous; differently
+        // named keys (the common CDC-feed shape `t.k = s.src_k`)
+        // resolve by the statement's own aliases/table names as
+        // qualifiers. Ambiguous spellings reject loudly.
+        def aliasNamesOf(pl: LogicalPlan): Set[String] = pl match {
+          case a: SubqueryAlias =>
+            Set(a.alias.toLowerCase(java.util.Locale.ROOT)) ++ aliasNamesOf(a.child)
+          case u: UnresolvedRelation =>
+            Set(u.multipartIdentifier.last.toLowerCase(java.util.Locale.ROOT))
+          case _ => Set.empty
+        }
+        val tNames = aliasNamesOf(m.targetTable)
+        val sNames = aliasNamesOf(m.sourceTable)
+        def qualOf(e: Expression): Option[String] = e match {
+          case a: UnresolvedAttribute if a.nameParts.size >= 2 =>
+            Some(a.nameParts(a.nameParts.size - 2)
+              .toLowerCase(java.util.Locale.ROOT))
+          case _ => None
+        }
+        val (pk, srcKey) = m.mergeCondition match {
           case EqualTo(l, r) =>
             val (ln, rn) = (colName(l), colName(r))
-            require(ln.equalsIgnoreCase(rn),
-              s"MERGE ON must equate the same key column on both sides, got $ln = $rn")
-            ln
+            if (ln.equalsIgnoreCase(rn)) (ln, rn)
+            else (qualOf(l), qualOf(r)) match {
+              case (Some(lq), _) if tNames(lq) => (ln, rn)
+              case (_, Some(rq)) if tNames(rq) => (rn, ln)
+              case (Some(lq), _) if sNames(lq) => (rn, ln)
+              case (_, Some(rq)) if sNames(rq) => (ln, rn)
+              case _ => throw new IllegalArgumentException(
+                s"MERGE ON equates differently-named keys ($ln = $rn) " +
+                  "without a resolvable alias qualifier - qualify both " +
+                  "sides (t.k = s.src_k)")
+            }
           case other => throw new IllegalArgumentException(
             "MERGE ON must be a single key equality (t.k = s.k), got: " +
               other.sql)
@@ -174,7 +202,8 @@ object GraftDml {
         }
         if (m.notMatchedBySourceActions.nonEmpty)
           bad("WHEN NOT MATCHED BY SOURCE")
-        GraftMergeCommand(root, view, m.sourceTable, pk, m.withSchemaEvolution)
+        GraftMergeCommand(root, view, m.sourceTable, pk, srcKey,
+          m.withSchemaEvolution)
       }
     case _ => None
   }
@@ -261,12 +290,22 @@ case class GraftInsertCommand(root: String, view: Option[String],
   * the analyzer leaves it alone) and is analyzed at run time — it can
   * be a table, subquery, VALUES list, or a graft TVF. */
 case class GraftMergeCommand(root: String, view: Option[String],
-    source: LogicalPlan, pk: String, schemaEvolution: Boolean)
+    source: LogicalPlan, pk: String, srcKey: String,
+    schemaEvolution: Boolean)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val src = GraftColumnBridge.ofRows(spark, source)
+    val src0 = GraftColumnBridge.ofRows(spark, source)
+    // a differently-named source key aligns to the target's (renaming
+    // must not shadow an existing same-named source column)
+    val src =
+      if (srcKey.equalsIgnoreCase(pk)) src0
+      else {
+        require(!src0.columns.exists(_.equalsIgnoreCase(pk)),
+          s"MERGE source has both $srcKey and $pk columns - project one")
+        src0.withColumnRenamed(srcKey, pk)
+      }
     val v =
       if (GraftCatalog.snapshotWriteMode(spark, root) == "mor") {
         require(!schemaEvolution,

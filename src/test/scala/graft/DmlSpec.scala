@@ -102,6 +102,53 @@ class DmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("HIDDEN partitioning"))
   }
 
+  test("DELETE and UPDATE conditions may carry subqueries") {
+    import spark.implicits._
+    val root = freshTable("subq")
+    Seq(1L, 3L, 5L).toDF("bad_id").createOrReplaceTempView("dml_bad_ids")
+    GraftDml.sql(spark,
+      s"DELETE FROM `$root` WHERE id IN (SELECT bad_id FROM dml_bad_ids)")
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.count() == 97)
+    assert(t.where(col("id").isin(1L, 3L, 5L)).count() == 0)
+    // scalar subquery in UPDATE's WHERE
+    GraftDml.sql(spark,
+      s"UPDATE `$root` SET amount = -1 WHERE id = (SELECT MAX(bad_id) + 1 FROM dml_bad_ids)")
+    assert(GraftCatalog.readSnapshot(spark, root)
+      .where(col("id") === 6L).head().getLong(2) == -1L)
+  }
+
+  test("MERGE ON with differently-named keys resolves by alias qualifier") {
+    val root = freshTable("xkey")
+    GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (SELECT 7L AS src_id, 1L AS grp, 777L AS amount) AS s
+         |ON t.id = s.src_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val tt = GraftCatalog.readSnapshot(spark, root)
+    assert(tt.count() == 100)
+    assert(tt.where(col("id") === 7L).head().getLong(2) == 777L)
+    // flipped sides resolve too
+    GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (SELECT 900L AS k2, 2L AS grp, 9L AS amount) AS s
+         |ON s.k2 = t.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 101)
+    // unqualified different names are ambiguous → loud reject
+    val e = intercept[IllegalArgumentException] {
+      GraftDml.sql(spark,
+        s"""MERGE INTO `$root` AS t
+           |USING (SELECT 1L AS zz, 1L AS grp, 1L AS amount) AS s
+           |ON id = zz
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("qualify both"))
+  }
+
   test("unsupported MERGE shapes are rejected loudly, not half-lowered") {
     val root = freshTable("shape")
     GraftDml.registerSnapshotTable(spark, "dml_shape", root)
