@@ -2643,8 +2643,15 @@ object GraftCatalog {
     val v = version.getOrElse(snapshotVersions(spark, root).last)
     val files = readManifest(fs, r, v)
     val stats = readStats(spark, root, v)
-    val (fs2, r2) = fsOf(spark, root)
-    val activeId = readPartitionSpecsAt(fs2, r2).keys.max
+    val activeId = readPartitionSpecsAt(fs, r).keys.max
+    // LIVE row counts: deletion vectors subtract from their file's
+    // physical count, so metadata==data holds on MoR-deleted tables
+    // too (the only non-metadata touch is the DV sidecar itself,
+    // deleted-rows-sized).
+    val dvCounts: Map[String, Long] =
+      dvDf(spark, r, readDvNames(fs, r, v)).fold(Map.empty[String, Long])(dv =>
+        dv.groupBy("__path").count().collect()
+          .map(row => row.getString(0) -> row.getLong(1)).toMap)
     val grouped = files.groupBy { f =>
       // files written under a RETIRED spec report as unpartitioned
       // (all-null tuple) rather than misreading their positional
@@ -2654,7 +2661,8 @@ object GraftCatalog {
       spec.indices.map(i => t.get(i).flatten.orNull)
     }
     val rows = grouped.toSeq.map { case (tup, fsOfTup) =>
-      val nRows = fsOfTup.map(f => stats.get(f).map(_.rows)).reduce(
+      val nRows = fsOfTup.map(f =>
+          stats.get(f).map(_.rows - dvCounts.getOrElse(f, 0L))).reduce(
         (a, b) => for (x <- a; y <- b) yield x + y)
       val bytes = fsOfTup.map(f => stats.get(f).flatMap(_.len).getOrElse(
         fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)).sum

@@ -236,6 +236,22 @@ class MorDvSpec extends AnyFunSuite {
     assert(GraftCatalog.snapshotWriteMode(spark, root) == "cow")
   }
 
+  test("DESCRIBE PARTITIONS reports LIVE rows under deletion vectors") {
+    val root = s"$tmp/morpt_${System.nanoTime()}"
+    GraftCatalog.setSnapshotPartitionSpec(spark, root,
+      Seq(graft.sources.PartitionField("id", "bucket", 4)))
+    GraftCatalog.commitSnapshot(
+      spark.range(1000).select(col("id"), (col("id") % 7).as("grp"))
+        .repartition(1),
+      root, append = false)
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("id") % 100 === 0)
+    val meta = GraftCatalog.describeSnapshotPartitions(spark, root)
+      .agg(sum("n_rows")).head().getLong(0)
+    assert(meta == 990L,
+      s"partition metadata must subtract DV'd rows, got $meta")
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 990L)
+  }
+
   test("SQL DELETE can choose the MoR path per-table default") {
     // the DML surface composes: MoR via the Scala verb, then SQL DML
     // (CoW) on the same table — both see the same logical content
