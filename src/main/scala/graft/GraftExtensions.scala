@@ -23,6 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DeleteFromTable/UpdateTable/MergeIntoTable plans; this rule
     // lowers them onto the CoW verbs (GraftDml has the shared lowering)
     e.injectResolutionRule(session => graft.sources.GraftDmlRule(session))
+    // …and in the pre-resolution Hints batch: catalog-addressed DML
+    // (`MERGE INTO graft.db.t …`) must lower BEFORE builtin resolution
+    // expands `UPDATE SET *` with its name-matched-source semantics
+    // (which reject the key-renaming CDC-feed shape the verbs support)
+    e.injectHintResolutionRule(session => graft.sources.GraftDmlRule(session))
+    // Reads of GraftTableCatalog tables resolve onto readSnapshotAuto
+    // (stats pruning + DV anti-joins + time travel) — MUST come after
+    // the DML rule so mutation targets lower first
+    e.injectResolutionRule(session => graft.sources.GraftCatalogReadRule(session))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash of a token array"),
       es => SimHash64(es.head)))

@@ -2163,6 +2163,30 @@ object GraftCatalog {
     next
   }
 
+  /** Estimated (rows, bytes) of a version from the manifest and its
+    * stats sidecar ALONE — zero data I/O, so a catalog `DESCRIBE` or a
+    * join-size pre-estimate never touches parquet. Rows are the raw
+    * file counts (deletion vectors not subtracted — this is an
+    * optimizer estimate, not an answer); either side is None when a
+    * pre-sidecar file lacks the stat. */
+  def snapshotStatsEstimate(spark: SparkSession, root: String,
+      version: Option[Long] = None): (Option[Long], Option[Long]) = {
+    val (fs, r) = fsOf(spark, root)
+    val vs = snapshotVersions(spark, root)
+    if (vs.isEmpty) return (Some(0L), Some(0L))
+    val v = version.getOrElse(vs.last)
+    val files = readManifest(fs, r, v)
+    val stats = readStats(spark, root, v)
+    val rows =
+      if (files.forall(stats.contains)) Some(files.map(f => stats(f).rows).sum)
+      else None
+    val bytes =
+      if (files.forall(f => stats.get(f).exists(_.len.isDefined)))
+        Some(files.map(f => stats(f).len.get).sum)
+      else None
+    (rows, bytes)
+  }
+
   /** Snapshot-model compaction: read the current version, rewrite it
     * as ceil(bytes/target) files in a NEW batch dir, publish as the
     * next version. Unlike compactParquet's directory swap there is no

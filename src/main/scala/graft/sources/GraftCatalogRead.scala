@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Resolves READS of [[GraftTableCatalog]] tables onto the engine's
+  * own read path (the Delta-catalog pattern): the catalog serves a
+  * thin v2 [[GraftSnapshotTable]], and this injected rule replaces its
+  * relation with [[GraftCatalog.readSnapshotAuto]]'s plan — so a SQL
+  * `SELECT` through the catalog gets the identical manifest-stats file
+  * pruning, hidden-partition tuple pruning, bloom-sidecar skipping and
+  * deletion-vector anti-joins as the Scala surface, instead of a
+  * from-scratch v2 scan re-implementing all of it. `pinned` (VERSION /
+  * TIMESTAMP AS OF, resolved by the catalog's loadTable SPI) reads
+  * that exact version.
+  *
+  * The replacement projects onto the original relation's attribute ids
+  * (an `Alias(..., exprId = old.exprId)` per column), so references
+  * already resolved against the v2 relation in an earlier analyzer
+  * iteration stay valid.
+  *
+  * What it deliberately does NOT touch:
+  *  - v2 write commands' `table` side (AppendData/Overwrite* handle
+  *    themselves through the table's own [[org.apache.spark.sql.connector.write.V1Write]];
+  *    only their `query` side is recursed);
+  *  - DML targets (DeleteFromTable/UpdateTable/MergeIntoTable) —
+  *    [[GraftDmlRule]] runs FIRST in the extension list and lowers
+  *    them onto the CoW/MoR verbs; a non-graft DML target is not ours
+  *    to rewrite.
+  */
+case class GraftCatalogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+
+  private def rewrite(p: LogicalPlan): LogicalPlan = p match {
+    case w: V2WriteCommand => w.withNewQuery(rewrite(w.query))
+    case d: DeleteFromTable => d
+    case u: UpdateTable => u
+    case m: MergeIntoTable => m
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSnapshotTable] =>
+      val t = r.table.asInstanceOf[GraftSnapshotTable]
+      val read = GraftCatalog.readSnapshotAuto(spark, t.root, t.pinned)
+      val analyzed = read.queryExecution.analyzed
+      val byName = analyzed.output
+        .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+      Project(r.output.map { o =>
+        Alias(byName(o.name.toLowerCase(java.util.Locale.ROOT)), o.name)(
+          exprId = o.exprId)
+      }, analyzed)
+    case other =>
+      other.mapChildren(rewrite).transformExpressions {
+        case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan))
+      }
+  }
+}

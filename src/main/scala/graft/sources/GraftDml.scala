@@ -94,22 +94,64 @@ object GraftDml {
       }
 
   /** The (root, registered-view-name) of a DML target plan. Matches the
-    * pre-resolution `UnresolvedRelation` and the post-view-resolution
-    * `SubqueryAlias(name, …)` shapes — extension-injected rules run in
-    * the analyzer's fixed-point Resolution batch, so either can appear
-    * first. */
+    * pre-resolution `UnresolvedRelation`, the post-view-resolution
+    * `SubqueryAlias(name, …)`, and the catalog-resolved
+    * [[GraftSnapshotTable]] relation shapes — extension-injected rules
+    * run in the analyzer's fixed-point Resolution batch, so any can
+    * appear first. */
   private def targetRoot(spark: SparkSession,
       plan: LogicalPlan): Option[(String, Option[String])] = plan match {
     case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
       val n = u.multipartIdentifier.head
       rootForName(spark, n).map(r => (r, Some(n).filter(_ => !n.startsWith("/") && !n.contains("://"))))
+    case u: UnresolvedRelation =>
+      // `graft.db.t` spellings: resolve through the session's own
+      // catalog plugin (the DML rule also runs in the pre-resolution
+      // Hints batch, so catalog targets lower BEFORE builtin star
+      // expansion imposes its name-matched-source semantics)
+      catalogIdentRoot(spark, u.multipartIdentifier).map(r => (r, None))
     case a: SubqueryAlias =>
       targetRoot(spark, a.child).orElse {
         val n = a.alias
         rootForName(spark, n)
           .map(r => (r, Some(n).filter(_ => !n.startsWith("/") && !n.contains("://"))))
       }
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[GraftSnapshotTable] =>
+      val t = r.table.asInstanceOf[GraftSnapshotTable]
+      require(t.pinned.isEmpty,
+        s"cannot run DML against a time-travel read of ${t.fullName}")
+      // no temp view to refresh: catalog reads re-resolve the head
+      // through loadTable on every query
+      Some((t.root, None))
     case _ => None
+  }
+
+  /** The snapshot root of a multipart `catalog.ns….table` identifier
+    * whose head names a [[GraftTableCatalog]] on this session; None
+    * when the catalog or table is absent (Spark's own resolution then
+    * produces the canonical error). */
+  private def catalogIdentRoot(spark: SparkSession,
+      parts: Seq[String]): Option[String] =
+    if (parts.size < 2) None
+    else scala.util.Try(
+      spark.sessionState.catalogManager.catalog(parts.head)).toOption
+      .collect { case g: GraftTableCatalog => g }
+      .flatMap(_.tableRootOf(parts.tail))
+
+  /** True when an INSERT target is a catalog-resolved snapshot table —
+    * those inserts stay on Spark's NATIVE v2 path (AppendData over the
+    * table's own V1Write), which applies positional column alignment
+    * and casts before [[GraftCatalog.commitSnapshot]]; lowering them
+    * here would skip that alignment. */
+  private def isCatalogTarget(spark: SparkSession,
+      plan: LogicalPlan): Boolean = plan match {
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table.isInstanceOf[GraftSnapshotTable]
+    case u: UnresolvedRelation =>
+      catalogIdentRoot(spark, u.multipartIdentifier).isDefined
+    case a: SubqueryAlias => isCatalogTarget(spark, a.child)
+    case _ => false
   }
 
   private def colName(e: Expression): String = e match {
@@ -119,21 +161,34 @@ object GraftDml {
       s"expected a column reference, got: ${other.sql}")
   }
 
+  /** Catalog-resolved DML targets arrive with conditions/assignments
+    * ALREADY resolved against the v2 relation (builtin resolution runs
+    * before extension rules each iteration) — but the commands apply
+    * them to the verb's own `readSnapshot` DataFrame at run time, where
+    * those exprIds mean nothing. Re-open every attribute to its name so
+    * runtime analysis re-binds against the actual read. Registered-name
+    * / backticked targets are never builtin-resolvable, so for them
+    * this is the identity. */
+  private def unresolve(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  }
+
   /** Lower a parsed DML plan onto a runnable command; `None` when the
     * plan is not a DML statement against a snapshot table. */
   private[graft] def lower(spark: SparkSession,
       plan: LogicalPlan): Option[LogicalPlan] = plan match {
     case DeleteFromTable(t, cond) =>
       targetRoot(spark, t).map { case (root, view) =>
-        GraftDeleteCommand(root, view, GraftDml.Raw(cond))
+        GraftDeleteCommand(root, view, GraftDml.Raw(unresolve(cond)))
       }
     case UpdateTable(t, assignments, cond) =>
       targetRoot(spark, t).map { case (root, view) =>
-        val set = assignments.map(a => colName(a.key) -> GraftDml.Raw(a.value))
+        val set = assignments.map(a =>
+          colName(a.key) -> GraftDml.Raw(unresolve(a.value)))
         GraftUpdateCommand(root, view, set,
-          GraftDml.Raw(cond.getOrElse(Literal.TrueLiteral)))
+          GraftDml.Raw(unresolve(cond.getOrElse(Literal.TrueLiteral))))
       }
-    case ins: InsertIntoStatement =>
+    case ins: InsertIntoStatement if !isCatalogTarget(spark, ins.table) =>
       targetRoot(spark, ins.table).map { case (root, view) =>
         require(ins.partitionSpec.isEmpty && !ins.ifPartitionNotExists,
           "snapshot tables use HIDDEN partitioning — INSERT has no " +
@@ -161,6 +216,10 @@ object GraftDml {
             Set(a.alias.toLowerCase(java.util.Locale.ROOT)) ++ aliasNamesOf(a.child)
           case u: UnresolvedRelation =>
             Set(u.multipartIdentifier.last.toLowerCase(java.util.Locale.ROOT))
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+              if r.table.isInstanceOf[GraftSnapshotTable] =>
+            Set(r.table.asInstanceOf[GraftSnapshotTable].fullName
+              .split('.').last.toLowerCase(java.util.Locale.ROOT))
           case _ => Set.empty
         }
         val tNames = aliasNamesOf(m.targetTable)
@@ -171,19 +230,31 @@ object GraftDml {
               .toLowerCase(java.util.Locale.ROOT))
           case _ => None
         }
+        // catalog-resolved targets: the condition's sides are already
+        // AttributeReferences — side membership is exprId-exact
+        val tIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+          if (m.targetTable.resolved) m.targetTable.output.map(_.exprId).toSet
+          else Set.empty
+        def resolveByQualifier(l: Expression, r: Expression,
+            ln: String, rn: String): (String, String) =
+          (qualOf(l), qualOf(r)) match {
+            case (Some(lq), _) if tNames(lq) => (ln, rn)
+            case (_, Some(rq)) if tNames(rq) => (rn, ln)
+            case (Some(lq), _) if sNames(lq) => (rn, ln)
+            case (_, Some(rq)) if sNames(rq) => (ln, rn)
+            case _ => throw new IllegalArgumentException(
+              s"MERGE ON equates differently-named keys ($ln = $rn) " +
+                "without a resolvable alias qualifier - qualify both " +
+                "sides (t.k = s.src_k)")
+          }
         val (pk, srcKey) = m.mergeCondition match {
           case EqualTo(l, r) =>
             val (ln, rn) = (colName(l), colName(r))
             if (ln.equalsIgnoreCase(rn)) (ln, rn)
-            else (qualOf(l), qualOf(r)) match {
-              case (Some(lq), _) if tNames(lq) => (ln, rn)
-              case (_, Some(rq)) if tNames(rq) => (rn, ln)
-              case (Some(lq), _) if sNames(lq) => (rn, ln)
-              case (_, Some(rq)) if sNames(rq) => (ln, rn)
-              case _ => throw new IllegalArgumentException(
-                s"MERGE ON equates differently-named keys ($ln = $rn) " +
-                  "without a resolvable alias qualifier - qualify both " +
-                  "sides (t.k = s.src_k)")
+            else (l, r) match {
+              case (la: AttributeReference, _) if tIds(la.exprId) => (ln, rn)
+              case (_, ra: AttributeReference) if tIds(ra.exprId) => (rn, ln)
+              case _ => resolveByQualifier(l, r, ln, rn)
             }
           case other => throw new IllegalArgumentException(
             "MERGE ON must be a single key equality (t.k = s.k), got: " +
@@ -192,12 +263,25 @@ object GraftDml {
         def bad(what: String): Nothing = throw new IllegalArgumentException(
           s"unsupported MERGE shape ($what); supported: " +
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+        // builtin resolution may expand `UPDATE SET *` / `INSERT *`
+        // into per-column assignment lists before this rule runs
+        // (catalog-resolved targets resolve in the same analyzer
+        // iteration) — a list where every assignment is a same-named
+        // column-to-column copy IS the star shape
+        def starLike(assigns: Seq[Assignment]): Boolean =
+          assigns.nonEmpty && assigns.forall { a =>
+            scala.util.Try(
+              colName(a.key).equalsIgnoreCase(colName(a.value))).getOrElse(false)
+          }
         m.matchedActions match {
           case Seq(UpdateStarAction(None)) => ()
+          case Seq(UpdateAction(None, as, fromStar))
+              if fromStar || starLike(as) => ()
           case other => bad(s"matched actions: $other")
         }
         m.notMatchedActions match {
           case Seq(InsertStarAction(None)) => ()
+          case Seq(InsertAction(None, as)) if starLike(as) => ()
           case other => bad(s"not-matched actions: $other")
         }
         if (m.notMatchedBySourceActions.nonEmpty)

@@ -1,0 +1,403 @@
+package graft.sources
+
+import java.util.Collections
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark DSv2 [[TableCatalog]] over graft snapshot tables — the
+  * piece that turns the path-addressed snapshot format into a real SQL
+  * catalog, the way Delta's `DeltaCatalog` / Iceberg's `SparkCatalog`
+  * do for theirs. Configure once:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.GraftTableCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft
+  *   spark.sql.extensions              = graft.GraftExtensions
+  * }}}
+  *
+  * and the FULL lifecycle is standard SQL, no Scala call sites:
+  *
+  * {{{
+  *   CREATE TABLE graft.db.orders (id BIGINT, ts TIMESTAMP, amt DOUBLE)
+  *     PARTITIONED BY (bucket(8, id), days(ts))
+  *   INSERT INTO graft.db.orders SELECT ...
+  *   SELECT * FROM graft.db.orders VERSION AS OF 3
+  *   SELECT * FROM graft.db.orders TIMESTAMP AS OF '2026-01-01 00:00:00'
+  *   UPDATE graft.db.orders SET amt = 0 WHERE id = 7
+  *   MERGE INTO graft.db.orders t USING feed s ON t.id = s.id ...
+  *   ALTER TABLE graft.db.orders SET TBLPROPERTIES ('write.mode'='mor')
+  *   DROP TABLE graft.db.orders
+  * }}}
+  *
+  * Identifier mapping is directory-shaped: `graft.a.b.t` lives at
+  * `<warehouse>/a/b/t` (a table root is any directory holding a
+  * `_manifests` dir, so externally-created snapshot tables under the
+  * warehouse are visible without registration). `PARTITIONED BY`
+  * transforms map 1:1 onto the format's hidden partition spec
+  * (identity/bucket/truncate/years/months/days/hours); table property
+  * `write.mode` routes SQL DML onto CoW or MoR physics, `sort.order`
+  * declares the layout sort.
+  *
+  * Division of labor (the Delta pattern):
+  *  - READS: [[loadTable]] returns a thin v2 table; the
+  *    [[graft.GraftExtensions]]-injected [[GraftCatalogReadRule]]
+  *    rewrites its relation onto [[GraftCatalog.readSnapshotAuto]], so
+  *    catalog reads get the SAME manifest-stats file pruning, hidden-
+  *    partition tuple pruning, bloom sidecars, and DV anti-joins as the
+  *    Scala surface — a raw v2 scan would have to re-implement all of
+  *    it. Time travel resolves here via the `loadTable(ident, version)`
+  *    / `(ident, timestampMicros)` SPI (VERSION AS OF accepts a version
+  *    number or a TAG name).
+  *  - WRITES: `INSERT INTO` / `INSERT OVERWRITE` / CTAS /
+  *    `df.writeTo(...)` flow through a [[V1Write]] (Spark's sanctioned
+  *    InsertableRelation fallback) onto [[GraftCatalog.commitSnapshot]]
+  *    — one writer enforces CHECK constraints, hidden partitioning,
+  *    declared sort and the atomic manifest claim, identically for SQL
+  *    and Scala clients.
+  *  - DML: `UPDATE`/`DELETE`/`MERGE` lower through [[GraftDml]] onto
+  *    the CoW/MoR verbs (the rule recognizes catalog relations).
+  *
+  * Reference anchor: the reference registers read-only external tables
+  * by path (docs/2); a managed catalog is part of the snapshot-format
+  * extension (SURVEY §2.A), modeled on Delta/Iceberg SQL semantics.
+  */
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def pathOf(parts: Seq[String]): Path = {
+    parts.foreach(p => require(p.nonEmpty && !p.contains("/"),
+      s"bad identifier part: '$p'"))
+    parts.foldLeft(new Path(warehouse))((acc, p) => new Path(acc, p))
+  }
+
+  private def tablePath(ident: Identifier): Path =
+    pathOf(ident.namespace.toSeq :+ ident.name)
+
+  /** A table root is any directory with a `_manifests` child. */
+  private def isTable(p: Path): Boolean = fs.exists(new Path(p, "_manifests"))
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tablePath(ident))
+
+  /** The snapshot root of `ns….table` parts, when that table exists —
+    * [[GraftDml]]'s pre-resolution hook for `catalog.ns.t` DML targets. */
+  private[sources] def tableRootOf(parts: Seq[String]): Option[String] = {
+    val p = pathOf(parts)
+    if (isTable(p)) Some(p.toString) else None
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = pathOf(namespace.toSeq)
+    if (!fs.exists(ns)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(ns).filter(_.isDirectory)
+      .filter(st => isTable(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = tablePath(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    GraftSnapshotTable(root.toString, None,
+      (catalogName +: ident.namespace.toSeq :+ ident.name).mkString("."))
+  }
+
+  /** `VERSION AS OF x` — a version number, or a snapshot TAG name. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftSnapshotTable]
+    val v = version.toLongOption.getOrElse(
+      GraftCatalog.resolveSnapshotTag(spark, t.root, version))
+    t.copy(pinned = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftSnapshotTable]
+    t.copy(pinned =
+      Some(GraftCatalog.snapshotVersionAsOf(spark, t.root, timestampMicros / 1000L)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    props.get(TableCatalog.PROP_LOCATION).foreach { _ =>
+      throw new UnsupportedOperationException(
+        "LOCATION is not supported — graft catalog tables live under the " +
+          "warehouse; address external roots via graft_snapshot(path) or " +
+          "backticked-path DML")
+    }
+    val root = tablePath(ident)
+    val rootStr = root.toString
+    fs.mkdirs(root)
+    val spec = partitions.toSeq.map(toPartitionField)
+    if (spec.nonEmpty) GraftCatalog.setSnapshotPartitionSpec(spark, rootStr, spec)
+    props.get("sort.order").foreach(s =>
+      GraftCatalog.setSnapshotSortOrder(spark, rootStr, s.split(",").map(_.trim).toSeq))
+    props.get("write.mode").foreach(m =>
+      GraftCatalog.setSnapshotWriteMode(spark, rootStr, m))
+    // Version 1 commits the schema through the one writer (an empty
+    // single-task batch writes one schema-bearing parquet file), so a
+    // freshly created table reads as empty instead of erroring, and
+    // every later INSERT type-checks against this committed schema.
+    val empty = spark.createDataFrame(
+      Collections.emptyList[Row](), schema).repartition(1)
+    GraftCatalog.commitSnapshot(empty, rootStr, append = false)
+    loadTable(ident)
+  }
+
+  private def toPartitionField(t: Transform): PartitionField = {
+    def col: String = {
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames.length == 1,
+        s"partition transform ${t.describe()} must reference one top-level column")
+      refs(0).fieldNames()(0)
+    }
+    def lit: Int = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value().toString.toInt
+    }.getOrElse(throw new IllegalArgumentException(
+      s"transform ${t.describe()} needs an integer argument"))
+    t.name() match {
+      case "identity" => PartitionField(col, "identity")
+      case "bucket" => PartitionField(col, "bucket", lit)
+      case "truncate" => PartitionField(col, "truncate", lit)
+      case "years" | "year" => PartitionField(col, "year")
+      case "months" | "month" => PartitionField(col, "month")
+      case "days" | "day" => PartitionField(col, "day")
+      case "hours" | "hour" => PartitionField(col, "hour")
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform: $other (supported: identity, " +
+          "bucket, truncate, years, months, days, hours)")
+    }
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = tablePath(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val rootStr = root.toString
+    changes.foreach {
+      case s: TableChange.SetProperty if s.property == "write.mode" =>
+        GraftCatalog.setSnapshotWriteMode(spark, rootStr, s.value)
+      case r: TableChange.RemoveProperty if r.property == "write.mode" =>
+        GraftCatalog.setSnapshotWriteMode(spark, rootStr, "cow")
+      case s: TableChange.SetProperty if s.property == "sort.order" =>
+        GraftCatalog.setSnapshotSortOrder(spark, rootStr,
+          s.value.split(",").map(_.trim).toSeq)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER on a graft snapshot table: $other (schema " +
+          "evolves through MERGE WITH SCHEMA EVOLUTION; layout configs " +
+          "are create-exclusive)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = tablePath(ident)
+    if (!isTable(root)) false else fs.delete(root, true)
+  }
+
+  /** Rejected, the Iceberg-HadoopCatalog precedent: manifests, stats/
+    * bloom/DV sidecars and clone/branch references all key files by
+    * ABSOLUTE path (that is what lets clones share foreign files and
+    * vacuum respect them), so moving the directory would orphan every
+    * version behind the table's back. A directory-addressed catalog
+    * cannot rename safely; a name-mapping catalog (Hive/JDBC-backed)
+    * could. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    throw new UnsupportedOperationException(
+      "graft tables are directory-addressed and their manifests key " +
+        "files by absolute path - RENAME would orphan every published " +
+        "version. Create the new name explicitly (CTAS, or shallowClone " +
+        "+ vacuum the old root) instead.")
+  }
+
+  // ---- namespaces: directories that are not table roots -------------
+
+  private def listDirs(p: Path): Seq[Path] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+
+  override def listNamespaces(): Array[Array[String]] =
+    listDirs(new Path(warehouse)).filterNot(isTable)
+      .map(p => Array(p.getName)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val ns = pathOf(namespace.toSeq)
+    if (namespace.nonEmpty && !fs.exists(ns))
+      throw new NoSuchNamespaceException(namespace)
+    listDirs(ns).filterNot(isTable)
+      .map(p => namespace :+ p.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (fs.exists(pathOf(namespace.toSeq)) && !isTable(pathOf(namespace.toSeq)))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(pathOf(namespace.toSeq))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val p = pathOf(namespace.toSeq)
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(namespace)
+    fs.delete(p, true)
+  }
+}
+
+/** The thin v2 table the catalog serves. Reads are rewritten onto
+  * [[GraftCatalog.readSnapshotAuto]] by [[GraftCatalogReadRule]] (so
+  * `newScanBuilder` existing would be a trap — it throws, directing to
+  * the extensions); writes flow through the [[V1Write]] fallback onto
+  * [[GraftCatalog.commitSnapshot]]. `pinned` carries VERSION/TIMESTAMP
+  * AS OF time travel. Schema and layout are captured eagerly (one
+  * manifest + refs read per loadTable), not per `schema()` call. */
+final case class GraftSnapshotTable(root: String, pinned: Option[Long],
+    fullName: String) extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = fullName
+
+  private lazy val committed: StructType =
+    GraftCatalog.snapshotSchema(spark, root, pinned).getOrElse(new StructType())
+
+  override def schema(): StructType = committed
+
+  override def partitioning(): Array[Transform] =
+    GraftCatalog.snapshotPartitionSpec(spark, root).map { f =>
+      f.transform match {
+        case "identity" => Expressions.identity(f.col)
+        case "bucket" => Expressions.bucket(f.n, f.col)
+        case "truncate" => Expressions.apply("truncate",
+          Expressions.literal(f.n), Expressions.column(f.col))
+        case "year" => Expressions.years(f.col)
+        case "month" => Expressions.months(f.col)
+        case "day" => Expressions.days(f.col)
+        case "hour" => Expressions.hours(f.col)
+      }
+    }.toArray
+
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("write.mode", GraftCatalog.snapshotWriteMode(spark, root))
+    val sort = GraftCatalog.snapshotSortOrder(spark, root)
+    if (sort.nonEmpty) m.put("sort.order", sort.mkString(","))
+    m.put(TableCatalog.PROP_PROVIDER, "graft")
+    m
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  /** Metadata-only scan: `DESCRIBE TABLE EXTENDED` (and any other
+    * stats probe) builds one of these — statistics come from the
+    * manifest's stats sidecar with ZERO data I/O. Actually executing
+    * it is the misconfiguration trap: data reads resolve through the
+    * injected analyzer rule, so `toBatch` throws the guidance error. */
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+          override def readSchema(): StructType = committed
+          override def description(): String =
+            s"graft snapshot $fullName (metadata-only; data reads " +
+              "resolve through graft.GraftExtensions)"
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            throw new IllegalStateException(
+              "graft catalog reads resolve through the injected analyzer " +
+                "rule - set spark.sql.extensions=graft.GraftExtensions " +
+                "on the session")
+          override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+            val (rows, bytes) =
+              GraftCatalog.snapshotStatsEstimate(spark, root, pinned)
+            new org.apache.spark.sql.connector.read.Statistics {
+              override def sizeInBytes(): java.util.OptionalLong =
+                bytes.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def numRows(): java.util.OptionalLong =
+                rows.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+            }
+          }
+        }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty, s"cannot write to a time-travel read of $fullName")
+    new GraftSnapshotWriteBuilder(root)
+  }
+}
+
+/** `INSERT INTO` appends; `INSERT OVERWRITE` (or `truncate()` from
+  * `df.writeTo(...).createOrReplace`) replaces. Partition-scoped
+  * overwrite is rejected loudly — hidden partitioning has no PARTITION
+  * clause; `replaceWhere` is the Scala/TVF surface for that. */
+final class GraftSnapshotWriteBuilder(root: String) extends WriteBuilder
+    with SupportsTruncate with SupportsOverwrite {
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+      "partition-filtered INSERT OVERWRITE is not supported on hidden " +
+        "partitioning - use GraftCatalog.replaceSnapshotWhere")
+    replace = true; this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          GraftCatalog.commitSnapshot(data, root,
+            append = !(replace || overwrite))
+          ()
+        }
+      }
+  }
+}

@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftCatalog
+
+/** The SQL-catalog surface: a [[graft.sources.GraftTableCatalog]]
+  * session where the FULL table lifecycle — CREATE/CTAS, INSERT,
+  * SELECT (with the engine's file/tuple/bloom pruning and DV
+  * anti-joins), time travel, UPDATE/DELETE/MERGE, ALTER, RENAME,
+  * DROP — is plain SQL against `graft.ns.tbl` identifiers, no Scala
+  * call sites. One session is built per suite (catalog + extensions
+  * are session-construction options) and reused across tests. */
+class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    // later suites rely on the shared session being active/default
+    SparkSession.setActiveSession(TestSpark.spark)
+    SparkSession.setDefaultSession(TestSpark.spark)
+  }
+
+  private val warehouse = s"/tmp/graft-cat-wh-${System.nanoTime()}"
+
+  private lazy val spark: SparkSession = {
+    TestSpark.spark // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-catalog")
+      .withExtensions(new graft.GraftExtensions())
+      .config("spark.sql.catalog.graft", "graft.sources.GraftTableCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sql("CREATE NAMESPACE graft.db")
+    s
+  }
+
+  private def scanFiles(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.metrics("numFiles").value
+    }.sum
+
+  test("CREATE TABLE / INSERT INTO / SELECT round trip with casts") {
+    spark.sql(
+      "CREATE TABLE graft.db.orders (id BIGINT, grp BIGINT, amt DOUBLE)")
+    assert(spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("orders"))
+    // a freshly created table reads as EMPTY with the declared schema
+    val empty = spark.sql("SELECT * FROM graft.db.orders")
+    assert(empty.columns.toSeq == Seq("id", "grp", "amt") && empty.count() == 0)
+    // INSERT takes the native v2 path: positional alignment + implicit
+    // casts (int literals into BIGINT, int into DOUBLE)
+    spark.sql("INSERT INTO graft.db.orders VALUES (1, 10, 5.0), (2, 10, 7)")
+    spark.sql(
+      "INSERT INTO graft.db.orders SELECT id, 20, CAST(id AS DOUBLE) " +
+        "FROM range(3, 5)")
+    val rows = spark.sql(
+      "SELECT id, grp, amt FROM graft.db.orders ORDER BY id").collect()
+    assert(rows.toSeq == Seq(Row(1L, 10L, 5.0), Row(2L, 10L, 7.0),
+      Row(3L, 20L, 3.0), Row(4L, 20L, 4.0)))
+    // aggregate through the catalog read
+    assert(spark.sql(
+      "SELECT sum(amt) FROM graft.db.orders WHERE grp = 10")
+      .head().getDouble(0) == 12.0)
+  }
+
+  test("INSERT OVERWRITE replaces; VERSION/TIMESTAMP AS OF time travel") {
+    spark.sql("CREATE TABLE graft.db.tt (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.tt VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT OVERWRITE graft.db.tt VALUES (9, 'z')")
+    assert(spark.sql("SELECT * FROM graft.db.tt").collect().toSeq ==
+      Seq(Row(9L, "z")))
+    // v1 = empty create, v2 = first insert, v3 = overwrite
+    assert(spark.sql("SELECT * FROM graft.db.tt VERSION AS OF 1").count() == 0)
+    assert(spark.sql(
+      "SELECT k FROM graft.db.tt VERSION AS OF 2 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // a TAG resolves through VERSION AS OF too
+    val root = s"$warehouse/db/tt"
+    GraftCatalog.tagSnapshot(spark, root, "first_load", 2L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.tt VERSION AS OF 'first_load'")
+      .head().getLong(0) == 2L)
+    // TIMESTAMP AS OF: anything >= v3's commit time reads the head
+    assert(spark.sql(
+      "SELECT * FROM graft.db.tt TIMESTAMP AS OF '2262-01-01 00:00:00'")
+      .collect().toSeq == Seq(Row(9L, "z")))
+  }
+
+  test("hidden partitioning via PARTITIONED BY prunes catalog reads") {
+    spark.sql(
+      """CREATE TABLE graft.db.pt (id BIGINT, v BIGINT)
+        |PARTITIONED BY (bucket(4, id))""".stripMargin)
+    spark.range(1000).select(col("id"), (col("id") % 97).as("v"))
+      .repartition(1).createOrReplaceTempView("pt_feed")
+    spark.sql("INSERT INTO graft.db.pt SELECT * FROM pt_feed")
+    val q = spark.sql("SELECT * FROM graft.db.pt WHERE id = 123")
+    assert(q.collect().toSeq == Seq(Row(123L, 123L % 97)))
+    assert(scanFiles(q) == 1,
+      "bucket tuple pruning must reach the catalog read: 1 of 4 files")
+    // SHOW CREATE-adjacent surfaces: partitioning is reported back
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft.db.pt")
+      .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+    assert(desc.contains("bucket(4, id)"))
+  }
+
+  test("UPDATE / DELETE / MERGE as SQL against catalog identifiers") {
+    spark.sql("CREATE TABLE graft.db.dml (id BIGINT, grp BIGINT, amt BIGINT)")
+    spark.sql("INSERT INTO graft.db.dml SELECT id, id % 2, id " +
+      "FROM range(0, 100)")
+    spark.sql("DELETE FROM graft.db.dml WHERE grp = 0")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.dml WHERE grp = 0").head().getLong(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM graft.db.dml").head().getLong(0) == 50)
+    spark.sql("UPDATE graft.db.dml SET amt = amt * 10 WHERE id < 10")
+    assert(spark.sql(
+      "SELECT sum(amt) FROM graft.db.dml WHERE id < 10").head().getLong(0) ==
+      (1L + 3 + 5 + 7 + 9) * 10)
+    // MERGE with a differently-named source key resolves by exprId side
+    spark.sql("SELECT 1L AS src_id, 7L AS grp, 999L AS amt " +
+      "UNION ALL SELECT 200L, 7L, 1L").createOrReplaceTempView("dml_feed")
+    spark.sql(
+      """MERGE INTO graft.db.dml AS t USING dml_feed AS s
+        |ON t.id = s.src_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT grp, amt FROM graft.db.dml WHERE id = 1")
+      .head() == Row(7L, 999L))
+    assert(spark.sql("SELECT count(*) FROM graft.db.dml WHERE id = 200")
+      .head().getLong(0) == 1L)
+  }
+
+  test("ALTER to merge-on-read: SQL DELETE publishes a DV, no rewrite") {
+    spark.sql("CREATE TABLE graft.db.mor (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.mor SELECT id, id FROM range(0, 1000)")
+    spark.sql(
+      "ALTER TABLE graft.db.mor SET TBLPROPERTIES ('write.mode' = 'mor')")
+    val root = s"$warehouse/db/mor"
+    assert(GraftCatalog.snapshotWriteMode(spark, root) == "mor")
+    val dataFilesBefore = GraftCatalog.snapshotScanFiles(spark, root)._1.toSet
+    spark.sql("DELETE FROM graft.db.mor WHERE id IN (3, 500, 997)")
+    val dataFilesAfter = GraftCatalog.snapshotScanFiles(spark, root)._1.toSet
+    assert(dataFilesAfter == dataFilesBefore,
+      "MoR delete must publish zero rewritten data files")
+    assert(spark.sql("SELECT count(*) FROM graft.db.mor").head().getLong(0) ==
+      997L, "catalog read must apply the deletion vector")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.mor WHERE id IN (3, 500, 997)")
+      .head().getLong(0) == 0L)
+  }
+
+  test("CTAS, RENAME rejection, DROP") {
+    spark.sql(
+      "CREATE TABLE graft.db.ctas AS SELECT id, id * 2 AS dbl FROM range(0, 10)")
+    assert(spark.sql("SELECT sum(dbl) FROM graft.db.ctas").head().getLong(0) == 90)
+    // manifests key files by absolute path — RENAME must reject loudly
+    // (the Iceberg HadoopCatalog precedent), never silently corrupt
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.ctas RENAME TO graft.db.ctas2"))
+    assert(e.getMessage.contains("absolute path"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.ctas").head().getLong(0) == 10,
+      "rejected rename must leave the table untouched")
+    spark.sql("DROP TABLE graft.db.ctas")
+    assert(!spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("ctas"))
+  }
+
+  test("catalog reads and Scala reads are the same table") {
+    spark.sql("CREATE TABLE graft.db.par (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.par SELECT id, id % 7 FROM range(0, 500)")
+    val root = s"$warehouse/db/par"
+    val viaSql = spark.sql("SELECT * FROM graft.db.par").collect().toSet
+    val viaScala = GraftCatalog.readSnapshotAuto(spark, root).collect().toSet
+    assert(viaSql == viaScala && viaSql.size == 500)
+    // Scala-side mutation is immediately visible to SQL (no cache)
+    GraftCatalog.deleteSnapshotWhere(spark, root, col("v") === 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.par WHERE v = 0")
+      .head().getLong(0) == 0L)
+  }
+}
