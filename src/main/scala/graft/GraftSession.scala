@@ -18,6 +18,10 @@ object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // the full SQL surface is a construction-time opt-in on stock
+      // Spark; graft sessions carry it by default (DML lowering,
+      // catalog reads, TVFs, native functions)
+      .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** Every coverage entry from SURVEY.md §2, in inventory order. */
   def allQs: Seq[Q] =
-    Relational.all ++ Analytic.all ++ Analytic2.all ++ Analytic3.all ++ Analytic4.all ++ Analytic5.all ++ Analytic6.all ++ PatternMatch.all ++ SketchMv.all ++ SnapshotOps.all ++ TpcH.all ++ TopK.all ++ Dedup.all ++
+    Relational.all ++ Analytic.all ++ Analytic2.all ++ Analytic3.all ++ Analytic4.all ++ Analytic5.all ++ Analytic6.all ++ PatternMatch.all ++ SketchMv.all ++ SnapshotOps.all ++ CatalogOps.all ++ TpcH.all ++ TopK.all ++ Dedup.all ++
       Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++ Sampling.all
 
   /** Flagship query (the reference's opt_parallel_execution.rs test shape)

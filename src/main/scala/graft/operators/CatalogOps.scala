@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver queries over the SQL-catalog surface
+  * ([[graft.sources.GraftTableCatalog]]): the COMPLETE table lifecycle
+  * — CREATE / INSERT / UPDATE / DELETE / MERGE / time travel — as pure
+  * SQL against `graft.db.t` identifiers, oracle-reconciled against
+  * DuckDB's relational replay. These prove the catalog integration
+  * end-to-end on the driver's own gate, not just in specs: the same
+  * manifest/DV/partition physics under a second, identifier-addressed
+  * front door.
+  *
+  * The catalog is registered by RUNTIME conf (Spark resolves
+  * `spark.sql.catalog.<name>` lazily at first use), so the driver's
+  * stock session needs no construction-time opt-in beyond the
+  * GraftExtensions that [[graft.GraftSession.builder]] already wires.
+  */
+object CatalogOps {
+
+  private def ordersDf(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("pr"))
+
+  /** Register the catalog on `s` (idempotent) and return its
+    * warehouse root for this sf dir. */
+  private def catalogConf(s: SparkSession, d: String): String = {
+    val wh = s"/tmp/graft-index/catwh_${math.abs(d.hashCode.toLong)}"
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftTableCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    wh
+  }
+
+  /** q145 — the catalog DML lifecycle as ONE pure-SQL script: CREATE
+    * TABLE, INSERT INTO from the raw orders, UPDATE (re-price a
+    * priority class), DELETE (drop a key residue class), MERGE a
+    * CDC-shaped feed whose key column is NAMED DIFFERENTLY (`src_key`)
+    * — the catalog-addressed statements lower in the pre-resolution
+    * batch onto the same CoW verbs the Scala surface uses. The DuckDB
+    * oracle replays update→delete→merge relationally; the deliberate
+    * overlap (keys ≡ 0 mod 53·97 are deleted THEN re-inserted by the
+    * merge) pins statement ordering. */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    catalogConf(s, d)
+    s.sql("DROP TABLE IF EXISTS graft.db.ord")
+    ordersDf(s, d).createOrReplaceTempView("cat_orders_feed")
+    s.sql(
+      """CREATE TABLE graft.db.ord
+        |(o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE, pr STRING)
+        |""".stripMargin)
+    s.sql("INSERT INTO graft.db.ord SELECT * FROM cat_orders_feed")
+    s.sql("UPDATE graft.db.ord SET price = price + 25 WHERE pr = '1-URGENT'")
+    s.sql("DELETE FROM graft.db.ord WHERE o_orderkey % 97 = 0")
+    s.sql(
+      """SELECT o_orderkey AS src_key, o_custkey, CAST(2.0 AS DOUBLE) AS price,
+        |       '0-CAT' AS pr
+        |FROM cat_orders_feed WHERE o_orderkey % 53 = 0""".stripMargin)
+      .createOrReplaceTempView("cat_merge_feed")
+    s.sql(
+      """MERGE INTO graft.db.ord AS t USING cat_merge_feed AS f
+        |ON t.o_orderkey = f.src_key
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(
+      """SELECT pr, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(DISTINCT o_custkey) AS nc
+        |FROM graft.db.ord GROUP BY pr ORDER BY pr""".stripMargin)
+  }
+
+  private val q145Oracle: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, o_orderpriority AS pr
+      |  FROM orders),
+      |u1 AS (SELECT o_orderkey, o_custkey,
+      |    CASE WHEN pr = '1-URGENT' THEN price + 25 ELSE price END AS price, pr
+      |  FROM base),
+      |d1 AS (SELECT * FROM u1 WHERE o_orderkey % 97 <> 0),
+      |feed AS (SELECT o_orderkey, o_custkey, 2.0 AS price, '0-CAT' AS pr
+      |  FROM base WHERE o_orderkey % 53 = 0),
+      |m AS (
+      |  SELECT * FROM d1
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM feed)
+      |  UNION ALL SELECT * FROM feed)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM m GROUP BY pr ORDER BY pr""".stripMargin
+
+  /** q146 — hidden-partitioned CREATE + time travel through the
+    * catalog: `PARTITIONED BY (bucket(4, o_custkey))` maps onto the
+    * format's hidden spec (every INSERT lands bucket tuples, point
+    * reads prune — spec-asserted in TableCatalogSpec), two inserts
+    * split the corpus by key parity, and the measured read is
+    * `VERSION AS OF 2` — the FIRST insert only (v1 is the create's
+    * empty schema commit). Oracle replays the even-key half. */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    catalogConf(s, d)
+    s.sql("DROP TABLE IF EXISTS graft.db.ordp")
+    ordersDf(s, d).createOrReplaceTempView("cat_orders_feed2")
+    s.sql(
+      """CREATE TABLE graft.db.ordp
+        |(o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE, pr STRING)
+        |PARTITIONED BY (bucket(4, o_custkey))""".stripMargin)
+    s.sql("INSERT INTO graft.db.ordp SELECT * FROM cat_orders_feed2 " +
+      "WHERE o_orderkey % 2 = 0")
+    s.sql("INSERT INTO graft.db.ordp SELECT * FROM cat_orders_feed2 " +
+      "WHERE o_orderkey % 2 = 1")
+    s.sql(
+      """SELECT pr, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM graft.db.ordp VERSION AS OF 2
+        |GROUP BY pr ORDER BY pr""".stripMargin)
+  }
+
+  private val q146Oracle: String =
+    """SELECT o_orderpriority AS pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2)))
+      |    AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |GROUP BY pr ORDER BY pr""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q145_catalog_dml", Some(q145Oracle), q145),
+    Q("q146_catalog_travel", Some(q146Oracle), q146))
+}
