@@ -71,7 +71,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * by path (docs/2); a managed catalog is part of the snapshot-format
   * extension (SURVEY §2.A), modeled on Delta/Iceberg SQL semantics.
   */
-class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -237,6 +238,33 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
         "version. Create the new name explicitly (CTAS, or shallowClone " +
         "+ vacuum the old root) instead.")
   }
+
+  // ---- procedures: CALL graft.system.<verb>(…) -----------------------
+
+  /** A procedure's `table` argument: `ns….tbl` in this catalog's
+    * warehouse, or an absolute root path (external snapshot tables get
+    * the same maintenance verbs). */
+  private[sources] def resolveTableArg(t: String): String =
+    if (t.startsWith("/") || t.contains("://")) t
+    else {
+      val p = pathOf(t.split('.').toSeq)
+      require(isTable(p), s"no graft table at $p (from '$t')")
+      p.toString
+    }
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq("system"),
+      s"procedures live in the `system` namespace, got: $ident")
+    GraftProcedures.all.getOrElse(ident.name,
+      throw new UnsupportedOperationException(
+        s"unknown procedure $ident (have: " +
+          GraftProcedures.all.keys.toSeq.sorted.mkString(", ") + ")"))(this)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq != Seq("system")) Array.empty
+    else GraftProcedures.all.keys.toArray.sorted
+      .map(n => Identifier.of(Array("system"), n))
 
   // ---- namespaces: directories that are not table roots -------------
 

@@ -139,7 +139,7 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ALTER to merge-on-read: SQL DELETE publishes a DV, no rewrite") {
     spark.sql("CREATE TABLE graft.db.mor (id BIGINT, v BIGINT)")
-    spark.sql("INSERT INTO graft.db.mor SELECT id, id FROM range(0, 1000)")
+    spark.sql("INSERT INTO graft.db.mor SELECT id, id AS v FROM range(0, 1000)")
     spark.sql(
       "ALTER TABLE graft.db.mor SET TBLPROPERTIES ('write.mode' = 'mor')")
     val root = s"$warehouse/db/mor"
@@ -170,6 +170,55 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.db.ctas")
     assert(!spark.sql("SHOW TABLES IN graft.db").collect()
       .map(_.getString(1)).contains("ctas"))
+  }
+
+  test("CALL graft.system: compact, rollback, tag, vacuum") {
+    spark.sql("CREATE TABLE graft.db.mnt (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.mnt SELECT id, id AS v FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.db.mnt SELECT id, id AS v FROM range(100, 200)")
+    val root = s"$warehouse/db/mnt"
+    // two appended batches → ≥2 files; compact folds them to one
+    assert(GraftCatalog.snapshotScanFiles(spark, root)._1.size >= 2)
+    val cv = spark.sql("CALL graft.system.compact('db.mnt')")
+    assert(cv.columns.toSeq == Seq("version") && cv.head().getLong(0) == 4L)
+    assert(GraftCatalog.snapshotScanFiles(spark, root)._1.size == 1)
+    assert(spark.sql("SELECT count(*), sum(v) FROM graft.db.mnt").head() ==
+      Row(200L, (0L until 200L).sum))
+    // rollback to the first insert, tag it, read through the tag
+    assert(spark.sql("CALL graft.system.rollback('db.mnt', 2)")
+      .head().getLong(0) == 5L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.mnt").head().getLong(0) == 100L)
+    spark.sql("CALL graft.system.tag('db.mnt', 'after_rb', 5)")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.mnt VERSION AS OF 'after_rb'")
+      .head().getLong(0) == 100L)
+    // vacuum keep_last=1 with zero grace: tagged v5 survives, v1..v3 go
+    val removed = spark.sql(
+      "CALL graft.system.vacuum(table => 'db.mnt', keep_last => 1)")
+      .head().getInt(0)
+    assert(removed >= 1, s"vacuum should remove old versions, got $removed")
+    assert(spark.sql("SELECT count(*) FROM graft.db.mnt").head().getLong(0) == 100L)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft.db.mnt VERSION AS OF 1").collect())
+    assert(e.getMessage.contains("1"))
+  }
+
+  test("CALL graft.system: branch and fast-forward merge") {
+    spark.sql("CREATE TABLE graft.db.br (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.br SELECT id, id AS v FROM range(0, 50)")
+    val brRoot = spark.sql("CALL graft.system.create_branch('db.br', 'dev')")
+      .head().getString(0)
+    // work lands on the branch root (backtick-path DML), parent untouched
+    spark.sql(s"INSERT INTO `$brRoot` SELECT id, id AS v FROM range(50, 80)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.br").head().getLong(0) == 50L)
+    assert(spark.sql("CALL graft.system.merge_branch('db.br', 'dev')")
+      .head().getLong(0) >= 3L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.br").head().getLong(0) == 80L)
+    // unknown procedures reject with the available list
+    val e = intercept[Exception](spark.sql("CALL graft.system.nope('x')"))
+    assert(e.getMessage.contains("nope") &&
+      (e.getMessage + Option(e.getCause).fold("")(_.getMessage))
+        .contains("unknown procedure"))
   }
 
   test("catalog reads and Scala reads are the same table") {
