@@ -40,6 +40,31 @@ case class GraftCatalogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case d: DeleteFromTable => d
     case u: UpdateTable => u
     case m: MergeIntoTable => m
+    case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+        if s.table.isInstanceOf[GraftSnapshotTable] =>
+      // `spark.readStream.table("graft.db.t")`: serve the v1 snapshot
+      // stream source (offsets = versions, cost ∝ changed files per
+      // micro-batch) projected to APPEND rows — Delta's table-stream
+      // semantics; the CDC-tagged feed (deletes, _change/_version) is
+      // the format()/TVF surface. Reader options (startAfter,
+      // maxVersionsPerBatch) pass through.
+      val t = s.table.asInstanceOf[GraftSnapshotTable]
+      require(t.pinned.isEmpty,
+        s"cannot stream a time-travel read of ${t.fullName}")
+      import scala.jdk.CollectionConverters._
+      val ds = org.apache.spark.sql.execution.datasources.DataSource(
+        spark, className = graft.streaming.GraftSnapshotStream.FORMAT,
+        options = s.extraOptions.asScala.toMap + ("path" -> t.root))
+      val v1 = org.apache.spark.sql.execution.streaming.runtime
+        .StreamingRelation(ds)
+      val byName = v1.output
+        .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+      Project(s.output.map { o =>
+        Alias(byName(o.name.toLowerCase(java.util.Locale.ROOT)), o.name)(
+          exprId = o.exprId)
+      }, Filter(org.apache.spark.sql.catalyst.expressions.EqualTo(
+        byName("_change"),
+        org.apache.spark.sql.catalyst.expressions.Literal("insert")), v1))
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSnapshotTable] =>
       val t = r.table.asInstanceOf[GraftSnapshotTable]
       val read = GraftCatalog.readSnapshotAuto(spark, t.root, t.pinned)

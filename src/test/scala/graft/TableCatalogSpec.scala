@@ -221,6 +221,34 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         .contains("unknown procedure"))
   }
 
+  test("readStream.table streams appends from a catalog identifier") {
+    spark.sql("CREATE TABLE graft.db.str (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.str VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db.str VALUES (3, 'c')")
+    // a CoW delete removes id=1; table-stream semantics are APPEND
+    // rows only, so the delete's CDC rows must NOT surface (and this
+    // delete fully empties its file, so per-file nomination drops the
+    // file with zero rewrites — nothing re-appends either)
+    spark.sql("DELETE FROM graft.db.str WHERE id = 1")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val ckpt = s"/tmp/graft-cat-ckpt-${System.nanoTime()}"
+    val q = spark.readStream.table("graft.db.str").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= b.collect().map(r => (r.getLong(0), r.getString(1)))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // schema is the TABLE schema (no _change/_version tags)
+    assert(out.nonEmpty && out.forall(_._2.nonEmpty))
+    // v2 inserts 1,2; v3 inserts 3; the delete appends NOTHING
+    assert(out.sorted.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"unexpected appends: $out")
+  }
+
   test("catalog reads and Scala reads are the same table") {
     spark.sql("CREATE TABLE graft.db.par (id BIGINT, v BIGINT)")
     spark.sql("INSERT INTO graft.db.par SELECT id, id % 7 FROM range(0, 500)")
