@@ -2163,6 +2163,51 @@ object GraftCatalog {
     next
   }
 
+  /** ADD/DROP-COLUMN schema evolution as a PURE-METADATA commit
+    * (Iceberg's ALTER semantics): republish the head's file list with
+    * a new committed `#schema:` line — zero data I/O, no file is
+    * touched. Added columns are nullable by construction (files
+    * written before they existed serve NULLs — the same contract
+    * MERGE-driven evolution already relies on); dropped columns
+    * simply leave the read schema while their bytes stay in place for
+    * TIME TRAVEL, which still serves every older version under the
+    * schema THAT version committed. Drops of columns the table's
+    * layout depends on (active partition spec source, declared sort,
+    * bloom sidecar column) reject loudly — they would orphan the
+    * pruning metadata behind the readers' backs. */
+  def evolveSnapshotSchema(spark: SparkSession, root: String,
+      add: org.apache.spark.sql.types.StructType = new org.apache.spark.sql.types.StructType(),
+      drop: Seq[String] = Seq.empty): Long = {
+    import java.util.Locale.ROOT
+    require(add.nonEmpty || drop.nonEmpty, "nothing to evolve")
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val prior = snapshotSchema(spark, root, Some(head)).getOrElse(
+      readSnapshot(spark, root, Some(head)).schema)
+    val lower = prior.fieldNames.map(_.toLowerCase(ROOT)).toSet
+    add.fields.foreach(f => require(!lower(f.name.toLowerCase(ROOT)),
+      s"column ${f.name} already exists on $root"))
+    val dropSet = drop.map(_.toLowerCase(ROOT)).toSet
+    dropSet.foreach(d => require(lower(d), s"no column $d on $root"))
+    val layout = (snapshotPartitionSpec(spark, root).map(_.col) ++
+      snapshotSortOrder(spark, root).map(_.split("\\s+").head) ++
+      snapshotBloomFilters(spark, root).keys).map(_.toLowerCase(ROOT)).toSet
+    val clash = dropSet.intersect(layout)
+    require(clash.isEmpty,
+      s"cannot drop layout column(s) ${clash.mkString(", ")} — they drive " +
+        "the partition spec / sort order / bloom sidecars")
+    val evolved = org.apache.spark.sql.types.StructType(
+      prior.fields.filterNot(f => dropSet(f.name.toLowerCase(ROOT))) ++
+        add.fields.map(_.copy(nullable = true)))
+    require(evolved.nonEmpty, s"cannot drop every column of $root")
+    val carried = readManifestLines(fs, r, head).filter(l =>
+      l.startsWith("#stats:") || l.startsWith("#dv:"))
+    val next = head + 1
+    publishManifest(fs, r, next,
+      carried ++ Seq(schemaLineOf(evolved)) ++ readManifest(fs, r, head))
+    next
+  }
+
   /** Estimated (rows, bytes) of a version from the manifest and its
     * stats sidecar ALONE — zero data I/O, so a catalog `DESCRIBE` or a
     * join-size pre-estimate never touches parquet. Rows are the raw

@@ -203,6 +203,19 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     if (!isTable(root)) throw new NoSuchTableException(ident)
     val rootStr = root.toString
     changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ADD COLUMN supports top-level columns only")
+        require(a.position == null,
+          "FIRST/AFTER positions are not supported — columns append")
+        GraftCatalog.evolveSnapshotSchema(spark, rootStr,
+          add = new StructType().add(a.fieldNames()(0), a.dataType(),
+            nullable = true))
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "DROP COLUMN supports top-level columns only")
+        GraftCatalog.evolveSnapshotSchema(spark, rootStr,
+          drop = Seq(d.fieldNames()(0)))
       case s: TableChange.SetProperty if s.property == "write.mode" =>
         GraftCatalog.setSnapshotWriteMode(spark, rootStr, s.value)
       case r: TableChange.RemoveProperty if r.property == "write.mode" =>
@@ -211,9 +224,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         GraftCatalog.setSnapshotSortOrder(spark, rootStr,
           s.value.split(",").map(_.trim).toSeq)
       case other => throw new UnsupportedOperationException(
-        s"unsupported ALTER on a graft snapshot table: $other (schema " +
-          "evolves through MERGE WITH SCHEMA EVOLUTION; layout configs " +
-          "are create-exclusive)")
+        s"unsupported ALTER on a graft snapshot table: $other (ADD/DROP " +
+          "COLUMN and write.mode/sort.order properties are supported; " +
+          "type changes and renames are not; layout configs are " +
+          "create-exclusive)")
     }
     loadTable(ident)
   }
@@ -322,7 +336,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   * AS OF time travel. Schema and layout are captured eagerly (one
   * manifest + refs read per loadTable), not per `schema()` call. */
 final case class GraftSnapshotTable(root: String, pinned: Option[Long],
-    fullName: String) extends Table with SupportsRead with SupportsWrite {
+    fullName: String) extends Table with SupportsRead with SupportsWrite
+    with TruncatableTable {
+
+  /** `TRUNCATE TABLE` — an empty overwrite commit: history keeps every
+    * prior version (time travel and rollback still reach them). */
+  override def truncateTable(): Boolean = {
+    require(pinned.isEmpty, s"cannot truncate a time-travel read of $fullName")
+    val empty = spark.createDataFrame(
+      Collections.emptyList[Row](), committed).repartition(1)
+    GraftCatalog.commitSnapshot(empty, root, append = false)
+    true
+  }
 
   private def spark: SparkSession = SparkSession.active
 

@@ -221,6 +221,46 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         .contains("unknown procedure"))
   }
 
+  test("ALTER TABLE ADD/DROP COLUMN is a pure-metadata commit; TRUNCATE keeps history") {
+    spark.sql("CREATE TABLE graft.db.evo (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.evo SELECT id, id AS v FROM range(0, 10)")
+    val root = s"$warehouse/db/evo"
+    val filesBefore = GraftCatalog.snapshotScanFiles(spark, root)._1.toSet
+    spark.sql("ALTER TABLE graft.db.evo ADD COLUMN score DOUBLE")
+    // zero data I/O: the file set is untouched, old rows read NULL
+    assert(GraftCatalog.snapshotScanFiles(spark, root)._1.toSet == filesBefore)
+    assert(spark.sql("SELECT * FROM graft.db.evo").columns.toSeq ==
+      Seq("id", "v", "score"))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.evo WHERE score IS NULL")
+      .head().getLong(0) == 10L)
+    // new inserts carry the column; old files still serve NULLs
+    spark.sql("INSERT INTO graft.db.evo VALUES (100, 1, 0.5)")
+    assert(spark.sql(
+      "SELECT score FROM graft.db.evo WHERE id = 100").head().getDouble(0) == 0.5)
+    // time travel reads the OLD schema at the old version
+    assert(spark.sql("SELECT * FROM graft.db.evo VERSION AS OF 2")
+      .columns.toSeq == Seq("id", "v"))
+    // DROP: column leaves the head schema, history unaffected
+    spark.sql("ALTER TABLE graft.db.evo DROP COLUMN v")
+    assert(spark.sql("SELECT * FROM graft.db.evo").columns.toSeq ==
+      Seq("id", "score"))
+    assert(spark.sql("SELECT * FROM graft.db.evo VERSION AS OF 3")
+      .columns.toSeq == Seq("id", "v", "score"))
+    // dropping a layout column rejects loudly
+    spark.sql(
+      """CREATE TABLE graft.db.evop (id BIGINT, v BIGINT)
+        |PARTITIONED BY (bucket(4, id))""".stripMargin)
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.evop DROP COLUMN id"))
+    assert(e.getMessage.contains("layout column"))
+    // TRUNCATE publishes an empty head; prior versions stay readable
+    spark.sql("TRUNCATE TABLE graft.db.evo")
+    assert(spark.sql("SELECT count(*) FROM graft.db.evo").head().getLong(0) == 0L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.evo VERSION AS OF 4").head().getLong(0) == 11L)
+  }
+
   test("readStream.table streams appends from a catalog identifier") {
     spark.sql("CREATE TABLE graft.db.str (id BIGINT, v STRING)")
     spark.sql("INSERT INTO graft.db.str VALUES (1, 'a'), (2, 'b')")
