@@ -289,6 +289,20 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected appends: $out")
   }
 
+  test("DataFrameWriterV2: writeTo create / append / overwrite") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .writeTo("graft.db.w2").create()
+    assert(spark.sql("SELECT count(*) FROM graft.db.w2").head().getLong(0) == 2)
+    Seq((3L, "c")).toDF("id", "v").writeTo("graft.db.w2").append()
+    assert(spark.sql("SELECT count(*) FROM graft.db.w2").head().getLong(0) == 3)
+    // full-table overwrite via the truncate path
+    Seq((9L, "z")).toDF("id", "v").writeTo("graft.db.w2")
+      .overwrite(lit(true))
+    assert(spark.sql("SELECT * FROM graft.db.w2").collect().toSeq ==
+      Seq(Row(9L, "z")))
+  }
+
   test("catalog reads and Scala reads are the same table") {
     spark.sql("CREATE TABLE graft.db.par (id BIGINT, v BIGINT)")
     spark.sql("INSERT INTO graft.db.par SELECT id, id % 7 FROM range(0, 500)")
