@@ -126,7 +126,43 @@ object CatalogOps {
       |FROM orders WHERE o_orderkey % 2 = 0
       |GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q147 — SQL `CALL` maintenance on the driver gate: ingest orders,
+    * append a synthetic residue batch, `CALL graft.system.compact`
+    * (folds the head to one file — same rows), then
+    * `CALL graft.system.rollback` to the pre-append version. The final
+    * aggregate must equal the ORIGINAL ingest — proving compact is
+    * row-preserving and rollback republishes exactly the old file
+    * list, through the pure-SQL procedure surface. Oracle: the plain
+    * orders replay (maintenance must be invisible to the data). */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    catalogConf(s, d)
+    s.sql("DROP TABLE IF EXISTS graft.db.ordm")
+    ordersDf(s, d).createOrReplaceTempView("cat_orders_feed3")
+    s.sql(
+      """CREATE TABLE graft.db.ordm
+        |(o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE, pr STRING)
+        |""".stripMargin)
+    s.sql("INSERT INTO graft.db.ordm SELECT * FROM cat_orders_feed3")
+    s.sql("INSERT INTO graft.db.ordm SELECT o_orderkey + 400000000, " +
+      "o_custkey, price, '9-XTRA' FROM cat_orders_feed3 " +
+      "WHERE o_orderkey % 101 = 0")
+    s.sql("CALL graft.system.compact('db.ordm')")
+    // v1 create, v2 ingest, v3 append, v4 compact → back to the ingest
+    s.sql("CALL graft.system.rollback('db.ordm', 2)")
+    s.sql(
+      """SELECT pr, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM graft.db.ordm GROUP BY pr ORDER BY pr""".stripMargin)
+  }
+
+  private val q147Oracle: String =
+    """SELECT o_orderpriority AS pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2)))
+      |    AS DOUBLE) AS total
+      |FROM orders GROUP BY pr ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q145_catalog_dml", Some(q145Oracle), q145),
-    Q("q146_catalog_travel", Some(q146Oracle), q146))
+    Q("q146_catalog_travel", Some(q146Oracle), q146),
+    Q("q147_catalog_maintenance", Some(q147Oracle), q147))
 }
