@@ -45,7 +45,10 @@ object GraftProcedures {
     "rollback" -> (c => rollback(c)),
     "tag" -> (c => tag(c)),
     "create_branch" -> (c => createBranch(c)),
-    "merge_branch" -> (c => mergeBranch(c)))
+    "merge_branch" -> (c => mergeBranch(c)),
+    "clone" -> (c => cloneProc(c)),
+    "set_check" -> (c => setCheck(c)),
+    "drop_check" -> (c => dropCheck(c)))
 
   private def spark: SparkSession = SparkSession.active
 
@@ -170,6 +173,46 @@ object GraftProcedures {
         (new StructType().add("branch_root", StringType, false),
           InternalRow(UTF8String.fromString(
             GraftCatalog.snapshotBranchRoot(root, n))))
+    }
+
+  private def cloneProc(c: GraftTableCatalog): UnboundProcedure =
+    proc("clone",
+      "zero-copy shallow clone: the target publishes the source head's " +
+        "file list (config inherited); vacuum on the source respects " +
+        "clone-carried files",
+      Array(param("table", StringType), param("target", StringType),
+        paramD("version", LongType, "-1L"))) { (t, in) =>
+      val src = c.resolveTableArg(t)
+      val dst = c.resolveNewTableArg(in.getUTF8String(1).toString)
+      val v = in.getLong(2)
+      GraftCatalog.cloneSnapshot(spark, src, dst,
+        if (v < 0) None else Some(v))
+      (new StructType().add("clone_root", StringType, false),
+        InternalRow(UTF8String.fromString(dst)))
+    }
+
+  private def setCheck(c: GraftTableCatalog): UnboundProcedure =
+    proc("set_check",
+      "add a named CHECK constraint (SQL predicate) every future batch " +
+        "must satisfy; the current head is validated first",
+      Array(param("table", StringType), param("name", StringType),
+        param("predicate", StringType))) { (t, in) =>
+      val name = in.getUTF8String(1).toString
+      GraftCatalog.addSnapshotCheck(spark, c.resolveTableArg(t), name,
+        in.getUTF8String(2).toString)
+      (new StructType().add("check_name", StringType, false),
+        InternalRow(UTF8String.fromString(name)))
+    }
+
+  private def dropCheck(c: GraftTableCatalog): UnboundProcedure =
+    proc("drop_check",
+      "remove a named CHECK constraint",
+      Array(param("table", StringType), param("name", StringType))) {
+      (t, in) =>
+        val name = in.getUTF8String(1).toString
+        GraftCatalog.dropSnapshotCheck(spark, c.resolveTableArg(t), name)
+        (new StructType().add("check_name", StringType, false),
+          InternalRow(UTF8String.fromString(name)))
     }
 
   private def mergeBranch(c: GraftTableCatalog): UnboundProcedure =

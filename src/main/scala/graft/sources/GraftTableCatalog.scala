@@ -266,6 +266,17 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       p.toString
     }
 
+  /** A procedure's NEW-table argument (clone target): an absolute path
+    * passes through; an `ns….tbl` identifier maps into the warehouse
+    * and must not already exist. */
+  private[sources] def resolveNewTableArg(t: String): String =
+    if (t.startsWith("/") || t.contains("://")) t
+    else {
+      val p = pathOf(t.split('.').toSeq)
+      require(!isTable(p), s"table already exists at $p (from '$t')")
+      p.toString
+    }
+
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace.toSeq == Seq("system"),
       s"procedures live in the `system` namespace, got: $ident")

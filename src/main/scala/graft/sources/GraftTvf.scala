@@ -30,12 +30,34 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   */
 object GraftTvf {
 
+  /** First-argument resolution shared by every TVF: an absolute root
+    * path (or URI) passes through; anything else is tried as a
+    * `catalog.ns….tbl` identifier against the session's own catalog
+    * plugins — `graft_snapshot('graft.db.orders', 3)` and
+    * `graft_snapshot('/data/orders', 3)` are the same read. Unresolved
+    * identifiers fall back to the raw string (the historical contract:
+    * the argument IS the root), so error messages stay the familiar
+    * "no snapshots published under …". */
+  private def rootArg(e: Expression): String = {
+    val s = String.valueOf(e.eval())
+    if (s.startsWith("/") || s.contains("://")) s
+    else {
+      val parts = s.split('.').toSeq
+      (if (parts.size >= 2)
+        scala.util.Try(SparkSession.active.sessionState.catalogManager
+          .catalog(parts.head)).toOption
+          .collect { case g: GraftTableCatalog => g }
+          .flatMap(_.tableRootOf(parts.tail))
+      else None).getOrElse(s)
+    }
+  }
+
   private[graft] val snapshotBuilder: Seq[Expression] => LogicalPlan = { args =>
     require(args.nonEmpty && args.size <= 2,
       "graft_snapshot(root[, version]) takes 1 or 2 arguments")
     require(args.forall(_.foldable),
       "graft_snapshot arguments must be literals")
-    val root = String.valueOf(args.head.eval())
+    val root = rootArg(args.head)
     val spark = SparkSession.active
     // Second-arg resolution is TYPE-directed: an integer literal is a
     // version; a TIMESTAMP literal time-travels via snapshotVersionAsOf
@@ -81,7 +103,7 @@ object GraftTvf {
       "graft_snapshot_changes(root, fromV, toV) takes 3 arguments")
     require(args.forall(_.foldable),
       "graft_snapshot_changes arguments must be literals")
-    val root = String.valueOf(args.head.eval())
+    val root = rootArg(args.head)
     val fromV = String.valueOf(args(1).eval()).toLong
     val toV = String.valueOf(args(2).eval()).toLong
     val spark = SparkSession.active
@@ -97,7 +119,7 @@ object GraftTvf {
     require(args.forall(_.foldable),
       "graft_snapshot_history arguments must be literals")
     GraftCatalog.describeSnapshotHistory(SparkSession.active,
-      String.valueOf(args.head.eval())).queryExecution.logical
+      rootArg(args.head)).queryExecution.logical
   }
 
   /** `graft_snapshot_partitions('<root>')` — DESCRIBE PARTITIONS as a
@@ -109,7 +131,7 @@ object GraftTvf {
     require(args.forall(_.foldable),
       "graft_snapshot_partitions arguments must be literals")
     GraftCatalog.describeSnapshotPartitions(SparkSession.active,
-      String.valueOf(args.head.eval())).queryExecution.logical
+      rootArg(args.head)).queryExecution.logical
   }
 
   /** `graft_snapshot_files('<root>'[, version])` — DESCRIBE FILES as a
@@ -122,7 +144,7 @@ object GraftTvf {
     require(args.forall(_.foldable),
       "graft_snapshot_files arguments must be literals")
     GraftCatalog.describeSnapshotFiles(SparkSession.active,
-      String.valueOf(args.head.eval()),
+      rootArg(args.head),
       args.lift(1).map(v => String.valueOf(v.eval()).toLong))
       .queryExecution.logical
   }
@@ -137,7 +159,7 @@ object GraftTvf {
     require(args.forall(_.foldable),
       "graft_snapshot_spj arguments must be literals")
     GraftCatalog.readSnapshotSpj(SparkSession.active,
-      String.valueOf(args.head.eval()),
+      rootArg(args.head),
       args.lift(1).map(v => String.valueOf(v.eval()).toLong))
       .queryExecution.logical
   }

@@ -289,6 +289,46 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected appends: $out")
   }
 
+  test("CALL clone/set_check/drop_check; TVFs take catalog identifiers") {
+    spark.sql("CREATE TABLE graft.db.src (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.src SELECT id, id AS v FROM range(0, 40)")
+    // zero-copy clone into a catalog identifier
+    val cloneRoot = spark.sql(
+      "CALL graft.system.clone('db.src', 'db.dst')").head().getString(0)
+    assert(cloneRoot == s"$warehouse/db/dst")
+    assert(spark.sql("SELECT count(*) FROM graft.db.dst").head().getLong(0) == 40)
+    // CHECK lands through CALL; a violating INSERT aborts; drop lifts it
+    spark.sql("CALL graft.system.set_check('db.src', 'v_pos', 'v >= 0')")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.db.src VALUES (99, -1)"))
+    assert(e.getMessage.contains("v_pos"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.src WHERE id = 99")
+      .head().getLong(0) == 0, "violating batch must not land")
+    spark.sql("CALL graft.system.drop_check('db.src', 'v_pos')")
+    spark.sql("INSERT INTO graft.db.src VALUES (99, -1)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.src WHERE id = 99")
+      .head().getLong(0) == 1)
+    // the TVF surface accepts catalog identifiers, not just paths
+    graft.sources.GraftTvf.register(spark)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_snapshot('graft.db.dst')")
+      .head().getLong(0) == 40)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_snapshot_history('graft.db.src')")
+      .head().getLong(0) >= 3)
+  }
+
+  test("CREATE OR REPLACE TABLE swaps data and schema") {
+    spark.sql("CREATE TABLE graft.db.cor AS SELECT id FROM range(0, 5)")
+    spark.sql(
+      "CREATE OR REPLACE TABLE graft.db.cor AS " +
+        "SELECT id, id * 3 AS t FROM range(0, 7)")
+    assert(spark.sql("SELECT count(*), sum(t) FROM graft.db.cor").head() ==
+      Row(7L, 63L))
+    assert(spark.sql("SELECT * FROM graft.db.cor").columns.toSeq ==
+      Seq("id", "t"))
+  }
+
   test("DataFrameWriterV2: writeTo create / append / overwrite") {
     import spark.implicits._
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
