@@ -388,6 +388,11 @@ final case class GraftSnapshotTable(root: String, pinned: Option[Long],
     m.put("write.mode", GraftCatalog.snapshotWriteMode(spark, root))
     val sort = GraftCatalog.snapshotSortOrder(spark, root)
     if (sort.nonEmpty) m.put("sort.order", sort.mkString(","))
+    // CHECK constraints surface as check.<name> so SHOW TBLPROPERTIES
+    // answers "what does this table enforce" without a Scala call
+    GraftCatalog.listSnapshotChecks(spark, root).foreach { case (n, p) =>
+      m.put(s"check.$n", p)
+    }
     m.put(TableCatalog.PROP_PROVIDER, "graft")
     m
   }
@@ -458,8 +463,12 @@ final class GraftSnapshotWriteBuilder(root: String) extends WriteBuilder
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          // bounded conflict retries: appends re-read the head and
+          // re-carry (commutative), overwrite retries are last-wins —
+          // a concurrent SQL INSERT shouldn't abort a whole job the
+          // way an explicit verb caller (who owns sequencing) would
           GraftCatalog.commitSnapshot(data, root,
-            append = !(replace || overwrite))
+            append = !(replace || overwrite), maxRetries = 5)
           ()
         }
       }

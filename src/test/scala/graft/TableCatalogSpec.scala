@@ -308,6 +308,12 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("INSERT INTO graft.db.src VALUES (99, -1)")
     assert(spark.sql("SELECT count(*) FROM graft.db.src WHERE id = 99")
       .head().getLong(0) == 1)
+    // a live CHECK surfaces through SHOW TBLPROPERTIES
+    spark.sql("CALL graft.system.set_check('db.src', 'id_pos', 'id >= 0')")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.db.src").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("check.id_pos").contains("id >= 0"))
+    spark.sql("CALL graft.system.drop_check('db.src', 'id_pos')")
     // the TVF surface accepts catalog identifiers, not just paths
     graft.sources.GraftTvf.register(spark)
     assert(spark.sql(
