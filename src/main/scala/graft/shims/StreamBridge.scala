@@ -15,4 +15,14 @@ object GraftStreamBridge {
       schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The inverse door, for the v1 streaming SINK contract: `addBatch`
+    * receives a DataFrame still flagged `isStreaming`, which refuses
+    * batch writers — rewrap its executed rows as a plain batch frame
+    * (what Spark's own v1 sinks do with the micro-batch plan). */
+  def batchDataFrame(data: DataFrame): DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+  }
 }

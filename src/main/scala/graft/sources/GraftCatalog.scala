@@ -768,6 +768,14 @@ object GraftCatalog {
     * reader needs no dedup logic. Returns the committed (or already-
     * present) version. Wire as
     * `.foreachBatch((b, id) => commitSnapshotBatch(b, root, id))`. */
+  /** A version's manifest META lines (`#batch:`/`#stats:`/… tags) —
+    * the replay-detection hook for exactly-once sinks. */
+  private[graft] def snapshotMeta(spark: SparkSession, root: String,
+      v: Long): Seq[String] = {
+    val (fs, r) = fsOf(spark, root)
+    readManifestLines(fs, r, v).filter(_.startsWith("#"))
+  }
+
   def commitSnapshotBatch(df: DataFrame, root: String, batchId: Long,
       sinkId: String = ""): Long = {
     val spark = df.sparkSession

@@ -116,9 +116,61 @@ final class GraftSnapshotSource(sqlContext: SQLContext, root: String,
   override def stop(): Unit = ()
 }
 
+/** NATIVE streaming SINK over a snapshot table:
+  * `df.writeStream.format(GraftSnapshotStream.FORMAT)
+  * .option("path", root)` — each micro-batch commits as ONE snapshot
+  * version through [[GraftCatalog.commitSnapshotBatch]], so the table
+  * IS the stream's output log with EXACTLY-ONCE semantics: a
+  * foreachBatch replay after a crash finds its `#batch:` tag already
+  * committed and no-ops instead of appending a duplicate. Append mode
+  * appends; Complete mode overwrites the head per batch (same replay
+  * tag). Readers — batch, time travel, the CDC source above — see one
+  * ordinary versioned table; no separate sink directory, no manual
+  * dedup. `sinkId` (optional) namespaces the replay tags so two
+  * streams can feed one table. */
+final class GraftSnapshotSink(root: String, sinkId: String,
+    complete: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data0: DataFrame): Unit = {
+    // the handed DataFrame is the micro-batch's incremental result,
+    // still flagged isStreaming — rewrap it as a batch frame so the
+    // one ordinary write job commitSnapshot runs is legal
+    val data = org.apache.spark.sql.GraftStreamBridge.batchDataFrame(data0)
+    if (complete) {
+      val spark = data.sparkSession
+      val tag = if (sinkId.isEmpty) s"#batch:$batchId"
+        else s"#batch:$sinkId:$batchId"
+      val replayed = GraftCatalog.snapshotVersions(spark, root).reverse
+        .exists(v => GraftCatalog.snapshotMeta(spark, root, v).contains(tag))
+      if (!replayed)
+        GraftCatalog.commitSnapshot(data, root, append = false,
+          meta = Seq(tag), maxRetries = 3)
+    } else {
+      GraftCatalog.commitSnapshotBatch(data, root, batchId, sinkId)
+    }
+    ()
+  }
+  override def toString: String = s"GraftSnapshotSink[$root]"
+}
+
 /** The v1 provider `spark.readStream.format(...)` resolves by class
   * name. Stateless — all state is the offset log's version numbers. */
-final class GraftSnapshotStreamProvider extends StreamSourceProvider {
+final class GraftSnapshotStreamProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "snapshot tables use HIDDEN partitioning (setSnapshotPartitionSpec) " +
+        "- partitionBy has no meaning here")
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Update(),
+      "graft-snapshot sink supports Append (versioned appends) and " +
+        "Complete (versioned overwrites); Update has no table meaning")
+    new GraftSnapshotSink(rootOf(parameters),
+      parameters.getOrElse("sinkId", ""),
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Complete())
+  }
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshot stream requires .option(\"path\", <table root>) or .load(<root>)"))

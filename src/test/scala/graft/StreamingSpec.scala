@@ -1137,4 +1137,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(outRows.map(r => (r._1, r._3)).toList == List((3L, "delete")),
       s"expected the DV'd row as a delete: $outRows")
   }
+
+  test("native snapshot stream SINK: one version per micro-batch, exactly-once replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.GraftSnapshotStream
+    val root = s"/tmp/graft-sink-${System.nanoTime()}"
+    val ckpt = s"$root-ckpt"
+    val ms = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = ms.toDF().toDF("id", "kind").writeStream
+        .format(GraftSnapshotStream.FORMAT)
+        .option("path", root)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ms.addData((1L, "a"), (2L, "b"))
+    drain()
+    ms.addData((3L, "c"))
+    drain()
+    // two micro-batches → two committed versions, rows exact
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 2L))
+    assert(GraftCatalog.readSnapshot(spark, root).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // replaying batch 0 against the same table is a no-op (the #batch:
+    // tag is already committed) — the exactly-once contract
+    val v = GraftCatalog.commitSnapshotBatch(
+      Seq((9L, "dup")).toDF("id", "kind"), root, batchId = 0L)
+    assert(v == 1L && GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 2L))
+    // the table is simultaneously a SOURCE: the sink's output tails
+    val tail = GraftSnapshotStream.read(spark, root)
+    assert(tail.isStreaming && tail.columns.contains("_change"))
+  }
 }
