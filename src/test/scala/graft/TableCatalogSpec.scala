@@ -349,6 +349,38 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Row(9L, "z")))
   }
 
+  test("concurrent SQL INSERTs serialize under bounded retry, no lost batch") {
+    spark.sql("CREATE TABLE graft.db.conc (id BIGINT, w BIGINT)")
+    val writers = 4
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val fails = new java.util.concurrent.atomic.AtomicInteger(0)
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          barrier.await()
+          try spark.sql(
+            s"INSERT INTO graft.db.conc SELECT id, $w AS w " +
+              s"FROM range(${w * 100}, ${w * 100 + 100})")
+          catch { case _: Throwable => fails.incrementAndGet(); () }
+          ()
+        }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(fails.get == 0, s"${fails.get} writers aborted despite retries")
+    // every batch landed exactly once; versions are contiguous
+    assert(spark.sql("SELECT count(*) FROM graft.db.conc").head().getLong(0) ==
+      writers * 100L)
+    assert(spark.sql(
+      "SELECT count(DISTINCT w) FROM graft.db.conc").head().getLong(0) ==
+      writers.toLong)
+    val root = s"$warehouse/db/conc"
+    assert(GraftCatalog.snapshotVersions(spark, root) ==
+      (1L to (writers + 1L)))
+  }
+
   test("catalog reads and Scala reads are the same table") {
     spark.sql("CREATE TABLE graft.db.par (id BIGINT, v BIGINT)")
     spark.sql("INSERT INTO graft.db.par SELECT id, id % 7 FROM range(0, 500)")
