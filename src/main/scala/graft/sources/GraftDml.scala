@@ -284,10 +284,17 @@ object GraftDml {
           case Seq(InsertAction(None, as)) if starLike(as) => ()
           case other => bad(s"not-matched actions: $other")
         }
-        if (m.notMatchedBySourceActions.nonEmpty)
-          bad("WHEN NOT MATCHED BY SOURCE")
+        // the FULL-SYNC extension: `WHEN NOT MATCHED BY SOURCE THEN
+        // DELETE` composes with the star actions above into "the
+        // table becomes the source, keyed by pk" — the CDC mirror
+        // statement
+        val syncDelete = m.notMatchedBySourceActions match {
+          case Seq() => false
+          case Seq(DeleteAction(None)) => true
+          case other => bad(s"not-matched-by-source actions: $other")
+        }
         GraftMergeCommand(root, view, m.sourceTable, pk, srcKey,
-          m.withSchemaEvolution)
+          m.withSchemaEvolution, syncDelete)
       }
     case _ => None
   }
@@ -375,7 +382,7 @@ case class GraftInsertCommand(root: String, view: Option[String],
   * be a table, subquery, VALUES list, or a graft TVF. */
 case class GraftMergeCommand(root: String, view: Option[String],
     source: LogicalPlan, pk: String, srcKey: String,
-    schemaEvolution: Boolean)
+    schemaEvolution: Boolean, syncDelete: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -391,7 +398,22 @@ case class GraftMergeCommand(root: String, view: Option[String],
         src0.withColumnRenamed(srcKey, pk)
       }
     val v =
-      if (GraftCatalog.snapshotWriteMode(spark, root) == "mor") {
+      if (syncDelete) {
+        // the FULL-SYNC shape (UPDATE SET * / INSERT * / NOT MATCHED
+        // BY SOURCE DELETE): matched rows take the source image,
+        // unmatched source rows insert, unmatched TABLE rows delete —
+        // the post-state is exactly the source keyed by pk, so the
+        // minimal-physics lowering is ONE overwrite commit aligned to
+        // the table's committed column order. No join, no per-file
+        // nomination: at 100 TB a mirror-sync rewrites ~everything
+        // anyway, and an overwrite is the cheapest plan that does.
+        val aligned =
+          if (schemaEvolution) src // an overwrite ADOPTS the batch schema
+          else GraftCatalog.snapshotSchema(spark, root).fold(src) { sch =>
+            src.select(sch.fieldNames.map(n => src.col(n)).toIndexedSeq: _*)
+          }
+        GraftCatalog.commitSnapshot(aligned, root, append = false)
+      } else if (GraftCatalog.snapshotWriteMode(spark, root) == "mor") {
         require(!schemaEvolution,
           "MERGE WITH SCHEMA EVOLUTION is CoW-only; unset mor write mode")
         GraftCatalog.mergeSnapshotMor(spark, root, src, pk)

@@ -149,6 +149,39 @@ class DmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("qualify both"))
   }
 
+  test("MERGE full-sync shape: NOT MATCHED BY SOURCE DELETE mirrors the source") {
+    val root = freshTable("sync")
+    // source: ids 0..49 re-priced, plus a new key — everything else goes
+    val out = GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (SELECT id, id % 7 AS grp, id * 100 AS amount
+         |       FROM range(0, 50)
+         |       UNION ALL SELECT 500L, 0L, 1L) AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(out.head().getLong(0) == 2L)
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.count() == 51, "table must BE the source after a full sync")
+    assert(t.where(col("id") >= 50 && col("id") =!= 500).count() == 0,
+      "rows absent from the source are deleted")
+    assert(t.where(col("id") === 5).head().getLong(2) == 500L,
+      "matched rows take the source image")
+    assert(t.where(col("id") === 500).count() == 1)
+    // time travel still serves the pre-sync state
+    assert(GraftCatalog.readSnapshot(spark, root, Some(1L)).count() == 100)
+    // a CONDITIONAL not-matched-by-source delete is NOT the sync shape
+    val e = intercept[IllegalArgumentException](GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (SELECT 1L AS id, 0L AS grp, 0L AS amount) AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND grp = 3 THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("not-matched-by-source"))
+  }
+
   test("unsupported MERGE shapes are rejected loudly, not half-lowered") {
     val root = freshTable("shape")
     GraftDml.registerSnapshotTable(spark, "dml_shape", root)
