@@ -262,7 +262,25 @@ object GraftDml {
         }
         def bad(what: String): Nothing = throw new IllegalArgumentException(
           s"unsupported MERGE shape ($what); supported: " +
-            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+            "[WHEN NOT MATCHED BY SOURCE THEN DELETE], or the key-feed " +
+            "delete WHEN MATCHED THEN DELETE alone")
+        // the KEY-FEED DELETE shape: `WHEN MATCHED THEN DELETE` as the
+        // only action — "remove these keys" (a retraction feed / GDPR
+        // list); absent keys no-op, per the CDC-apply contract
+        val keyFeedDelete = m.matchedActions == Seq(DeleteAction(None)) &&
+          m.notMatchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty
+        if (keyFeedDelete)
+          GraftMergeDeleteCommand(root, view, m.sourceTable, pk, srcKey)
+        else lowerUpsertMerge(m, root, view, pk, srcKey, bad, colName)
+      }
+    case _ => None
+  }
+
+  private def lowerUpsertMerge(m: MergeIntoTable, root: String,
+      view: Option[String], pk: String, srcKey: String,
+      bad: String => Nothing,
+      colName: Expression => String): LogicalPlan = {
         // builtin resolution may expand `UPDATE SET *` / `INSERT *`
         // into per-column assignment lists before this rule runs
         // (catalog-resolved targets resolve in the same analyzer
@@ -295,8 +313,6 @@ object GraftDml {
         }
         GraftMergeCommand(root, view, m.sourceTable, pk, srcKey,
           m.withSchemaEvolution, syncDelete)
-      }
-    case _ => None
   }
 
   /** Parse + lower + run a DML statement on any session — the path
@@ -380,6 +396,36 @@ case class GraftInsertCommand(root: String, view: Option[String],
   * source plan stays UNRESOLVED inside the command (not a child, so
   * the analyzer leaves it alone) and is analyzed at run time — it can
   * be a table, subquery, VALUES list, or a graft TVF. */
+/** The key-feed delete `MERGE … WHEN MATCHED THEN DELETE` (alone):
+  * remove every table row whose key appears in the source — the
+  * retraction-feed / GDPR-list statement. Lowered onto
+  * [[GraftCatalog.applyCdcSnapshot]] with an all-`D` batch, which
+  * reuses the merge discipline's stats-nominated file pinning (cost ∝
+  * touched files, absent keys no-op) and lands in ONE manifest flip.
+  * The source may be a bare key list — only its key column is read. */
+case class GraftMergeDeleteCommand(root: String, view: Option[String],
+    source: LogicalPlan, pk: String, srcKey: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val keys = GraftColumnBridge.ofRows(spark, source)
+      .select(col(srcKey).as(pk)).distinct()
+    // shape the batch like the table (the apply's upsert side is empty,
+    // so the null fill never lands anywhere)
+    val committed = GraftCatalog.snapshotSchema(spark, root).getOrElse(
+      GraftCatalog.readSnapshot(spark, root).schema)
+    val batch = committed.fields.foldLeft(keys) { (d, f) =>
+      if (f.name.equalsIgnoreCase(pk)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.withColumn("_op", lit("D"))
+    val v = GraftCatalog.applyCdcSnapshot(spark, root, batch, pk)
+    view.foreach(GraftDml.refreshView(spark, _, root))
+    Seq(Row(v))
+  }
+}
+
 case class GraftMergeCommand(root: String, view: Option[String],
     source: LogicalPlan, pk: String, srcKey: String,
     schemaEvolution: Boolean, syncDelete: Boolean = false)

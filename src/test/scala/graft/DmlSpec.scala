@@ -182,14 +182,32 @@ class DmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not-matched-by-source"))
   }
 
+  test("MERGE key-feed delete: WHEN MATCHED THEN DELETE removes listed keys") {
+    val root = freshTable("kfd")
+    // a bare key list (differently-named key) — absent keys no-op
+    val out = GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (SELECT id * 2 AS victim FROM range(0, 10)
+         |       UNION ALL SELECT 9999L) AS s
+         |ON t.id = s.victim
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(out.head().getLong(0) == 2L)
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.count() == 90, "10 listed keys removed, absent 9999 no-ops")
+    assert(t.where(col("id").isin(0L, 2L, 18L)).count() == 0)
+    assert(t.where(col("id") === 1L).count() == 1)
+    // time travel still serves the pre-delete rows
+    assert(GraftCatalog.readSnapshot(spark, root, Some(1L)).count() == 100)
+  }
+
   test("unsupported MERGE shapes are rejected loudly, not half-lowered") {
     val root = freshTable("shape")
     GraftDml.registerSnapshotTable(spark, "dml_shape", root)
     val e = intercept[IllegalArgumentException] {
       GraftDml.sql(spark,
         """MERGE INTO dml_shape AS t
-          |USING (SELECT 1L AS id) AS s ON t.id = s.id
-          |WHEN MATCHED THEN DELETE""".stripMargin)
+          |USING (SELECT 1L AS id, 0L AS amount) AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET amount = s.amount""".stripMargin)
     }
     assert(e.getMessage.contains("unsupported MERGE shape"))
     // non-snapshot targets are not ours
