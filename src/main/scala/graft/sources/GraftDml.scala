@@ -277,6 +277,27 @@ object GraftDml {
     case _ => None
   }
 
+  /** Matched-action classification for the general merge path:
+    * `delete` xor assignments; `set = None` with `delete = false` is
+    * the star shape (all source columns by name). */
+  final case class MatchedSpec(delete: Boolean,
+      cond: Option[Raw], set: Option[Seq[(String, Raw)]])
+
+  /** Not-matched INSERT spec; `cols = None` is `INSERT *`. */
+  final case class InsertSpec(cols: Option[Seq[String]],
+      vals: Option[Seq[Raw]])
+
+  /** The statement's top-level alias (or table name) of a MERGE side —
+    * the qualifier the user's `t.x` / `s.x` references resolve by. */
+  private def topAlias(pl: LogicalPlan, fallback: String): String = pl match {
+    case a: SubqueryAlias => a.alias
+    case u: UnresolvedRelation => u.multipartIdentifier.last
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[GraftSnapshotTable] =>
+      r.table.asInstanceOf[GraftSnapshotTable].fullName.split('.').last
+    case _ => fallback
+  }
+
   private def lowerUpsertMerge(m: MergeIntoTable, root: String,
       view: Option[String], pk: String, srcKey: String,
       bad: String => Nothing,
@@ -291,28 +312,59 @@ object GraftDml {
             scala.util.Try(
               colName(a.key).equalsIgnoreCase(colName(a.value))).getOrElse(false)
           }
-        m.matchedActions match {
-          case Seq(UpdateStarAction(None)) => ()
-          case Seq(UpdateAction(None, as, fromStar))
-              if fromStar || starLike(as) => ()
+        def raw(e: Expression): Raw = Raw(unresolve(e))
+        val matched: Option[MatchedSpec] = m.matchedActions match {
+          case Seq() => None
+          case Seq(UpdateStarAction(c)) =>
+            Some(MatchedSpec(delete = false, c.map(raw), None))
+          case Seq(UpdateAction(c, as, fromStar))
+              if fromStar || starLike(as) =>
+            Some(MatchedSpec(delete = false, c.map(raw), None))
+          case Seq(UpdateAction(c, as, _)) =>
+            Some(MatchedSpec(delete = false, c.map(raw),
+              Some(as.map(a => colName(a.key) -> raw(a.value)))))
+          case Seq(DeleteAction(c)) =>
+            Some(MatchedSpec(delete = true, c.map(raw), None))
           case other => bad(s"matched actions: $other")
         }
-        m.notMatchedActions match {
-          case Seq(InsertStarAction(None)) => ()
-          case Seq(InsertAction(None, as)) if starLike(as) => ()
+        val notMatched: Option[InsertSpec] = m.notMatchedActions match {
+          case Seq() => None
+          case Seq(InsertStarAction(None)) => Some(InsertSpec(None, None))
+          case Seq(InsertAction(None, as)) if starLike(as) =>
+            Some(InsertSpec(None, None))
+          case Seq(InsertAction(None, as)) =>
+            Some(InsertSpec(Some(as.map(a => colName(a.key))),
+              Some(as.map(a => raw(a.value)))))
           case other => bad(s"not-matched actions: $other")
         }
-        // the FULL-SYNC extension: `WHEN NOT MATCHED BY SOURCE THEN
-        // DELETE` composes with the star actions above into "the
-        // table becomes the source, keyed by pk" — the CDC mirror
-        // statement
         val syncDelete = m.notMatchedBySourceActions match {
           case Seq() => false
           case Seq(DeleteAction(None)) => true
           case other => bad(s"not-matched-by-source actions: $other")
         }
-        GraftMergeCommand(root, view, m.sourceTable, pk, srcKey,
-          m.withSchemaEvolution, syncDelete)
+        val plainStarUpsert =
+          matched.contains(MatchedSpec(delete = false, None, None)) &&
+            notMatched.contains(InsertSpec(None, None))
+        if (plainStarUpsert)
+          // the fast path: full-row upsert (optionally + sync delete)
+          // on mergeSnapshot's single-join CoW/MoR machinery
+          GraftMergeCommand(root, view, m.sourceTable, pk, srcKey,
+            m.withSchemaEvolution, syncDelete)
+        else {
+          // the GENERAL path: conditional matched UPDATE with arbitrary
+          // assignments, or conditional matched DELETE, with an
+          // optional explicit-or-star INSERT — computed as a U/D/I
+          // batch over one aliased join and applied in ONE manifest
+          // flip by applyCdcSnapshot
+          if (syncDelete) bad("NOT MATCHED BY SOURCE DELETE composes " +
+            "only with the star upsert shape")
+          require(!m.withSchemaEvolution,
+            "MERGE WITH SCHEMA EVOLUTION requires the star upsert shape")
+          if (matched.isEmpty && notMatched.isEmpty) bad("no actions")
+          GraftMergeGeneralCommand(root, view, m.sourceTable, pk, srcKey,
+            topAlias(m.targetTable, "__t"), topAlias(m.sourceTable, "__s"),
+            Raw(unresolve(m.mergeCondition)), matched, notMatched)
+        }
   }
 
   /** Parse + lower + run a DML statement on any session — the path
@@ -396,6 +448,103 @@ case class GraftInsertCommand(root: String, view: Option[String],
   * source plan stays UNRESOLVED inside the command (not a child, so
   * the analyzer leaves it alone) and is analyzed at run time — it can
   * be a table, subquery, VALUES list, or a graft TVF. */
+/** The GENERAL merge: `WHEN MATCHED [AND c] THEN UPDATE SET x = expr…`
+  * (arbitrary assignments mixing `t.*`/`s.*`) or `WHEN MATCHED [AND c]
+  * THEN DELETE`, with an optional explicit-or-star INSERT. Semantics
+  * are standard MERGE: each source row updates/deletes its matched
+  * table row iff the matched condition holds, inserts when unmatched,
+  * and a matched row failing the condition stays untouched.
+  *
+  * Physics: ONE aliased inner join computes matched post-images (the
+  * user's own statement aliases qualify the assignment expressions, so
+  * `t.amount + s.amount` resolves exactly as written), one anti-join
+  * shapes the inserts, and [[GraftCatalog.applyCdcSnapshot]] lands the
+  * U/D/I batch in one manifest flip with stats-nominated file pinning
+  * — cost ∝ touched files, never the table. A source matching the
+  * same key twice aborts loudly (the apply's pk-uniqueness contract —
+  * exactly SQL MERGE's cardinality rule). */
+case class GraftMergeGeneralCommand(root: String, view: Option[String],
+    source: LogicalPlan, pk: String, srcKey: String,
+    tAlias: String, sAlias: String, mergeCond: GraftDml.Raw,
+    matched: Option[GraftDml.MatchedSpec],
+    insert: Option[GraftDml.InsertSpec])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val committed = GraftCatalog.snapshotSchema(spark, root).getOrElse(
+      GraftCatalog.readSnapshot(spark, root).schema)
+    val tDf = GraftCatalog.readSnapshotAuto(spark, root).alias(tAlias)
+    val sDf = GraftColumnBridge.ofRows(spark, source).alias(sAlias)
+    val joinCond = GraftColumnBridge.column(mergeCond.e)
+    // side references go through each frame's OWN resolver (exprId-
+    // exact) — a string-built qualifier would mis-parse a backticked
+    // path alias on its dots
+    def tCol(c: String) = tDf.col(c)
+    val lowerSrc = sDf
+      .columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val parts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    matched.foreach { ms =>
+      val mdf0 = tDf.join(sDf, joinCond, "inner")
+      val mdf = ms.cond.fold(mdf0)(c =>
+        mdf0.where(GraftColumnBridge.column(c.e)))
+      if (ms.delete) {
+        parts += mdf.select(committed.fields.map { f =>
+          (if (f.name.equalsIgnoreCase(pk)) tCol(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)
+        }.toIndexedSeq: _*).withColumn("_op", lit("D"))
+      } else {
+        val set: Map[String, GraftDml.Raw] = ms.set match {
+          case Some(s) =>
+            s.map { case (c, r) => c.toLowerCase(java.util.Locale.ROOT) -> r }.toMap
+          case None => Map.empty // star — resolved per column below
+        }
+        parts += mdf.select(committed.fields.map { f =>
+          val lc = f.name.toLowerCase(java.util.Locale.ROOT)
+          val v = set.get(lc) match {
+            case Some(r) => GraftColumnBridge.column(r.e)
+            case None if ms.set.isEmpty && lowerSrc(lc) => // star
+              sDf.col(f.name)
+            case None => tCol(f.name)
+          }
+          v.cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*).withColumn("_op", lit("U"))
+      }
+    }
+    insert.foreach { is =>
+      val unmatched0 = sDf.join(tDf, joinCond, "left_anti")
+      val idf = is.cols match {
+        case None => // INSERT * — table columns by name, srcKey renamed
+          val base =
+            if (srcKey.equalsIgnoreCase(pk)) unmatched0
+            else unmatched0.withColumnRenamed(srcKey, pk)
+          base.select(committed.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        case Some(cols) =>
+          val provided = cols.map(_.toLowerCase(java.util.Locale.ROOT))
+            .zip(is.vals.get).toMap
+          require(provided.contains(pk.toLowerCase(java.util.Locale.ROOT)),
+            s"MERGE INSERT column list must provide the key column $pk")
+          unmatched0.select(committed.fields.map { f =>
+            val lc = f.name.toLowerCase(java.util.Locale.ROOT)
+            (provided.get(lc) match {
+              case Some(r) => GraftColumnBridge.column(r.e)
+              case None => lit(null)
+            }).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+      }
+      parts += idf.withColumn("_op", lit("I"))
+    }
+    require(parts.nonEmpty, "MERGE with no actions")
+    val batch = parts.reduce(_ unionByName _)
+    val v = GraftCatalog.applyCdcSnapshot(spark, root, batch, pk)
+    view.foreach(GraftDml.refreshView(spark, _, root))
+    Seq(Row(v))
+  }
+}
+
 /** The key-feed delete `MERGE … WHEN MATCHED THEN DELETE` (alone):
   * remove every table row whose key appears in the source — the
   * retraction-feed / GDPR-list statement. Lowered onto

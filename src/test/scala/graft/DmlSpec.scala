@@ -200,14 +200,55 @@ class DmlSpec extends AnyFunSuite {
     assert(GraftCatalog.readSnapshot(spark, root, Some(1L)).count() == 100)
   }
 
+  test("general MERGE: conditional assignments and an explicit INSERT list") {
+    val root = freshTable("gen") // ids 0..99, grp = id%7, amount = id*10
+    GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (SELECT 3L AS key, 5L AS boost
+         |       UNION ALL SELECT 5L, 9L
+         |       UNION ALL SELECT 777L, 1L) AS s
+         |ON t.id = s.key
+         |WHEN MATCHED AND t.grp = 3 THEN UPDATE SET amount = t.amount + s.boost
+         |WHEN NOT MATCHED THEN INSERT (id, grp, amount)
+         |  VALUES (s.key, 0L, s.boost * 2)""".stripMargin)
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.where(col("id") === 3).head().getLong(2) == 35L,
+      "matched row passing the condition takes the assignment")
+    assert(t.where(col("id") === 5).head().getLong(2) == 50L,
+      "matched row failing the condition stays untouched")
+    assert(t.where(col("id") === 777).head() ==
+      org.apache.spark.sql.Row(777L, 0L, 2L),
+      "unmatched source row inserts via the explicit column list")
+    assert(t.count() == 101)
+  }
+
+  test("general MERGE: conditional DELETE composed with star INSERT") {
+    val root = freshTable("gendel")
+    GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (SELECT id, id % 7 AS grp, 0L AS amount FROM range(0, 30)
+         |       UNION ALL SELECT 600L, 1L, 11L) AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.amount < 100 THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.where(col("id") < 10).count() == 0,
+      "matched rows passing the delete condition go")
+    assert(t.where(col("id").between(10, 29)).count() == 20,
+      "matched rows failing it stay")
+    assert(t.where(col("id") === 600).head().getLong(2) == 11L)
+    assert(t.count() == 91)
+  }
+
   test("unsupported MERGE shapes are rejected loudly, not half-lowered") {
     val root = freshTable("shape")
     GraftDml.registerSnapshotTable(spark, "dml_shape", root)
     val e = intercept[IllegalArgumentException] {
       GraftDml.sql(spark,
         """MERGE INTO dml_shape AS t
-          |USING (SELECT 1L AS id, 0L AS amount) AS s ON t.id = s.id
-          |WHEN MATCHED THEN UPDATE SET amount = s.amount""".stripMargin)
+          |USING (SELECT 1L AS id, 0L AS grp, 0L AS amount) AS s
+          |ON t.id = s.id
+          |WHEN NOT MATCHED AND s.grp > 5 THEN INSERT *""".stripMargin)
     }
     assert(e.getMessage.contains("unsupported MERGE shape"))
     // non-snapshot targets are not ours
