@@ -161,8 +161,72 @@ object CatalogOps {
       |    AS DOUBLE) AS total
       |FROM orders GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q148 — the GENERAL MERGE shape, oracle-reconciled: one statement
+    * carries a CONDITIONAL assignment update (re-price urgent orders
+    * below a threshold by an expression mixing both sides), and a
+    * second statement a CONDITIONAL DELETE with a star INSERT. DuckDB
+    * replays both relationally; the hash match proves the U/D/I-batch
+    * lowering (one aliased join + one CDC apply flip) equals standard
+    * MERGE semantics row-for-row — matched-but-condition-failing rows
+    * untouched, absent keys inserted, deleted keys gone. */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    catalogConf(s, d)
+    s.sql("DROP TABLE IF EXISTS graft.db.ordg")
+    ordersDf(s, d).createOrReplaceTempView("cat_orders_feed4")
+    s.sql(
+      """CREATE TABLE graft.db.ordg
+        |(o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE, pr STRING)
+        |""".stripMargin)
+    s.sql("INSERT INTO graft.db.ordg SELECT * FROM cat_orders_feed4")
+    s.sql(
+      """SELECT o_orderkey AS k, CAST(10.0 AS DOUBLE) AS bump
+        |FROM cat_orders_feed4 WHERE o_orderkey % 13 = 0""".stripMargin)
+      .createOrReplaceTempView("cat_gen_feed")
+    s.sql(
+      """MERGE INTO graft.db.ordg AS t USING cat_gen_feed AS f
+        |ON t.o_orderkey = f.k
+        |WHEN MATCHED AND t.pr = '1-URGENT' THEN
+        |  UPDATE SET price = t.price + f.bump * 2""".stripMargin)
+    s.sql(
+      """SELECT o_orderkey + 500000000 AS k, o_custkey,
+        |       CAST(3.0 AS DOUBLE) AS price, '8-GEN' AS pr
+        |FROM cat_orders_feed4 WHERE o_orderkey % 211 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, price, pr
+        |FROM cat_orders_feed4 WHERE o_orderkey % 17 = 0""".stripMargin)
+      .createOrReplaceTempView("cat_gen_feed2")
+    s.sql(
+      """MERGE INTO graft.db.ordg AS t USING cat_gen_feed2 AS f
+        |ON t.o_orderkey = f.k
+        |WHEN MATCHED AND t.o_custkey % 2 = 0 THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(
+      """SELECT pr, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM graft.db.ordg GROUP BY pr ORDER BY pr""".stripMargin)
+  }
+
+  private val q148Oracle: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, o_orderpriority AS pr
+      |  FROM orders),
+      |u1 AS (SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 13 = 0 AND pr = '1-URGENT'
+      |         THEN price + 20 ELSE price END AS price, pr
+      |  FROM base),
+      |d1 AS (SELECT * FROM u1
+      |  WHERE NOT (o_orderkey % 17 = 0 AND o_custkey % 2 = 0)),
+      |ins AS (SELECT o_orderkey + 500000000 AS o_orderkey, o_custkey,
+      |    3.0 AS price, '8-GEN' AS pr
+      |  FROM base WHERE o_orderkey % 211 = 0)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM ins)
+      |GROUP BY pr ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q145_catalog_dml", Some(q145Oracle), q145),
     Q("q146_catalog_travel", Some(q146Oracle), q146),
-    Q("q147_catalog_maintenance", Some(q147Oracle), q147))
+    Q("q147_catalog_maintenance", Some(q147Oracle), q147),
+    Q("q148_general_merge", Some(q148Oracle), q148))
 }
