@@ -993,16 +993,27 @@ object Dedup {
       .select(explode(expr("ordered_pairs64(ids)")).as("p"))
       .groupBy(col("p.a_id").as("a_sid"), col("p.b_id").as("b_sid"))
       .agg(count(lit(1)).as("inter"))
-    // texts/sizes re-attached from the per-sentence dim (broadcast —
-    // it is |distinct sentences| rows); pair identity is the sid pair,
-    // the OUTPUT order key is the lexicographic text pair the oracle
-    // uses, so swap sides after the join
+    // texts/sizes re-attached from the per-sentence dim. The broadcast
+    // hint is GATED on corpus size, same contract as sharedShinglePairs'
+    // dim() gate but with a TIGHTER threshold: this dim is one row per
+    // DISTINCT SENTENCE and carries the full sentence text (~100+ B/row
+    // vs 16 B), so the corpus bound that keeps it driver-safe is ~10×
+    // lower. Under the gate (500k docs × a handful of distinct
+    // sentences × ~150 B ≈ low hundreds of MB worst case) the hint
+    // wins; above it the hint drops and the join shuffles 8-byte sid
+    // keys — AQE still promotes to broadcast if the runtime size turns
+    // out small, so the gate only removes the 100 TB driver-OOM
+    // footgun, never a win. Pair identity is the sid pair, the OUTPUT
+    // order key is the lexicographic text pair the oracle uses, so
+    // swap sides after the join.
     val sizes = dim.select(col("sid"), col("sent"), col("n_sh"), col("n_docs"))
+    def sdim(d: DataFrame): DataFrame =
+      if (approxRowCount(docsDf) <= 500_000L) broadcast(d) else d
     val aFirst = col("sa") <= col("sb")
     pairs
-      .join(broadcast(sizes.select(col("sid").as("a_sid"), col("sent").as("sa"),
+      .join(sdim(sizes.select(col("sid").as("a_sid"), col("sent").as("sa"),
         col("n_sh").as("nsa"), col("n_docs").as("da"))), "a_sid")
-      .join(broadcast(sizes.select(col("sid").as("b_sid"), col("sent").as("sb"),
+      .join(sdim(sizes.select(col("sid").as("b_sid"), col("sent").as("sb"),
         col("n_sh").as("nsb"), col("n_docs").as("db"))), "b_sid")
       .withColumn("jac", col("inter") / (col("nsa") + col("nsb") - col("inter")))
       .where(col("jac") >= minJac)

@@ -270,6 +270,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.getAs[Long]("a_docs") == 1L && p.getAs[Long]("b_docs") == 1L)
   }
 
+  test("d16's sentence-dim broadcast hint is gated on corpus size") {
+    import spark.implicits._
+    // the dim carries full sentence TEXT, so the hint must vanish above
+    // the 500k-doc gate (AQE can still promote at runtime); below it the
+    // hint pins both dim joins broadcast. Range stats make the big-side
+    // row count known without running a job.
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    val small = Seq((1L, "a plausible sentence of boilerplate length here."))
+      .toDF("doc_id", "text")
+    assert(hintCount(graft.operators.Dedup.sentenceNearDupPairs(small)) >= 2,
+      "below the gate both sentence-dim joins must carry the broadcast hint")
+    val big = spark.range(500001L).selectExpr("id AS doc_id", "'t' AS text")
+    assert(hintCount(graft.operators.Dedup.sentenceNearDupPairs(big)) == 0,
+      "above the gate the text-carrying dim must NOT be hint-broadcast")
+  }
+
   test("pageRank: star center outranks leaves, mass conserved, singleton at teleport floor") {
     import spark.implicits._
     val nodes = (0L to 5L).toDF("id") // 0 = center, 1-4 leaves, 5 singleton
