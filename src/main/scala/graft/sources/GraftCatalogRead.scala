@@ -37,9 +37,23 @@ case class GraftCatalogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(p: LogicalPlan): LogicalPlan = p match {
     case w: V2WriteCommand => w.withNewQuery(rewrite(w.query))
-    case d: DeleteFromTable => d
-    case u: UpdateTable => u
-    case m: MergeIntoTable => m
+    // DML nodes: the TARGET side stays untouched ([[GraftDmlRule]]
+    // lowers graft targets; a non-graft target is not ours) — but a
+    // graft-catalog table used as the SOURCE of someone else's MERGE,
+    // or inside a DML condition subquery, must still read through the
+    // engine, so those children recurse.
+    case d: DeleteFromTable =>
+      d.transformExpressions {
+        case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan))
+      }
+    case u: UpdateTable =>
+      u.transformExpressions {
+        case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan))
+      }
+    case m: MergeIntoTable =>
+      m.copy(sourceTable = rewrite(m.sourceTable)).transformExpressions {
+        case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan))
+      }
     case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
         if s.table.isInstanceOf[GraftSnapshotTable] =>
       // `spark.readStream.table("graft.db.t")`: serve the v1 snapshot

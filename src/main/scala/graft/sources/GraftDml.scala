@@ -173,6 +173,26 @@ object GraftDml {
     case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
   }
 
+  /** Side-preserving unresolve for the MERGE paths: a resolved
+    * attribute re-opens QUALIFIED by the statement alias of whichever
+    * relation owns its exprId, so a general merge over same-named
+    * columns on both sides (`ON t.id = s.id`, `SET amount = t.amount +
+    * s.amount`) re-resolves unambiguously against the command's own
+    * aliased join at run time. A bare-name rewrite here loses the side
+    * and fails with an ambiguous-reference error on the
+    * catalog-resolved path. Attributes owned by neither side (shouldn't
+    * exist in a MERGE) fall back to the bare name. */
+  private def unresolveSided(e: Expression,
+      tIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId],
+      sIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId],
+      tAlias: String, sAlias: String): Expression = e.transform {
+    case a: AttributeReference if tIds(a.exprId) =>
+      UnresolvedAttribute(Seq(tAlias, a.name))
+    case a: AttributeReference if sIds(a.exprId) =>
+      UnresolvedAttribute(Seq(sAlias, a.name))
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  }
+
   /** Lower a parsed DML plan onto a runnable command; `None` when the
     * plan is not a DML statement against a snapshot table. */
   private[graft] def lower(spark: SparkSession,
@@ -261,10 +281,7 @@ object GraftDml {
               other.sql)
         }
         def bad(what: String): Nothing = throw new IllegalArgumentException(
-          s"unsupported MERGE shape ($what); supported: " +
-            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
-            "[WHEN NOT MATCHED BY SOURCE THEN DELETE], or the key-feed " +
-            "delete WHEN MATCHED THEN DELETE alone")
+          s"unsupported MERGE shape ($what)")
         // the KEY-FEED DELETE shape: `WHEN MATCHED THEN DELETE` as the
         // only action — "remove these keys" (a retraction feed / GDPR
         // list); absent keys no-op, per the CDC-apply contract
@@ -272,19 +289,23 @@ object GraftDml {
           m.notMatchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty
         if (keyFeedDelete)
           GraftMergeDeleteCommand(root, view, m.sourceTable, pk, srcKey)
-        else lowerUpsertMerge(m, root, view, pk, srcKey, bad, colName)
+        else lowerUpsertMerge(spark, m, root, view, pk, srcKey, bad, colName)
       }
     case _ => None
   }
 
-  /** Matched-action classification for the general merge path:
-    * `delete` xor assignments; `set = None` with `delete = false` is
-    * the star shape (all source columns by name). */
+  /** Matched-action classification for the general merge path —
+    * also the shape of NOT MATCHED BY SOURCE actions (whose `set`, when
+    * present, may reference only the target side): `delete` xor
+    * assignments; `set = None` with `delete = false` is the star shape
+    * (all source columns by name). Clauses are ORDERED — SQL MERGE's
+    * first-matching-condition-wins rule. */
   final case class MatchedSpec(delete: Boolean,
       cond: Option[Raw], set: Option[Seq[(String, Raw)]])
 
-  /** Not-matched INSERT spec; `cols = None` is `INSERT *`. */
-  final case class InsertSpec(cols: Option[Seq[String]],
+  /** Not-matched INSERT spec; `cols = None` is `INSERT *`. Ordered,
+    * first-match-wins, like [[MatchedSpec]]. */
+  final case class InsertSpec(cond: Option[Raw], cols: Option[Seq[String]],
       vals: Option[Seq[Raw]])
 
   /** The statement's top-level alias (or table name) of a MERGE side —
@@ -298,72 +319,121 @@ object GraftDml {
     case _ => fallback
   }
 
-  private def lowerUpsertMerge(m: MergeIntoTable, root: String,
-      view: Option[String], pk: String, srcKey: String,
+  private def lowerUpsertMerge(spark: SparkSession, m: MergeIntoTable,
+      root: String, view: Option[String], pk: String, srcKey: String,
       bad: String => Nothing,
       colName: Expression => String): LogicalPlan = {
-        // builtin resolution may expand `UPDATE SET *` / `INSERT *`
+        val tAlias = topAlias(m.targetTable, "__t")
+        val sAlias = topAlias(m.sourceTable, "__s")
+        val tIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+          if (m.targetTable.resolved) m.targetTable.output.map(_.exprId).toSet
+          else Set.empty
+        val sIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+          if (m.sourceTable.resolved) m.sourceTable.output.map(_.exprId).toSet
+          else Set.empty
+        val sNames = {
+          def names(pl: LogicalPlan): Set[String] = pl match {
+            case a: SubqueryAlias =>
+              Set(a.alias.toLowerCase(java.util.Locale.ROOT)) ++ names(a.child)
+            case u: UnresolvedRelation =>
+              Set(u.multipartIdentifier.last.toLowerCase(java.util.Locale.ROOT))
+            case _ => Set.empty
+          }
+          names(m.sourceTable)
+        }
+        // a value "resolves to the source side" when its exprId belongs
+        // to the resolved source output, or its qualifier names the
+        // source alias; anything else (target refs, unqualified names,
+        // computed expressions) is NOT star material
+        def sourceSide(e: Expression): Boolean = e match {
+          case a: AttributeReference => sIds(a.exprId)
+          case a: UnresolvedAttribute if a.nameParts.size >= 2 =>
+            sNames(a.nameParts(a.nameParts.size - 2)
+              .toLowerCase(java.util.Locale.ROOT))
+          case _ => false
+        }
+        // The committed column set — the coverage bar an expanded star
+        // must clear. Lazy: only consulted when a same-named assignment
+        // list must be classified.
+        lazy val committedCols: Set[String] =
+          GraftCatalog.snapshotSchema(spark, root)
+            .getOrElse(GraftCatalog.readSnapshot(spark, root).schema)
+            .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        // Builtin resolution may expand `UPDATE SET *` / `INSERT *`
         // into per-column assignment lists before this rule runs
         // (catalog-resolved targets resolve in the same analyzer
-        // iteration) — a list where every assignment is a same-named
-        // column-to-column copy IS the star shape
+        // iteration). A list is that expansion — and ONLY that
+        // expansion — when it covers EVERY committed column, each
+        // assignment is a same-named copy, and every value resolves to
+        // the SOURCE side. A partial `SET v = s.v` (1 of N columns)
+        // must NOT classify as star: the star path would silently
+        // overwrite the unassigned columns with source values.
         def starLike(assigns: Seq[Assignment]): Boolean =
           assigns.nonEmpty && assigns.forall { a =>
             scala.util.Try(
-              colName(a.key).equalsIgnoreCase(colName(a.value))).getOrElse(false)
+              colName(a.key).equalsIgnoreCase(colName(a.value))).getOrElse(false) &&
+              sourceSide(a.value)
+          } && {
+            val assigned = assigns.map(a =>
+              colName(a.key).toLowerCase(java.util.Locale.ROOT)).toSet
+            committedCols.subsetOf(assigned)
           }
-        def raw(e: Expression): Raw = Raw(unresolve(e))
-        val matched: Option[MatchedSpec] = m.matchedActions match {
-          case Seq() => None
-          case Seq(UpdateStarAction(c)) =>
-            Some(MatchedSpec(delete = false, c.map(raw), None))
-          case Seq(UpdateAction(c, as, fromStar))
-              if fromStar || starLike(as) =>
-            Some(MatchedSpec(delete = false, c.map(raw), None))
-          case Seq(UpdateAction(c, as, _)) =>
-            Some(MatchedSpec(delete = false, c.map(raw),
-              Some(as.map(a => colName(a.key) -> raw(a.value)))))
-          case Seq(DeleteAction(c)) =>
-            Some(MatchedSpec(delete = true, c.map(raw), None))
-          case other => bad(s"matched actions: $other")
+        def raw(e: Expression): Raw =
+          Raw(unresolveSided(e, tIds, sIds, tAlias, sAlias))
+        def setOf(as: Seq[Assignment]): Seq[(String, Raw)] =
+          as.map(a => colName(a.key) -> raw(a.value))
+        val matched: Seq[MatchedSpec] = m.matchedActions.map {
+          case UpdateStarAction(c) =>
+            MatchedSpec(delete = false, c.map(raw), None)
+          case UpdateAction(c, as, fromStar) if fromStar || starLike(as) =>
+            MatchedSpec(delete = false, c.map(raw), None)
+          case UpdateAction(c, as, _) =>
+            MatchedSpec(delete = false, c.map(raw), Some(setOf(as)))
+          case DeleteAction(c) => MatchedSpec(delete = true, c.map(raw), None)
+          case other => bad(s"matched action: $other")
         }
-        val notMatched: Option[InsertSpec] = m.notMatchedActions match {
-          case Seq() => None
-          case Seq(InsertStarAction(None)) => Some(InsertSpec(None, None))
-          case Seq(InsertAction(None, as)) if starLike(as) =>
-            Some(InsertSpec(None, None))
-          case Seq(InsertAction(None, as)) =>
-            Some(InsertSpec(Some(as.map(a => colName(a.key))),
-              Some(as.map(a => raw(a.value)))))
-          case other => bad(s"not-matched actions: $other")
+        val inserts: Seq[InsertSpec] = m.notMatchedActions.map {
+          case InsertStarAction(c) => InsertSpec(c.map(raw), None, None)
+          case InsertAction(c, as) if starLike(as) =>
+            InsertSpec(c.map(raw), None, None)
+          case InsertAction(c, as) =>
+            InsertSpec(c.map(raw), Some(as.map(a => colName(a.key))),
+              Some(as.map(a => raw(a.value))))
+          case other => bad(s"not-matched action: $other")
         }
-        val syncDelete = m.notMatchedBySourceActions match {
-          case Seq() => false
-          case Seq(DeleteAction(None)) => true
-          case other => bad(s"not-matched-by-source actions: $other")
+        // BY SOURCE actions see only the target row — DELETE or UPDATE
+        // with target-side assignments (star is meaningless without a
+        // source row and rejects)
+        val bySource: Seq[MatchedSpec] = m.notMatchedBySourceActions.map {
+          case DeleteAction(c) => MatchedSpec(delete = true, c.map(raw), None)
+          case UpdateAction(c, as, false) if as.nonEmpty =>
+            MatchedSpec(delete = false, c.map(raw), Some(setOf(as)))
+          case other => bad(s"not-matched-by-source action: $other")
         }
         val plainStarUpsert =
-          matched.contains(MatchedSpec(delete = false, None, None)) &&
-            notMatched.contains(InsertSpec(None, None))
+          matched == Seq(MatchedSpec(delete = false, None, None)) &&
+            inserts == Seq(InsertSpec(None, None, None)) &&
+            (bySource.isEmpty ||
+              bySource == Seq(MatchedSpec(delete = true, None, None)))
         if (plainStarUpsert)
           // the fast path: full-row upsert (optionally + sync delete)
           // on mergeSnapshot's single-join CoW/MoR machinery
           GraftMergeCommand(root, view, m.sourceTable, pk, srcKey,
-            m.withSchemaEvolution, syncDelete)
+            m.withSchemaEvolution, syncDelete = bySource.nonEmpty)
         else {
-          // the GENERAL path: conditional matched UPDATE with arbitrary
-          // assignments, or conditional matched DELETE, with an
-          // optional explicit-or-star INSERT — computed as a U/D/I
-          // batch over one aliased join and applied in ONE manifest
-          // flip by applyCdcSnapshot
-          if (syncDelete) bad("NOT MATCHED BY SOURCE DELETE composes " +
-            "only with the star upsert shape")
+          // the GENERAL path: ordered conditional matched UPDATE/DELETE
+          // clauses (first-match-wins), ordered conditional INSERTs,
+          // and BY SOURCE UPDATE/DELETE clauses — computed as a U/D/I
+          // batch over one aliased join (+ anti-joins for the unmatched
+          // sides) and applied in ONE manifest flip by applyCdcSnapshot
           require(!m.withSchemaEvolution,
             "MERGE WITH SCHEMA EVOLUTION requires the star upsert shape")
-          if (matched.isEmpty && notMatched.isEmpty) bad("no actions")
+          if (matched.isEmpty && inserts.isEmpty && bySource.isEmpty)
+            bad("no actions")
           GraftMergeGeneralCommand(root, view, m.sourceTable, pk, srcKey,
-            topAlias(m.targetTable, "__t"), topAlias(m.sourceTable, "__s"),
-            Raw(unresolve(m.mergeCondition)), matched, notMatched)
+            tAlias, sAlias,
+            Raw(unresolveSided(m.mergeCondition, tIds, sIds, tAlias, sAlias)),
+            matched, inserts, bySource)
         }
   }
 
@@ -448,32 +518,38 @@ case class GraftInsertCommand(root: String, view: Option[String],
   * source plan stays UNRESOLVED inside the command (not a child, so
   * the analyzer leaves it alone) and is analyzed at run time — it can
   * be a table, subquery, VALUES list, or a graft TVF. */
-/** The GENERAL merge: `WHEN MATCHED [AND c] THEN UPDATE SET x = expr…`
-  * (arbitrary assignments mixing `t.*`/`s.*`) or `WHEN MATCHED [AND c]
-  * THEN DELETE`, with an optional explicit-or-star INSERT. Semantics
-  * are standard MERGE: each source row updates/deletes its matched
-  * table row iff the matched condition holds, inserts when unmatched,
-  * and a matched row failing the condition stays untouched.
+/** The GENERAL merge: ordered `WHEN MATCHED [AND c] THEN UPDATE SET
+  * x = expr…` / `THEN DELETE` clauses (arbitrary assignments mixing
+  * `t.*`/`s.*`), ordered `WHEN NOT MATCHED [AND c] THEN INSERT`
+  * clauses (explicit or star), and `WHEN NOT MATCHED BY SOURCE [AND c]
+  * THEN UPDATE/DELETE` clauses. Semantics are standard SQL MERGE:
+  * clause conditions evaluate in statement order and the FIRST holding
+  * clause acts; a row matching no clause of its group stays untouched.
   *
   * Physics: ONE aliased inner join computes matched post-images (the
   * user's own statement aliases qualify the assignment expressions, so
-  * `t.amount + s.amount` resolves exactly as written), one anti-join
-  * shapes the inserts, and [[GraftCatalog.applyCdcSnapshot]] lands the
-  * U/D/I batch in one manifest flip with stats-nominated file pinning
-  * — cost ∝ touched files, never the table. A source matching the
-  * same key twice aborts loudly (the apply's pk-uniqueness contract —
-  * exactly SQL MERGE's cardinality rule). */
+  * `t.amount + s.amount` resolves exactly as written) with a
+  * first-match-wins clause-index cascade selecting each row's acting
+  * clause; two anti-joins shape the inserts and the by-source side;
+  * [[GraftCatalog.applyCdcSnapshot]] lands the whole U/D/I batch in
+  * one manifest flip with stats-nominated file pinning — cost ∝
+  * touched files, never the table (except by-source clauses, whose
+  * candidate set is every unmatched TABLE row — inherently statement-
+  * sized). A source matching the same key twice aborts loudly (the
+  * apply's pk-uniqueness contract — exactly SQL MERGE's cardinality
+  * rule). */
 case class GraftMergeGeneralCommand(root: String, view: Option[String],
     source: LogicalPlan, pk: String, srcKey: String,
     tAlias: String, sAlias: String, mergeCond: GraftDml.Raw,
-    matched: Option[GraftDml.MatchedSpec],
-    insert: Option[GraftDml.InsertSpec])
+    matched: Seq[GraftDml.MatchedSpec],
+    inserts: Seq[GraftDml.InsertSpec],
+    bySource: Seq[GraftDml.MatchedSpec] = Seq.empty)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, when}
     val committed = GraftCatalog.snapshotSchema(spark, root).getOrElse(
       GraftCatalog.readSnapshot(spark, root).schema)
     val tDf = GraftCatalog.readSnapshotAuto(spark, root).alias(tAlias)
@@ -485,56 +561,90 @@ case class GraftMergeGeneralCommand(root: String, view: Option[String],
     def tCol(c: String) = tDf.col(c)
     val lowerSrc = sDf
       .columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    val parts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-    matched.foreach { ms =>
-      val mdf0 = tDf.join(sDf, joinCond, "inner")
-      val mdf = ms.cond.fold(mdf0)(c =>
-        mdf0.where(GraftColumnBridge.column(c.e)))
-      if (ms.delete) {
-        parts += mdf.select(committed.fields.map { f =>
-          (if (f.name.equalsIgnoreCase(pk)) tCol(f.name)
-           else lit(null).cast(f.dataType)).as(f.name)
-        }.toIndexedSeq: _*).withColumn("_op", lit("D"))
-      } else {
-        val set: Map[String, GraftDml.Raw] = ms.set match {
-          case Some(s) =>
-            s.map { case (c, r) => c.toLowerCase(java.util.Locale.ROOT) -> r }.toMap
-          case None => Map.empty // star — resolved per column below
+    // first-match-wins: index of the first clause whose condition
+    // holds, -1 when none does (row untouched). Built right-to-left so
+    // clause 0 tests first.
+    def clauseIdx(specs: Seq[Option[GraftDml.Raw]]): Column =
+      specs.zipWithIndex.foldRight(lit(-1)) { case ((c, i), acc) =>
+        when(c.map(r => GraftColumnBridge.column(r.e)).getOrElse(lit(true)),
+          lit(i)).otherwise(acc)
+      }
+    // one U-or-D image per acting row of a matched/by-source group,
+    // over a frame already carrying the group's __clause column
+    def actImage(df: org.apache.spark.sql.DataFrame,
+        specs: Seq[GraftDml.MatchedSpec],
+        starAllowed: Boolean): org.apache.spark.sql.DataFrame = {
+      val acting = df.where(col("__clause") >= 0)
+      val opCol = specs.zipWithIndex.foldRight(lit(null).cast("string")) {
+        case ((ms, i), acc) =>
+          when(col("__clause") === i, lit(if (ms.delete) "D" else "U"))
+            .otherwise(acc)
+      }
+      acting.select(committed.fields.map { f =>
+        val lc = f.name.toLowerCase(java.util.Locale.ROOT)
+        val v = specs.zipWithIndex.foldRight(lit(null).cast(f.dataType): Column) {
+          case ((ms, i), acc) =>
+            val image: Column =
+              if (ms.delete)
+                if (f.name.equalsIgnoreCase(pk)) tCol(f.name)
+                else lit(null).cast(f.dataType)
+              else ms.set match {
+                case Some(s) =>
+                  s.collectFirst {
+                    case (c, r) if c.equalsIgnoreCase(f.name) =>
+                      GraftColumnBridge.column(r.e)
+                  }.getOrElse(tCol(f.name))
+                case None if starAllowed && lowerSrc(lc) => sDf.col(f.name)
+                case None => tCol(f.name)
+              }
+            when(col("__clause") === i, image).otherwise(acc)
         }
-        parts += mdf.select(committed.fields.map { f =>
-          val lc = f.name.toLowerCase(java.util.Locale.ROOT)
-          val v = set.get(lc) match {
-            case Some(r) => GraftColumnBridge.column(r.e)
-            case None if ms.set.isEmpty && lowerSrc(lc) => // star
-              sDf.col(f.name)
-            case None => tCol(f.name)
-          }
-          v.cast(f.dataType).as(f.name)
-        }.toIndexedSeq: _*).withColumn("_op", lit("U"))
-      }
+        v.cast(f.dataType).as(f.name)
+      }.toIndexedSeq :+ opCol.as("_op"): _*)
     }
-    insert.foreach { is =>
+    val parts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    if (matched.nonEmpty) {
+      val mdf = tDf.join(sDf, joinCond, "inner")
+        .withColumn("__clause", clauseIdx(matched.map(_.cond)))
+      parts += actImage(mdf, matched, starAllowed = true)
+    }
+    if (bySource.nonEmpty) {
+      // unmatched TARGET rows — source columns are out of scope, so
+      // conditions/assignments here resolve against tDf alone
+      val bdf = tDf.join(sDf, joinCond, "left_anti")
+        .withColumn("__clause", clauseIdx(bySource.map(_.cond)))
+      parts += actImage(bdf, bySource, starAllowed = false)
+    }
+    if (inserts.nonEmpty) {
+      if (inserts.exists(_.cols.isEmpty) && !srcKey.equalsIgnoreCase(pk))
+        require(!lowerSrc(pk.toLowerCase(java.util.Locale.ROOT)),
+          s"MERGE source has both $srcKey and $pk columns - project one")
       val unmatched0 = sDf.join(tDf, joinCond, "left_anti")
-      val idf = is.cols match {
-        case None => // INSERT * — table columns by name, srcKey renamed
-          val base =
-            if (srcKey.equalsIgnoreCase(pk)) unmatched0
-            else unmatched0.withColumnRenamed(srcKey, pk)
-          base.select(committed.fields.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-        case Some(cols) =>
-          val provided = cols.map(_.toLowerCase(java.util.Locale.ROOT))
-            .zip(is.vals.get).toMap
-          require(provided.contains(pk.toLowerCase(java.util.Locale.ROOT)),
-            s"MERGE INSERT column list must provide the key column $pk")
-          unmatched0.select(committed.fields.map { f =>
-            val lc = f.name.toLowerCase(java.util.Locale.ROOT)
-            (provided.get(lc) match {
-              case Some(r) => GraftColumnBridge.column(r.e)
-              case None => lit(null)
-            }).cast(f.dataType).as(f.name)
-          }.toIndexedSeq: _*)
-      }
+        .withColumn("__clause", clauseIdx(inserts.map(_.cond)))
+        .where(col("__clause") >= 0)
+      val idf = unmatched0.select(committed.fields.map { f =>
+        val lc = f.name.toLowerCase(java.util.Locale.ROOT)
+        val v = inserts.zipWithIndex.foldRight(lit(null).cast(f.dataType): Column) {
+          case ((is, i), acc) =>
+            val image: Column = is.cols match {
+              case None => // INSERT * — table columns by name, srcKey → pk
+                if (lowerSrc(lc)) sDf.col(f.name)
+                else if (f.name.equalsIgnoreCase(pk)) sDf.col(srcKey)
+                else lit(null).cast(f.dataType)
+              case Some(cols) =>
+                val provided = cols.map(_.toLowerCase(java.util.Locale.ROOT))
+                  .zip(is.vals.get).toMap
+                require(provided.contains(pk.toLowerCase(java.util.Locale.ROOT)),
+                  s"MERGE INSERT column list must provide the key column $pk")
+                provided.get(lc) match {
+                  case Some(r) => GraftColumnBridge.column(r.e)
+                  case None => lit(null).cast(f.dataType)
+                }
+            }
+            when(col("__clause") === i, image).otherwise(acc)
+        }
+        v.cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
       parts += idf.withColumn("_op", lit("I"))
     }
     require(parts.nonEmpty, "MERGE with no actions")

@@ -172,14 +172,26 @@ class DmlSpec extends AnyFunSuite {
     // time travel still serves the pre-sync state
     assert(GraftCatalog.readSnapshot(spark, root, Some(1L)).count() == 100)
     // a CONDITIONAL not-matched-by-source delete is NOT the sync shape
-    val e = intercept[IllegalArgumentException](GraftDml.sql(spark,
+    // — it routes through the general path: only unmatched target rows
+    // satisfying the condition delete, everything else stays
+    val out2 = GraftDml.sql(spark,
       s"""MERGE INTO `$root` AS t
          |USING (SELECT 1L AS id, 0L AS grp, 0L AS amount) AS s
          |ON t.id = s.id
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *
-         |WHEN NOT MATCHED BY SOURCE AND grp = 3 THEN DELETE""".stripMargin))
-    assert(e.getMessage.contains("not-matched-by-source"))
+         |WHEN NOT MATCHED BY SOURCE AND grp = 3 THEN DELETE""".stripMargin)
+    assert(out2.head().getLong(0) == 3L)
+    val t2 = GraftCatalog.readSnapshot(spark, root)
+    // post-sync table was ids 0..49 (grp = id % 7) + (500, 0, 1);
+    // unmatched rows with grp 3: ids 3,10,17,24,31,38,45 delete
+    assert(t2.count() == 51 - 7)
+    assert(t2.where(col("grp") === 3).count() == 0,
+      "conditional by-source delete removes exactly the unmatched grp-3 rows")
+    assert(t2.where(col("id") === 1).head().getLong(2) == 0L,
+      "the one matched row takes the source image")
+    assert(t2.where(col("id") === 500).count() == 1,
+      "unmatched rows failing the by-source condition stay")
   }
 
   test("MERGE key-feed delete: WHEN MATCHED THEN DELETE removes listed keys") {
@@ -243,20 +255,77 @@ class DmlSpec extends AnyFunSuite {
   test("unsupported MERGE shapes are rejected loudly, not half-lowered") {
     val root = freshTable("shape")
     GraftDml.registerSnapshotTable(spark, "dml_shape", root)
+    // a non-equality ON has no key to plan file nomination on
     val e = intercept[IllegalArgumentException] {
       GraftDml.sql(spark,
         """MERGE INTO dml_shape AS t
           |USING (SELECT 1L AS id, 0L AS grp, 0L AS amount) AS s
-          |ON t.id = s.id
-          |WHEN NOT MATCHED AND s.grp > 5 THEN INSERT *""".stripMargin)
+          |ON t.id > s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
-    assert(e.getMessage.contains("unsupported MERGE shape"))
+    assert(e.getMessage.contains("MERGE ON"))
     // non-snapshot targets are not ours
     val e2 = intercept[IllegalArgumentException] {
       GraftDml.sql(spark, "DELETE FROM some_unknown_table WHERE x = 1")
     }
     assert(e2.getMessage.contains("not a snapshot-table DML"))
     GraftDml.unregisterSnapshotTable(spark, "dml_shape")
+  }
+
+  test("conditional INSERT alone, and a partial SET that must NOT classify as star") {
+    val root = freshTable("cins")
+    // conditional NOT MATCHED INSERT — previously rejected, now the
+    // general path: only source rows passing the condition insert
+    val out = GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (SELECT id + 200 AS id, id % 7 AS grp, id AS amount
+         |       FROM range(0, 10)) AS s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED AND s.amount > 5 THEN INSERT *""".stripMargin)
+    assert(out.head().getLong(0) == 2L)
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.count() == 104, "only the 4 rows with amount > 5 insert")
+    assert(t.where(col("id") >= 200).agg(min("amount")).head().getLong(0) == 6L)
+    // the HIGH-severity round-11 bug: `UPDATE SET amount = s.amount`
+    // (1 of 3 columns, same-named) must be a PARTIAL update — grp must
+    // keep the TARGET's value, not silently take the source's
+    val out2 = GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (SELECT 5L AS id, 999L AS grp, 777L AS amount) AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET amount = s.amount""".stripMargin)
+    assert(out2.head().getLong(0) == 3L)
+    val r5 = GraftCatalog.readSnapshot(spark, root).where(col("id") === 5).head()
+    assert(r5.getLong(2) == 777L, "assigned column takes the source value")
+    assert(r5.getLong(1) == 5L,
+      "UNASSIGNED column keeps the target value — partial SET is not star")
+  }
+
+  test("multiple WHEN MATCHED clauses cascade first-match-wins; BY SOURCE UPDATE") {
+    val root = freshTable("multi")
+    val out = GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (SELECT id * 10 AS id, id AS delta FROM range(0, 8)) AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.delta >= 6 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET amount = t.amount + s.delta
+         |WHEN NOT MATCHED BY SOURCE AND t.grp = 6 THEN UPDATE SET amount = -1
+         |""".stripMargin)
+    assert(out.head().getLong(0) == 2L)
+    val t = GraftCatalog.readSnapshot(spark, root)
+    // matched keys 0,10,…,70: delta>=6 → ids 60,70 delete (clause 1
+    // NEVER sees them — first match wins); the rest add their delta
+    assert(t.where(col("id").isin(60L, 70L)).count() == 0)
+    assert(t.where(col("id") === 50).head().getLong(2) == 505L)
+    assert(t.where(col("id") === 0).head().getLong(2) == 0L)
+    // unmatched grp-6 rows (ids ≡ 6 mod 7, minus matched keys) take -1
+    val g6 = t.where(col("grp") === 6 && !col("id").isin(20L))
+    assert(g6.where(col("amount") =!= -1).count() == 0,
+      "every unmatched grp-6 row takes the by-source update")
+    assert(t.where(col("id") === 20).head().getLong(2) == 202L,
+      "a MATCHED grp-6 row is NOT by-source material")
+    assert(t.count() == 98)
   }
 
   test("pure spark.sql DML through GraftExtensions (Thrift-client wiring)") {

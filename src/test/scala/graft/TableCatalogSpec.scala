@@ -137,6 +137,27 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) == 1L)
   }
 
+  test("general MERGE through the catalog resolves same-named columns by side") {
+    // the round-11 ambiguity bug: on the catalog-resolved path the
+    // condition/assignments arrive as resolved AttributeReferences;
+    // re-opening them to BARE names made `t.amt < s.amt` ambiguous at
+    // run time. unresolveSided re-qualifies by owning side instead.
+    spark.sql("CREATE TABLE graft.db.gm (id BIGINT, amt BIGINT)")
+    spark.sql("INSERT INTO graft.db.gm SELECT id, id FROM range(0, 10)")
+    spark.sql("SELECT 3L AS id, 100L AS amt UNION ALL SELECT 50L, 7L")
+      .createOrReplaceTempView("gm_feed")
+    spark.sql(
+      """MERGE INTO graft.db.gm AS t USING gm_feed AS s
+        |ON t.id = s.id
+        |WHEN MATCHED AND t.amt < s.amt THEN UPDATE SET amt = t.amt + s.amt
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT amt FROM graft.db.gm WHERE id = 3")
+      .head().getLong(0) == 103L, "conditional cross-side assignment applies")
+    assert(spark.sql("SELECT amt FROM graft.db.gm WHERE id = 50")
+      .head().getLong(0) == 7L, "unmatched source row inserts")
+    assert(spark.sql("SELECT count(*) FROM graft.db.gm").head().getLong(0) == 11L)
+  }
+
   test("ALTER to merge-on-read: SQL DELETE publishes a DV, no rewrite") {
     spark.sql("CREATE TABLE graft.db.mor (id BIGINT, v BIGINT)")
     spark.sql("INSERT INTO graft.db.mor SELECT id, id AS v FROM range(0, 1000)")
