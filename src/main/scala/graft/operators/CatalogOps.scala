@@ -224,9 +224,106 @@ object CatalogOps {
       |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM ins)
       |GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q149 — COMPOSITE-KEY MERGE on lineitem's natural two-column key
+    * `(l_orderkey, l_linenumber)`, with the round-12 general-MERGE
+    * surface in one lifecycle: statement 1 cascades MULTIPLE WHEN
+    * MATCHED clauses (first-match-wins: a conditional DELETE shadows
+    * the unconditional UPDATE) over the tuple identity and inserts new
+    * tuples through an explicit column list; statement 2 composes a
+    * partial matched UPDATE with a conditional NOT MATCHED BY SOURCE
+    * UPDATE (the "mark what the feed didn't touch" shape). The DuckDB
+    * oracle replays both statements relationally — the hash match
+    * proves tuple-keyed nomination/pinning and the clause cascade
+    * equal standard MERGE semantics row-for-row. */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    catalogConf(s, d)
+    s.sql("DROP TABLE IF EXISTS graft.db.li")
+    // the synthetic lineitem is NOT unique on (l_orderkey,
+    // l_linenumber) — collapse to one row per tuple so the tuple IS a
+    // key (the oracle replays the same collapse)
+    Tables.df(s, d, "lineitem").where(col("l_orderkey") % 11 === 0).select(
+      col("l_orderkey").as("ok"),
+      col("l_linenumber").cast("long").as("ln"),
+      col("l_quantity").cast("double").as("qty"),
+      col("l_returnflag").as("flag"))
+      .createOrReplaceTempView("cat_li_raw")
+    s.sql(
+      """SELECT ok, ln, MAX(qty) AS qty, MAX(flag) AS flag
+        |FROM cat_li_raw GROUP BY ok, ln""".stripMargin)
+      .createOrReplaceTempView("cat_li_feed")
+    s.sql("CREATE TABLE graft.db.li (ok BIGINT, ln BIGINT, qty DOUBLE, flag STRING)")
+    s.sql("INSERT INTO graft.db.li SELECT * FROM cat_li_feed")
+    s.sql(
+      """SELECT ok AS k1, ln AS k2, CAST(ln AS DOUBLE) AS delta
+        |FROM cat_li_feed WHERE ok % 3 = 0
+        |UNION ALL
+        |SELECT DISTINCT ok + 900000000 AS k1, CAST(1 AS BIGINT) AS k2,
+        |       CAST(5.0 AS DOUBLE) AS delta
+        |FROM cat_li_feed WHERE ok % 5 = 0""".stripMargin)
+      .createOrReplaceTempView("cat_li_f1")
+    s.sql(
+      """MERGE INTO graft.db.li AS t USING cat_li_f1 AS f
+        |ON t.ok = f.k1 AND t.ln = f.k2
+        |WHEN MATCHED AND t.qty > 30 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET qty = t.qty + f.delta
+        |WHEN NOT MATCHED THEN INSERT (ok, ln, qty, flag)
+        |  VALUES (f.k1, f.k2, f.delta, 'X')""".stripMargin)
+    s.sql("SELECT ok AS k1, ln AS k2 FROM cat_li_feed WHERE ok % 2 = 0")
+      .createOrReplaceTempView("cat_li_f2")
+    s.sql(
+      """MERGE INTO graft.db.li AS t USING cat_li_f2 AS f
+        |ON t.ok = f.k1 AND t.ln = f.k2
+        |WHEN MATCHED THEN UPDATE SET flag = 'K'
+        |WHEN NOT MATCHED BY SOURCE AND t.flag = 'R' THEN
+        |  UPDATE SET qty = t.qty + 100""".stripMargin)
+    s.sql(
+      """SELECT flag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(DISTINCT ok) AS nk
+        |FROM graft.db.li GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
+  private val q149Oracle: String =
+    """WITH raw AS (
+      |  SELECT l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+      |         CAST(l_quantity AS DOUBLE) AS qty, l_returnflag AS flag
+      |  FROM lineitem WHERE l_orderkey % 11 = 0),
+      |base AS (
+      |  SELECT ok, ln, MAX(qty) AS qty, MAX(flag) AS flag
+      |  FROM raw GROUP BY ok, ln),
+      |feed1 AS (
+      |  SELECT ok AS k1, ln AS k2, CAST(ln AS DOUBLE) AS delta
+      |  FROM base WHERE ok % 3 = 0
+      |  UNION ALL
+      |  SELECT DISTINCT ok + 900000000, 1, 5.0 FROM base WHERE ok % 5 = 0),
+      |s1 AS (
+      |  SELECT b.ok, b.ln,
+      |         CASE WHEN f.k1 IS NOT NULL THEN b.qty + f.delta
+      |              ELSE b.qty END AS qty,
+      |         b.flag
+      |  FROM base b LEFT JOIN feed1 f ON b.ok = f.k1 AND b.ln = f.k2
+      |  WHERE NOT (f.k1 IS NOT NULL AND b.qty > 30)),
+      |ins1 AS (
+      |  SELECT f.k1 AS ok, f.k2 AS ln, f.delta AS qty, 'X' AS flag
+      |  FROM feed1 f LEFT JOIN base b ON b.ok = f.k1 AND b.ln = f.k2
+      |  WHERE b.ok IS NULL),
+      |t1 AS (SELECT * FROM s1 UNION ALL SELECT * FROM ins1),
+      |feed2 AS (SELECT ok AS k1, ln AS k2 FROM base WHERE ok % 2 = 0),
+      |t2 AS (
+      |  SELECT t.ok, t.ln,
+      |         CASE WHEN f.k1 IS NULL AND t.flag = 'R' THEN t.qty + 100
+      |              ELSE t.qty END AS qty,
+      |         CASE WHEN f.k1 IS NOT NULL THEN 'K' ELSE t.flag END AS flag
+      |  FROM t1 t LEFT JOIN feed2 f ON t.ok = f.k1 AND t.ln = f.k2)
+      |SELECT flag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT ok) AS nk
+      |FROM t2 GROUP BY flag ORDER BY flag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q145_catalog_dml", Some(q145Oracle), q145),
     Q("q146_catalog_travel", Some(q146Oracle), q146),
     Q("q147_catalog_maintenance", Some(q147Oracle), q147),
-    Q("q148_general_merge", Some(q148Oracle), q148))
+    Q("q148_general_merge", Some(q148Oracle), q148),
+    Q("q149_composite_merge", Some(q149Oracle), q149))
 }

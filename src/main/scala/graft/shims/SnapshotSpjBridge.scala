@@ -40,12 +40,18 @@ object GraftSpjBridge {
   /** One file of a bucket: (path, length). */
   type SpjFile = (String, Long)
 
+  /** `dv` maps a file path (exactly as it appears in `buckets`) to its
+    * SORTED deleted row positions — the per-file deletion-vector slice
+    * each bucket's [[GraftSpjPartition]] ships to its own task, so a
+    * merge-on-read table keeps its shuffle-free join between
+    * compactions with zero driver broadcast and zero plan change. */
   def dataFrame(spark: SparkSession, name: String, schema: StructType,
       bucketCol: String, nBuckets: Int,
-      buckets: Map[Int, Seq[SpjFile]]): DataFrame = {
+      buckets: Map[Int, Seq[SpjFile]],
+      dv: Map[String, Array[Long]] = Map.empty): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val table = new GraftSpjTable(cs, name, schema, bucketCol, nBuckets,
-      buckets)
+      buckets, dv)
     classic.Dataset.ofRows(cs, DataSourceV2Relation.create(table, None, None))
   }
 
@@ -69,13 +75,14 @@ object GraftSpjBridge {
 
 final class GraftSpjTable(cs: classic.SparkSession, tableName: String,
     tableSchema: StructType, bucketCol: String, nBuckets: Int,
-    buckets: Map[Int, Seq[GraftSpjBridge.SpjFile]]) extends Table with SupportsRead {
+    buckets: Map[Int, Seq[GraftSpjBridge.SpjFile]],
+    dv: Map[String, Array[Long]] = Map.empty) extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSpjScanBuilder(cs, tableSchema, bucketCol, nBuckets, buckets)
+    new GraftSpjScanBuilder(cs, tableSchema, bucketCol, nBuckets, buckets, dv)
 }
 
 /** Column pruning + filter pushdown for the SPJ scan: Spark hands the
@@ -87,7 +94,8 @@ final class GraftSpjTable(cs: classic.SparkSession, tableName: String,
   * the exact evaluation (the same contract as its own FileScan). */
 final class GraftSpjScanBuilder(cs: classic.SparkSession,
     tableSchema: StructType, bucketCol: String, nBuckets: Int,
-    buckets: Map[Int, Seq[GraftSpjBridge.SpjFile]])
+    buckets: Map[Int, Seq[GraftSpjBridge.SpjFile]],
+    dv: Map[String, Array[Long]] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = tableSchema
@@ -104,12 +112,23 @@ final class GraftSpjScanBuilder(cs: classic.SparkSession,
 
   override def build(): Scan = new GraftSpjScan(
     GraftSpjBridge.readerFactory(cs, tableSchema, required, pushed),
-    required, bucketCol, nBuckets, buckets)
+    // DV'd files read through an UNPUSHED factory: with no parquet
+    // skipping a whole-file single-split read emits rows in exact file
+    // order, so the reader's running count IS the row index the DV
+    // positions key on. Spark re-evaluates every filter above the scan
+    // (all filters are residual here), so correctness is untouched —
+    // the only cost is parquet-internal skipping on exactly the files
+    // that still carry deletes, until compaction folds them.
+    if (dv.isEmpty) null
+    else GraftSpjBridge.readerFactory(cs, tableSchema, required, Array.empty),
+    required, bucketCol, nBuckets, buckets, dv)
 }
 
 final class GraftSpjScan(factory: PartitionReaderFactory,
+    noPushFactory: PartitionReaderFactory,
     schema: StructType, bucketCol: String, nBuckets: Int,
-    buckets: Map[Int, Seq[GraftSpjBridge.SpjFile]])
+    buckets: Map[Int, Seq[GraftSpjBridge.SpjFile]],
+    dv: Map[String, Array[Long]])
     extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -135,33 +154,100 @@ final class GraftSpjScan(factory: PartitionReaderFactory,
         PartitionedFile(InternalRow.empty, SparkPath.fromPathString(p),
           0L, len, Array.empty, 0L, len, Map.empty)
       }.toArray
-      GraftSpjPartition(k, files): InputPartition
+      // each partition ships ONLY its own files' DV slices — the
+      // per-file application shape: no broadcast, no shuffle, task
+      // payload ∝ that bucket's deletes
+      val slice = buckets(k).collect {
+        case (p, _) if dv.contains(p) => p -> dv(p)
+      }.toMap
+      GraftSpjPartition(k, files, slice): InputPartition
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSpjReaderFactory(factory)
+    new GraftSpjReaderFactory(factory, noPushFactory)
 }
 
 /** All files of one bucket; `partitionKey` is the bucket ordinal the
-  * reported `bucket(n, col)` transform evaluates to. */
-final case class GraftSpjPartition(bucket: Int, files: Array[PartitionedFile])
+  * reported `bucket(n, col)` transform evaluates to. `dv` maps this
+  * bucket's DV'd file paths to their sorted deleted positions. */
+final case class GraftSpjPartition(bucket: Int, files: Array[PartitionedFile],
+    dv: Map[String, Array[Long]] = Map.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
 /** Adapts Spark's file-partition reader factory to the keyed
   * partitions: unwrap to a plain [[FilePartition]] and delegate, for
-  * both row and columnar paths. */
-final class GraftSpjReaderFactory(delegate: PartitionReaderFactory)
+  * both row and columnar paths. Partitions carrying deletion-vector
+  * slices read row-based through [[GraftSpjDvReader]] instead (a
+  * per-row position filter cannot apply inside a ColumnarBatch). */
+final class GraftSpjReaderFactory(delegate: PartitionReaderFactory,
+    noPushDelegate: PartitionReaderFactory)
     extends PartitionReaderFactory {
   private def toFilePartition(p: InputPartition): FilePartition = p match {
-    case GraftSpjPartition(b, files) => FilePartition(b, files)
+    case GraftSpjPartition(b, files, _) => FilePartition(b, files)
     case other => throw new IllegalStateException(s"unexpected partition $other")
   }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    delegate.createReader(toFilePartition(p))
+    p match {
+      case GraftSpjPartition(b, files, dv) if dv.nonEmpty =>
+        new GraftSpjDvReader(b, files, dv, delegate, noPushDelegate)
+      case _ => delegate.createReader(toFilePartition(p))
+    }
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
     delegate.createColumnarReader(toFilePartition(p))
+  // Spark requires every partition of a scan to agree on columnar-ness
+  // — a table carrying ANY deletion vector reads row-based throughout
+  // (the per-row position filter cannot apply inside a ColumnarBatch);
+  // compaction folds the DVs and restores the vectorized path.
   override def supportColumnarReads(p: InputPartition): Boolean =
-    delegate.supportColumnarReads(toFilePartition(p))
+    noPushDelegate == null && delegate.supportColumnarReads(toFilePartition(p))
+}
+
+/** Sequential per-file reader applying deletion-vector positions: each
+  * file opens as its own single-file [[FilePartition]] — DV'd files
+  * through the unpushed factory (exact file row order, so the running
+  * row count is the DV's position key), clean files through the normal
+  * pushed factory — and deleted positions drop via a sorted-merge walk
+  * (O(1) amortized per row, no per-row search). */
+final class GraftSpjDvReader(bucket: Int, files: Array[PartitionedFile],
+    dv: Map[String, Array[Long]],
+    pushedFactory: PartitionReaderFactory,
+    noPushFactory: PartitionReaderFactory)
+    extends PartitionReader[InternalRow] {
+  private var fi = -1
+  private var cur: PartitionReader[InternalRow] = null
+  private var positions: Array[Long] = null
+  private var ptr = 0
+  private var idx = -1L
+
+  private def openNext(): Boolean = {
+    fi += 1
+    if (fi >= files.length) return false
+    val f = files(fi)
+    positions = dv.getOrElse(f.filePath.toString, null)
+    ptr = 0; idx = -1L
+    cur = (if (positions == null) pushedFactory else noPushFactory)
+      .createReader(FilePartition(bucket, Array(f)))
+    true
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null && !openNext()) return false
+      if (cur.next()) {
+        if (positions == null) return true
+        idx += 1
+        while (ptr < positions.length && positions(ptr) < idx) ptr += 1
+        if (ptr >= positions.length || positions(ptr) != idx) return true
+        // deleted position — keep scanning
+      } else {
+        cur.close(); cur = null
+      }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }

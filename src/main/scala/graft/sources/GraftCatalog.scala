@@ -776,15 +776,42 @@ object GraftCatalog {
     readManifestLines(fs, r, v).filter(_.startsWith("#"))
   }
 
+  /** BOUNDED replay probe for the exactly-once batch wrappers: scan
+    * versions NEWEST→OLDEST for `<prefix><batchId>` and STOP at the
+    * first version carrying a SMALLER id under the same prefix — a
+    * streaming query's batches commit strictly in order, so once an
+    * older batch id of this sink namespace appears below us, `batchId`
+    * cannot have committed earlier. Per-micro-batch cost becomes
+    * O(versions since this sink's previous commit) instead of O(table
+    * history) — on a long-lived table fed by a long-lived stream, the
+    * difference between a constant and a linearly growing commit
+    * latency. Tags of OTHER namespaces (different sinkId, other verbs)
+    * never terminate the scan: their suffix fails the numeric parse. */
+  private[graft] def findBatchReplay(spark: SparkSession, root: String,
+      prefix: String, batchId: Long): Option[Long] = {
+    val (fs, r) = fsOf(spark, root)
+    val tag = s"$prefix$batchId"
+    val it = snapshotVersions(spark, root).reverseIterator
+    while (it.hasNext) {
+      val v = it.next()
+      val lines = readManifestLines(fs, r, v)
+      if (lines.contains(tag)) return Some(v)
+      if (lines.exists(l => l.startsWith(prefix) &&
+          scala.util.Try(l.stripPrefix(prefix).toLong).toOption
+            .exists(_ < batchId)))
+        return None
+    }
+    None
+  }
+
   def commitSnapshotBatch(df: DataFrame, root: String, batchId: Long,
       sinkId: String = ""): Long = {
     val spark = df.sparkSession
-    val (fs, r) = fsOf(spark, root)
-    val tag = if (sinkId.isEmpty) s"#batch:$batchId" else s"#batch:$sinkId:$batchId"
-    snapshotVersions(spark, root).reverse // replays hit recent versions
-      .find(v => readManifestLines(fs, r, v).contains(tag)) match {
+    val prefix = if (sinkId.isEmpty) "#batch:" else s"#batch:$sinkId:"
+    findBatchReplay(spark, root, prefix, batchId) match {
       case Some(v) => v // replay — already committed
-      case None => commitSnapshot(df, root, append = true, meta = Seq(tag))
+      case None =>
+        commitSnapshot(df, root, append = true, meta = Seq(s"$prefix$batchId"))
     }
   }
 
@@ -946,6 +973,16 @@ object GraftCatalog {
     * exactly Iceberg/Delta's serializable-merge contract. */
   def mergeSnapshot(spark: SparkSession, root: String,
       updates: DataFrame, pk: String, meta: Seq[String] = Seq.empty,
+      allowSchemaEvolution: Boolean = false): Long =
+    mergeSnapshotKeys(spark, root, updates, Seq(pk), meta, allowSchemaEvolution)
+
+  /** Composite-key [[mergeSnapshot]]: the upsert identity is the key
+    * TUPLE `pks` (`ON t.a = s.a AND t.b = s.b` — the most common real
+    * MERGE shape after single-key). Planning conjuncts the per-column
+    * stat envelopes ([[nominateFilesByKeys]]); everything else is the
+    * same single-join CoW discipline. */
+  def mergeSnapshotKeys(spark: SparkSession, root: String,
+      updates: DataFrame, pks: Seq[String], meta: Seq[String] = Seq.empty,
       allowSchemaEvolution: Boolean = false): Long = {
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
@@ -953,19 +990,19 @@ object GraftCatalog {
     if (updates.isEmpty) return head
     validateChecks(spark, root, updates)
     val stats = readStats(spark, root, head)
-    val keys = updates.select(col(pk)).distinct()
-    val candidates = nominateFilesByKey(spark, files, stats, keys, pk)
+    val keys = updates.select(pks.map(col): _*).distinct()
+    val candidates = nominateFilesByKeys(spark, files, stats, keys, pks)
     val matchedFiles: Set[String] =
       if (candidates.isEmpty) Set.empty
       else pinnedPaths(spark.read.parquet(candidates: _*)
         .withColumn("__file", input_file_name())
-        .join(keys, Seq(pk), "left_semi")
+        .join(keys, pks, "left_semi")
         .select("__file").distinct().collect())
     val carried = files.filterNot(matchedFiles)
     val survivors =
       if (matchedFiles.isEmpty) spark.read.parquet(files.head).where(lit(false))
       else readFilesDv(spark, fs, r, head, matchedFiles.toSeq.sorted)
-        .join(keys, Seq(pk), "left_anti")
+        .join(keys, pks, "left_anti")
     // Schema evolution (opt-in, Delta's mergeSchema-on-MERGE): columns
     // new in `updates` land in the rewritten batch; carried files stay
     // as-is and read NULL for them under readSnapshot(mergeSchema).
@@ -1000,12 +1037,11 @@ object GraftCatalog {
   def mergeSnapshotBatch(spark: SparkSession, root: String,
       updates: DataFrame, pk: String, batchId: Long,
       sinkId: String = ""): Long = {
-    val (fs, r) = fsOf(spark, root)
-    val tag = if (sinkId.isEmpty) s"#batch:$batchId" else s"#batch:$sinkId:$batchId"
-    snapshotVersions(spark, root).reverse
-      .find(v => readManifestLines(fs, r, v).contains(tag)) match {
+    val prefix = if (sinkId.isEmpty) "#batch:" else s"#batch:$sinkId:"
+    findBatchReplay(spark, root, prefix, batchId) match {
       case Some(v) => v // replay — already applied
-      case None => mergeSnapshot(spark, root, updates, pk, meta = Seq(tag))
+      case None =>
+        mergeSnapshot(spark, root, updates, pk, meta = Seq(s"$prefix$batchId"))
     }
   }
 
@@ -1036,6 +1072,14 @@ object GraftCatalog {
     * (which would violate pk uniqueness) or losing a delete. */
   def applyCdcSnapshot(spark: SparkSession, root: String,
       batch: DataFrame, pk: String, opCol: String = "_op",
+      meta: Seq[String] = Seq.empty, seqCol: Option[String] = None): Long =
+    applyCdcSnapshotKeys(spark, root, batch, Seq(pk), opCol, meta, seqCol)
+
+  /** Composite-key [[applyCdcSnapshot]]: the apply identity is the key
+    * TUPLE `pks` — last-wins resolution, uniqueness, file nomination,
+    * pinning and the survivor anti-join all key on the tuple. */
+  def applyCdcSnapshotKeys(spark: SparkSession, root: String,
+      batch: DataFrame, pks: Seq[String], opCol: String = "_op",
       meta: Seq[String] = Seq.empty, seqCol: Option[String] = None): Long = {
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
@@ -1046,13 +1090,14 @@ object GraftCatalog {
         require(batchCols.contains(sc), s"CDC seqCol $sc absent from the batch")
         val rn = Iterator.from(0).map(i => s"__seq$i").find(!batchCols(_)).get
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(pk)).orderBy(col(sc).desc)
+          .partitionBy(pks.map(col): _*).orderBy(col(sc).desc)
         batch.withColumn(rn, row_number().over(w))
           .where(col(rn) === 1).drop(rn)
       case None =>
-        require(batch.groupBy(col(pk)).count().where(col("count") > 1).isEmpty,
-          s"CDC batch carries multiple events for one $pk — pass seqCol " +
-            "for last-wins resolution or pre-compact the batch")
+        require(batch.groupBy(pks.map(col): _*).count()
+          .where(col("count") > 1).isEmpty,
+          s"CDC batch carries multiple events for one ${pks.mkString(",")} — " +
+            "pass seqCol for last-wins resolution or pre-compact the batch")
         batch
     }
     val ops = resolved.select(col(opCol)).distinct()
@@ -1066,20 +1111,20 @@ object GraftCatalog {
     validateChecks(spark, root, upserts)
     val files = readManifest(fs, r, head)
     val stats = readStats(spark, root, head)
-    val keys = resolved.select(col(pk)).distinct()
-    val candidates = nominateFilesByKey(spark, files, stats, keys, pk)
+    val keys = resolved.select(pks.map(col): _*).distinct()
+    val candidates = nominateFilesByKeys(spark, files, stats, keys, pks)
     val matchedFiles: Set[String] =
       if (candidates.isEmpty) Set.empty
       else pinnedPaths(spark.read.parquet(candidates: _*)
         .withColumn("__file", input_file_name())
-        .join(keys, Seq(pk), "left_semi")
+        .join(keys, pks, "left_semi")
         .select("__file").distinct().collect())
     if (matchedFiles.isEmpty && upserts.isEmpty) return head
     val carried = files.filterNot(matchedFiles)
     val survivors =
       if (matchedFiles.isEmpty) spark.read.parquet(files.head).where(lit(false))
       else readFilesDv(spark, fs, r, head, matchedFiles.toSeq.sorted)
-        .join(keys, Seq(pk), "left_anti")
+        .join(keys, pks, "left_anti")
     val newData = survivors.unionByName(
       upserts.select(survivors.columns.toSeq.map(col): _*))
     commitCow(spark, fs, r, head, carried,
@@ -1099,13 +1144,12 @@ object GraftCatalog {
       batch: DataFrame, pk: String, batchId: Long,
       opCol: String = "_op", seqCol: Option[String] = None,
       sinkId: String = ""): Long = {
-    val (fs, r) = fsOf(spark, root)
-    val tag =
-      if (sinkId.isEmpty) s"#cdcbatch:$batchId" else s"#cdcbatch:$sinkId:$batchId"
-    snapshotVersions(spark, root).reverse
-      .find(v => readManifestLines(fs, r, v).contains(tag)) match {
+    val prefix =
+      if (sinkId.isEmpty) "#cdcbatch:" else s"#cdcbatch:$sinkId:"
+    findBatchReplay(spark, root, prefix, batchId) match {
       case Some(v) => v // replay — already applied
-      case None => applyCdcSnapshot(spark, root, batch, pk, opCol, Seq(tag), seqCol)
+      case None => applyCdcSnapshot(spark, root, batch, pk, opCol,
+        Seq(s"$prefix$batchId"), seqCol)
     }
   }
 
@@ -1194,30 +1238,68 @@ object GraftCatalog {
       names.map(n => new org.apache.hadoop.fs.Path(deletesDir(root), n).toString): _*))
 
   /** Filter a files-scan DataFrame through the version's deletion
-    * vectors: anti-join on the scan's own (file_path, row_index)
-    * metadata columns. Zero plan change when the version has no DVs;
-    * with DVs the anti-join's build side is deleted-rows-sized and AQE
-    * broadcasts it when genuinely small (no unconditional hint — a DV
-    * can be large right before a compaction). Join-key columns are
-    * generated OUTSIDE the table's own column space. */
+    * vectors. Zero plan change when the version has no DVs. With DVs,
+    * TWO regimes:
+    *
+    *  - up to [[dvBroadcastMaxPositions]] deleted positions (the
+    *    overwhelmingly common state between compactions): the DV loads
+    *    ONCE on the driver as `path → sorted positions`, broadcasts,
+    *    and the scan filters through the codegen'd [[graft.functions.DvHit]]
+    *    probe — NO exchange in the plan at any scan size, the per-file
+    *    application shape Iceberg readers use, expressed at plan level;
+    *  - beyond it (a pathological DV right before compaction, too big
+    *    to pin on the driver): anti-join on the scan's (file_path,
+    *    row_index) metadata columns — correct at any size, and AQE
+    *    still broadcasts when the runtime size allows.
+    *
+    * Join-key columns are generated OUTSIDE the table's own column
+    * space. */
   private def applyDv(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       v: Long, df: DataFrame): DataFrame =
     applyDvNames(spark, root, readDvNames(fs, root, v), df)
 
+  /** Positions bound for the broadcast DV index: 4M (path, pos) pairs
+    * ≈ tens of MB on the driver/executors — far beyond any sane
+    * between-compaction DV, far below driver danger. Tunable per
+    * session (`spark.graft.dv.broadcastMaxPositions`); 0 forces the
+    * anti-join (test hook). */
+  private def dvBroadcastMaxPositions(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dv.broadcastMaxPositions")
+      .map(_.toLong).getOrElse(4_000_000L)
+
   private def applyDvNames(spark: SparkSession,
       root: org.apache.hadoop.fs.Path, names: Seq[String],
       df: DataFrame): DataFrame =
     dvDf(spark, root, names).fold(df) { dv =>
-      val cols = df.columns.toSeq
-      val known = cols.toSet
-      val pCol = Iterator.from(0).map(i => s"__dvp$i").find(!known(_)).get
-      val xCol = Iterator.from(0).map(i => s"__dvx$i").find(!known(_)).get
-      df.withColumn(pCol, dvPathKey(col("_metadata.file_path")))
-        .withColumn(xCol, col("_metadata.row_index"))
-        .join(dv.select(col("__path").as(pCol), col("__pos").as(xCol)),
-          Seq(pCol, xCol), "left_anti")
-        .select(cols.map(col): _*)
+      val nPos = dv.count() // parquet metadata count on the sidecar
+      if (nPos <= dvBroadcastMaxPositions(spark)) {
+        val byFile = new java.util.HashMap[
+          org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+        dv.select(col("__path"), col("__pos")).collect()
+          .groupBy(_.getString(0)).foreach { case (p, rows) =>
+            byFile.put(org.apache.spark.unsafe.types.UTF8String.fromString(p),
+              rows.map(_.getLong(1)).sorted)
+          }
+        val bc = spark.sparkContext.broadcast(byFile)
+        val hit = graft.functions.DvHit(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            dvPathKey(col("_metadata.file_path"))),
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            col("_metadata.row_index")),
+          bc)
+        df.where(!org.apache.spark.sql.GraftColumnBridge.column(hit))
+      } else {
+        val cols = df.columns.toSeq
+        val known = cols.toSet
+        val pCol = Iterator.from(0).map(i => s"__dvp$i").find(!known(_)).get
+        val xCol = Iterator.from(0).map(i => s"__dvx$i").find(!known(_)).get
+        df.withColumn(pCol, dvPathKey(col("_metadata.file_path")))
+          .withColumn(xCol, col("_metadata.row_index"))
+          .join(dv.select(col("__path").as(pCol), col("__pos").as(xCol)),
+            Seq(pCol, xCol), "left_anti")
+          .select(cols.map(col): _*)
+      }
     }
 
   /** DV-aware read of specific data files at a version — what every
@@ -1398,19 +1480,24 @@ object GraftCatalog {
     * keys insert), zero rewritten files. CDC shows matched keys as
     * delete+insert pairs. No schema evolution on this path. */
   def mergeSnapshotMor(spark: SparkSession, root: String,
-      updates: DataFrame, pk: String, meta: Seq[String] = Seq.empty): Long = {
+      updates: DataFrame, pk: String, meta: Seq[String] = Seq.empty): Long =
+    mergeSnapshotMorKeys(spark, root, updates, Seq(pk), meta)
+
+  /** Composite-key [[mergeSnapshotMor]] — tuple-keyed DV shadowing. */
+  def mergeSnapshotMorKeys(spark: SparkSession, root: String,
+      updates: DataFrame, pks: Seq[String], meta: Seq[String] = Seq.empty): Long = {
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
     if (updates.isEmpty) return head
     validateChecks(spark, root, updates)
     val files = readManifest(fs, r, head)
     val stats = readStats(spark, root, head)
-    val keys = updates.select(col(pk)).distinct()
-    val candidates = nominateFilesByKey(spark, files, stats, keys, pk)
+    val keys = updates.select(pks.map(col): _*).distinct()
+    val candidates = nominateFilesByKeys(spark, files, stats, keys, pks)
     val matchedPos =
       if (candidates.isEmpty) None
       else Some(liveRowsWithPos(spark, fs, r, head, candidates)
-        .join(keys, Seq(pk), "left_semi")
+        .join(keys, pks, "left_semi")
         .select("__path", "__pos"))
     val tableCols = readSchemaLine(fs, r, head)
       .map(_.fieldNames.toSeq)
@@ -1481,29 +1568,62 @@ object GraftCatalog {
     * can never match a key. Manifest order is preserved. */
   private[graft] def nominateFilesByKey(spark: SparkSession,
       files: Seq[String], stats: Map[String, FileStat],
-      keys: DataFrame, pk: String): Seq[String] = {
-    val keyType = keys.schema(pk).dataType
-    // Three file classes: enveloped (pk stats with a real range — the
-    // join decides), all-NULL pk (range provably empty — never a
-    // candidate for non-null keys), blind (no stats / no pk column
-    // recorded — unconditional candidate).
-    def pkStat(f: String): Option[ColStat] =
-      stats.get(f).flatMap(_.cols.find(_.col == pk))
-    val enveloped = files.filter(f =>
-      pkStat(f).exists(c => c.mn != null && c.mx != null))
-    val blind = files.filter(f => pkStat(f).isEmpty).toSet
-    if (enveloped.isEmpty) return files.filter(blind)
-    val sp = spark; import sp.implicits._
-    val envDf = enveloped.map { f =>
-        val c = pkStat(f).get
-        (f, c.mn, c.mx)
-      }.toDF("__path", "__lo", "__hi").select(col("__path"),
-        expr(s"try_cast(__lo AS ${keyType.sql})").as("__lo"),
-        expr(s"try_cast(__hi AS ${keyType.sql})").as("__hi"))
-    val hits = keys.select(col(pk)).distinct()
-      .join(broadcast(envDf), col(pk) >= col("__lo") && col(pk) <= col("__hi"))
+      keys: DataFrame, pk: String): Seq[String] =
+    nominateFilesByKeys(spark, files, stats, keys, Seq(pk))
+
+  /** Composite-key generalization: a file is a candidate iff at least
+    * one key TUPLE sits inside its per-column envelopes CONJUNCTED —
+    * per key column: an envelope with a real range constrains, a
+    * missing stat (no sidecar / column unrecorded) leaves that column
+    * unconstrained, and an all-NULL column (stat present, null range)
+    * is provably unmatchable by any equality key, excluding the file
+    * outright. Files blind on EVERY key column stay unconditional
+    * candidates; files constrained on ≥1 column go through one
+    * broadcast range-join of the |files|-sized envelope frame against
+    * the distinct key tuples. Manifest order is preserved. */
+  private[graft] def nominateFilesByKeys(spark: SparkSession,
+      files: Seq[String], stats: Map[String, FileStat],
+      keys: DataFrame, pks: Seq[String]): Seq[String] = {
+    require(pks.nonEmpty, "key nomination needs at least one key column")
+    def colStat(f: String, c: String): Option[ColStat] =
+      stats.get(f).flatMap(_.cols.find(_.col == c))
+    def impossible(f: String): Boolean = pks.exists(c =>
+      colStat(f, c).exists(s => s.mn == null || s.mx == null))
+    val blindAll = files.filter(f =>
+      !impossible(f) && pks.forall(c => colStat(f, c).isEmpty)).toSet
+    val enveloped = files.filterNot(f => impossible(f) || blindAll(f))
+    if (enveloped.isEmpty) return files.filter(blindAll)
+    val strFields = org.apache.spark.sql.types.StructField(
+      "__path", org.apache.spark.sql.types.StringType) +:
+      pks.indices.flatMap(i => Seq(
+        org.apache.spark.sql.types.StructField(s"__lo$i",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(s"__hi$i",
+          org.apache.spark.sql.types.StringType)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(enveloped.map { f =>
+        org.apache.spark.sql.Row.fromSeq(f +: pks.flatMap { c =>
+          colStat(f, c) match {
+            case Some(s) => Seq(s.mn, s.mx)
+            case None => Seq(null, null) // blind column — unconstrained
+          }
+        })
+      }: _*)
+    val envDf = spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(strFields.toIndexedSeq))
+      .select(col("__path") +: pks.zipWithIndex.flatMap { case (c, i) =>
+        val t = keys.schema(c).dataType.sql
+        Seq(expr(s"try_cast(__lo$i AS $t)").as(s"__lo$i"),
+          expr(s"try_cast(__hi$i AS $t)").as(s"__hi$i"))
+      }: _*)
+    val cond = pks.zipWithIndex.map { case (c, i) =>
+      col(s"__lo$i").isNull ||
+        (col(c) >= col(s"__lo$i") && col(c) <= col(s"__hi$i"))
+    }.reduce(_ && _)
+    val hits = keys.select(pks.map(col): _*).distinct()
+      .join(broadcast(envDf), cond)
       .select("__path").distinct().collect().map(_.getString(0)).toSet
-    files.filter(f => hits(f) || blind(f))
+    files.filter(f => hits(f) || blindAll(f))
   }
 
   /** Normalize `input_file_name()` URIs back to the scheme-less paths
@@ -2040,8 +2160,23 @@ object GraftCatalog {
     val vs = snapshotVersions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root")
     val v = version.getOrElse(vs.last)
-    require(readDvNames(fs, r, v).isEmpty,
-      s"SPJ read of $root v$v: deletion vectors present — compact first")
+    // Deletion vectors apply PER FILE inside each bucket's own reader
+    // (each InputPartition ships only its files' position slices), so
+    // a merge-on-read table keeps its shuffle-free join between
+    // compactions. The positions load once on the driver to slice; a
+    // pathological DV beyond the planning bound still demands a
+    // compaction first (the same loud contract the pre-DV SPJ had).
+    val dvByFile: Map[String, Array[Long]] =
+      dvDf(spark, r, readDvNames(fs, r, v)).fold(Map.empty[String, Array[Long]]) { dv =>
+        val nPos = dv.count()
+        require(nPos <= dvBroadcastMaxPositions(spark),
+          s"SPJ read of $root v$v: $nPos DV positions exceed the " +
+            "planning bound - compact first " +
+            "(spark.graft.dv.broadcastMaxPositions)")
+        dv.select(col("__path"), col("__pos")).collect()
+          .groupBy(_.getString(0))
+          .map { case (p, rows) => p -> rows.map(_.getLong(1)).sorted }
+      }
     val specs = readPartitionSpecsAt(fs, r)
     require(specs.nonEmpty, s"SPJ read of $root: no partition spec")
     val activeId = specs.keys.max
@@ -2063,7 +2198,7 @@ object GraftCatalog {
     val schema = readSchemaLine(fs, r, v).getOrElse(
       spark.read.parquet(files.head).schema)
     org.apache.spark.sql.GraftSpjBridge.dataFrame(spark, root, schema,
-      spec.head.col, spec.head.n, buckets)
+      spec.head.col, spec.head.n, buckets, dvByFile)
   }
 
   /** DESCRIBE FILES — the physical layout of a version as a DataFrame,
@@ -2214,6 +2349,145 @@ object GraftCatalog {
     publishManifest(fs, r, next,
       carried ++ Seq(schemaLineOf(evolved)) ++ readManifest(fs, r, head))
     next
+  }
+
+  /** The SAFE type widenings (Iceberg's ALTER COLUMN TYPE set, which
+    * Spark 4's parquet readers — vectorized included — serve directly:
+    * an INT32 page materializes into a bigint vector with no rewrite):
+    * byte→short/int/long, short→int/long, int→long, float→double, and
+    * decimal precision growth at the same scale. */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+  }
+
+  /** ALTER COLUMN … TYPE (widen) as a PURE-METADATA commit: republish
+    * the head's file list under a committed schema whose `column` is
+    * the wider type — zero data I/O. Pre-widen files stay untouched
+    * and read directly into the wider type (Spark's parquet readers
+    * perform the promotion per page); new writes land the wide type;
+    * time travel serves every older version under the schema IT
+    * committed. LAYOUT columns reject loudly: a bucket tuple hashes
+    * differently under int and bigint (xxhash64 is width-sensitive)
+    * and a bloom sidecar's bytes were hashed under the old type — both
+    * would silently mis-prune; migrate via compaction instead. Declared
+    * SORT columns are fine (widening is order-preserving). */
+  def widenSnapshotColumn(spark: SparkSession, root: String,
+      column: String, to: org.apache.spark.sql.types.DataType): Long = {
+    import java.util.Locale.ROOT
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val prior = snapshotSchema(spark, root, Some(head)).getOrElse(
+      readSnapshot(spark, root, Some(head)).schema)
+    val f = prior.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(s"no column $column on $root"))
+    val hashed = (snapshotPartitionSpec(spark, root).map(_.col) ++
+      snapshotBloomFilters(spark, root).keys).map(_.toLowerCase(ROOT)).toSet
+    require(!hashed(f.name.toLowerCase(ROOT)),
+      s"cannot widen ${f.name}: it drives the partition spec or a bloom " +
+        "sidecar, whose hashes are type-width-sensitive - rewrite via " +
+        "compaction instead")
+    require(widens(f.dataType, to),
+      s"cannot widen ${f.name}: ${f.dataType.simpleString} -> " +
+        s"${to.simpleString} is not a safe metadata widening")
+    val evolved = org.apache.spark.sql.types.StructType(
+      prior.fields.map(x => if (x.name.equalsIgnoreCase(column))
+        x.copy(dataType = to) else x))
+    val carried = readManifestLines(fs, r, head).filter(l =>
+      l.startsWith("#stats:") || l.startsWith("#dv:"))
+    val next = head + 1
+    publishManifest(fs, r, next,
+      carried ++ Seq(schemaLineOf(evolved)) ++ readManifest(fs, r, head))
+    next
+  }
+
+  /** RENAME a snapshot table root — one filesystem rename plus a
+    * ONE-TIME metadata migration. Manifests, stats sidecars and DV
+    * sidecars key data files by ABSOLUTE path (the create-exclusive
+    * commit protocol's simplicity), so after `fs.rename` every
+    * metadata file under the new root rewrites its old-prefix paths to
+    * the new prefix: manifests and `.stats` sidecars as a text prefix
+    * replace (metadata-sized), DV sidecars as one parquet rewrite each
+    * (deleted-rows-sized). Branches live UNDER the root
+    * (`_branches/<name>` with their own `_manifests`/`_deletes`), so
+    * the recursive walk migrates them in the same pass; tags, checks
+    * and layout refs hold versions/columns, never paths, and move
+    * untouched.
+    *
+    * QUIESCED operation (the Iceberg-HadoopCatalog rename contract): a
+    * writer mid-commit against the old root loses its table directory
+    * under it; time travel, tags, branch pins and clones-of-this-table
+    * (which copied files into their own roots) all survive. */
+  def renameSnapshotTable(spark: SparkSession, oldRoot: String,
+      newRoot: String): Unit = {
+    val (fs, oldP) = fsOf(spark, oldRoot)
+    require(snapshotVersions(spark, oldRoot).nonEmpty,
+      s"no snapshot table at $oldRoot")
+    val newP = new org.apache.hadoop.fs.Path(newRoot)
+    require(!fs.exists(newP), s"rename target $newRoot already exists")
+    val oldPrefix = org.apache.hadoop.fs.Path
+      .getPathWithoutSchemeAndAuthority(fs.makeQualified(oldP)).toString
+    val newPrefix = org.apache.hadoop.fs.Path
+      .getPathWithoutSchemeAndAuthority(fs.makeQualified(newP)).toString
+    require(!(newPrefix + "/").startsWith(oldPrefix + "/"),
+      "cannot rename a table into itself")
+    Option(newP.getParent).foreach(fs.mkdirs(_))
+    require(fs.rename(oldP, newP),
+      s"filesystem refused rename $oldRoot -> $newRoot")
+    rewritePathPrefixes(spark, fs, newP, oldPrefix, newPrefix)
+  }
+
+  /** The migration walk behind [[renameSnapshotTable]]: every
+    * `_manifests` dir's files get a text prefix replace; every
+    * `_deletes` dir's DV sidecars get their `__path` column re-rooted
+    * via one parquet rewrite each. */
+  private def rewritePathPrefixes(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path,
+      oldPrefix: String, newPrefix: String): Unit = {
+    val children = fs.listStatus(dir)
+    children.foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name == "_manifests") {
+        fs.listStatus(st.getPath).foreach { mf =>
+          if (mf.isFile) {
+            val in = fs.open(mf.getPath)
+            val text =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            val out = fs.create(mf.getPath, true)
+            try out.write(
+              text.replace(oldPrefix + "/", newPrefix + "/").getBytes("UTF-8"))
+            finally out.close()
+          }
+        }
+      } else if (st.isDirectory && name == "_deletes") {
+        fs.listStatus(st.getPath).filter(_.isDirectory).foreach { dv =>
+          val p = dv.getPath
+          val rewritten = spark.read.parquet(p.toString)
+            .withColumn("__path",
+              when(col("__path").startsWith(oldPrefix + "/"),
+                concat(lit(newPrefix),
+                  expr(s"substring(__path, ${oldPrefix.length + 1})")))
+                .otherwise(col("__path")))
+            .select(col("__path"), col("__pos"))
+          val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".mig")
+          rewritten.write.parquet(tmp.toString)
+          fs.delete(p, true)
+          fs.rename(tmp, p)
+        }
+      } else if (st.isDirectory) {
+        rewritePathPrefixes(spark, fs, st.getPath, oldPrefix, newPrefix)
+      }
+    }
   }
 
   /** Estimated (rows, bytes) of a version from the manifest and its

@@ -267,7 +267,15 @@ object GraftDml {
                 "without a resolvable alias qualifier - qualify both " +
                 "sides (t.k = s.src_k)")
           }
-        val (pk, srcKey) = m.mergeCondition match {
+        // the ON condition is a CONJUNCTION of key equalities — the
+        // composite tuple is the merge identity (`ON t.a = s.a AND
+        // t.b = s.b`); anything non-equality rejects loudly
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        val keyPairs: Seq[(String, String)] = conjuncts(m.mergeCondition).map {
           case EqualTo(l, r) =>
             val (ln, rn) = (colName(l), colName(r))
             if (ln.equalsIgnoreCase(rn)) (ln, rn)
@@ -277,9 +285,12 @@ object GraftDml {
               case _ => resolveByQualifier(l, r, ln, rn)
             }
           case other => throw new IllegalArgumentException(
-            "MERGE ON must be a single key equality (t.k = s.k), got: " +
-              other.sql)
+            "MERGE ON must be a conjunction of key equalities " +
+              "(t.k = s.k [AND t.k2 = s.k2 …]), got: " + other.sql)
         }
+        require(keyPairs.map(_._1.toLowerCase(java.util.Locale.ROOT))
+          .distinct.size == keyPairs.size,
+          "MERGE ON equates the same target column twice")
         def bad(what: String): Nothing = throw new IllegalArgumentException(
           s"unsupported MERGE shape ($what)")
         // the KEY-FEED DELETE shape: `WHEN MATCHED THEN DELETE` as the
@@ -288,8 +299,8 @@ object GraftDml {
         val keyFeedDelete = m.matchedActions == Seq(DeleteAction(None)) &&
           m.notMatchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty
         if (keyFeedDelete)
-          GraftMergeDeleteCommand(root, view, m.sourceTable, pk, srcKey)
-        else lowerUpsertMerge(spark, m, root, view, pk, srcKey, bad, colName)
+          GraftMergeDeleteCommand(root, view, m.sourceTable, keyPairs)
+        else lowerUpsertMerge(spark, m, root, view, keyPairs, bad, colName)
       }
     case _ => None
   }
@@ -320,7 +331,7 @@ object GraftDml {
   }
 
   private def lowerUpsertMerge(spark: SparkSession, m: MergeIntoTable,
-      root: String, view: Option[String], pk: String, srcKey: String,
+      root: String, view: Option[String], keyPairs: Seq[(String, String)],
       bad: String => Nothing,
       colName: Expression => String): LogicalPlan = {
         val tAlias = topAlias(m.targetTable, "__t")
@@ -418,7 +429,7 @@ object GraftDml {
         if (plainStarUpsert)
           // the fast path: full-row upsert (optionally + sync delete)
           // on mergeSnapshot's single-join CoW/MoR machinery
-          GraftMergeCommand(root, view, m.sourceTable, pk, srcKey,
+          GraftMergeCommand(root, view, m.sourceTable, keyPairs,
             m.withSchemaEvolution, syncDelete = bySource.nonEmpty)
         else {
           // the GENERAL path: ordered conditional matched UPDATE/DELETE
@@ -430,7 +441,7 @@ object GraftDml {
             "MERGE WITH SCHEMA EVOLUTION requires the star upsert shape")
           if (matched.isEmpty && inserts.isEmpty && bySource.isEmpty)
             bad("no actions")
-          GraftMergeGeneralCommand(root, view, m.sourceTable, pk, srcKey,
+          GraftMergeGeneralCommand(root, view, m.sourceTable, keyPairs,
             tAlias, sAlias,
             Raw(unresolveSided(m.mergeCondition, tIds, sIds, tAlias, sAlias)),
             matched, inserts, bySource)
@@ -539,7 +550,7 @@ case class GraftInsertCommand(root: String, view: Option[String],
   * apply's pk-uniqueness contract — exactly SQL MERGE's cardinality
   * rule). */
 case class GraftMergeGeneralCommand(root: String, view: Option[String],
-    source: LogicalPlan, pk: String, srcKey: String,
+    source: LogicalPlan, keyPairs: Seq[(String, String)],
     tAlias: String, sAlias: String, mergeCond: GraftDml.Raw,
     matched: Seq[GraftDml.MatchedSpec],
     inserts: Seq[GraftDml.InsertSpec],
@@ -550,6 +561,13 @@ case class GraftMergeGeneralCommand(root: String, view: Option[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, lit, when}
+    val pks = keyPairs.map(_._1)
+    def isKey(n: String): Boolean = pks.exists(_.equalsIgnoreCase(n))
+    // the source key feeding a given target key column (INSERT * path)
+    val srcKeyOf: Map[String, String] =
+      keyPairs.map { case (p, s) =>
+        p.toLowerCase(java.util.Locale.ROOT) -> s
+      }.toMap
     val committed = GraftCatalog.snapshotSchema(spark, root).getOrElse(
       GraftCatalog.readSnapshot(spark, root).schema)
     val tDf = GraftCatalog.readSnapshotAuto(spark, root).alias(tAlias)
@@ -586,7 +604,7 @@ case class GraftMergeGeneralCommand(root: String, view: Option[String],
           case ((ms, i), acc) =>
             val image: Column =
               if (ms.delete)
-                if (f.name.equalsIgnoreCase(pk)) tCol(f.name)
+                if (isKey(f.name)) tCol(f.name)
                 else lit(null).cast(f.dataType)
               else ms.set match {
                 case Some(s) =>
@@ -616,9 +634,11 @@ case class GraftMergeGeneralCommand(root: String, view: Option[String],
       parts += actImage(bdf, bySource, starAllowed = false)
     }
     if (inserts.nonEmpty) {
-      if (inserts.exists(_.cols.isEmpty) && !srcKey.equalsIgnoreCase(pk))
-        require(!lowerSrc(pk.toLowerCase(java.util.Locale.ROOT)),
-          s"MERGE source has both $srcKey and $pk columns - project one")
+      keyPairs.foreach { case (p, s) =>
+        if (inserts.exists(_.cols.isEmpty) && !s.equalsIgnoreCase(p))
+          require(!lowerSrc(p.toLowerCase(java.util.Locale.ROOT)),
+            s"MERGE source has both $s and $p columns - project one")
+      }
       val unmatched0 = sDf.join(tDf, joinCond, "left_anti")
         .withColumn("__clause", clauseIdx(inserts.map(_.cond)))
         .where(col("__clause") >= 0)
@@ -629,13 +649,14 @@ case class GraftMergeGeneralCommand(root: String, view: Option[String],
             val image: Column = is.cols match {
               case None => // INSERT * — table columns by name, srcKey → pk
                 if (lowerSrc(lc)) sDf.col(f.name)
-                else if (f.name.equalsIgnoreCase(pk)) sDf.col(srcKey)
+                else if (isKey(f.name)) sDf.col(srcKeyOf(lc))
                 else lit(null).cast(f.dataType)
               case Some(cols) =>
                 val provided = cols.map(_.toLowerCase(java.util.Locale.ROOT))
                   .zip(is.vals.get).toMap
-                require(provided.contains(pk.toLowerCase(java.util.Locale.ROOT)),
-                  s"MERGE INSERT column list must provide the key column $pk")
+                pks.foreach(p =>
+                  require(provided.contains(p.toLowerCase(java.util.Locale.ROOT)),
+                    s"MERGE INSERT column list must provide the key column $p"))
                 provided.get(lc) match {
                   case Some(r) => GraftColumnBridge.column(r.e)
                   case None => lit(null).cast(f.dataType)
@@ -649,7 +670,7 @@ case class GraftMergeGeneralCommand(root: String, view: Option[String],
     }
     require(parts.nonEmpty, "MERGE with no actions")
     val batch = parts.reduce(_ unionByName _)
-    val v = GraftCatalog.applyCdcSnapshot(spark, root, batch, pk)
+    val v = GraftCatalog.applyCdcSnapshotKeys(spark, root, batch, pks)
     view.foreach(GraftDml.refreshView(spark, _, root))
     Seq(Row(v))
   }
@@ -663,45 +684,48 @@ case class GraftMergeGeneralCommand(root: String, view: Option[String],
   * touched files, absent keys no-op) and lands in ONE manifest flip.
   * The source may be a bare key list — only its key column is read. */
 case class GraftMergeDeleteCommand(root: String, view: Option[String],
-    source: LogicalPlan, pk: String, srcKey: String)
+    source: LogicalPlan, keyPairs: Seq[(String, String)])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, lit}
+    val pks = keyPairs.map(_._1)
     val keys = GraftColumnBridge.ofRows(spark, source)
-      .select(col(srcKey).as(pk)).distinct()
+      .select(keyPairs.map { case (p, s) => col(s).as(p) }: _*).distinct()
     // shape the batch like the table (the apply's upsert side is empty,
     // so the null fill never lands anywhere)
     val committed = GraftCatalog.snapshotSchema(spark, root).getOrElse(
       GraftCatalog.readSnapshot(spark, root).schema)
     val batch = committed.fields.foldLeft(keys) { (d, f) =>
-      if (f.name.equalsIgnoreCase(pk)) d
+      if (pks.exists(_.equalsIgnoreCase(f.name))) d
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }.withColumn("_op", lit("D"))
-    val v = GraftCatalog.applyCdcSnapshot(spark, root, batch, pk)
+    val v = GraftCatalog.applyCdcSnapshotKeys(spark, root, batch, pks)
     view.foreach(GraftDml.refreshView(spark, _, root))
     Seq(Row(v))
   }
 }
 
 case class GraftMergeCommand(root: String, view: Option[String],
-    source: LogicalPlan, pk: String, srcKey: String,
+    source: LogicalPlan, keyPairs: Seq[(String, String)],
     schemaEvolution: Boolean, syncDelete: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val src0 = GraftColumnBridge.ofRows(spark, source)
-    // a differently-named source key aligns to the target's (renaming
+    val pks = keyPairs.map(_._1)
+    // differently-named source keys align to the target's (renaming
     // must not shadow an existing same-named source column)
-    val src =
-      if (srcKey.equalsIgnoreCase(pk)) src0
+    val src = keyPairs.foldLeft(src0) { case (d, (pk, srcKey)) =>
+      if (srcKey.equalsIgnoreCase(pk)) d
       else {
-        require(!src0.columns.exists(_.equalsIgnoreCase(pk)),
+        require(!d.columns.exists(_.equalsIgnoreCase(pk)),
           s"MERGE source has both $srcKey and $pk columns - project one")
-        src0.withColumnRenamed(srcKey, pk)
+        d.withColumnRenamed(srcKey, pk)
       }
+    }
     val v =
       if (syncDelete) {
         // the FULL-SYNC shape (UPDATE SET * / INSERT * / NOT MATCHED
@@ -721,8 +745,8 @@ case class GraftMergeCommand(root: String, view: Option[String],
       } else if (GraftCatalog.snapshotWriteMode(spark, root) == "mor") {
         require(!schemaEvolution,
           "MERGE WITH SCHEMA EVOLUTION is CoW-only; unset mor write mode")
-        GraftCatalog.mergeSnapshotMor(spark, root, src, pk)
-      } else GraftCatalog.mergeSnapshot(spark, root, src, pk,
+        GraftCatalog.mergeSnapshotMorKeys(spark, root, src, pks)
+      } else GraftCatalog.mergeSnapshotKeys(spark, root, src, pks,
         allowSchemaEvolution = schemaEvolution)
     view.foreach(GraftDml.refreshView(spark, _, root))
     Seq(Row(v))

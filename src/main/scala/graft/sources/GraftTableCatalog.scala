@@ -223,10 +223,15 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       case s: TableChange.SetProperty if s.property == "sort.order" =>
         GraftCatalog.setSnapshotSortOrder(spark, rootStr,
           s.value.split(",").map(_.trim).toSeq)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "ALTER COLUMN TYPE supports top-level columns only")
+        GraftCatalog.widenSnapshotColumn(spark, rootStr,
+          u.fieldNames()(0), u.newDataType())
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER on a graft snapshot table: $other (ADD/DROP " +
-          "COLUMN and write.mode/sort.order properties are supported; " +
-          "type changes and renames are not; layout configs are " +
+          "COLUMN, ALTER COLUMN TYPE widening, and write.mode/sort.order " +
+          "properties are supported; renames are not; layout configs are " +
           "create-exclusive)")
     }
     loadTable(ident)
@@ -237,20 +242,19 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     if (!isTable(root)) false else fs.delete(root, true)
   }
 
-  /** Rejected, the Iceberg-HadoopCatalog precedent: manifests, stats/
-    * bloom/DV sidecars and clone/branch references all key files by
-    * ABSOLUTE path (that is what lets clones share foreign files and
-    * vacuum respect them), so moving the directory would orphan every
-    * version behind the table's back. A directory-addressed catalog
-    * cannot rename safely; a name-mapping catalog (Hive/JDBC-backed)
-    * could. */
+  /** Directory move + one-time metadata migration
+    * ([[GraftCatalog.renameSnapshotTable]]): manifests/stats/DV
+    * sidecars key files by absolute path, so the rename rewrites their
+    * prefixes in one recursive pass (branches included). Time travel,
+    * tags and branch pins survive; QUIESCED operation — a writer
+    * mid-commit against the old name loses its directory (the
+    * Iceberg-HadoopCatalog rename contract). */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
-    throw new UnsupportedOperationException(
-      "graft tables are directory-addressed and their manifests key " +
-        "files by absolute path - RENAME would orphan every published " +
-        "version. Create the new name explicitly (CTAS, or shallowClone " +
-        "+ vacuum the old root) instead.")
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    GraftCatalog.renameSnapshotTable(spark,
+      tablePath(oldIdent).toString, tablePath(newIdent).toString)
   }
 
   // ---- procedures: CALL graft.system.<verb>(…) -----------------------

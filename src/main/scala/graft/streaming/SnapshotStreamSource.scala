@@ -138,13 +138,14 @@ final class GraftSnapshotSink(root: String, sinkId: String,
     val data = org.apache.spark.sql.GraftStreamBridge.batchDataFrame(data0)
     if (complete) {
       val spark = data.sparkSession
-      val tag = if (sinkId.isEmpty) s"#batch:$batchId"
-        else s"#batch:$sinkId:$batchId"
-      val replayed = GraftCatalog.snapshotVersions(spark, root).reverse
-        .exists(v => GraftCatalog.snapshotMeta(spark, root, v).contains(tag))
+      val prefix = if (sinkId.isEmpty) "#batch:" else s"#batch:$sinkId:"
+      // bounded probe: stops at this sink's previous batch tag instead
+      // of scanning the whole table history every micro-batch
+      val replayed =
+        GraftCatalog.findBatchReplay(spark, root, prefix, batchId).isDefined
       if (!replayed)
         GraftCatalog.commitSnapshot(data, root, append = false,
-          meta = Seq(tag), maxRetries = 3)
+          meta = Seq(s"$prefix$batchId"), maxRetries = 3)
     } else {
       GraftCatalog.commitSnapshotBatch(data, root, batchId, sinkId)
     }

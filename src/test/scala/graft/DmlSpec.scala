@@ -328,6 +328,82 @@ class DmlSpec extends AnyFunSuite {
     assert(t.count() == 98)
   }
 
+  test("composite-key MERGE: tuple identity, star upsert, key-feed delete, general path") {
+    import spark.implicits._
+    val root = s"$tmp/ck_${System.nanoTime()}"
+    // (a, b) is the unique key tuple; v the payload
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select((col("id") % 10).as("a"),
+        expr("id DIV 10").as("b"), col("id").as("v")),
+      root, append = false)
+    // star upsert on the tuple: one matched update, one insert
+    val out = GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (SELECT 3L AS a, 2L AS b, 999L AS v
+         |       UNION ALL SELECT 5L, 50L, 1L) AS s
+         |ON t.a = s.a AND t.b = s.b
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(out.head().getLong(0) == 2L)
+    val t1 = GraftCatalog.readSnapshot(spark, root)
+    assert(t1.count() == 101)
+    assert(t1.where(col("a") === 3 && col("b") === 2).head().getLong(2) == 999L,
+      "the (3,2) tuple row takes the source image")
+    assert(t1.where(col("a") === 3 && col("b") === 4).head().getLong(2) == 43L,
+      "same a, different b is a DIFFERENT key — untouched")
+    assert(t1.where(col("a") === 5 && col("b") === 50).count() == 1)
+    // key-feed delete with differently-named composite keys
+    GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (SELECT 1L AS ka, 0L AS kb UNION ALL SELECT 9L, 99L) AS s
+         |ON t.a = s.ka AND t.b = s.kb
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val t2 = GraftCatalog.readSnapshot(spark, root)
+    assert(t2.count() == 100, "one listed tuple removed, absent (9,99) no-ops")
+    assert(t2.where(col("a") === 1 && col("b") === 0).count() == 0)
+    // general path on the tuple: conditional cross-side assignment
+    GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (SELECT 7L AS a, 3L AS b, 1000L AS v) AS s
+         |ON t.a = s.a AND t.b = s.b
+         |WHEN MATCHED AND t.v < s.v THEN UPDATE SET v = t.v + s.v""".stripMargin)
+    assert(GraftCatalog.readSnapshot(spark, root)
+      .where(col("a") === 7 && col("b") === 3).head().getLong(2) == 1037L)
+    // non-conjunct ON still rejects
+    val e = intercept[IllegalArgumentException](GraftDml.sql(spark,
+      s"""MERGE INTO `$root` AS t
+         |USING (SELECT 1L AS a, 1L AS b, 1L AS v) AS s
+         |ON t.a = s.a OR t.b = s.b
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("MERGE ON"))
+  }
+
+  test("composite-key nomination conjuncts per-column envelopes") {
+    import graft.sources.{ColStat, FileStat}
+    import spark.implicits._
+    // f1: a∈[0,10] b∈[0,10]; f2: a∈[0,10] b∈[20,30]; f3: blind on b;
+    // f4: all-NULL a (provably unmatchable); f5: no stats at all
+    val stats = Map(
+      "f1" -> FileStat("f1", 10, Seq(ColStat("a", "bigint", "0", "10", 0),
+        ColStat("b", "bigint", "0", "10", 0))),
+      "f2" -> FileStat("f2", 10, Seq(ColStat("a", "bigint", "0", "10", 0),
+        ColStat("b", "bigint", "20", "30", 0))),
+      "f3" -> FileStat("f3", 10, Seq(ColStat("a", "bigint", "5", "6", 0))),
+      "f4" -> FileStat("f4", 10, Seq(ColStat("a", "bigint", null, null, 0),
+        ColStat("b", "bigint", "0", "99", 0))))
+    val files = Seq("f1", "f2", "f3", "f4", "f5")
+    val keys = Seq((5L, 5L)).toDF("a", "b")
+    val got = GraftCatalog.nominateFilesByKeys(spark, files, stats, keys,
+      Seq("a", "b"))
+    assert(got == Seq("f1", "f3", "f5"),
+      s"conjunct pruning: f2 (b out of range) and f4 (all-NULL a) drop; got $got")
+    // a key tuple matching f2's b range keeps it
+    val got2 = GraftCatalog.nominateFilesByKeys(spark, files, stats,
+      Seq((5L, 25L)).toDF("a", "b"), Seq("a", "b"))
+    assert(got2 == Seq("f2", "f3", "f5"), s"got $got2")
+  }
+
   test("pure spark.sql DML through GraftExtensions (Thrift-client wiring)") {
     // the production path: no Scala call site at all — the rule
     // injected at session construction lowers the parsed DML plans

@@ -56,6 +56,43 @@ class MorDvSpec extends AnyFunSuite {
         .collect().toSet)
   }
 
+  test("DV read is shuffle-free above the broadcast-join threshold; fallback anti-join stays correct") {
+    val root = freshTable("noshuf", n = 20000)
+    // DV ~6.7k scattered positions — disable the broadcast-JOIN path
+    // entirely so the old anti-join formulation would HAVE to shuffle
+    // the scan, then prove the broadcast-index read plans no exchange
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("id") % 3 === 0)
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      val top = df.queryExecution.executedPlan
+      val p = top match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case other => other
+      }
+      p.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }.size
+    }
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val scan = GraftCatalog.readSnapshot(spark, root)
+      assert(shuffles(scan) == 0,
+        s"DV scan must carry ZERO exchanges:\n${scan.queryExecution.executedPlan}")
+      assert(scan.count() == 20000 - 6667)
+      assert(scan.where(col("id") % 3 === 0).count() == 0)
+      // the codegen'd probe path and the anti-join fallback agree
+      spark.conf.set("spark.graft.dv.broadcastMaxPositions", "0")
+      val fallback = GraftCatalog.readSnapshot(spark, root)
+      assert(shuffles(fallback) > 0,
+        "positions cap 0 must force the anti-join (test hook)")
+      assert(fallback.count() == 20000 - 6667)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.unset("spark.graft.dv.broadcastMaxPositions")
+    }
+  }
+
   test("DVs accumulate across deletes; no-op MoR delete publishes nothing") {
     val root = freshTable("accum")
     GraftCatalog.deleteSnapshotWhereMor(spark, root, col("id") === 5L)

@@ -1842,6 +1842,53 @@ class SourcesCatalogSpec extends AnyFunSuite {
 
   // ----- hidden partitioning -------------------------------------------
 
+  test("ALTER COLUMN widen (int→bigint) is pure metadata; pre-widen files read; bucket pruning exact") {
+    import spark.implicits._
+    val root = s"$tmp/snapwiden_${System.nanoTime()}"
+    GraftCatalog.setSnapshotPartitionSpec(spark, root,
+      Seq(graft.sources.PartitionField("id", "bucket", 4)))
+    GraftCatalog.commitSnapshot(
+      spark.range(1000).select(col("id"),
+        col("id").cast("int").as("v")).repartition(1),
+      root, append = false)
+    val filesBefore = GraftCatalog.snapshotScanFiles(spark, root)._1.toSet
+    val v2 = GraftCatalog.widenSnapshotColumn(spark, root, "v",
+      org.apache.spark.sql.types.LongType)
+    assert(v2 == 2L)
+    assert(GraftCatalog.snapshotScanFiles(spark, root)._1.toSet == filesBefore,
+      "widening must publish ZERO new data files")
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.agg(sum("v")).head().getLong(0) == 499500L,
+      "pre-widen int32 files must read directly into the bigint column")
+    // a value beyond int range lands through the same append path
+    GraftCatalog.commitSnapshot(
+      Seq((5000L, 10_000_000_000L)).toDF("id", "v"), root, append = true)
+    val t2 = GraftCatalog.readSnapshot(spark, root)
+    assert(t2.where(col("v") > Int.MaxValue.toLong).count() == 1)
+    assert(t2.count() == 1001)
+    // bucket pruning on the (untouched) bucket column stays exact
+    val (kept, total) = GraftCatalog.snapshotScanFiles(spark, root,
+      predicate = Some(col("id") === 123L))
+    assert(total == 5 && kept.size == 1,
+      s"bucket prune must keep exactly 1 of 4 pre-widen files: $kept")
+    assert(GraftCatalog.readSnapshot(spark, root,
+      predicate = Some(col("id") === 123L)).count() == 1)
+    // time travel serves the PRE-widen schema
+    assert(GraftCatalog.readSnapshot(spark, root, Some(1L))
+      .schema("v").dataType == org.apache.spark.sql.types.IntegerType)
+    // rejections: narrowing, and hash-layout columns (checked first —
+    // a bucket tuple hashes differently under a wider type)
+    val eNarrow = intercept[IllegalArgumentException](
+      GraftCatalog.widenSnapshotColumn(
+        spark, root, "v", org.apache.spark.sql.types.IntegerType))
+    assert(eNarrow.getMessage.contains("not a safe"))
+    val eLayout = intercept[IllegalArgumentException](
+      GraftCatalog.widenSnapshotColumn(
+        spark, root, "id", org.apache.spark.sql.types.DecimalType(38, 0)))
+    assert(eLayout.getMessage.contains("partition spec"))
+  }
+
   test("hidden partitioning: bucket tuple prunes what stats cannot, rows identical") {
     import spark.implicits._
     val root = s"$tmp/snappt_${System.nanoTime()}"
@@ -1988,6 +2035,53 @@ class SourcesCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ stays shuffle-free under merge-on-read deletion vectors") {
+    import spark.implicits._
+    def mk(prefix: String, n: Int, vc: String): String = {
+      val root = s"$tmp/snapspjdv_${prefix}_${System.nanoTime()}"
+      GraftCatalog.setSnapshotPartitionSpec(spark, root,
+        Seq(graft.sources.PartitionField("k", "bucket", 8)))
+      GraftCatalog.commitSnapshot(
+        spark.range(n).select(col("id").as("k"), (col("id") * 3).as(vc))
+          .repartition(1),
+        root, append = false)
+      root
+    }
+    val left = mk("l", 1000, "lv")
+    val right = mk("r", 800, "rv")
+    // MoR deletes on BOTH sides — the round-11 SPJ refused this table
+    GraftCatalog.deleteSnapshotWhereMor(spark, left, col("k") % 5 === 0)
+    GraftCatalog.deleteSnapshotWhereMor(spark, right, col("k") % 7 === 0)
+    val priorConf = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val l = GraftCatalog.readSnapshotSpj(spark, left)
+      val r = GraftCatalog.readSnapshotSpj(spark, right)
+      val joined = l.join(r, "k")
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        "DV'd SPJ must keep the shuffle-free plan — per-file application")
+      // row identity vs the relational replay of both deletes
+      val expect = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("lv"))
+        .where(col("k") % 5 =!= 0)
+        .join(spark.range(800).select(col("id").as("k"), (col("id") * 3).as("rv"))
+          .where(col("k") % 7 =!= 0), "k")
+        .collect().toSet
+      val got = joined.collect().toSet
+      assert(got == expect, s"got ${got.size} rows, expect ${expect.size}")
+      // filters over the DV'd scan still evaluate exactly (they ride as
+      // residuals above the unpushed per-file readers)
+      assert(l.where(col("k") % 5 === 0).count() == 0)
+      assert(l.where(col("k") > 500).count() ==
+        (501L to 999L).count(_ % 5 != 0))
+    } finally priorConf match {
+      case Some(vv) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", vv)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("storage-partitioned join: bucket-aligned snapshot⋈snapshot plans zero exchanges") {
     import spark.implicits._
     def mkTable(prefix: String, nRows: Int, valCol: String): String = {
@@ -2038,12 +2132,18 @@ class SourcesCatalogSpec extends AnyFunSuite {
       // advisory row-group skips, Spark keeps exact evaluation)
       assert(GraftCatalog.readSnapshotSpj(spark, left)
         .where(col("k") < 10L).count() == 10)
-      // loud preconditions: DVs and non-bucket specs refuse
+      // DVs now apply per file INSIDE the readers (see the dedicated
+      // MoR-SPJ spec); only a pathological DV beyond the planning
+      // bound still refuses loudly
       GraftCatalog.deleteSnapshotWhereMor(spark, left, col("k") === 5L)
-      val e = intercept[IllegalArgumentException] {
-        GraftCatalog.readSnapshotSpj(spark, left)
-      }
-      assert(e.getMessage.contains("deletion vectors"))
+      assert(GraftCatalog.readSnapshotSpj(spark, left).count() == 999)
+      spark.conf.set("spark.graft.dv.broadcastMaxPositions", "0")
+      try {
+        val e = intercept[IllegalArgumentException] {
+          GraftCatalog.readSnapshotSpj(spark, left)
+        }
+        assert(e.getMessage.contains("compact first"))
+      } finally spark.conf.unset("spark.graft.dv.broadcastMaxPositions")
     } finally priorConf match {
       case Some(vv) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", vv)
       case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")

@@ -42,6 +42,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded replay probe: finds committed tags, stops at this sink's older tag, ignores other namespaces") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.GraftCatalog
+    val root = s"/tmp/graft-streaming/replay_${System.nanoTime()}"
+    val df = spark.range(5).select(col("id"))
+    // batches 1..3 for the default namespace, interleaved with another
+    // sink's batch 9 (whose higher id must NOT terminate the scan) and
+    // a non-numeric-suffix tag
+    GraftCatalog.commitSnapshotBatch(df, root, 1L)
+    GraftCatalog.commitSnapshotBatch(df, root, 9L, sinkId = "other")
+    GraftCatalog.commitSnapshotBatch(df, root, 2L)
+    GraftCatalog.commitSnapshotBatch(df, root, 3L)
+    assert(GraftCatalog.findBatchReplay(spark, root, "#batch:", 2L).contains(3L),
+      "committed batch resolves to its version")
+    assert(GraftCatalog.findBatchReplay(spark, root, "#batch:", 7L).isEmpty,
+      "uncommitted id above the newest tag probes empty (bounded at tag 3)")
+    assert(GraftCatalog.findBatchReplay(spark, root, "#batch:other:", 9L)
+      .contains(2L), "namespaced tags resolve within their own prefix")
+    // replay through the public wrapper: no new version
+    val head = GraftCatalog.snapshotVersions(spark, root).last
+    assert(GraftCatalog.commitSnapshotBatch(df, root, 2L) == 3L)
+    assert(GraftCatalog.snapshotVersions(spark, root).last == head)
+  }
+
   test("foreachBatch sink lands batches idempotently under replay") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

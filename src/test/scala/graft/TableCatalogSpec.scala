@@ -177,20 +177,66 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) == 0L)
   }
 
-  test("CTAS, RENAME rejection, DROP") {
+  test("ALTER TABLE ALTER COLUMN TYPE widens int→bigint as pure metadata") {
+    spark.sql("CREATE TABLE graft.db.widen (id BIGINT, v INT)")
+    spark.sql("INSERT INTO graft.db.widen SELECT id, CAST(id AS INT) FROM range(0, 100)")
+    val root = s"$warehouse/db/widen"
+    val filesBefore = GraftCatalog.snapshotScanFiles(spark, root)._1.toSet
+    spark.sql("ALTER TABLE graft.db.widen ALTER COLUMN v TYPE BIGINT")
+    assert(GraftCatalog.snapshotScanFiles(spark, root)._1.toSet == filesBefore,
+      "widening through the catalog must publish zero data files")
+    assert(spark.table("graft.db.widen").schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a beyond-int value now inserts through the ordinary SQL path
+    spark.sql("INSERT INTO graft.db.widen VALUES (500, 10000000000)")
+    assert(spark.sql("SELECT sum(v) FROM graft.db.widen").head().getLong(0) ==
+      4950L + 10000000000L)
+    // narrowing rejects — Spark's own analysis refuses it before the
+    // catalog is even consulted
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.widen ALTER COLUMN v TYPE INT"))
+    assert(e.getMessage.toUpperCase.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("not a safe"))
+  }
+
+  test("CTAS, RENAME with metadata migration, DROP") {
     spark.sql(
       "CREATE TABLE graft.db.ctas AS SELECT id, id * 2 AS dbl FROM range(0, 10)")
     assert(spark.sql("SELECT sum(dbl) FROM graft.db.ctas").head().getLong(0) == 90)
-    // manifests key files by absolute path — RENAME must reject loudly
-    // (the Iceberg HadoopCatalog precedent), never silently corrupt
-    val e = intercept[Exception](
-      spark.sql("ALTER TABLE graft.db.ctas RENAME TO graft.db.ctas2"))
-    assert(e.getMessage.contains("absolute path"))
-    assert(spark.sql("SELECT count(*) FROM graft.db.ctas").head().getLong(0) == 10,
-      "rejected rename must leave the table untouched")
-    spark.sql("DROP TABLE graft.db.ctas")
+    // build rename-hostile state: a second version, a tag pinning v1,
+    // and a merge-on-read DV (its sidecar keys absolute paths too)
+    spark.sql("INSERT INTO graft.db.ctas SELECT id, id * 2 FROM range(10, 20)")
+    spark.sql("CALL graft.system.tag('db.ctas', 'pre_rename', 2)")
+    spark.sql("ALTER TABLE graft.db.ctas SET TBLPROPERTIES ('write.mode' = 'mor')")
+    spark.sql("DELETE FROM graft.db.ctas WHERE id IN (3, 15)")
+    spark.sql("ALTER TABLE graft.db.ctas RENAME TO db.ctas2")
     assert(!spark.sql("SHOW TABLES IN graft.db").collect()
-      .map(_.getString(1)).contains("ctas"))
+      .map(_.getString(1)).contains("ctas"), "old name must vanish")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ctas2").head().getLong(0)
+      == 18L, "head read under the new name must apply the migrated DV")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.ctas2 WHERE id IN (3, 15)")
+      .head().getLong(0) == 0L)
+    // time travel + tags survive the move
+    assert(spark.sql("SELECT count(*) FROM graft.db.ctas2 VERSION AS OF 1")
+      .head().getLong(0) == 0L, "v1 is the empty CREATE commit")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ctas2 VERSION AS OF 2")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.ctas2 VERSION AS OF 'pre_rename'")
+      .head().getLong(0) == 10L)
+    // writes land under the new root
+    spark.sql("INSERT INTO graft.db.ctas2 VALUES (100, 200)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ctas2").head().getLong(0)
+      == 19L)
+    // renaming onto an existing table rejects
+    spark.sql("CREATE TABLE graft.db.ctas3 (id BIGINT)")
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.ctas2 RENAME TO db.ctas3"))
+    spark.sql("DROP TABLE graft.db.ctas2")
+    spark.sql("DROP TABLE graft.db.ctas3")
+    assert(!spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("ctas2"))
   }
 
   test("CALL graft.system: compact, rollback, tag, vacuum") {
