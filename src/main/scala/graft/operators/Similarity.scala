@@ -761,21 +761,59 @@ object Similarity {
     * previously only spec floors, now a first-class queryable op. Each
     * method reuses its resident index (the s0x machinery and caches);
     * the truth set is 10 ids, so every intersection is a broadcast
-    * semi-join against a 10-row side. Rows-only (the approximate
-    * methods are engine-specific); the per-method floors stay asserted
-    * in PipelineSpec. */
+    * join against a 10-row side.
+    *
+    * ORACLE-CHECKED via the d19 export pattern: the approximate
+    * methods' candidate sets are engine-specific by design, but the
+    * recall ARITHMETIC and the ground truth are not — Spark exports
+    * the per-method candidate ids to a pinned parquet path, and DuckDB
+    * recomputes the truth set with its OWN brute-force cosine (the
+    * s01 oracle) and replays the recall fractions from the exported
+    * candidates. A hash match proves the eval harness (truth set, hit
+    * counting, fraction) end-to-end; the per-method recall FLOORS stay
+    * asserted in PipelineSpec. */
+  private[graft] val s10ExportPath = s"$IndexRoot/s10cand"
+
   private def s10(s: SparkSession, d: String): DataFrame = {
-    val truth = s01(s, d).select("vec_id")
     val methods: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "lsh" -> s02, "ivf" -> s03, "sketch_rerank" -> s05,
       "pq" -> s07, "ivfpq" -> s08, "sq8" -> s11)
     methods.map { case (name, fn) =>
-      fn(s, d).select("vec_id").join(broadcast(truth), "vec_id")
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(name).as("method"), lit(10).cast("int").as("k"),
-          col("n_hits"), round(col("n_hits") / 10.0, 2).as("recall"))
-    }.reduce(_ unionByName _).orderBy("method")
+      fn(s, d).select(lit(name).as("method"), col("vec_id"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s10ExportPath)
+    val truth = s01(s, d).select(col("vec_id"), lit(1).as("__t"))
+    s.read.parquet(s10ExportPath)
+      .join(broadcast(truth), Seq("vec_id"), "left")
+      .groupBy("method")
+      .agg(count(col("__t")).as("n_hits"))
+      .select(col("method"), lit(10).cast("int").as("k"), col("n_hits"),
+        round(col("n_hits") / 10.0, 2).as("recall"))
+      .orderBy("method")
   }
+
+  private val s10Oracle: String =
+    """WITH cand AS (
+      |  SELECT method, vec_id
+      |  FROM read_parquet('/tmp/graft-index/s10cand/*.parquet')),
+      |n AS (
+      |  SELECT vec_id,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm,
+      |    embedding AS e
+      |  FROM embeddings),
+      |q AS (SELECT e AS qe, nrm AS qnrm FROM n WHERE vec_id = 0),
+      |truth AS (
+      |  SELECT vec_id FROM (
+      |    SELECT vec_id,
+      |      round(list_reduce(list_transform(list_zip(e, qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |        / (nrm * qnrm), 6) AS cos_r
+      |    FROM n, q WHERE vec_id <> 0
+      |    ORDER BY cos_r DESC, vec_id LIMIT 10))
+      |SELECT c.method, CAST(10 AS INT) AS k,
+      |  CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits,
+      |  ROUND(COUNT(t.vec_id) / 10.0, 2) AS recall
+      |FROM cand c LEFT JOIN truth t USING (vec_id)
+      |GROUP BY c.method ORDER BY c.method""".stripMargin
 
   private val sqCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, Array[Double], Array[Double])]()
@@ -955,7 +993,7 @@ object Similarity {
     Q("s07_ann_pq", None, s07),
     Q("s08_ann_ivfpq", None, s08),
     Q("s09_ann_filtered_ivf", None, s09),
-    Q("s10_ann_recall_eval", None, s10),
+    Q("s10_ann_recall_eval", Some(s10Oracle), s10),
     Q("s11_ann_sq8", None, s11),
     Q("s12_snapshot_ivf_maintain", None, s12))
 }
