@@ -352,10 +352,52 @@ object CatalogOps {
       |  COUNT(DISTINCT ok) AS nk
       |FROM t2 GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q150 — SCHEMA/TABLE EVOLUTION on the driver gate: clone the
+    * orders base, WIDEN the o_custkey column int→bigint as pure
+    * metadata (the clone's committed schema declares it INT via the
+    * dedicated int base), insert a beyond-int customer key through the
+    * widened column, RENAME the table (directory move + one-pass
+    * manifest/sidecar path migration), and aggregate from the NEW
+    * name — with the pre-rename, pre-widen files read in place. The
+    * DuckDB oracle replays the post-state relationally; the hash match
+    * proves widen+rename are invisible to the data. */
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    val wh = catalogConf(s, d)
+    // dedicated int-typed base (o_custkey INT) so the widen is real
+    val base = pooledBase(s, d, "catbase_int")(
+      ordersDf(s, d).withColumn("o_custkey", col("o_custkey").cast("int")))
+    wipe(s, s"$wh/db/evo")
+    wipe(s, s"$wh/db/evo2")
+    graft.sources.GraftCatalog.cloneSnapshot(s, base, s"$wh/db/evo")
+    s.sql("ALTER TABLE graft.db.evo ALTER COLUMN o_custkey TYPE BIGINT")
+    s.sql("INSERT INTO graft.db.evo VALUES " +
+      "(900000001, 40000000000, 5.0, '0-EVO'), " +
+      "(900000002, 40000000001, 7.0, '0-EVO')")
+    s.sql("ALTER TABLE graft.db.evo RENAME TO db.evo2")
+    s.sql(
+      """SELECT pr, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  MAX(o_custkey) AS mc
+        |FROM graft.db.evo2 GROUP BY pr ORDER BY pr""".stripMargin)
+  }
+
+  private val q150Oracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, o_orderpriority AS pr
+      |  FROM orders
+      |  UNION ALL VALUES (900000001, 40000000000, 5.0, '0-EVO'),
+      |                   (900000002, 40000000001, 7.0, '0-EVO'))
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  MAX(o_custkey) AS mc
+      |FROM base GROUP BY pr ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q145_catalog_dml", Some(q145Oracle), q145),
     Q("q146_catalog_travel", Some(q146Oracle), q146),
     Q("q147_catalog_maintenance", Some(q147Oracle), q147),
     Q("q148_general_merge", Some(q148Oracle), q148),
-    Q("q149_composite_merge", Some(q149Oracle), q149))
+    Q("q149_composite_merge", Some(q149Oracle), q149),
+    Q("q150_catalog_evolve", Some(q150Oracle), q150))
 }
