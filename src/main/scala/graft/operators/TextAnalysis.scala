@@ -1095,7 +1095,93 @@ object TextAnalysis {
     Q("t25_gopher_char_fracs", Some(t25Oracle), t25),
     Q("t26_dsir_scores", None, t26),
     Q("t27_source_overlap", Some(t27Oracle), t27),
-    Q("t28_contamination", Some(t28Oracle), t28))
+    Q("t28_contamination", Some(t28Oracle), t28),
+    Q("t29_lm_perplexity", Some(t29Oracle), t29))
+
+  /** t29 — n-gram LM PERPLEXITY quality filtering (the CCNet recipe
+    * every production pretraining pipeline runs: score each document's
+    * cross-entropy under a language model trained on a trusted
+    * reference, keep what scores fluent): here the LM is a word-BIGRAM
+    * model with Laplace smoothing trained on a deterministic reference
+    * half (`doc_id % 5 = 0` — the d19 split discipline), and every
+    * remaining document gets `ce = -(1/n) Σ ln P(w2|w1)` with
+    * `P = (c2 + 1) / (c1 + V)`. Unlike KenLM this LM is EXACT integer
+    * count arithmetic, so DuckDB replays the entire pipeline — train,
+    * smooth, score, filter — and the hash match proves the whole
+    * filter end-to-end (the reference's quality-scoring surface has
+    * nothing comparable). Scale posture: the count tables are
+    * data-sized and joined BIGRAM-KEYED with no broadcast hint (AQE
+    * decides from runtime size — a 100 TB reference LM shuffles, a
+    * small one broadcasts); the vocab scalar rides a broadcast
+    * 1-row agg (d19's pattern); everything else is two linear
+    * group-bys. Float discipline: per-term nll rounds through
+    * DECIMAL(18,6) before every SUM (§5), so the doc and source
+    * averages are order-independent in both engines. */
+  /** Factored for PipelineSpec's detection proof: per-doc (doc_id,
+    * source, ce) cross-entropies of the scored half under the
+    * reference half's bigram LM. */
+  private[graft] def lmPerplexityScores(docsDf: DataFrame): DataFrame = {
+    val toks = docsDf.select(col("doc_id"),
+      col("source"),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .where(size(col("ws")) >= 2)
+    val bi = toks.select(col("doc_id"), col("source"), explode(expr(
+      "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+      .as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+    val ref = bi.where(col("doc_id") % 5 === 0)
+    val c2 = ref.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = ref.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = ref.agg(countDistinct(col("w1")).as("v"))
+    bi.where(col("doc_id") % 5 =!= 0)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("nll",
+        log(coalesce(col("c1"), lit(0L)) + col("v")) -
+          log(coalesce(col("c2"), lit(0L)) + lit(1L)))
+      .groupBy("doc_id", "source")
+      .agg((sum(col("nll").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("ce"))
+  }
+
+  private def t29(s: SparkSession, d: String): DataFrame =
+    lmPerplexityScores(Tables.df(s, d, "documents")).groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      round(sum(col("ce").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("avg_ce"),
+      sum(when(col("ce") <= 8.0, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+
+  private val t29Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+      |  FROM documents
+      |  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= 2),
+      |bi AS (
+      |  SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM tok, UNNEST(range(1, len(ws))) AS t(i)),
+      |ref AS (SELECT w1, w2 FROM bi WHERE doc_id % 5 = 0),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM ref GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM ref GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w1) AS v FROM ref),
+      |pd AS (
+      |  SELECT b.doc_id, ANY_VALUE(b.source) AS source,
+      |    CAST(SUM(CAST(ln(COALESCE(c1.c1, 0) + v.v)
+      |                - ln(COALESCE(c2.c2, 0) + 1) AS DECIMAL(18,6)))
+      |      AS DOUBLE) / COUNT(*) AS ce
+      |  FROM bi b
+      |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      |  LEFT JOIN c1 ON b.w1 = c1.w1
+      |  CROSS JOIN v
+      |  WHERE b.doc_id % 5 <> 0
+      |  GROUP BY b.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(CAST(SUM(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_ce,
+      |  CAST(SUM(CASE WHEN ce <= 8.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM pd GROUP BY source ORDER BY source""".stripMargin
 
   /** t28 — train/test CONTAMINATION detection (the diligence gate
     * every training pipeline runs before reporting eval numbers: did a

@@ -289,6 +289,24 @@ class PipelineSpec extends AnyFunSuite {
       "above the gate the text-carrying dim must NOT be hint-broadcast")
   }
 
+  test("t29's bigram LM scores gibberish strictly worse than in-distribution text") {
+    import spark.implicits._
+    // reference half (ids % 5 == 0) teaches a tiny consistent grammar;
+    // scored docs: one in-distribution, one with the SAME vocabulary
+    // but shuffled word order (every bigram unseen) — perplexity must
+    // separate them even though unigram stats are identical
+    val fluent = "the quick brown fox jumps over the lazy dog"
+    val refDocs = (0L to 40L by 5).map(i => (i, s"$fluent again and $fluent", "ref"))
+    val inDist = (1L, fluent, "good")
+    val gibberish = (2L, "dog the over quick lazy jumps brown the fox", "bad")
+    val docs = (refDocs :+ inDist :+ gibberish).toDF("doc_id", "text", "source")
+    val ce = graft.operators.TextAnalysis.lmPerplexityScores(docs)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("ce")).toMap
+    assert(ce.keySet == Set("good", "bad"), s"scored half only: $ce")
+    assert(ce("bad") > ce("good") + 1.0,
+      s"shuffled word order must score clearly worse: $ce")
+  }
+
   test("pageRank: star center outranks leaves, mass conserved, singleton at teleport floor") {
     import spark.implicits._
     val nodes = (0L to 5L).toDF("id") // 0 = center, 1-4 leaves, 5 singleton
