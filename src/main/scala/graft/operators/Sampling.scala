@@ -1152,6 +1152,64 @@ object Sampling {
       .select(col("doc_id"), col("score"), round(col("gkey"), 4).as("gkey"))
       .orderBy(col("gkey").desc, col("doc_id"))
 
+  /** p25 — SEQUENCE PACKING (the GPT-style concat-and-chunk batch
+    * prep every pretraining run does before the model ever sees data):
+    * documents tokenize, concatenate in stable doc_id order WITHIN
+    * EACH SOURCE SHARD, and split at a fixed context length (512).
+    * Per-shard packing is the realistic scale shape — each shard's
+    * running-offset window is independent, so the op parallelizes by
+    * construction instead of forcing one global sort (a single global
+    * window at 100 TB is a 1-partition bottleneck; per-shard is how
+    * production packers shard the work). Reports, per source: docs,
+    * tokens, chunks produced (`ceil(tokens / 512)`), boundary docs
+    * (spanning ≥2 chunks — the fraction attention masking must
+    * handle), and the mean chunk-span per doc. Pure integer window
+    * arithmetic — DuckDB replays it exactly. */
+  private def p25(s: SparkSession, d: String): DataFrame = {
+    val C = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val toks = Tables.df(s, d, "documents").select(col("doc_id"),
+      col("source"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("long").as("n"))
+      .where(col("n") > 0)
+      .withColumn("cum", sum(col("n")).over(w))
+    // integer DIV, not double division: a shard's running token count
+    // at 100 TB exceeds a double's 2^53 exact-integer range
+    val spans = toks
+      .withColumn("first_c", expr(s"(cum - n) DIV $C"))
+      .withColumn("last_c", expr(s"(cum - 1) DIV $C"))
+      .withColumn("span", col("last_c") - col("first_c") + 1)
+    spans.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n")).as("n_toks"),
+      expr(s"(MAX(cum) + ${C - 1}) DIV $C").as("n_chunks"),
+      sum(when(col("span") > 1, 1L).otherwise(0L)).as("n_boundary"),
+      round(sum(col("span")).cast("double") / count(lit(1)), 6).as("avg_span"))
+      .orderBy("source")
+  }
+
+  private val p25Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n
+      |  FROM documents
+      |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+      |c AS (
+      |  SELECT doc_id, source, n,
+      |    SUM(n) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |  FROM t),
+      |s AS (
+      |  SELECT source, n, cum,
+      |    ((cum - 1) // 512) - ((cum - n) // 512) + 1 AS span
+      |  FROM c)
+      |SELECT source, COUNT(*) AS n_docs, SUM(n) AS n_toks,
+      |  (MAX(cum) + 511) // 512 AS n_chunks,
+      |  CAST(SUM(CASE WHEN span > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary,
+      |  ROUND(CAST(SUM(span) AS DOUBLE) / COUNT(*), 6) AS avg_span
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
@@ -1176,5 +1234,6 @@ object Sampling {
     Q("p21_pps_stratified", Some(p21Oracle), p21),
     Q("p22_budget_fill", Some(p22Oracle), p22),
     Q("p23_alpha_mix", Some(p23Oracle), p23),
-    Q("p24_gumbel_topk", None, p24))
+    Q("p24_gumbel_topk", None, p24),
+    Q("p25_pack_chunks", Some(p25Oracle), p25))
 }
