@@ -2181,24 +2181,52 @@ object GraftCatalog {
     require(specs.nonEmpty, s"SPJ read of $root: no partition spec")
     val activeId = specs.keys.max
     val spec = specs(activeId)
-    require(spec.size == 1 && spec.head.transform == "bucket",
-      s"SPJ read of $root: active spec must be a single bucket field, got $spec")
+    // MULTI-FIELD specs report the whole transform tuple (r12): any mix
+    // of `bucket` and `identity` fields becomes a composite
+    // KeyGroupedPartitioning, so `PARTITIONED BY (bucket(8, k),
+    // identity(region))` joins shuffle-free on (k, region). Range-ish
+    // transforms (truncate/year/…) stay rejected — Catalyst has no
+    // co-partitioning semantics for them.
+    require(spec.nonEmpty && spec.forall(f =>
+        f.transform == "bucket" || f.transform == "identity"),
+      s"SPJ read of $root: active spec must be bucket/identity fields, got $spec")
+    val schema = readSchemaLine(fs, r, v).getOrElse(
+      spark.read.parquet(readManifest(fs, r, v).head).schema)
+    // an identity field's tuple renders as a string in the path — map
+    // it back to the Catalyst-internal value of its COLUMN type for
+    // the partition key rows
+    def identityValue(c: String, raw: String): Any = {
+      import org.apache.spark.sql.types._
+      schema(c).dataType match {
+        case LongType => java.lang.Long.valueOf(raw)
+        case IntegerType => java.lang.Integer.valueOf(raw)
+        case ShortType => java.lang.Short.valueOf(raw)
+        case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+        case BooleanType => java.lang.Boolean.valueOf(raw)
+        case other => throw new IllegalArgumentException(
+          s"SPJ identity field $c: unsupported key type ${other.simpleString}")
+      }
+    }
     val files = readManifest(fs, r, v)
     val stats = readStats(spark, root, v)
-    val buckets: Map[Int, Seq[(String, Long)]] = files.map { f =>
-      require(specIdOfPath(f) == activeId && filePartitionTuple(f).nonEmpty,
+    val groups: Map[Seq[Any], Seq[(String, Long)]] = files.map { f =>
+      val tuple = filePartitionTuple(f)
+      require(specIdOfPath(f) == activeId && tuple.nonEmpty,
         s"SPJ read of $root: $f lacks the active spec's tuple — " +
           "compactSnapshotPartitioned migrates it")
-      val b = filePartitionTuple(f)(0).getOrElse(
-        throw new IllegalStateException(s"null bucket tuple on $f")).toInt
+      val key: Seq[Any] = spec.zipWithIndex.map { case (pf, i) =>
+        val raw = tuple(i).getOrElse(throw new IllegalArgumentException(
+          s"SPJ read of $root: null ${pf.transform}(${pf.col}) tuple on " +
+            s"$f — null partition keys have no co-partitioning contract"))
+        if (pf.transform == "bucket") Integer.valueOf(raw.toInt)
+        else identityValue(pf.col, raw)
+      }
       val len = stats.get(f).flatMap(_.len).getOrElse(
         fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
-      (b, (f, len))
-    }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
-    val schema = readSchemaLine(fs, r, v).getOrElse(
-      spark.read.parquet(files.head).schema)
+      (key, (f, len))
+    }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
     org.apache.spark.sql.GraftSpjBridge.dataFrame(spark, root, schema,
-      spec.head.col, spec.head.n, buckets, dvByFile)
+      spec.map(pf => (pf.col, pf.transform, pf.n)), groups, dvByFile)
   }
 
   /** DESCRIBE FILES — the physical layout of a version as a DataFrame,

@@ -2035,6 +2035,53 @@ class SourcesCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-field SPJ: bucket + identity spec joins shuffle-free on the composite key") {
+    import spark.implicits._
+    def mk(prefix: String, n: Int, vc: String): String = {
+      val root = s"$tmp/snapspjmf_${prefix}_${System.nanoTime()}"
+      GraftCatalog.setSnapshotPartitionSpec(spark, root, Seq(
+        graft.sources.PartitionField("k", "bucket", 4),
+        graft.sources.PartitionField("g", "identity")))
+      GraftCatalog.commitSnapshot(
+        spark.range(n).select(col("id").as("k"), (col("id") % 3).as("g"),
+          (col("id") * 7).as(vc)).repartition(1),
+        root, append = false)
+      root
+    }
+    val left = mk("l", 600, "lv")
+    val right = mk("r", 400, "rv")
+    val prior = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val l = GraftCatalog.readSnapshotSpj(spark, left)
+      val r = GraftCatalog.readSnapshotSpj(spark, right)
+      val joined = l.join(r, Seq("k", "g"))
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"composite-key SPJ must not shuffle:\n${joined.queryExecution.executedPlan.treeString.take(2500)}")
+      val expect = spark.range(600)
+        .select(col("id").as("k"), (col("id") % 3).as("g"), (col("id") * 7).as("lv"))
+        .join(spark.range(400).select(col("id").as("k"), (col("id") % 3).as("g"),
+          (col("id") * 7).as("rv")), Seq("k", "g"))
+        .collect().toSet
+      assert(joined.collect().toSet == expect && expect.size == 400)
+      // a RANGE-ish transform still rejects loudly
+      val bad = s"$tmp/snapspjmf_bad_${System.nanoTime()}"
+      GraftCatalog.setSnapshotPartitionSpec(spark, bad, Seq(
+        graft.sources.PartitionField("k", "truncate", 10)))
+      GraftCatalog.commitSnapshot(
+        spark.range(10).select(col("id").as("k")), bad, append = false)
+      val e = intercept[IllegalArgumentException](
+        GraftCatalog.readSnapshotSpj(spark, bad))
+      assert(e.getMessage.contains("bucket/identity"))
+    } finally prior match {
+      case Some(vv) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", vv)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("SPJ stays shuffle-free under merge-on-read deletion vectors") {
     import spark.implicits._
     def mk(prefix: String, n: Int, vc: String): String = {
