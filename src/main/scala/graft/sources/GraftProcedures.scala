@@ -48,7 +48,8 @@ object GraftProcedures {
     "merge_branch" -> (c => mergeBranch(c)),
     "clone" -> (c => cloneProc(c)),
     "set_check" -> (c => setCheck(c)),
-    "drop_check" -> (c => dropCheck(c)))
+    "drop_check" -> (c => dropCheck(c)),
+    "rename" -> (c => renameProc(c)))
 
   private def spark: SparkSession = SparkSession.active
 
@@ -213,6 +214,21 @@ object GraftProcedures {
         GraftCatalog.dropSnapshotCheck(spark, c.resolveTableArg(t), name)
         (new StructType().add("check_name", StringType, false),
           InternalRow(UTF8String.fromString(name)))
+    }
+
+  private def renameProc(c: GraftTableCatalog): UnboundProcedure =
+    proc("rename",
+      "move the table root and migrate its path-keyed metadata " +
+        "(manifests, stats, DV sidecars, branches) in one pass — the " +
+        "path-addressed spelling of ALTER TABLE … RENAME TO; QUIESCED " +
+        "operation (no concurrent writer)",
+      Array(param("table", StringType), param("target", StringType))) {
+      (t, in) =>
+        val src = c.resolveTableArg(t)
+        val dst = c.resolveNewTableArg(in.getUTF8String(1).toString)
+        GraftCatalog.renameSnapshotTable(spark, src, dst)
+        (new StructType().add("new_root", StringType, false),
+          InternalRow(UTF8String.fromString(dst)))
     }
 
   private def mergeBranch(c: GraftTableCatalog): UnboundProcedure =

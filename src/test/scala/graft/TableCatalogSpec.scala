@@ -233,7 +233,13 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CREATE TABLE graft.db.ctas3 (id BIGINT)")
     intercept[Exception](
       spark.sql("ALTER TABLE graft.db.ctas2 RENAME TO db.ctas3"))
-    spark.sql("DROP TABLE graft.db.ctas2")
+    // the CALL spelling (path-addressed tables get the same verb)
+    val nr = spark.sql("CALL graft.system.rename('db.ctas2', 'db.ctas4')")
+    assert(nr.columns.toSeq == Seq("new_root") &&
+      nr.head().getString(0).endsWith("/db/ctas4"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.ctas4").head().getLong(0)
+      == 19L)
+    spark.sql("DROP TABLE graft.db.ctas4")
     spark.sql("DROP TABLE graft.db.ctas3")
     assert(!spark.sql("SHOW TABLES IN graft.db").collect()
       .map(_.getString(1)).contains("ctas2"))
