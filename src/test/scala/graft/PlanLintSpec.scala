@@ -35,7 +35,8 @@ class PlanLintSpec extends AnyFunSuite {
       "d19_incremental_verdicts", // broadcast 1-row id-space split scalar
       "t23_collocations",       // broadcast 1-row bigram/unigram totals
       "p23_alpha_mix",          // broadcast 1-row sqrt-size total scalar
-      "s12_snapshot_ivf_maintain") // broadcast nlist(16)-row centroid model (assignment argmax)
+      "s12_snapshot_ivf_maintain", // broadcast nlist(16)-row centroid model (assignment argmax)
+      "t29_lm_perplexity")      // broadcast 1-row reference-vocab scalar
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
