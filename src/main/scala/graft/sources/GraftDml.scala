@@ -220,17 +220,13 @@ object GraftDml {
       }
     case m: MergeIntoTable =>
       targetRoot(spark, m.targetTable).map { case (root, view) =>
-        // mergeSnapshot is a full-row upsert by key — require exactly
-        // that statement shape and reject the rest loudly (a silent
-        // partial lowering would be a wrong-answer machine):
-        //   MERGE INTO t USING s ON t.k = s.k
-        //   WHEN MATCHED THEN UPDATE SET *
-        //   WHEN NOT MATCHED THEN INSERT *
-        // Resolve which equality side is the TARGET's key and which
-        // the source's: same-named keys are unambiguous; differently
-        // named keys (the common CDC-feed shape `t.k = s.src_k`)
-        // resolve by the statement's own aliases/table names as
-        // qualifiers. Ambiguous spellings reject loudly.
+        // Resolve each ON equality: which side is the TARGET's key
+        // column and which the source's. Same-named keys are
+        // unambiguous; differently named keys (the common CDC-feed
+        // shape `t.k = s.src_k`) resolve by the statement's own
+        // aliases/table names as qualifiers. Ambiguous spellings
+        // reject loudly — a silent wrong-side guess would be a
+        // wrong-answer machine.
         def aliasNamesOf(pl: LogicalPlan): Set[String] = pl match {
           case a: SubqueryAlias =>
             Set(a.alias.toLowerCase(java.util.Locale.ROOT)) ++ aliasNamesOf(a.child)
@@ -525,10 +521,6 @@ case class GraftInsertCommand(root: String, view: Option[String],
   }
 }
 
-/** Upsert-form `MERGE INTO` → [[GraftCatalog.mergeSnapshot]]. The
-  * source plan stays UNRESOLVED inside the command (not a child, so
-  * the analyzer leaves it alone) and is analyzed at run time — it can
-  * be a table, subquery, VALUES list, or a graft TVF. */
 /** The GENERAL merge: ordered `WHEN MATCHED [AND c] THEN UPDATE SET
   * x = expr…` / `THEN DELETE` clauses (arbitrary assignments mixing
   * `t.*`/`s.*`), ordered `WHEN NOT MATCHED [AND c] THEN INSERT`
@@ -707,6 +699,11 @@ case class GraftMergeDeleteCommand(root: String, view: Option[String],
   }
 }
 
+/** Upsert-form `MERGE INTO` (star update + star insert, optionally +
+  * by-source sync delete) → [[GraftCatalog.mergeSnapshotKeys]]. The
+  * source plan stays UNRESOLVED inside the command (not a child, so
+  * the analyzer leaves it alone) and is analyzed at run time — it can
+  * be a table, subquery, VALUES list, or a graft TVF. */
 case class GraftMergeCommand(root: String, view: Option[String],
     source: LogicalPlan, keyPairs: Seq[(String, String)],
     schemaEvolution: Boolean, syncDelete: Boolean = false)
