@@ -13,7 +13,10 @@ for i in $(seq 1 "$N"); do
     'testOnly graft.SourcesCatalogSpec -- -z "concurrent appenders" -z "barrier-synced"' \
     'testOnly graft.PropertySpec -- -z "serializable"' \
     'testOnly graft.TableCatalogSpec -- -z "concurrent SQL INSERTs"' 2>&1 |
-    grep -E "Tests: succeeded" | awk -F'[ ,]+' '{s+=$3; f+=$5} END {print s, f}')
+    grep -E "Tests: succeeded" |
+    awk -F'[ ,]+' '{for (i=1; i<NF; i++) {
+        if ($i == "succeeded") s += $(i+1)
+        if ($i == "failed") f += $(i+1) }} END {print s+0, f+0}')
   read -r ok bad <<<"$out"
   echo "raceloop iter $i: succeeded=$ok failed=$bad"
   if [ "${bad:-1}" != "0" ] || [ "${ok:-0}" = "0" ]; then fails=$((fails+1)); fi
