@@ -980,7 +980,62 @@ object SnapshotOps {
          |GROUP BY o.pr ORDER BY o.pr""".stripMargin)
   }
 
+  /** q151 — MULTI-FIELD storage-partitioned join, oracle-reconciled:
+    * both sides land under the COMPOSITE spec `(bucket(8, o_custkey),
+    * identity(pr))` and join on BOTH columns through the composite
+    * KeyGroupedPartitioning — zero shuffle exchanges on a two-column
+    * join key (plan-asserted for the same shape in
+    * SourcesCatalogSpec); DuckDB recomputes the join relationally, so
+    * the hash match proves the tuple-aligned join is the same join. */
+  private def spjMfFixtures(s: SparkSession, d: String): (String, String) = {
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val spec = Seq(graft.sources.PartitionField("o_custkey", "bucket", 8),
+      graft.sources.PartitionField("pr", "identity"))
+    val (lroot, _) = pooledTable(s, d, "snapspjmfl") { root =>
+      GraftCatalog.setSnapshotPartitionSpec(s, root, spec)
+      GraftCatalog.commitSnapshot(ordersDf(s, d).repartition(1),
+        root, append = false)
+      0L
+    }
+    val (rroot, _) = pooledTable(s, d, "snapspjmfr") { root =>
+      GraftCatalog.setSnapshotPartitionSpec(s, root, spec)
+      GraftCatalog.commitSnapshot(
+        ordersDf(s, d).groupBy("o_custkey", "pr")
+          .agg(count(lit(1)).as("n_orders"),
+            expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)")
+              .as("grp_total"))
+          .repartition(1),
+        root, append = false)
+      0L
+    }
+    (lroot, rroot)
+  }
+
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    val (lroot, rroot) = spjMfFixtures(s, d)
+    GraftCatalog.readSnapshotSpj(s, lroot)
+      .join(GraftCatalog.readSnapshotSpj(s, rroot), Seq("o_custkey", "pr"))
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(grp_total AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("joined_total"))
+      .orderBy("pr")
+  }
+
+  private val q151Oracle: String =
+    """WITH g AS (
+      |  SELECT o_custkey, o_orderpriority AS pr,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2)))
+      |      AS DOUBLE) AS grp_total
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT g.pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(g.grp_total AS DECIMAL(18,2))) AS DOUBLE) AS joined_total
+      |FROM orders o
+      |JOIN g ON o.o_custkey = g.o_custkey AND o.o_orderpriority = g.pr
+      |GROUP BY g.pr ORDER BY g.pr""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q151_spj_multifield", Some(q151Oracle), q151),
     Q("q117_merge_cow", Some(q117Oracle), q117),
     Q("q119_delete_cow", Some(q119Oracle), q119),
     Q("q122_update_cow", Some(q122Oracle), q122),
