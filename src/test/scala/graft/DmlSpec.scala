@@ -404,6 +404,68 @@ class DmlSpec extends AnyFunSuite {
     assert(got2 == Seq("f2", "f3", "f5"), s"got $got2")
   }
 
+  test("property: multi-clause MERGE equals an independent reference over 5 seeds") {
+    import spark.implicits._
+    // the reference is a DRIVER-SIDE loop over collected rows — a
+    // genuinely independent implementation of SQL MERGE semantics
+    // (first-match-wins per group, by-source over unmatched target,
+    // conditional insert over unmatched source), not a second Spark
+    // plan that could share a bug with the engine under test
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val c1 = rnd.nextInt(400).toLong       // matched-delete threshold
+      val c2 = rnd.nextInt(40).toLong        // insert threshold
+      val c3 = rnd.nextInt(7).toLong         // by-source update group
+      val c4 = rnd.nextInt(900).toLong       // by-source delete threshold
+      val tRows = (0L until 60L).filter(_ => rnd.nextBoolean())
+        .map(id => (id, id % 7, rnd.nextInt(1000).toLong))
+      val sRows = (0L until 80L).filter(_ => rnd.nextInt(3) == 0)
+        .map(id => (id, rnd.nextInt(60).toLong))
+      val root = s"$tmp/prop_${seed}_${System.nanoTime()}"
+      GraftCatalog.commitSnapshot(tRows.toDF("id", "grp", "amount")
+        .repartitionByRange(3, col("id")), root, append = false)
+      sRows.toDF("sid", "delta").createOrReplaceTempView(s"prop_feed_$seed")
+      GraftDml.sql(spark,
+        s"""MERGE INTO `$root` AS t USING prop_feed_$seed AS s
+           |ON t.id = s.sid
+           |WHEN MATCHED AND t.amount < $c1 THEN DELETE
+           |WHEN MATCHED AND s.delta % 2 = 0 THEN
+           |  UPDATE SET amount = t.amount + s.delta
+           |WHEN MATCHED THEN UPDATE SET grp = -1
+           |WHEN NOT MATCHED AND s.delta > $c2 THEN
+           |  INSERT (id, grp, amount) VALUES (s.sid, 0, s.delta)
+           |WHEN NOT MATCHED BY SOURCE AND t.grp = $c3 THEN
+           |  UPDATE SET amount = 0
+           |WHEN NOT MATCHED BY SOURCE AND t.amount > $c4 THEN DELETE
+           |""".stripMargin)
+      // reference
+      val sMap = sRows.toMap
+      val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      tRows.foreach { case (id, g, a) =>
+        sMap.get(id) match {
+          case Some(dlt) =>
+            if (a < c1) () // deleted
+            else if (dlt % 2 == 0) expected(id) = (g, a + dlt)
+            else expected(id) = (-1L, a)
+          case None =>
+            if (g == c3) expected(id) = (g, 0L)
+            else if (a > c4) () // deleted
+            else expected(id) = (g, a)
+        }
+      }
+      val tKeys = tRows.map(_._1).toSet
+      sRows.foreach { case (sid, dlt) =>
+        if (!tKeys(sid) && dlt > c2) expected(sid) = (0L, dlt)
+      }
+      val got = GraftCatalog.readSnapshot(spark, root).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == expected.toMap,
+        s"seed $seed: MERGE diverged from the reference\n" +
+          s"only-engine: ${(got.toSet -- expected.toSet).take(5)}\n" +
+          s"only-ref: ${(expected.toSet -- got.toSet).take(5)}")
+    }
+  }
+
   test("pure spark.sql DML through GraftExtensions (Thrift-client wiring)") {
     // the production path: no Scala call site at all — the rule
     // injected at session construction lowers the parsed DML plans
