@@ -1163,8 +1163,13 @@ object Sampling {
     * production packers shard the work). Reports, per source: docs,
     * tokens, chunks produced (`ceil(tokens / 512)`), boundary docs
     * (spanning ≥2 chunks — the fraction attention masking must
-    * handle), and the mean chunk-span per doc. Pure integer window
-    * arithmetic — DuckDB replays it exactly. */
+    * handle), and the mean chunk-span per doc in fixed-point MICRO
+    * units (`avg_span_micro = (1e6 · Σspan) DIV n_docs` — exact
+    * integer floor division in BOTH engines; the r12 form rounded a
+    * double quotient and hash-diverged on the driver's DuckDB, the
+    * precise failure class the SURVEY §5 decimal discipline exists to
+    * kill). Pure integer window arithmetic end to end — DuckDB
+    * replays it exactly on any host. */
   private def p25(s: SparkSession, d: String): DataFrame = {
     val C = 512L
     val w = org.apache.spark.sql.expressions.Window
@@ -1186,7 +1191,7 @@ object Sampling {
       sum(col("n")).as("n_toks"),
       expr(s"(MAX(cum) + ${C - 1}) DIV $C").as("n_chunks"),
       sum(when(col("span") > 1, 1L).otherwise(0L)).as("n_boundary"),
-      round(sum(col("span")).cast("double") / count(lit(1)), 6).as("avg_span"))
+      expr("(SUM(span) * 1000000L) DIV COUNT(*)").as("avg_span_micro"))
       .orderBy("source")
   }
 
@@ -1207,7 +1212,7 @@ object Sampling {
       |SELECT source, COUNT(*) AS n_docs, SUM(n) AS n_toks,
       |  (MAX(cum) + 511) // 512 AS n_chunks,
       |  CAST(SUM(CASE WHEN span > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary,
-      |  ROUND(CAST(SUM(span) AS DOUBLE) / COUNT(*), 6) AS avg_span
+      |  CAST((SUM(span) * 1000000) // COUNT(*) AS BIGINT) AS avg_span_micro
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
   val all: Seq[Q] = Seq(
