@@ -515,8 +515,18 @@ object GraftCatalog {
     * (batch dir, sorted data-file paths, their statuses). */
   private def writeBatch(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
-      df: DataFrame): (org.apache.hadoop.fs.Path, Seq[String],
+      df0: DataFrame): (org.apache.hadoop.fs.Path, Seq[String],
         Seq[org.apache.hadoop.fs.FileStatus]) = {
+    // Column mapping: data files ALWAYS store physical names, so a
+    // logically-named batch translates here — the single choke point
+    // every data write (append, CoW rewrite, MoR batch, compaction)
+    // funnels through. No-op on never-renamed tables. Best-effort on
+    // an unreadable head (torn/alien manifest): there is no committed
+    // mapping to honor, and the verbs that NEED the head fail on their
+    // own reads — an overwrite over it must still proceed.
+    val headSchema = versionsAt(fs, r).lastOption
+      .flatMap(v => scala.util.Try(readSchemaLine(fs, r, v)).toOption.flatten)
+    val df = toPhysicalDf(df0, headSchema.map(physicalMap).getOrElse(Map.empty))
     val specs = readPartitionSpecsAt(fs, r)
     val specId = if (specs.isEmpty) 0 else specs.keys.max
     val spec = specs.getOrElse(specId, Seq.empty)
@@ -540,8 +550,7 @@ object GraftCatalog {
       // the committed schema's types govern tuple derivation (see
       // partitionColumn); first commit falls back to the batch schema,
       // which then BECOMES the committed schema
-      val committed = versionsAt(fs, r).lastOption
-        .flatMap(v => readSchemaLine(fs, r, v))
+      val committed = headSchema
       def declaredType(c: String) = committed
         .flatMap(cs => cs.fields.find(_.name == c)).map(_.dataType)
         .getOrElse(df.schema(c).dataType)
@@ -679,8 +688,18 @@ object GraftCatalog {
     }
   }
 
-  private def schemaLineOf(s: org.apache.spark.sql.types.StructType): String =
+  private def schemaLineOf(s: org.apache.spark.sql.types.StructType): String = {
+    // Physical-name collision guard (every committed schema funnels
+    // through here): after RENAME a→b, adding a NEW column named `a`
+    // would collide with b's physical storage name — two logical
+    // columns, one parquet column. Reject at commit, loudly.
+    val phys = s.fields.map(physicalNameOf)
+    require(phys.distinct.length == phys.length,
+      "physical column-name collision: a column reuses the pre-rename " +
+        s"storage name of an existing column (${phys.diff(phys.distinct).mkString(", ")}) " +
+        "— choose a different name")
     s"#schema:${nullify(s).json}"
+  }
 
   /** Monotone schema union for append/CoW commits: prior columns keep
     * their position and declared type; batch-only columns append in
@@ -690,6 +709,79 @@ object GraftCatalog {
       batch: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
       prior.fields ++ batch.fields.filterNot(f => prior.fieldNames.contains(f.name)))
+
+  // ---------------------------------------------------------------------
+  // COLUMN MAPPING (rename support): parquet keys columns by NAME, so a
+  // metadata-only RENAME records the column's immutable PHYSICAL name
+  // (its name at creation) in the committed schema's field metadata —
+  // Delta's column-mapping 'name' mode, the name-keyed equivalent of
+  // Iceberg's field IDs. Data files ALWAYS store physical names (writes
+  // translate logical→physical, reads translate back), so every file of
+  // every era serves every logical name, and time travel serves each
+  // version under the names ITS schema committed. A table that never
+  // renamed has an empty map and every translation below is a no-op.
+  // ---------------------------------------------------------------------
+
+  private[graft] val PhysicalKey = "graft.physical"
+
+  private def physicalNameOf(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** logical → physical name map of a committed schema (differing
+    * entries only — empty on never-renamed tables). */
+  private[graft] def physicalMap(
+      s: org.apache.spark.sql.types.StructType): Map[String, String] =
+    s.fields.flatMap { f =>
+      val p = physicalNameOf(f)
+      if (p != f.name) Some(f.name -> p) else None
+    }.toMap
+
+  /** The committed schema as the DATA FILES store it: physical field
+    * names, mapping metadata stripped (a parquet read schema). */
+  private[graft] def physicalSchema(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(physicalNameOf(f), f.dataType, f.nullable)))
+
+  /** Rename a physically-named frame's columns to their logical names
+    * (no-op without renames). Apply ABOVE any `_metadata`-consuming op:
+    * metadata columns do not propagate through this projection. */
+  private def toLogicalDf(df: DataFrame,
+      s: org.apache.spark.sql.types.StructType): DataFrame = {
+    val m = physicalMap(s)
+    if (m.isEmpty) df
+    else m.foldLeft(df) { case (d, (lg, ph)) => d.withColumnRenamed(ph, lg) }
+  }
+
+  /** Translate a logically-named batch to physical column names for a
+    * data-file write (no-op without renames; columns already physical —
+    * e.g. a compaction rewrite — pass through). */
+  private def toPhysicalDf(df: DataFrame, m: Map[String, String]): DataFrame =
+    if (m.isEmpty) df
+    else m.foldLeft(df) { case (d, (lg, ph)) =>
+      if (d.columns.contains(lg)) d.withColumnRenamed(lg, ph) else d
+    }
+
+  /** Stats sidecars record PHYSICAL column names (they are computed
+    * from written files); remap a copy to logical names for pruning
+    * consults against logical-name predicates/keys. Never persist the
+    * remapped view — carried stats must stay physical. */
+  private def statsLogical(stats: Map[String, FileStat],
+      cs: Option[org.apache.spark.sql.types.StructType]): Map[String, FileStat] = {
+    val inv = cs.map(s => physicalMap(s).map(_.swap)).getOrElse(Map.empty)
+    if (inv.isEmpty) stats
+    else stats.map { case (p, st) => p -> st.copy(cols = st.cols.map(c =>
+      inv.get(c.col).fold(c)(lg => c.copy(col = lg)))) }
+  }
+
+  /** Read specific data files under a committed schema, physical names
+    * renamed to logical — the front end of every verb's pin scan. */
+  private def readFilesAsLogical(spark: SparkSession, files: Seq[String],
+      cs: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    cs.fold(spark.read.parquet(files: _*)) { s =>
+      toLogicalDf(spark.read.schema(physicalSchema(s)).parquet(files: _*), s)
+    }
 
   /** Publish `df` as the next snapshot version. `append = true` carries
     * the previous version's files forward (ingest batch); `false`
@@ -734,8 +826,24 @@ object GraftCatalog {
           readSchemaLine(fs, r, versions.last)
             .orElse(carried.headOption.map(f => spark.read.parquet(f).schema))
         else None
-      val schemaLine =
-        schemaLineOf(priorSchema.fold(df.schema)(p => unionSchema(p, df.schema)))
+      val merged = priorSchema.fold(df.schema)(p => unionSchema(p, df.schema))
+      // Physical names are STICKY across overwrites (the Delta
+      // column-mapping contract): an overwrite's schema is the batch's,
+      // but any surviving logical name keeps its storage name — the
+      // files writeBatch just landed used exactly that translation.
+      val headMap =
+        if (versions.isEmpty) Map.empty[String, String]
+        else scala.util.Try(readSchemaLine(fs, r, versions.last)).toOption
+          .flatten.map(physicalMap).getOrElse(Map.empty)
+      val stamped =
+        if (headMap.isEmpty) merged
+        else org.apache.spark.sql.types.StructType(merged.fields.map { f =>
+          headMap.get(f.name).filterNot(_ => f.metadata.contains(PhysicalKey))
+            .fold(f)(ph => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata).putString(PhysicalKey, ph).build()))
+        })
+      val schemaLine = schemaLineOf(stamped)
       // appends carry the head's deletion vectors (same files, same
       // deleted positions); an overwrite starts a clean file list
       val dvCarried =
@@ -910,7 +1018,10 @@ object GraftCatalog {
     }
     require(parts.nonEmpty,
       s"no file or deletion-vector changes in ($fromV, $toV] under $root")
-    parts.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val all = parts.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+    // the stream's raw file reads carry PHYSICAL names; serve the
+    // consumer `toV`'s logical names (Delta-CDF's latest-schema contract)
+    readSchemaLine(fs, r, toV).fold(all)(s => toLogicalDf(all, s))
   }
 
   /** ROW-LEVEL CDC between two versions: [[readChanges]]' file-level
@@ -987,38 +1098,52 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, head)
-    if (updates.isEmpty) return head
-    validateChecks(spark, root, updates)
-    val stats = readStats(spark, root, head)
+    // The distinct key tuples drive THREE consumers — nomination, the
+    // pin semi-join, and the survivor anti-join — so they persist for
+    // the statement's lifetime: without this each consumer re-derives
+    // the feed AND re-pays the distinct shuffle, the ~3× planning
+    // overhead the r12 composite-key generalization introduced (q117
+    // 1.48→2.46 s). The empty-feed early-out reads the cached frame
+    // too (updates empty ⟺ keys empty), replacing a separate full
+    // evaluation of `updates`.
     val keys = updates.select(pks.map(col): _*).distinct()
-    val candidates = nominateFilesByKeys(spark, files, stats, keys, pks)
-    val matchedFiles: Set[String] =
-      if (candidates.isEmpty) Set.empty
-      else pinnedPaths(spark.read.parquet(candidates: _*)
-        .withColumn("__file", input_file_name())
-        .join(keys, pks, "left_semi")
-        .select("__file").distinct().collect())
-    val carried = files.filterNot(matchedFiles)
-    val survivors =
-      if (matchedFiles.isEmpty) spark.read.parquet(files.head).where(lit(false))
-      else readFilesDv(spark, fs, r, head, matchedFiles.toSeq.sorted)
-        .join(keys, pks, "left_anti")
-    // Schema evolution (opt-in, Delta's mergeSchema-on-MERGE): columns
-    // new in `updates` land in the rewritten batch; carried files stay
-    // as-is and read NULL for them under readSnapshot(mergeSchema).
-    // Without it, extra update columns are dropped (the strict
-    // contract) and the rewritten batch keeps the table schema.
-    val newData =
-      if (allowSchemaEvolution)
-        survivors.unionByName(updates, allowMissingColumns = true)
-      else {
-        val tableCols = survivors.columns.toSeq
-        survivors.unionByName(updates.select(tableCols.map(col): _*))
-      }
-    // Publish: new batch + carried files, via the standard commit path
-    // but carrying OUR file list rather than blind-appending the head.
-    commitCow(spark, fs, r, head, carried,
-      stats.filter { case (p, _) => carried.contains(p) }, newData, meta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (keys.isEmpty) return head
+      validateChecks(spark, root, updates)
+      val cs = readSchemaLine(fs, r, head)
+      val stats = readStats(spark, root, head)
+      val candidates =
+        nominateFilesByKeys(spark, files, statsLogical(stats, cs), keys, pks)
+      val matchedFiles: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else pinnedPaths(readFilesAsLogical(spark, candidates, cs)
+          .withColumn("__file", input_file_name())
+          .join(keys, pks, "left_semi")
+          .select("__file").distinct().collect())
+      val carried = files.filterNot(matchedFiles)
+      val survivors =
+        if (matchedFiles.isEmpty)
+          readFilesAsLogical(spark, Seq(files.head), cs).where(lit(false))
+        else readFilesDv(spark, fs, r, head, matchedFiles.toSeq.sorted)
+          .join(keys, pks, "left_anti")
+      // Schema evolution (opt-in, Delta's mergeSchema-on-MERGE): columns
+      // new in `updates` land in the rewritten batch; carried files stay
+      // as-is and read NULL for them under readSnapshot(mergeSchema).
+      // Without it, extra update columns are dropped (the strict
+      // contract) and the rewritten batch keeps the table schema.
+      val newData =
+        if (allowSchemaEvolution)
+          survivors.unionByName(updates, allowMissingColumns = true)
+        else {
+          val tableCols = survivors.columns.toSeq
+          survivors.unionByName(updates.select(tableCols.map(col): _*))
+        }
+      // Publish: new batch + carried files, via the standard commit path
+      // but carrying OUR file list rather than blind-appending the head.
+      commitCow(spark, fs, r, head, carried,
+        stats.filter { case (p, _) => carried.contains(p) }, newData, meta)
+    } finally keys.unpersist()
   }
 
   /** EXACTLY-ONCE streaming MERGE: apply a micro-batch of upserts to
@@ -1100,35 +1225,48 @@ object GraftCatalog {
             "pass seqCol for last-wins resolution or pre-compact the batch")
         batch
     }
-    val ops = resolved.select(col(opCol)).distinct()
-      .collect().map(_.getString(0)).toSet
-    require(ops.subsetOf(Set("I", "U", "D")),
-      s"CDC ops must be I/U/D, got ${ops.mkString(", ")}")
-    // Only the op tag drops here: a seqCol that is also a table column
-    // must survive; a metadata-only seqCol is clipped by the
-    // table-schema select below like any other extra column.
-    val upserts = resolved.where(col(opCol) =!= "D").drop(opCol)
-    validateChecks(spark, root, upserts)
-    val files = readManifest(fs, r, head)
-    val stats = readStats(spark, root, head)
-    val keys = resolved.select(pks.map(col): _*).distinct()
-    val candidates = nominateFilesByKeys(spark, files, stats, keys, pks)
-    val matchedFiles: Set[String] =
-      if (candidates.isEmpty) Set.empty
-      else pinnedPaths(spark.read.parquet(candidates: _*)
-        .withColumn("__file", input_file_name())
-        .join(keys, pks, "left_semi")
-        .select("__file").distinct().collect())
-    if (matchedFiles.isEmpty && upserts.isEmpty) return head
-    val carried = files.filterNot(matchedFiles)
-    val survivors =
-      if (matchedFiles.isEmpty) spark.read.parquet(files.head).where(lit(false))
-      else readFilesDv(spark, fs, r, head, matchedFiles.toSeq.sorted)
-        .join(keys, pks, "left_anti")
-    val newData = survivors.unionByName(
-      upserts.select(survivors.columns.toSeq.map(col): _*))
-    commitCow(spark, fs, r, head, carried,
-      stats.filter { case (p, _) => carried.contains(p) }, newData, meta)
+    // The resolved batch (post last-wins reduction) and its distinct
+    // key tuples each feed several consumers (op validation, upserts,
+    // nomination, pinning, the survivor anti-join) — persist both for
+    // the statement so the seqCol window / distinct shuffle runs once,
+    // not once per consumer (the r12 CDC-apply planning overhead).
+    val pinned = resolved
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = pinned.select(pks.map(col): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ops = pinned.select(col(opCol)).distinct()
+        .collect().map(_.getString(0)).toSet
+      require(ops.subsetOf(Set("I", "U", "D")),
+        s"CDC ops must be I/U/D, got ${ops.mkString(", ")}")
+      // Only the op tag drops here: a seqCol that is also a table column
+      // must survive; a metadata-only seqCol is clipped by the
+      // table-schema select below like any other extra column.
+      val upserts = pinned.where(col(opCol) =!= "D").drop(opCol)
+      validateChecks(spark, root, upserts)
+      val files = readManifest(fs, r, head)
+      val cs = readSchemaLine(fs, r, head)
+      val stats = readStats(spark, root, head)
+      val candidates =
+        nominateFilesByKeys(spark, files, statsLogical(stats, cs), keys, pks)
+      val matchedFiles: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else pinnedPaths(readFilesAsLogical(spark, candidates, cs)
+          .withColumn("__file", input_file_name())
+          .join(keys, pks, "left_semi")
+          .select("__file").distinct().collect())
+      if (matchedFiles.isEmpty && upserts.isEmpty) return head
+      val carried = files.filterNot(matchedFiles)
+      val survivors =
+        if (matchedFiles.isEmpty)
+          readFilesAsLogical(spark, Seq(files.head), cs).where(lit(false))
+        else readFilesDv(spark, fs, r, head, matchedFiles.toSeq.sorted)
+          .join(keys, pks, "left_anti")
+      val newData = survivors.unionByName(
+        upserts.select(survivors.columns.toSeq.map(col): _*))
+      commitCow(spark, fs, r, head, carried,
+        stats.filter { case (p, _) => carried.contains(p) }, newData, meta)
+    } finally { keys.unpersist(); pinned.unpersist() }
   }
 
   /** EXACTLY-ONCE streaming CDC apply — [[applyCdcSnapshot]] under the
@@ -1179,15 +1317,17 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, head)
+    val cs = readSchemaLine(fs, r, head)
     val stats = readStats(spark, root, head)
+    val consult = statsLogical(stats, cs)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
     val ptSpec = readPartitionSpecsAt(fs, r)
-    val ptSchema = if (ptSpec.isEmpty) None else readSchemaLine(fs, r, head)
+    val ptSchema = if (ptSpec.isEmpty) None else cs
     val candidates = files.filter(f =>
-      stats.get(f).forall(st => mayContain(st, predExpr, tz)) &&
+      consult.get(f).forall(st => mayContain(st, predExpr, tz)) &&
         tupleMayMatch(ptSpec, ptSchema, f, predExpr, tz))
-    val matchedFiles: Set[String] = pinFilesWhere(spark, candidates, pred)
+    val matchedFiles: Set[String] = pinFilesWhere(spark, candidates, pred, cs)
     if (matchedFiles.isEmpty) return head
     val carried = files.filterNot(matchedFiles)
     // DELETE WHERE p removes rows where p is TRUE; FALSE and NULL stay.
@@ -1307,8 +1447,15 @@ object GraftCatalog {
     * can never resurrect rows a deletion vector removed. */
   private def readFilesDv(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      v: Long, files: Seq[String]): DataFrame =
-    applyDv(spark, fs, root, v, spark.read.parquet(files: _*))
+      v: Long, files: Seq[String]): DataFrame = {
+    // committed read schema (physical names for the files), DV filter
+    // on the scan's own metadata columns, logical names on top
+    val cs = readSchemaLine(fs, root, v)
+    val raw = cs.fold(spark.read.parquet(files: _*))(s =>
+      spark.read.schema(physicalSchema(s)).parquet(files: _*))
+    val dv = applyDv(spark, fs, root, v, raw)
+    cs.fold(dv)(s => toLogicalDf(dv, s))
+  }
 
   /** Declare the table's row-level WRITE MODE — `"cow"` (default:
     * DELETE/UPDATE/MERGE rewrite touched files) or `"mor"` (they
@@ -1387,19 +1534,25 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, head)
-    val stats = readStats(spark, root, head)
+    val cs = readSchemaLine(fs, r, head)
+    val stats = statsLogical(readStats(spark, root, head), cs)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
     val ptSpec = readPartitionSpecsAt(fs, r)
-    val ptSchema = if (ptSpec.isEmpty) None else readSchemaLine(fs, r, head)
+    val ptSchema = if (ptSpec.isEmpty) None else cs
     val candidates = files.filter(f =>
       stats.get(f).forall(st => mayContain(st, predExpr, tz)) &&
         tupleMayMatch(ptSpec, ptSchema, f, predExpr, tz))
     if (candidates.isEmpty) return head
-    val hits = spark.read.parquet(candidates: _*)
+    // position keys derive from `_metadata` BELOW the logical-name
+    // projection; the predicate (logical names) applies above it
+    val scan = cs.fold(spark.read.parquet(candidates: _*))(s =>
+      spark.read.schema(physicalSchema(s)).parquet(candidates: _*))
+      .withColumn("__path", dvPathKey(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val hits = cs.fold(scan)(s => toLogicalDf(scan, s))
       .where(coalesce(pred, lit(false)))
-      .select(dvPathKey(col("_metadata.file_path")).as("__path"),
-        col("_metadata.row_index").as("__pos"))
+      .select(col("__path"), col("__pos"))
     val prior = dvDf(spark, r, readDvNames(fs, r, head))
     val fresh = prior.fold(hits)(p =>
       hits.join(p, Seq("__path", "__pos"), "left_anti"))
@@ -1442,13 +1595,15 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, head)
+    val cs = readSchemaLine(fs, r, head)
     val stats = readStats(spark, root, head)
+    val consult = statsLogical(stats, cs)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
     val ptSpec = readPartitionSpecsAt(fs, r)
-    val ptSchema = if (ptSpec.isEmpty) None else readSchemaLine(fs, r, head)
+    val ptSchema = if (ptSpec.isEmpty) None else cs
     val candidates = files.filter(f =>
-      stats.get(f).forall(st => mayContain(st, predExpr, tz)) &&
+      consult.get(f).forall(st => mayContain(st, predExpr, tz)) &&
         tupleMayMatch(ptSpec, ptSchema, f, predExpr, tz))
     if (candidates.isEmpty) return head
     val hit = liveRowsWithPos(spark, fs, r, head, candidates)
@@ -1478,33 +1633,59 @@ object GraftCatalog {
     * positions and append the FULL updates batch — same statement
     * semantics as [[mergeSnapshot]] (updates must be pk-unique; new
     * keys insert), zero rewritten files. CDC shows matched keys as
-    * delete+insert pairs. No schema evolution on this path. */
+    * delete+insert pairs. `allowSchemaEvolution` admits an evolved feed
+    * (r13): the MoR physics make it CHEAPER than CoW — the evolved
+    * columns ride the one appended batch, the committed schema unions
+    * at the shared commit tail, no carried file is rewritten, and every
+    * pre-evolution file reads NULL for the new columns. */
   def mergeSnapshotMor(spark: SparkSession, root: String,
-      updates: DataFrame, pk: String, meta: Seq[String] = Seq.empty): Long =
-    mergeSnapshotMorKeys(spark, root, updates, Seq(pk), meta)
+      updates: DataFrame, pk: String, meta: Seq[String] = Seq.empty,
+      allowSchemaEvolution: Boolean = false): Long =
+    mergeSnapshotMorKeys(spark, root, updates, Seq(pk), meta,
+      allowSchemaEvolution)
 
   /** Composite-key [[mergeSnapshotMor]] — tuple-keyed DV shadowing. */
   def mergeSnapshotMorKeys(spark: SparkSession, root: String,
-      updates: DataFrame, pks: Seq[String], meta: Seq[String] = Seq.empty): Long = {
+      updates: DataFrame, pks: Seq[String], meta: Seq[String] = Seq.empty,
+      allowSchemaEvolution: Boolean = false): Long = {
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
-    if (updates.isEmpty) return head
-    validateChecks(spark, root, updates)
     val files = readManifest(fs, r, head)
-    val stats = readStats(spark, root, head)
+    // Same statement-scoped key reuse as the CoW verbs: the distinct
+    // tuples drive nomination, the position semi-join (evaluated twice
+    // by publishDvPlusBatch — emptiness probe, then the DV write), and
+    // the empty-feed early-out.
     val keys = updates.select(pks.map(col): _*).distinct()
-    val candidates = nominateFilesByKeys(spark, files, stats, keys, pks)
-    val matchedPos =
-      if (candidates.isEmpty) None
-      else Some(liveRowsWithPos(spark, fs, r, head, candidates)
-        .join(keys, pks, "left_semi")
-        .select("__path", "__pos"))
-    val tableCols = readSchemaLine(fs, r, head)
-      .map(_.fieldNames.toSeq)
-      .getOrElse(spark.read.parquet(files.head).columns.toSeq)
-    publishDvPlusBatch(spark, fs, r, root, head, files, stats,
-      matchedPos.getOrElse(spark.emptyDataFrame), // empty → pure append
-      updates.select(tableCols.map(col): _*), meta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (keys.isEmpty) return head
+      validateChecks(spark, root, updates)
+      val cs = readSchemaLine(fs, r, head)
+      val stats = readStats(spark, root, head)
+      val candidates =
+        nominateFilesByKeys(spark, files, statsLogical(stats, cs), keys, pks)
+      val matchedPos =
+        if (candidates.isEmpty) None
+        else Some(liveRowsWithPos(spark, fs, r, head, candidates)
+          .join(keys, pks, "left_semi")
+          .select("__path", "__pos"))
+      val tableCols = cs.map(_.fieldNames.toSeq)
+        .getOrElse(spark.read.parquet(files.head).columns.toSeq)
+      // Schema evolution (opt-in, mirrors the CoW contract): evolved
+      // columns ride the appended batch in table-column order + new
+      // columns appended; the commit tail unions the committed schema,
+      // so pre-evolution files read NULL for them. Strict mode clips to
+      // the table schema (and throws on a missing table column).
+      val batch =
+        if (allowSchemaEvolution) {
+          val cols = tableCols.filter(updates.columns.contains) ++
+            updates.columns.filterNot(tableCols.contains)
+          updates.select(cols.map(col): _*)
+        } else updates.select(tableCols.map(col): _*)
+      publishDvPlusBatch(spark, fs, r, root, head, files, stats,
+        matchedPos.getOrElse(spark.emptyDataFrame), // empty → pure append
+        batch, meta)
+    } finally keys.unpersist()
   }
 
   /** Live (not-yet-DV-deleted) rows of specific files WITH their
@@ -1513,9 +1694,15 @@ object GraftCatalog {
   private def liveRowsWithPos(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
       v: Long, files: Seq[String]): DataFrame = {
-    val raw = spark.read.parquet(files: _*)
+    // position keys derive from `_metadata` BEFORE the logical-name
+    // projection (metadata columns don't survive a Project)
+    val cs = readSchemaLine(fs, r, v)
+    val scan = cs.fold(spark.read.parquet(files: _*))(s =>
+      spark.read.schema(physicalSchema(s)).parquet(files: _*))
+    val keyed = scan
       .withColumn("__path", dvPathKey(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
+    val raw = cs.fold(keyed)(s => toLogicalDf(keyed, s))
     dvDf(spark, r, readDvNames(fs, r, v))
       .fold(raw)(p => raw.join(p, Seq("__path", "__pos"), "left_anti"))
   }
@@ -1580,7 +1767,22 @@ object GraftCatalog {
     * outright. Files blind on EVERY key column stay unconditional
     * candidates; files constrained on ≥1 column go through one
     * broadcast range-join of the |files|-sized envelope frame against
-    * the distinct key tuples. Manifest order is preserved. */
+    * the key tuples (`keys` MUST already be distinct — every verb
+    * builds it with `.select(pks).distinct()`, so re-deduplicating
+    * here would stack a second shuffle on the first for nothing).
+    * Manifest order is preserved.
+    *
+    * SMALL-TABLE SHORT-CIRCUIT: when at most
+    * `spark.graft.nominate.minEnvelopedFiles` (default 8) files carry
+    * envelopes, every enveloped file is nominated WITHOUT running the
+    * join — the pin scan that always follows opens those few files'
+    * key columns anyway and resolves exactness, so the join's fixed
+    * distributed-job cost (a shuffle + broadcast + collect per verb
+    * statement) can never pay for itself below the threshold. This is
+    * what keeps a 4-file bench table's MERGE at single-key-era cost
+    * while a 100k-file table still gets the full envelope prune
+    * (there the join eliminates opening thousands of files — its
+    * entire reason to exist). */
   private[graft] def nominateFilesByKeys(spark: SparkSession,
       files: Seq[String], stats: Map[String, FileStat],
       keys: DataFrame, pks: Seq[String]): Seq[String] = {
@@ -1593,6 +1795,10 @@ object GraftCatalog {
       !impossible(f) && pks.forall(c => colStat(f, c).isEmpty)).toSet
     val enveloped = files.filterNot(f => impossible(f) || blindAll(f))
     if (enveloped.isEmpty) return files.filter(blindAll)
+    val minEnveloped = spark.conf
+      .getOption("spark.graft.nominate.minEnvelopedFiles")
+      .map(_.toInt).getOrElse(8)
+    if (enveloped.size <= minEnveloped) return files.filterNot(impossible)
     val strFields = org.apache.spark.sql.types.StructField(
       "__path", org.apache.spark.sql.types.StringType) +:
       pks.indices.flatMap(i => Seq(
@@ -1620,7 +1826,7 @@ object GraftCatalog {
       col(s"__lo$i").isNull ||
         (col(c) >= col(s"__lo$i") && col(c) <= col(s"__hi$i"))
     }.reduce(_ && _)
-    val hits = keys.select(pks.map(col): _*).distinct()
+    val hits = keys.select(pks.map(col): _*)
       .join(broadcast(envDf), cond)
       .select("__path").distinct().collect().map(_.getString(0)).toSet
     files.filter(f => hits(f) || blindAll(f))
@@ -1637,9 +1843,10 @@ object GraftCatalog {
     * the manifest paths of files with ≥1 row satisfying `pred` — the
     * PIN step shared by every copy-on-write verb. */
   private def pinFilesWhere(spark: SparkSession, candidates: Seq[String],
-      pred: Column): Set[String] =
+      pred: Column,
+      cs: Option[org.apache.spark.sql.types.StructType]): Set[String] =
     if (candidates.isEmpty) Set.empty
-    else pinnedPaths(spark.read.parquet(candidates: _*)
+    else pinnedPaths(readFilesAsLogical(spark, candidates, cs)
       .withColumn("__file", input_file_name())
       .where(pred)
       .select("__file").distinct().collect())
@@ -1700,15 +1907,17 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, head)
+    val cs = readSchemaLine(fs, r, head)
     val stats = readStats(spark, root, head)
+    val consult = statsLogical(stats, cs)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
     val ptSpec = readPartitionSpecsAt(fs, r)
-    val ptSchema = if (ptSpec.isEmpty) None else readSchemaLine(fs, r, head)
+    val ptSchema = if (ptSpec.isEmpty) None else cs
     val candidates = files.filter(f =>
-      stats.get(f).forall(st => mayContain(st, predExpr, tz)) &&
+      consult.get(f).forall(st => mayContain(st, predExpr, tz)) &&
         tupleMayMatch(ptSpec, ptSchema, f, predExpr, tz))
-    val matchedFiles = pinFilesWhere(spark, candidates, pred)
+    val matchedFiles = pinFilesWhere(spark, candidates, pred, cs)
     if (matchedFiles.isEmpty) return head
     val carried = files.filterNot(matchedFiles)
     val src = readFilesDv(spark, fs, r, head, matchedFiles.toSeq.sorted)
@@ -1758,18 +1967,21 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, head)
+    val cs = readSchemaLine(fs, r, head)
     val stats = readStats(spark, root, head)
+    val consult = statsLogical(stats, cs)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
     val ptSpec = readPartitionSpecsAt(fs, r)
-    val ptSchema = if (ptSpec.isEmpty) None else readSchemaLine(fs, r, head)
+    val ptSchema = if (ptSpec.isEmpty) None else cs
     val candidates = files.filter(f =>
-      stats.get(f).forall(st => mayContain(st, predExpr, tz)) &&
+      consult.get(f).forall(st => mayContain(st, predExpr, tz)) &&
         tupleMayMatch(ptSpec, ptSchema, f, predExpr, tz))
-    val matchedFiles = pinFilesWhere(spark, candidates, pred)
+    val matchedFiles = pinFilesWhere(spark, candidates, pred, cs)
     if (matchedFiles.isEmpty && rows.isEmpty) return head
     val carried = files.filterNot(matchedFiles)
-    val tableCols = spark.read.parquet(files.head).columns.toSeq
+    val tableCols = cs.map(_.fieldNames.toSeq)
+      .getOrElse(spark.read.parquet(files.head).columns.toSeq)
     val survivors =
       if (matchedFiles.isEmpty) rows.select(tableCols.map(col): _*).where(lit(false))
       else readFilesDv(spark, fs, r, head, matchedFiles.toSeq.sorted)
@@ -2007,7 +2219,8 @@ object GraftCatalog {
     predicate match {
       case None => (files, files.size)
       case Some(p) =>
-        val stats = readStats(spark, root, v)
+        val stats = statsLogical(readStats(spark, root, v),
+          readSchemaLine(fs, r, v))
         val tz = spark.sessionState.conf.sessionLocalTimeZone
         val expr = org.apache.spark.sql.GraftColumnBridge.expression(p)
         // Stats envelopes first, then the hidden-partition tuple (the
@@ -2050,7 +2263,10 @@ object GraftCatalog {
     val kept = predicate match {
       case None => pm.files
       case Some(p) =>
-        val stats = readStatsNamed(spark, fs, r, pm.statsName)
+        // predicates reference LOGICAL names; sidecar stats record
+        // physical ones — consult a logically-remapped view
+        val stats = statsLogical(
+          readStatsNamed(spark, fs, r, pm.statsName), pm.schema)
         val tz = spark.sessionState.conf.sessionLocalTimeZone
         val expr = org.apache.spark.sql.GraftColumnBridge.expression(p)
         val specs = readPartitionSpecsAt(fs, r)
@@ -2072,9 +2288,13 @@ object GraftCatalog {
     val df =
       if (mergeSchema) rd.option("mergeSchema", "true").parquet(files: _*)
       else pm.schema
-        .fold(rd.parquet(files: _*))(s => rd.schema(s).parquet(files: _*))
+        .fold(rd.parquet(files: _*))(s => rd.schema(physicalSchema(s)).parquet(files: _*))
+    // DV filtering binds to the scan's `_metadata` columns, so it sits
+    // BELOW the logical-name projection; the user predicate (logical
+    // names) applies above it.
     val withDv = applyDvNames(spark, r, pm.dvNames, df)
-    predicate.fold(withDv)(withDv.where)
+    val logical = pm.schema.fold(withDv)(s => toLogicalDf(withDv, s))
+    predicate.fold(logical)(logical.where)
   }
 
   /** Read a snapshot as a CATALYST-INTEGRATED relation: unlike
@@ -2120,10 +2340,14 @@ object GraftCatalog {
     // the default is the manifest's COMMITTED schema (evolved columns
     // included, older files read NULL), falling back to head-file
     // sniffing only on pre-schema-line tables.
+    // the RELATION carries the files' physical names (pushed filters
+    // and the stats consults below stay name-consistent); the logical
+    // projection goes on top at the end
     val schema =
       if (mergeSchema)
         spark.read.option("mergeSchema", "true").parquet(files: _*).schema
-      else pm.schema.getOrElse(spark.read.parquet(files.head).schema)
+      else pm.schema.map(physicalSchema)
+        .getOrElse(spark.read.parquet(files.head).schema)
     val spec = readPartitionSpecsAt(fs, r)
     val specSchema = if (spec.isEmpty) None else pm.schema
     val keep: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
@@ -2135,8 +2359,9 @@ object GraftCatalog {
         stats.get(p).forall(fst => filters.forall(f => mayContain(fst, f, tz))) &&
           filters.forall(f => tupleMayMatch(spec, specSchema, p, f, tz))
       }
-    applyDvNames(spark, r, pm.dvNames,
+    val withDv = applyDvNames(spark, r, pm.dvNames,
       org.apache.spark.sql.GraftSnapshotRelation.dataFrame(spark, r, statuses, schema, keep))
+    pm.schema.fold(withDv)(s => toLogicalDf(withDv, s))
   }
 
   /** STORAGE-PARTITIONED read: expose the table's hidden `bucket(n,
@@ -2225,8 +2450,13 @@ object GraftCatalog {
         fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
       (key, (f, len))
     }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
-    org.apache.spark.sql.GraftSpjBridge.dataFrame(spark, root, schema,
+    // the SPJ scan reads files directly → PHYSICAL names; the logical
+    // projection on top preserves KeyGroupedPartitioning (key columns
+    // are layout fields, which renames reject, so they pass unaliased)
+    val raw = org.apache.spark.sql.GraftSpjBridge.dataFrame(spark, root,
+      physicalSchema(schema),
       spec.map(pf => (pf.col, pf.transform, pf.n)), groups, dvByFile)
+    toLogicalDf(raw, schema)
   }
 
   /** DESCRIBE FILES — the physical layout of a version as a DataFrame,
@@ -2430,6 +2660,71 @@ object GraftCatalog {
     val evolved = org.apache.spark.sql.types.StructType(
       prior.fields.map(x => if (x.name.equalsIgnoreCase(column))
         x.copy(dataType = to) else x))
+    val carried = readManifestLines(fs, r, head).filter(l =>
+      l.startsWith("#stats:") || l.startsWith("#dv:"))
+    val next = head + 1
+    publishManifest(fs, r, next,
+      carried ++ Seq(schemaLineOf(evolved)) ++ readManifest(fs, r, head))
+    next
+  }
+
+  /** ALTER COLUMN … RENAME as a PURE-METADATA commit — Delta's
+    * column-mapping 'name' mode / the name-keyed equivalent of
+    * Iceberg's field-ID rename: the committed schema republishes under
+    * the new LOGICAL name while the field's metadata records its
+    * immutable PHYSICAL (storage) name, so every existing file serves
+    * the renamed column with zero data I/O, new writes keep landing the
+    * physical name ([[toPhysicalDf]] in the one write choke point), and
+    * time travel serves each version under the names ITS schema
+    * committed. Renaming BACK to the physical name drops the mapping —
+    * `a→b→a` leaves a clean schema.
+    *
+    * Rejected loudly: LAYOUT columns (partition spec / declared sort /
+    * bloom sidecars — their configs name columns and their hashes were
+    * computed under the stored name; migrate via compaction), and
+    * columns referenced by CHECK constraints (the stored predicate
+    * string would silently stop binding — drop and re-add the check
+    * under the new name first). */
+  def renameSnapshotColumn(spark: SparkSession, root: String,
+      from: String, to: String): Long = {
+    import java.util.Locale.ROOT
+    require(to.nonEmpty && !to.contains(".") && !to.contains("`"),
+      s"bad column name: '$to'")
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val prior = snapshotSchema(spark, root, Some(head)).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot rename on $root: the table predates committed schemas — " +
+          "republish it (any commit) to record one first"))
+    val f = prior.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(s"no column $from on $root"))
+    require(!prior.fields.exists(_.name.equalsIgnoreCase(to)),
+      s"column $to already exists on $root")
+    val layout = (snapshotPartitionSpec(spark, root).map(_.col) ++
+      snapshotSortOrder(spark, root).map(_.split("\\s+").head) ++
+      snapshotBloomFilters(spark, root).keys).map(_.toLowerCase(ROOT)).toSet
+    require(!layout(f.name.toLowerCase(ROOT)),
+      s"cannot rename ${f.name}: it drives the partition spec / declared " +
+        "sort / bloom sidecars — rewrite via compaction instead")
+    val checkRefs = listSnapshotChecks(spark, root).flatMap { case (_, p) =>
+      scala.util.Try(spark.sessionState.sqlParser.parseExpression(p)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name.toLowerCase(ROOT)
+        }).getOrElse(Seq.empty)
+    }.toSet
+    require(!checkRefs(f.name.toLowerCase(ROOT)),
+      s"cannot rename ${f.name}: CHECK constraint(s) reference it — drop " +
+        "and re-add the check under the new name")
+    val physical = physicalNameOf(f)
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+    val newMeta =
+      if (physical == to) mb.remove(PhysicalKey).build()
+      else mb.putString(PhysicalKey, physical).build()
+    val evolved = org.apache.spark.sql.types.StructType(prior.fields.map(x =>
+      if (x.name.equalsIgnoreCase(from)) x.copy(name = to, metadata = newMeta)
+      else x))
     val carried = readManifestLines(fs, r, head).filter(l =>
       l.startsWith("#stats:") || l.startsWith("#dv:"))
     val next = head + 1

@@ -394,14 +394,28 @@ class DmlSpec extends AnyFunSuite {
         ColStat("b", "bigint", "0", "99", 0))))
     val files = Seq("f1", "f2", "f3", "f4", "f5")
     val keys = Seq((5L, 5L)).toDF("a", "b")
-    val got = GraftCatalog.nominateFilesByKeys(spark, files, stats, keys,
+    // Below the small-table threshold the join short-circuits and every
+    // enveloped file nominates (the pin scan resolves exactness more
+    // cheaply than the join's fixed job) — f4 still drops, it is
+    // PROVABLY unmatchable from the driver-held stats alone.
+    val lazily = GraftCatalog.nominateFilesByKeys(spark, files, stats, keys,
       Seq("a", "b"))
-    assert(got == Seq("f1", "f3", "f5"),
-      s"conjunct pruning: f2 (b out of range) and f4 (all-NULL a) drop; got $got")
-    // a key tuple matching f2's b range keeps it
-    val got2 = GraftCatalog.nominateFilesByKeys(spark, files, stats,
-      Seq((5L, 25L)).toDF("a", "b"), Seq("a", "b"))
-    assert(got2 == Seq("f2", "f3", "f5"), s"got $got2")
+    assert(lazily == Seq("f1", "f2", "f3", "f5"),
+      s"short-circuit must nominate all enveloped + blind, minus " +
+        s"impossible f4; got $lazily")
+    // Force the envelope join (the ≥threshold big-table path) to test
+    // the conjunct pruning itself.
+    spark.conf.set("spark.graft.nominate.minEnvelopedFiles", "0")
+    try {
+      val got = GraftCatalog.nominateFilesByKeys(spark, files, stats, keys,
+        Seq("a", "b"))
+      assert(got == Seq("f1", "f3", "f5"),
+        s"conjunct pruning: f2 (b out of range) and f4 (all-NULL a) drop; got $got")
+      // a key tuple matching f2's b range keeps it
+      val got2 = GraftCatalog.nominateFilesByKeys(spark, files, stats,
+        Seq((5L, 25L)).toDF("a", "b"), Seq("a", "b"))
+      assert(got2 == Seq("f2", "f3", "f5"), s"got $got2")
+    } finally spark.conf.unset("spark.graft.nominate.minEnvelopedFiles")
   }
 
   test("property: multi-clause MERGE equals an independent reference over 5 seeds") {
