@@ -389,11 +389,66 @@ object CatalogOps {
       |  MAX(o_custkey) AS mc
       |FROM base GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q152 — COLUMN RENAME lifecycle on the driver gate: clone the
+    * orders base, `RENAME COLUMN price TO amount` as pure metadata
+    * (Delta column-mapping 'name' mode — the committed schema records
+    * the immutable storage name, zero data I/O), INSERT through the new
+    * name (the batch lands under the storage name), UPDATE keyed on the
+    * renamed column (stat envelopes consult through the mapping), then
+    * aggregate the head under the NEW name joined against a TIME-TRAVEL
+    * read of v1 that still serves the OLD name `price` — one result
+    * proving every era's files answer to every era's schema. The DuckDB
+    * oracle replays insert→update relationally; names are invisible to
+    * the data, so the hash must match. */
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    val wh = catalogConf(s, d)
+    wipe(s, s"$wh/db/rn")
+    graft.sources.GraftCatalog.cloneSnapshot(s, ordersBase(s, d), s"$wh/db/rn")
+    s.sql("ALTER TABLE graft.db.rn RENAME COLUMN price TO amount")
+    s.sql("INSERT INTO graft.db.rn VALUES " +
+      "(900000101, 777, 11.0, '0-RN'), (900000102, 778, 13.0, '0-RN')")
+    s.sql("UPDATE graft.db.rn SET amount = amount + 100 " +
+      "WHERE pr = '2-HIGH' AND amount > 0")
+    val head = s.sql(
+      """SELECT pr, COUNT(*) AS n,
+        |  CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM graft.db.rn GROUP BY pr""".stripMargin)
+    val v1 = s.sql(
+      """SELECT pr,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_v1
+        |FROM graft.db.rn VERSION AS OF 1 GROUP BY pr""".stripMargin)
+    head.join(v1, Seq("pr"), "left").orderBy("pr")
+  }
+
+  private val q152Oracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS amount, o_orderpriority AS pr
+      |  FROM orders
+      |  UNION ALL VALUES (900000101, 777, 11.0, '0-RN'),
+      |                   (900000102, 778, 13.0, '0-RN')),
+      |upd AS (
+      |  SELECT pr, CASE WHEN pr = '2-HIGH' AND amount > 0
+      |    THEN amount + 100 ELSE amount END AS amount
+      |  FROM base),
+      |hd AS (
+      |  SELECT pr, COUNT(*) AS n,
+      |    CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM upd GROUP BY pr),
+      |v1 AS (
+      |  SELECT o_orderpriority AS pr,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2)))
+      |      AS DOUBLE) AS total_v1
+      |  FROM orders GROUP BY pr)
+      |SELECT hd.pr, hd.n, hd.total, v1.total_v1
+      |FROM hd LEFT JOIN v1 ON hd.pr = v1.pr ORDER BY hd.pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q145_catalog_dml", Some(q145Oracle), q145),
     Q("q146_catalog_travel", Some(q146Oracle), q146),
     Q("q147_catalog_maintenance", Some(q147Oracle), q147),
     Q("q148_general_merge", Some(q148Oracle), q148),
     Q("q149_composite_merge", Some(q149Oracle), q149),
-    Q("q150_catalog_evolve", Some(q150Oracle), q150))
+    Q("q150_catalog_evolve", Some(q150Oracle), q150),
+    Q("q152_column_rename", Some(q152Oracle), q152))
 }

@@ -228,10 +228,15 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           "ALTER COLUMN TYPE supports top-level columns only")
         GraftCatalog.widenSnapshotColumn(spark, rootStr,
           u.fieldNames()(0), u.newDataType())
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "RENAME COLUMN supports top-level columns only")
+        GraftCatalog.renameSnapshotColumn(spark, rootStr,
+          rn.fieldNames()(0), rn.newName)
       case other => throw new UnsupportedOperationException(
-        s"unsupported ALTER on a graft snapshot table: $other (ADD/DROP " +
-          "COLUMN, ALTER COLUMN TYPE widening, and write.mode/sort.order " +
-          "properties are supported; renames are not; layout configs are " +
+        s"unsupported ALTER on a graft snapshot table: $other (ADD/DROP/" +
+          "RENAME COLUMN, ALTER COLUMN TYPE widening, and write.mode/" +
+          "sort.order properties are supported; layout configs are " +
           "create-exclusive)")
     }
     loadTable(ident)

@@ -199,6 +199,93 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage.contains("not a safe"))
   }
 
+  test("ALTER TABLE RENAME COLUMN: pure metadata, verbs + travel + pruning") {
+    spark.sql("CREATE TABLE graft.db.rc (id BIGINT, amt DOUBLE, note STRING)")
+    spark.sql(
+      "INSERT INTO graft.db.rc SELECT id, CAST(id AS DOUBLE), concat('n', id) " +
+        "FROM range(0, 100)")
+    val root = s"$warehouse/db/rc"
+    val filesBefore = GraftCatalog.snapshotScanFiles(spark, root)._1.toSet
+    spark.sql("ALTER TABLE graft.db.rc RENAME COLUMN amt TO amount")
+    assert(GraftCatalog.snapshotScanFiles(spark, root)._1.toSet == filesBefore,
+      "column rename must publish zero data files")
+    // old files serve the NEW name; schema shows it
+    assert(spark.table("graft.db.rc").columns.toSeq ==
+      Seq("id", "amount", "note"))
+    assert(spark.sql("SELECT sum(amount) FROM graft.db.rc").head().getDouble(0)
+      == 4950.0)
+    // time travel serves each version's OWN names
+    val v2 = spark.sql("SELECT * FROM graft.db.rc VERSION AS OF 2")
+    assert(v2.columns.toSeq == Seq("id", "amt", "note"),
+      "pre-rename versions keep the old name")
+    assert(v2.agg(sum("amt")).head().getDouble(0) == 4950.0)
+    // inserts after the rename land under the logical name and the
+    // physical storage name stays consistent (old + new files serve one
+    // logical column)
+    spark.sql("INSERT INTO graft.db.rc VALUES (100, 1000.0, 'x')")
+    assert(spark.sql("SELECT sum(amount) FROM graft.db.rc").head().getDouble(0)
+      == 5950.0)
+    // stats pruning binds through the mapping: an equality far outside
+    // one file's envelope must not open it (two files now: b0 0..99,
+    // b1 the single row 100)
+    // The equality at 1000 must drop every part of the 100-row batch
+    // (envelopes within [0,99]) — a strict subset proves the stat
+    // consult binds through the mapping (unmapped, the logical name
+    // matches no recorded column and NOTHING would prune).
+    val allFiles = GraftCatalog.snapshotScanFiles(spark, root)._1
+    val pruned = GraftCatalog.snapshotScanFiles(spark, root,
+      predicate = Some(col("amount") === 1000.0))._1
+    assert(pruned.size < allFiles.size,
+      "stat envelopes must prune on the renamed column")
+    // row-level verbs key on the renamed column
+    spark.sql("UPDATE graft.db.rc SET amount = amount + 0.5 WHERE id = 100")
+    assert(spark.sql("SELECT amount FROM graft.db.rc WHERE id = 100")
+      .head().getDouble(0) == 1000.5)
+    spark.sql("DELETE FROM graft.db.rc WHERE amount > 999.0")
+    assert(spark.sql("SELECT count(*) FROM graft.db.rc").head().getLong(0)
+      == 100L)
+    spark.sql(
+      "MERGE INTO graft.db.rc t USING (SELECT 5L AS id, 55.0 AS amount, " +
+        "'m' AS note) s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET t.amount = s.amount " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT amount FROM graft.db.rc WHERE id = 5")
+      .head().getDouble(0) == 55.0)
+    // CDC serves the LATEST logical names
+    val head = GraftCatalog.snapshotVersions(spark, root).last
+    val ch = GraftCatalog.readChanges(spark, root, head - 1, head)
+    assert(ch.columns.contains("amount") && !ch.columns.contains("amt"))
+    // adding a column that reuses the pre-rename storage name rejects
+    val collide = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.rc ADD COLUMN amt DOUBLE"))
+    assert(collide.getMessage.contains("collision"))
+    // renaming BACK drops the mapping and keeps values
+    spark.sql("ALTER TABLE graft.db.rc RENAME COLUMN amount TO amt")
+    assert(spark.sql("SELECT sum(amt) FROM graft.db.rc").head().getDouble(0)
+      == 5000.0)
+    assert(GraftCatalog.snapshotSchema(spark, root).get("amt")
+      .metadata.contains("graft.physical") == false,
+      "rename back to the storage name must drop the mapping")
+  }
+
+  test("RENAME COLUMN rejects layout and CHECK-referenced columns") {
+    spark.sql("CREATE TABLE graft.db.rcl (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graft.db.rcl VALUES (1, 1.0)")
+    val layoutErr = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.rcl RENAME COLUMN k TO kk"))
+    assert(layoutErr.getMessage.contains("partition spec"))
+    val root = s"$warehouse/db/rcl"
+    GraftCatalog.addSnapshotCheck(spark, root, "v_pos", "v >= 0")
+    val checkErr = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.rcl RENAME COLUMN v TO w"))
+    assert(checkErr.getMessage.contains("CHECK"))
+    GraftCatalog.dropSnapshotCheck(spark, root, "v_pos")
+    spark.sql("ALTER TABLE graft.db.rcl RENAME COLUMN v TO w")
+    assert(spark.sql("SELECT sum(w) FROM graft.db.rcl").head().getDouble(0)
+      == 1.0)
+  }
+
   test("CTAS, RENAME with metadata migration, DROP") {
     spark.sql(
       "CREATE TABLE graft.db.ctas AS SELECT id, id * 2 AS dbl FROM range(0, 10)")
