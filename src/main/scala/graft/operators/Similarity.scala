@@ -168,18 +168,45 @@ object Similarity {
     * cosine 0.37), so recall 0.6-0.8 costs a ~35% scan — on a real
     * embedding corpus with tighter neighbors the same plan prunes far
     * harder. */
+  private[graft] val s02ExportPath = s"$IndexRoot/s02cand"
+
   private def s02(s: SparkSession, d: String): DataFrame = {
     val idx = lshIndex(s, d)
     val (qe, qnrm) = queryVec(s, d)
     val probes = LshOps.probePlan(qe, budget = 96)
+    // ORACLE-CHECKED via the s10 export pattern, applied to the query
+    // itself (r13): the probe plan and bucket assignment are
+    // engine-specific by design, but everything AFTER candidate
+    // generation is not — the probed survivors' ids export to a pinned
+    // parquet path, and DuckDB recomputes the exact cosine re-rank +
+    // top-k from the export and the raw embeddings. The hash match
+    // proves the re-rank arithmetic and the cut at k end-to-end; the
+    // probe plan's recall floor stays asserted in PipelineSpec/s10.
     idx.where(col("bucket").isin(probes.map(_.toInt): _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+      .write.mode("overwrite").parquet(s02ExportPath)
+    emb(s, d).join(s.read.parquet(s02ExportPath), "vec_id")
       .withColumn("qe", typedlit(qe.toSeq))
-      .withColumn("cos_r", round(expr("vec_dot(e, qe)") / (col("nrm") * lit(qnrm)), 6))
-      .withColumn("bucket", col("bucket").cast("long"))
+      .withColumn("cos_r", round(expr("vec_dot(embedding, qe)") / (col("nrm") * lit(qnrm)), 6))
       .select("vec_id", "label", "bucket", "cos_r")
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(10)
   }
+
+  private val s02Oracle: String =
+    """WITH cand AS (
+      |  SELECT vec_id, bucket
+      |  FROM read_parquet('/tmp/graft-index/s02cand/*.parquet')),
+      |n AS (
+      |  SELECT vec_id, label, embedding AS e,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT e AS qe, nrm AS qnrm FROM n WHERE vec_id = 0)
+      |SELECT n.vec_id, n.label, c.bucket,
+      |  round(list_reduce(list_transform(list_zip(n.e, q.qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |    / (n.nrm * q.qnrm), 6) AS cos_r
+      |FROM n JOIN cand c USING (vec_id), q
+      |ORDER BY cos_r DESC, vec_id LIMIT 10""".stripMargin
 
   /** IVF build parameters. nlist=16 keeps inverted lists executor-sized
     * at the test SFs; at 100 TB nlist scales with the data so each list
@@ -327,6 +354,8 @@ object Similarity {
     * planning, not a scan), probes its nprobe nearest inverted lists
     * via partition pruning, exact cosine re-ranks. At 100 TB a probe
     * touches nprobe/nlist of the data. */
+  private[graft] val s03ExportPath = s"$IndexRoot/s03cand"
+
   private def s03(s: SparkSession, d: String): DataFrame = {
     val (idx, cents) = ivfIndex(s, d)
     val (qe, qnrm) = queryVec(s, d)
@@ -334,13 +363,35 @@ object Similarity {
       .map { case (cl, ce, cn) => (cl, dotD(qe, ce) / (qnrm * cn)) }
       .sortBy { case (cl, ccos) => (-ccos, cl) }
       .take(NProbe).map(_._1)
+    // ORACLE-CHECKED via the export pattern (see s02): the learned
+    // quantizer + probe ranking are engine-specific; the exported
+    // probed-list survivors + DuckDB's own exact cosine replay the
+    // re-rank and the cut at k.
     idx.where(col("cl").isin(probes: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"))
+      .write.mode("overwrite").parquet(s03ExportPath)
+    emb(s, d).join(s.read.parquet(s03ExportPath), "vec_id")
       .withColumn("qe", typedlit(qe.toSeq))
-      .withColumn("cos_r", round(expr("vec_dot(e, qe)") / (col("nrm") * lit(qnrm)), 6))
+      .withColumn("cos_r", round(expr("vec_dot(embedding, qe)") / (col("nrm") * lit(qnrm)), 6))
       .select("vec_id", "label", "cos_r")
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(10)
   }
+
+  private val s03Oracle: String =
+    """WITH cand AS (
+      |  SELECT vec_id
+      |  FROM read_parquet('/tmp/graft-index/s03cand/*.parquet')),
+      |n AS (
+      |  SELECT vec_id, label, embedding AS e,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT e AS qe, nrm AS qnrm FROM n WHERE vec_id = 0)
+      |SELECT n.vec_id, n.label,
+      |  round(list_reduce(list_transform(list_zip(n.e, q.qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |    / (n.nrm * q.qnrm), 6) AS cos_r
+      |FROM n JOIN cand c USING (vec_id), q
+      |ORDER BY cos_r DESC, vec_id LIMIT 10""".stripMargin
 
   /** One (query, candidate) cosine pair entering the batch top-k. */
   final case class QCand(q_id: Long, vec_id: Long, cos_r: Double)
@@ -441,23 +492,45 @@ object Similarity {
     * shortlist size scales with the corpus — max(250, n/40) — so the
     * recall floor calibrated at the test SFs survives corpus growth
     * instead of silently thinning to a fixed 250-of-n (SURVEY §9.3). */
+  private[graft] val s05ExportPath = s"$IndexRoot/s05cand"
+
   private def s05(s: SparkSession, d: String): DataFrame = {
     val idx = lshIndex(s, d)
     val (qe, qnrm) = queryVec(s, d)
     val qsig = graft.functions.SignOps.signOf(qe)
     val shortlistK = math.max(250L, Dedup.approxRowCount(idx) / 40L).toInt
-    val shortlist = idx.where(col("vec_id") =!= 0)
+    // ORACLE-CHECKED via the export pattern (see s02): the sign sketch
+    // + Hamming shortlist are engine-specific; the exported shortlist
+    // (ids + hamming pass-through) + DuckDB's exact cosine replay the
+    // re-rank and the cut at k.
+    idx.where(col("vec_id") =!= 0)
       .select(col("vec_id"),
         expr(s"bit_count(sig ^ CAST($qsig AS BIGINT))").as("hamming"))
       .orderBy(col("hamming"), col("vec_id"))
       .limit(shortlistK)
-    idx.join(broadcast(shortlist), "vec_id")
+      .write.mode("overwrite").parquet(s05ExportPath)
+    emb(s, d).join(broadcast(s.read.parquet(s05ExportPath)), "vec_id")
       .withColumn("qe", typedlit(qe.toSeq))
-      .withColumn("cos_r", round(expr("vec_dot(e, qe)") / (col("nrm") * lit(qnrm)), 6))
+      .withColumn("cos_r", round(expr("vec_dot(embedding, qe)") / (col("nrm") * lit(qnrm)), 6))
       .select("vec_id", "label", "hamming", "cos_r")
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(10)
   }
+
+  private val s05Oracle: String =
+    """WITH cand AS (
+      |  SELECT vec_id, hamming
+      |  FROM read_parquet('/tmp/graft-index/s05cand/*.parquet')),
+      |n AS (
+      |  SELECT vec_id, label, embedding AS e,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT e AS qe, nrm AS qnrm FROM n WHERE vec_id = 0)
+      |SELECT n.vec_id, n.label, c.hamming,
+      |  round(list_reduce(list_transform(list_zip(n.e, q.qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |    / (n.nrm * q.qnrm), 6) AS cos_r
+      |FROM n JOIN cand c USING (vec_id), q
+      |ORDER BY cos_r DESC, vec_id LIMIT 10""".stripMargin
 
   /** s06 — filtered ANN: top-k under a metadata predicate (the
     * "filtered vector search" surface every production ANN engine
@@ -985,10 +1058,10 @@ object Similarity {
 
   val all: Seq[Q] = Seq(
     Q("s01_ann_brute", Some(s01Oracle), s01),
-    Q("s02_ann_lsh", None, s02),
-    Q("s03_ann_ivf", None, s03),
+    Q("s02_ann_lsh", Some(s02Oracle), s02),
+    Q("s03_ann_ivf", Some(s03Oracle), s03),
     Q("s04_ann_batch", Some(s04Oracle), s04),
-    Q("s05_ann_rerank", None, s05),
+    Q("s05_ann_rerank", Some(s05Oracle), s05),
     Q("s06_ann_filtered", Some(s06Oracle), s06),
     Q("s07_ann_pq", None, s07),
     Q("s08_ann_ivfpq", None, s08),
