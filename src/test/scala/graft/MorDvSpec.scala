@@ -255,6 +255,42 @@ class MorDvSpec extends AnyFunSuite {
     assert(byChange.getOrElse("insert", 0L) == 2L, s"two appended rows: $byChange")
   }
 
+  test("MoR MERGE schema evolution: evolved feed appends, old files read NULL, CDC intact") {
+    import spark.implicits._
+    val root = freshTable("morevo")
+    val before = dataFiles(root).toSet
+    // the feed carries a NEW column (score) — evolution admits it
+    val updates = Seq((5L, 0L, 999L, 0.9), (2000L, 1L, 111L, 0.4))
+      .toDF("id", "grp", "amount", "score")
+    GraftCatalog.mergeSnapshotMor(spark, root, updates, "id",
+      allowSchemaEvolution = true)
+    assert(before.subsetOf(dataFiles(root).toSet),
+      "MoR evolution must rewrite zero carried files")
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.columns.toSeq == Seq("id", "grp", "amount", "score"),
+      "the committed schema must union the evolved column")
+    assert(t.count() == 1001)
+    // evolved rows carry the value; pre-evolution files read NULL
+    assert(t.where(col("id") === 5).head().getDouble(3) == 0.9)
+    assert(t.where(col("id") === 7).head().isNullAt(3),
+      "old files must serve NULL for the evolved column")
+    // CDC pairs intact: matched key = delete+insert, new key = insert
+    val ch = GraftCatalog.readChanges(spark, root, 1L, 2L)
+    val byChange = ch.groupBy("_change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChange.getOrElse("delete", 0L) == 1L, s"$byChange")
+    assert(byChange.getOrElse("insert", 0L) == 2L, s"$byChange")
+    // STRICT mode still clips: a feed with a column beyond the (now
+    // evolved) table schema drops it rather than widening further
+    GraftCatalog.mergeSnapshotMor(spark, root, Seq(
+      (6L, 6L, 777L, 0.5, "junk")).toDF("id", "grp", "amount", "score", "extra"),
+      "id")
+    val t2 = GraftCatalog.readSnapshot(spark, root)
+    assert(t2.columns.toSeq == Seq("id", "grp", "amount", "score"),
+      "strict MoR merge must clip columns beyond the table schema")
+    assert(t2.where(col("id") === 6).head().getDouble(3) == 0.5)
+  }
+
   test("write mode 'mor' routes SQL DML onto the MoR verbs") {
     val root = freshTable("mode")
     GraftCatalog.setSnapshotWriteMode(spark, root, "mor")
