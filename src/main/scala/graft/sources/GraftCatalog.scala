@@ -2706,14 +2706,9 @@ object GraftCatalog {
     require(!layout(f.name.toLowerCase(ROOT)),
       s"cannot rename ${f.name}: it drives the partition spec / declared " +
         "sort / bloom sidecars — rewrite via compaction instead")
-    val checkRefs = listSnapshotChecks(spark, root).flatMap { case (_, p) =>
-      scala.util.Try(spark.sessionState.sqlParser.parseExpression(p)
-        .collect {
-          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-            a.name.toLowerCase(ROOT)
-        }).getOrElse(Seq.empty)
-    }.toSet
-    require(!checkRefs(f.name.toLowerCase(ROOT)),
+    val lowered = f.name.toLowerCase(ROOT)
+    require(!checkColumnRefs(spark, root).exists(ref =>
+        ref == lowered || ref.startsWith(lowered + ".")),
       s"cannot rename ${f.name}: CHECK constraint(s) reference it — drop " +
         "and re-add the check under the new name")
     val physical = physicalNameOf(f)
@@ -2731,6 +2726,109 @@ object GraftCatalog {
     publishManifest(fs, r, next,
       carried ++ Seq(schemaLineOf(evolved)) ++ readManifest(fs, r, head))
     next
+  }
+
+  /** Rewrite the struct at `path` inside a committed schema (descends
+    * plain struct nesting only — fields inside arrays/maps have no
+    * per-row identity to evolve and reject loudly). */
+  private def transformNestedStruct(s: org.apache.spark.sql.types.StructType,
+      path: Seq[String])(
+      f: org.apache.spark.sql.types.StructType => org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    if (path.isEmpty) f(s)
+    else {
+      val fld = s.fields.find(_.name.equalsIgnoreCase(path.head)).getOrElse(
+        throw new IllegalArgumentException(s"no column ${path.head}"))
+      val inner = fld.dataType match {
+        case st: org.apache.spark.sql.types.StructType => st
+        case other => throw new IllegalArgumentException(
+          s"${fld.name} is ${other.simpleString}, not a struct — nested " +
+            "DDL descends plain struct nesting only")
+      }
+      org.apache.spark.sql.types.StructType(s.fields.map(x =>
+        if (x.name.equalsIgnoreCase(path.head))
+          x.copy(dataType = transformNestedStruct(inner, path.tail)(f))
+        else x))
+    }
+
+  /** The dotted column paths a table's CHECK constraints reference —
+    * the nested-DDL and rename guards consult this so a committed
+    * predicate string can never silently stop binding. */
+  private def checkColumnRefs(spark: SparkSession, root: String): Set[String] =
+    listSnapshotChecks(spark, root).flatMap { case (_, p) =>
+      scala.util.Try(spark.sessionState.sqlParser.parseExpression(p)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(".")
+        }).getOrElse(Seq.empty)
+    }.toSet
+
+  /** Shared publish tail of the pure-metadata schema DDL verbs: the
+    * head's files + stats/DV refs under an evolved committed schema. */
+  private def publishEvolvedSchema(fs: org.apache.hadoop.fs.FileSystem,
+      r: org.apache.hadoop.fs.Path, head: Long,
+      evolved: org.apache.spark.sql.types.StructType): Long = {
+    val carried = readManifestLines(fs, r, head).filter(l =>
+      l.startsWith("#stats:") || l.startsWith("#dv:"))
+    val next = head + 1
+    publishManifest(fs, r, next,
+      carried ++ Seq(schemaLineOf(evolved)) ++ readManifest(fs, r, head))
+    next
+  }
+
+  /** ADD a NESTED struct subfield as a PURE-METADATA commit (Iceberg's
+    * nested ADD COLUMN): `parent` is the dotted path of the enclosing
+    * struct ("props", "a.b"); existing files read NULL for the new
+    * subfield, new writes may carry it, time travel serves each
+    * version's own shape. The field lands nullable — on a multi-file
+    * table a required new subfield is unsatisfiable by definition. */
+  def addSnapshotNestedField(spark: SparkSession, root: String,
+      parent: String, field: org.apache.spark.sql.types.StructField): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val prior = snapshotSchema(spark, root, Some(head)).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot evolve nested fields on $root: no committed schema"))
+    val evolved = transformNestedStruct(prior, parent.split('.').toSeq) { st =>
+      require(!st.fields.exists(_.name.equalsIgnoreCase(field.name)),
+        s"field $parent.${field.name} already exists on $root")
+      org.apache.spark.sql.types.StructType(
+        st.fields :+ field.copy(nullable = true))
+    }
+    publishEvolvedSchema(fs, r, head, evolved)
+  }
+
+  /** DROP a NESTED struct subfield as a PURE-METADATA commit: the
+    * committed schema narrows, files keep their bytes (projection
+    * never reads them), time travel serves the pre-drop shape. Rejects
+    * when a CHECK references the field (or anything under it) and when
+    * the drop would empty its struct. */
+  def dropSnapshotNestedField(spark: SparkSession, root: String,
+      fieldPath: String): Long = {
+    import java.util.Locale.ROOT
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val prior = snapshotSchema(spark, root, Some(head)).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot evolve nested fields on $root: no committed schema"))
+    val parts = fieldPath.split('.').toSeq
+    require(parts.length >= 2,
+      s"'$fieldPath' is top-level — use evolveSnapshotSchema(drop = …)")
+    val dropped = parts.map(_.toLowerCase(ROOT)).mkString(".")
+    val clash = checkColumnRefs(spark, root)
+      .filter(ref => ref == dropped || ref.startsWith(dropped + "."))
+    require(clash.isEmpty,
+      s"cannot drop $fieldPath: CHECK constraint(s) reference " +
+        s"${clash.mkString(", ")} — drop the check first")
+    val evolved = transformNestedStruct(prior, parts.init) { st =>
+      require(st.fields.exists(_.name.equalsIgnoreCase(parts.last)),
+        s"no field $fieldPath on $root")
+      val kept = st.fields.filterNot(_.name.equalsIgnoreCase(parts.last))
+      require(kept.nonEmpty,
+        s"cannot drop $fieldPath: it is the struct's last field — drop " +
+          s"the ${parts.init.mkString(".")} column itself instead")
+      org.apache.spark.sql.types.StructType(kept)
+    }
+    publishEvolvedSchema(fs, r, head, evolved)
   }
 
   /** RENAME a snapshot table root — one filesystem rename plus a

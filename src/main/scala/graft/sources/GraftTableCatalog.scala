@@ -204,18 +204,25 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     val rootStr = root.toString
     changes.foreach {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "ADD COLUMN supports top-level columns only")
         require(a.position == null,
           "FIRST/AFTER positions are not supported — columns append")
-        GraftCatalog.evolveSnapshotSchema(spark, rootStr,
-          add = new StructType().add(a.fieldNames()(0), a.dataType(),
-            nullable = true))
+        if (a.fieldNames.length == 1)
+          GraftCatalog.evolveSnapshotSchema(spark, rootStr,
+            add = new StructType().add(a.fieldNames()(0), a.dataType(),
+              nullable = true))
+        else
+          // nested subfield: ALTER TABLE t ADD COLUMN s.x TYPE
+          GraftCatalog.addSnapshotNestedField(spark, rootStr,
+            a.fieldNames.init.mkString("."),
+            org.apache.spark.sql.types.StructField(
+              a.fieldNames.last, a.dataType(), nullable = true))
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1,
-          "DROP COLUMN supports top-level columns only")
-        GraftCatalog.evolveSnapshotSchema(spark, rootStr,
-          drop = Seq(d.fieldNames()(0)))
+        if (d.fieldNames.length == 1)
+          GraftCatalog.evolveSnapshotSchema(spark, rootStr,
+            drop = Seq(d.fieldNames()(0)))
+        else
+          GraftCatalog.dropSnapshotNestedField(spark, rootStr,
+            d.fieldNames.mkString("."))
       case s: TableChange.SetProperty if s.property == "write.mode" =>
         GraftCatalog.setSnapshotWriteMode(spark, rootStr, s.value)
       case r: TableChange.RemoveProperty if r.property == "write.mode" =>

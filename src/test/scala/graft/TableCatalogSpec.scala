@@ -268,6 +268,55 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rename back to the storage name must drop the mapping")
   }
 
+  test("nested-field ALTER: ADD/DROP struct subfields as pure metadata + time travel") {
+    spark.sql("CREATE TABLE graft.db.nst " +
+      "(id BIGINT, props STRUCT<a: BIGINT, b: STRING>)")
+    spark.sql("INSERT INTO graft.db.nst SELECT id, " +
+      "named_struct('a', id * 2, 'b', concat('s', id)) FROM range(0, 50)")
+    val root = s"$warehouse/db/nst"
+    val filesBefore = GraftCatalog.snapshotScanFiles(spark, root)._1.toSet
+    // ADD a nested subfield: old files read NULL for it
+    spark.sql("ALTER TABLE graft.db.nst ADD COLUMN props.score DOUBLE")
+    assert(GraftCatalog.snapshotScanFiles(spark, root)._1.toSet == filesBefore,
+      "nested ADD must publish zero data files")
+    assert(spark.table("graft.db.nst").schema("props").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("a", "b", "score"))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.nst WHERE props.score IS NULL")
+      .head().getLong(0) == 50L,
+      "pre-evolution files must serve NULL for the new subfield")
+    // writes may now carry it
+    spark.sql("INSERT INTO graft.db.nst VALUES " +
+      "(100, named_struct('a', 200L, 'b', 'x', 'score', 0.75))")
+    assert(spark.sql(
+      "SELECT sum(props.score) FROM graft.db.nst").head().getDouble(0) == 0.75)
+    assert(spark.sql("SELECT sum(props.a) FROM graft.db.nst")
+      .head().getLong(0) == 2450L + 200L)
+    // DROP a nested subfield: projection narrows, bytes stay
+    spark.sql("ALTER TABLE graft.db.nst DROP COLUMN props.b")
+    assert(spark.table("graft.db.nst").schema("props").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("a", "score"))
+    // time travel serves each version's own nested shape
+    val v2 = spark.sql("SELECT * FROM graft.db.nst VERSION AS OF 2")
+    assert(v2.schema("props").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("a", "b"),
+      "the pre-evolution version keeps its own shape")
+    assert(v2.selectExpr("sum(length(props.b))").head().getLong(0) > 0)
+    // a CHECK on a nested field blocks dropping it
+    GraftCatalog.addSnapshotCheck(spark, root, "a_pos", "props.a >= 0")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.nst DROP COLUMN props.a"))
+    assert(e.getMessage.contains("CHECK"))
+    GraftCatalog.dropSnapshotCheck(spark, root, "a_pos")
+    // descending through a non-struct rejects loudly
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.nst ADD COLUMN id.sub INT"))
+    assert(e2.getMessage.contains("not a struct"))
+  }
+
   test("RENAME COLUMN rejects layout and CHECK-referenced columns") {
     spark.sql("CREATE TABLE graft.db.rcl (k BIGINT, v DOUBLE) " +
       "PARTITIONED BY (bucket(4, k))")
