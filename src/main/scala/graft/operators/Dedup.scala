@@ -854,21 +854,33 @@ object Dedup {
     * iteration count — rank deltas at 10 rounds are far below the
     * 1e-6 output rounding. Dangling nodes (no edges) keep the
     * teleport mass 1−d. */
+  /** One rank unit = 1e-9 of the classic PageRank's 1.0: the power
+    * iteration runs in SCALED INTEGERS (rank₀ = 1e9; contribution =
+    * `rank DIV deg`; next = 0.15·SCALE + (85·Σ) DIV 100, all floor
+    * divisions). Integer sums are order-independent where float sums
+    * are not, so every engine — Spark under any partitioning, DuckDB
+    * replaying the unrolled iterations — computes bit-identical ranks;
+    * that determinism is what lets d15 sit on the driver's hash gate.
+    * Headroom: hub in-mass is ≤ n·SCALE, so 85·Σ stays ~1e5× under
+    * Long overflow even at 10⁹ nodes. */
+  private[graft] val PrScale = 1_000_000_000L
+
   private[graft] def pageRank(nodes: DataFrame, pairs: DataFrame,
-      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+      iters: Int = 10): DataFrame = {
     val fwd = pairs.toDF("u", "v")
     val edges = fwd.union(fwd.select(col("v"), col("u")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    var ranks = nodes.toDF("id").withColumn("rank", lit(1.0)).localCheckpoint()
+    var ranks = nodes.toDF("id").withColumn("rank", lit(PrScale)).localCheckpoint()
     for (_ <- 1 to iters) {
       val contribs = edges.join(ranks, edges("u") === ranks("id"))
         .join(deg, "u")
-        .select(col("v").as("id"), (col("rank") / col("deg")).as("c"))
+        .select(col("v").as("id"), expr("rank DIV deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("in"))
       val next = nodes.toDF("id").join(contribs, Seq("id"), "left")
         .select(col("id"),
-          (lit(1 - damping) + lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"))
+          (lit(15L * PrScale / 100L) +
+            expr("(85 * coalesce(in, 0L)) DIV 100")).as("rank"))
         .localCheckpoint()
       freeCheckpoint(ranks)
       ranks = next
@@ -882,19 +894,63 @@ object Dedup {
     * pairs) — the alternative to d08's quality-score keeper policy
     * (the most-connected version of a template is usually the
     * canonical one; quality and centrality disagree exactly on the
-    * interesting clusters). Rows-only (iterative float fixpoint is
-    * not a DuckDB one-shot); star-graph ordering and mass
-    * conservation are spec-pinned. Output: the top 50 most-central
-    * docs with their cluster ids. */
+    * interesting clusters). ORACLE-CHECKED since r13: [[pageRank]]
+    * runs in scaled integers, so DuckDB replays the 10 unrolled
+    * iterations bit-identically over the same capped edge set (the
+    * d02 `jp` CTE) — the iterative-float excuse for rows-only is
+    * gone. Star-graph ordering and mass conservation stay spec-pinned.
+    * Output: the top 50 most-central docs with their cluster ids and
+    * nano-scaled rank. */
   private def d15(s: SparkSession, d: String): DataFrame = {
     val ds = docs(s, d)
     val ranks = pageRank(ds.select(col("doc_id")),
       jaccardPairs(ds).select(col("a_id"), col("b_id")))
     ranks.join(dupLabelIndex(ds).toDF("id", "cluster_id"), "id")
       .select(col("id").as("doc_id"), col("cluster_id"),
-        round(col("rank"), 6).as("rank_r"))
-      .orderBy(col("rank_r").desc, col("doc_id"))
+        col("rank").as("rank_n"))
+      .orderBy(col("rank_n").desc, col("doc_id"))
       .limit(50)
+  }
+
+  /** DuckDB replay of [[pageRank]]'s 10 scaled-integer iterations over
+    * the capped d02 edge set, joined to the (uncapped-graph) cluster
+    * labels exactly as d15 composes them. Built by unrolling — the
+    * loop count is a compile-time constant, and chained CTEs avoid any
+    * dependence on recursive-aggregate support. */
+  private val d15Oracle: String = {
+    val iterCtes = (1 to 10).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT n.id,
+         |    CAST(150000000 + (85 * COALESCE(s.i, 0)) // 100 AS BIGINT) AS rank
+         |  FROM r0 n LEFT JOIN (
+         |    SELECT e.v AS id, SUM(r.rank // d.deg) AS i
+         |    FROM ed e JOIN $prev r ON e.u = r.id JOIN dg d ON e.u = d.u
+         |    GROUP BY e.v) s ON n.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    dupGraphCtes + ",\n" +
+      """cap AS (SELECT GREATEST(20, CAST(FLOOR(COUNT(*) * 0.01) AS BIGINT)) AS c
+        |        FROM documents),
+        |bk AS (SELECT shingle FROM sh GROUP BY shingle
+        |       HAVING COUNT(*) <= (SELECT c FROM cap)),
+        |prc AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN bk ON a.shingle = bk.shingle
+        |  GROUP BY a.doc_id, b.doc_id),
+        |jpe AS (
+        |  SELECT a_id, b_id FROM prc
+        |  JOIN sz sa ON a_id = sa.doc_id
+        |  JOIN sz sb ON b_id = sb.doc_id
+        |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3),
+        |ed AS (SELECT a_id AS u, b_id AS v FROM jpe
+        |       UNION ALL SELECT b_id, a_id FROM jpe),
+        |dg AS (SELECT u, COUNT(*) AS deg FROM ed GROUP BY u),
+        |r0 AS (SELECT doc_id AS id, CAST(1000000000 AS BIGINT) AS rank
+        |       FROM documents),""".stripMargin + "\n" + iterCtes + "\n" +
+      """SELECT r10.id AS doc_id, l.cluster_id, r10.rank AS rank_n
+        |FROM r10 JOIN lab l ON r10.id = l.doc_id
+        |ORDER BY rank_n DESC, doc_id LIMIT 50""".stripMargin
   }
 
   /** d14 — boilerplate sentence detection: sentences (t18's
@@ -1615,7 +1671,7 @@ object Dedup {
     Q("d12_dedup_containment", Some(d12Oracle), d12),
     Q("d13_record_linkage", Some(d13Oracle), d13),
     Q("d14_boilerplate", Some(d14Oracle), d14),
-    Q("d15_rank_centrality", None, d15),
+    Q("d15_rank_centrality", Some(d15Oracle), d15),
     Q("d16_sentence_near_dup", Some(d16Oracle), d16),
     Q("d17_triangles", Some(d17Oracle), d17),
     Q("d18_incremental_ingest", None, d18),

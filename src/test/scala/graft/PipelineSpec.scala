@@ -312,14 +312,15 @@ class PipelineSpec extends AnyFunSuite {
     val nodes = (0L to 5L).toDF("id") // 0 = center, 1-4 leaves, 5 singleton
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
     val ranks = graft.operators.Dedup.pageRank(nodes, pairs)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val S = graft.operators.Dedup.PrScale
     assert(ranks(0L) > ranks(1L) * 2,
       s"star center should dominate leaves: $ranks")
     assert((1L to 4L).map(ranks).distinct.size == 1, "leaves should tie")
-    assert(math.abs(ranks(5L) - 0.15) < 1e-9,
+    assert(ranks(5L) == 15L * S / 100L,
       s"edgeless node must sit at the 1-d teleport floor: ${ranks(5L)}")
-    // total mass stays ~n over the connected part + floor for the rest
-    val total = ranks.values.sum
+    // total mass stays ~n·SCALE over the connected part + floor for the rest
+    val total = ranks.values.sum.toDouble / S
     assert(total > 4.5 && total < 6.5, s"rank mass diverged: $total")
   }
 
