@@ -170,10 +170,19 @@ object Similarity {
     * harder. */
   private[graft] val s02ExportPath = s"$IndexRoot/s02cand"
 
-  private def s02(s: SparkSession, d: String): DataFrame = {
+  /** s02's CANDIDATE stage (the engine-specific part): the probed
+    * buckets' survivors off the partition-pruned index scan — factored
+    * so PipelineSpec asserts the pruning on the stage that owns it. */
+  private[graft] def s02CandidateFrame(s: SparkSession, d: String): DataFrame = {
     val idx = lshIndex(s, d)
-    val (qe, qnrm) = queryVec(s, d)
+    val (qe, _) = queryVec(s, d)
     val probes = LshOps.probePlan(qe, budget = 96)
+    idx.where(col("bucket").isin(probes.map(_.toInt): _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+  }
+
+  private def s02(s: SparkSession, d: String): DataFrame = {
+    val (qe, qnrm) = queryVec(s, d)
     // ORACLE-CHECKED via the s10 export pattern, applied to the query
     // itself (r13): the probe plan and bucket assignment are
     // engine-specific by design, but everything AFTER candidate
@@ -182,8 +191,7 @@ object Similarity {
     // top-k from the export and the raw embeddings. The hash match
     // proves the re-rank arithmetic and the cut at k end-to-end; the
     // probe plan's recall floor stays asserted in PipelineSpec/s10.
-    idx.where(col("bucket").isin(probes.map(_.toInt): _*) && col("vec_id") =!= 0)
-      .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+    s02CandidateFrame(s, d)
       .write.mode("overwrite").parquet(s02ExportPath)
     emb(s, d).join(s.read.parquet(s02ExportPath), "vec_id")
       .withColumn("qe", typedlit(qe.toSeq))
@@ -356,19 +364,26 @@ object Similarity {
     * touches nprobe/nlist of the data. */
   private[graft] val s03ExportPath = s"$IndexRoot/s03cand"
 
-  private def s03(s: SparkSession, d: String): DataFrame = {
+  /** s03's CANDIDATE stage: the probed inverted lists' survivors off
+    * the cluster-pruned index scan (spec asserts the pruning here). */
+  private[graft] def s03CandidateFrame(s: SparkSession, d: String): DataFrame = {
     val (idx, cents) = ivfIndex(s, d)
     val (qe, qnrm) = queryVec(s, d)
     val probes = cents
       .map { case (cl, ce, cn) => (cl, dotD(qe, ce) / (qnrm * cn)) }
       .sortBy { case (cl, ccos) => (-ccos, cl) }
       .take(NProbe).map(_._1)
+    idx.where(col("cl").isin(probes: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"))
+  }
+
+  private def s03(s: SparkSession, d: String): DataFrame = {
+    val (qe, qnrm) = queryVec(s, d)
     // ORACLE-CHECKED via the export pattern (see s02): the learned
     // quantizer + probe ranking are engine-specific; the exported
     // probed-list survivors + DuckDB's own exact cosine replay the
     // re-rank and the cut at k.
-    idx.where(col("cl").isin(probes: _*) && col("vec_id") =!= 0)
-      .select(col("vec_id"))
+    s03CandidateFrame(s, d)
       .write.mode("overwrite").parquet(s03ExportPath)
     emb(s, d).join(s.read.parquet(s03ExportPath), "vec_id")
       .withColumn("qe", typedlit(qe.toSeq))
@@ -494,20 +509,27 @@ object Similarity {
     * instead of silently thinning to a fixed 250-of-n (SURVEY §9.3). */
   private[graft] val s05ExportPath = s"$IndexRoot/s05cand"
 
-  private def s05(s: SparkSession, d: String): DataFrame = {
+  /** s05's stage-1 Hamming SHORTLIST: 16 bytes/row off the index, the
+    * full vector never read (spec asserts the narrow scan here). */
+  private[graft] def s05ShortlistFrame(s: SparkSession, d: String): DataFrame = {
     val idx = lshIndex(s, d)
-    val (qe, qnrm) = queryVec(s, d)
+    val (qe, _) = queryVec(s, d)
     val qsig = graft.functions.SignOps.signOf(qe)
     val shortlistK = math.max(250L, Dedup.approxRowCount(idx) / 40L).toInt
-    // ORACLE-CHECKED via the export pattern (see s02): the sign sketch
-    // + Hamming shortlist are engine-specific; the exported shortlist
-    // (ids + hamming pass-through) + DuckDB's exact cosine replay the
-    // re-rank and the cut at k.
     idx.where(col("vec_id") =!= 0)
       .select(col("vec_id"),
         expr(s"bit_count(sig ^ CAST($qsig AS BIGINT))").as("hamming"))
       .orderBy(col("hamming"), col("vec_id"))
       .limit(shortlistK)
+  }
+
+  private def s05(s: SparkSession, d: String): DataFrame = {
+    val (qe, qnrm) = queryVec(s, d)
+    // ORACLE-CHECKED via the export pattern (see s02): the sign sketch
+    // + Hamming shortlist are engine-specific; the exported shortlist
+    // (ids + hamming pass-through) + DuckDB's exact cosine replay the
+    // re-rank and the cut at k.
+    s05ShortlistFrame(s, d)
       .write.mode("overwrite").parquet(s05ExportPath)
     emb(s, d).join(broadcast(s.read.parquet(s05ExportPath)), "vec_id")
       .withColumn("qe", typedlit(qe.toSeq))

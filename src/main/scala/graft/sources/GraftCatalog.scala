@@ -3892,13 +3892,17 @@ object GraftCatalog {
     * never the table. Drops the branch on success (its rewrites were
     * re-landed into the parent's own data dir by the CDC apply, so
     * the whole branch dir is unreferenced). */
-  def mergeSnapshotBranch3Way(spark: SparkSession, root: String,
-      name: String, pk: String, resolve: String = "fail"): Long = {
-    require(Set("fail", "branch", "parent")(resolve),
-      s"resolve must be fail|branch|parent, got $resolve")
-    val base = resolveSnapshotTag(spark, root, branchBaseTag(name))
-    val head = snapshotVersions(spark, root).last
-    if (head == base) return mergeSnapshotBranch(spark, root, name)
+  /** The CDC batch (`_op` U/D) of a branch's EFFECTIVE row changes
+    * since its fork, conflict-resolved against the parent's own
+    * changes — the shared reconciliation engine of [[mergeSnapshotBranch3Way]]
+    * (apply to the parent) and [[rebaseSnapshotBranch]] (apply to a
+    * fresh fork of the parent head). Conflicts are VALUE-AWARE: a key
+    * modified on both sides counts only when the two FINAL states
+    * actually differ — both deleting a key, or both writing the same
+    * row, is agreement, not a conflict. */
+  private def branchChangeBatch(spark: SparkSession, root: String,
+      name: String, pk: String, resolve: String,
+      base: Long, head: Long): DataFrame = {
     val br = snapshotBranchRoot(root, name)
     val bHead = snapshotVersions(spark, br).last
     val bd = snapshotDiff(spark, br, 1L, bHead, pk)
@@ -3907,10 +3911,6 @@ object GraftCatalog {
     val pd = snapshotDiff(spark, root, base, head, pk)
       .where(col("change") =!= "unchanged")
       .select(col(pk), col("change").as("pstat"))
-    // VALUE-AWARE conflicts: a key modified on both sides is only a
-    // conflict if the two sides' FINAL states actually differ — both
-    // deleting it, or both writing the same row, is agreement (the
-    // pseudo-conflict a status-only check would flag).
     val overlap = bd.join(pd, Seq(pk))
     val bFin = readSnapshot(spark, br, Some(bHead), mergeSchema = true)
     val pFin = readSnapshot(spark, root, Some(head), mergeSchema = true)
@@ -3936,7 +3936,7 @@ object GraftCatalog {
             s"branch $name: ${cs.length}${if (cs.length > 10) "+" else ""} key(s) " +
               s"modified on both sides since fork v$base (e.g. " +
               cs.take(3).map(r => s"${r.get(0)}:${r.getString(1)}/${r.getString(2)}")
-                .mkString(", ") + ") — merge with resolve=branch|parent")
+                .mkString(", ") + ") — resolve with resolve=branch|parent")
           bd
         case "branch" => bd
         case "parent" => bd.join(conflicts.select(pk), Seq(pk), "left_anti")
@@ -3947,14 +3947,65 @@ object GraftCatalog {
         .join(upKeys, Seq(pk), "left_semi").withColumn("_op", lit("U"))
       val dels = readSnapshot(spark, br, Some(1L), mergeSchema = true)
         .join(delKeys, Seq(pk), "left_semi").withColumn("_op", lit("D"))
-      val v = applyCdcSnapshot(spark, root,
-        upserts.unionByName(dels, allowMissingColumns = true), pk,
-        meta = Seq(s"#branch-merge3:$name"))
-      deleteSnapshotTag(spark, root, branchBaseTag(name))
-      val (fs, _) = fsOf(spark, root)
-      fs.delete(new org.apache.hadoop.fs.Path(br), true)
-      v
+      // materialize BEFORE the caller mutates either table line: the
+      // batch's lineage reads both the branch and the parent
+      upserts.unionByName(dels, allowMissingColumns = true).localCheckpoint()
     } finally conflicts.unpersist(blocking = false)
+  }
+
+  def mergeSnapshotBranch3Way(spark: SparkSession, root: String,
+      name: String, pk: String, resolve: String = "fail"): Long = {
+    require(Set("fail", "branch", "parent")(resolve),
+      s"resolve must be fail|branch|parent, got $resolve")
+    val base = resolveSnapshotTag(spark, root, branchBaseTag(name))
+    val head = snapshotVersions(spark, root).last
+    if (head == base) return mergeSnapshotBranch(spark, root, name)
+    val batch = branchChangeBatch(spark, root, name, pk, resolve, base, head)
+    val v = applyCdcSnapshot(spark, root, batch, pk,
+      meta = Seq(s"#branch-merge3:$name"))
+    deleteSnapshotTag(spark, root, branchBaseTag(name))
+    val (fs, _) = fsOf(spark, root)
+    fs.delete(new org.apache.hadoop.fs.Path(snapshotBranchRoot(root, name)), true)
+    v
+  }
+
+  /** REBASE a branch onto the moved parent head — git's rebase for
+    * table lines, closing the documented manual-rebase gap in the
+    * fast-forward contract: the branch's effective row changes since
+    * its fork (same value-aware conflict engine as the 3-way merge,
+    * same fail|branch|parent policies) replay as ONE CDC apply onto a
+    * FRESH fork of the parent head, which then REPLACES the branch
+    * line; the fork tag repoints to the parent head, so a subsequent
+    * [[mergeSnapshotBranch]] fast-forwards cleanly. Like git, rebase
+    * REWRITES the branch's history — its old intermediate versions and
+    * branch-local tags do not survive (the parent is untouched).
+    * Returns the rebased branch's head version (1 = fork + the replay
+    * commit when the branch had changes). QUIESCED operation on the
+    * branch line, like every DDL-shaped verb. */
+  def rebaseSnapshotBranch(spark: SparkSession, root: String,
+      name: String, pk: String, resolve: String = "fail"): Long = {
+    require(Set("fail", "branch", "parent")(resolve),
+      s"resolve must be fail|branch|parent, got $resolve")
+    val base = resolveSnapshotTag(spark, root, branchBaseTag(name))
+    val head = snapshotVersions(spark, root).last
+    val br = snapshotBranchRoot(root, name)
+    if (head == base) return snapshotVersions(spark, br).last // already current
+    val batch = branchChangeBatch(spark, root, name, pk, resolve, base, head)
+    // build the rebased line beside the branch, then swap: the replay
+    // lands its batch under the tmp root, and renameSnapshotTable's
+    // path migration re-roots it when tmp takes the branch's name
+    val tmp = s"$br.rebase${System.nanoTime()}"
+    cloneSnapshot(spark, root, tmp)
+    val v =
+      if (batch.isEmpty) snapshotVersions(spark, tmp).last
+      else applyCdcSnapshot(spark, tmp, batch, pk,
+        meta = Seq(s"#branch-rebase:$name"))
+    val (fs, _) = fsOf(spark, root)
+    fs.delete(new org.apache.hadoop.fs.Path(br), true)
+    renameSnapshotTable(spark, tmp, br)
+    deleteSnapshotTag(spark, root, branchBaseTag(name))
+    tagSnapshot(spark, root, branchBaseTag(name), head)
+    v
   }
 
   /** Abandon a branch: remove its directory and release the fork-point

@@ -46,6 +46,7 @@ object GraftProcedures {
     "tag" -> (c => tag(c)),
     "create_branch" -> (c => createBranch(c)),
     "merge_branch" -> (c => mergeBranch(c)),
+    "rebase_branch" -> (c => rebaseBranch(c)),
     "clone" -> (c => cloneProc(c)),
     "set_check" -> (c => setCheck(c)),
     "drop_check" -> (c => dropCheck(c)),
@@ -239,6 +240,20 @@ object GraftProcedures {
       (t, in) =>
         val v = GraftCatalog.mergeSnapshotBranch(spark, c.resolveTableArg(t),
           in.getUTF8String(1).toString)
+        (versionOut, InternalRow(v))
+    }
+
+  private def rebaseBranch(c: GraftTableCatalog): UnboundProcedure =
+    proc("rebase_branch",
+      "replay a branch's row changes since its fork onto the moved " +
+        "parent head (git rebase for table lines); pk keys the " +
+        "reconciliation, resolve = fail|branch|parent",
+      Array(param("table", StringType), param("name", StringType),
+        param("pk", StringType), paramD("resolve", StringType, "'fail'"))) {
+      (t, in) =>
+        val v = GraftCatalog.rebaseSnapshotBranch(spark, c.resolveTableArg(t),
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+          in.getUTF8String(3).toString)
         (versionOut, InternalRow(v))
     }
 }

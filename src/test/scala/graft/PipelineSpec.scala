@@ -655,7 +655,7 @@ class PipelineSpec extends AnyFunSuite {
     // the shortlist subplan must NOT read the 64-float vector — the
     // whole point of the sketch column is a 16-byte-per-row stage 1
     val plan = graft.plans.PlanInspector.formatted(
-      SparkEntry.queries("s05_ann_rerank")(spark, sf))
+      graft.operators.Similarity.s05ShortlistFrame(spark, sf))
     val sketchScans = "ReadSchema: [^\\n]*sig[^\\n]*".r.findAllIn(plan).toSeq
     assert(sketchScans.nonEmpty, s"no sketch-column scan in:\n$plan")
     assert(sketchScans.exists(!_.contains("e:")),
@@ -748,7 +748,9 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("s02 probes are partition-pruned, never a full index scan") {
-    val plan = SparkEntry.queries("s02_ann_lsh")(spark, sf)
+    // the candidate stage owns the pruning (the query's tail re-ranks
+    // the exported candidates against raw embeddings for the oracle)
+    val plan = graft.operators.Similarity.s02CandidateFrame(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [bucket"),
       "s02 scan is not pruned by the probe set:\n" + plan)
@@ -777,7 +779,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("s03 probes are partition-pruned to the nprobe inverted lists") {
-    val plan = SparkEntry.queries("s03_ann_ivf")(spark, sf)
+    val plan = graft.operators.Similarity.s03CandidateFrame(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cl"),
       "s03 scan is not pruned to the probed clusters:\n" + plan)

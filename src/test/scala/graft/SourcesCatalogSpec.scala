@@ -1274,6 +1274,61 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(byId3(60L) == "same60" && byId3(61L) == "b61" && !byId3.contains(70L))
   }
 
+  test("branch REBASE replays changes onto the moved parent; fast-forward then succeeds") {
+    import spark.implicits._
+    val root = s"$tmp/snapreb_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(1),
+      root, append = false)
+    GraftCatalog.createSnapshotBranch(spark, root, "exp")
+    val br = GraftCatalog.snapshotBranchRoot(root, "exp")
+    // branch: update 10, delete 20, insert 200; parent: update 50 (disjoint)
+    GraftCatalog.mergeSnapshot(spark, br,
+      Seq((10L, "b10"), (200L, "b200")).toDF("id", "v"), "id")
+    GraftCatalog.deleteSnapshotWhere(spark, br, col("id") === 20L)
+    GraftCatalog.mergeSnapshot(spark, root,
+      Seq((50L, "p50")).toDF("id", "v"), "id")
+    // the moved parent blocks a fast-forward...
+    intercept[graft.sources.SnapshotConflictException] {
+      GraftCatalog.mergeSnapshotBranch(spark, root, "exp")
+    }
+    // ...rebase replays the branch onto the new head...
+    GraftCatalog.rebaseSnapshotBranch(spark, root, "exp", "id")
+    val onBranch = GraftCatalog.readSnapshot(spark, br)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(onBranch(10L) == "b10" && onBranch(200L) == "b200" &&
+      !onBranch.contains(20L), s"branch changes must survive the rebase")
+    assert(onBranch(50L) == "p50", "the parent's commit must appear on the rebased line")
+    // parent untouched by the rebase itself
+    assert(GraftCatalog.readSnapshot(spark, root)
+      .where(col("id") === 10L).head().getString(1) == "r10")
+    // ...and the fast-forward now lands cleanly
+    GraftCatalog.mergeSnapshotBranch(spark, root, "exp")
+    val merged = GraftCatalog.readSnapshot(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged(10L) == "b10" && merged(50L) == "p50" &&
+      merged(200L) == "b200" && !merged.contains(20L))
+
+    // conflicting edits: default policy fails naming the key, parent
+    // policy drops the branch's op on the conflicted key only
+    GraftCatalog.createSnapshotBranch(spark, root, "exp2")
+    val br2 = GraftCatalog.snapshotBranchRoot(root, "exp2")
+    GraftCatalog.mergeSnapshot(spark, br2,
+      Seq((30L, "b30"), (40L, "b40")).toDF("id", "v"), "id")
+    GraftCatalog.mergeSnapshot(spark, root,
+      Seq((30L, "p30")).toDF("id", "v"), "id")
+    val e = intercept[graft.sources.SnapshotConflictException] {
+      GraftCatalog.rebaseSnapshotBranch(spark, root, "exp2", "id")
+    }
+    assert(e.getMessage.contains("30"))
+    GraftCatalog.rebaseSnapshotBranch(spark, root, "exp2", "id",
+      resolve = "parent")
+    GraftCatalog.mergeSnapshotBranch(spark, root, "exp2")
+    val merged2 = GraftCatalog.readSnapshot(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged2(30L) == "p30" && merged2(40L) == "b40")
+  }
+
   test("readRowChanges nets a CoW history to one row per key; applying it reconstructs the head") {
     import spark.implicits._
     val root = s"$tmp/snaprowcdc_${System.nanoTime()}"
