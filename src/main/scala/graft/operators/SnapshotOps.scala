@@ -965,6 +965,47 @@ object SnapshotOps {
       |  COUNT(DISTINCT o_custkey) AS nc
       |FROM m GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q153 — EQUALITY DELETE (Iceberg v2 equality-delete files),
+    * oracle-reconciled: the orders clone takes a KEY-LIST purge
+    * (`deleteSnapshotKeysMor` — one sidecar of key tuples + the
+    * covered file list, ZERO data files read or written: the GDPR
+    * spelling positional DVs can't give), then an APPEND re-inserts
+    * two purged keys at a new price — the covered-set scoping must
+    * let them survive (sequence-number semantics, manifest-side). The
+    * head aggregate through the eq-aware read hash-matches DuckDB's
+    * anti-join-then-union replay. */
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val (root, _) = cloneBase(s, d, "snapeqdel")
+    val orders = ordersDf(s, d)
+    GraftCatalog.deleteSnapshotKeysMor(s, root,
+      orders.where(col("o_orderkey") % 577 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    val reinsert = orders.where(col("o_orderkey") % 1731 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit(1.0).as("price"), lit("0-EQBACK").as("pr"))
+    GraftCatalog.commitSnapshot(reinsert, root, append = true)
+    GraftCatalog.readSnapshot(s, root)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("pr")
+  }
+
+  private val q153Oracle: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, o_orderpriority AS pr
+      |  FROM orders),
+      |kept AS (SELECT * FROM base WHERE o_orderkey % 577 <> 0),
+      |back AS (
+      |  SELECT o_orderkey, o_custkey, 1.0 AS price, '0-EQBACK' AS pr
+      |  FROM base WHERE o_orderkey % 1731 = 0),
+      |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM back)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
+
   /** q144 — the storage-partitioned join through PURE SQL: q142's
     * co-located fact⋈dim, but the consumer is one SQL text over the
     * `graft_snapshot_spj` TVF — the shuffle-free join a Thrift user
@@ -1057,5 +1098,6 @@ object SnapshotOps {
     Q("q141_spec_evolution", Some(q141Oracle), q141),
     Q("q142_spj_join", Some(q142Oracle), q142),
     Q("q143_mor_upsert", Some(q143Oracle), q143),
+    Q("q153_eq_delete", Some(q153Oracle), q153),
     Q("q144_spj_sql", Some(q142Oracle), q144))
 }

@@ -609,7 +609,8 @@ object GraftCatalog {
     * `#eof`-terminated, so one strict read serves all four. */
   private final case class ParsedManifest(files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      dvNames: Seq[String], statsName: Option[String])
+      dvNames: Seq[String], statsName: Option[String],
+      eqDels: Seq[String])
 
   private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
       r: org.apache.hadoop.fs.Path, v: Long): ParsedManifest = {
@@ -621,7 +622,8 @@ object GraftCatalog {
           .fromJson(l.stripPrefix("#schema:"))
           .asInstanceOf[org.apache.spark.sql.types.StructType]),
       lines.filter(_.startsWith("#dv:")).map(_.stripPrefix("#dv:")),
-      lines.find(_.startsWith("#stats:")).map(_.stripPrefix("#stats:")))
+      lines.find(_.startsWith("#stats:")).map(_.stripPrefix("#stats:")),
+      lines.filter(_.startsWith("#eqdel:")).map(_.stripPrefix("#eqdel:")))
   }
 
   private[graft] def readStats(spark: SparkSession, root: String, v: Long): Map[String, FileStat] = {
@@ -844,11 +846,14 @@ object GraftCatalog {
                 .withMetadata(f.metadata).putString(PhysicalKey, ph).build()))
         })
       val schemaLine = schemaLineOf(stamped)
-      // appends carry the head's deletion vectors (same files, same
-      // deleted positions); an overwrite starts a clean file list
+      // appends carry the head's deletion vectors AND equality deletes
+      // (same files, same dead rows; the new batch is outside every
+      // eqdel's covered set, so re-inserts survive); an overwrite
+      // starts a clean file list
       val dvCarried =
         if (append && versions.nonEmpty)
-          readManifestLines(fs, r, versions.last).filter(_.startsWith("#dv:"))
+          readManifestLines(fs, r, versions.last).filter(l =>
+            l.startsWith("#dv:") || l.startsWith("#eqdel:"))
         else Seq.empty
       try {
         publishManifest(fs, r, next,
@@ -980,6 +985,11 @@ object GraftCatalog {
       if (fromV <= 0) Set.empty else readManifest(fs, r, fromV).toSet
     var prevDv: Set[String] =
       if (fromV <= 0) Set.empty else readDvNames(fs, r, fromV).toSet
+    def eqLinesAt(v0: Long): Seq[String] =
+      readManifestLines(fs, r, v0).filter(_.startsWith("#eqdel:"))
+        .map(_.stripPrefix("#eqdel:"))
+    var prevEq: Set[String] =
+      if (fromV <= 0) Set.empty else eqLinesAt(fromV).toSet
     val parts = versions.flatMap { v =>
       val cur = readManifest(fs, r, v).toSet
       val added = (cur -- prev).toSeq.sorted
@@ -993,6 +1003,7 @@ object GraftCatalog {
       // file-level stream everywhere else.
       val curDv = readDvNames(fs, r, v).toSet
       val freshDv = (curDv -- prevDv).toSeq.sorted
+      val priorDv = prevDv.toSeq.sorted
       prevDv = curDv
       val dvDel =
         if (freshDv.isEmpty) None
@@ -1006,6 +1017,31 @@ object GraftCatalog {
             .drop("__path", "__pos")
             .withColumn("_change", lit("delete")).withColumn("_version", lit(v))
         }
+      // An EQUALITY delete also changes no files: emit the covered
+      // files' rows matching the fresh key sets — LIVE at the previous
+      // version (prior positional DVs and prior eq sidecars filtered),
+      // so an already-dead row never re-emits. Cost ∝ covered files.
+      val curEq = eqLinesAt(v).toSet
+      val freshEq = (curEq -- prevEq).toSeq.sorted
+      val priorEq = prevEq.toSeq.sorted
+      prevEq = curEq
+      val eqDel = freshEq.flatMap { l =>
+        val (name, physPks) = parseEqDel(l)
+        val base = new org.apache.hadoop.fs.Path(deletesDir(r), name)
+        val covered = spark.read
+          .parquet(new org.apache.hadoop.fs.Path(base, "cover").toString)
+          .collect().map(_.getString(0)).filter(cur).sorted
+        if (covered.isEmpty) None
+        else {
+          val keys = spark.read
+            .parquet(new org.apache.hadoop.fs.Path(base, "keys").toString)
+          val live = applyEqDeletes(spark, r, priorEq,
+            applyDvNames(spark, r, priorDv,
+              spark.read.option("mergeSchema", "true").parquet(covered: _*)))
+          Some(live.join(keys, physPks.toSeq, "left_semi")
+            .withColumn("_change", lit("delete")).withColumn("_version", lit(v)))
+        }
+      }
       val ins =
         if (added.isEmpty) None
         else Some(spark.read.option("mergeSchema", "true").parquet(added: _*)
@@ -1014,7 +1050,7 @@ object GraftCatalog {
         if (removed.isEmpty) None
         else Some(spark.read.option("mergeSchema", "true").parquet(removed: _*)
           .withColumn("_change", lit("delete")).withColumn("_version", lit(v)))
-      ins.toSeq ++ del.toSeq ++ dvDel.toSeq
+      ins.toSeq ++ del.toSeq ++ dvDel.toSeq ++ eqDel
     }
     require(parts.nonEmpty,
       s"no file or deletion-vector changes in ($fromV, $toV] under $root")
@@ -1442,19 +1478,126 @@ object GraftCatalog {
       }
     }
 
+  // ---------------------------------------------------------------------
+  // EQUALITY DELETES (Iceberg v2 equality-delete files): "delete
+  // WHERE key = X" WITHOUT READING A SINGLE DATA FILE. The positional
+  // DV verbs must scan candidates to find row positions; a GDPR
+  // key-list purge over a cold 100 TB table wants the zero-read
+  // spelling. The sidecar holds the DISTINCT key tuples (stored under
+  // the columns' PHYSICAL storage names — rename-proof) plus the
+  // COVERED file list (the files present at publish): a later append
+  // re-inserting a deleted key survives — the Iceberg sequence-number
+  // scoping, expressed manifest-side. Readers anti-join covered
+  // files' rows against the key set; CoW rewrites read eq-aware so
+  // deleted rows never resurrect; compaction folds sidecars away (an
+  // overwrite commit carries no #eqdel: lines); vacuum keeps
+  // referenced sidecars, reaps orphans.
+  // ---------------------------------------------------------------------
+
+  /** Parse one `#eqdel:` suffix: `<name>:<physPk1,physPk2,…>`. */
+  private def parseEqDel(l: String): (String, Seq[String]) = {
+    val i = l.indexOf(':')
+    (l.substring(0, i), l.substring(i + 1).split(',').toSeq)
+  }
+
+  /** Filter a files-scan frame (PHYSICAL column names; `_metadata`
+    * still resolvable) through the version's equality-delete sidecars:
+    * a row drops iff its key tuple appears in a sidecar whose covered
+    * set contains the row's file. NULL keys never match (standard
+    * equality-delete semantics). Zero plan change without sidecars;
+    * with them, per sidecar one key left-join + one covered-file
+    * left-join over metadata-sized frames (AQE broadcasts). */
+  private def applyEqDeletes(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, eqDels: Seq[String],
+      df: DataFrame): DataFrame = {
+    if (eqDels.isEmpty) return df
+    val outCols = df.columns.toSeq
+    val known = outCols.toSet
+    val pathCol = Iterator.from(0).map(i => s"__eqp$i").find(!known(_)).get
+    var out = df.withColumn(pathCol, dvPathKey(col("_metadata.file_path")))
+    eqDels.zipWithIndex.foreach { case (l, i) =>
+      val (name, physPks) = parseEqDel(l)
+      val base = new org.apache.hadoop.fs.Path(deletesDir(root), name)
+      val keys = spark.read.parquet(new org.apache.hadoop.fs.Path(base, "keys").toString)
+      val cover = spark.read.parquet(new org.apache.hadoop.fs.Path(base, "cover").toString)
+      val kf = s"__eqk$i"
+      val cf = s"__eqc$i"
+      out = out
+        .join(keys.withColumn(kf, lit(1)), physPks, "left")
+        .join(cover.select(col("__path").as(pathCol), lit(1).as(cf)),
+          Seq(pathCol), "left")
+        .where(col(kf).isNull || col(cf).isNull)
+        .drop(kf, cf)
+    }
+    out.select(outCols.map(col): _*)
+  }
+
+  /** MERGE-ON-READ EQUALITY DELETE: remove every row whose `pks` tuple
+    * appears in `keys`, publishing ONE key-list sidecar and ZERO data
+    * reads or writes (see the section banner above — this is the verb
+    * whose entire point is never opening the table). The key feed is
+    * deduplicated and cast to the committed column types; keys with
+    * any NULL component are dropped (they can never equality-match).
+    * Returns the committed version — the head unchanged when the feed
+    * is empty. Conflict aborts delete the sidecar, the shared
+    * serializable contract. */
+  def deleteSnapshotKeysMor(spark: SparkSession, root: String,
+      keys: DataFrame, pks: Seq[String], meta: Seq[String] = Seq.empty): Long = {
+    require(pks.nonEmpty, "equality delete needs at least one key column")
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val files = readManifest(fs, r, head)
+    val cs = readSchemaLine(fs, r, head)
+    val declared: String => Option[org.apache.spark.sql.types.DataType] =
+      c => cs.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+    pks.foreach(c => require(cs.isEmpty || declared(c).isDefined,
+      s"no column $c on $root"))
+    val m = cs.map(physicalMap).getOrElse(Map.empty)
+    val physPks = pks.map(p => m.getOrElse(p, p))
+    val dk = keys.select(pks.map(c =>
+        declared(c).fold(col(c))(t => col(c).cast(t)).as(c)): _*)
+      .na.drop("any").distinct()
+    if (dk.isEmpty) return head
+    val name = s"eq-${System.nanoTime()}"
+    val base = new org.apache.hadoop.fs.Path(deletesDir(r), name)
+    dk.toDF(physPks: _*).write
+      .parquet(new org.apache.hadoop.fs.Path(base, "keys").toString)
+    val sp = spark; import sp.implicits._
+    files.toDF("__path").repartition(1).write
+      .parquet(new org.apache.hadoop.fs.Path(base, "cover").toString)
+    val carriedMeta = readManifestLines(fs, r, head).filter(l =>
+      l.startsWith("#stats:") || l.startsWith("#schema:") ||
+        l.startsWith("#dv:") || l.startsWith("#eqdel:"))
+    try {
+      val next = head + 1
+      publishManifest(fs, r, next,
+        carriedMeta ++ (s"#eqdel:$name:${physPks.mkString(",")}" +: meta) ++ files)
+      next
+    } catch {
+      case e: SnapshotConflictException =>
+        fs.delete(base, true)
+        throw e
+    }
+  }
+
   /** DV-aware read of specific data files at a version — what every
     * CoW rewrite uses for its survivor/source rows, so a file rewrite
-    * can never resurrect rows a deletion vector removed. */
+    * can never resurrect rows a deletion vector OR equality delete
+    * removed. */
   private def readFilesDv(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       v: Long, files: Seq[String]): DataFrame = {
-    // committed read schema (physical names for the files), DV filter
-    // on the scan's own metadata columns, logical names on top
+    // committed read schema (physical names for the files), DV +
+    // equality-delete filters on the scan's own metadata columns,
+    // logical names on top
     val cs = readSchemaLine(fs, root, v)
     val raw = cs.fold(spark.read.parquet(files: _*))(s =>
       spark.read.schema(physicalSchema(s)).parquet(files: _*))
     val dv = applyDv(spark, fs, root, v, raw)
-    cs.fold(dv)(s => toLogicalDf(dv, s))
+    val eq = applyEqDeletes(spark, root,
+      readManifestLines(fs, root, v).filter(_.startsWith("#eqdel:"))
+        .map(_.stripPrefix("#eqdel:")), dv)
+    cs.fold(eq)(s => toLogicalDf(eq, s))
   }
 
   /** Declare the table's row-level WRITE MODE — `"cow"` (default:
@@ -1496,8 +1639,8 @@ object GraftCatalog {
   private def copyDvSidecars(sfs: org.apache.hadoop.fs.FileSystem,
       sr: org.apache.hadoop.fs.Path, v: Long,
       dfs: org.apache.hadoop.fs.FileSystem,
-      dr: org.apache.hadoop.fs.Path): Seq[String] =
-    readDvNames(sfs, sr, v).map { n =>
+      dr: org.apache.hadoop.fs.Path): Seq[String] = {
+    val dvs = readDvNames(sfs, sr, v).map { n =>
       val newName = s"dv-${System.nanoTime()}"
       org.apache.hadoop.fs.FileUtil.copy(
         sfs, new org.apache.hadoop.fs.Path(deletesDir(sr), n),
@@ -1505,6 +1648,22 @@ object GraftCatalog {
         false, sfs.getConf)
       s"#dv:$newName"
     }
+    // equality-delete sidecars copy the same way (keys + cover dirs);
+    // the covered paths reference the SOURCE's files, which the clone
+    // carries by path — so coverage keeps meaning "files from before
+    // the delete" on the cloned line too
+    val eqs = readManifestLines(sfs, sr, v).filter(_.startsWith("#eqdel:"))
+      .map(_.stripPrefix("#eqdel:")).map { l =>
+        val (name, physPks) = parseEqDel(l)
+        val newName = s"eq-${System.nanoTime()}"
+        org.apache.hadoop.fs.FileUtil.copy(
+          sfs, new org.apache.hadoop.fs.Path(deletesDir(sr), name),
+          dfs, new org.apache.hadoop.fs.Path(deletesDir(dr), newName),
+          false, sfs.getConf)
+        s"#eqdel:$newName:${physPks.mkString(",")}"
+      }
+    dvs ++ eqs
+  }
 
   /** MERGE-ON-READ row-level DELETE: same statement semantics as
     * [[deleteSnapshotWhere]] (rows where `pred` is TRUE go; FALSE and
@@ -1566,7 +1725,8 @@ object GraftCatalog {
       return head
     }
     val carriedMeta = readManifestLines(fs, r, head).filter(l =>
-      l.startsWith("#stats:") || l.startsWith("#schema:") || l.startsWith("#dv:"))
+      l.startsWith("#stats:") || l.startsWith("#schema:") ||
+        l.startsWith("#dv:") || l.startsWith("#eqdel:"))
     try {
       val next = head + 1
       publishManifest(fs, r, next,
@@ -1695,11 +1855,15 @@ object GraftCatalog {
       fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
       v: Long, files: Seq[String]): DataFrame = {
     // position keys derive from `_metadata` BEFORE the logical-name
-    // projection (metadata columns don't survive a Project)
+    // projection (metadata columns don't survive a Project); equality
+    // deletes filter the physical scan first — their rows are not live
     val cs = readSchemaLine(fs, r, v)
     val scan = cs.fold(spark.read.parquet(files: _*))(s =>
       spark.read.schema(physicalSchema(s)).parquet(files: _*))
-    val keyed = scan
+    val eq = applyEqDeletes(spark, r,
+      readManifestLines(fs, r, v).filter(_.startsWith("#eqdel:"))
+        .map(_.stripPrefix("#eqdel:")), scan)
+    val keyed = eq
       .withColumn("__path", dvPathKey(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
     val raw = cs.fold(keyed)(s => toLogicalDf(keyed, s))
@@ -1871,9 +2035,12 @@ object GraftCatalog {
       .orElse(carried.headOption.map(f => spark.read.parquet(f).schema))
     val schemaLine =
       schemaLineOf(priorSchema.fold(newData.schema)(p => unionSchema(p, newData.schema)))
-    // Deletion vectors carry forward: carried files may still have
-    // DV'd rows; rewritten files' DV rows self-invalidate (path-keyed)
-    val dvCarried = readManifestLines(fs, r, head).filter(_.startsWith("#dv:"))
+    // Deletion vectors + equality deletes carry forward: carried files
+    // may still have dead rows; rewritten files' DV rows and eqdel
+    // coverage self-invalidate (both path-keyed — a new batch path is
+    // in no covered set)
+    val dvCarried = readManifestLines(fs, r, head).filter(l =>
+      l.startsWith("#dv:") || l.startsWith("#eqdel:"))
     try {
       val next = head + 1
       publishManifest(fs, r, next,
@@ -2289,10 +2456,12 @@ object GraftCatalog {
       if (mergeSchema) rd.option("mergeSchema", "true").parquet(files: _*)
       else pm.schema
         .fold(rd.parquet(files: _*))(s => rd.schema(physicalSchema(s)).parquet(files: _*))
-    // DV filtering binds to the scan's `_metadata` columns, so it sits
-    // BELOW the logical-name projection; the user predicate (logical
-    // names) applies above it.
-    val withDv = applyDvNames(spark, r, pm.dvNames, df)
+    // DV + equality-delete filtering binds to the scan's `_metadata`
+    // columns and the files' physical names, so it sits BELOW the
+    // logical-name projection; the user predicate (logical names)
+    // applies above it.
+    val withDv = applyEqDeletes(spark, r, pm.eqDels,
+      applyDvNames(spark, r, pm.dvNames, df))
     val logical = pm.schema.fold(withDv)(s => toLogicalDf(withDv, s))
     predicate.fold(logical)(logical.where)
   }
@@ -2359,8 +2528,9 @@ object GraftCatalog {
         stats.get(p).forall(fst => filters.forall(f => mayContain(fst, f, tz))) &&
           filters.forall(f => tupleMayMatch(spec, specSchema, p, f, tz))
       }
-    val withDv = applyDvNames(spark, r, pm.dvNames,
-      org.apache.spark.sql.GraftSnapshotRelation.dataFrame(spark, r, statuses, schema, keep))
+    val withDv = applyEqDeletes(spark, r, pm.eqDels,
+      applyDvNames(spark, r, pm.dvNames,
+        org.apache.spark.sql.GraftSnapshotRelation.dataFrame(spark, r, statuses, schema, keep)))
     pm.schema.fold(withDv)(s => toLogicalDf(withDv, s))
   }
 
@@ -2385,6 +2555,11 @@ object GraftCatalog {
     val vs = snapshotVersions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root")
     val v = version.getOrElse(vs.last)
+    // Equality deletes are key-predicates, not positions — the SPJ
+    // reader has no per-file slice for them; fold them via compaction
+    // first (the same loud contract the pre-DV SPJ had for DVs).
+    require(!readManifestLines(fs, r, v).exists(_.startsWith("#eqdel:")),
+      s"SPJ read of $root v$v: active equality deletes — compact first")
     // Deletion vectors apply PER FILE inside each bucket's own reader
     // (each InputPartition ships only its files' position slices), so
     // a merge-on-read table keeps its shuffle-free join between
@@ -2597,6 +2772,18 @@ object GraftCatalog {
     require(clash.isEmpty,
       s"cannot drop layout column(s) ${clash.mkString(", ")} — they drive " +
         "the partition spec / sort order / bloom sidecars")
+    // active equality deletes key on columns by PHYSICAL name — a drop
+    // would leave the sidecar unevaluable and silently resurrect rows
+    val eqKeyCols = readManifestLines(fs, r, head)
+      .filter(_.startsWith("#eqdel:"))
+      .flatMap(l => parseEqDel(l.stripPrefix("#eqdel:"))._2)
+      .map(_.toLowerCase(ROOT)).toSet
+    val eqClash = prior.fields
+      .filter(f => dropSet(f.name.toLowerCase(ROOT)))
+      .map(f => physicalNameOf(f).toLowerCase(ROOT)).filter(eqKeyCols)
+    require(eqClash.isEmpty,
+      s"cannot drop ${eqClash.mkString(", ")}: active equality delete(s) " +
+        "key on it — compact to fold them first")
     val evolved = org.apache.spark.sql.types.StructType(
       prior.fields.filterNot(f => dropSet(f.name.toLowerCase(ROOT))) ++
         add.fields.map(_.copy(nullable = true)))
@@ -3053,7 +3240,12 @@ object GraftCatalog {
     // written, manifest not yet published) is never reaped from under
     // its publish.
     val keepDv = kept.flatMap(v => readManifestLines(fs, r, v, strict = false)
-      .filter(_.startsWith("#dv:")).map(_.stripPrefix("#dv:"))).toSet
+      .flatMap {
+        case l if l.startsWith("#dv:") => Some(l.stripPrefix("#dv:"))
+        case l if l.startsWith("#eqdel:") =>
+          Some(parseEqDel(l.stripPrefix("#eqdel:"))._1)
+        case _ => None
+      }).toSet
     val dd = deletesDir(r)
     if (fs.exists(dd)) fs.listStatus(dd)
       .filter(st => st.getModificationTime < horizon0)

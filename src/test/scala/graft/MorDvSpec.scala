@@ -255,6 +255,64 @@ class MorDvSpec extends AnyFunSuite {
     assert(byChange.getOrElse("insert", 0L) == 2L, s"two appended rows: $byChange")
   }
 
+  test("EQUALITY delete: zero-read key purge; re-insert survives; rewrites/compaction fold") {
+    import spark.implicits._
+    val root = freshTable("eqdel")
+    val before = dataFiles(root).toSet
+    // purge 3 scattered keys by KEY LIST — no positional scan ever runs
+    val v = GraftCatalog.deleteSnapshotKeysMor(spark, root,
+      Seq(5L, 250L, 999L).toDF("id"), Seq("id"))
+    assert(v == 2L)
+    assert(dataFiles(root).toSet == before,
+      "equality delete must not add/remove/rewrite any data file")
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.count() == 997 &&
+      t.where(col("id").isin(5L, 250L, 999L)).isEmpty)
+    assert(GraftCatalog.readSnapshotAuto(spark, root).count() == 997,
+      "the auto FileIndex read path must apply equality deletes too")
+    assert(GraftCatalog.readSnapshot(spark, root, Some(1L)).count() == 1000,
+      "time travel to the pre-delete version stays intact")
+    // CDC: the eq version emits exactly the 3 covered live rows as deletes
+    val ch = GraftCatalog.readChanges(spark, root, 1L, 2L)
+    assert(ch.where(col("_change") === "delete").count() == 3)
+    // RE-INSERT of a purged key survives: the new batch is outside the
+    // sidecar's covered set (the Iceberg sequence-number scoping)
+    GraftCatalog.commitSnapshot(
+      Seq((5L, 5L, 50L)).toDF("id", "grp", "amount"), root, append = true)
+    val t2 = GraftCatalog.readSnapshot(spark, root)
+    assert(t2.count() == 998)
+    assert(t2.where(col("id") === 5L).head().getLong(2) == 50L)
+    // composes with a positional MoR delete
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("id") === 7L)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 997)
+    // a CoW rewrite of a covered file never resurrects the purged row
+    GraftCatalog.updateSnapshotWhere(spark, root, col("id") === 251L,
+      Seq("amount" -> lit(1L)))
+    val t3 = GraftCatalog.readSnapshot(spark, root)
+    assert(t3.where(col("id") === 250L).isEmpty,
+      "the rewrite of 250's file must not resurrect the eq-deleted row")
+    assert(t3.count() == 997)
+    // compaction folds: clean head, no #eqdel/#dv lines, content identical
+    val vc = GraftCatalog.compactSnapshot(spark, root)
+    val headMeta = GraftCatalog.snapshotMeta(spark, root, vc)
+    assert(!headMeta.exists(l => l.startsWith("#eqdel:") || l.startsWith("#dv:")),
+      s"compaction must fold all delete sidecars: $headMeta")
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 997)
+  }
+
+  test("equality deletes block dropping their key column until folded") {
+    import spark.implicits._
+    val root = freshTable("eqdrop", n = 100)
+    GraftCatalog.deleteSnapshotKeysMor(spark, root,
+      Seq(3L).toDF("grp"), Seq("grp"))
+    val e = intercept[IllegalArgumentException](
+      GraftCatalog.evolveSnapshotSchema(spark, root, drop = Seq("grp")))
+    assert(e.getMessage.contains("equality delete"))
+    GraftCatalog.compactSnapshot(spark, root)
+    GraftCatalog.evolveSnapshotSchema(spark, root, drop = Seq("grp"))
+    assert(!GraftCatalog.readSnapshot(spark, root).columns.contains("grp"))
+  }
+
   test("MoR MERGE schema evolution: evolved feed appends, old files read NULL, CDC intact") {
     import spark.implicits._
     val root = freshTable("morevo")
