@@ -268,8 +268,20 @@ final case class Fingerprint64(child: Expression)
     var i = 0
     while (i < n) {
       val t = arr.getUTF8String(i)
-      hm(i) = java.lang.Math.floorMod(
-        XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L), P)
+      // ENGINE-NEUTRAL token hash (r13, what flips t04 onto the hash
+      // gate): a base-31 polynomial over the token's UTF-8 bytes mod P
+      // — the tokenizer feeds [a-z]+ ASCII, so DuckDB's unicode()
+      // codepoints are the same byte values and list_reduce replays
+      // every hash exactly. The previous XXH64 token hash was
+      // Spark-private and made the whole fingerprint unverifiable.
+      val bs = t.getBytes
+      var h = 0L
+      var j = 0
+      while (j < bs.length) {
+        h = java.lang.Math.floorMod(h * 31L + (bs(j) & 0xffL), P)
+        j += 1
+      }
+      hm(i) = h
       i += 1
     }
     var fp = 0L

@@ -154,13 +154,46 @@ object TextAnalysis {
       |  length(text) AS n_chars_m
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** t04 — document fingerprinting (rows-only): rolling polynomial hash
-    * over token xxhash64s mod 1e9+7 (modular, not wrap-around — ANSI
-    * mode is on and long overflow would throw), plus a winnowed min-hash
-    * over 8-token windows (robust to local edits). Deterministic;
-    * asserted in TextSpec. */
+  /** t04 — document fingerprinting, ORACLE-CHECKED since r13: rolling
+    * polynomial hash over ENGINE-NEUTRAL token hashes (base-31 byte
+    * polynomial mod 1e9+7 — modular, not wrap-around: ANSI mode is on
+    * and long overflow would throw), plus a winnowed min-hash over
+    * 8-token windows (robust to local edits). The byte polynomial
+    * replaced the r1 XXH64 token hash, which was Spark-private and
+    * kept the whole column rows-only; DuckDB now replays token hash,
+    * document fold and window minimum exactly. Golden values pinned in
+    * PipelineSpec. */
   private def t04(s: SparkSession, d: String): DataFrame =
     fingerprint(Tables.df(s, d, "documents"))
+
+  /** DuckDB replay of the full fingerprint pipeline (hash-checked
+    * since r13): the token hash is a base-31 byte polynomial mod P —
+    * engine-neutral, so list_reduce recomputes every token hash, the
+    * document fold, and the winnowed 8-token window minimum exactly.
+    * Same comprehension/slicing idioms the d02 oracle established. */
+  private val t04Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+      |  FROM documents),
+      |hm AS (
+      |  SELECT doc_id, list_transform(t, s ->
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(s) + 1),
+      |          i -> CAST(unicode(s[i]) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+      |  FROM toks),
+      |f AS (
+      |  SELECT doc_id, hs,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+      |      (acc, h) -> (acc * 31 + h) % 1000000007) AS fp64
+      |  FROM hm)
+      |SELECT doc_id, fp64,
+      |  CASE WHEN len(hs) >= 8 THEN
+      |    list_min([list_reduce(list_prepend(CAST(0 AS BIGINT), hs[x+1:x+8]),
+      |      (acc, h) -> (acc * 31 + h) % 1000000007) for x in range(len(hs) - 7)])
+      |  ELSE fp64 END AS win_fp
+      |FROM f ORDER BY doc_id""".stripMargin
 
   /** Factored on a docs DataFrame so the spec can pin golden values for
     * constructed texts, not just determinism on the corpus. The rolling
@@ -1071,7 +1104,7 @@ object TextAnalysis {
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
     Q("t03_tokens", Some(t03Oracle), t03),
-    Q("t04_fingerprint", None, t04),
+    Q("t04_fingerprint", Some(t04Oracle), t04),
     Q("t05_pii_redact", Some(t05Oracle), t05),
     Q("t06_bigram_freq", Some(t06Oracle), t06),
     Q("t07_repetition", Some(t07Oracle), t07),

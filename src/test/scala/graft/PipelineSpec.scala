@@ -1007,9 +1007,9 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // doc 1 exercises the winnowed-window path (win_fp != fp64); docs
     // 2-3 are shorter than a window and must fall back to fp64
-    assert(out(1L) == ((725885015L, 45329127L)))
-    assert(out(2L) == ((568098855L, 568098855L)))
-    assert(out(3L) == ((539531220L, 539531220L)))
+    assert(out(1L) == ((723604093L, 115803756L)))
+    assert(out(2L) == ((96354L, 96354L)))
+    assert(out(3L) == ((601192517L, 601192517L)))
   }
 
   test("t04 fingerprints are deterministic and in modular range") {
