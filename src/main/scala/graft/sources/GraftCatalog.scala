@@ -1035,10 +1035,12 @@ object GraftCatalog {
         else {
           val keys = spark.read
             .parquet(new org.apache.hadoop.fs.Path(base, "keys").toString)
+          val (based, eqPath) = captureEqPath(priorEq,
+            spark.read.option("mergeSchema", "true").parquet(covered: _*))
           val live = applyEqDeletes(spark, r, priorEq,
-            applyDvNames(spark, r, priorDv,
-              spark.read.option("mergeSchema", "true").parquet(covered: _*)))
-          Some(live.join(keys, physPks.toSeq, "left_semi")
+            applyDvNames(spark, r, priorDv, based), eqPath)
+          val cleaned = eqPath.fold(live)(live.drop(_))
+          Some(cleaned.join(keys, physPks.toSeq, "left_semi")
             .withColumn("_change", lit("delete")).withColumn("_version", lit(v)))
         }
       }
@@ -1500,21 +1502,31 @@ object GraftCatalog {
     (l.substring(0, i), l.substring(i + 1).split(',').toSeq)
   }
 
-  /** Filter a files-scan frame (PHYSICAL column names; `_metadata`
-    * still resolvable) through the version's equality-delete sidecars:
-    * a row drops iff its key tuple appears in a sidecar whose covered
-    * set contains the row's file. NULL keys never match (standard
-    * equality-delete semantics). Zero plan change without sidecars;
-    * with them, per sidecar one key left-join + one covered-file
-    * left-join over metadata-sized frames (AQE broadcasts). */
+  /** Filter a files-scan frame (PHYSICAL column names) through the
+    * version's equality-delete sidecars: a row drops iff its key tuple
+    * appears in a sidecar whose covered set contains the row's file.
+    * NULL keys never match (standard equality-delete semantics). Zero
+    * plan change without sidecars; with them, per sidecar one key
+    * left-join + one covered-file left-join over metadata-sized frames
+    * (AQE broadcasts).
+    *
+    * `pathCol`: metadata columns do NOT propagate through joins, so a
+    * caller composing this after any join (the DV anti-join fallback,
+    * its own position keying) must CAPTURE the dvPathKey-normalized
+    * file path on the raw scan first and pass the column's name; the
+    * column stays in the output (the caller drops it). With None the
+    * frame must still resolve `_metadata` and the derived column is
+    * dropped here. */
   private def applyEqDeletes(spark: SparkSession,
       root: org.apache.hadoop.fs.Path, eqDels: Seq[String],
-      df: DataFrame): DataFrame = {
+      df: DataFrame, pathColIn: Option[String] = None): DataFrame = {
     if (eqDels.isEmpty) return df
     val outCols = df.columns.toSeq
     val known = outCols.toSet
-    val pathCol = Iterator.from(0).map(i => s"__eqp$i").find(!known(_)).get
-    var out = df.withColumn(pathCol, dvPathKey(col("_metadata.file_path")))
+    val pathCol = pathColIn.getOrElse(
+      Iterator.from(0).map(i => s"__eqp$i").find(!known(_)).get)
+    var out = pathColIn.fold(
+      df.withColumn(pathCol, dvPathKey(col("_metadata.file_path"))))(_ => df)
     eqDels.zipWithIndex.foreach { case (l, i) =>
       val (name, physPks) = parseEqDel(l)
       val base = new org.apache.hadoop.fs.Path(deletesDir(root), name)
@@ -1531,6 +1543,19 @@ object GraftCatalog {
     }
     out.select(outCols.map(col): _*)
   }
+
+  /** A fresh dvPathKey-normalized path column over a RAW scan — the
+    * capture [[applyEqDeletes]] needs when it composes after joins.
+    * Returns (frame with the column, its name); None when no
+    * equality deletes are active. */
+  private def captureEqPath(eqDels: Seq[String],
+      df: DataFrame): (DataFrame, Option[String]) =
+    if (eqDels.isEmpty) (df, None)
+    else {
+      val known = df.columns.toSet
+      val p = Iterator.from(0).map(i => s"__eqp$i").find(!known(_)).get
+      (df.withColumn(p, dvPathKey(col("_metadata.file_path"))), Some(p))
+    }
 
   /** MERGE-ON-READ EQUALITY DELETE: remove every row whose `pks` tuple
     * appears in `keys`, publishing ONE key-list sidecar and ZERO data
@@ -1580,6 +1605,23 @@ object GraftCatalog {
     }
   }
 
+  /** EXACTLY-ONCE streaming equality delete — [[deleteSnapshotKeysMor]]
+    * under the batch-id replay guard shared by every verb wrapper: a
+    * crash-replayed micro-batch of purge keys is a no-op. The GDPR
+    * key feed as a stream: wire as `.foreachBatch((b, id) =>
+    * deleteSnapshotKeysBatch(spark, root, b, pks, id))`. Own
+    * `#eqbatch:` tag namespace (optionally `#eqbatch:<sinkId>:<id>`). */
+  def deleteSnapshotKeysBatch(spark: SparkSession, root: String,
+      keys: DataFrame, pks: Seq[String], batchId: Long,
+      sinkId: String = ""): Long = {
+    val prefix = if (sinkId.isEmpty) "#eqbatch:" else s"#eqbatch:$sinkId:"
+    findBatchReplay(spark, root, prefix, batchId) match {
+      case Some(v) => v // replay — already applied
+      case None => deleteSnapshotKeysMor(spark, root, keys, pks,
+        meta = Seq(s"$prefix$batchId"))
+    }
+  }
+
   /** DV-aware read of specific data files at a version — what every
     * CoW rewrite uses for its survivor/source rows, so a file rewrite
     * can never resurrect rows a deletion vector OR equality delete
@@ -1589,15 +1631,18 @@ object GraftCatalog {
       v: Long, files: Seq[String]): DataFrame = {
     // committed read schema (physical names for the files), DV +
     // equality-delete filters on the scan's own metadata columns,
-    // logical names on top
+    // logical names on top (eq path captured on the raw scan — see
+    // applyEqDeletes' join caveat)
     val cs = readSchemaLine(fs, root, v)
     val raw = cs.fold(spark.read.parquet(files: _*))(s =>
       spark.read.schema(physicalSchema(s)).parquet(files: _*))
-    val dv = applyDv(spark, fs, root, v, raw)
-    val eq = applyEqDeletes(spark, root,
-      readManifestLines(fs, root, v).filter(_.startsWith("#eqdel:"))
-        .map(_.stripPrefix("#eqdel:")), dv)
-    cs.fold(eq)(s => toLogicalDf(eq, s))
+    val eqDels = readManifestLines(fs, root, v)
+      .filter(_.startsWith("#eqdel:")).map(_.stripPrefix("#eqdel:"))
+    val (based, eqPath) = captureEqPath(eqDels, raw)
+    val dv = applyDv(spark, fs, root, v, based)
+    val eq = applyEqDeletes(spark, root, eqDels, dv, eqPath)
+    val cleaned = eqPath.fold(eq)(eq.drop(_))
+    cs.fold(cleaned)(s => toLogicalDf(cleaned, s))
   }
 
   /** Declare the table's row-level WRITE MODE — `"cow"` (default:
@@ -1854,19 +1899,20 @@ object GraftCatalog {
   private def liveRowsWithPos(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
       v: Long, files: Seq[String]): DataFrame = {
-    // position keys derive from `_metadata` BEFORE the logical-name
-    // projection (metadata columns don't survive a Project); equality
-    // deletes filter the physical scan first — their rows are not live
+    // position keys derive from `_metadata` BEFORE anything joins
+    // (metadata columns survive Projects, not Joins); the equality
+    // deletes then filter on the already-captured __path — their rows
+    // are not live
     val cs = readSchemaLine(fs, r, v)
     val scan = cs.fold(spark.read.parquet(files: _*))(s =>
       spark.read.schema(physicalSchema(s)).parquet(files: _*))
-    val eq = applyEqDeletes(spark, r,
-      readManifestLines(fs, r, v).filter(_.startsWith("#eqdel:"))
-        .map(_.stripPrefix("#eqdel:")), scan)
-    val keyed = eq
+    val keyed = scan
       .withColumn("__path", dvPathKey(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
-    val raw = cs.fold(keyed)(s => toLogicalDf(keyed, s))
+    val eq = applyEqDeletes(spark, r,
+      readManifestLines(fs, r, v).filter(_.startsWith("#eqdel:"))
+        .map(_.stripPrefix("#eqdel:")), keyed, Some("__path"))
+    val raw = cs.fold(eq)(s => toLogicalDf(eq, s))
     dvDf(spark, r, readDvNames(fs, r, v))
       .fold(raw)(p => raw.join(p, Seq("__path", "__pos"), "left_anti"))
   }
@@ -2459,10 +2505,13 @@ object GraftCatalog {
     // DV + equality-delete filtering binds to the scan's `_metadata`
     // columns and the files' physical names, so it sits BELOW the
     // logical-name projection; the user predicate (logical names)
-    // applies above it.
+    // applies above it. The eq path column captures on the raw scan —
+    // metadata columns don't survive the DV anti-join fallback.
+    val (based, eqPath) = captureEqPath(pm.eqDels, df)
     val withDv = applyEqDeletes(spark, r, pm.eqDels,
-      applyDvNames(spark, r, pm.dvNames, df))
-    val logical = pm.schema.fold(withDv)(s => toLogicalDf(withDv, s))
+      applyDvNames(spark, r, pm.dvNames, based), eqPath)
+    val cleaned = eqPath.fold(withDv)(withDv.drop(_))
+    val logical = pm.schema.fold(cleaned)(s => toLogicalDf(cleaned, s))
     predicate.fold(logical)(logical.where)
   }
 
@@ -2528,10 +2577,12 @@ object GraftCatalog {
         stats.get(p).forall(fst => filters.forall(f => mayContain(fst, f, tz))) &&
           filters.forall(f => tupleMayMatch(spec, specSchema, p, f, tz))
       }
+    val (based, eqPath) = captureEqPath(pm.eqDels,
+      org.apache.spark.sql.GraftSnapshotRelation.dataFrame(spark, r, statuses, schema, keep))
     val withDv = applyEqDeletes(spark, r, pm.eqDels,
-      applyDvNames(spark, r, pm.dvNames,
-        org.apache.spark.sql.GraftSnapshotRelation.dataFrame(spark, r, statuses, schema, keep)))
-    pm.schema.fold(withDv)(s => toLogicalDf(withDv, s))
+      applyDvNames(spark, r, pm.dvNames, based), eqPath)
+    val cleaned = eqPath.fold(withDv)(withDv.drop(_))
+    pm.schema.fold(cleaned)(s => toLogicalDf(cleaned, s))
   }
 
   /** STORAGE-PARTITIONED read: expose the table's hidden `bucket(n,

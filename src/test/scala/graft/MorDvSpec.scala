@@ -300,6 +300,23 @@ class MorDvSpec extends AnyFunSuite {
     assert(GraftCatalog.readSnapshot(spark, root).count() == 997)
   }
 
+  test("equality-delete batch wrapper lands exactly once under replay") {
+    import spark.implicits._
+    val root = freshTable("eqbatch", n = 100)
+    val v1 = GraftCatalog.deleteSnapshotKeysBatch(spark, root,
+      Seq(10L, 20L).toDF("id"), Seq("id"), batchId = 7L)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 98)
+    // crash-replay of the same micro-batch: no new version, same head
+    val v2 = GraftCatalog.deleteSnapshotKeysBatch(spark, root,
+      Seq(10L, 20L).toDF("id"), Seq("id"), batchId = 7L)
+    assert(v2 == v1 && GraftCatalog.snapshotVersions(spark, root).last == v1)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 98)
+    // the next batch id applies
+    GraftCatalog.deleteSnapshotKeysBatch(spark, root,
+      Seq(30L).toDF("id"), Seq("id"), batchId = 8L)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 97)
+  }
+
   test("equality deletes block dropping their key column until folded") {
     import spark.implicits._
     val root = freshTable("eqdrop", n = 100)

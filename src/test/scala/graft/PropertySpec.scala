@@ -529,6 +529,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Equality delete: a zero-read key-list purge racing everything
+    * else — the sidecar publish must serialize under the same claim
+    * protocol, and its covered set is exactly the serialized
+    * predecessor's file list (so later inserts of purged keys
+    * survive, which the version-order model replay checks for free). */
+  private final case class EqDeleteOp(idx: Int, lo: Long, n: Int)
+      extends RaceOp {
+    def run(root: String): Long = {
+      val s = spark
+      import org.apache.spark.sql.functions._
+      graft.sources.GraftCatalog.deleteSnapshotKeysMor(s, root,
+        s.range(lo, lo + n).select(col("id").as("k")), Seq("k"),
+        meta = Seq(s"#op:$idx"))
+    }
+    def model(st: scala.collection.mutable.Map[Long, Long]): Unit =
+      (lo until lo + n).foreach(st.remove)
+  }
+
   private final case class AppendOp(idx: Int, start: Long) extends RaceOp {
     def run(root: String): Long = {
       import org.apache.spark.sql.functions._
@@ -579,7 +597,9 @@ class PropertySpec extends AnyFunSuite {
         // r11: the merge-on-read physics race the CoW verbs on the
         // SAME table — DV sidecar publishes must serialize identically
         MorDeleteOp(6, 11L, rnd.nextInt(11).toLong, 300L + rnd.nextInt(700)),
-        MorMergeOp(7, lo3, hi3, rnd.nextInt(10).toLong, 12000L)))
+        MorMergeOp(7, lo3, hi3, rnd.nextInt(10).toLong, 12000L),
+        // r13: the equality-delete sidecar publish joins the race
+        EqDeleteOp(8, 100L + rnd.nextInt(400), 60)))
       // Phase 1: race. Every failure must be the clean serializable
       // abort — anything else (NPE, torn state, wrong exception) fails.
       val results = Await.result(
