@@ -1209,8 +1209,9 @@ object Sampling {
       |  SELECT source, n, cum,
       |    ((cum - 1) // 512) - ((cum - n) // 512) + 1 AS span
       |  FROM c)
-      |SELECT source, COUNT(*) AS n_docs, SUM(n) AS n_toks,
-      |  (MAX(cum) + 511) // 512 AS n_chunks,
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS n_toks,
+      |  CAST((MAX(cum) + 511) // 512 AS BIGINT) AS n_chunks,
       |  CAST(SUM(CASE WHEN span > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary,
       |  CAST((SUM(span) * 1000000) // COUNT(*) AS BIGINT) AS avg_span_micro
       |FROM s GROUP BY source ORDER BY source""".stripMargin

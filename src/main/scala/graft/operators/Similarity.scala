@@ -168,7 +168,25 @@ object Similarity {
     * cosine 0.37), so recall 0.6-0.8 costs a ~35% scan — on a real
     * embedding corpus with tighter neighbors the same plan prunes far
     * harder. */
-  private[graft] val s02ExportPath = s"$IndexRoot/s02cand"
+  /** Candidate-export paths are scoped PER SOURCE DATASET (r13 ADVICE):
+    * two concurrent runs at different SFs previously raced on one fixed
+    * path, and the oracle's result silently depended on which run wrote
+    * last. Each query records the path it wrote into [[exportPaths]];
+    * the oracle strings are defs and [[all]] is a def, so
+    * `SparkEntry.oracleSql` — which Verify evaluates AFTER running the
+    * queries — always names the export THIS run produced. */
+  private val exportPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def exportPath(stage: String, d: String): String = {
+    val p = s"$IndexRoot/$stage-${math.abs(d.hashCode.toLong)}"
+    exportPaths.put(stage, p)
+    p
+  }
+  private def oracleExportPath(stage: String): String =
+    exportPaths.getOrDefault(stage,
+      s"$IndexRoot/$stage-${math.abs("/root/testdata/sf0.01".hashCode.toLong)}")
+
+  private[graft] def s02ExportPath(d: String) = exportPath("s02cand", d)
 
   /** s02's CANDIDATE stage (the engine-specific part): the probed
     * buckets' survivors off the partition-pruned index scan — factored
@@ -191,9 +209,9 @@ object Similarity {
     // top-k from the export and the raw embeddings. The hash match
     // proves the re-rank arithmetic and the cut at k end-to-end; the
     // probe plan's recall floor stays asserted in PipelineSpec/s10.
-    s02CandidateFrame(s, d)
-      .write.mode("overwrite").parquet(s02ExportPath)
-    emb(s, d).join(s.read.parquet(s02ExportPath), "vec_id")
+    val out = s02ExportPath(d)
+    s02CandidateFrame(s, d).write.mode("overwrite").parquet(out)
+    emb(s, d).join(s.read.parquet(out), "vec_id")
       .withColumn("qe", typedlit(qe.toSeq))
       .withColumn("cos_r", round(expr("vec_dot(embedding, qe)") / (col("nrm") * lit(qnrm)), 6))
       .select("vec_id", "label", "bucket", "cos_r")
@@ -201,10 +219,10 @@ object Similarity {
       .limit(10)
   }
 
-  private val s02Oracle: String =
-    """WITH cand AS (
+  private def s02Oracle: String =
+    s"""WITH cand AS (
       |  SELECT vec_id, bucket
-      |  FROM read_parquet('/tmp/graft-index/s02cand/*.parquet')),
+      |  FROM read_parquet('${oracleExportPath("s02cand")}/*.parquet')),
       |n AS (
       |  SELECT vec_id, label, embedding AS e,
       |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm
@@ -362,7 +380,7 @@ object Similarity {
     * planning, not a scan), probes its nprobe nearest inverted lists
     * via partition pruning, exact cosine re-ranks. At 100 TB a probe
     * touches nprobe/nlist of the data. */
-  private[graft] val s03ExportPath = s"$IndexRoot/s03cand"
+  private[graft] def s03ExportPath(d: String) = exportPath("s03cand", d)
 
   /** s03's CANDIDATE stage: the probed inverted lists' survivors off
     * the cluster-pruned index scan (spec asserts the pruning here). */
@@ -383,9 +401,9 @@ object Similarity {
     // quantizer + probe ranking are engine-specific; the exported
     // probed-list survivors + DuckDB's own exact cosine replay the
     // re-rank and the cut at k.
-    s03CandidateFrame(s, d)
-      .write.mode("overwrite").parquet(s03ExportPath)
-    emb(s, d).join(s.read.parquet(s03ExportPath), "vec_id")
+    val out = s03ExportPath(d)
+    s03CandidateFrame(s, d).write.mode("overwrite").parquet(out)
+    emb(s, d).join(s.read.parquet(out), "vec_id")
       .withColumn("qe", typedlit(qe.toSeq))
       .withColumn("cos_r", round(expr("vec_dot(embedding, qe)") / (col("nrm") * lit(qnrm)), 6))
       .select("vec_id", "label", "cos_r")
@@ -393,10 +411,10 @@ object Similarity {
       .limit(10)
   }
 
-  private val s03Oracle: String =
-    """WITH cand AS (
+  private def s03Oracle: String =
+    s"""WITH cand AS (
       |  SELECT vec_id
-      |  FROM read_parquet('/tmp/graft-index/s03cand/*.parquet')),
+      |  FROM read_parquet('${oracleExportPath("s03cand")}/*.parquet')),
       |n AS (
       |  SELECT vec_id, label, embedding AS e,
       |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm
@@ -507,7 +525,7 @@ object Similarity {
     * shortlist size scales with the corpus — max(250, n/40) — so the
     * recall floor calibrated at the test SFs survives corpus growth
     * instead of silently thinning to a fixed 250-of-n (SURVEY §9.3). */
-  private[graft] val s05ExportPath = s"$IndexRoot/s05cand"
+  private[graft] def s05ExportPath(d: String) = exportPath("s05cand", d)
 
   /** s05's stage-1 Hamming SHORTLIST: 16 bytes/row off the index, the
     * full vector never read (spec asserts the narrow scan here). */
@@ -529,9 +547,9 @@ object Similarity {
     // + Hamming shortlist are engine-specific; the exported shortlist
     // (ids + hamming pass-through) + DuckDB's exact cosine replay the
     // re-rank and the cut at k.
-    s05ShortlistFrame(s, d)
-      .write.mode("overwrite").parquet(s05ExportPath)
-    emb(s, d).join(broadcast(s.read.parquet(s05ExportPath)), "vec_id")
+    val out = s05ExportPath(d)
+    s05ShortlistFrame(s, d).write.mode("overwrite").parquet(out)
+    emb(s, d).join(broadcast(s.read.parquet(out)), "vec_id")
       .withColumn("qe", typedlit(qe.toSeq))
       .withColumn("cos_r", round(expr("vec_dot(embedding, qe)") / (col("nrm") * lit(qnrm)), 6))
       .select("vec_id", "label", "hamming", "cos_r")
@@ -539,10 +557,10 @@ object Similarity {
       .limit(10)
   }
 
-  private val s05Oracle: String =
-    """WITH cand AS (
+  private def s05Oracle: String =
+    s"""WITH cand AS (
       |  SELECT vec_id, hamming
-      |  FROM read_parquet('/tmp/graft-index/s05cand/*.parquet')),
+      |  FROM read_parquet('${oracleExportPath("s05cand")}/*.parquet')),
       |n AS (
       |  SELECT vec_id, label, embedding AS e,
       |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm
@@ -867,18 +885,19 @@ object Similarity {
     * candidates. A hash match proves the eval harness (truth set, hit
     * counting, fraction) end-to-end; the per-method recall FLOORS stay
     * asserted in PipelineSpec. */
-  private[graft] val s10ExportPath = s"$IndexRoot/s10cand"
+  private[graft] def s10ExportPath(d: String) = exportPath("s10cand", d)
 
   private def s10(s: SparkSession, d: String): DataFrame = {
     val methods: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "lsh" -> s02, "ivf" -> s03, "sketch_rerank" -> s05,
       "pq" -> s07, "ivfpq" -> s08, "sq8" -> s11)
+    val out = s10ExportPath(d)
     methods.map { case (name, fn) =>
       fn(s, d).select(lit(name).as("method"), col("vec_id"))
     }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s10ExportPath)
+      .write.mode("overwrite").parquet(out)
     val truth = s01(s, d).select(col("vec_id"), lit(1).as("__t"))
-    s.read.parquet(s10ExportPath)
+    s.read.parquet(out)
       .join(broadcast(truth), Seq("vec_id"), "left")
       .groupBy("method")
       .agg(count(col("__t")).as("n_hits"))
@@ -887,10 +906,10 @@ object Similarity {
       .orderBy("method")
   }
 
-  private val s10Oracle: String =
-    """WITH cand AS (
+  private def s10Oracle: String =
+    s"""WITH cand AS (
       |  SELECT method, vec_id
-      |  FROM read_parquet('/tmp/graft-index/s10cand/*.parquet')),
+      |  FROM read_parquet('${oracleExportPath("s10cand")}/*.parquet')),
       |n AS (
       |  SELECT vec_id,
       |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm,
@@ -1078,7 +1097,10 @@ object Similarity {
       .unionByName(re)
   }
 
-  val all: Seq[Q] = Seq(
+  // def, not val: the export-pattern oracles (s02/s03/s05/s10)
+  // interpolate the per-dataset export path recorded when the query
+  // ran — SparkEntry.oracleSql must see the CURRENT value at dump time.
+  def all: Seq[Q] = Seq(
     Q("s01_ann_brute", Some(s01Oracle), s01),
     Q("s02_ann_lsh", Some(s02Oracle), s02),
     Q("s03_ann_ivf", Some(s03Oracle), s03),

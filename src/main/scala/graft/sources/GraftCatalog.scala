@@ -746,6 +746,19 @@ object GraftCatalog {
     org.apache.spark.sql.types.StructType(s.fields.map(f =>
       org.apache.spark.sql.types.StructField(physicalNameOf(f), f.dataType, f.nullable)))
 
+  /** One atomic projection renaming every column at once. Sequential
+    * withColumnRenamed folds are ORDER-SENSITIVE under chained renames
+    * (x→z then y→x leaves physicalMap {z→x, x→y}: one fold order
+    * renames onto a name still present and the next rename hits both);
+    * a single select maps each source column independently, so no
+    * intermediate collision can occur. */
+  private def renameAll(df: DataFrame, to: String => String): DataFrame = {
+    val cols = df.columns
+    if (cols.forall(c => to(c) == c)) df
+    else df.select(cols.map(c =>
+      col("`" + c.replace("`", "``") + "`").as(to(c))).toIndexedSeq: _*)
+  }
+
   /** Rename a physically-named frame's columns to their logical names
     * (no-op without renames). Apply ABOVE any `_metadata`-consuming op:
     * metadata columns do not propagate through this projection. */
@@ -753,7 +766,11 @@ object GraftCatalog {
       s: org.apache.spark.sql.types.StructType): DataFrame = {
     val m = physicalMap(s)
     if (m.isEmpty) df
-    else m.foldLeft(df) { case (d, (lg, ph)) => d.withColumnRenamed(ph, lg) }
+    else {
+      // physical -> logical, case-insensitive like withColumnRenamed was
+      val rev = m.map { case (lg, ph) => ph.toLowerCase(java.util.Locale.ROOT) -> lg }
+      renameAll(df, c => rev.getOrElse(c.toLowerCase(java.util.Locale.ROOT), c))
+    }
   }
 
   /** Translate a logically-named batch to physical column names for a
@@ -761,8 +778,9 @@ object GraftCatalog {
     * e.g. a compaction rewrite — pass through). */
   private def toPhysicalDf(df: DataFrame, m: Map[String, String]): DataFrame =
     if (m.isEmpty) df
-    else m.foldLeft(df) { case (d, (lg, ph)) =>
-      if (d.columns.contains(lg)) d.withColumnRenamed(lg, ph) else d
+    else {
+      val byLower = m.map { case (lg, ph) => lg.toLowerCase(java.util.Locale.ROOT) -> ph }
+      renameAll(df, c => byLower.getOrElse(c.toLowerCase(java.util.Locale.ROOT), c))
     }
 
   /** Stats sidecars record PHYSICAL column names (they are computed
@@ -1573,12 +1591,18 @@ object GraftCatalog {
     val head = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, head)
     val cs = readSchemaLine(fs, r, head)
+    // Resolve each pk to its COMMITTED field case-insensitively (the
+    // validation below already is), then derive both the canonical type
+    // and the physical name FROM THAT FIELD — a case-sensitive
+    // physicalMap lookup on the caller's spelling would record the
+    // wrong column name in the #eqdel line for a renamed column.
+    val declaredField: String => Option[org.apache.spark.sql.types.StructField] =
+      c => cs.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
     val declared: String => Option[org.apache.spark.sql.types.DataType] =
-      c => cs.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+      c => declaredField(c).map(_.dataType)
     pks.foreach(c => require(cs.isEmpty || declared(c).isDefined,
       s"no column $c on $root"))
-    val m = cs.map(physicalMap).getOrElse(Map.empty)
-    val physPks = pks.map(p => m.getOrElse(p, p))
+    val physPks = pks.map(p => declaredField(p).map(physicalNameOf).getOrElse(p))
     val dk = keys.select(pks.map(c =>
         declared(c).fold(col(c))(t => col(c).cast(t)).as(c)): _*)
       .na.drop("any").distinct()
@@ -2780,12 +2804,13 @@ object GraftCatalog {
   def rollbackSnapshot(spark: SparkSession, root: String, to: Long): Long = {
     val (fs, r) = fsOf(spark, root)
     val next = snapshotVersions(spark, root).last + 1
-    // The target's #stats/#schema/#dv meta carry with its file list, so
-    // data skipping, the committed schema, and the deletion vectors
-    // survive the rollback.
+    // The target's #stats/#schema/#dv/#eqdel meta carry with its file
+    // list, so data skipping, the committed schema, the deletion
+    // vectors, AND the equality-delete sidecars survive the rollback —
+    // a rollback must not resurrect keys the target version had purged.
     val carriedMeta = readManifestLines(fs, r, to)
       .filter(l => l.startsWith("#stats:") || l.startsWith("#schema:") ||
-        l.startsWith("#dv:"))
+        l.startsWith("#dv:") || l.startsWith("#eqdel:"))
     publishManifest(fs, r, next, carriedMeta ++ readManifest(fs, r, to))
     next
   }
@@ -2839,12 +2864,7 @@ object GraftCatalog {
       prior.fields.filterNot(f => dropSet(f.name.toLowerCase(ROOT))) ++
         add.fields.map(_.copy(nullable = true)))
     require(evolved.nonEmpty, s"cannot drop every column of $root")
-    val carried = readManifestLines(fs, r, head).filter(l =>
-      l.startsWith("#stats:") || l.startsWith("#dv:"))
-    val next = head + 1
-    publishManifest(fs, r, next,
-      carried ++ Seq(schemaLineOf(evolved)) ++ readManifest(fs, r, head))
-    next
+    publishEvolvedSchema(fs, r, head, evolved)
   }
 
   /** The SAFE type widenings (Iceberg's ALTER COLUMN TYPE set, which
@@ -2898,12 +2918,7 @@ object GraftCatalog {
     val evolved = org.apache.spark.sql.types.StructType(
       prior.fields.map(x => if (x.name.equalsIgnoreCase(column))
         x.copy(dataType = to) else x))
-    val carried = readManifestLines(fs, r, head).filter(l =>
-      l.startsWith("#stats:") || l.startsWith("#dv:"))
-    val next = head + 1
-    publishManifest(fs, r, next,
-      carried ++ Seq(schemaLineOf(evolved)) ++ readManifest(fs, r, head))
-    next
+    publishEvolvedSchema(fs, r, head, evolved)
   }
 
   /** ALTER COLUMN … RENAME as a PURE-METADATA commit — Delta's
@@ -2958,12 +2973,7 @@ object GraftCatalog {
     val evolved = org.apache.spark.sql.types.StructType(prior.fields.map(x =>
       if (x.name.equalsIgnoreCase(from)) x.copy(name = to, metadata = newMeta)
       else x))
-    val carried = readManifestLines(fs, r, head).filter(l =>
-      l.startsWith("#stats:") || l.startsWith("#dv:"))
-    val next = head + 1
-    publishManifest(fs, r, next,
-      carried ++ Seq(schemaLineOf(evolved)) ++ readManifest(fs, r, head))
-    next
+    publishEvolvedSchema(fs, r, head, evolved)
   }
 
   /** Rewrite the struct at `path` inside a committed schema (descends
@@ -3001,12 +3011,17 @@ object GraftCatalog {
     }.toSet
 
   /** Shared publish tail of the pure-metadata schema DDL verbs: the
-    * head's files + stats/DV refs under an evolved committed schema. */
+    * head's files + stats/DV/equality-delete refs under an evolved
+    * committed schema. `#eqdel:` MUST carry — eq-delete sidecars key on
+    * immutable PHYSICAL column names, so they stay valid across every
+    * metadata-only DDL; dropping them would resurrect purged rows on
+    * an unrelated ALTER TABLE. */
   private def publishEvolvedSchema(fs: org.apache.hadoop.fs.FileSystem,
       r: org.apache.hadoop.fs.Path, head: Long,
       evolved: org.apache.spark.sql.types.StructType): Long = {
     val carried = readManifestLines(fs, r, head).filter(l =>
-      l.startsWith("#stats:") || l.startsWith("#dv:"))
+      l.startsWith("#stats:") || l.startsWith("#dv:") ||
+        l.startsWith("#eqdel:"))
     val next = head + 1
     publishManifest(fs, r, next,
       carried ++ Seq(schemaLineOf(evolved)) ++ readManifest(fs, r, head))

@@ -330,6 +330,63 @@ class MorDvSpec extends AnyFunSuite {
     assert(!GraftCatalog.readSnapshot(spark, root).columns.contains("grp"))
   }
 
+  test("equality deletes survive metadata-only DDL and rollback") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = freshTable("eqddl", n = 100)
+    GraftCatalog.deleteSnapshotKeysMor(spark, root,
+      Seq(10L, 20L).toDF("id"), Seq("id"))
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 98)
+    // ADD COLUMN must carry the #eqdel sidecar — an unrelated ALTER
+    // must never undo a key purge
+    GraftCatalog.evolveSnapshotSchema(spark, root,
+      add = StructType(Seq(StructField("note", StringType))))
+    val t1 = GraftCatalog.readSnapshot(spark, root)
+    assert(t1.count() == 98 && t1.where(col("id").isin(10L, 20L)).isEmpty,
+      "ADD COLUMN dropped the equality-delete sidecar")
+    // DROP of a NON-key column carries too
+    GraftCatalog.evolveSnapshotSchema(spark, root, drop = Seq("note"))
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 98)
+    // RENAME of the KEY column: the sidecar keys on the immutable
+    // PHYSICAL name, so the purge survives the rename
+    GraftCatalog.renameSnapshotColumn(spark, root, "id", "doc_id")
+    val t2 = GraftCatalog.readSnapshot(spark, root)
+    assert(t2.count() == 98 && t2.where(col("doc_id").isin(10L, 20L)).isEmpty,
+      "RENAME dropped or mis-keyed the equality-delete sidecar")
+    // a NEW eq delete through the renamed, differently-CASED pk must
+    // resolve to the committed field and its physical storage name
+    GraftCatalog.deleteSnapshotKeysMor(spark, root,
+      Seq(30L).toDF("DOC_ID"), Seq("DOC_ID"))
+    val t2b = GraftCatalog.readSnapshot(spark, root)
+    assert(t2b.count() == 97 && t2b.where(col("doc_id") === 30L).isEmpty,
+      "differently-cased pk on a renamed column must key physically")
+    GraftCatalog.renameSnapshotColumn(spark, root, "doc_id", "id")
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 97)
+    // ROLLBACK to the first post-delete version keeps ITS purge
+    GraftCatalog.rollbackSnapshot(spark, root, 2L)
+    val t3 = GraftCatalog.readSnapshot(spark, root)
+    assert(t3.count() == 98 && t3.where(col("id").isin(10L, 20L)).isEmpty,
+      "rollback dropped the equality-delete sidecar")
+  }
+
+  test("equality deletes survive type widening") {
+    import spark.implicits._
+    val root = s"$tmp/eqwide_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id"),
+        col("id").cast("int").as("score")), root, append = false)
+    GraftCatalog.deleteSnapshotKeysMor(spark, root,
+      Seq(1L, 2L).toDF("id"), Seq("id"))
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 98)
+    GraftCatalog.widenSnapshotColumn(spark, root, "score",
+      org.apache.spark.sql.types.LongType)
+    val t = GraftCatalog.readSnapshot(spark, root)
+    assert(t.schema("score").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.count() == 98 && t.where(col("id").isin(1L, 2L)).isEmpty,
+      "widening dropped the equality-delete sidecar")
+  }
+
   test("MoR MERGE schema evolution: evolved feed appends, old files read NULL, CDC intact") {
     import spark.implicits._
     val root = freshTable("morevo")

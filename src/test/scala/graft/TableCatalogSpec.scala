@@ -268,6 +268,30 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rename back to the storage name must drop the mapping")
   }
 
+  test("chained renames (x->z then y->x) translate atomically on read and write") {
+    // physicalMap becomes {z->x, x->y}: logical x sits on physical y
+    // while ANOTHER logical column (z) owns physical x. A sequential
+    // withColumnRenamed fold can rename onto a still-present name and
+    // corrupt both; the atomic select projection cannot.
+    spark.sql("CREATE TABLE graft.db.chain (x BIGINT, y BIGINT)")
+    spark.sql("INSERT INTO graft.db.chain SELECT id, id * 100 FROM range(0, 10)")
+    spark.sql("ALTER TABLE graft.db.chain RENAME COLUMN x TO z")
+    spark.sql("ALTER TABLE graft.db.chain RENAME COLUMN y TO x")
+    assert(spark.table("graft.db.chain").columns.toSeq == Seq("z", "x"))
+    assert(spark.sql("SELECT sum(z) FROM graft.db.chain").head().getLong(0) == 45L)
+    assert(spark.sql("SELECT sum(x) FROM graft.db.chain").head().getLong(0) == 4500L)
+    // writes route each logical column to ITS physical storage name
+    spark.sql("INSERT INTO graft.db.chain VALUES (1000, 2000)")
+    assert(spark.sql("SELECT x FROM graft.db.chain WHERE z = 1000")
+      .head().getLong(0) == 2000L)
+    // row-level verbs bind through the crossed mapping too
+    spark.sql("UPDATE graft.db.chain SET x = x + 1 WHERE z = 0")
+    assert(spark.sql("SELECT x FROM graft.db.chain WHERE z = 0")
+      .head().getLong(0) == 1L)
+    assert(spark.sql("SELECT sum(z) FROM graft.db.chain").head().getLong(0)
+      == 1045L)
+  }
+
   test("nested-field ALTER: ADD/DROP struct subfields as pure metadata + time travel") {
     spark.sql("CREATE TABLE graft.db.nst " +
       "(id BIGINT, props STRUCT<a: BIGINT, b: STRING>)")
