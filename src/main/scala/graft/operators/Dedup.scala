@@ -1401,9 +1401,13 @@ object Dedup {
     * (borderline near-misses — tread carefully). d17's triangle census
     * answers it locally; the k-core number is the GLOBAL density
     * certificate (a node of core k sits in a subgraph where everyone
-    * has ≥ k dup-partners). Rows-only: peeling-to-fixpoint has no sane
-    * single-query SQL oracle; PipelineSpec pins exact core numbers on
-    * constructed clique/cycle/chain graphs instead. */
+    * has ≥ k dup-partners). ORACLE-CHECKED since r14 via the d15
+    * unroll pattern: the h-index iteration is pure integer arithmetic
+    * and MONOTONE — once converged, further rounds are the identity —
+    * so unrolling exactly [[kCore]]'s maxIters rounds as chained CTEs
+    * equals the Spark fixpoint whenever the Spark side converges (and
+    * the Spark side THROWS when it doesn't). PipelineSpec's exact core
+    * numbers on constructed clique/cycle/chain graphs stay pinned. */
   private def d20(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
     val e = jaccardPairs(dd).select("a_id", "b_id")
@@ -1411,6 +1415,33 @@ object Dedup {
       .select(col("id").as("doc_id"), col("core"))
       .where(col("core") > 0)
       .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[kCore]]: 30 unrolled h-index rounds (the Spark
+    * side's maxIters) over the capped d02 edge set. Every value is an
+    * integer; each round is the SAME map both engines compute — the
+    * h-index of the neighbors' current values, capped by one's own —
+    * and rounds past the fixpoint are the identity, so c30 equals the
+    * converged Spark result exactly. */
+  private val d20Oracle: String = {
+    val rounds = (1 to 30).map { i =>
+      val prev = s"c${i - 1}"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT p.id, CAST(LEAST(COALESCE(h.h, 0), p.c) AS BIGINT) AS c
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT e.u AS id,
+         |      list_max(list_transform(list_sort(list(r.c), 'DESC'),
+         |        (v, k) -> CASE WHEN v >= k THEN k ELSE 0 END)) AS h
+         |    FROM ed e JOIN $prev r ON e.v = r.id
+         |    GROUP BY e.u) h ON p.id = h.id)""".stripMargin
+    }.mkString(",\n")
+    jacPairsCtes + ",\n" +
+      """ed AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM jp
+        |       UNION ALL SELECT b_id, a_id FROM jp),
+        |c0 AS MATERIALIZED (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM ed GROUP BY u),""".stripMargin + "\n" + rounds + "\n" +
+      """SELECT id AS doc_id, c AS core FROM c30
+        |WHERE c > 0 ORDER BY doc_id""".stripMargin
   }
 
   /** Edge TRUSSNESS by level-wise support peeling: trussness(e) = the
@@ -1479,14 +1510,59 @@ object Dedup {
     else done.reduce(_ unionByName _)
   }
 
-  /** d21 — k-truss over the near-dup graph (rows-only: fixpoint
-    * peeling has no single-query SQL oracle; PipelineSpec pins exact
-    * trussness on clique/chain/cycle constructions and a randomized
-    * reference in PropertySpec re-derives it set-theoretically). */
+  /** d21 — k-truss over the near-dup graph. ORACLE-CHECKED since r14:
+    * [[kTruss]]'s level-wise peeling is pure integer arithmetic over a
+    * deterministic edge set, so the loop unrolls as chained CTEs — the
+    * level k threads through as a one-row CTE whose CASE mirrors the
+    * Spark branch (dead empty → k+1, else peel at k), and iterations
+    * past the empty-edge-set exit are no-ops. Unrolling exactly the
+    * Spark side's maxIters guarantees equality whenever the Spark side
+    * converges (it THROWS when it doesn't). PipelineSpec's constructed
+    * clique/chain/cycle trussness and PropertySpec's set-theoretic
+    * re-derivation stay pinned. */
   private def d21(s: SparkSession, d: String): DataFrame =
     kTruss(jaccardPairs(docs(s, d)).select("a_id", "b_id"))
       .select(col("a").as("a_id"), col("b").as("b_id"), col("truss"))
       .orderBy("a_id", "b_id")
+
+  /** DuckDB replay of [[kTruss]]: 60 unrolled iterations. Each round
+    * recomputes per-edge triangle support over the survivors (the same
+    * oriented wedge join), peels edges under k−2 into a dead set
+    * stamped truss = k−1, and advances k only on a stable level —
+    * byte-identical control flow to the Spark loop. */
+  private val d21Oracle: String = {
+    val rounds = (0 until 60).map { i =>
+      s"""tri$i AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e$i e1 JOIN e$i e2 ON e1.b = e2.a
+         |  JOIN e$i e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |sup$i AS MATERIALIZED (
+         |  SELECT a, b, COUNT(*) AS sup FROM (
+         |    SELECT x AS a, y AS b FROM tri$i
+         |    UNION ALL SELECT y, z FROM tri$i
+         |    UNION ALL SELECT x, z FROM tri$i)
+         |  GROUP BY a, b),
+         |sc$i AS MATERIALIZED (
+         |  SELECT e.a, e.b, COALESCE(s.sup, 0) AS sup
+         |  FROM e$i e LEFT JOIN sup$i s ON e.a = s.a AND e.b = s.b),
+         |dead$i AS MATERIALIZED (
+         |  SELECT a, b, (SELECT kv FROM kk$i) - 1 AS truss
+         |  FROM sc$i WHERE sup < (SELECT kv FROM kk$i) - 2),
+         |e${i + 1} AS MATERIALIZED (
+         |  SELECT a, b FROM sc$i WHERE sup >= (SELECT kv FROM kk$i) - 2),
+         |kk${i + 1} AS MATERIALIZED (
+         |  SELECT CASE WHEN (SELECT COUNT(*) FROM dead$i) = 0
+         |    THEN kv + 1 ELSE kv END AS kv FROM kk$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until 60).map(i => s"SELECT * FROM dead$i")
+      .mkString("\n    UNION ALL ")
+    jacPairsCtes + ",\n" +
+      """e0 AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM jp),
+        |kk0 AS MATERIALIZED (SELECT 3 AS kv),""".stripMargin + "\n" + rounds + "\n" +
+      s"""SELECT a AS a_id, b AS b_id, CAST(truss AS BIGINT) AS truss
+         |FROM ($union)
+         |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** d22 — SEMANTIC dedup, cluster-blocked (the published SemDeDup
     * shape: k-means over the embedding space, pairwise cosine only
@@ -1676,8 +1752,8 @@ object Dedup {
     Q("d17_triangles", Some(d17Oracle), d17),
     Q("d18_incremental_ingest", None, d18),
     Q("d19_incremental_verdicts", Some(d19Oracle), d19),
-    Q("d20_kcore", None, d20),
-    Q("d21_ktruss", None, d21),
+    Q("d20_kcore", Some(d20Oracle), d20),
+    Q("d21_ktruss", Some(d21Oracle), d21),
     Q("d22_semantic_dedup", None, d22),
     Q("d23_weighted_core", None, d23),
     Q("d24_span_dedup", Some(d24Oracle), d24))

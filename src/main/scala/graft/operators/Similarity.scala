@@ -710,8 +710,57 @@ object Similarity {
     (s.read.parquet(new java.io.File(root, "index").getAbsolutePath), cents)
   }
 
-  /** s07 — product-quantization ANN (rows-only: the codebook is
-    * data-trained). Query time builds the 16×16 lookup table of
+  /** Shared export tail of the ADC-family flips (s07/s08/s11): stage-1
+    * input codes and the query's lookup table land in scoped parquet
+    * exports, and DuckDB replays the ENTIRE query from them — the ADC
+    * sum (same left-to-right order as the native pq_adc), the
+    * shortlist cut at max(200, n/40), the exact cosine re-rank from
+    * the raw embeddings, and the cut at 10. The trained quantizer
+    * stays engine-specific (it IS the export); everything downstream
+    * is hash-checked. */
+  private def exportAdcInputs(stage: String, d: String,
+      cand: DataFrame, lut: Seq[Double]): (String, String) = {
+    val s = cand.sparkSession
+    import s.implicits._
+    val codesOut = exportPath(s"${stage}codes", d)
+    val lutOut = exportPath(s"${stage}lut", d)
+    cand.write.mode("overwrite").parquet(codesOut)
+    lut.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+      .coalesce(1).write.mode("overwrite").parquet(lutOut)
+    (codesOut, lutOut)
+  }
+
+  /** The DuckDB replay for one ADC-family query: `k` is the PQ family
+    * size (lut rows per subspace/dimension). */
+  private def adcOracle(stage: String, k: Int): String =
+    s"""WITH cand AS (
+      |  SELECT vec_id, codes
+      |  FROM read_parquet('${oracleExportPath(s"${stage}codes")}/*.parquet')),
+      |lt AS (SELECT list(v ORDER BY i) AS l
+      |       FROM read_parquet('${oracleExportPath(s"${stage}lut")}/*.parquet')),
+      |n AS (
+      |  SELECT vec_id, label, embedding AS e,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT e AS qe, nrm AS qnrm FROM n WHERE vec_id = 0),
+      |kk AS (SELECT GREATEST(200, COUNT(*) // 40) AS sk FROM n),
+      |adc AS (
+      |  SELECT c.vec_id,
+      |    round(list_reduce(list_transform(c.codes, (cv, m) -> lt.l[(m - 1) * $k + cv + 1]), (a, x) -> a + x)
+      |      / (n.nrm * q.qnrm), 6) AS approx_cos
+      |  FROM cand c JOIN n ON c.vec_id = n.vec_id CROSS JOIN lt CROSS JOIN q),
+      |sl AS (
+      |  SELECT vec_id, approx_cos FROM adc
+      |  QUALIFY row_number() OVER (ORDER BY approx_cos DESC, vec_id) <= (SELECT sk FROM kk))
+      |SELECT n.vec_id, n.label, s.approx_cos,
+      |  round(list_reduce(list_transform(list_zip(n.e, q.qe), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |    / (n.nrm * q.qnrm), 6) AS cos_r
+      |FROM sl s JOIN n ON s.vec_id = n.vec_id CROSS JOIN q
+      |ORDER BY cos_r DESC, n.vec_id LIMIT 10""".stripMargin
+
+  /** s07 — product-quantization ANN (ORACLE-CHECKED since r14 via the
+    * ADC export pattern — [[adcOracle]]; the codebook is data-trained,
+    * so it exports rather than replays). Query time builds the 16×16 lookup table of
     * query-subvector · sub-centroid dot products driver-side (256 MACs
     * of query planning), then stage 1 scores EVERY row with the native
     * pq_adc expression — 16 table lookups per row over a 16-int codes
@@ -737,6 +786,8 @@ object Similarity {
         acc
       case None => Double.NegativeInfinity // never-assigned seed slot
     }
+    exportAdcInputs("s07", d,
+      idx.where(col("vec_id") =!= 0).select("vec_id", "codes"), lut)
     val shortlistK = math.max(200L, Dedup.approxRowCount(idx) / 40L).toInt
     val shortlist = idx.where(col("vec_id") =!= 0)
       .withColumn("lut", typedlit(lut))
@@ -751,6 +802,8 @@ object Similarity {
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(10)
   }
+
+  private def s07Oracle: String = adcOracle("s07", PqK)
 
   private val ivfpqCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String),
@@ -826,6 +879,9 @@ object Similarity {
         acc
       case None => Double.NegativeInfinity
     }
+    exportAdcInputs("s08", d,
+      idx.where(col("cl").isin(probes: _*) && col("vec_id") =!= 0)
+        .select("vec_id", "codes"), lut)
     val shortlistK = math.max(200L, Dedup.approxRowCount(idx) / 40L).toInt
     val shortlist = idx.where(col("cl").isin(probes: _*) && col("vec_id") =!= 0)
       .withColumn("lut", typedlit(lut))
@@ -840,6 +896,8 @@ object Similarity {
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(10)
   }
+
+  private def s08Oracle: String = adcOracle("s08", PqK)
 
   /** s09 — filtered IVF ANN: s06's metadata predicate composed INTO
     * s03's probe-pruned scan — the production "filtered vector
@@ -1020,6 +1078,8 @@ object Similarity {
       i <- 0 until dim
       c <- 0 until 256
     } yield (mins(i) + c * spans(i) / 255.0) * qe(i)
+    exportAdcInputs("s11", d,
+      idx.where(col("vec_id") =!= 0).select("vec_id", "codes"), lut)
     val shortlistK = math.max(200L, Dedup.approxRowCount(idx) / 40L).toInt
     val shortlist = idx.where(col("vec_id") =!= 0)
       .withColumn("lut", typedlit(lut))
@@ -1034,6 +1094,10 @@ object Similarity {
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(10)
   }
+
+  // SQ8 is the (M = dim, K = 256) corner of the PQ family, so the
+  // same replay applies with the 256-entry-per-dimension table.
+  private def s11Oracle: String = adcOracle("s11", 256)
 
   /** s12 — CDC-MAINTAINED IVF assignments over a VERSIONED vector
     * table: the embedding corpus lives as a snapshot table (the thing
@@ -1107,10 +1171,10 @@ object Similarity {
     Q("s04_ann_batch", Some(s04Oracle), s04),
     Q("s05_ann_rerank", Some(s05Oracle), s05),
     Q("s06_ann_filtered", Some(s06Oracle), s06),
-    Q("s07_ann_pq", None, s07),
-    Q("s08_ann_ivfpq", None, s08),
+    Q("s07_ann_pq", Some(s07Oracle), s07),
+    Q("s08_ann_ivfpq", Some(s08Oracle), s08),
     Q("s09_ann_filtered_ivf", None, s09),
     Q("s10_ann_recall_eval", Some(s10Oracle), s10),
-    Q("s11_ann_sq8", None, s11),
+    Q("s11_ann_sq8", Some(s11Oracle), s11),
     Q("s12_snapshot_ivf_maintain", None, s12))
 }
