@@ -44,6 +44,12 @@ object GraftSpjBridge {
     * `identity`, bucket count — 0 for identity). */
   type SpjField = (String, String, Int)
 
+  /** One equality-delete sidecar for the SPJ readers: key column
+    * PHYSICAL names and the distinct key tuples as EXTERNAL Spark
+    * values (Row-style: String, not UTF8String) — converted to
+    * Catalyst internal form once, driver-side, in [[GraftSpjScan]]. */
+  final case class SpjEqDelete(keyCols: Seq[String], keys: Array[Seq[Any]])
+
   /** `groups` maps each partition-key TUPLE (Catalyst internal values:
     * java types for numerics, UTF8String for strings — one value per
     * spec field, bucket ordinals as Int) to its files. `dv` maps a
@@ -55,9 +61,11 @@ object GraftSpjBridge {
   def dataFrame(spark: SparkSession, name: String, schema: StructType,
       fields: Seq[SpjField],
       groups: Map[Seq[Any], Seq[SpjFile]],
-      dv: Map[String, Array[Long]] = Map.empty): DataFrame = {
+      dv: Map[String, Array[Long]] = Map.empty,
+      eq: Seq[SpjEqDelete] = Seq.empty,
+      eqByFile: Map[String, Seq[Int]] = Map.empty): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    val table = new GraftSpjTable(cs, name, schema, fields, groups, dv)
+    val table = new GraftSpjTable(cs, name, schema, fields, groups, dv, eq, eqByFile)
     classic.Dataset.ofRows(cs, DataSourceV2Relation.create(table, None, None))
   }
 
@@ -82,13 +90,15 @@ object GraftSpjBridge {
 final class GraftSpjTable(cs: classic.SparkSession, tableName: String,
     tableSchema: StructType, fields: Seq[GraftSpjBridge.SpjField],
     groups: Map[Seq[Any], Seq[GraftSpjBridge.SpjFile]],
-    dv: Map[String, Array[Long]] = Map.empty) extends Table with SupportsRead {
+    dv: Map[String, Array[Long]] = Map.empty,
+    eq: Seq[GraftSpjBridge.SpjEqDelete] = Seq.empty,
+    eqByFile: Map[String, Seq[Int]] = Map.empty) extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSpjScanBuilder(cs, tableSchema, fields, groups, dv)
+    new GraftSpjScanBuilder(cs, tableSchema, fields, groups, dv, eq, eqByFile)
 }
 
 /** Column pruning + filter pushdown for the SPJ scan: Spark hands the
@@ -101,7 +111,9 @@ final class GraftSpjTable(cs: classic.SparkSession, tableName: String,
 final class GraftSpjScanBuilder(cs: classic.SparkSession,
     tableSchema: StructType, fields: Seq[GraftSpjBridge.SpjField],
     groups: Map[Seq[Any], Seq[GraftSpjBridge.SpjFile]],
-    dv: Map[String, Array[Long]] = Map.empty)
+    dv: Map[String, Array[Long]] = Map.empty,
+    eq: Seq[GraftSpjBridge.SpjEqDelete] = Seq.empty,
+    eqByFile: Map[String, Seq[Int]] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = tableSchema
@@ -116,28 +128,69 @@ final class GraftSpjScanBuilder(cs: classic.SparkSession,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new GraftSpjScan(
-    GraftSpjBridge.readerFactory(cs, tableSchema, required, pushed),
-    // DV'd files read through an UNPUSHED factory: with no parquet
-    // skipping a whole-file single-split read emits rows in exact file
-    // order, so the reader's running count IS the row index the DV
-    // positions key on. Spark re-evaluates every filter above the scan
-    // (all filters are residual here), so correctness is untouched —
-    // the only cost is parquet-internal skipping on exactly the files
-    // that still carry deletes, until compaction folds them.
-    if (dv.isEmpty) null
-    else GraftSpjBridge.readerFactory(cs, tableSchema, required, Array.empty),
-    required, fields, groups, dv)
+  override def build(): Scan = {
+    // Equality deletes evaluate their key predicate PER ROW inside the
+    // covered files' readers, so those readers must materialize the pk
+    // columns even when the projection pruned them — read through an
+    // EXTENDED schema (required ++ missing pk columns) and project back
+    // down after the filter. Uncovered files keep the pruned schema.
+    val pkCols = eq.flatMap(_.keyCols).distinct
+      .filter(tableSchema.fieldNames.contains)
+    val extended =
+      if (eq.isEmpty) required
+      else StructType(required.fields ++
+        pkCols.filterNot(required.fieldNames.contains).map(c => tableSchema(c)))
+    new GraftSpjScan(
+      GraftSpjBridge.readerFactory(cs, tableSchema, required, pushed),
+      // DV'd files read through an UNPUSHED factory: with no parquet
+      // skipping a whole-file single-split read emits rows in exact file
+      // order, so the reader's running count IS the row index the DV
+      // positions key on. Spark re-evaluates every filter above the scan
+      // (all filters are residual here), so correctness is untouched —
+      // the only cost is parquet-internal skipping on exactly the files
+      // that still carry deletes, until compaction folds them.
+      if (dv.isEmpty) null
+      else GraftSpjBridge.readerFactory(cs, tableSchema, required, Array.empty),
+      // eq-only files keep parquet skipping (the key predicate is
+      // positional-order-independent) but read the extended schema
+      if (eq.isEmpty) null
+      else GraftSpjBridge.readerFactory(cs, tableSchema, extended, pushed),
+      // files carrying BOTH a DV slice and eq coverage: extended schema
+      // AND exact file order
+      if (eq.isEmpty || dv.isEmpty) null
+      else GraftSpjBridge.readerFactory(cs, tableSchema, extended, Array.empty),
+      required, extended, fields, groups, dv, eq, eqByFile)
+  }
 }
 
 final class GraftSpjScan(factory: PartitionReaderFactory,
     noPushFactory: PartitionReaderFactory,
-    schema: StructType, fields: Seq[GraftSpjBridge.SpjField],
+    extFactory: PartitionReaderFactory,
+    noPushExtFactory: PartitionReaderFactory,
+    schema: StructType, extended: StructType,
+    fields: Seq[GraftSpjBridge.SpjField],
     groups: Map[Seq[Any], Seq[GraftSpjBridge.SpjFile]],
-    dv: Map[String, Array[Long]])
+    dv: Map[String, Array[Long]],
+    eq: Seq[GraftSpjBridge.SpjEqDelete] = Seq.empty,
+    eqByFile: Map[String, Seq[Int]] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Sidecar key tuples converted ONCE, driver-side, to Catalyst
+    * internal values typed by the EXTENDED read schema (the parquet
+    * reader widens narrower on-disk columns to these declared types,
+    * so row values and set members always compare like-for-like). */
+  private val eqResolved: Array[GraftSpjEqResolved] = eq.map { s =>
+    val ords = s.keyCols.map(extended.fieldIndex).toArray
+    val dts = ords.map(o => extended(o).dataType)
+    val convs = dts.map(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter)
+    val keySet: Set[Seq[Any]] = s.keys.iterator.map { t =>
+      t.iterator.zip(convs.iterator).map { case (v, c) => c(v) }.toSeq
+    }.toSet
+    GraftSpjEqResolved(ords, dts, keySet)
+  }.toArray
 
   // deterministic partition order across planInputPartitions calls
   private val keys: Array[Seq[Any]] =
@@ -169,18 +222,29 @@ final class GraftSpjScan(factory: PartitionReaderFactory,
         PartitionedFile(InternalRow.empty, SparkPath.fromPathString(p),
           0L, len, Array.empty, 0L, len, Map.empty)
       }.toArray
-      // each partition ships ONLY its own files' DV slices — the
-      // per-file application shape: no broadcast, no shuffle, task
-      // payload ∝ that group's deletes
+      // each partition ships ONLY its own files' DV slices and
+      // eq-coverage map — the per-file application shape: no
+      // broadcast, no shuffle, task payload ∝ that group's deletes
       val slice = groups(k).collect {
         case (p, _) if dv.contains(p) => p -> dv(p)
       }.toMap
-      GraftSpjPartition(i, k.toIndexedSeq, files, slice): InputPartition
+      val eqSlice = groups(k).collect {
+        case (p, _) if eqByFile.contains(p) => p -> eqByFile(p)
+      }.toMap
+      GraftSpjPartition(i, k.toIndexedSeq, files, slice, eqSlice): InputPartition
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSpjReaderFactory(factory, noPushFactory)
+    new GraftSpjReaderFactory(factory, noPushFactory, extFactory,
+      noPushExtFactory, schema, extended, eqResolved)
 }
+
+/** One sidecar, resolved against the extended read schema: key column
+  * ordinals, their declared types, and the key-tuple set in Catalyst
+  * internal form. */
+final case class GraftSpjEqResolved(ordinals: Array[Int],
+    types: Array[org.apache.spark.sql.types.DataType],
+    keys: Set[Seq[Any]])
 
 /** All files of one key group; `partitionKey` is the spec tuple the
   * reported transforms evaluate to (Catalyst internal values). `dv`
@@ -188,7 +252,8 @@ final class GraftSpjScan(factory: PartitionReaderFactory,
   * positions. */
 final case class GraftSpjPartition(ordinal: Int, key: IndexedSeq[Any],
     files: Array[PartitionedFile],
-    dv: Map[String, Array[Long]] = Map.empty)
+    dv: Map[String, Array[Long]] = Map.empty,
+    eq: Map[String, Seq[Int]] = Map.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow.fromSeq(key)
 }
@@ -196,68 +261,129 @@ final case class GraftSpjPartition(ordinal: Int, key: IndexedSeq[Any],
 /** Adapts Spark's file-partition reader factory to the keyed
   * partitions: unwrap to a plain [[FilePartition]] and delegate, for
   * both row and columnar paths. Partitions carrying deletion-vector
-  * slices read row-based through [[GraftSpjDvReader]] instead (a
-  * per-row position filter cannot apply inside a ColumnarBatch). */
+  * slices or equality-delete coverage read row-based through
+  * [[GraftSpjDeleteReader]] instead (neither a per-row position filter
+  * nor a key anti-predicate can apply inside a ColumnarBatch). */
 final class GraftSpjReaderFactory(delegate: PartitionReaderFactory,
-    noPushDelegate: PartitionReaderFactory)
+    noPushDelegate: PartitionReaderFactory,
+    extDelegate: PartitionReaderFactory,
+    noPushExtDelegate: PartitionReaderFactory,
+    required: StructType, extended: StructType,
+    eqResolved: Array[GraftSpjEqResolved])
     extends PartitionReaderFactory {
   private def toFilePartition(p: InputPartition): FilePartition = p match {
-    case GraftSpjPartition(i, _, files, _) => FilePartition(i, files)
+    case GraftSpjPartition(i, _, files, _, _) => FilePartition(i, files)
     case other => throw new IllegalStateException(s"unexpected partition $other")
   }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case GraftSpjPartition(i, _, files, dv) if dv.nonEmpty =>
-        new GraftSpjDvReader(i, files, dv, delegate, noPushDelegate)
+      case GraftSpjPartition(i, _, files, dv, eq) if dv.nonEmpty || eq.nonEmpty =>
+        new GraftSpjDeleteReader(i, files, dv, eq, eqResolved,
+          required, extended,
+          delegate, noPushDelegate, extDelegate, noPushExtDelegate)
       case _ => delegate.createReader(toFilePartition(p))
     }
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
     delegate.createColumnarReader(toFilePartition(p))
   // Spark requires every partition of a scan to agree on columnar-ness
-  // — a table carrying ANY deletion vector reads row-based throughout
-  // (the per-row position filter cannot apply inside a ColumnarBatch);
-  // compaction folds the DVs and restores the vectorized path.
+  // — a table carrying ANY delete sidecar (positional or equality)
+  // reads row-based throughout (neither filter can apply inside a
+  // ColumnarBatch); compaction folds the sidecars and restores the
+  // vectorized path.
   override def supportColumnarReads(p: InputPartition): Boolean =
-    noPushDelegate == null && delegate.supportColumnarReads(toFilePartition(p))
+    noPushDelegate == null && extDelegate == null &&
+      delegate.supportColumnarReads(toFilePartition(p))
 }
 
-/** Sequential per-file reader applying deletion-vector positions: each
-  * file opens as its own single-file [[FilePartition]] — DV'd files
-  * through the unpushed factory (exact file row order, so the running
-  * row count is the DV's position key), clean files through the normal
-  * pushed factory — and deleted positions drop via a sorted-merge walk
-  * (O(1) amortized per row, no per-row search). */
-final class GraftSpjDvReader(bucket: Int, files: Array[PartitionedFile],
+/** Sequential per-file reader applying delete sidecars: each file
+  * opens as its own single-file [[FilePartition]] through the factory
+  * its sidecars demand — DV'd files unpushed (exact file row order, so
+  * the running row count is the DV's position key), eq-covered files
+  * through the EXTENDED schema (the pk columns must be readable even
+  * when pruned away), clean files through the normal pushed factory.
+  * Deleted positions drop via a sorted-merge walk (O(1) amortized per
+  * row); equality deletes drop rows whose key tuple sits in a covering
+  * sidecar's set (NULL components never match); extended rows project
+  * back to the required schema before returning. */
+final class GraftSpjDeleteReader(bucket: Int, files: Array[PartitionedFile],
     dv: Map[String, Array[Long]],
+    eqByFile: Map[String, Seq[Int]],
+    eqResolved: Array[GraftSpjEqResolved],
+    required: StructType, extended: StructType,
     pushedFactory: PartitionReaderFactory,
-    noPushFactory: PartitionReaderFactory)
+    noPushFactory: PartitionReaderFactory,
+    extFactory: PartitionReaderFactory,
+    noPushExtFactory: PartitionReaderFactory)
     extends PartitionReader[InternalRow] {
   private var fi = -1
   private var cur: PartitionReader[InternalRow] = null
   private var positions: Array[Long] = null
+  private var eqs: Array[GraftSpjEqResolved] = null
+  private var projecting = false
   private var ptr = 0
   private var idx = -1L
+
+  // extended → required projection (required is a PREFIX of extended);
+  // built lazily on the executor — UnsafeProjection is not serializable
+  private lazy val project: org.apache.spark.sql.catalyst.expressions.UnsafeProjection =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      required.fields.zipWithIndex.map { case (f, i) =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, f.dataType, f.nullable)
+      }.toIndexedSeq)
 
   private def openNext(): Boolean = {
     fi += 1
     if (fi >= files.length) return false
     val f = files(fi)
-    positions = dv.getOrElse(f.filePath.toString, null)
+    val path = f.filePath.toString
+    positions = dv.getOrElse(path, null)
+    eqs = eqByFile.get(path).map(_.map(eqResolved).toArray).orNull
+    projecting = eqs != null && extended.length != required.length
     ptr = 0; idx = -1L
-    cur = (if (positions == null) pushedFactory else noPushFactory)
-      .createReader(FilePartition(bucket, Array(f)))
+    val factory = (positions != null, eqs != null) match {
+      case (false, false) => pushedFactory
+      case (true, false) => noPushFactory
+      case (false, true) => extFactory
+      case (true, true) => noPushExtFactory
+    }
+    cur = factory.createReader(FilePartition(bucket, Array(f)))
     true
+  }
+
+  /** True iff the row's key tuple matches ANY covering sidecar —
+    * standard equality-delete semantics, NULLs never match. */
+  private def eqDeleted(row: InternalRow): Boolean = {
+    var j = 0
+    while (j < eqs.length) {
+      val s = eqs(j)
+      var hasNull = false
+      val tuple = new Array[Any](s.ordinals.length)
+      var i = 0
+      while (i < s.ordinals.length && !hasNull) {
+        val o = s.ordinals(i)
+        if (row.isNullAt(o)) hasNull = true
+        else tuple(i) = row.get(o, s.types(i))
+        i += 1
+      }
+      if (!hasNull && s.keys.contains(tuple.toSeq)) return true
+      j += 1
+    }
+    false
   }
 
   override def next(): Boolean = {
     while (true) {
       if (cur == null && !openNext()) return false
       if (cur.next()) {
-        if (positions == null) return true
-        idx += 1
-        while (ptr < positions.length && positions(ptr) < idx) ptr += 1
-        if (ptr >= positions.length || positions(ptr) != idx) return true
-        // deleted position — keep scanning
+        if (positions != null) {
+          idx += 1
+          var dead = false
+          while (ptr < positions.length && positions(ptr) < idx) ptr += 1
+          if (ptr < positions.length && positions(ptr) == idx) dead = true
+          if (!dead && (eqs == null || !eqDeleted(cur.get()))) return true
+        } else if (eqs == null || !eqDeleted(cur.get())) return true
+        // deleted row — keep scanning
       } else {
         cur.close(); cur = null
       }
@@ -265,6 +391,7 @@ final class GraftSpjDvReader(bucket: Int, files: Array[PartitionedFile],
     false // unreachable
   }
 
-  override def get(): InternalRow = cur.get()
+  override def get(): InternalRow =
+    if (projecting) project(cur.get()) else cur.get()
   override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }

@@ -2630,11 +2630,17 @@ object GraftCatalog {
     val vs = snapshotVersions(spark, root)
     require(vs.nonEmpty, s"no snapshots published under $root")
     val v = version.getOrElse(vs.last)
-    // Equality deletes are key-predicates, not positions — the SPJ
-    // reader has no per-file slice for them; fold them via compaction
-    // first (the same loud contract the pre-DV SPJ had for DVs).
-    require(!readManifestLines(fs, r, v).exists(_.startsWith("#eqdel:")),
-      s"SPJ read of $root v$v: active equality deletes — compact first")
+    // Equality deletes apply PER ROW inside the covered files' readers
+    // (r14 — the same per-partition application shape as DV slices):
+    // each sidecar's key tuples load once on the driver (bounded by
+    // the same planning knob as DV positions) and ship with the reader
+    // factory; coverage resolves per FILE at planning time, so a later
+    // append re-inserting a purged key still survives. The
+    // shuffle-free join stays intact — a bucketed MoR table keeps its
+    // SPJ through a GDPR purge, no compaction required.
+    val eqLines = readManifestLines(fs, r, v)
+      .filter(_.startsWith("#eqdel:")).map(_.stripPrefix("#eqdel:"))
+    val eqParsed = eqLines.map(parseEqDel)
     // Deletion vectors apply PER FILE inside each bucket's own reader
     // (each InputPartition ships only its files' position slices), so
     // a merge-on-read table keeps its shuffle-free join between
@@ -2700,12 +2706,49 @@ object GraftCatalog {
         fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
       (key, (f, len))
     }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+    // Equality-delete sidecars: key tuples collect once (cast to the
+    // CURRENT declared types, so a post-delete widening still compares
+    // like-for-like against the widened read schema), coverage resolves
+    // per file against the manifest paths both sides share verbatim.
+    val physSchema = physicalSchema(schema)
+    val eqSidecars: Seq[org.apache.spark.sql.GraftSpjBridge.SpjEqDelete] =
+      eqParsed.map { case (name, physPks) =>
+        val base = new org.apache.hadoop.fs.Path(deletesDir(r), name)
+        val keysDf = spark.read.parquet(
+          new org.apache.hadoop.fs.Path(base, "keys").toString)
+        val nKeys = keysDf.count()
+        require(nKeys <= dvBroadcastMaxPositions(spark),
+          s"SPJ read of $root v$v: $nKeys equality-delete keys exceed " +
+            "the planning bound - compact first " +
+            "(spark.graft.dv.broadcastMaxPositions)")
+        val rows = keysDf.select(physPks.map(p =>
+          col(p).cast(physSchema(p).dataType)): _*).collect()
+        org.apache.spark.sql.GraftSpjBridge.SpjEqDelete(physPks,
+          rows.map(_.toSeq))
+      }
+    val eqByFile: Map[String, Seq[Int]] =
+      if (eqParsed.isEmpty) Map.empty
+      else {
+        val covers = eqParsed.map { case (name, _) =>
+          val base = new org.apache.hadoop.fs.Path(deletesDir(r), name)
+          spark.read.parquet(
+            new org.apache.hadoop.fs.Path(base, "cover").toString)
+            .collect().map(_.getString(0)).toSet
+        }
+        files.flatMap { f =>
+          val idxs = covers.zipWithIndex.collect {
+            case (c, i) if c(f) => i
+          }
+          if (idxs.isEmpty) None else Some(f -> idxs)
+        }.toMap
+      }
     // the SPJ scan reads files directly → PHYSICAL names; the logical
     // projection on top preserves KeyGroupedPartitioning (key columns
     // are layout fields, which renames reject, so they pass unaliased)
     val raw = org.apache.spark.sql.GraftSpjBridge.dataFrame(spark, root,
-      physicalSchema(schema),
-      spec.map(pf => (pf.col, pf.transform, pf.n)), groups, dvByFile)
+      physSchema,
+      spec.map(pf => (pf.col, pf.transform, pf.n)), groups, dvByFile,
+      eqSidecars, eqByFile)
     toLogicalDf(raw, schema)
   }
 

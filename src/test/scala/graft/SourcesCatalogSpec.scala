@@ -2184,6 +2184,81 @@ class SourcesCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ stays shuffle-free under equality deletes; coverage scopes per file") {
+    import spark.implicits._
+    def mk(prefix: String, n: Int, vc: String): String = {
+      val root = s"$tmp/snapspjeq_${prefix}_${System.nanoTime()}"
+      GraftCatalog.setSnapshotPartitionSpec(spark, root,
+        Seq(graft.sources.PartitionField("k", "bucket", 8)))
+      GraftCatalog.commitSnapshot(
+        spark.range(n).select(col("id").as("k"), (col("id") * 3).as(vc))
+          .repartition(1),
+        root, append = false)
+      root
+    }
+    val left = mk("l", 1000, "lv")
+    val right = mk("r", 800, "rv")
+    // EQUALITY deletes on both sides — pre-r14 SPJ refused these tables
+    GraftCatalog.deleteSnapshotKeysMor(spark, left,
+      (0L until 1000L by 5).toDF("k"), Seq("k"))
+    GraftCatalog.deleteSnapshotKeysMor(spark, right,
+      (0L until 800L by 7).toDF("k"), Seq("k"))
+    val priorConf = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val l = GraftCatalog.readSnapshotSpj(spark, left)
+      val r = GraftCatalog.readSnapshotSpj(spark, right)
+      val joined = l.join(r, "k")
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        "eq-deleted SPJ must keep the shuffle-free plan — per-file application")
+      // row identity vs the relational replay of both purges
+      val expect = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("lv"))
+        .where(col("k") % 5 =!= 0)
+        .join(spark.range(800).select(col("id").as("k"), (col("id") * 3).as("rv"))
+          .where(col("k") % 7 =!= 0), "k")
+        .collect().toSet
+      val got = joined.collect().toSet
+      assert(got == expect, s"got ${got.size} rows, expect ${expect.size}")
+      // a projection that PRUNES the pk column still applies the purge
+      // (the covered readers extend their schema internally)
+      assert(l.select("lv").count() == 800)
+      assert(l.select("lv").where(col("lv") === 15L).isEmpty,
+        "k=5's row must stay deleted under a pk-pruned projection")
+      // re-insert after the purge: the appended file is OUTSIDE the
+      // sidecar's covered set, so the key survives through SPJ too
+      GraftCatalog.commitSnapshot(
+        Seq((5L, 999L)).toDF("k", "lv"), left, append = true)
+      val l2 = GraftCatalog.readSnapshotSpj(spark, left)
+      assert(l2.where(col("k") === 5L).count() == 1)
+      assert(l2.where(col("k") === 10L).isEmpty,
+        "other purged keys stay deleted after the append")
+      // matches the folded (compacted) result exactly
+      GraftCatalog.compactSnapshot(spark, right)
+      assert(GraftCatalog.readSnapshotSpj(spark, right).collect().toSet ==
+        spark.range(800).select(col("id").as("k"), (col("id") * 3).as("rv"))
+          .where(col("k") % 7 =!= 0).collect().toSet)
+      // composes with a positional MoR delete on the SAME table (the
+      // dv+eq per-file reader)
+      GraftCatalog.deleteSnapshotWhereMor(spark, left, col("k") === 3L)
+      val l3 = GraftCatalog.readSnapshotSpj(spark, left)
+      assert(l3.where(col("k").isin(3L, 10L)).isEmpty &&
+        l3.where(col("k") === 5L).count() == 1)
+      // a pathological key list beyond the planning bound refuses loudly
+      spark.conf.set("spark.graft.dv.broadcastMaxPositions", "0")
+      try {
+        val e = intercept[IllegalArgumentException](
+          GraftCatalog.readSnapshotSpj(spark, left))
+        assert(e.getMessage.contains("compact first"))
+      } finally spark.conf.unset("spark.graft.dv.broadcastMaxPositions")
+    } finally priorConf match {
+      case Some(vv) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", vv)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("storage-partitioned join: bucket-aligned snapshot⋈snapshot plans zero exchanges") {
     import spark.implicits._
     def mkTable(prefix: String, nRows: Int, valCol: String): String = {
