@@ -439,12 +439,153 @@ object GraftCatalog {
     }
   }
 
+  /** FileStat via parquet FOOTER metrics — Iceberg's write-time stats
+    * collection: rows + per-column min/max/null counts scrape from the
+    * footers of the files a verb JUST wrote, driver-side, zero Spark
+    * jobs and zero data re-reads (the fixed distributed-job cost of the
+    * scanning agg is the dominant per-statement cost of a small CoW
+    * rewrite). Min/max strings render through Catalyst's own
+    * Cast-on-a-Literal, so the sidecar is byte-identical to what the
+    * scanning path's `min(col).cast("string")` records. Conservative by
+    * construction — returns None (caller falls back to the scanning
+    * agg) whenever any statable column carries footer stats this path
+    * cannot prove faithful: dropped/unset stats, INT96 timestamps,
+    * decimals, NaN or signed-zero float envelopes. NDV is not recorded
+    * (footers carry none); [[snapshotColumnProfile]] NULL-guards files
+    * without it — the documented pre-NDV-sidecar contract. */
+  private[graft] def footerFileStats(spark: SparkSession, files: Seq[String],
+      fsMeta: Map[String, (Long, Long)]): Option[Seq[FileStat]] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val conf = spark.sessionState.newHadoopConf()
+    val tzId = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    // parquet primitive (+ annotation) → the Spark type the scanning
+    // path would see; None = this path cannot serve the column
+    def sparkTypeOf(pt: PrimitiveType): Option[DataType] = {
+      val ann = pt.getLogicalTypeAnnotation
+      (pt.getPrimitiveTypeName, ann) match {
+        case (PrimitiveTypeName.BOOLEAN, null) => Some(BooleanType)
+        case (PrimitiveTypeName.INT32, null) => Some(IntegerType)
+        case (PrimitiveTypeName.INT32, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+            if i.isSigned =>
+          i.getBitWidth match {
+            case 8 => Some(ByteType)
+            case 16 => Some(ShortType)
+            case 32 => Some(IntegerType)
+            case _ => None
+          }
+        case (PrimitiveTypeName.INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+          Some(DateType)
+        case (PrimitiveTypeName.INT64, null) => Some(LongType)
+        case (PrimitiveTypeName.INT64, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+            if i.isSigned && i.getBitWidth == 64 => Some(LongType)
+        case (PrimitiveTypeName.INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+          Some(if (t.isAdjustedToUTC) TimestampType else TimestampNTZType)
+        case (PrimitiveTypeName.FLOAT, null) => Some(FloatType)
+        case (PrimitiveTypeName.DOUBLE, null) => Some(DoubleType)
+        case (PrimitiveTypeName.BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+          Some(StringType)
+        case _ => None // INT96, decimals, plain binary, nested → fallback
+      }
+    }
+    def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
+      case (b: org.apache.parquet.io.api.Binary, StringType) =>
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(b.getBytes)
+      case (i: java.lang.Integer, ByteType) => i.byteValue()
+      case (i: java.lang.Integer, ShortType) => i.shortValue()
+      case (x, _) => x
+    }
+    // a float envelope containing NaN or ±0.0 falls back: parquet stats
+    // order NaN unreliably, and -0.0 vs 0.0 would render differently
+    // from whichever value the scanning min/max happened to return
+    def unsafeFloat(v: Any): Boolean = v match {
+      case d: java.lang.Double => d.isNaN || d.doubleValue() == 0.0d
+      case f: java.lang.Float => f.isNaN || f.floatValue() == 0.0f
+      case _ => false
+    }
+    try {
+      val out = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try {
+          val footer = reader.getFooter
+          val blocks = scala.jdk.CollectionConverters
+            .ListHasAsScala(footer.getBlocks).asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val msg = footer.getFileMetaData.getSchema
+          val fields = scala.jdk.CollectionConverters
+            .ListHasAsScala(msg.getFields).asScala.toSeq
+          val cols = fields.flatMap { fld =>
+            if (!fld.isPrimitive ||
+                fld.getRepetition == org.apache.parquet.schema.Type.Repetition.REPEATED)
+              None // non-statable shapes: the scanning path skips them too
+            else sparkTypeOf(fld.asPrimitiveType()) match {
+              case None =>
+                // statable Spark type with an unservable parquet repr
+                // (INT96 timestamp, decimal) → whole-batch fallback
+                return None
+              case Some(dt) =>
+                val name = fld.getName
+                var nulls = 0L
+                var mn: Any = null
+                var mx: Any = null
+                val cmp = fld.asPrimitiveType().comparator()
+                  .asInstanceOf[java.util.Comparator[Any]]
+                blocks.foreach { b =>
+                  val ccmd = scala.jdk.CollectionConverters
+                    .ListHasAsScala(b.getColumns).asScala
+                    .find(_.getPath.toDotString == name)
+                    .getOrElse(return None)
+                  val st = ccmd.getStatistics
+                  if (st == null || st.isEmpty || !st.isNumNullsSet) return None
+                  nulls += st.getNumNulls
+                  if (st.hasNonNullValue) {
+                    val bmn = st.genericGetMin.asInstanceOf[Any]
+                    val bmx = st.genericGetMax.asInstanceOf[Any]
+                    if (unsafeFloat(bmn) || unsafeFloat(bmx)) return None
+                    if (mn == null || cmp.compare(bmn, mn) < 0) mn = bmn
+                    if (mx == null || cmp.compare(bmx, mx) > 0) mx = bmx
+                  } else if (st.getNumNulls != b.getRowCount) {
+                    return None // stats dropped (oversized values), not all-null
+                  }
+                }
+                def str(v: Any): String =
+                  if (v == null) null
+                  else Cast(Literal(toCatalyst(v, dt), dt), StringType, tzId)
+                    .eval(null).toString
+                Some(ColStat(name, dt.catalogString, str(mn), str(mx), nulls))
+            }
+          }
+          val norm = org.apache.hadoop.fs.Path
+            .getPathWithoutSchemeAndAuthority(p).toString
+          FileStat(norm, rows, cols,
+            fsMeta.get(norm).map(_._1), fsMeta.get(norm).map(_._2))
+        } finally reader.close()
+      }
+      Some(out)
+    } catch {
+      case scala.util.control.NonFatal(_) => None // any surprise → scanning path
+    }
+  }
+
+  /** The footer fast path when it can serve (no bloom enrollment —
+    * bloom bit-sets need the value scan), else the scanning agg. */
+  private[graft] def batchFileStats(spark: SparkSession, files: Seq[String],
+      fsMeta: Map[String, (Long, Long)],
+      bloomConf: Map[String, Int]): Seq[FileStat] =
+    (if (bloomConf.isEmpty) footerFileStats(spark, files, fsMeta) else None)
+      .getOrElse(computeFileStats(spark, files, fsMeta, bloomConf))
+
   /** Per-file column min/max + null counts for a just-written batch:
     * ONE Spark aggregation over the batch grouped by `input_file_name`
     * — cost proportional to the new batch, never the table. (The
-    * zero-read alternative is parquet footer scraping; the one-pass agg
-    * is simpler, engine-portable, and the batch is hot in page cache
-    * right after its own write.) */
+    * zero-read alternative is parquet footer scraping — see
+    * [[footerFileStats]], which the CoW verbs use; this full pass also
+    * computes NDV sketches and bloom bit-sets, which footers cannot.) */
   private[graft] def computeFileStats(spark: SparkSession, files: Seq[String],
       fsMeta: Map[String, (Long, Long)] = Map.empty,
       bloomConf: Map[String, Int] = Map.empty): Seq[FileStat] = {
@@ -586,12 +727,87 @@ object GraftCatalog {
     * it via a `#stats:<name>` meta line — names are writer-unique, so
     * racing committers can never clobber each other's sidecars the way
     * version-named sidecars would. */
+  /** JSON string escape for the stats sidecar — the standard set plus
+    * all control chars, matching what Jackson (and the old
+    * Dataset.toJSON path) emits for the same input. */
+  private def jsonEsc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
+  }
+
+  /** One FileStat as a JSON line — the exact shape `Dataset.toJSON`
+    * over `Encoders.product[FileStat]` produced (field order, null and
+    * None fields omitted), emitted DRIVER-SIDE: serializing a
+    * metadata-sized sidecar must never cost a distributed job. */
+  private[graft] def statJsonLine(f: FileStat): String = {
+    val sb = new java.lang.StringBuilder(256)
+    sb.append("{\"path\":").append(jsonEsc(f.path))
+      .append(",\"rows\":").append(f.rows)
+      .append(",\"cols\":[")
+    var first = true
+    f.cols.foreach { c =>
+      if (!first) sb.append(',')
+      first = false
+      sb.append("{\"col\":").append(jsonEsc(c.col))
+        .append(",\"typ\":").append(jsonEsc(c.typ))
+      if (c.mn != null) sb.append(",\"mn\":").append(jsonEsc(c.mn))
+      if (c.mx != null) sb.append(",\"mx\":").append(jsonEsc(c.mx))
+      sb.append(",\"nc\":").append(c.nc)
+      c.bloom.foreach(b => sb.append(",\"bloom\":").append(jsonEsc(b)))
+      c.ndv.foreach(n => sb.append(",\"ndv\":").append(n))
+      sb.append('}')
+    }
+    sb.append(']')
+    f.len.foreach(l => sb.append(",\"len\":").append(l))
+    f.mtime.foreach(m => sb.append(",\"mtime\":").append(m))
+    sb.append('}')
+    sb.toString
+  }
+
+  /** Parse one stats-sidecar JSON line (both this writer's output and
+    * lines written by the pre-r14 Dataset.toJSON path — same shape). */
+  private[graft] def parseStatLine(line: String): FileStat = {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(line)
+    def str(v: JValue): String = v match {
+      case JString(s) => s
+      case _ => null
+    }
+    def lng(v: JValue): Option[Long] = v match {
+      case JInt(i) => Some(i.toLong)
+      case JLong(l) => Some(l)
+      case _ => None
+    }
+    val cols = j \ "cols" match {
+      case JArray(cs) => cs.map { c =>
+        ColStat(str(c \ "col"), str(c \ "typ"), str(c \ "mn"), str(c \ "mx"),
+          lng(c \ "nc").getOrElse(0L),
+          Option(str(c \ "bloom")), lng(c \ "ndv"))
+      }
+      case _ => Nil
+    }
+    FileStat(str(j \ "path"), lng(j \ "rows").getOrElse(0L), cols,
+      lng(j \ "len"), lng(j \ "mtime"))
+  }
+
   private def writeStatsFile(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       stats: Seq[FileStat]): String = {
-    val sp = spark; import sp.implicits._
     val name = s"s-${System.nanoTime()}.stats"
-    val lines = spark.createDataset(stats).toJSON.collect()
+    val lines = stats.map(statJsonLine)
     val out = fs.create(new org.apache.hadoop.fs.Path(manifestDir(root), name), false)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -645,10 +861,10 @@ object GraftCatalog {
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
           finally in.close()
-        val sp = spark; import sp.implicits._
-        spark.read.schema(org.apache.spark.sql.Encoders.product[FileStat].schema)
-          .json(spark.createDataset(lines)).as[FileStat]
-          .collect().map(fstat => fstat.path -> fstat).toMap
+        // driver-side parse ([[parseStatLine]]): a stats consult runs
+        // before EVERY verb and read plan — it must never cost a
+        // distributed json job
+        lines.map(parseStatLine).map(fstat => fstat.path -> fstat).toMap
       }
   }
 
@@ -2095,7 +2311,7 @@ object GraftCatalog {
       head: Long, carried: Seq[String], carriedStats: Map[String, FileStat],
       newData: DataFrame, meta: Seq[String]): Long = {
     val (batch, newFiles, newStatuses) = writeBatch(spark, fs, r, newData)
-    val newStats = computeFileStats(spark, newFiles, fsMetaOf(newStatuses),
+    val newStats = batchFileStats(spark, newFiles, fsMetaOf(newStatuses),
       readBloomConfAt(fs, r))
     val statsName = writeStatsFile(spark, fs, r,
       (carriedStats.values.toSeq ++ newStats).sortBy(_.path))

@@ -1755,6 +1755,86 @@ class SourcesCatalogSpec extends AnyFunSuite {
       s"history TVF must serve the commit log: ${hist.toSeq}")
   }
 
+  test("stats sidecar driver-side JSON round-trips and parses the legacy toJSON shape") {
+    import graft.sources.{ColStat, FileStat}
+    val stats = Seq(
+      FileStat("/a/b.parquet", 100L, Seq(
+        ColStat("id", "bigint", "0", "99", 0L, None, Some(100L)),
+        ColStat("s", "string", "a\"x\\y\nz", "ü", 3L, Some("64:QUJD"), None),
+        ColStat("allnull", "string", null, null, 100L, None, Some(0L))),
+        Some(1234L), Some(1700000000000L)),
+      FileStat("/a/c.parquet", 0L, Seq.empty, None, None))
+    // new writer → new parser round-trip
+    stats.foreach { f =>
+      assert(GraftCatalog.parseStatLine(GraftCatalog.statJsonLine(f)) == f)
+    }
+    // the legacy Dataset.toJSON shape parses identically
+    val sp = spark
+    import sp.implicits._
+    val legacy = sp.createDataset(stats).toJSON.collect()
+    assert(legacy.map(GraftCatalog.parseStatLine).toSeq == stats,
+      "pre-r14 sidecar lines must keep parsing byte-identically")
+    // and the new writer's lines are accepted by the legacy Spark parser
+    val viaSpark = sp.read
+      .schema(org.apache.spark.sql.Encoders.product[FileStat].schema)
+      .json(sp.createDataset(stats.map(GraftCatalog.statJsonLine)))
+      .as[FileStat].collect().toSeq
+    assert(viaSpark.sortBy(_.path) == stats.sortBy(_.path))
+  }
+
+  test("footerFileStats matches the scanning stats path byte-for-byte") {
+    import spark.implicits._
+    val root = s"$tmp/footstats_${System.nanoTime()}"
+    // longs, ints, doubles (negative, fractional), strings (empty,
+    // unicode), dates, nulls mixed in, one ALL-NULL column, booleans
+    val df = spark.range(500).select(
+      col("id"),
+      col("id").cast("int").as("i32"),
+      (col("id") * -1.75d - 0.5d).as("dbl"),
+      when(col("id") % 7 === 0, lit(null)).otherwise(
+        concat(lit("ünïcode-"), col("id"))).as("s"),
+      expr("date_add(DATE'2024-01-15', CAST(id % 40 AS INT))").as("d"),
+      lit(null).cast("string").as("allnull"),
+      (col("id") % 2 === 0).as("b"))
+      .repartition(3)
+    df.write.parquet(root)
+    val files = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq.sorted
+    val viaFooter = GraftCatalog.footerFileStats(spark, files, Map.empty)
+    assert(viaFooter.isDefined, "footer path must serve this shape")
+    val viaScan = GraftCatalog.computeFileStats(spark, files)
+    val fBy = viaFooter.get.map(f => f.path -> f).toMap
+    viaScan.foreach { sc =>
+      val ft = fBy(sc.path)
+      assert(ft.rows == sc.rows, s"rows ${sc.path}")
+      val fCols = ft.cols.map(c => c.col -> c).toMap
+      sc.cols.foreach { c =>
+        val fc = fCols(c.col)
+        assert(fc.typ == c.typ, s"${sc.path}/${c.col} typ: ${fc.typ} vs ${c.typ}")
+        assert(fc.mn == c.mn, s"${sc.path}/${c.col} mn: '${fc.mn}' vs '${c.mn}'")
+        assert(fc.mx == c.mx, s"${sc.path}/${c.col} mx: '${fc.mx}' vs '${c.mx}'")
+        assert(fc.nc == c.nc, s"${sc.path}/${c.col} nulls: ${fc.nc} vs ${c.nc}")
+      }
+      assert(fCols.keySet == sc.cols.map(_.col).toSet)
+    }
+    // INT96 timestamps (Spark's default parquet timestamp encoding)
+    // must force the fallback, not produce wrong envelopes
+    val root2 = s"$tmp/footstats_ts_${System.nanoTime()}"
+    spark.range(10).select(col("id"),
+      expr("timestamp_micros(id * 1000000)").as("ts")).write.parquet(root2)
+    val files2 = new java.io.File(root2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val viaFooter2 = GraftCatalog.footerFileStats(spark, files2, Map.empty)
+    val int96 = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+      .forall(_ == "INT96")
+    if (int96) assert(viaFooter2.isEmpty, "INT96 timestamps must fall back")
+    else viaFooter2.foreach { sts =>
+      val sc2 = GraftCatalog.computeFileStats(spark, files2)
+      assert(sts.map(f => (f.path, f.rows, f.cols.map(c => (c.col, c.mn, c.mx, c.nc)))).sortBy(_._1)
+        == sc2.map(f => (f.path, f.rows, f.cols.map(c => (c.col, c.mn, c.mx, c.nc)))).sortBy(_._1))
+    }
+  }
+
   test("snapshotColumnProfile: zero-I/O profile with exact min/max/nulls and NDV bounds") {
     import spark.implicits._
     val root = s"$tmp/snapprof_${System.nanoTime()}"
