@@ -443,6 +443,66 @@ object CatalogOps {
       |SELECT hd.pr, hd.n, hd.total, v1.total_v1
       |FROM hd LEFT JOIN v1 ON hd.pr = v1.pr ORDER BY hd.pr""".stripMargin
 
+  /** q154 — NESTED rename + widening lifecycle on the driver gate: a
+    * struct-bearing orders derivative clones in, `props.a` renames to
+    * `props.score` and widens INT→BIGINT (both pure metadata), an
+    * INSERT lands a beyond-int32 score under the NEW subfield name, an
+    * UPDATE keys its predicate on the renamed nested field, and the
+    * head aggregates per `props.b` next to a `VERSION AS OF 1`
+    * replay of the PRE-rename shape (`props.a`). DuckDB recomputes the
+    * whole history relationally — a hash match proves the nested
+    * mapping end-to-end: old files serving the new name, the new file
+    * storing the physical name, the verbs binding through the struct
+    * cast, and time travel serving each version's own shape. */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    val base = pooledBase(s, d, "nrwbase")(
+      Tables.df(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("ck"),
+        struct((col("o_orderkey") % 100000).cast("int").as("a"),
+          col("o_orderpriority").as("b")).as("props")))
+    cloneIntoCatalog(s, d, "nrw", base)
+    s.sql("ALTER TABLE graft.db.nrw RENAME COLUMN props.a TO score")
+    s.sql("ALTER TABLE graft.db.nrw ALTER COLUMN props.score TYPE BIGINT")
+    s.sql("INSERT INTO graft.db.nrw VALUES " +
+      "(900000201, 777, named_struct('score', CAST(3000000000 AS BIGINT), 'b', '0-NR'))," +
+      "(900000202, 778, named_struct('score', CAST(3000000001 AS BIGINT), 'b', '0-NR'))")
+    s.sql("UPDATE graft.db.nrw SET ck = ck + 1 WHERE props.score % 10 = 0")
+    val head = s.sql(
+      """SELECT props.b AS b, COUNT(*) AS n,
+        |  CAST(SUM(props.score) AS BIGINT) AS sum_score,
+        |  CAST(SUM(ck) AS BIGINT) AS sum_ck
+        |FROM graft.db.nrw GROUP BY props.b""".stripMargin)
+    val v1 = s.sql(
+      """SELECT props.b AS b, CAST(SUM(props.a) AS BIGINT) AS sum_a_v1
+        |FROM graft.db.nrw VERSION AS OF 1 GROUP BY props.b""".stripMargin)
+    head.join(v1, Seq("b"), "left").orderBy("b")
+  }
+
+  private val q154Oracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_custkey AS ck,
+      |    CAST(o_orderkey % 100000 AS BIGINT) AS score,
+      |    o_orderpriority AS b
+      |  FROM orders),
+      |ins AS (
+      |  SELECT k, ck, score, b FROM base
+      |  UNION ALL VALUES (900000201, 777, 3000000000, '0-NR'),
+      |                   (900000202, 778, 3000000001, '0-NR')),
+      |upd AS (
+      |  SELECT k, CASE WHEN score % 10 = 0 THEN ck + 1 ELSE ck END AS ck,
+      |    score, b
+      |  FROM ins),
+      |hd AS (
+      |  SELECT b, COUNT(*) AS n, CAST(SUM(score) AS BIGINT) AS sum_score,
+      |    CAST(SUM(ck) AS BIGINT) AS sum_ck
+      |  FROM upd GROUP BY b),
+      |v1 AS (
+      |  SELECT o_orderpriority AS b,
+      |    CAST(SUM(o_orderkey % 100000) AS BIGINT) AS sum_a_v1
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT hd.b, hd.n, hd.sum_score, hd.sum_ck, v1.sum_a_v1
+      |FROM hd LEFT JOIN v1 ON hd.b = v1.b ORDER BY hd.b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q145_catalog_dml", Some(q145Oracle), q145),
     Q("q146_catalog_travel", Some(q146Oracle), q146),
@@ -450,5 +510,6 @@ object CatalogOps {
     Q("q148_general_merge", Some(q148Oracle), q148),
     Q("q149_composite_merge", Some(q149Oracle), q149),
     Q("q150_catalog_evolve", Some(q150Oracle), q150),
-    Q("q152_column_rename", Some(q152Oracle), q152))
+    Q("q152_column_rename", Some(q152Oracle), q152),
+    Q("q154_nested_rename", Some(q154Oracle), q154))
 }

@@ -667,7 +667,7 @@ object GraftCatalog {
     // own reads — an overwrite over it must still proceed.
     val headSchema = versionsAt(fs, r).lastOption
       .flatMap(v => scala.util.Try(readSchemaLine(fs, r, v)).toOption.flatten)
-    val df = toPhysicalDf(df0, headSchema.map(physicalMap).getOrElse(Map.empty))
+    val df = toPhysicalDf(df0, headSchema)
     val specs = readPartitionSpecsAt(fs, r)
     val specId = if (specs.isEmpty) 0 else specs.keys.max
     val spec = specs.getOrElse(specId, Seq.empty)
@@ -956,48 +956,125 @@ object GraftCatalog {
     }.toMap
 
   /** The committed schema as the DATA FILES store it: physical field
-    * names, mapping metadata stripped (a parquet read schema). */
+    * names — recursively through plain struct nesting, so nested
+    * renames read correctly — with mapping metadata stripped (a
+    * parquet read schema). */
+  private def physicalType(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case st: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType(st.fields.map(f =>
+          org.apache.spark.sql.types.StructField(
+            physicalNameOf(f), physicalType(f.dataType), f.nullable)))
+      case other => other
+    }
   private[graft] def physicalSchema(
       s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(s.fields.map(f =>
-      org.apache.spark.sql.types.StructField(physicalNameOf(f), f.dataType, f.nullable)))
+      org.apache.spark.sql.types.StructField(
+        physicalNameOf(f), physicalType(f.dataType), f.nullable)))
 
-  /** One atomic projection renaming every column at once. Sequential
-    * withColumnRenamed folds are ORDER-SENSITIVE under chained renames
-    * (x→z then y→x leaves physicalMap {z→x, x→y}: one fold order
-    * renames onto a name still present and the next rename hits both);
-    * a single select maps each source column independently, so no
-    * intermediate collision can occur. */
-  private def renameAll(df: DataFrame, to: String => String): DataFrame = {
-    val cols = df.columns
-    if (cols.forall(c => to(c) == c)) df
-    else df.select(cols.map(c =>
-      col("`" + c.replace("`", "``") + "`").as(to(c))).toIndexedSeq: _*)
-  }
+  /** Rewrite a FRAME-side type to logical names, guided by the
+    * committed field it serves: physical subfield names map back to
+    * their committed logical names recursively through plain struct
+    * nesting (nested DDL's domain); fields the committed type does not
+    * know pass through. Pure renaming — the frame's own child TYPES are
+    * kept verbatim, so the companion cast can never coerce values. */
+  private def logicalRename(bt: org.apache.spark.sql.types.DataType,
+      committed: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    (bt, committed) match {
+      case (b: org.apache.spark.sql.types.StructType,
+            c: org.apache.spark.sql.types.StructType) =>
+        org.apache.spark.sql.types.StructType(b.fields.map { bf =>
+          c.fields.find(f => physicalNameOf(f).equalsIgnoreCase(bf.name)) match {
+            case Some(cf) => org.apache.spark.sql.types.StructField(
+              cf.name, logicalRename(bf.dataType, cf.dataType), bf.nullable)
+            case None => bf
+          }
+        })
+      case _ => bt
+    }
 
-  /** Rename a physically-named frame's columns to their logical names
-    * (no-op without renames). Apply ABOVE any `_metadata`-consuming op:
-    * metadata columns do not propagate through this projection. */
+  /** The write-side mirror of [[logicalRename]]: logical subfield names
+    * map to their immutable physical storage names. */
+  private def physicalRename(bt: org.apache.spark.sql.types.DataType,
+      committed: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    (bt, committed) match {
+      case (b: org.apache.spark.sql.types.StructType,
+            c: org.apache.spark.sql.types.StructType) =>
+        org.apache.spark.sql.types.StructType(b.fields.map { bf =>
+          c.fields.find(_.name.equalsIgnoreCase(bf.name)) match {
+            case Some(cf) => org.apache.spark.sql.types.StructField(
+              physicalNameOf(cf), physicalRename(bf.dataType, cf.dataType),
+              bf.nullable)
+            case None => bf
+          }
+        })
+      case _ => bt
+    }
+
+  private def quotedCol(c: String) =
+    col("`" + c.replace("`", "``") + "`")
+
+  /** Rename a physically-named frame to its logical names — top-level
+    * columns by projection, NESTED struct subfields by a positional
+    * struct cast (name-only: [[logicalRename]] keeps the frame's child
+    * types, so the cast coerces nothing) — in ONE atomic select:
+    * sequential withColumnRenamed folds are order-sensitive under
+    * chained renames (x→z then y→x can rename onto a still-present
+    * name and corrupt both columns). No-op without renames. Apply
+    * ABOVE any `_metadata`-consuming op: metadata columns do not
+    * propagate through this projection. */
   private def toLogicalDf(df: DataFrame,
       s: org.apache.spark.sql.types.StructType): DataFrame = {
-    val m = physicalMap(s)
-    if (m.isEmpty) df
-    else {
-      // physical -> logical, case-insensitive like withColumnRenamed was
-      val rev = m.map { case (lg, ph) => ph.toLowerCase(java.util.Locale.ROOT) -> lg }
-      renameAll(df, c => rev.getOrElse(c.toLowerCase(java.util.Locale.ROOT), c))
-    }
+    val byPhys = s.fields.map(f =>
+      physicalNameOf(f).toLowerCase(java.util.Locale.ROOT) -> f).toMap
+    def plan(bf: org.apache.spark.sql.types.StructField):
+        Option[(String, org.apache.spark.sql.types.DataType)] =
+      byPhys.get(bf.name.toLowerCase(java.util.Locale.ROOT)).flatMap { cf =>
+        val tgt = logicalRename(bf.dataType, cf.dataType)
+        if (cf.name == bf.name && tgt == bf.dataType) None
+        else Some((cf.name, tgt))
+      }
+    if (df.schema.fields.forall(bf => plan(bf).isEmpty)) df
+    else df.select(df.schema.fields.map { bf =>
+      plan(bf) match {
+        case Some((name, tgt)) =>
+          val base = quotedCol(bf.name)
+          (if (tgt == bf.dataType) base else base.cast(tgt)).as(name)
+        case None => quotedCol(bf.name)
+      }
+    }.toIndexedSeq: _*)
   }
 
-  /** Translate a logically-named batch to physical column names for a
-    * data-file write (no-op without renames; columns already physical —
-    * e.g. a compaction rewrite — pass through). */
-  private def toPhysicalDf(df: DataFrame, m: Map[String, String]): DataFrame =
-    if (m.isEmpty) df
-    else {
-      val byLower = m.map { case (lg, ph) => lg.toLowerCase(java.util.Locale.ROOT) -> ph }
-      renameAll(df, c => byLower.getOrElse(c.toLowerCase(java.util.Locale.ROOT), c))
-    }
+  /** Translate a logically-named batch to physical names for a
+    * data-file write — same atomic shape as [[toLogicalDf]], reversed
+    * (no-op without renames; columns already physical — e.g. a
+    * compaction rewrite — pass through). */
+  private def toPhysicalDf(df: DataFrame,
+      s: Option[org.apache.spark.sql.types.StructType]): DataFrame = s match {
+    case None => df
+    case Some(sch) =>
+      val byName = sch.fields.map(f =>
+        f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+      def plan(bf: org.apache.spark.sql.types.StructField):
+          Option[(String, org.apache.spark.sql.types.DataType)] =
+        byName.get(bf.name.toLowerCase(java.util.Locale.ROOT)).flatMap { cf =>
+          val ph = physicalNameOf(cf)
+          val tgt = physicalRename(bf.dataType, cf.dataType)
+          if (ph == bf.name && tgt == bf.dataType) None
+          else Some((ph, tgt))
+        }
+      if (df.schema.fields.forall(bf => plan(bf).isEmpty)) df
+      else df.select(df.schema.fields.map { bf =>
+        plan(bf) match {
+          case Some((name, tgt)) =>
+            val base = quotedCol(bf.name)
+            (if (tgt == bf.dataType) base else base.cast(tgt)).as(name)
+          case None => quotedCol(bf.name)
+        }
+      }.toIndexedSeq: _*)
+  }
 
   /** Stats sidecars record PHYSICAL column names (they are computed
     * from written files); remap a copy to logical names for pruning
@@ -3303,6 +3380,12 @@ object GraftCatalog {
     val evolved = transformNestedStruct(prior, parent.split('.').toSeq) { st =>
       require(!st.fields.exists(_.name.equalsIgnoreCase(field.name)),
         s"field $parent.${field.name} already exists on $root")
+      // a renamed sibling's STORAGE name is occupied in every data file
+      // — a new subfield reusing it would collide on read
+      require(!st.fields.exists(f =>
+          physicalNameOf(f).equalsIgnoreCase(field.name)),
+        s"storage-name collision: a sibling of $parent.${field.name} " +
+          "stores that name")
       org.apache.spark.sql.types.StructType(
         st.fields :+ field.copy(nullable = true))
     }
@@ -3339,6 +3422,81 @@ object GraftCatalog {
         s"cannot drop $fieldPath: it is the struct's last field — drop " +
           s"the ${parts.init.mkString(".")} column itself instead")
       org.apache.spark.sql.types.StructType(kept)
+    }
+    publishEvolvedSchema(fs, r, head, evolved)
+  }
+
+  /** RENAME a NESTED struct subfield as a PURE-METADATA commit — the
+    * name-keyed equivalent of Iceberg's field-ID rename applied inside
+    * a struct: the committed subfield republishes under the new
+    * LOGICAL name while its metadata records the immutable PHYSICAL
+    * storage name, so existing files serve the renamed subfield with
+    * zero data I/O and new writes keep landing the physical name
+    * ([[toPhysicalDf]]'s struct-aware translation). Same guards as the
+    * top-level rename: sibling clash (logical and storage name), CHECK
+    * references. */
+  def renameSnapshotNestedField(spark: SparkSession, root: String,
+      fieldPath: String, to: String): Long = {
+    import java.util.Locale.ROOT
+    require(to.nonEmpty && !to.contains(".") && !to.contains("`"),
+      s"bad field name: '$to'")
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val prior = snapshotSchema(spark, root, Some(head)).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot evolve nested fields on $root: no committed schema"))
+    val parts = fieldPath.split('.').toSeq
+    require(parts.length >= 2,
+      s"'$fieldPath' is top-level — use renameSnapshotColumn")
+    val lowered = parts.map(_.toLowerCase(ROOT)).mkString(".")
+    val clash = checkColumnRefs(spark, root)
+      .filter(ref => ref == lowered || ref.startsWith(lowered + "."))
+    require(clash.isEmpty,
+      s"cannot rename $fieldPath: CHECK constraint(s) reference " +
+        s"${clash.mkString(", ")} — drop and re-add under the new name")
+    val evolved = transformNestedStruct(prior, parts.init) { st =>
+      val f = st.fields.find(_.name.equalsIgnoreCase(parts.last)).getOrElse(
+        throw new IllegalArgumentException(s"no field $fieldPath on $root"))
+      require(!st.fields.exists(x => !(x eq f) && x.name.equalsIgnoreCase(to)),
+        s"field ${parts.init.mkString(".")}.$to already exists on $root")
+      require(!st.fields.exists(x => !(x eq f) &&
+          physicalNameOf(x).equalsIgnoreCase(to)),
+        s"storage-name collision: a sibling of $fieldPath stores '$to'")
+      val physical = physicalNameOf(f)
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      val newMeta =
+        if (physical == to) mb.remove(PhysicalKey).build()
+        else mb.putString(PhysicalKey, physical).build()
+      org.apache.spark.sql.types.StructType(st.fields.map(x =>
+        if (x eq f) x.copy(name = to, metadata = newMeta) else x))
+    }
+    publishEvolvedSchema(fs, r, head, evolved)
+  }
+
+  /** WIDEN a NESTED struct subfield's type as a PURE-METADATA commit —
+    * the same safe widening set as [[widenSnapshotColumn]] (Spark's
+    * parquet readers serve an INT32 page into a bigint vector with no
+    * rewrite, nested or not); time travel keeps each version's own
+    * type. */
+  def widenSnapshotNestedField(spark: SparkSession, root: String,
+      fieldPath: String, to: org.apache.spark.sql.types.DataType): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val prior = snapshotSchema(spark, root, Some(head)).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot evolve nested fields on $root: no committed schema"))
+    val parts = fieldPath.split('.').toSeq
+    require(parts.length >= 2,
+      s"'$fieldPath' is top-level — use widenSnapshotColumn")
+    val evolved = transformNestedStruct(prior, parts.init) { st =>
+      val f = st.fields.find(_.name.equalsIgnoreCase(parts.last)).getOrElse(
+        throw new IllegalArgumentException(s"no field $fieldPath on $root"))
+      require(widens(f.dataType, to),
+        s"cannot widen $fieldPath: ${f.dataType.simpleString} -> " +
+          s"${to.simpleString} is not a safe metadata widening")
+      org.apache.spark.sql.types.StructType(st.fields.map(x =>
+        if (x eq f) x.copy(dataType = to) else x))
     }
     publishEvolvedSchema(fs, r, head, evolved)
   }

@@ -231,15 +231,19 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         GraftCatalog.setSnapshotSortOrder(spark, rootStr,
           s.value.split(",").map(_.trim).toSeq)
       case u: TableChange.UpdateColumnType =>
-        require(u.fieldNames.length == 1,
-          "ALTER COLUMN TYPE supports top-level columns only")
-        GraftCatalog.widenSnapshotColumn(spark, rootStr,
-          u.fieldNames()(0), u.newDataType())
+        if (u.fieldNames.length == 1)
+          GraftCatalog.widenSnapshotColumn(spark, rootStr,
+            u.fieldNames()(0), u.newDataType())
+        else
+          GraftCatalog.widenSnapshotNestedField(spark, rootStr,
+            u.fieldNames.mkString("."), u.newDataType())
       case rn: TableChange.RenameColumn =>
-        require(rn.fieldNames.length == 1,
-          "RENAME COLUMN supports top-level columns only")
-        GraftCatalog.renameSnapshotColumn(spark, rootStr,
-          rn.fieldNames()(0), rn.newName)
+        if (rn.fieldNames.length == 1)
+          GraftCatalog.renameSnapshotColumn(spark, rootStr,
+            rn.fieldNames()(0), rn.newName)
+        else
+          GraftCatalog.renameSnapshotNestedField(spark, rootStr,
+            rn.fieldNames.mkString("."), rn.newName)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER on a graft snapshot table: $other (ADD/DROP/" +
           "RENAME COLUMN, ALTER COLUMN TYPE widening, and write.mode/" +

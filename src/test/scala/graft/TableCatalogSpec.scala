@@ -292,6 +292,62 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       == 1045L)
   }
 
+  test("nested-field RENAME + type widening: pure metadata, verbs + travel") {
+    spark.sql("CREATE TABLE graft.db.nrw (id BIGINT, props STRUCT<a: INT, b: STRING>)")
+    spark.sql("INSERT INTO graft.db.nrw SELECT id, " +
+      "named_struct('a', CAST(id AS INT), 'b', concat('s', id)) FROM range(0, 50)")
+    val root = s"$warehouse/db/nrw"
+    val before = GraftCatalog.snapshotScanFiles(spark, root)._1.toSet
+    // nested RENAME: props.a -> props.score, zero data files
+    spark.sql("ALTER TABLE graft.db.nrw RENAME COLUMN props.a TO score")
+    assert(GraftCatalog.snapshotScanFiles(spark, root)._1.toSet == before,
+      "nested rename must publish zero data files")
+    assert(spark.table("graft.db.nrw").schema("props").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("score", "b"))
+    assert(spark.sql("SELECT sum(props.score) FROM graft.db.nrw")
+      .head().getLong(0) == 1225L,
+      "old files must serve the renamed subfield")
+    // nested WIDEN: score INT -> BIGINT, still zero data files
+    spark.sql("ALTER TABLE graft.db.nrw ALTER COLUMN props.score TYPE BIGINT")
+    assert(GraftCatalog.snapshotScanFiles(spark, root)._1.toSet == before)
+    assert(spark.table("graft.db.nrw").schema("props").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("score")
+      .dataType == org.apache.spark.sql.types.LongType)
+    // a write after both: logical subfield name in, physical name stored,
+    // value beyond int range proves the widened read path end-to-end
+    spark.sql("INSERT INTO graft.db.nrw VALUES " +
+      "(100, named_struct('score', CAST(3000000000 AS BIGINT), 'b', 'x'))")
+    assert(spark.sql("SELECT sum(props.score) FROM graft.db.nrw")
+      .head().getLong(0) == 3000001225L)
+    // predicates and row-level verbs bind through the nested mapping
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.nrw WHERE props.score > 40").head()
+      .getLong(0) == 10L)
+    spark.sql("UPDATE graft.db.nrw SET id = id + 1000 WHERE props.score = 3000000000")
+    assert(spark.sql("SELECT id FROM graft.db.nrw WHERE props.score = 3000000000")
+      .head().getLong(0) == 1100L)
+    // time travel serves each version's OWN nested shape and type
+    val v2 = spark.sql("SELECT * FROM graft.db.nrw VERSION AS OF 2")
+    assert(v2.schema("props").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("a", "b"),
+      "pre-rename versions keep the old subfield name")
+    assert(v2.selectExpr("sum(props.a)").head().getLong(0) == 1225L)
+    // adding a subfield that reuses the pre-rename storage name rejects
+    val collide = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.nrw ADD COLUMN props.a DOUBLE"))
+    assert(collide.getMessage.contains("collision"))
+    // renaming BACK drops the mapping
+    spark.sql("ALTER TABLE graft.db.nrw RENAME COLUMN props.score TO a")
+    assert(spark.sql("SELECT sum(props.a) FROM graft.db.nrw")
+      .head().getLong(0) == 3000001225L)
+    assert(!GraftCatalog.snapshotSchema(spark, root).get("props").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("a")
+      .metadata.contains("graft.physical"),
+      "rename back to the storage name must drop the mapping")
+  }
+
   test("nested-field ALTER: ADD/DROP struct subfields as pure metadata + time travel") {
     spark.sql("CREATE TABLE graft.db.nst " +
       "(id BIGINT, props STRUCT<a: BIGINT, b: STRING>)")
