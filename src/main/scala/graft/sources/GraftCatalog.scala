@@ -4204,15 +4204,41 @@ object GraftCatalog {
     * contiguous. The plain [[compactSnapshot]] would happily merge
     * January into one file with March and destroy the layout. */
   def compactSnapshotPartitioned(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024): Long = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      where: Option[Column] = None): Long = {
     val spec = snapshotPartitionSpec(spark, root)
     require(spec.nonEmpty, s"no partition spec on $root")
     val (fs, r) = fsOf(spark, root)
     val head = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, head)
     val stats = readStats(spark, root, head)
-    val activeId = readPartitionSpecsAt(fs, r).keys.max
-    val groups = files.groupBy(f =>
+    val specs = readPartitionSpecsAt(fs, r)
+    val activeId = specs.keys.max
+    // PARTITION-SCOPED compaction (Delta's `OPTIMIZE … WHERE`): only
+    // tuples the predicate may match rewrite — a trickle-writer's one
+    // hot partition compacts without touching the rest of a 100 TB
+    // layout. Scope resolves through the same tuple pruning the scan
+    // planner uses, so any predicate on spec SOURCE columns works
+    // (identity values, bucket ordinals). Tuple-less files (pre-spec /
+    // retired-spec) belong to no partition and stay out of a scoped
+    // run — the unscoped spelling migrates them.
+    val inScope: String => Boolean = where match {
+      case None => _ => true
+      case Some(pred) =>
+        val predExpr = org.apache.spark.sql.GraftColumnBridge.expression(pred)
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        val ptSchema = readSchemaLine(fs, r, head)
+        // the verbs' own planning consults: stats envelopes prune
+        // identity partitions (each file's source-column envelope IS
+        // its partition value), tuple pruning handles bucket ordinals
+        val consult = statsLogical(stats, ptSchema)
+        f => specIdOfPath(f) == activeId &&
+          filePartitionTuple(f).nonEmpty &&
+          consult.get(f).forall(st => mayContain(st, predExpr, tz)) &&
+          tupleMayMatch(specs, ptSchema, f, predExpr, tz)
+    }
+    val scoped = files.filter(inScope)
+    val groups = scoped.groupBy(f =>
       // retired-spec files group as tuple-less -> they MIGRATE into
       // the active layout alongside pre-spec files
       if (specIdOfPath(f) == activeId) filePartitionTuple(f)

@@ -59,9 +59,11 @@ case class GraftCatalogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // `spark.readStream.table("graft.db.t")`: serve the v1 snapshot
       // stream source (offsets = versions, cost ∝ changed files per
       // micro-batch) projected to APPEND rows — Delta's table-stream
-      // semantics; the CDC-tagged feed (deletes, _change/_version) is
-      // the format()/TVF surface. Reader options (startAfter,
-      // maxVersionsPerBatch) pass through.
+      // semantics. With `.option("readChangeFeed", "true")` (Delta's
+      // spelling) the CDC-tagged feed serves through the table
+      // identifier instead: every row including deletes, plus the
+      // `_change`/`_version` tag columns on top of the table schema.
+      // Reader options (startAfter, maxVersionsPerBatch) pass through.
       val t = s.table.asInstanceOf[GraftSnapshotTable]
       require(t.pinned.isEmpty,
         s"cannot stream a time-travel read of ${t.fullName}")
@@ -73,12 +75,22 @@ case class GraftCatalogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .StreamingRelation(ds)
       val byName = v1.output
         .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
-      Project(s.output.map { o =>
+      val tableCols = s.output.map { o =>
         Alias(byName(o.name.toLowerCase(java.util.Locale.ROOT)), o.name)(
           exprId = o.exprId)
-      }, Filter(org.apache.spark.sql.catalyst.expressions.EqualTo(
-        byName("_change"),
-        org.apache.spark.sql.catalyst.expressions.Literal("insert")), v1))
+      }
+      if (s.extraOptions.getBoolean("readChangeFeed", false)) {
+        // CDC mode: table columns keep the relation's attribute ids;
+        // the tag columns append with fresh ids and resolve by name in
+        // later analyzer iterations.
+        val tagCols = v1.output.filterNot(a =>
+          s.output.exists(_.name.equalsIgnoreCase(a.name)))
+        Project(tableCols ++ tagCols, v1)
+      } else
+        Project(tableCols,
+          Filter(org.apache.spark.sql.catalyst.expressions.EqualTo(
+            byName("_change"),
+            org.apache.spark.sql.catalyst.expressions.Literal("insert")), v1))
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSnapshotTable] =>
       val t = r.table.asInstanceOf[GraftSnapshotTable]
       val read = GraftCatalog.readSnapshotAuto(spark, t.root, t.pinned)

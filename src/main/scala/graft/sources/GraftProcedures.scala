@@ -133,10 +133,14 @@ object GraftProcedures {
       "per-tuple small-file compaction honoring the hidden partition " +
         "spec; migrates retired-spec files into the active layout",
       Array(param("table", StringType),
-        paramD("target_bytes", LongType, (128L * 1024 * 1024).toString + "L"))) {
+        paramD("target_bytes", LongType, (128L * 1024 * 1024).toString + "L"),
+        paramD("where", StringType, "''"))) {
       (t, in) =>
+        val whereSql = if (in.isNullAt(2)) "" else in.getUTF8String(2).toString
         val v = GraftCatalog.compactSnapshotPartitioned(spark,
-          c.resolveTableArg(t), in.getLong(1))
+          c.resolveTableArg(t), in.getLong(1),
+          if (whereSql.trim.isEmpty) None
+          else Some(org.apache.spark.sql.functions.expr(whereSql)))
         (versionOut, InternalRow(v))
     }
 

@@ -2464,6 +2464,53 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(GraftCatalog.readSnapshot(spark, root).count() == 1000)
   }
 
+  test("partition-scoped compaction: OPTIMIZE WHERE rewrites only the hot partition") {
+    import spark.implicits._
+    val root = s"$tmp/snapptscope_${System.nanoTime()}"
+    GraftCatalog.setSnapshotPartitionSpec(spark, root,
+      Seq(graft.sources.PartitionField("g", "identity")))
+    // 3 trickle appends fragment every partition into 3 files
+    for (i <- 0 until 3) {
+      GraftCatalog.commitSnapshot(
+        spark.range(i * 100, (i + 1) * 100)
+          .select(col("id"), element_at(typedlit(Seq("EU", "US", "AP")),
+            (col("id") % 3 + 1).cast("int")).as("g")),
+        root, append = i > 0)
+    }
+    val before = GraftCatalog.snapshotScanFiles(spark, root)._1
+    assert(before.size == 9, s"3 partitions x 3 files, got ${before.size}")
+    val beforeRows = GraftCatalog.readSnapshot(spark, root).collect().toSet
+    // scoped: only EU compacts
+    GraftCatalog.compactSnapshotPartitioned(spark, root,
+      where = Some(col("g") === "EU"))
+    val after = GraftCatalog.snapshotScanFiles(spark, root)._1
+    val euBefore = before.filter(_.contains("__pt_0=EU"))
+    val othersBefore = before.filterNot(_.contains("__pt_0=EU")).toSet
+    val euAfter = after.filter(_.contains("__pt_0=EU"))
+    val othersAfter = after.filterNot(_.contains("__pt_0=EU")).toSet
+    assert(euAfter.size == 1 && euBefore.size == 3,
+      s"EU must fold 3 -> 1, got ${euAfter.size}")
+    assert(othersAfter == othersBefore,
+      "untouched partitions must carry BY PATH, bit-undisturbed")
+    assert(GraftCatalog.readSnapshot(spark, root).collect().toSet == beforeRows)
+    // a second scoped run over an already-compact partition is a no-op
+    val head = GraftCatalog.snapshotVersions(spark, root).last
+    assert(GraftCatalog.compactSnapshotPartitioned(spark, root,
+      where = Some(col("g") === "EU")) == head)
+    // the CALL surface takes the predicate as SQL text
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", tmp)
+    val tbl = root.stripPrefix(s"$tmp/")
+    spark.sql(s"CALL graft.system.compact_partitioned('$tbl', " +
+      s"${128L * 1024 * 1024}L, 'g = ''US''')")
+    val after2 = GraftCatalog.snapshotScanFiles(spark, root)._1
+    assert(after2.count(_.contains("__pt_0=US")) == 1,
+      "CALL-scoped compaction must fold the US partition")
+    assert(after2.count(_.contains("__pt_0=AP")) == 3,
+      "AP stays fragmented until ITS scoped run")
+    assert(GraftCatalog.readSnapshot(spark, root).collect().toSet == beforeRows)
+  }
+
   test("hidden partitioning: CoW delete nominates only the predicate's bucket file") {
     import spark.implicits._
     val root = s"$tmp/snapptdel_${System.nanoTime()}"

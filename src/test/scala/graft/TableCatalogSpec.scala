@@ -578,6 +578,35 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected appends: $out")
   }
 
+  test("readStream.table with readChangeFeed serves the delete-carrying CDC rows") {
+    spark.sql("CREATE TABLE graft.db.strcdc (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.strcdc VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db.strcdc VALUES (3, 'c')")
+    spark.sql("DELETE FROM graft.db.strcdc WHERE id = 1")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val ckpt = s"/tmp/graft-cat-ckpt-${System.nanoTime()}"
+    val q = spark.readStream.option("readChangeFeed", "true")
+      .table("graft.db.strcdc")
+      .selectExpr("id", "v", "_change", "_version")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= b.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // v2 inserts 1,2; v3 inserts 3; v4 DELETES id=1 — the delete rows
+    // surface through the table identifier now
+    assert(out.sorted.toSeq == Seq(
+      (1L, "a", "delete", 4L), (1L, "a", "insert", 2L),
+      (2L, "b", "insert", 2L), (3L, "c", "insert", 3L)),
+      s"unexpected CDC rows: ${out.sorted}")
+  }
+
   test("CALL clone/set_check/drop_check; TVFs take catalog identifiers") {
     spark.sql("CREATE TABLE graft.db.src (id BIGINT, v BIGINT)")
     spark.sql("INSERT INTO graft.db.src SELECT id, id AS v FROM range(0, 40)")
