@@ -234,8 +234,34 @@ object Dedup {
     * × 4 rows; candidates = pairs sharing a band bucket; output the
     * signature-estimated Jaccard. Banding bounds candidate pairs by
     * bucket occupancy — the scale path for near-dup at 100 TB. */
-  private def d03(s: SparkSession, d: String): DataFrame =
-    bandEstimates(docs(s, d)).orderBy("a_id", "b_id")
+  /** d03 — MinHash/LSH near-dup candidates. ORACLE-CHECKED since r14
+    * via the export pattern: the 32-permutation signatures and band
+    * hashes are engine constants (they ARE the export), but the whole
+    * candidate machine downstream is not — DuckDB replays the band-
+    * bucket pair expansion, the per-pair signature-agreement count and
+    * the /32 estimate from the exported band rows, so the blocking and
+    * estimation arithmetic hash-check end-to-end. */
+  private def d03(s: SparkSession, d: String): DataFrame = {
+    val out = Similarity.exportPath("d03bands", d)
+    bandRows(docs(s, d)).write.mode("overwrite").parquet(out)
+    pairsFromBandRows(docs(s, d).sparkSession.read.parquet(out))
+      .orderBy("a_id", "b_id")
+  }
+
+  private def d03Oracle: String =
+    s"""WITH br AS (
+      |  SELECT doc_id, sig, band, bh
+      |  FROM read_parquet('${Similarity.oracleExportPath("d03bands")}/*.parquet')),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sa, b.sig AS sb
+      |  FROM br a JOIN br b
+      |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |ne AS (
+      |  SELECT DISTINCT a_id, b_id,
+      |    CAST(len(list_filter(list_zip(sa, sb), z -> z[1] = z[2])) AS INTEGER) AS n_eq
+      |  FROM p)
+      |SELECT a_id, b_id, n_eq, n_eq / 32.0 AS est_jac
+      |FROM ne ORDER BY a_id, b_id""".stripMargin
 
   /** One (doc_id, sig, band, bh) row per band per doc — the
     * PERSISTABLE unit of the minhash index. Factored out of
@@ -286,8 +312,15 @@ object Dedup {
     * side re-reads only the shingle-hash sets of paired docs (two
     * broadcast joins, no second inverted index). DedupSpec bounds the
     * mean |est − exact| by the 32-permutation binomial error. */
+  /** ORACLE-CHECKED since r14: the hash-derived ESTIMATES export
+    * (pass-through, like s05's hamming); DuckDB recomputes the exact
+    * Jaccard from raw shingle sets (injective 64-bit shingle hashing —
+    * same cardinalities) and the |est − exact| calibration column. */
   private def d09(s: SparkSession, d: String): DataFrame = {
-    val est = bandEstimates(docs(s, d)).select("a_id", "b_id", "est_jac")
+    val est0 = bandEstimates(docs(s, d)).select("a_id", "b_id", "est_jac")
+    val out = Similarity.exportPath("d09est", d)
+    est0.write.mode("overwrite").parquet(out)
+    val est = s.read.parquet(out)
     val hashed = docs(s, d)
       .withColumn("shs", expr(s"shingle_hashes($tokExpr)"))
       .where(size(col("shs")) >= 1)
@@ -306,6 +339,34 @@ object Dedup {
         round(abs(col("est_jac") - col("jac")), 6).as("abs_err"))
       .orderBy("a_id", "b_id")
   }
+
+  private def d09Oracle: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |est AS (
+      |  SELECT a_id, b_id, est_jac
+      |  FROM read_parquet('${Similarity.oracleExportPath("d09est")}/*.parquet')),
+      |iv AS (
+      |  SELECT e.a_id, e.b_id, COUNT(*) AS i
+      |  FROM est e
+      |  JOIN sh a ON a.doc_id = e.a_id
+      |  JOIN sh b ON b.doc_id = e.b_id AND a.shingle = b.shingle
+      |  GROUP BY e.a_id, e.b_id),
+      |x AS (
+      |  SELECT e.a_id, e.b_id, e.est_jac,
+      |    COALESCE(i.i, 0) / (sa.n_sh + sb.n_sh - COALESCE(i.i, 0)) AS jac
+      |  FROM est e
+      |  JOIN sz sa ON sa.doc_id = e.a_id
+      |  JOIN sz sb ON sb.doc_id = e.b_id
+      |  LEFT JOIN iv i ON i.a_id = e.a_id AND i.b_id = e.b_id)
+      |SELECT a_id, b_id, est_jac, round(jac, 6) AS jac,
+      |  round(abs(est_jac - jac), 6) AS abs_err
+      |FROM x ORDER BY a_id, b_id""".stripMargin
 
   /** d04 — SimHash near-dup (rows-only): 64-bit signature from signed
     * bit votes of token hashes; blocking on the four 16-bit quadrants
@@ -337,14 +398,36 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** ORACLE-CHECKED since r14 via the export pattern: the 64-bit
+    * signature is the engine constant (it IS the export); DuckDB
+    * replays the quadrant blocking, the xor/bit_count Hamming distance
+    * and the ≤3 cut from the exported signatures. */
   private def d04(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    simhashPairs(docs(s, d)
+    val sigs = docs(s, d)
       .withColumn("toks", expr(tokExpr))
       .where(size(col("toks")) >= 1)
       .withColumn("simhash", expr("simhash64(toks)"))
-      .select("doc_id", "simhash"))
+      .select("doc_id", "simhash")
+    val out = Similarity.exportPath("d04sigs", d)
+    sigs.write.mode("overwrite").parquet(out)
+    simhashPairs(s.read.parquet(out))
   }
+
+  private def d04Oracle: String =
+    s"""WITH sg AS (
+      |  SELECT doc_id, simhash
+      |  FROM read_parquet('${Similarity.oracleExportPath("d04sigs")}/*.parquet')),
+      |blk AS (
+      |  SELECT doc_id, simhash, q, (simhash >> (q * 16)) & 65535 AS bits
+      |  FROM sg, (SELECT unnest([0, 1, 2, 3]) AS q)),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |  FROM blk a JOIN blk b
+      |  ON a.q = b.q AND a.bits = b.bits AND a.doc_id < b.doc_id)
+      |SELECT DISTINCT a_id, b_id, hamming
+      |FROM p WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
 
   /** d05 — embedding-cosine near-dup: blocked by cluster label (metadata
     * blocking), pairwise cosine in double precision via zip_with +
@@ -585,8 +668,37 @@ object Dedup {
     * single-aggregation pair expansion as d02/d03; lossy by design
     * (cross-bucket pairs are missed) — PipelineSpec bounds block size
     * and asserts found pairs ⊆ d05's exact pairs. */
-  private def d07(s: SparkSession, d: String): DataFrame =
+  /** ORACLE-CHECKED since r14 via the export pattern: the random-
+    * hyperplane bucket is the engine constant (exported per vector);
+    * DuckDB replays the (label, block) candidate join, the exact
+    * double cosine from the raw embeddings, the 0.3 cut and the
+    * 6-digit round. */
+  private def d07(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val blocks = Tables.df(s, d, "embeddings")
+      .withColumn("blk", expr("CAST(lsh_bucket64(embedding) AS INT) >> 4"))
+      .select("vec_id", "blk")
+    blocks.write.mode("overwrite")
+      .parquet(Similarity.exportPath("d07blocks", d))
     embedLshPairs(Tables.df(s, d, "embeddings"))
+  }
+
+  private def d07Oracle: String =
+    s"""WITH blk AS (
+      |  SELECT vec_id, blk
+      |  FROM read_parquet('${Similarity.oracleExportPath("d07blocks")}/*.parquet')),
+      |n AS (
+      |  SELECT e.vec_id, e.label, b.blk, e.embedding AS e,
+      |    sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings e JOIN blk b ON e.vec_id = b.vec_id),
+      |p AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+      |    list_reduce(list_transform(list_zip(a.e, b.e), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |      / (a.nrm * b.nrm) AS cos
+      |  FROM n a JOIN n b
+      |  ON a.label = b.label AND a.blk = b.blk AND a.vec_id < b.vec_id)
+      |SELECT a_id, b_id, label, round(cos, 6) AS cos_r
+      |FROM p WHERE cos >= 0.3 ORDER BY a_id, b_id""".stripMargin
 
   /** d07's blocked pairing on an `(vec_id, label, embedding)` frame —
     * factored so the blocking contract (same-label identical vectors
@@ -1270,14 +1382,42 @@ object Dedup {
     * the from-scratch index — on the driver corpus AND a chained
     * two-batch constructed corpus. Rebuilt per run (signature-keyed
     * dir) so the query is deterministic and self-contained. */
+  /** ORACLE-CHECKED since r14 via the export pattern: the signatures
+    * and band keys export (flagged base vs delta); DuckDB replays the
+    * touched-bucket semi-join, the pair expansion, and the
+    * delta-touching filter — proving the INCREMENTAL candidate set
+    * equals the replay, not just the batch one. */
   private def d18(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d)
     val base = all.where(col("doc_id") % 5 =!= 0)
     val delta = all.where(col("doc_id") % 5 === 0)
+    bandRows(base).withColumn("is_delta", lit(0))
+      .unionByName(bandRows(delta).withColumn("is_delta", lit(1)))
+      .write.mode("overwrite").parquet(Similarity.exportPath("d18bands", d))
     val dir = s"/tmp/graft-index/bands-s${docsSignature(all)}"
     writeBandIndex(base, dir)
     ingestDelta(delta, dir).orderBy("a_id", "b_id")
   }
+
+  private def d18Oracle: String =
+    s"""WITH br AS (
+      |  SELECT doc_id, sig, band, bh, is_delta
+      |  FROM read_parquet('${Similarity.oracleExportPath("d18bands")}/*.parquet')),
+      |dk AS (SELECT DISTINCT band, bh FROM br WHERE is_delta = 1),
+      |tr AS (SELECT br.* FROM br JOIN dk USING (band, bh)),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sa, b.sig AS sb
+      |  FROM tr a JOIN tr b
+      |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |ne AS (
+      |  SELECT DISTINCT a_id, b_id,
+      |    CAST(len(list_filter(list_zip(sa, sb), z -> z[1] = z[2])) AS INTEGER) AS n_eq
+      |  FROM p),
+      |did AS (SELECT DISTINCT doc_id FROM br WHERE is_delta = 1)
+      |SELECT a_id, b_id, n_eq, n_eq / 32.0 AS est_jac
+      |FROM ne
+      |WHERE a_id IN (SELECT doc_id FROM did) OR b_id IN (SELECT doc_id FROM did)
+      |ORDER BY a_id, b_id""".stripMargin
 
   /** d19 — incremental ingest VERDICTS, oracle-checked: d18 answers
     * "which candidate pairs did this batch introduce" in d03's
@@ -1640,24 +1780,78 @@ object Dedup {
     * borderline near-misses" from "one 0.95 template twin plus
     * backup". Weights are integer similarity deciles (floor(jac·10) ∈
     * 3..10 above the 0.3 pair floor) so peel levels are discrete and
-    * the round count stays bounded. Rows-only like d20 (peeling to
-    * fixpoint has no sane SQL restatement); PipelineSpec pins exact
-    * scores on constructed weighted cliques/stars/chains. */
+    * the round count stays bounded. ORACLE-CHECKED since r14 via the
+    * d20 unroll pattern: the peel loop restates as chained CTEs with
+    * the level threaded as a one-row CTE, iterations past the
+    * empty-live exit are no-ops, and the weights are already integer
+    * deciles — the unroll matches this call's OWN maxIters (60: the
+    * real corpus peels in ≤10 rounds, and the Spark side THROWS past
+    * the bound instead of outrunning its oracle). PipelineSpec's exact
+    * scores on constructed weighted cliques/stars/chains stay pinned. */
   private def d23(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
     val w = jaccardPairs(dd).select(
       col("a_id").as("a"), col("b_id").as("b"),
       floor(col("jac") * 10).cast("long").as("w"))
-    sCore(dd.select("doc_id"), w)
+    sCore(dd.select("doc_id"), w, maxIters = 60)
       .select(col("id").as("doc_id"), col("score"))
       .where(col("score") > 0)
       .orderBy("doc_id")
   }
 
+  /** DuckDB replay of [[sCore]]'s 60 unrolled peel rounds over the
+    * capped weighted edge set (see the d23 scaladoc). */
+  private val d23Oracle: String = {
+    val rounds = (0 until 60).map { i =>
+      s"""str$i AS MATERIALIZED (
+         |  SELECT l.id, CAST(COALESCE(s.s, 0) AS BIGINT) AS s
+         |  FROM live$i l LEFT JOIN (
+         |    SELECT id, CAST(SUM(w) AS BIGINT) AS s FROM adj$i GROUP BY id) s
+         |  ON l.id = s.id),
+         |lvl${i + 1} AS MATERIALIZED (
+         |  SELECT GREATEST((SELECT lv FROM lvl$i),
+         |    COALESCE((SELECT MIN(s) FROM str$i),
+         |             (SELECT lv FROM lvl$i))) AS lv),
+         |peel$i AS MATERIALIZED (
+         |  SELECT id, (SELECT lv FROM lvl${i + 1}) AS score
+         |  FROM str$i WHERE s <= (SELECT lv FROM lvl${i + 1})),
+         |live${i + 1} AS MATERIALIZED (
+         |  SELECT id FROM live$i WHERE id NOT IN (SELECT id FROM peel$i)),
+         |adj${i + 1} AS MATERIALIZED (
+         |  SELECT a.id, a.nb, a.w FROM adj$i a
+         |  WHERE a.id NOT IN (SELECT id FROM peel$i)
+         |    AND a.nb NOT IN (SELECT id FROM peel$i))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until 60).map(i => s"SELECT * FROM peel$i")
+      .mkString("\n    UNION ALL ")
+    jacPairsCtes + ",\n" +
+      """wed AS MATERIALIZED (
+        |  SELECT a_id AS id, b_id AS nb, CAST(FLOOR(jac * 10) AS BIGINT) AS w
+        |  FROM jp
+        |  UNION ALL
+        |  SELECT b_id, a_id, CAST(FLOOR(jac * 10) AS BIGINT) FROM jp),
+        |live0 AS MATERIALIZED (SELECT DISTINCT doc_id AS id FROM documents),
+        |adj0 AS MATERIALIZED (SELECT id, nb, w FROM wed),
+        |lvl0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS lv),""".stripMargin +
+      "\n" + rounds + "\n" +
+      s"""SELECT id AS doc_id, CAST(score AS BIGINT) AS score
+         |FROM ($union)
+         |WHERE score > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  /** d22 ORACLE-CHECKED since r14 via the export pattern: the learned
+    * clustering is the engine constant (assignments + centroids
+    * export); DuckDB replays the within-cluster pair expansion, both
+    * cosines (pairwise and to-centroid), the 0.3 cut and the
+    * keep-the-diverse-one removal rule from raw embeddings. */
   private def d22(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val (idx, cents) = Similarity.ivfIndex(s, d)
     val centDf = Similarity.centroidsDf(s, cents)
+    centDf.coalesce(1).write.mode("overwrite")
+      .parquet(Similarity.exportPath("d22cents", d))
+    idx.select(col("cl"), col("vec_id")).write.mode("overwrite")
+      .parquet(Similarity.exportPath("d22asg", d))
     val withCos = idx.join(broadcast(centDf), "cl")
       .withColumn("ccos", expr("vec_dot(e, ce)") / (col("nrm") * col("cnrm")))
       .select(col("cl"), col("vec_id"), col("e"), col("nrm"), col("ccos"))
@@ -1674,6 +1868,32 @@ object Dedup {
           .as("removed"))
       .orderBy("a_id", "b_id")
   }
+
+  private def d22Oracle: String =
+    s"""WITH asg AS (
+      |  SELECT cl, vec_id
+      |  FROM read_parquet('${Similarity.oracleExportPath("d22asg")}/*.parquet')),
+      |ct AS (
+      |  SELECT cl, ce, cnrm
+      |  FROM read_parquet('${Similarity.oracleExportPath("d22cents")}/*.parquet')),
+      |n AS (
+      |  SELECT vec_id, embedding AS e,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings),
+      |wc AS (
+      |  SELECT a.cl, a.vec_id, n.e, n.nrm,
+      |    list_reduce(list_transform(list_zip(n.e, ct.ce), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |      / (n.nrm * ct.cnrm) AS ccos
+      |  FROM asg a JOIN n ON a.vec_id = n.vec_id JOIN ct ON a.cl = ct.cl),
+      |p AS (
+      |  SELECT a.cl, a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_reduce(list_transform(list_zip(a.e, b.e), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |      / (a.nrm * b.nrm) AS cos,
+      |    a.ccos AS ca, b.ccos AS cb
+      |  FROM wc a JOIN wc b ON a.cl = b.cl AND a.vec_id < b.vec_id)
+      |SELECT cl, a_id, b_id, round(cos, 6) AS cos_r,
+      |  CASE WHEN ca >= cb THEN a_id ELSE b_id END AS removed
+      |FROM p WHERE cos >= 0.3 ORDER BY a_id, b_id""".stripMargin
 
   /** d24 — cross-document VERBATIM SPAN dedup (the C4/RefinedWeb exact
     * substring pass: boilerplate headers, license blocks and templated
@@ -1732,16 +1952,18 @@ object Dedup {
       |FROM tot t LEFT JOIN shr s ON t.doc_id = s.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
-  val all: Seq[Q] = Seq(
+  // def, not val: the export-pattern oracles (d03/d04/d07/d09/d22)
+  // interpolate per-dataset export paths recorded when the query ran.
+  def all: Seq[Q] = Seq(
     Q("d01_dedup_exact", Some(d01Oracle), d01),
     Q("d02_dedup_jaccard", Some(d02Oracle), d02),
-    Q("d03_dedup_minhash", None, d03),
-    Q("d04_dedup_simhash", None, d04),
+    Q("d03_dedup_minhash", Some(d03Oracle), d03),
+    Q("d04_dedup_simhash", Some(d04Oracle), d04),
     Q("d05_dedup_embed", Some(d05Oracle), d05),
     Q("d06_dedup_cluster", Some(d06Oracle), d06),
-    Q("d07_dedup_embed_lsh", None, d07),
+    Q("d07_dedup_embed_lsh", Some(d07Oracle), d07),
     Q("d08_dedup_keep_best", Some(d08Oracle), d08),
-    Q("d09_dedup_calibrate", None, d09),
+    Q("d09_dedup_calibrate", Some(d09Oracle), d09),
     Q("d10_dedup_editdist", Some(d10Oracle), d10),
     Q("d11_cluster_histogram", Some(d11Oracle), d11),
     Q("d12_dedup_containment", Some(d12Oracle), d12),
@@ -1750,11 +1972,11 @@ object Dedup {
     Q("d15_rank_centrality", Some(d15Oracle), d15),
     Q("d16_sentence_near_dup", Some(d16Oracle), d16),
     Q("d17_triangles", Some(d17Oracle), d17),
-    Q("d18_incremental_ingest", None, d18),
+    Q("d18_incremental_ingest", Some(d18Oracle), d18),
     Q("d19_incremental_verdicts", Some(d19Oracle), d19),
     Q("d20_kcore", Some(d20Oracle), d20),
     Q("d21_ktruss", Some(d21Oracle), d21),
-    Q("d22_semantic_dedup", None, d22),
-    Q("d23_weighted_core", None, d23),
+    Q("d22_semantic_dedup", Some(d22Oracle), d22),
+    Q("d23_weighted_core", Some(d23Oracle), d23),
     Q("d24_span_dedup", Some(d24Oracle), d24))
 }

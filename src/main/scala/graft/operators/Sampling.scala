@@ -1141,16 +1141,36 @@ object Sampling {
   /** p24 — DSIR scores (t26) resampled by Gumbel-top-k at τ = 0.5:
     * the end-to-end published data-selection pipeline (fit importance
     * weights, then draw a diverse-but-weighted sample) as one
-    * composition. Rows-only (ln on both stages — the t23 reasoning);
-    * PipelineSpec pins τ→0 == exact top-k, exact-k size, and
-    * partition-count independence. */
-  private def p24(s: SparkSession, d: String): DataFrame =
-    gumbelTopK(
-      TextAnalysis.dsirScores(Tables.df(s, d, "documents"),
-        col("source") === "src0"),
-      "doc_id", "score", 20, 0.5)
+    * composition. ORACLE-CHECKED since r14 via the export pattern: the
+    * hash-seeded Gumbel noise (and the t26-checked score) export as
+    * engine constants, and DuckDB replays the resample arithmetic
+    * gkey = score/τ − noise (identical doubles, identical ops — bit-
+    * exact), the cut at 20, the 4-digit round and the final ordering.
+    * PipelineSpec keeps τ→0 == exact top-k, exact-k size, and
+    * partition-count independence pinned. */
+  private def p24(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.dsirScores(Tables.df(s, d, "documents"),
+      col("source") === "src0")
+    val u = (pmod(xxhash64(col("doc_id")), lit(1L << 52)).cast("double") + 0.5) /
+      (1L << 52).toDouble
+    scored.withColumn("noise", log(-log(u)))
+      .select("doc_id", "score", "noise")
+      .write.mode("overwrite")
+      .parquet(graft.operators.Similarity.exportPath("p24cand", d))
+    gumbelTopK(scored, "doc_id", "score", 20, 0.5)
       .select(col("doc_id"), col("score"), round(col("gkey"), 4).as("gkey"))
       .orderBy(col("gkey").desc, col("doc_id"))
+  }
+
+  private def p24Oracle: String =
+    s"""WITH c AS (
+      |  SELECT doc_id, score, noise
+      |  FROM read_parquet('${graft.operators.Similarity.oracleExportPath("p24cand")}/*.parquet')),
+      |g AS (SELECT doc_id, score, score / 0.5 - noise AS gkey FROM c),
+      |top AS (SELECT doc_id, score, gkey FROM g
+      |        ORDER BY gkey DESC, doc_id LIMIT 20)
+      |SELECT doc_id, score, round(gkey, 4) AS gkey FROM top
+      |ORDER BY round(gkey, 4) DESC, doc_id""".stripMargin
 
   /** p25 — SEQUENCE PACKING (the GPT-style concat-and-chunk batch
     * prep every pretraining run does before the model ever sees data):
@@ -1216,7 +1236,8 @@ object Sampling {
       |  CAST((SUM(span) * 1000000) // COUNT(*) AS BIGINT) AS avg_span_micro
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
-  val all: Seq[Q] = Seq(
+  // def, not val: the p24 oracle interpolates its recorded export path.
+  def all: Seq[Q] = Seq(
     Q("p01_sample_hash", Some(p01Oracle), p01),
     Q("p02_split_folds", Some(p02Oracle), p02),
     Q("p03_sample_stratified", Some(p03Oracle), p03),
@@ -1240,6 +1261,6 @@ object Sampling {
     Q("p21_pps_stratified", Some(p21Oracle), p21),
     Q("p22_budget_fill", Some(p22Oracle), p22),
     Q("p23_alpha_mix", Some(p23Oracle), p23),
-    Q("p24_gumbel_topk", None, p24),
+    Q("p24_gumbel_topk", Some(p24Oracle), p24),
     Q("p25_pack_chunks", Some(p25Oracle), p25))
 }

@@ -175,14 +175,14 @@ object Similarity {
     * the oracle strings are defs and [[all]] is a def, so
     * `SparkEntry.oracleSql` — which Verify evaluates AFTER running the
     * queries — always names the export THIS run produced. */
-  private val exportPaths =
+  private[graft] val exportPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def exportPath(stage: String, d: String): String = {
+  private[graft] def exportPath(stage: String, d: String): String = {
     val p = s"$IndexRoot/$stage-${math.abs(d.hashCode.toLong)}"
     exportPaths.put(stage, p)
     p
   }
-  private def oracleExportPath(stage: String): String =
+  private[graft] def oracleExportPath(stage: String): String =
     exportPaths.getOrDefault(stage,
       s"$IndexRoot/$stage-${math.abs("/root/testdata/sf0.01".hashCode.toLong)}")
 
@@ -907,8 +907,12 @@ object Similarity {
     * runs. The pre-filter strategy (vs post-filtering a top-k) is the
     * correct one when the predicate is selective — a post-filtered
     * top-10 of mostly-ineligible neighbors can return < k eligible
-    * rows. Rows-only; recall vs the exact filtered baseline (s06) is
-    * bounded in PipelineSpec. */
+    * rows. ORACLE-CHECKED since r14 via the export pattern (the probe
+    * plan is the only engine-specific part): the probed survivors'
+    * ids export, and DuckDB applies the SAME deterministic metadata
+    * predicate, exact cosine and cut at 10 from the raw embeddings.
+    * Recall vs the exact filtered baseline (s06) stays bounded in
+    * PipelineSpec. */
   private def s09(s: SparkSession, d: String): DataFrame = {
     val (idx, cents) = ivfIndex(s, d)
     val (qe, qnrm) = queryVec(s, d)
@@ -916,6 +920,9 @@ object Similarity {
       .map { case (cl, ce, cn) => (cl, dotD(qe, ce) / (qnrm * cn)) }
       .sortBy { case (cl, ccos) => (-ccos, cl) }
       .take(NProbe).map(_._1)
+    idx.where(col("cl").isin(probes: _*) && col("vec_id") =!= 0)
+      .select("vec_id")
+      .write.mode("overwrite").parquet(exportPath("s09cand", d))
     idx.where(col("cl").isin(probes: _*) && col("vec_id") =!= 0 &&
         col("label").isin(1, 3, 5) && pmod(col("vec_id"), lit(2)) === 1)
       .withColumn("qe", typedlit(qe.toSeq))
@@ -924,6 +931,22 @@ object Similarity {
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(10)
   }
+
+  private def s09Oracle: String =
+    s"""WITH cand AS (
+      |  SELECT vec_id
+      |  FROM read_parquet('${oracleExportPath("s09cand")}/*.parquet')),
+      |n AS (
+      |  SELECT vec_id, label, embedding AS e,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT e AS qe, nrm AS qnrm FROM n WHERE vec_id = 0)
+      |SELECT n.vec_id, n.label,
+      |  round(list_reduce(list_transform(list_zip(n.e, q.qe), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)
+      |    / (n.nrm * q.qnrm), 6) AS cos_r
+      |FROM cand c JOIN n ON c.vec_id = n.vec_id CROSS JOIN q
+      |WHERE n.label IN (1, 3, 5) AND n.vec_id % 2 = 1
+      |ORDER BY cos_r DESC, n.vec_id LIMIT 10""".stripMargin
 
   /** s10 — in-engine ANN recall evaluation: every approximate index
     * family's top-10 joined against s01's brute-force ground truth,
@@ -1136,8 +1159,28 @@ object Similarity {
     val head = GraftCatalog.mergeSnapshot(s, root,
       upd.unionByName(news), "vec_id")
     val maintained = maintainIvfAssign(s, root, a1, centDf, 1L, head)
+    // ORACLE-CHECKED since r14: the maintained assignment table
+    // exports; DuckDB replays the head's expected key set relationally
+    // (base ∪ the merge's fresh ids) and counts per centroid over a
+    // LEFT join — a maintenance bug that drops a head row surfaces as
+    // a NULL-centroid group, a phantom id as a count excess. The
+    // quantizer itself stays the engine constant (the s03 reasoning);
+    // maintained == full re-assign stays proven exactly in PipelineSpec.
+    maintained.write.mode("overwrite").parquet(exportPath("s12asg", d))
     maintained.groupBy("cl").agg(count(lit(1)).as("n")).orderBy("cl")
   }
+
+  private def s12Oracle: String =
+    s"""WITH asg AS (
+      |  SELECT vec_id, cl
+      |  FROM read_parquet('${oracleExportPath("s12asg")}/*.parquet')),
+      |hd AS (
+      |  SELECT vec_id FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 FROM embeddings WHERE vec_id % 40 = 1)
+      |SELECT a.cl, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM hd LEFT JOIN asg a ON hd.vec_id = a.vec_id
+      |GROUP BY a.cl ORDER BY a.cl""".stripMargin
 
   /** Assign a (vec_id, embedding) frame against fixed centroids. */
   private[graft] def snapshotIvfAssign(rows: DataFrame,
@@ -1173,8 +1216,8 @@ object Similarity {
     Q("s06_ann_filtered", Some(s06Oracle), s06),
     Q("s07_ann_pq", Some(s07Oracle), s07),
     Q("s08_ann_ivfpq", Some(s08Oracle), s08),
-    Q("s09_ann_filtered_ivf", None, s09),
+    Q("s09_ann_filtered_ivf", Some(s09Oracle), s09),
     Q("s10_ann_recall_eval", Some(s10Oracle), s10),
     Q("s11_ann_sq8", Some(s11Oracle), s11),
-    Q("s12_snapshot_ivf_maintain", None, s12))
+    Q("s12_snapshot_ivf_maintain", Some(s12Oracle), s12))
 }

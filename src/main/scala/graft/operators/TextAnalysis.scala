@@ -1100,7 +1100,9 @@ object TextAnalysis {
       |JOIN sz zb ON zb.source = pr.sb
       |ORDER BY sa, sb""".stripMargin
 
-  lazy val all: Seq[Q] = Seq(
+  // def (was lazy val): the t26 oracle interpolates the per-dataset
+  // export path recorded when the query ran.
+  def all: Seq[Q] = Seq(
     Q("t01_lang_id", Some(t01Oracle), t01),
     Q("t02_quality", Some(t02Oracle), t02),
     Q("t03_tokens", Some(t03Oracle), t03),
@@ -1126,7 +1128,7 @@ object TextAnalysis {
     Q("t23_collocations", Some(t23Oracle), t23),
     Q("t24_crossdoc_coverage", Some(t24Oracle), t24),
     Q("t25_gopher_char_fracs", Some(t25Oracle), t25),
-    Q("t26_dsir_scores", None, t26),
+    Q("t26_dsir_scores", Some(t26Oracle), t26),
     Q("t27_source_overlap", Some(t27Oracle), t27),
     Q("t28_contamination", Some(t28Oracle), t28),
     Q("t29_lm_perplexity", Some(t29Oracle), t29))
@@ -1285,11 +1287,36 @@ object TextAnalysis {
     * top-50. Rows-only (ln has no cross-engine-stable restatement —
     * the t23 reasoning); PipelineSpec proves the separation property
     * on a constructed two-domain corpus. */
+  /** ORACLE-CHECKED since r14 via the export pattern: the murmur
+    * bucket ids and the fitted log-ratio table are the engine
+    * constants (exported as per-doc bucket counts + the 256-entry
+    * ratio table); DuckDB replays the weighted sum, the bigram count,
+    * the 4-digit round and the top-50 cut. The sum regroups by bucket
+    * (Σ cnt·lr vs the engine's per-position fold) — a ~1e-12
+    * reassociation residue the 4-digit round absorbs by 8 orders of
+    * magnitude. */
   private def t26(s: SparkSession, d: String): DataFrame =
-    dsirScores(Tables.df(s, d, "documents"), col("source") === "src0")
+    dsirScores(Tables.df(s, d, "documents"), col("source") === "src0",
+      export = Some((Similarity.exportPath("t26pos", d),
+        Similarity.exportPath("t26lr", d))))
+
+  private[graft] def t26Oracle: String =
+    s"""WITH pos AS (
+      |  SELECT doc_id, b, cnt
+      |  FROM read_parquet('${Similarity.oracleExportPath("t26pos")}/*.parquet')),
+      |lrt AS (
+      |  SELECT b, lr
+      |  FROM read_parquet('${Similarity.oracleExportPath("t26lr")}/*.parquet')),
+      |sc AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+      |    round(SUM(cnt * l.lr), 4) AS score
+      |  FROM pos p JOIN lrt l USING (b) GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, score FROM sc
+      |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
   private[graft] def dsirScores(docsDf: DataFrame,
-      isTarget: org.apache.spark.sql.Column): DataFrame = {
+      isTarget: org.apache.spark.sql.Column,
+      export: Option[(String, String)] = None): DataFrame = {
     val B = 256
     // Tokenize ONCE; both the fit pass and the score pass reuse it
     // (the regex is the dominant per-doc cost — paying it twice is the
@@ -1324,6 +1351,13 @@ object TextAnalysis {
       import sp.implicits._
       val ratios = broadcast(
         (0 until B).map(i => (i, lr(i))).toDF("b", "lr"))
+      export.foreach { case (posPath, lrPath) =>
+        positions.where(!col("tgt")).groupBy("doc_id", "b")
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(posPath)
+        (0 until B).map(i => (i, lr(i))).toDF("b", "lr")
+          .coalesce(1).write.mode("overwrite").parquet(lrPath)
+      }
       positions.where(!col("tgt"))
         .join(ratios, "b")
         .groupBy("doc_id")

@@ -2497,11 +2497,14 @@ class SourcesCatalogSpec extends AnyFunSuite {
     val head = GraftCatalog.snapshotVersions(spark, root).last
     assert(GraftCatalog.compactSnapshotPartitioned(spark, root,
       where = Some(col("g") === "EU")) == head)
-    // the CALL surface takes the predicate as SQL text
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftTableCatalog")
-    spark.conf.set("spark.sql.catalog.graft.warehouse", tmp)
+    // the CALL surface takes the predicate as SQL text — under a
+    // DISTINCT catalog name: Spark caches catalog instances per
+    // session, so binding the shared session's `graft` catalog to THIS
+    // suite's warehouse would break later suites' graft.db tables
+    spark.conf.set("spark.sql.catalog.graftsc", "graft.sources.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.graftsc.warehouse", tmp)
     val tbl = root.stripPrefix(s"$tmp/")
-    spark.sql(s"CALL graft.system.compact_partitioned('$tbl', " +
+    spark.sql(s"CALL graftsc.system.compact_partitioned('$tbl', " +
       s"${128L * 1024 * 1024}L, 'g = ''US''')")
     val after2 = GraftCatalog.snapshotScanFiles(spark, root)._1
     assert(after2.count(_.contains("__pt_0=US")) == 1,
