@@ -1032,7 +1032,7 @@ object Dedup {
   private val d15Oracle: String = {
     val iterCtes = (1 to 10).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT n.id,
          |    CAST(150000000 + (85 * COALESCE(s.i, 0)) // 100 AS BIGINT) AS rank
          |  FROM r0 n LEFT JOIN (
@@ -1041,7 +1041,7 @@ object Dedup {
          |    GROUP BY e.v) s ON n.id = s.id)""".stripMargin
     }.mkString(",\n")
     dupGraphCtes + ",\n" +
-      """cap AS (SELECT GREATEST(20, CAST(FLOOR(COUNT(*) * 0.01) AS BIGINT)) AS c
+      """cap AS MATERIALIZED (SELECT GREATEST(20, CAST(FLOOR(COUNT(*) * 0.01) AS BIGINT)) AS c
         |        FROM documents),
         |bk AS (SELECT shingle FROM sh GROUP BY shingle
         |       HAVING COUNT(*) <= (SELECT c FROM cap)),
@@ -1055,10 +1055,10 @@ object Dedup {
         |  JOIN sz sa ON a_id = sa.doc_id
         |  JOIN sz sb ON b_id = sb.doc_id
         |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3),
-        |ed AS (SELECT a_id AS u, b_id AS v FROM jpe
+        |ed AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM jpe
         |       UNION ALL SELECT b_id, a_id FROM jpe),
-        |dg AS (SELECT u, COUNT(*) AS deg FROM ed GROUP BY u),
-        |r0 AS (SELECT doc_id AS id, CAST(1000000000 AS BIGINT) AS rank
+        |dg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM ed GROUP BY u),
+        |r0 AS MATERIALIZED (SELECT doc_id AS id, CAST(1000000000 AS BIGINT) AS rank
         |       FROM documents),""".stripMargin + "\n" + iterCtes + "\n" +
       """SELECT r10.id AS doc_id, l.cluster_id, r10.rank AS rank_n
         |FROM r10 JOIN lab l ON r10.id = l.doc_id

@@ -572,13 +572,22 @@ object GraftCatalog {
     }
   }
 
-  /** The footer fast path when it can serve (no bloom enrollment —
-    * bloom bit-sets need the value scan), else the scanning agg. */
+  /** The footer fast path when it can serve — no bloom enrollment
+    * (bloom bit-sets need the value scan) and a batch small enough
+    * that a SEQUENTIAL driver loop over footers beats one distributed
+    * job (`spark.graft.stats.footerMaxFiles`, default 64: a verb's
+    * rewrite batch is a handful of files; a 10k-file compaction wants
+    * the scanning agg's parallelism). Else the scanning agg. */
   private[graft] def batchFileStats(spark: SparkSession, files: Seq[String],
       fsMeta: Map[String, (Long, Long)],
-      bloomConf: Map[String, Int]): Seq[FileStat] =
-    (if (bloomConf.isEmpty) footerFileStats(spark, files, fsMeta) else None)
+      bloomConf: Map[String, Int]): Seq[FileStat] = {
+    val maxFiles = spark.conf.getOption("spark.graft.stats.footerMaxFiles")
+      .map(_.toInt).getOrElse(64)
+    (if (bloomConf.isEmpty && files.size <= maxFiles)
+       footerFileStats(spark, files, fsMeta)
+     else None)
       .getOrElse(computeFileStats(spark, files, fsMeta, bloomConf))
+  }
 
   /** Per-file column min/max + null counts for a just-written batch:
     * ONE Spark aggregation over the batch grouped by `input_file_name`

@@ -1817,6 +1817,15 @@ class SourcesCatalogSpec extends AnyFunSuite {
       }
       assert(fCols.keySet == sc.cols.map(_.col).toSet)
     }
+    // above the footerMaxFiles bound the driver-side sequential loop
+    // loses to the scanning agg's parallelism — batchFileStats must
+    // fall back (observable: the scanning path records NDV sketches)
+    spark.conf.set("spark.graft.stats.footerMaxFiles", "0")
+    try {
+      val viaBatch = GraftCatalog.batchFileStats(spark, files, Map.empty, Map.empty)
+      assert(viaBatch.forall(_.cols.forall(_.ndv.isDefined)),
+        "beyond the bound the scanning path (with NDV) must serve")
+    } finally spark.conf.unset("spark.graft.stats.footerMaxFiles")
     // INT96 timestamps (Spark's default parquet timestamp encoding)
     // must force the fallback, not produce wrong envelopes
     val root2 = s"$tmp/footstats_ts_${System.nanoTime()}"
