@@ -1121,7 +1121,8 @@ object GraftCatalog {
     * the batch directory is deleted before the
     * [[SnapshotConflictException]] propagates — no orphaned data. */
   def commitSnapshot(df: DataFrame, root: String, append: Boolean,
-      meta: Seq[String] = Seq.empty, maxRetries: Int = 0): Long = {
+      meta: Seq[String] = Seq.empty, maxRetries: Int = 0,
+      expectedHead: Option[Long] = None): Long = {
     val spark = df.sparkSession
     validateChecks(spark, root, df)
     val (fs, r) = fsOf(spark, root)
@@ -1131,12 +1132,20 @@ object GraftCatalog {
     var attempt = 0
     while (true) {
       val versions = snapshotVersions(spark, root)
-      val next = versions.lastOption.getOrElse(0L) + 1
+      // `expectedHead` PINS the commit's base (a REWRITE's contract —
+      // compaction preserves content, so publishing a stale version's
+      // rewrite over a concurrent commit's head would ERASE that
+      // commit: no serial order produces that outcome; the pinned
+      // publish aborts instead and the caller replans). A plain
+      // overwrite keeps the recomputed head: "replace the contents"
+      // after a racing merge IS the serial (merge, overwrite) order.
+      val next = expectedHead.fold(versions.lastOption.getOrElse(0L) + 1)(_ + 1)
+      val baseV = expectedHead.orElse(versions.lastOption)
       val carried =
-        if (append && versions.nonEmpty) readManifest(fs, r, versions.last) else Seq.empty
+        if (append && baseV.nonEmpty) readManifest(fs, r, baseV.get) else Seq.empty
       val carriedStats =
         if (carried.nonEmpty)
-          readStats(spark, root, versions.last).filter { case (p, _) => carried.contains(p) }
+          readStats(spark, root, baseV.get).filter { case (p, _) => carried.contains(p) }
         else Map.empty[String, FileStat]
       val statsName = writeStatsFile(spark, fs, r,
         (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
@@ -1144,8 +1153,8 @@ object GraftCatalog {
       // unions the prior committed schema (falling back to one carried
       // footer on pre-schema-line tables) with the batch's.
       val priorSchema =
-        if (append && versions.nonEmpty)
-          readSchemaLine(fs, r, versions.last)
+        if (append && baseV.nonEmpty)
+          readSchemaLine(fs, r, baseV.get)
             .orElse(carried.headOption.map(f => spark.read.parquet(f).schema))
         else None
       val merged = priorSchema.fold(df.schema)(p => unionSchema(p, df.schema))
@@ -1154,8 +1163,8 @@ object GraftCatalog {
       // but any surviving logical name keeps its storage name — the
       // files writeBatch just landed used exactly that translation.
       val headMap =
-        if (versions.isEmpty) Map.empty[String, String]
-        else scala.util.Try(readSchemaLine(fs, r, versions.last)).toOption
+        if (baseV.isEmpty) Map.empty[String, String]
+        else scala.util.Try(readSchemaLine(fs, r, baseV.get)).toOption
           .flatten.map(physicalMap).getOrElse(Map.empty)
       val stamped =
         if (headMap.isEmpty) merged
@@ -1171,8 +1180,8 @@ object GraftCatalog {
       // eqdel's covered set, so re-inserts survive); an overwrite
       // starts a clean file list
       val dvCarried =
-        if (append && versions.nonEmpty)
-          readManifestLines(fs, r, versions.last).filter(l =>
+        if (append && baseV.nonEmpty)
+          readManifestLines(fs, r, baseV.get).filter(l =>
             l.startsWith("#dv:") || l.startsWith("#eqdel:"))
         else Seq.empty
       try {
@@ -1183,7 +1192,10 @@ object GraftCatalog {
         case e: SnapshotConflictException =>
           fs.delete(new org.apache.hadoop.fs.Path(manifestDir(r), statsName), false)
           attempt += 1
-          if (attempt > maxRetries) {
+          // a PINNED commit never retries: its version number is fixed,
+          // so the conflict is permanent — the caller replans from the
+          // new head (the CoW verbs' contract)
+          if (expectedHead.isDefined || attempt > maxRetries) {
             fs.delete(batch, true) // don't orphan the unpublished batch
             throw e
           }
@@ -3629,7 +3641,10 @@ object GraftCatalog {
     val bytes = files.map(f => stats.get(f).flatMap(_.len).getOrElse(
       fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    commitSnapshot(readSnapshot(spark, root, Some(v)).coalesce(nOut), root, append = false)
+    // the rewrite PINS its base: publishing v's content over a
+    // concurrent v+1 would erase that commit (see commitSnapshot)
+    commitSnapshot(readSnapshot(spark, root, Some(v)).coalesce(nOut), root,
+      append = false, expectedHead = Some(v))
   }
 
   /** Z-ORDERED snapshot compaction: rewrite the current head
@@ -3657,9 +3672,12 @@ object GraftCatalog {
     // z-clustered files have TIGHT per-file envelopes on every cluster
     // column — exactly where manifest stats pay most.
     val statsName = writeStatsFile(spark, fs, r,
-      computeFileStats(spark, newFiles, fsMetaOf(newStatuses)))
+      batchFileStats(spark, newFiles, fsMetaOf(newStatuses), Map.empty))
     val schemaLine = schemaLineOf(df.schema)
-    val next = snapshotVersions(spark, root).last + 1
+    // PINNED publish at v+1: a content-preserving rewrite must never
+    // land over a concurrent commit's head (see commitSnapshot's
+    // expectedHead) — a conflict aborts and the maintenance job replans
+    val next = v + 1
     try publishManifest(fs, r, next, Seq(s"#stats:$statsName", schemaLine) ++ newFiles)
     catch {
       case e: SnapshotConflictException =>

@@ -547,6 +547,18 @@ class PropertySpec extends AnyFunSuite {
       (lo until lo + n).foreach(st.remove)
   }
 
+  /** Compaction: a content-preserving rewrite racing the verbs — the
+    * maintenance-vs-ingest race every live table runs. Its base is
+    * PINNED (r14): publishing a stale version's rewrite over a
+    * concurrent commit would erase that commit, so a lost race must
+    * abort cleanly and the replay model treats a committed compaction
+    * as a no-op. */
+  private final case class CompactOp(idx: Int) extends RaceOp {
+    def run(root: String): Long =
+      graft.sources.GraftCatalog.compactSnapshot(spark, root)
+    def model(st: scala.collection.mutable.Map[Long, Long]): Unit = ()
+  }
+
   private final case class AppendOp(idx: Int, start: Long) extends RaceOp {
     def run(root: String): Long = {
       import org.apache.spark.sql.functions._
@@ -599,7 +611,10 @@ class PropertySpec extends AnyFunSuite {
         MorDeleteOp(6, 11L, rnd.nextInt(11).toLong, 300L + rnd.nextInt(700)),
         MorMergeOp(7, lo3, hi3, rnd.nextInt(10).toLong, 12000L),
         // r13: the equality-delete sidecar publish joins the race
-        EqDeleteOp(8, 100L + rnd.nextInt(400), 60)))
+        EqDeleteOp(8, 100L + rnd.nextInt(400), 60),
+        // r14: maintenance compaction races ingest — its PINNED base
+        // must abort rather than erase a concurrent commit
+        CompactOp(9)))
       // Phase 1: race. Every failure must be the clean serializable
       // abort — anything else (NPE, torn state, wrong exception) fails.
       val results = Await.result(

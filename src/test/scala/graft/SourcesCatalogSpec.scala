@@ -2473,6 +2473,33 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(GraftCatalog.readSnapshot(spark, root).count() == 1000)
   }
 
+  test("a stale pinned rewrite aborts instead of erasing a concurrent commit") {
+    import spark.implicits._
+    val root = s"$tmp/stalepin_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v")),
+      root, append = false)
+    val v1 = GraftCatalog.snapshotVersions(spark, root).last
+    // a concurrent writer lands v2 BETWEEN the rewrite's read and its
+    // publish — simulated by committing before the pinned publish runs
+    GraftCatalog.commitSnapshot(
+      Seq((1000L, 1L)).toDF("k", "v"), root, append = true)
+    // the rewrite pinned at v1 must ABORT (publishing v1's content at
+    // the recomputed head would silently erase the append — the exact
+    // lost-update a content-preserving rewrite can never serialize)
+    val e = intercept[graft.sources.SnapshotConflictException](
+      GraftCatalog.commitSnapshot(
+        GraftCatalog.readSnapshot(spark, root, Some(v1)).coalesce(1),
+        root, append = false, expectedHead = Some(v1)))
+    assert(e != null)
+    // nothing was erased and no batch was orphaned
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 101)
+    assert(GraftCatalog.snapshotVersions(spark, root).last == v1 + 1)
+    // compactSnapshot at the CURRENT head still lands and preserves rows
+    GraftCatalog.compactSnapshot(spark, root)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 101)
+  }
+
   test("partition-scoped compaction: OPTIMIZE WHERE rewrites only the hot partition") {
     import spark.implicits._
     val root = s"$tmp/snapptscope_${System.nanoTime()}"
