@@ -1122,7 +1122,8 @@ object GraftCatalog {
     * [[SnapshotConflictException]] propagates — no orphaned data. */
   def commitSnapshot(df: DataFrame, root: String, append: Boolean,
       meta: Seq[String] = Seq.empty, maxRetries: Int = 0,
-      expectedHead: Option[Long] = None): Long = {
+      expectedHead: Option[Long] = None,
+      rewriteOf: Option[Set[String]] = None): Long = {
     val spark = df.sparkSession
     validateChecks(spark, root, df)
     val (fs, r) = fsOf(spark, root)
@@ -1192,9 +1193,27 @@ object GraftCatalog {
         case e: SnapshotConflictException =>
           fs.delete(new org.apache.hadoop.fs.Path(manifestDir(r), statsName), false)
           attempt += 1
-          // a PINNED commit never retries: its version number is fixed,
-          // so the conflict is permanent — the caller replans from the
-          // new head (the CoW verbs' contract)
+          // A PINNED commit never retries AT ITS PINNED VERSION: the
+          // number is fixed, so that slot is permanently lost. But a
+          // pinned CONTENT-PRESERVING rewrite (`rewriteOf` = the files
+          // it consumed) gets Iceberg's RewriteFiles validation first:
+          // if the concurrent commit left every consumed file alive and
+          // added no delete content over them, the already-written
+          // batch RE-PUBLISHES against the new head at metadata price —
+          // the difference between compaction that lands under steady
+          // ingest and compaction that starves. Only a genuine overlap
+          // (a CoW rewrite of a consumed file, a new DV/eqdel covering
+          // one, a schema flip) falls through to the abort+replan path.
+          if (expectedHead.isDefined && rewriteOf.isDefined) {
+            try return republishPinnedRewrite(spark, fs, r,
+              expectedHead.get, rewriteOf.get, newFiles, newStats,
+              schemaLine, meta, carriesLines = append, e)
+            catch {
+              case e2: SnapshotConflictException =>
+                fs.delete(batch, true)
+                throw e2
+            }
+          }
           if (expectedHead.isDefined || attempt > maxRetries) {
             fs.delete(batch, true) // don't orphan the unpublished batch
             throw e
@@ -1203,6 +1222,99 @@ object GraftCatalog {
     }
     -1L // unreachable
   }
+
+  /** Metadata-priced conflict RE-VALIDATION for pinned content-
+    * preserving rewrites — Iceberg's `RewriteFiles` validation,
+    * expressed manifest-side. A compaction/Z-order pinned at base `b`
+    * that loses its publish race used to abort unconditionally; under
+    * continuous ingest (the default state of a 100 TB table) that
+    * starves maintenance forever. Instead, diff the NEW head against
+    * the pin base and re-publish the already-written batch when the
+    * race was provably harmless:
+    *
+    *  - every file the rewrite CONSUMED still lives in the new head
+    *    (the racer was an append / a CoW of other files — not a
+    *    rewrite of ours);
+    *  - the racer added no `#dv:`/`#eqdel:` content touching a
+    *    consumed file (our output materialized those rows un-deleted —
+    *    carrying the line would not protect the new paths), checked by
+    *    reading only the NEW sidecars' path/cover sets, never data;
+    *  - the committed `#schema:` line is unchanged (a concurrent
+    *    rename/widen invalidates the batch's stamped physical layout
+    *    assumptions — rare, so it replans).
+    *
+    * On success the new manifest is the NEW head's file list with
+    * consumed files swapped for the rewrite's output — both commits
+    * land, the data written ONCE. `carriesLines = true` keeps the new
+    * head's delete sidecars (a partial rewrite: lines referencing
+    * rewritten paths self-invalidate, the rest stay load-bearing);
+    * `false` (a whole-table rewrite that folded everything it read)
+    * carries only lines the RACER added over non-consumed files.
+    * Fresh conflicts during the re-publish revalidate against the
+    * newer head, bounded; validation failure rethrows the ORIGINAL
+    * conflict so callers' replan contract is unchanged. */
+  private def republishPinnedRewrite(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
+      pinBase: Long, consumed: Set[String], newFiles: Seq[String],
+      newStats: Seq[FileStat], schemaLine: String, meta: Seq[String],
+      carriesLines: Boolean, original: SnapshotConflictException): Long = {
+    def dvEq(lines: Seq[String]) =
+      lines.filter(l => l.startsWith("#dv:") || l.startsWith("#eqdel:")).toSet
+    val baseLines = readManifestLines(fs, r, pinBase)
+    val baseSchema = baseLines.find(_.startsWith("#schema:"))
+    val baseDvEq = dvEq(baseLines)
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val head = versionsAt(fs, r).last
+      val headLines = readManifestLines(fs, r, head)
+      val headFiles = headLines.filterNot(_.startsWith("#"))
+      val headDvEq = dvEq(headLines)
+      val safe =
+        consumed.subsetOf(headFiles.toSet) &&
+          headLines.find(_.startsWith("#schema:")) == baseSchema &&
+          baseDvEq.subsetOf(headDvEq) &&
+          !deleteLinesTouch(spark, r, (headDvEq -- baseDvEq).toSeq, consumed)
+      if (!safe) throw original
+      val carriedFiles = headFiles.filterNot(consumed)
+      val carriedStats = readStats(spark, r.toString, head)
+        .filter { case (p, _) => carriedFiles.contains(p) }
+      val statsName = writeStatsFile(spark, fs, r,
+        (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
+      val dvLines =
+        (if (carriesLines) headDvEq else headDvEq -- baseDvEq).toSeq.sorted
+      try {
+        publishManifest(fs, r, head + 1,
+          Seq(s"#stats:$statsName", schemaLine) ++ dvLines ++ meta ++
+            carriedFiles ++ newFiles)
+        return head + 1
+      } catch {
+        case _: SnapshotConflictException =>
+          fs.delete(new org.apache.hadoop.fs.Path(manifestDir(r), statsName), false)
+      }
+    }
+    throw original
+  }
+
+  /** Does any of these `#dv:`/`#eqdel:` manifest lines reference a
+    * file in `consumed`? Reads only the sidecars' path / cover
+    * columns — metadata-sized, and only ever on the conflict path. */
+  private def deleteLinesTouch(spark: SparkSession,
+      r: org.apache.hadoop.fs.Path, lines: Seq[String],
+      consumed: Set[String]): Boolean =
+    lines.exists { l =>
+      val pathsDf =
+        if (l.startsWith("#dv:"))
+          spark.read.parquet(new org.apache.hadoop.fs.Path(
+            deletesDir(r), l.stripPrefix("#dv:")).toString)
+        else {
+          val (name, _) = parseEqDel(l.stripPrefix("#eqdel:"))
+          spark.read.parquet(new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(deletesDir(r), name), "cover").toString)
+        }
+      pathsDf.select(col("__path")).distinct().collect()
+        .exists(row => consumed.contains(row.getString(0)))
+    }
 
   /** EXACTLY-ONCE streaming commit: append `df` as the next version
     * tagged with its micro-batch id — and refuse to commit a batch id
@@ -2407,7 +2519,8 @@ object GraftCatalog {
   private def commitCow(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
       head: Long, carried: Seq[String], carriedStats: Map[String, FileStat],
-      newData: DataFrame, meta: Seq[String]): Long = {
+      newData: DataFrame, meta: Seq[String],
+      rewriteOf: Option[Set[String]] = None): Long = {
     val (batch, newFiles, newStatuses) = writeBatch(spark, fs, r, newData)
     val newStats = batchFileStats(spark, newFiles, fsMetaOf(newStatuses),
       readBloomConfAt(fs, r))
@@ -2433,6 +2546,21 @@ object GraftCatalog {
     } catch {
       case e: SnapshotConflictException =>
         fs.delete(new org.apache.hadoop.fs.Path(manifestDir(r), statsName), false)
+        // content-preserving rewrites (partitioned compaction) get the
+        // RewriteFiles re-validation; the CoW VERBS keep the strict
+        // abort+replan contract — their output is not content-
+        // preserving, so landing it over an unseen commit would not
+        // correspond to any serial order the caller certified.
+        if (rewriteOf.isDefined) {
+          try return republishPinnedRewrite(spark, fs, r, head,
+            rewriteOf.get, newFiles, newStats, schemaLine, meta,
+            carriesLines = true, e)
+          catch {
+            case e2: SnapshotConflictException =>
+              fs.delete(batch, true)
+              throw e2
+          }
+        }
         fs.delete(batch, true)
         throw e
     }
@@ -3642,9 +3770,12 @@ object GraftCatalog {
       fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     // the rewrite PINS its base: publishing v's content over a
-    // concurrent v+1 would erase that commit (see commitSnapshot)
+    // concurrent v+1 would erase that commit (see commitSnapshot).
+    // `rewriteOf` = the consumed files: a harmless race (disjoint
+    // append / MoR on other files) re-publishes at metadata price
+    // instead of aborting (see republishPinnedRewrite).
     commitSnapshot(readSnapshot(spark, root, Some(v)).coalesce(nOut), root,
-      append = false, expectedHead = Some(v))
+      append = false, expectedHead = Some(v), rewriteOf = Some(files.toSet))
   }
 
   /** Z-ORDERED snapshot compaction: rewrite the current head
@@ -3671,19 +3802,27 @@ object GraftCatalog {
       .sorted
     // z-clustered files have TIGHT per-file envelopes on every cluster
     // column — exactly where manifest stats pay most.
-    val statsName = writeStatsFile(spark, fs, r,
-      batchFileStats(spark, newFiles, fsMetaOf(newStatuses), Map.empty))
+    val newStats = batchFileStats(spark, newFiles, fsMetaOf(newStatuses), Map.empty)
+    val statsName = writeStatsFile(spark, fs, r, newStats)
     val schemaLine = schemaLineOf(df.schema)
     // PINNED publish at v+1: a content-preserving rewrite must never
     // land over a concurrent commit's head (see commitSnapshot's
-    // expectedHead) — a conflict aborts and the maintenance job replans
+    // expectedHead). A lost race revalidates (republishPinnedRewrite):
+    // a disjoint racer re-publishes the z-clustered batch against the
+    // new head; only a genuine overlap aborts for the replan path.
     val next = v + 1
     try publishManifest(fs, r, next, Seq(s"#stats:$statsName", schemaLine) ++ newFiles)
     catch {
       case e: SnapshotConflictException =>
         fs.delete(new org.apache.hadoop.fs.Path(manifestDir(r), statsName), false)
-        fs.delete(batch, true)
-        throw e
+        try return republishPinnedRewrite(spark, fs, r, v, files.toSet,
+          newFiles, newStats, schemaLine, Seq.empty,
+          carriesLines = false, e)
+        catch {
+          case e2: SnapshotConflictException =>
+            fs.delete(batch, true)
+            throw e2
+        }
     }
     next
   }
@@ -4329,7 +4468,7 @@ object GraftCatalog {
     maxRecords.foreach(n => spark.conf.set(confKey, n.toString))
     try commitCow(spark, fs, r, head, carried,
       stats.filter { case (p, _) => carried.contains(p) }, newData,
-      Seq("#compact:partitioned"))
+      Seq("#compact:partitioned"), rewriteOf = Some(rewrite.toSet))
     finally prior match {
       case Some(v) => spark.conf.set(confKey, v)
       case None => spark.conf.unset(confKey)

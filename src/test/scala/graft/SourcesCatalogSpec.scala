@@ -2500,6 +2500,115 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(GraftCatalog.readSnapshot(spark, root).count() == 101)
   }
 
+  test("pinned rewrite racing a disjoint append RE-PUBLISHES: both commits land, data written once") {
+    import spark.implicits._
+    val root = s"$tmp/repin_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartition(3),
+      root, append = false)
+    val v1 = GraftCatalog.snapshotVersions(spark, root).last
+    val consumed = GraftCatalog.snapshotScanFiles(spark, root)._1.toSet
+    assert(consumed.size == 3)
+    // the racer: a disjoint append lands v2 between the rewrite's read
+    // and its pinned publish
+    GraftCatalog.commitSnapshot(
+      Seq((5000L, 1L), (5001L, 2L)).toDF("k", "v"), root, append = true)
+    val appendOnly = GraftCatalog.snapshotScanFiles(spark, root)._1
+      .filterNot(consumed).toSet
+    // the rewrite pinned at v1 loses its slot — but the race is
+    // provably harmless (every consumed file alive, no new delete
+    // content, same schema), so it RE-PUBLISHES against the new head
+    // instead of aborting: the liveness half of the r14 race fix
+    val landed = GraftCatalog.commitSnapshot(
+      GraftCatalog.readSnapshot(spark, root, Some(v1)).coalesce(1),
+      root, append = false, expectedHead = Some(v1),
+      rewriteOf = Some(consumed))
+    assert(landed == v1 + 2, s"republish must land at the new head+1, got $landed")
+    // BOTH commits' content is at the head
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.count() == 102)
+    assert(head.where(col("k") === 5000L).count() == 1)
+    // the consumed files are swapped out; the racer's files carry by path
+    val after = GraftCatalog.snapshotScanFiles(spark, root)._1
+    assert(after.toSet.intersect(consumed).isEmpty,
+      "consumed files must leave the manifest")
+    assert(appendOnly.subsetOf(after.toSet),
+      "the racing append's files must carry bit-undisturbed")
+    assert(after.size == appendOnly.size + 1,
+      s"one compacted file + the append's, got $after")
+    // history stays contiguous and every version still reads
+    assert(GraftCatalog.snapshotVersions(spark, root) == (1L to landed))
+    assert(GraftCatalog.readSnapshot(spark, root, Some(v1)).count() == 100)
+  }
+
+  test("pinned rewrite republish carries a racer's DV on non-consumed files") {
+    val root = s"$tmp/repindv_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartition(1),
+      root, append = false)
+    val v1 = GraftCatalog.snapshotVersions(spark, root).last
+    val consumed = GraftCatalog.snapshotScanFiles(spark, root)._1.toSet
+    // racers: an append (file B), then a MoR delete whose DV touches
+    // ONLY file B (stats envelopes keep file A out of the candidates)
+    GraftCatalog.commitSnapshot(
+      spark.range(1000, 1050).select(col("id").as("k"), lit(7L).as("v"))
+        .repartition(1),
+      root, append = true)
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("k") >= 1040L)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 140)
+    // the pinned rewrite revalidates: consumed file alive, the new DV
+    // is disjoint from it — republish must land AND keep the DV
+    val landed = GraftCatalog.commitSnapshot(
+      GraftCatalog.readSnapshot(spark, root, Some(v1)).coalesce(1),
+      root, append = false, expectedHead = Some(v1),
+      rewriteOf = Some(consumed))
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.count() == 140, "the racer's MoR delete must stay applied")
+    assert(head.where(col("k") === 1045L).isEmpty)
+    assert(head.where(col("k") === 1000L).count() == 1)
+    assert(GraftCatalog.snapshotVersions(spark, root) == (1L to landed))
+  }
+
+  test("pinned rewrite still aborts on genuine overlap: eqdel cover or CoW of a consumed file") {
+    import spark.implicits._
+    val root = s"$tmp/repinovl_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartition(1),
+      root, append = false)
+    val v1 = GraftCatalog.snapshotVersions(spark, root).last
+    val consumed = GraftCatalog.snapshotScanFiles(spark, root)._1.toSet
+    // racer 1: an equality delete — its cover is the FULL file list,
+    // so it always overlaps the consumed set; the rewrite's output
+    // would resurrect the purged keys → must abort and replan
+    GraftCatalog.deleteSnapshotKeysMor(spark, root,
+      Seq(5L, 6L, 7L).toDF("k"), Seq("k"))
+    intercept[graft.sources.SnapshotConflictException](
+      GraftCatalog.commitSnapshot(
+        GraftCatalog.readSnapshot(spark, root, Some(v1)).coalesce(1),
+        root, append = false, expectedHead = Some(v1),
+        rewriteOf = Some(consumed)))
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 97)
+    // racer 2: a CoW UPDATE rewrites the consumed file itself — the
+    // strongest overlap; a fresh pin must also abort
+    val v2 = GraftCatalog.snapshotVersions(spark, root).last
+    val consumed2 = GraftCatalog.snapshotScanFiles(spark, root)._1.toSet
+    GraftCatalog.updateSnapshotWhere(spark, root,
+      col("k") === 10L, Seq("v" -> lit(999L)))
+    intercept[graft.sources.SnapshotConflictException](
+      GraftCatalog.commitSnapshot(
+        GraftCatalog.readSnapshot(spark, root, Some(v2)).coalesce(1),
+        root, append = false, expectedHead = Some(v2),
+        rewriteOf = Some(consumed2)))
+    // replan against the current head lands cleanly
+    GraftCatalog.compactSnapshot(spark, root)
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.count() == 97)
+    assert(head.where(col("k") === 10L).select("v").as[Long].head() == 999L)
+  }
+
   test("partition-scoped compaction: OPTIMIZE WHERE rewrites only the hot partition") {
     import spark.implicits._
     val root = s"$tmp/snapptscope_${System.nanoTime()}"
