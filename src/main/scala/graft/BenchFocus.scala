@@ -27,9 +27,31 @@ object BenchFocus {
       q -> ts
     }
     def med(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    // AMBIENT-NOISE CONTROLS (r15): five pinned queries whose code and
+    // plan are intentionally frozen across rounds. Their medians this
+    // run, against the recorded round-14 references, give the round's
+    // ambient index (geometric mean of ratios) — byte-untouched
+    // queries bounced 1.4-2.1x between r13 and r14 on pure machine
+    // noise, so a cross-round comparison is only meaningful as
+    // ratio-over-ambient. Update the references when (and only when)
+    // a control query's code legitimately changes.
+    val controlRef = Seq(
+      "q07_agg_distinct" -> 0.523, "q16_date_bin" -> 0.523,
+      "q100_regression" -> 2.831, "q58_listagg" -> 1.031,
+      "t04_fingerprint" -> 0.279)
+    val controls = controlRef.map { case (q, ref) =>
+      val m = results.find(_._1 == q).map(r => med(r._2))
+        .getOrElse(med(Seq.fill(3)(once(q))))
+      (q, m, ref)
+    }
+    val ambient = math.exp(
+      controls.map { case (_, m, ref) => math.log(m / ref) }.sum / controls.size)
+    val cJson = controls.map { case (q, m, ref) =>
+      s""""$q":{"median":${f"$m%.3f"},"ref_r14":$ref}""" }.mkString(",")
     val qJson = results.map { case (q, ts) => s""""$q":[${ts.map(t => f"$t%.3f").mkString(",")}]""" }.mkString(",")
     val mJson = results.map { case (q, ts) => s""""$q":${f"${med(ts)}%.3f"}""" }.mkString(",")
-    println(s"""{"sf":"$sfDir","queries":{$qJson},"median":{$mJson}}""")
+    println(s"""{"sf":"$sfDir","queries":{$qJson},"median":{$mJson},""" +
+      s""""controls":{$cJson,"ambient_index":${f"$ambient%.3f"}}}""")
     spark.stop()
   }
 }

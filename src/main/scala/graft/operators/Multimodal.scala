@@ -97,9 +97,15 @@ object Multimodal {
 
   /** m01 — synthesize real BMP payloads + metadata from `documents`
     * (deterministic pixels seeded by doc_id), push them through the
-    * typed batch-decode boundary, return features. Rows-only oracle;
-    * the decode semantics are pinned by the golden BMP test in
-    * PipelineSpec. */
+    * typed batch-decode boundary, return features.
+    *
+    * ORACLE-CHECKED via the export pattern (r15): the payload BLOBs
+    * export to a pinned parquet path and DuckDB REPLAYS the decode
+    * byte-for-byte — header fields from little-endian int32s, the
+    * un-padded pixel walk (offset + y·stride), the 16-bin histogram
+    * fold in mod-2⁶⁴ HUGEINT arithmetic — so the hash match proves the
+    * whole decode, not just the plumbing. The golden BMP test in
+    * PipelineSpec keeps pinning the encoder itself. */
   private def m01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media: Dataset[MediaRow] = graft.Tables.df(s, d, "documents")
@@ -113,11 +119,71 @@ object Multimodal {
           (((id + x) % 256).toInt, ((id + y) % 256).toInt, ((id + x + y) % 256).toInt)),
           w, h, "bmp")
       })
+    media.select(col("doc_id"), col("payload"))
+      .write.mode("overwrite").parquet(Similarity.exportPath("m01media", d))
     media
       .mapPartitions(_.map(decodeBmp))
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** Shared DuckDB byte-decoding CTEs: `hm` maps one hex pair to its
+    * byte value, `m` carries each exported payload as a hex string —
+    * the BLOB-replay front end every multimodal oracle builds on. */
+  private def blobCtes(stage: String): String =
+    s"""hm AS (
+      |  SELECT upper(lpad(hex(i), 2, '0')) AS hx2, i AS v
+      |  FROM generate_series(0, 255) s(i)),
+      |m AS (
+      |  SELECT doc_id, hex(payload) AS hx,
+      |         CAST(octet_length(payload) AS INTEGER) AS n_bytes
+      |  FROM read_parquet('${Similarity.oracleExportPath(stage)}/*.parquet'))""".stripMargin
+
+  private def m01Oracle: String =
+    s"""WITH ${blobCtes("m01media")},
+      |hb AS (
+      |  SELECT m.doc_id, g.i AS i, hm.v
+      |  FROM m CROSS JOIN generate_series(10, 25) g(i)
+      |  JOIN hm ON hm.hx2 = substr(m.hx, 2*g.i+1, 2)),
+      |hdr AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN i BETWEEN 10 AND 13 THEN v * (1::BIGINT << (8*(i-10))) ELSE 0 END) AS BIGINT) AS po,
+      |    CAST(SUM(CASE WHEN i BETWEEN 18 AND 21 THEN v * (1::BIGINT << (8*(i-18))) ELSE 0 END) AS INTEGER) AS w,
+      |    CAST(SUM(CASE WHEN i BETWEEN 22 AND 25 THEN v * (1::BIGINT << (8*(i-22))) ELSE 0 END) AS INTEGER) AS h
+      |  FROM hb GROUP BY doc_id),
+      |hdr2 AS (SELECT doc_id, po, w, h, ((w*3+3)//4)*4 AS stride FROM hdr),
+      |px AS (
+      |  SELECT m.doc_id, hm.v
+      |  FROM m JOIN hdr2 d USING (doc_id)
+      |  -- constant series bounds (DuckDB: no subquery args); the WHERE
+      |  -- enforces the real per-doc extents, and any overflow past the
+      |  -- constants would change counts and fail the hash loudly
+      |  CROSS JOIN generate_series(0, 63) gy(y)
+      |  CROSS JOIN generate_series(0, 191) gx(x)
+      |  JOIN hm ON hm.hx2 = substr(m.hx, 2*(d.po + gy.y*d.stride + gx.x)+1, 2)
+      |  WHERE gy.y < d.h AND gx.x < d.w*3),
+      |mb AS (
+      |  SELECT p.doc_id, CAST(SUM(p.v) AS DOUBLE) / (d.w*d.h*3) AS mean_byte
+      |  FROM px p JOIN hdr2 d USING (doc_id) GROUP BY p.doc_id, d.w, d.h),
+      |hist AS (
+      |  SELECT doc_id, v//16 AS k, CAST(COUNT(*) % 97 AS HUGEINT) AS r
+      |  FROM px GROUP BY doc_id, v//16),
+      |bins AS (
+      |  SELECT d.doc_id, g.k, COALESCE(h.r, 0::HUGEINT) AS r
+      |  FROM hdr2 d CROSS JOIN generate_series(0, 15) g(k)
+      |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.k = g.k),
+      |qv AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(0::HUGEINT, list(r ORDER BY k)),
+      |      (a, c) -> (a*31 + c) % 18446744073709551616::HUGEINT) AS qu
+      |  FROM bins GROUP BY doc_id)
+      |SELECT m.doc_id, m.n_bytes, d.w AS width, d.h AS height,
+      |  'bmp' AS fmt, mb.mean_byte,
+      |  CAST(CASE WHEN qv.qu >= 9223372036854775808::HUGEINT
+      |    THEN qv.qu - 18446744073709551616::HUGEINT ELSE qv.qu END AS BIGINT)
+      |    AS byte_entropy_q
+      |FROM m JOIN hdr2 d USING (doc_id) JOIN mb USING (doc_id) JOIN qv USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** One video-like row: an ordered run of opaque frame payloads. */
   final case class VideoRow(doc_id: Long, frames: Array[Array[Byte]])
@@ -320,12 +386,62 @@ object Multimodal {
 
   private def m03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    audioCorpus(s, d)
+    val audio = audioCorpus(s, d)
+    // ORACLE-CHECKED (r15): export the WAV payloads; DuckDB replays the
+    // PCM16 decode — LE header fields, signed 16-bit samples, the
+    // integer mean-square, zero crossings via LAG, the clip fraction.
+    audio.toDF().select(col("doc_id"), col("payload"))
+      .write.mode("overwrite").parquet(Similarity.exportPath("m03wav", d))
+    audio
       .mapPartitions(_.map(decodeWav))
       .toDF()
       .withColumn("clip_frac", round(col("clip_frac"), 6))
       .orderBy("doc_id")
   }
+
+  /** Shared DuckDB PCM16 CTEs over an exported WAV corpus: `hdr` reads
+    * the LE sample-rate/data-size header words, `sm` maps a 4-hex-char
+    * little-endian pair to its SIGNED 16-bit value, `samp` walks every
+    * clip's samples. Composes after [[blobCtes]]. */
+  private def wavCtes: String =
+    s"""hdr AS (
+      |  SELECT m.doc_id,
+      |    CAST(SUM(CASE WHEN g.i BETWEEN 24 AND 27 THEN hm.v * (1::BIGINT << (8*(g.i-24))) ELSE 0 END) AS INTEGER) AS rate,
+      |    CAST(SUM(CASE WHEN g.i BETWEEN 40 AND 43 THEN hm.v * (1::BIGINT << (8*(g.i-40))) ELSE 0 END) // 2 AS INTEGER) AS n
+      |  FROM m CROSS JOIN generate_series(24, 43) g(i)
+      |  JOIN hm ON hm.hx2 = substr(m.hx, 2*g.i+1, 2)
+      |  GROUP BY m.doc_id),
+      |sm AS (
+      |  SELECT upper(lpad(hex(lo), 2, '0')) || upper(lpad(hex(hi), 2, '0')) AS hx4,
+      |    CASE WHEN hi >= 128 THEN lo + 256*hi - 65536 ELSE lo + 256*hi END AS s
+      |  FROM generate_series(0, 255) a(lo) CROSS JOIN generate_series(0, 255) b(hi)),
+      |samp AS (
+      |  SELECT m.doc_id, g.i AS i, sm.s
+      |  FROM m JOIN hdr USING (doc_id)
+      |  CROSS JOIN generate_series(0, 4095) g(i)
+      |  JOIN sm ON sm.hx4 = substr(m.hx, 2*(44 + 2*g.i)+1, 4)
+      |  WHERE g.i < hdr.n)""".stripMargin
+
+  private def m03Oracle: String =
+    s"""WITH ${blobCtes("m03wav")},
+      |$wavCtes,
+      |lagged AS (
+      |  SELECT doc_id, i, s,
+      |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |  FROM samp),
+      |feat AS (
+      |  SELECT doc_id,
+      |    CAST(MAX(abs(s)) AS INTEGER) AS peak,
+      |    CAST(SUM(CAST(s AS BIGINT) * s) // COUNT(*) AS BIGINT) AS mean_sq,
+      |    CAST(SUM(CASE WHEN i > 0 AND ((prev >= 0 AND s < 0) OR (prev < 0 AND s >= 0))
+      |      THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings,
+      |    round(CAST(SUM(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / COUNT(*), 6) AS clip_frac
+      |  FROM lagged GROUP BY doc_id)
+      |SELECT h.doc_id, h.rate AS sample_rate, h.n AS n_samples,
+      |  f.peak, f.mean_sq, f.zero_crossings, f.clip_frac
+      |FROM hdr h JOIN feat f USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Parse a PCM16 mono WAV payload to (sampleRate, samples) — the
     * same header validation as [[decodeWav]], exposing the raw
@@ -438,6 +554,11 @@ object Multimodal {
           math.max(-32768, math.min(32767, v)).toShort
         }))
       })
+    // ORACLE-CHECKED (r15): export the WAV payloads; DuckDB replays the
+    // 20 ms frame grid (Σs²/160 integer mean-square) AND the same
+    // gaps-and-islands segmentation in plain SQL.
+    audio.toDF().select(col("doc_id"), col("payload"))
+      .write.mode("overwrite").parquet(Similarity.exportPath("m04wav", d))
     val frames = audio.mapPartitions(_.flatMap(frameEnergies(_))).toDF()
     val silent = frames.where(col("mean_sq") < 1000)
     val w = org.apache.spark.sql.expressions.Window
@@ -458,6 +579,38 @@ object Multimodal {
         coalesce(col("longest_silence"), lit(0L)).as("longest_silence"))
       .orderBy("doc_id")
   }
+
+  private def m04Oracle: String =
+    s"""WITH ${blobCtes("m04wav")},
+      |$wavCtes,
+      |frames AS (
+      |  SELECT doc_id, i // 160 AS frame_idx,
+      |    CAST(SUM(CAST(s AS BIGINT) * s) // 160 AS BIGINT) AS mean_sq
+      |  FROM samp JOIN hdr USING (doc_id)
+      |  WHERE i < (hdr.n // 160) * 160
+      |  GROUP BY doc_id, i // 160),
+      |silent AS (
+      |  SELECT doc_id, frame_idx,
+      |    frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+      |  FROM frames WHERE mean_sq < 1000),
+      |segs0 AS (
+      |  SELECT doc_id, grp, COUNT(*) AS seg_len
+      |  FROM silent GROUP BY doc_id, grp),
+      |segs AS (
+      |  SELECT doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_silence_segs,
+      |    CAST(MAX(seg_len) AS BIGINT) AS longest_silence,
+      |    CAST(SUM(seg_len) AS BIGINT) AS n_silent
+      |  FROM segs0 GROUP BY doc_id),
+      |nf AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+      |  FROM frames GROUP BY doc_id)
+      |SELECT nf.doc_id, nf.n_frames,
+      |  COALESCE(s.n_silent, 0) AS n_silent,
+      |  COALESCE(s.n_silence_segs, 0) AS n_silence_segs,
+      |  COALESCE(s.longest_silence, 0) AS longest_silence
+      |FROM nf LEFT JOIN segs s USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** A deterministic 16×16 test image for doc `id`: one of 97 base
     * patterns (spatial frequency varies with the base, so different
@@ -787,11 +940,13 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(
-    Q("m01_multimodal", None, m01),
+  /** `def`, not `val`: the m01/m03/m04 oracles name the export path
+    * THIS run wrote (Verify evaluates oracleSql after the queries). */
+  def all: Seq[Q] = Seq(
+    Q("m01_multimodal", Some(m01Oracle), m01),
     Q("m02_frame_sample", None, m02),
-    Q("m03_waveform_stats", None, m03),
-    Q("m04_silence_segments", None, m04),
+    Q("m03_waveform_stats", Some(m03Oracle), m03),
+    Q("m04_silence_segments", Some(m04Oracle), m04),
     Q("m05_image_near_dup", None, m05),
     Q("m06_shot_boundaries", None, m06),
     Q("m07_shared_segments", None, m07),

@@ -409,17 +409,64 @@ object Relational {
       .orderBy("event_id")
   }
 
-  /** q34 — sketch aggregates (rows-only: HLL/quantile-sketch values are
-    * engine-specific): approx_count_distinct + approx_percentile — the
-    * 100 TB path where exact distinct/percentile shuffles would be
-    * prohibitive. PipelineSpec bounds the error vs the exact answers. */
-  private def q34(s: SparkSession, d: String): DataFrame =
-    t(s, d, "orders")
-      .groupBy("o_orderstatus")
+  /** q34 — sketch aggregates: approx_count_distinct + approx_percentile
+    * — the 100 TB path where exact distinct/percentile shuffles would
+    * be prohibitive.
+    *
+    * ORACLE-CHECKED accuracy CONTRACT (r15): the estimates themselves
+    * are engine-specific (HLL++/KLL internals), so the estimates export
+    * to a pinned parquet path and BOTH sides independently verify the
+    * published bound against their OWN exact computation — Spark with
+    * countDistinct + a rank probe, DuckDB with COUNT(DISTINCT) + the
+    * same probe over the echoed estimate. The hash-compared row is
+    * (status, estimate echo, within-bound booleans): the estimator
+    * stays free, the accuracy contract is checkable. PipelineSpec keeps
+    * the tighter numeric error floor. */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val out = Similarity.exportPath("q34est", d)
+    o.groupBy("o_orderstatus")
       .agg(
         approx_count_distinct(col("o_custkey")).as("approx_cust"),
         expr("approx_percentile(o_totalprice, 0.5)").as("approx_p50"))
+      .write.mode("overwrite").parquet(out)
+    val est = s.read.parquet(out)
+    val exact = o.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("ec"))
+    val ranks = o.join(est, Seq("o_orderstatus"))
+      .groupBy("o_orderstatus")
+      .agg(
+        (sum(when(col("o_totalprice") <= col("approx_p50"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("fr_le"),
+        (sum(when(col("o_totalprice") < col("approx_p50"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("fr_lt"))
+    est.join(exact, "o_orderstatus").join(ranks, "o_orderstatus")
+      .select(col("o_orderstatus"), col("approx_cust"), col("approx_p50"),
+        (abs(col("approx_cust") - col("ec")) <= col("ec") * lit(0.15))
+          .as("cust_in_bound"),
+        (col("fr_lt") <= lit(0.52) && col("fr_le") >= lit(0.48))
+          .as("p50_in_bound"))
       .orderBy("o_orderstatus")
+  }
+
+  private def q34Oracle: String =
+    s"""WITH est AS (
+      |  SELECT * FROM read_parquet('${Similarity.oracleExportPath("q34est")}/*.parquet')),
+      |ex AS (
+      |  SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS ec
+      |  FROM orders GROUP BY 1),
+      |rk AS (
+      |  SELECT o.o_orderstatus,
+      |    CAST(SUM(CASE WHEN o.o_totalprice <= e.approx_p50 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / COUNT(*) AS fr_le,
+      |    CAST(SUM(CASE WHEN o.o_totalprice < e.approx_p50 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / COUNT(*) AS fr_lt
+      |  FROM orders o JOIN est e USING (o_orderstatus) GROUP BY 1)
+      |SELECT e.o_orderstatus, e.approx_cust, e.approx_p50,
+      |  abs(e.approx_cust - ex.ec) <= ex.ec * 0.15 AS cust_in_bound,
+      |  (rk.fr_lt <= 0.52 AND rk.fr_le >= 0.48) AS p50_in_bound
+      |FROM est e JOIN ex USING (o_orderstatus) JOIN rk USING (o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
 
   /** q37 — salted two-stage aggregation: the explicit skew-mitigation
     * pattern (prompt: "salting for skew"). Stage 1 aggregates on
@@ -677,7 +724,8 @@ object Relational {
   private val binUs30 = "make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 30000000 * 30000000)"
   private val binUs300 = "make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 * 300000000)"
 
-  val all: Seq[Q] = Seq(
+  /** `def`: q34's oracle names the export path THIS run wrote. */
+  def all: Seq[Q] = Seq(
     Q("q01_project", Some(
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin), q01),
@@ -867,7 +915,7 @@ object Relational {
         |  CAST(SUM(CAST((props ->> '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin), q33),
-    Q("q34_approx", None, q34),
+    Q("q34_approx", Some(q34Oracle), q34),
     Q("q35_asof_join", Some(
       """WITH ord AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey

@@ -47,7 +47,13 @@ object SketchMv {
     * partials over orders (the ingest-batch unit), each month's own
     * estimate, and the union-merged ALL row. The ALL estimate comes
     * from MERGING the per-month states, not from re-sketching the
-    * table — the output exercises the maintenance path itself. */
+    * table — the output exercises the maintenance path itself.
+    *
+    * ORACLE-CHECKED accuracy CONTRACT (r15, the q34 discipline): the
+    * estimates export; Spark checks them against its own exact
+    * countDistinct, DuckDB against COUNT(DISTINCT) — the hash-compared
+    * row is (scope, estimate echo, within-published-bound boolean).
+    * Bound: 3× the lgK=12 RSE (≈1.6%) → 5% relative. */
   private def q103(s: SparkSession, d: String): DataFrame = {
     val o = Tables.df(s, d, "orders")
     val p = partials(o, date_format(col("o_orderdate"), "yyyy-MM"), col("o_custkey"))
@@ -57,8 +63,33 @@ object SketchMv {
       hll_sketch_estimate(col("sketch")).as("n_est"))
     val merged = mergedEstimate(p)
       .select(lit("ALL").as("scope"), col("n_est"))
-    perBatch.unionAll(merged).orderBy("scope")
+    val out = Similarity.exportPath("q103est", d)
+    perBatch.unionAll(merged).write.mode("overwrite").parquet(out)
+    val est = s.read.parquet(out)
+    val exact = o
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("scope"))
+      .agg(countDistinct(col("o_custkey")).as("ec"))
+      .unionAll(o.agg(countDistinct(col("o_custkey")).as("ec"))
+        .select(lit("ALL").as("scope"), col("ec")))
+    est.join(exact, "scope")
+      .select(col("scope"), col("n_est"),
+        (abs(col("n_est") - col("ec")) <= col("ec") * lit(0.05)).as("in_bound"))
+      .orderBy("scope")
   }
+
+  private def q103Oracle: String =
+    s"""WITH est AS (
+      |  SELECT * FROM read_parquet('${Similarity.oracleExportPath("q103est")}/*.parquet')),
+      |ex AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS scope,
+      |    COUNT(DISTINCT o_custkey) AS ec
+      |  FROM orders GROUP BY 1
+      |  UNION ALL
+      |  SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM orders)
+      |SELECT e.scope, e.n_est,
+      |  abs(e.n_est - ex.ec) <= ex.ec * 0.05 AS in_bound
+      |FROM est e JOIN ex USING (scope)
+      |ORDER BY scope""".stripMargin
 
   /** Streaming maintenance of the partials table — the live dataset
     * card: each micro-batch's HLL partial states land idempotently
@@ -99,15 +130,64 @@ object SketchMv {
     val merged = p
       .agg(expr("kll_merge_agg(sk)").as("sk"), sum(col("n_rows")).as("n_rows"))
       .select(lit("ALL").as("scope"), col("n_rows"), col("sk"))
-    per.unionAll(merged)
+    val estQ = per.unionAll(merged)
       .select(col("scope"), col("n_rows"),
         expr("kll_quantiles(sk, array(0.5D, 0.95D, 0.99D))").as("q"))
       .select(col("scope"), col("n_rows"),
         element_at(col("q"), 1).as("p50"),
         element_at(col("q"), 2).as("p95"),
         element_at(col("q"), 3).as("p99"))
+    // ORACLE-CHECKED accuracy CONTRACT (r15, the q34 discipline): the
+    // quantile estimates export; BOTH sides independently verify each
+    // estimate's RANK lands within 3× the published k=200 rank error
+    // (~1.65%) → ±5%, via the same ≤/<-fraction probe over the raw
+    // rows. The hash-compared row is (scope, n_rows, estimate echoes,
+    // per-quantile within-bound booleans).
+    val out = Similarity.exportPath("q107est", d)
+    estQ.write.mode("overwrite").parquet(out)
+    val est = s.read.parquet(out)
+    val vals = o.select(date_format(col("o_orderdate"), "yyyy-MM").as("scope"),
+        col("o_totalprice"))
+      .unionAll(o.select(lit("ALL").as("scope"), col("o_totalprice")))
+    def fr(cmp: Column): Column = (sum(when(cmp, 1L).otherwise(0L))
+      .cast("double") / count(lit(1)))
+    val ranks = vals.join(est, Seq("scope")).groupBy("scope").agg(
+      fr(col("o_totalprice") <= col("p50")).as("le50"),
+      fr(col("o_totalprice") < col("p50")).as("lt50"),
+      fr(col("o_totalprice") <= col("p95")).as("le95"),
+      fr(col("o_totalprice") < col("p95")).as("lt95"),
+      fr(col("o_totalprice") <= col("p99")).as("le99"),
+      fr(col("o_totalprice") < col("p99")).as("lt99"))
+    est.join(ranks, "scope")
+      .select(col("scope"), col("n_rows"), col("p50"), col("p95"), col("p99"),
+        (col("lt50") <= lit(0.55) && col("le50") >= lit(0.45)).as("p50_in_bound"),
+        (col("lt95") <= lit(1.0) && col("le95") >= lit(0.90)).as("p95_in_bound"),
+        (col("lt99") <= lit(1.0) && col("le99") >= lit(0.94)).as("p99_in_bound"))
       .orderBy("scope")
   }
+
+  private def q107Oracle: String =
+    s"""WITH est AS (
+      |  SELECT * FROM read_parquet('${Similarity.oracleExportPath("q107est")}/*.parquet')),
+      |vals AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS scope, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT 'ALL', o_totalprice FROM orders),
+      |rk AS (
+      |  SELECT v.scope,
+      |    CAST(SUM(CASE WHEN v.o_totalprice <= e.p50 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS le50,
+      |    CAST(SUM(CASE WHEN v.o_totalprice <  e.p50 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS lt50,
+      |    CAST(SUM(CASE WHEN v.o_totalprice <= e.p95 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS le95,
+      |    CAST(SUM(CASE WHEN v.o_totalprice <  e.p95 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS lt95,
+      |    CAST(SUM(CASE WHEN v.o_totalprice <= e.p99 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS le99,
+      |    CAST(SUM(CASE WHEN v.o_totalprice <  e.p99 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS lt99
+      |  FROM vals v JOIN est e USING (scope) GROUP BY v.scope)
+      |SELECT e.scope, e.n_rows, e.p50, e.p95, e.p99,
+      |  (rk.lt50 <= 0.55 AND rk.le50 >= 0.45) AS p50_in_bound,
+      |  (rk.lt95 <= 1.0 AND rk.le95 >= 0.90) AS p95_in_bound,
+      |  (rk.lt99 <= 1.0 AND rk.le99 >= 0.94) AS p99_in_bound
+      |FROM est e JOIN rk USING (scope)
+      |ORDER BY scope""".stripMargin
 
   /** q108 — theta-sketch SET ALGEBRA in its exact regime: month-over-
     * month customer retention/churn/acquisition from per-month theta
@@ -265,9 +345,10 @@ object SketchMv {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  val all: Seq[Q] = Seq(
-    Q("q103_sketch_mv", None, q103),
-    Q("q107_kll_quantile_mv", None, q107),
+  /** `def`: the q103/q107 oracles name the export path THIS run wrote. */
+  def all: Seq[Q] = Seq(
+    Q("q103_sketch_mv", Some(q103Oracle), q103),
+    Q("q107_kll_quantile_mv", Some(q107Oracle), q107),
     Q("q108_theta_retention", Some(q108Oracle), q108),
     Q("q109_join_size", Some(q109Oracle), q109),
     Q("q118_kll_exact", Some(q118Oracle), q118))

@@ -644,6 +644,24 @@ object GraftCatalog {
         }
         FileStat(p, row.getLong(1), cols,
           fsMeta.get(p).map(_._1), fsMeta.get(p).map(_._2))
+      } match {
+        // a ZERO-ROW file produces no group in the agg (the schema-
+        // bearing file a CREATE TABLE commits, a fully-filtered write
+        // task) — synthesize its entry rather than publish a sidecar
+        // that silently under-covers the manifest: every consumer
+        // (estimates, profiles, CBO stats) keys completeness on
+        // "every manifest file has a stat line".
+        case got =>
+          val have = got.map(_.path).toSet
+          got ++ files.map(f => org.apache.hadoop.fs.Path
+              .getPathWithoutSchemeAndAuthority(
+                new org.apache.hadoop.fs.Path(f)).toString)
+            .filterNot(have).map { p =>
+              FileStat(p, 0L, fields.map(f =>
+                ColStat(f.name, f.dataType.catalogString, null, null, 0L,
+                  None, Some(0L))),
+                fsMeta.get(p).map(_._1), fsMeta.get(p).map(_._2))
+            }
       }
   }
 
@@ -2298,6 +2316,83 @@ object GraftCatalog {
       allowSchemaEvolution: Boolean = false): Long =
     mergeSnapshotMorKeys(spark, root, updates, Seq(pk), meta,
       allowSchemaEvolution)
+
+  /** Fold every EQUALITY-DELETE sidecar into ONE positional deletion
+    * vector and drop the `#eqdel:` lines — the maintenance story
+    * BETWEEN compactions. Equality deletes are the zero-read write
+    * path, but each sidecar taxes EVERY subsequent read with a
+    * key-join + cover-join; on a hot table they pile up until the next
+    * compaction folds them at full-rewrite price. This verb folds them
+    * at MoR price instead: scan only the covered files still live,
+    * pin the matching rows' (path, pos), publish the SAME file list
+    * with one new `#dv:` line and zero `#eqdel:` lines — no data file
+    * is written. Content is preserved exactly (rows the sidecars
+    * already deleted become positionally dead); reads get back their
+    * sidecar-free plan shape. Per-sidecar key semantics are honored by
+    * construction: only each sidecar's own covered files scan against
+    * its own key set, so a later re-insert of a purged key survives
+    * the fold the same way it survived the sidecar. A lost commit race
+    * deletes the new DV and aborts — the shared serializable contract.
+    * SQL surface: `CALL graft.system.rewrite_eqdels('db.t')`. */
+  def rewriteEqDeletesToDv(spark: SparkSession, root: String,
+      meta: Seq[String] = Seq.empty): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val lines = readManifestLines(fs, r, head)
+    val eqLines = lines.filter(_.startsWith("#eqdel:")).map(_.stripPrefix("#eqdel:"))
+    if (eqLines.isEmpty) return head
+    val files = lines.filterNot(_.startsWith("#"))
+    val liveSet = files.toSet
+    val cs = readSchemaLine(fs, r, head)
+    val priorDvNames = readDvNames(fs, r, head)
+    val hits: Seq[DataFrame] = eqLines.flatMap { l =>
+      val (name, physPks) = parseEqDel(l)
+      val base = new org.apache.hadoop.fs.Path(deletesDir(r), name)
+      val covered = spark.read
+        .parquet(new org.apache.hadoop.fs.Path(base, "cover").toString)
+        .collect().map(_.getString(0)).filter(liveSet).sorted
+      if (covered.isEmpty) None
+      else {
+        val keys = spark.read
+          .parquet(new org.apache.hadoop.fs.Path(base, "keys").toString)
+        // PHYSICAL-name scan (keys are stored physical, rename-proof);
+        // position keys captured on the raw scan, the MoR discipline
+        val scan = cs.fold(spark.read.parquet(covered: _*))(s =>
+          spark.read.schema(physicalSchema(s)).parquet(covered: _*))
+          .withColumn("__path", dvPathKey(col("_metadata.file_path")))
+          .withColumn("__pos", col("_metadata.row_index"))
+        Some(scan.join(keys, physPks.toSeq, "left_semi")
+          .select(col("__path"), col("__pos")))
+      }
+    }
+    val carriedMeta = lines.filter(l =>
+      l.startsWith("#stats:") || l.startsWith("#schema:") || l.startsWith("#dv:"))
+    def publish(extraDv: Option[String], cleanup: => Unit): Long = {
+      val next = head + 1
+      try {
+        publishManifest(fs, r, next,
+          carriedMeta ++ extraDv.map(n => s"#dv:$n").toSeq ++
+            ("#rewrite:eqdels" +: meta) ++ files)
+        next
+      } catch {
+        case e: SnapshotConflictException => cleanup; throw e
+      }
+    }
+    if (hits.isEmpty) return publish(None, ())
+    val matched = hits.reduce(_ unionAll _).distinct()
+    val fresh = dvDf(spark, r, priorDvNames)
+      .fold(matched)(p => matched.join(p, Seq("__path", "__pos"), "left_anti"))
+    val name = s"dv-${System.nanoTime()}"
+    val dvPath = new org.apache.hadoop.fs.Path(deletesDir(r), name)
+    fresh.write.parquet(dvPath.toString)
+    if (spark.read.parquet(dvPath.toString).isEmpty) {
+      // every eqdel row was already positionally dead (or matched
+      // nothing live): the lines still drop, no new DV needed
+      fs.delete(dvPath, true)
+      publish(None, ())
+    } else
+      publish(Some(name), fs.delete(dvPath, true))
+  }
 
   /** Composite-key [[mergeSnapshotMor]] — tuple-keyed DV shadowing. */
   def mergeSnapshotMorKeys(spark: SparkSession, root: String,
@@ -4360,6 +4455,76 @@ object GraftCatalog {
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
       .withColumn("n_rows", lit(nRows))
+  }
+
+  /** The sidecar's column profile as CATALYST CBO STATISTICS — the
+    * bridge that lets join reordering and broadcast decisions see real
+    * numbers instead of raw file bytes, at ZERO data I/O (the sidecar
+    * is already parsed for skipping). Per column: exact null count,
+    * folded min/max (NUMERIC types only — their external-string form
+    * round-trips through `CatalogColumnStat.fromExternalString`
+    * unambiguously; date/timestamp/string skip min/max but keep
+    * NDV + nulls, which equality-selectivity estimation needs most),
+    * and NDV = min(Σ per-file HLL, rowCount) — the `ndv_hi` bracket
+    * clamped by the row count. Columns are LOGICAL names (rename-
+    * proof), matching the read plan's attributes. None when any file
+    * lacks stats (pre-sidecar history) — CBO falls back to sizes
+    * rather than trusting a partial profile. */
+  def snapshotCatalogStats(spark: SparkSession, root: String,
+      version: Option[Long] = None):
+      Option[org.apache.spark.sql.catalyst.catalog.CatalogStatistics] = {
+    val (fs, r) = fsOf(spark, root)
+    val vs = versionsAt(fs, r)
+    if (vs.isEmpty) return None
+    val v = version.getOrElse(vs.last)
+    val files = readManifest(fs, r, v)
+    val cs = readSchemaLine(fs, r, v)
+    val stats = statsLogical(readStats(spark, root, v), cs)
+    if (files.isEmpty || !files.forall(stats.contains)) return None
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val perFile = files.map(stats)
+    val rowCount = perFile.map(_.rows).sum
+    val bytes = perFile.map(_.len.getOrElse(0L)).sum
+    def better(a: String, b: String, typ: String, wantMin: Boolean): String = {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.unsafe.types.UTF8String
+      if (a == null) return b
+      if (b == null) return a
+      val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(typ)
+      def lift(s: String) = Cast(
+        Literal(UTF8String.fromString(s), org.apache.spark.sql.types.StringType),
+        dt, Option(tz), EvalMode.TRY)
+      val aLeB = Option(LessThanOrEqual(lift(a), lift(b)).eval(InternalRow.empty))
+        .exists(_ == true)
+      if (aLeB == wantMin) a else b
+    }
+    val numericTyp = raw"tinyint|smallint|int|bigint|float|double|decimal\(.*\)".r
+    val colNames = perFile.flatMap(_.cols.map(_.col)).distinct
+    val colStats = colNames.flatMap { c =>
+      val entries = perFile.map(_.cols.find(_.col == c))
+      if (entries.exists(_.isEmpty)) None
+      else {
+        val es = entries.flatten
+        val typ = es.head.typ
+        val nulls = BigInt(es.map(_.nc).sum)
+        val ndv =
+          if (es.exists(_.ndv.isEmpty)) None
+          else Some(BigInt(math.min(es.map(_.ndv.get).sum, math.max(rowCount, 1L))))
+        val (mn, mx) =
+          if (numericTyp.matches(typ))
+            (Option(es.map(_.mn).reduce((a, b) => better(a, b, typ, wantMin = true))),
+              Option(es.map(_.mx).reduce((a, b) => better(a, b, typ, wantMin = false))))
+          else (None, None)
+        Some(c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+          distinctCount = ndv, min = mn, max = mx,
+          nullCount = Some(nulls), avgLen = None, maxLen = None))
+      }
+    }.toMap
+    Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+      sizeInBytes = BigInt(math.max(bytes, 1L)),
+      rowCount = Some(BigInt(rowCount)), colStats = colStats))
   }
 
   /** PARTITION-AWARE compaction: rewrite only partitions fragmented

@@ -94,7 +94,48 @@ case class GraftCatalogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSnapshotTable] =>
       val t = r.table.asInstanceOf[GraftSnapshotTable]
       val read = GraftCatalog.readSnapshotAuto(spark, t.root, t.pinned)
-      val analyzed = read.queryExecution.analyzed
+      val analyzed0 = read.queryExecution.analyzed
+      // CBO bridge: stamp the table's DATA-file relation (not DV/eqdel
+      // sidecar scans) with the stats sidecar's rowCount + per-column
+      // min/max/nulls/NDV, so FilterEstimation / join reordering /
+      // broadcast decisions see real numbers instead of raw file
+      // bytes. Zero extra I/O — the sidecar is already parsed. Any
+      // stamping failure falls back to the unstamped plan: stats are
+      // an optimization, never a correctness dependency.
+      val analyzed = scala.util.Try {
+        GraftCatalog.snapshotCatalogStats(spark, t.root, t.pinned) match {
+          case None => analyzed0
+          case Some(st) =>
+            val rootStripped = org.apache.hadoop.fs.Path
+              .getPathWithoutSchemeAndAuthority(
+                new org.apache.hadoop.fs.Path(t.root)).toString
+            // the table's own scan lists the root or files under
+            // root/data; DV/eqdel sidecar scans live under
+            // root/_deletes and must NOT carry table-level stats
+            def isTableData(p: org.apache.hadoop.fs.Path): Boolean = {
+              val s = org.apache.hadoop.fs.Path
+                .getPathWithoutSchemeAndAuthority(p).toString
+              (s == rootStripped || s.startsWith(rootStripped + "/")) &&
+                !s.startsWith(rootStripped + "/_deletes")
+            }
+            val ct = org.apache.spark.sql.catalyst.catalog.CatalogTable(
+              identifier = org.apache.spark.sql.catalyst.TableIdentifier(t.name()),
+              tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+              storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty,
+              schema = t.schema(), provider = Some("graft"),
+              stats = Some(st))
+            analyzed0.transform {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+                  if lr.catalogTable.isEmpty &&
+                    lr.relation.isInstanceOf[
+                      org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+                    lr.relation.asInstanceOf[
+                        org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                      .location.rootPaths.forall(isTableData) =>
+                lr.copy(catalogTable = Some(ct))
+            }
+        }
+      }.getOrElse(analyzed0)
       val byName = analyzed.output
         .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
       Project(r.output.map { o =>

@@ -42,6 +42,7 @@ object GraftProcedures {
     "compact" -> (c => compact(c)),
     "compact_zorder" -> (c => compactZorder(c)),
     "compact_partitioned" -> (c => compactPartitioned(c)),
+    "rewrite_eqdels" -> (c => rewriteEqdels(c)),
     "rollback" -> (c => rollback(c)),
     "tag" -> (c => tag(c)),
     "create_branch" -> (c => createBranch(c)),
@@ -142,6 +143,15 @@ object GraftProcedures {
           if (whereSql.trim.isEmpty) None
           else Some(org.apache.spark.sql.functions.expr(whereSql)))
         (versionOut, InternalRow(v))
+    }
+
+  private def rewriteEqdels(c: GraftTableCatalog): UnboundProcedure =
+    proc("rewrite_eqdels",
+      "fold equality-delete sidecars into one positional deletion " +
+        "vector (no data rewrite); reads get their sidecar-free plan back",
+      Array(param("table", StringType))) { (t, in) =>
+      val v = GraftCatalog.rewriteEqDeletesToDv(spark, c.resolveTableArg(t))
+      (versionOut, InternalRow(v))
     }
 
   private def rollback(c: GraftTableCatalog): UnboundProcedure =

@@ -444,6 +444,15 @@ final case class GraftSnapshotTable(root: String, pinned: Option[Long],
           override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
             val (rows, bytes) =
               GraftCatalog.snapshotStatsEstimate(spark, root, pinned)
+            // v2 colStats from the sidecar profile (r15): any stats
+            // probe over the catalog table sees per-column
+            // NDV/nulls/min/max with zero data I/O. The READ path's
+            // CBO numbers flow through the analyzer-rule stamping
+            // (GraftCatalogReadRule); this surface serves DESCRIBE
+            // and external planners talking raw DSv2.
+            val profile = scala.util.Try(
+              GraftCatalog.snapshotCatalogStats(spark, root, pinned))
+              .toOption.flatten
             new org.apache.spark.sql.connector.read.Statistics {
               override def sizeInBytes(): java.util.OptionalLong =
                 bytes.map(java.util.OptionalLong.of)
@@ -451,6 +460,32 @@ final case class GraftSnapshotTable(root: String, pinned: Option[Long],
               override def numRows(): java.util.OptionalLong =
                 rows.map(java.util.OptionalLong.of)
                   .getOrElse(java.util.OptionalLong.empty())
+              override def columnStats(): java.util.Map[
+                  org.apache.spark.sql.connector.expressions.NamedReference,
+                  org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+                val m = new java.util.HashMap[
+                  org.apache.spark.sql.connector.expressions.NamedReference,
+                  org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+                profile.foreach(_.colStats.foreach { case (name, cs) =>
+                  m.put(
+                    org.apache.spark.sql.connector.expressions.Expressions.column(name),
+                    new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                      override def distinctCount(): java.util.OptionalLong =
+                        cs.distinctCount.map(d => java.util.OptionalLong.of(d.toLong))
+                          .getOrElse(java.util.OptionalLong.empty())
+                      override def nullCount(): java.util.OptionalLong =
+                        cs.nullCount.map(n => java.util.OptionalLong.of(n.toLong))
+                          .getOrElse(java.util.OptionalLong.empty())
+                      override def min(): java.util.Optional[Object] =
+                        cs.min.map(v => java.util.Optional.of(v: Object))
+                          .getOrElse(java.util.Optional.empty[Object]())
+                      override def max(): java.util.Optional[Object] =
+                        cs.max.map(v => java.util.Optional.of(v: Object))
+                          .getOrElse(java.util.Optional.empty[Object]())
+                    })
+                })
+                m
+              }
             }
           }
         }

@@ -59,6 +59,30 @@ final class GraftSnapshotSource(sqlContext: SQLContext, root: String,
   private def head(): Long =
     GraftCatalog.snapshotVersions(spark, root).lastOption.getOrElse(startAfter)
 
+  /** The vacuum/cursor race, made LOUD: a checkpointed stream whose
+    * cursor version was reaped by [[GraftCatalog.vacuumSnapshots]] can
+    * never serve its next range (the manifests are gone) — without
+    * this guard the failure mode is either an obscure missing-file
+    * error or, worse, a silent skip to the oldest survivor that drops
+    * every change in between. Exactly-once beats availability here:
+    * fail with the named error and the operator's choices spelled
+    * out. Checked on every resume path (offset negotiation AND batch
+    * replay from the offset log). */
+  private def requireNotVacuumed(fromV: Long): Unit =
+    if (fromV > startAfter) {
+      val vs = GraftCatalog.snapshotVersions(spark, root)
+      if (!vs.contains(fromV))
+        throw new IllegalStateException(
+          s"vacuumed past streaming checkpoint: this stream's cursor is at " +
+            s"version $fromV of $root, but the oldest surviving version is " +
+            s"${vs.headOption.getOrElse(-1L)} — vacuumSnapshots reaped history " +
+            "this checkpoint still needs (a restart re-reads the last " +
+            "completed batch's START version, so that version must survive " +
+            "too). Either restart from a fresh checkpoint (full reprocess), " +
+            s"or keep retention at or below version $fromV: vacuum with " +
+            s"keepFrom <= $fromV, or pin it with a tag.")
+    }
+
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(head())
 
@@ -70,6 +94,7 @@ final class GraftSnapshotSource(sqlContext: SQLContext, root: String,
   // start, never past the head (or the AvailableNow pin).
   override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
     val from = Option(start).map(versionOf).getOrElse(startAfter)
+    requireNotVacuumed(from)
     if (from > cursor) cursor = from
     val hd = availableNowCap.fold(head())(c => math.min(head(), c))
     if (hd > cursor) cursor = math.min(hd, cursor + maxVersionsPerBatch)
@@ -96,6 +121,7 @@ final class GraftSnapshotSource(sqlContext: SQLContext, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(versionOf).getOrElse(startAfter)
     val toV = versionOf(end)
+    requireNotVacuumed(fromV)
     cursor = math.max(cursor, toV)
     val batch =
       if (toV <= fromV) GraftSnapshotStream.empty(spark, schema)

@@ -1,6 +1,8 @@
 package graft
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 
 /** Cost-based optimization: the reference's central claim is the engine
@@ -12,19 +14,48 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
   * assert both directions: the stats-less plan is the conservative shape,
   * the stats plan is the cheap one.
   */
-class CboSpec extends AnyFunSuite {
+class CboSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
-  private def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+  override def afterAll(): Unit = {
+    // later suites rely on the shared session being active/default
+    SparkSession.setActiveSession(TestSpark.spark)
+    SparkSession.setDefaultSession(TestSpark.spark)
+  }
+
+  /** A graft-catalog session: sidecar-fed CBO needs catalog reads to
+    * resolve through the injected rule (the stamping site). */
+  private val gwh = s"/tmp/graft-cbo-wh-${System.nanoTime()}"
+  private lazy val gspark: SparkSession = {
+    TestSpark.spark // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-cbo")
+      .withExtensions(new graft.GraftExtensions())
+      .config("spark.sql.catalog.graft_cbo", "graft.sources.GraftTableCatalog")
+      .config("spark.sql.catalog.graft_cbo.warehouse", gwh)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cbo.db")
+    s
+  }
+
+  private def withConfOn(s: SparkSession)(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+    pairs.foreach { case (k, v) => s.conf.set(k, v) }
     try f
     finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
     }
   }
+
+  private def withConf(pairs: (String, String)*)(f: => Unit): Unit =
+    withConfOn(spark)(pairs: _*)(f)
 
   private def saveTable(src: String, as: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $as")
@@ -99,6 +130,66 @@ class CboSpec extends AnyFunSuite {
         s"CBO join reorder did not move the selective customer join innermost: $leaves")
       assert(!(leaves.exists(_.contains("cbo_lineitem2")) && leaves.exists(_.contains("cbo_orders2"))),
         s"CBO kept the fact-fact join innermost: $leaves")
+    }
+  }
+
+  test("graft catalog tables feed CBO from the stats sidecar - no ANALYZE needed") {
+    val s = gspark
+    // seed tables THROUGH the catalog: each commit writes its stats
+    // sidecar, and that alone must power CBO (the point of this test —
+    // Hive tables need an ANALYZE pass; a 100 TB graft table gets the
+    // same numbers free at commit time)
+    Seq("lineitem" -> "cbo_li", "orders" -> "cbo_ord", "customer" -> "cbo_cust")
+      .foreach { case (src, as) =>
+        s.sql(s"DROP TABLE IF EXISTS graft_cbo.db.$as")
+        Tables.df(s, sf, src).writeTo(s"graft_cbo.db.$as").create()
+      }
+    // sidecar stats are visible on the optimized plan: rowCount + NDV
+    withConfOn(s)("spark.sql.cbo.enabled" -> "true") {
+      val st = s.sql("SELECT * FROM graft_cbo.db.cbo_ord")
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.exists(_ > 0), s"no rowCount from the sidecar: $st")
+      assert(st.attributeStats.exists { case (a, cs) =>
+        a.name == "o_orderkey" && cs.distinctCount.exists(_ > 0) },
+        s"no o_orderkey NDV from the sidecar: ${st.attributeStats}")
+    }
+    val q = """SELECT l.l_orderkey, o.o_totalprice
+              |FROM graft_cbo.db.cbo_li l
+              |JOIN graft_cbo.db.cbo_ord o ON l.l_orderkey = o.o_orderkey
+              |WHERE o.o_orderkey < 40""".stripMargin
+    // threshold below both raw table sizes: WITHOUT the sidecar's
+    // column stats the filter keeps the full size estimate → shuffle
+    withConfOn(s)(
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096",
+      "spark.sql.cbo.enabled" -> "false") {
+      val before = s.sql(q).queryExecution.sparkPlan.toString
+      assert(before.contains("SortMergeJoin") && !before.contains("BroadcastHashJoin"),
+        s"expected the size-only plan to shuffle:\n$before")
+    }
+    // WITH CBO the sidecar's min/max bound the filter's selectivity and
+    // the filtered orders side broadcasts — no ANALYZE ever ran
+    withConfOn(s)(
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096",
+      "spark.sql.cbo.enabled" -> "true") {
+      val after = s.sql(q).queryExecution.sparkPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"sidecar column stats did not flip the join to broadcast:\n$after")
+    }
+    // 3-table reorder: written worst-first (fact ⋈ fact), the sidecar's
+    // rowCounts + NDVs must move the selective customer join innermost
+    val q3 = """SELECT count(*) AS n
+               |FROM graft_cbo.db.cbo_li l
+               |JOIN graft_cbo.db.cbo_ord o ON l.l_orderkey = o.o_orderkey
+               |JOIN graft_cbo.db.cbo_cust c ON o.o_custkey = c.c_custkey
+               |WHERE c.c_custkey < 10""".stripMargin
+    withConfOn(s)(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      val leaves = deepestJoinLeaves(s.sql(q3).queryExecution.optimizedPlan)
+      assert(leaves.exists(_.contains("cbo_cust")),
+        s"sidecar-fed join reorder did not move customer innermost: $leaves")
+      assert(!(leaves.exists(_.contains("cbo_li")) && leaves.exists(_.contains("cbo_ord"))),
+        s"sidecar-fed CBO kept the fact-fact join innermost: $leaves")
     }
   }
 }

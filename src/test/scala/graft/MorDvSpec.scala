@@ -26,6 +26,47 @@ class MorDvSpec extends AnyFunSuite {
   private def dataFiles(root: String): Seq[String] =
     GraftCatalog.snapshotScanFiles(spark, root)._1
 
+  test("rewrite_eqdels folds equality-delete sidecars into one DV, zero data rewrite") {
+    import spark.implicits._
+    val root = freshTable("eqfold")
+    val beforeRows = GraftCatalog.readSnapshot(spark, root).collect().toSet
+    // two sidecars pile up, then a re-insert of a purged key (which
+    // must survive the fold exactly as it survives the sidecar), then
+    // a third sidecar whose keys match nothing
+    GraftCatalog.deleteSnapshotKeysMor(spark, root, Seq(2L, 3L).toDF("id"), Seq("id"))
+    GraftCatalog.deleteSnapshotKeysMor(spark, root, Seq(10L).toDF("id"), Seq("id"))
+    GraftCatalog.commitSnapshot(
+      Seq((2L, 2L % 7, 999L)).toDF("id", "grp", "amount"), root, append = true)
+    GraftCatalog.deleteSnapshotKeysMor(spark, root,
+      Seq(999999L).toDF("id"), Seq("id"))
+    val filesPreFold = dataFiles(root).toSet
+    val preFold = GraftCatalog.readSnapshot(spark, root).collect().toSet
+    assert(preFold.size == 998) // 1000 - {2,3,10} + re-inserted 2
+    val v = GraftCatalog.rewriteEqDeletesToDv(spark, root)
+    // content preserved EXACTLY; same data files; no #eqdel survives
+    assert(GraftCatalog.readSnapshot(spark, root).collect().toSet == preFold)
+    assert(dataFiles(root).toSet == filesPreFold,
+      "fold must not add/remove/rewrite any data file")
+    val hist = GraftCatalog.describeSnapshotHistory(spark, root)
+      .where(col("version") === v).select("meta").head().getString(0)
+    assert(hist.contains("#rewrite:eqdels"))
+    val (eqAfter, dvAfter) = {
+      val ls = spark.read.textFile(s"$root/_manifests/v$v.manifest").collect().toSeq
+      (ls.count(_.startsWith("#eqdel:")), ls.count(_.startsWith("#dv:")))
+    }
+    assert(eqAfter == 0, "every #eqdel line must drop")
+    assert(dvAfter == 1, s"exactly one folded DV expected, got $dvAfter")
+    // re-inserted key 2 is alive; originals 3 and 10 stay dead
+    val ids = GraftCatalog.readSnapshot(spark, root)
+      .where(col("id").isin(2L, 3L, 10L)).select("id", "amount").collect()
+    assert(ids.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 999L)))
+    // idempotent: nothing left to fold
+    assert(GraftCatalog.rewriteEqDeletesToDv(spark, root) == v)
+    // time travel to the pre-fold version still serves the sidecars
+    assert(GraftCatalog.readSnapshot(spark, root, Some(v - 1)).collect().toSet == preFold)
+    assert(GraftCatalog.readSnapshot(spark, root, Some(1L)).collect().toSet == beforeRows)
+  }
+
   test("MoR delete of scattered keys publishes zero rewritten data files") {
     val root = freshTable("scatter")
     val before = dataFiles(root).toSet

@@ -1162,6 +1162,49 @@ class StreamingSpec extends AnyFunSuite {
       s"expected the DV'd row as a delete: $outRows")
   }
 
+  test("vacuum past a streaming checkpoint fails LOUDLY on resume, never silently skips") {
+    import spark.implicits._
+    import graft.streaming.GraftSnapshotStream
+    val root = "/tmp/graft-streams/snapvac_" + System.nanoTime()
+    val ckpt = root + "_ckpt"
+    GraftCatalog.commitSnapshot(Seq((1L, "a")).toDF("id", "v"), root, append = false)
+    GraftCatalog.commitSnapshot(Seq((2L, "b")).toDF("id", "v"), root, append = true)
+    GraftCatalog.commitSnapshot(Seq((3L, "c")).toDF("id", "v"), root, append = true)
+    def drain(): Set[Long] = {
+      val got = scala.collection.mutable.Set.empty[Long]
+      val q = GraftSnapshotStream.read(spark, root).writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.collect().map(_.getLong(0)); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.toSet
+    }
+    assert(drain() == Set(1L, 2L, 3L)) // checkpoint cursor = version 3
+    GraftCatalog.commitSnapshot(Seq((4L, "d")).toDF("id", "v"), root, append = true)
+    GraftCatalog.commitSnapshot(Seq((5L, "e")).toDF("id", "v"), root, append = true)
+    // positive control: retention kept everything the checkpoint still
+    // references (the last completed batch was (2, 3] — a restart
+    // re-reads its START version, so keepFrom = 2 is the safe floor) →
+    // the stream resumes correctly, serving exactly the new versions
+    GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 2L, orphanGraceMs = 0L)
+    assert(drain() == Set(4L, 5L)) // cursor = 5
+    // now vacuum PAST the checkpoint: the cursor's version is reaped —
+    // resume must fail with the NAMED error, not skip to the survivor
+    GraftCatalog.commitSnapshot(Seq((6L, "f")).toDF("id", "v"), root, append = true)
+    GraftCatalog.commitSnapshot(Seq((7L, "g")).toDF("id", "v"), root, append = true)
+    GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 7L, orphanGraceMs = 0L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("vacuumed past streaming checkpoint")),
+      s"expected the named vacuum-race error, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("native snapshot stream SINK: one version per micro-batch, exactly-once replay") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
