@@ -275,17 +275,89 @@ object Multimodal {
               ((id + f * 7 + x + y) % 256).toInt))
         })
       })
-    videos
-      .flatMap { v =>
-        v.frames.indices.by(2).map { f => // sample BEFORE decoding
-          val (w, h, gray) = bmpGray(v.frames(f))
-          FrameFeatures(v.doc_id, f, w, h,
-            gray.sum.toDouble / gray.length, aHash64(w, h, gray))
-        }
+    // sample BEFORE decoding — the load-bearing scale property; the
+    // SAMPLED frames' payloads export (r15) and DuckDB replays the
+    // whole decode→thumbnail→hash pipeline from the bytes
+    val sampled = videos.flatMap(v =>
+      v.frames.indices.by(2).map(f => (v.doc_id, f, v.frames(f))))
+    sampled.toDF("doc_id", "frame_idx", "payload")
+      .write.mode("overwrite").parquet(Similarity.exportPath("m02frames", d))
+    sampled
+      .map { case (id, f, bmp) =>
+        val (w, h, gray) = bmpGray(bmp)
+        FrameFeatures(id, f, w, h,
+          gray.sum.toDouble / gray.length, aHash64(w, h, gray))
       }
       .toDF()
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** Shared DuckDB CTE chain replaying [[bmpGray]] + [[resizeNearest]]
+    * + [[aHash64]] over an exported `(doc_id, frame_idx, payload)`
+    * frame corpus: bottom-up BMP rows flip to top-down luminance
+    * (`px`: integer (r+g+b)/3), 8×8 nearest-neighbor thumbnail by the
+    * exact `i·side/8` floor index (`th`), average-hash bits in mod-2⁶⁴
+    * arithmetic (`ah`). All divisions that feed doubles are by powers
+    * of two (64, w·h=256), so the replay is bit-exact. `maxY`/`maxX`
+    * bound the constant pixel series (DuckDB: no subquery args to
+    * generate_series); the WHERE clips to the real per-frame extents. */
+  private def grayAhashCtes(stage: String, maxY: Int, maxX: Int): String =
+    s"""hm AS (
+      |  SELECT upper(lpad(hex(i), 2, '0')) AS hx2, i AS v
+      |  FROM generate_series(0, 255) s(i)),
+      |m AS (
+      |  SELECT doc_id, frame_idx, hex(payload) AS hx
+      |  FROM read_parquet('${Similarity.oracleExportPath(stage)}/*.parquet')),
+      |hb AS (
+      |  SELECT m.doc_id, m.frame_idx, g.i AS i, hm.v
+      |  FROM m CROSS JOIN generate_series(10, 25) g(i)
+      |  JOIN hm ON hm.hx2 = substr(m.hx, 2*g.i+1, 2)),
+      |hdr AS (
+      |  SELECT doc_id, frame_idx,
+      |    CAST(SUM(CASE WHEN i BETWEEN 10 AND 13 THEN v * (1::BIGINT << (8*(i-10))) ELSE 0 END) AS BIGINT) AS po,
+      |    CAST(SUM(CASE WHEN i BETWEEN 18 AND 21 THEN v * (1::BIGINT << (8*(i-18))) ELSE 0 END) AS INTEGER) AS w,
+      |    CAST(SUM(CASE WHEN i BETWEEN 22 AND 25 THEN v * (1::BIGINT << (8*(i-22))) ELSE 0 END) AS INTEGER) AS h
+      |  FROM hb GROUP BY doc_id, frame_idx),
+      |hdr2 AS (SELECT doc_id, frame_idx, po, w, h, ((w*3+3)//4)*4 AS stride FROM hdr),
+      |px AS (
+      |  SELECT m.doc_id, m.frame_idx, gy.y AS y, gx.x AS x,
+      |    (h0.v + h1.v + h2.v) // 3 AS lum
+      |  FROM m JOIN hdr2 d USING (doc_id, frame_idx)
+      |  CROSS JOIN generate_series(0, $maxY) gy(y)
+      |  CROSS JOIN generate_series(0, $maxX) gx(x)
+      |  JOIN hm h0 ON h0.hx2 = substr(m.hx, 2*(d.po + (d.h-1-gy.y)*d.stride + 3*gx.x)+1, 2)
+      |  JOIN hm h1 ON h1.hx2 = substr(m.hx, 2*(d.po + (d.h-1-gy.y)*d.stride + 3*gx.x+1)+1, 2)
+      |  JOIN hm h2 ON h2.hx2 = substr(m.hx, 2*(d.po + (d.h-1-gy.y)*d.stride + 3*gx.x+2)+1, 2)
+      |  WHERE gy.y < d.h AND gx.x < d.w),
+      |th AS (
+      |  SELECT p.doc_id, p.frame_idx, g.ty, g.tx, p.lum
+      |  FROM px p JOIN hdr2 d USING (doc_id, frame_idx)
+      |  CROSS JOIN (SELECT a.ty, b.tx FROM generate_series(0, 7) a(ty),
+      |              generate_series(0, 7) b(tx)) g
+      |  WHERE p.y = g.ty*d.h//8 AND p.x = g.tx*d.w//8),
+      |mn AS (
+      |  SELECT doc_id, frame_idx, CAST(SUM(lum) AS DOUBLE)/64 AS mean
+      |  FROM th GROUP BY doc_id, frame_idx),
+      |ah AS (
+      |  SELECT t.doc_id, t.frame_idx,
+      |    CAST(SUM(CASE WHEN t.lum > mn.mean AND t.ty*8+t.tx < 63
+      |        THEN (1::BIGINT << (t.ty*8+t.tx)) ELSE 0 END) AS BIGINT)
+      |      + CAST(SUM(CASE WHEN t.lum > mn.mean AND t.ty*8+t.tx = 63
+      |        THEN (-9223372036854775807 - 1)::HUGEINT ELSE 0::HUGEINT END) AS BIGINT)
+      |      AS ahash64
+      |  FROM th t JOIN mn USING (doc_id, frame_idx)
+      |  GROUP BY t.doc_id, t.frame_idx)""".stripMargin
+
+  private def m02Oracle: String =
+    s"""WITH ${grayAhashCtes("m02frames", 15, 15)},
+      |mb AS (
+      |  SELECT doc_id, frame_idx, CAST(SUM(lum) AS DOUBLE)/COUNT(*) AS mean_byte
+      |  FROM px GROUP BY doc_id, frame_idx)
+      |SELECT a.doc_id, a.frame_idx, d.w AS width, d.h AS height,
+      |  mb.mean_byte, a.ahash64
+      |FROM ah a JOIN hdr2 d USING (doc_id, frame_idx)
+      |JOIN mb USING (doc_id, frame_idx)
+      |ORDER BY doc_id, frame_idx""".stripMargin
 
   /** One audio row entering the decode stage. */
   final case class AudioRow(doc_id: Long, payload: Array[Byte])
@@ -403,7 +475,11 @@ object Multimodal {
     * the LE sample-rate/data-size header words, `sm` maps a 4-hex-char
     * little-endian pair to its SIGNED 16-bit value, `samp` walks every
     * clip's samples. Composes after [[blobCtes]]. */
-  private def wavCtes: String =
+  private def wavCtes: String = wavCtesN(4095)
+
+  /** [[wavCtes]] with a caller-chosen sample-series bound (m08's clips
+    * run to ~8000 samples; m03/m04 stay under 2400). */
+  private def wavCtesN(maxN: Int): String =
     s"""hdr AS (
       |  SELECT m.doc_id,
       |    CAST(SUM(CASE WHEN g.i BETWEEN 24 AND 27 THEN hm.v * (1::BIGINT << (8*(g.i-24))) ELSE 0 END) AS INTEGER) AS rate,
@@ -418,7 +494,7 @@ object Multimodal {
       |samp AS (
       |  SELECT m.doc_id, g.i AS i, sm.s
       |  FROM m JOIN hdr USING (doc_id)
-      |  CROSS JOIN generate_series(0, 4095) g(i)
+      |  CROSS JOIN generate_series(0, $maxN) g(i)
       |  JOIN sm ON sm.hx4 = substr(m.hx, 2*(44 + 2*g.i)+1, 4)
       |  WHERE g.i < hdr.n)""".stripMargin
 
@@ -644,15 +720,34 @@ object Multimodal {
   private def m05(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val sigs = graft.Tables.df(s, d, "documents")
+    val media = graft.Tables.df(s, d, "documents")
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val (w, h, gray) = bmpGray(synthImageBytes(id))
+      .mapPartitions(_.map(id => (id, 0, synthImageBytes(id))))
+    // ORACLE-CHECKED (r15): image payloads export; DuckDB replays
+    // decode→aHash AND the d04 quadrant-block pairing end to end
+    media.toDF("doc_id", "frame_idx", "payload")
+      .write.mode("overwrite").parquet(Similarity.exportPath("m05media", d))
+    val sigs = media
+      .map { case (id, _, bytes) =>
+        val (w, h, gray) = bmpGray(bytes)
         (id, aHash64(w, h, gray))
-      })
+      }
       .toDF("doc_id", "simhash")
     graft.operators.Dedup.simhashPairs(sigs)
   }
+
+  private def m05Oracle: String =
+    s"""WITH ${grayAhashCtes("m05media", 15, 15)},
+      |blk AS (
+      |  SELECT doc_id, ahash64, q, (ahash64 >> (q * 16)) & 65535 AS bits
+      |  FROM ah, (SELECT unnest([0, 1, 2, 3]) AS q)),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(bit_count(xor(a.ahash64, b.ahash64)) AS INTEGER) AS hamming
+      |  FROM blk a JOIN blk b
+      |  ON a.q = b.q AND a.bits = b.bits AND a.doc_id < b.doc_id)
+      |SELECT DISTINCT a_id, b_id, hamming
+      |FROM p WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
 
   /** m06 — shot-boundary detection: synthesize videos whose frame
     * pattern JUMPS at a doc-dependent cut point (two "shots"), decode
@@ -683,7 +778,7 @@ object Multimodal {
 
   private def m06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val frames = graft.Tables.df(s, d, "documents")
+    val raw = graft.Tables.df(s, d, "documents")
       .where(col("doc_id") % 10 === 0)
       .select(col("doc_id"),
         // nf ∈ 5..8, cut ∈ 2..4 — the cut always lands strictly inside
@@ -691,11 +786,17 @@ object Multimodal {
         (pmod(xxhash64(col("doc_id"), lit(7)), lit(3)) + 2).cast("int").as("cut"))
       .as[(Long, Int, Int)]
       .mapPartitions(_.flatMap { case (id, nf, cut) =>
-        shotVideo(id, nf, cut).zipWithIndex.map { case (bmp, f) =>
-          val (w, h, gray) = bmpGray(bmp)
-          (id, f, aHash64(w, h, gray))
-        }
+        shotVideo(id, nf, cut).zipWithIndex.map { case (bmp, f) => (id, f, bmp) }
       })
+    // ORACLE-CHECKED (r15): frame payloads export; DuckDB replays
+    // decode→aHash AND the lag/XOR/bit_count boundary scan
+    raw.toDF("doc_id", "frame_idx", "payload")
+      .write.mode("overwrite").parquet(Similarity.exportPath("m06frames", d))
+    val frames = raw
+      .map { case (id, f, bmp) =>
+        val (w, h, gray) = bmpGray(bmp)
+        (id, f, aHash64(w, h, gray))
+      }
       .toDF("doc_id", "frame_idx", "ahash")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("frame_idx")
@@ -707,6 +808,18 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").as("cut_frame"), col("hamming"))
       .orderBy("doc_id", "cut_frame")
   }
+
+  private def m06Oracle: String =
+    s"""WITH ${grayAhashCtes("m06frames", 15, 15)},
+      |lagged AS (
+      |  SELECT doc_id, frame_idx, ahash64,
+      |    lag(ahash64) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+      |  FROM ah)
+      |SELECT doc_id, frame_idx AS cut_frame,
+      |  CAST(bit_count(xor(ahash64, prev)) AS INTEGER) AS hamming
+      |FROM lagged
+      |WHERE prev IS NOT NULL AND bit_count(xor(ahash64, prev)) >= 16
+      |ORDER BY doc_id, cut_frame""".stripMargin
 
   /** Shared-clip synthesizer: frames in [segStart, segStart+segLen)
     * render an id-INDEPENDENT pattern keyed only by the absolute frame
@@ -781,16 +894,49 @@ object Multimodal {
         (pmod(xxhash64(col("doc_id"), lit(5)), lit(3)) + 2).cast("int").as("ln"))
       .as[(Long, Int, Boolean, Int, Int)]
       .mapPartitions(_.flatMap { case (id, nf, lifted, st, ln) =>
-        val frames = if (lifted) segVideo(id, nf, st, ln)
+        val fs = if (lifted) segVideo(id, nf, st, ln)
           else segVideo(id, nf, 0, 0)
-        frames.zipWithIndex.map { case (bmp, f) =>
-          val (w, h, gray) = bmpGray(bmp)
-          (id, f, aHash64(w, h, gray))
-        }
+        fs.zipWithIndex.map { case (bmp, f) => (id, f, bmp) }
       })
-      .toDF("doc_id", "frame_idx", "ahash")
-    sharedSegments(frames)
+    // ORACLE-CHECKED (r15): frame payloads export; DuckDB replays
+    // decode→aHash AND sharedSegments (hot-cap, equality join,
+    // diagonal run grouping) end to end
+    frames.toDF("doc_id", "frame_idx", "payload")
+      .write.mode("overwrite").parquet(Similarity.exportPath("m07frames", d))
+    sharedSegments(frames
+      .map { case (id, f, bmp) =>
+        val (w, h, gray) = bmpGray(bmp)
+        (id, f, aHash64(w, h, gray))
+      }
+      .toDF("doc_id", "frame_idx", "ahash"))
   }
+
+  /** DuckDB replay of [[sharedSegments]] over a CTE `fr0(doc_id,
+    * frame_idx, ahash64)`: hot-hash cap, the doc-ordered equality
+    * join, diagonal grouping, contiguity + minLen cut. */
+  private def sharedSegmentsSql(minLen: Int): String =
+    s"""hot AS (
+      |  SELECT ahash64 FROM (
+      |    SELECT ahash64, COUNT(DISTINCT doc_id) AS nv FROM fr0 GROUP BY 1)
+      |  WHERE nv > 50),
+      |fr AS (SELECT * FROM fr0 WHERE ahash64 NOT IN (SELECT ahash64 FROM hot)),
+      |pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.frame_idx AS ai, b.frame_idx AS bi
+      |  FROM fr a JOIN fr b ON a.ahash64 = b.ahash64 AND a.doc_id < b.doc_id),
+      |seg AS (
+      |  SELECT a_id, b_id, ai - bi AS diag, COUNT(*) AS n,
+      |    MIN(ai) AS a_start, MAX(ai) AS a_end, MIN(bi) AS b_start
+      |  FROM pr GROUP BY a_id, b_id, ai - bi)
+      |SELECT a_id, b_id, CAST(a_start AS INTEGER) AS a_start,
+      |  CAST(b_start AS INTEGER) AS b_start, CAST(n AS BIGINT) AS seg_len
+      |FROM seg WHERE n >= $minLen AND a_end - a_start + 1 = n
+      |ORDER BY a_id, b_id, a_start""".stripMargin
+
+  private def m07Oracle: String =
+    s"""WITH ${grayAhashCtes("m07frames", 15, 15)},
+      |fr0 AS (SELECT doc_id, frame_idx, ahash64 FROM ah),
+      |${sharedSegmentsSql(2)}""".stripMargin
 
   /** splitmix64 finalizer — deterministic white-noise samples for the
     * audio synthesizer (hash-mixed per-sample patterns; smooth
@@ -832,19 +978,60 @@ object Multimodal {
     * corpus in PipelineSpec. */
   private def m08(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val wins = graft.Tables.df(s, d, "documents")
+    val clips = graft.Tables.df(s, d, "documents")
       .where(col("doc_id") % 7 === 0)
       .select(col("doc_id"),
         pmod(col("doc_id"), lit(40)).as("cls"),
         (pmod(xxhash64(col("doc_id"), lit(2)), lit(4000)) + 4000).cast("int").as("n"))
       .as[(Long, Long, Int)]
-      .mapPartitions(_.flatMap { case (id, cls, n) =>
-        val row = AudioRow(id, encodeWav(8000, n, i =>
+      .mapPartitions(_.map { case (id, cls, n) =>
+        (id, encodeWav(8000, n, i =>
           (mix64(cls * 1000003L + i) & 0xFFFF).toShort))
-        audioFingerprints(row)
+      })
+    // ORACLE-CHECKED (r15): clip payloads export; DuckDB replays the
+    // PCM decode, the 20 ms energies, the 8-frame FNV window hash in
+    // mod-2^64 arithmetic, AND sharedSegments end to end
+    clips.toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(Similarity.exportPath("m08wav", d))
+    val wins = clips
+      .mapPartitions(_.flatMap { case (id, wav) =>
+        audioFingerprints(AudioRow(id, wav))
       })
       .toDF("doc_id", "frame_idx", "ahash")
     sharedSegments(wins, minLen = 4)
+  }
+
+  private def m08Oracle: String = {
+    // one FNV-1a step in explicit mod-2^64 arithmetic: XOR in the
+    // signed-BIGINT domain (bitwise-identical to unsigned), multiply
+    // in unsigned HUGEINT, convert back to two's-complement BIGINT
+    def unsignedOf(x: String) =
+      s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST($x AS HUGEINT) END)"
+    def signedOf(u: String) =
+      s"(CASE WHEN $u >= 9223372036854775808::HUGEINT THEN CAST($u - 18446744073709551616::HUGEINT AS BIGINT) ELSE CAST($u AS BIGINT) END)"
+    def step(h: String, e: String) = signedOf(
+      s"((${unsignedOf(s"xor($h, $e)")} * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)")
+    val steps = (0 until 8).map { k =>
+      s"""w${k + 1} AS (
+        |  SELECT s.doc_id, s.w, ${step("s.h", "f.e")} AS h
+        |  FROM w$k s JOIN frames f ON f.doc_id = s.doc_id AND f.fi = s.w + $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${blobCtes("m08wav")},
+      |${wavCtesN(8191)},
+      |frames AS (
+      |  SELECT doc_id, i // 160 AS fi,
+      |    CAST(SUM(CAST(s AS BIGINT) * s) // 160 AS BIGINT) AS e
+      |  FROM samp JOIN hdr USING (doc_id)
+      |  WHERE i < (hdr.n // 160) * 160
+      |  GROUP BY doc_id, i // 160),
+      |nf AS (SELECT doc_id, COUNT(*) AS nfr FROM frames GROUP BY doc_id),
+      |w0 AS (
+      |  SELECT f.doc_id, g.w AS w, (-3750763034362895579)::BIGINT AS h
+      |  FROM nf f CROSS JOIN generate_series(0, 63) g(w)
+      |  WHERE g.w <= f.nfr - 8),
+      |$steps,
+      |fr0 AS (SELECT doc_id, w AS frame_idx, h AS ahash64 FROM w8),
+      |${sharedSegmentsSql(4)}""".stripMargin
   }
 
   /** Per-patch features of one image: grid cell (py, px), pixel count,
@@ -892,21 +1079,48 @@ object Multimodal {
     * corpus reuses m01's generator. */
   private def m09(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.Tables.df(s, d, "documents")
+    val media = graft.Tables.df(s, d, "documents")
       .select(
         col("doc_id"),
         (pmod(xxhash64(col("doc_id")), lit(24)) + 8).cast("int").as("width"),
         (pmod(xxhash64(col("doc_id"), lit(1)), lit(24)) + 8).cast("int").as("height"))
       .as[(Long, Int, Int)]
-      .mapPartitions(_.flatMap { case (id, w0, h0) =>
-        val bytes = encodeBmp(w0, h0, (x, y) =>
-          (((id + x) % 256).toInt, ((id + y) % 256).toInt, ((id + x + y) % 256).toInt))
+      .mapPartitions(_.map { case (id, w0, h0) =>
+        (id, 0, encodeBmp(w0, h0, (x, y) =>
+          (((id + x) % 256).toInt, ((id + y) % 256).toInt, ((id + x + y) % 256).toInt)))
+      })
+    // ORACLE-CHECKED (r15): payloads export; DuckDB replays the
+    // luminance decode AND the ragged floor-boundary patch grid with
+    // the exact integer-sum mean/variance and the explicit
+    // floor(x·1e6+0.5)/1e6 rounding (bit-identical to math.round)
+    media.toDF("doc_id", "frame_idx", "payload")
+      .write.mode("overwrite").parquet(Similarity.exportPath("m09media", d))
+    media
+      .flatMap { case (id, _, bytes) =>
         val (w, h, gray) = bmpGray(bytes)
         patchGrid(id, w, h, gray, 4)
-      })
+      }
       .toDF()
       .orderBy("doc_id", "py", "px")
   }
+
+  private def m09Oracle: String =
+    s"""WITH ${grayAhashCtes("m09media", 30, 30)},
+      |patches AS (
+      |  SELECT p.doc_id, g.py, g.gx AS px, COUNT(*) AS n,
+      |    CAST(SUM(p.lum) AS DOUBLE) AS s, CAST(SUM(p.lum*p.lum) AS DOUBLE) AS s2
+      |  FROM px p JOIN hdr2 d USING (doc_id, frame_idx)
+      |  CROSS JOIN (SELECT a.py, b.gx FROM generate_series(0, 3) a(py),
+      |              generate_series(0, 3) b(gx)) g
+      |  WHERE p.y >= g.py*d.h//4 AND p.y < (g.py+1)*d.h//4
+      |    AND p.x >= g.gx*d.w//4 AND p.x < (g.gx+1)*d.w//4
+      |  GROUP BY p.doc_id, g.py, g.gx)
+      |SELECT doc_id, CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px,
+      |  CAST(n AS BIGINT) AS n_px,
+      |  floor((s/n)*1000000 + 0.5)/1000000 AS mean,
+      |  floor((s2/n - (s/n)*(s/n))*1000000 + 0.5)/1000000 AS varp
+      |FROM patches
+      |ORDER BY doc_id, py, px""".stripMargin
 
   final case class SpectralRow(doc_id: Long, top_hz: Int, p_top: Double,
       dominance: Double)
@@ -925,32 +1139,71 @@ object Multimodal {
   private def m10(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val probes = Array(100.0, 125.0, 160.0, 200.0, 250.0, 320.0, 400.0, 500.0)
-    audioCorpus(s, d)
-      .mapPartitions(_.map { r =>
+    // ORACLE-CHECKED selection CONTRACT (r15, the q34 discipline
+    // applied to DSP): the Goertzel powers are the engine artifact —
+    // a windowed transcendental recurrence no second engine replays
+    // bit-exactly — so the per-probe powers EXPORT, and the
+    // selection (first-max probe, runner-up, dominance, rounding) is
+    // computed by BOTH sides from the exported powers and
+    // hash-checked. The DSP itself stays pinned by PipelineSpec's
+    // pure-sine and seeded-fundamental floors.
+    val powers = audioCorpus(s, d)
+      .mapPartitions(_.flatMap { r =>
         val (rate, samples) = pcmSamples(r)
-        val ps = probes.map(f => goertzelPower(samples, rate, f))
-        val top = ps.indices.maxBy(ps)
-        val second = ps.indices.filter(_ != top).maxBy(ps)
-        SpectralRow(r.doc_id, probes(top).toInt,
-          math.round(ps(top) * 1e6) / 1e6,
-          if (ps(second) > 0) math.round(ps(top) / ps(second) * 1e3) / 1e3
-          else Double.MaxValue)
+        probes.zipWithIndex.map { case (f, i) =>
+          (r.doc_id, i, f.toInt, goertzelPower(samples, rate, f))
+        }
       })
-      .toDF()
+      .toDF("doc_id", "ord", "hz", "p")
+    val out = Similarity.exportPath("m10powers", d)
+    powers.write.mode("overwrite").parquet(out)
+    val pw = s.read.parquet(out)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("p").desc, col("ord"))
+    pw.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("rn") === 1, col("hz"))).as("hz1"),
+        max(when(col("rn") === 1, col("p"))).as("p1"),
+        max(when(col("rn") === 2, col("p"))).as("p2"))
+      .select(col("doc_id"), col("hz1").as("top_hz"),
+        (floor(col("p1") * 1e6 + 0.5) / 1e6).as("p_top"),
+        when(col("p2") > 0, floor(col("p1") / col("p2") * 1e3 + 0.5) / 1e3)
+          .otherwise(lit(Double.MaxValue)).as("dominance"))
       .orderBy("doc_id")
   }
+
+  private def m10Oracle: String =
+    s"""WITH pw AS (
+      |  SELECT * FROM read_parquet('${Similarity.oracleExportPath("m10powers")}/*.parquet')),
+      |r AS (
+      |  SELECT doc_id, ord, hz, p,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY p DESC, ord) AS rn
+      |  FROM pw),
+      |a AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN rn = 1 THEN hz END) AS hz1,
+      |    MAX(CASE WHEN rn = 1 THEN p END) AS p1,
+      |    MAX(CASE WHEN rn = 2 THEN p END) AS p2
+      |  FROM r WHERE rn <= 2 GROUP BY doc_id)
+      |SELECT doc_id, CAST(hz1 AS INTEGER) AS top_hz,
+      |  floor(p1*1000000 + 0.5)/1000000 AS p_top,
+      |  CASE WHEN p2 > 0 THEN floor(p1/p2*1000 + 0.5)/1000
+      |       ELSE 1.7976931348623157e308 END AS dominance
+      |FROM a ORDER BY doc_id""".stripMargin
 
   /** `def`, not `val`: the m01/m03/m04 oracles name the export path
     * THIS run wrote (Verify evaluates oracleSql after the queries). */
   def all: Seq[Q] = Seq(
     Q("m01_multimodal", Some(m01Oracle), m01),
-    Q("m02_frame_sample", None, m02),
+    Q("m02_frame_sample", Some(m02Oracle), m02),
     Q("m03_waveform_stats", Some(m03Oracle), m03),
     Q("m04_silence_segments", Some(m04Oracle), m04),
-    Q("m05_image_near_dup", None, m05),
-    Q("m06_shot_boundaries", None, m06),
-    Q("m07_shared_segments", None, m07),
-    Q("m08_audio_dup", None, m08),
-    Q("m09_patch_grid", None, m09),
-    Q("m10_spectral_probe", None, m10))
+    Q("m05_image_near_dup", Some(m05Oracle), m05),
+    Q("m06_shot_boundaries", Some(m06Oracle), m06),
+    Q("m07_shared_segments", Some(m07Oracle), m07),
+    Q("m08_audio_dup", Some(m08Oracle), m08),
+    Q("m09_patch_grid", Some(m09Oracle), m09),
+    Q("m10_spectral_probe", Some(m10Oracle), m10))
 }
