@@ -876,13 +876,34 @@ object GraftCatalog {
         .map(_.stripPrefix("#stats:")))
   }
 
+  /** Parsed-sidecar memo. Sidecar NAMES are writer-unique and their
+    * content immutable once published ([[writeStatsFile]]), so the
+    * qualified path is a sound forever-key — no invalidation problem.
+    * Payoff: one statement consults stats 2–3× (nomination, pin,
+    * carry) and every read plan consults them again; on a big table
+    * each consult re-parsed the whole JSON sidecar driver-side. The
+    * memo is size-bounded (LRU, access-order) so a long-lived session
+    * over many tables can't grow without bound. */
+  private val statsCacheMax = 32
+  private val statsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Map[String, FileStat]](
+        statsCacheMax, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Map[String, FileStat]]): Boolean =
+          size() > statsCacheMax
+      })
+
   private def readStatsNamed(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
       statsName: Option[String]): Map[String, FileStat] = statsName match {
     case None => Map.empty
     case Some(name) =>
       val p = new org.apache.hadoop.fs.Path(manifestDir(r), name)
-      if (!fs.exists(p)) Map.empty
+      val key = fs.makeQualified(p).toString
+      val hit = statsCache.get(key)
+      if (hit != null) hit
+      else if (!fs.exists(p)) Map.empty // absence is NOT cached: a racer may still be writing
       else {
         val in = fs.open(p)
         val lines =
@@ -891,7 +912,9 @@ object GraftCatalog {
         // driver-side parse ([[parseStatLine]]): a stats consult runs
         // before EVERY verb and read plan — it must never cost a
         // distributed json job
-        lines.map(parseStatLine).map(fstat => fstat.path -> fstat).toMap
+        val parsed = lines.map(parseStatLine).map(fstat => fstat.path -> fstat).toMap
+        statsCache.put(key, parsed)
+        parsed
       }
   }
 

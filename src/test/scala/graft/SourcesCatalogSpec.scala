@@ -2416,6 +2416,53 @@ class SourcesCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("spec evolution v2: bucket-count change over LIVE equality-delete sidecars") {
+    import spark.implicits._
+    val root = s"$tmp/snapevoeq_${System.nanoTime()}"
+    GraftCatalog.setSnapshotPartitionSpec(spark, root,
+      Seq(graft.sources.PartitionField("id", "bucket", 4)))
+    GraftCatalog.commitSnapshot(
+      spark.range(1000).select(col("id"), (col("id") % 97).as("v"))
+        .repartition(1),
+      root, append = false)
+    // a LIVE eqdel sidecar covers the spec-1 layout...
+    GraftCatalog.deleteSnapshotKeysMor(spark, root,
+      Seq(5L, 6L, 7L).toDF("id"), Seq("id"))
+    // ...then the bucket count changes under it, and a spec-2 append
+    // RE-INSERTS one purged key (outside the sidecar's covered set)
+    GraftCatalog.evolveSnapshotPartitionSpec(spark, root,
+      Seq(graft.sources.PartitionField("id", "bucket", 8)))
+    GraftCatalog.commitSnapshot(
+      spark.range(1000, 1500).select(col("id"), (col("id") % 97).as("v"))
+        .unionAll(Seq((5L, 555L)).toDF("id", "v"))
+        .repartition(1),
+      root, append = true)
+    def idsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.where(col("id").isin(5L, 6L, 7L)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = 1000 - 3 + 501
+    assert(GraftCatalog.readSnapshot(spark, root).count() == expect)
+    assert(idsOf(GraftCatalog.readSnapshot(spark, root)) == Map(5L -> 555L),
+      "purged keys stay dead under the new spec; the spec-2 re-insert survives")
+    // tuple pruning works for BOTH generations with the eqdel live
+    val pruned = GraftCatalog.snapshotScanFiles(spark, root,
+      predicate = Some(col("id") === 123L))._1
+    assert(pruned.size < GraftCatalog.snapshotScanFiles(spark, root)._1.size,
+      "point lookup must still prune under mixed specs + live eqdel")
+    // folding the sidecar into a DV preserves everything
+    GraftCatalog.rewriteEqDeletesToDv(spark, root)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == expect)
+    assert(idsOf(GraftCatalog.readSnapshot(spark, root)) == Map(5L -> 555L))
+    // and the partitioned compaction migrates spec-1 files into the
+    // active 8-bucket layout without resurrecting a purged row
+    GraftCatalog.compactSnapshotPartitioned(spark, root)
+    val files = GraftCatalog.snapshotScanFiles(spark, root)._1
+    assert(files.forall(_.contains("/s2-b")),
+      s"migration left retired-spec files: ${files.filterNot(_.contains("/s2-b"))}")
+    assert(GraftCatalog.readSnapshot(spark, root).count() == expect)
+    assert(idsOf(GraftCatalog.readSnapshot(spark, root)) == Map(5L -> 555L))
+  }
+
   test("partition-spec evolution: files under two specs both prune; compaction migrates") {
     import spark.implicits._
     val root = s"$tmp/snapptevo_${System.nanoTime()}"
