@@ -1476,7 +1476,13 @@ object GraftCatalog {
     var prevEq: Set[String] =
       if (fromV <= 0) Set.empty else eqLinesAt(fromV).toSet
     val parts = versions.flatMap { v =>
-      val cur = readManifest(fs, r, v).toSet
+      val vLines = readManifestLines(fs, r, v)
+      val cur = vLines.filterNot(_.startsWith("#")).toSet
+      // A content-preserving eqdel→DV fold (rewriteEqDeletesToDv) is
+      // dataChange = FALSE: its fresh DV only materializes rows the
+      // eqdel sidecars ALREADY retracted in their own versions — a CDC
+      // subscriber must not see a second retraction of a dead row.
+      val isFold = vLines.contains("#rewrite:eqdels")
       val added = (cur -- prev).toSeq.sorted
       val removed = (prev -- cur).toSeq.sorted
       prev = cur
@@ -1491,7 +1497,7 @@ object GraftCatalog {
       val priorDv = prevDv.toSeq.sorted
       prevDv = curDv
       val dvDel =
-        if (freshDv.isEmpty) None
+        if (freshDv.isEmpty || isFold) None
         else dvDf(spark, r, freshDv).map { dv =>
           val touched = dv.select("__path").distinct()
             .collect().map(_.getString(0)).sorted
@@ -1539,8 +1545,14 @@ object GraftCatalog {
           .withColumn("_change", lit("delete")).withColumn("_version", lit(v)))
       ins.toSeq ++ del.toSeq ++ dvDel.toSeq ++ eqDel
     }
-    require(parts.nonEmpty,
-      s"no file or deletion-vector changes in ($fromV, $toV] under $root")
+    if (parts.isEmpty)
+      // every version in the range was data-change-free (an eqdel→DV
+      // fold, a metadata-only schema publish): the CDC contract is an
+      // EMPTY batch, not an error — a tailing stream must step over
+      // such versions without dying
+      return readSnapshot(spark, root, Some(toV), mergeSchema = true)
+        .where(lit(false))
+        .withColumn("_change", lit("insert")).withColumn("_version", lit(toV))
     val all = parts.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
     // the stream's raw file reads carry PHYSICAL names; serve the
     // consumer `toV`'s logical names (Delta-CDF's latest-schema contract)

@@ -65,6 +65,17 @@ class MorDvSpec extends AnyFunSuite {
     // time travel to the pre-fold version still serves the sidecars
     assert(GraftCatalog.readSnapshot(spark, root, Some(v - 1)).collect().toSet == preFold)
     assert(GraftCatalog.readSnapshot(spark, root, Some(1L)).collect().toSet == beforeRows)
+    // CDC: the fold is dataChange = FALSE — its version emits ZERO
+    // rows (no second retraction of already-dead keys, and a tailing
+    // stream steps over it instead of dying on an empty range)...
+    val foldCdc = GraftCatalog.readChanges(spark, root, v - 1, v)
+    assert(foldCdc.count() == 0, "eqdel→DV fold must emit no CDC rows")
+    assert(foldCdc.columns.contains("_change") && foldCdc.columns.contains("_version"))
+    // ...while the eqdel version itself still emits its deletes ONCE
+    val eqCdc = GraftCatalog.readChanges(spark, root, 1L, 2L)
+      .where(col("_change") === "delete").select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(eqCdc == Set(2L, 3L), s"the eqdel's own CDC stays intact: $eqCdc")
   }
 
   test("MoR delete of scattered keys publishes zero rewritten data files") {
