@@ -1205,6 +1205,38 @@ class StreamingSpec extends AnyFunSuite {
       s"expected the named vacuum-race error, got: ${msgs(e).mkString(" | ")}")
   }
 
+  test("CDC stream steps over a metadata-only schema version instead of dying") {
+    import spark.implicits._
+    import graft.streaming.GraftSnapshotStream
+    val root = "/tmp/graft-streams/snapddl_" + System.nanoTime()
+    val ckpt = root + "_ckpt"
+    GraftCatalog.commitSnapshot(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), root, append = false)
+    def drain(): Set[Long] = {
+      val got = scala.collection.mutable.Set.empty[Long]
+      val q = GraftSnapshotStream.read(spark, root).writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.collect().map(_.getLong(0)); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.toSet
+    }
+    assert(drain() == Set(1L, 2L))
+    // a METADATA-ONLY version lands mid-stream (rename: same files,
+    // new #schema line) — with one micro-batch per version, the
+    // resumed stream serves it as an EMPTY batch (dataChange = false),
+    // never an error, and the data version after it arrives intact
+    GraftCatalog.renameSnapshotColumn(spark, root, "v", "w")
+    GraftCatalog.commitSnapshot(
+      Seq((3L, 30L)).toDF("id", "w"), root, append = true)
+    assert(drain() == Set(3L),
+      "resume must step over the DDL version and serve the data version")
+  }
+
   test("native snapshot stream SINK: one version per micro-batch, exactly-once replay") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
