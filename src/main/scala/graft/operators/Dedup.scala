@@ -1911,23 +1911,29 @@ object Dedup {
     * the WHOLE output hash-checks (t27's trade; production would hash
     * spans to 8 bytes for the shuffle). */
   private def d24(s: SparkSession, d: String): DataFrame = {
-    val sp = docs(s, d)
+    // ONE tokenize+explode (r15; was three — the span generation
+    // repeated for the span universe, the per-doc totals and the
+    // shared side, and the corpus regexp tokenization dominated the
+    // wall-clock). Reduce immediately to per-(doc, span) occurrence
+    // counts: both consumers aggregate off that pair-sized frame, and
+    // the shared occ subplan ends in ONE exchange ReuseExchange
+    // materializes once. n_spans = Σc; a span is shared iff it
+    // appears in ≥2 docs, i.e. its occ row count ≥ 2 — the old
+    // countDistinct(doc_id) on the raw span stream, for free here.
+    val occ = docs(s, d)
       .withColumn("t", expr(tokExpr))
       .where(size(col("t")) >= 8)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 8), i -> array_join(slice(t, i + 1, 8), ' '))"))
         .as("span"))
-    val shared = sp.groupBy("span")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2).select("span")
-    val tot = sp.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val shr = sp.join(shared, Seq("span"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    tot.join(shr, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_spans"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        round(coalesce(col("n_shared"), lit(0L)) / col("n_spans"), 6)
-          .as("shared_ratio"))
+      .groupBy("doc_id", "span").agg(count(lit(1)).as("c"))
+    val nd = occ.groupBy("span").agg(count(lit(1)).as("nd"))
+    occ.join(nd, "span")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_spans"), col("n_shared"),
+        round(col("n_shared") / col("n_spans"), 6).as("shared_ratio"))
       .orderBy("doc_id")
   }
 
