@@ -399,7 +399,7 @@ object GraftCatalog {
     * — after the budget the writer is dead and the version must not be
     * served (vacuumSnapshots reaps it). Tolerant readers (batch-tag
     * scans, vacuum's own bookkeeping) pass `strict = false`. */
-  private def readManifestLines(fs: org.apache.hadoop.fs.FileSystem,
+  private def readManifestRawLines(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long, strict: Boolean = true): Seq[String] = {
     def once(): Seq[String] = {
       val in = fs.open(new org.apache.hadoop.fs.Path(manifestDir(root), s"v$v.manifest"))
@@ -422,10 +422,160 @@ object GraftCatalog {
     }
   }
 
+  /** Manifest lines of a version with `#include:` SEGMENT pointers
+    * resolved in place — the flat view every consumer sees (see the
+    * segment-reuse notes on [[publishManifest]]). */
+  private def readManifestLines(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long, strict: Boolean = true): Seq[String] =
+    resolveIncludes(fs, root, readManifestRawLines(fs, root, v, strict), strict)
+
   /** Data-file list of a version (metadata `#key:value` lines skipped). */
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long, strict: Boolean = true): Seq[String] =
     readManifestLines(fs, root, v, strict).filterNot(_.startsWith("#"))
+
+  // ------------------------------------------------------------------
+  // Manifest SEGMENTS: O(delta) commit metadata at 100 TB
+  // ------------------------------------------------------------------
+  //
+  // A manifest that inlines every live data-file path is O(live files)
+  // WRITE amplification per commit: on a 1M-file table a steady
+  // minute-cadence append feed rewrites ~100 MB of unchanged paths per
+  // commit. Iceberg's answer is manifest REUSE (a snapshot's manifest
+  // list points at unchanged manifest files from prior snapshots);
+  // this is that idea expressed in the text format:
+  //
+  //   #include:seg-<nano>-<n>.segment
+  //
+  // is a manifest META line splicing in, at that position, the
+  // data-file lines of an IMMUTABLE side file under `_manifests/`
+  // (data lines + `#eof`, nothing else). Delta-shaped commits —
+  // appends, MoR DV / equality-delete sidecar commits, the eqdel
+  // fold, metadata-only schema DDL, rollback — republish the previous
+  // version's UNRESOLVED data section ([[carriedDataRaw]]), so their
+  // manifest write is O(delta). Remove-shaped commits (CoW verbs,
+  // compaction) inherently resolve to a survivor list and publish
+  // flat; [[publishManifest]] seals any inline run over
+  // `manifestInlineMax` into a fresh segment, so even those write the
+  // bulk once and every append after them is O(delta) again.
+  //
+  // Invariants: segment names are writer-unique (nanoTime) and their
+  // content immutable once a published manifest references them — the
+  // same forever-key argument as the stats sidecars, so reads cache
+  // them (rename/clone rewrite the bytes in place, but under a NEW
+  // qualified root path, and are documented quiesced operations).
+  // Segments never cross table roots: carried includes are only ever
+  // republished to the root that owns them (branch merge and clone
+  // resolve to flat lists before publishing into a different root).
+  // A segment is fully written BEFORE the manifest claiming it is
+  // published, so a referenced segment is complete by construction;
+  // `#eof` is still verified as defense in depth. Orphan segments
+  // (writer died between segment write and claim, or their manifests
+  // were vacuumed) are reaped by [[vacuumSnapshots]] after the
+  // in-flight grace window.
+
+  /** Inline-run threshold: a contiguous run of data lines longer than
+    * this is sealed into a segment at publish. Package-visible so
+    * specs can drive the segmented shape on small tables; at the
+    * default every gate-scale table stays in the plain inline form. */
+  @volatile private[graft] var manifestInlineMax: Int = 4096
+
+  /** Include-chain cap: a manifest carrying more than this many
+    * `#include:` pointers is coalesced (resolved and resealed as one
+    * segment) at publish — amortized O(1) per file, and it bounds the
+    * per-read segment fan-in. */
+  @volatile private[graft] var manifestMaxIncludes: Int = 64
+
+  /** Segment cache, bounded by TOTAL CACHED LINES (entries are whole
+    * file lists — a count-bounded LRU could pin gigabytes). */
+  private val segCacheMaxLines = 4000000L
+  private val segCache =
+    new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true)
+  private var segCacheLines = 0L
+
+  private def readSegmentLines(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, name: String,
+      strict: Boolean): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(root), name)
+    val key = fs.makeQualified(p).toString
+    segCache.synchronized {
+      val hit = segCache.get(key)
+      if (hit != null) return hit
+    }
+    val lines =
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList.filter(_.nonEmpty)
+        finally in.close()
+      } catch {
+        // Tolerant readers (vacuum's own bookkeeping over already
+        // half-reaped versions) treat a missing segment as an empty
+        // file list; strict readers must not serve a partial version.
+        case e: java.io.FileNotFoundException =>
+          if (strict) throw e else return Seq.empty
+      }
+    if (!lines.lastOption.contains("#eof")) {
+      if (strict) throw new IllegalStateException(
+        s"torn manifest segment $name under $root (no #eof terminator)")
+      else return lines
+    }
+    val data = lines.dropRight(1)
+    segCache.synchronized {
+      if (!segCache.containsKey(key)) {
+        segCache.put(key, data)
+        segCacheLines += data.size
+        val it = segCache.entrySet().iterator()
+        while (segCacheLines > segCacheMaxLines && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) {
+            segCacheLines -= e.getValue.size
+            it.remove()
+          }
+        }
+      }
+    }
+    data
+  }
+
+  private def resolveIncludes(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, lines: Seq[String],
+      strict: Boolean): Seq[String] =
+    if (!lines.exists(_.startsWith("#include:"))) lines
+    else lines.flatMap {
+      case l if l.startsWith("#include:") =>
+        readSegmentLines(fs, root, l.stripPrefix("#include:"), strict)
+      case l => Seq(l)
+    }
+
+  /** UNRESOLVED data section of a version — `#include:` pointers as
+    * written plus inline data lines, in manifest order, every other
+    * meta line dropped. Delta-shaped commits republish THIS instead of
+    * the resolved list, making their manifest write O(delta). Only
+    * ever republished to the same `root`. */
+  private def carriedDataRaw(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long): Seq[String] =
+    readManifestRawLines(fs, root, v).filter(l =>
+      l.startsWith("#include:") || (!l.startsWith("#")))
+
+  /** [[carriedDataRaw]] minus `excluded` — Iceberg's manifest-level
+    * filtering: a segment containing NO excluded file carries as its
+    * pointer (zero bytes rewritten); a segment a CoW rewrite touched
+    * re-inlines only its survivors (resealed downstream if the run is
+    * still oversized). This is what keeps a 2-file MERGE on a 1M-file
+    * table from rewriting ~100 MB of unchanged manifest text. */
+  private def carriedDataRawExcluding(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long,
+      excluded: Set[String]): Seq[String] =
+    if (excluded.isEmpty) carriedDataRaw(fs, root, v)
+    else readManifestRawLines(fs, root, v).flatMap {
+      case l if l.startsWith("#include:") =>
+        val name = l.stripPrefix("#include:")
+        val seg = readSegmentLines(fs, root, name, strict = true)
+        if (seg.exists(excluded)) seg.filterNot(excluded) else Seq(l)
+      case l if !l.startsWith("#") => if (excluded(l)) Seq.empty else Seq(l)
+      case _ => Seq.empty
+    }
 
   /** Stat-able top-level column types: everything with a total order
     * both engines and the pruning evaluator agree on. Binary and
@@ -871,9 +1021,17 @@ object GraftCatalog {
 
   private[graft] def readStats(spark: SparkSession, root: String, v: Long): Map[String, FileStat] = {
     val (fs, r) = fsOf(spark, root)
-    readStatsNamed(spark, fs, r,
-      readManifestLines(fs, r, v).find(_.startsWith("#stats:"))
-        .map(_.stripPrefix("#stats:")))
+    val lines = readManifestLines(fs, r, v)
+    val m = readStatsNamed(spark, fs, r,
+      lines.find(_.startsWith("#stats:")).map(_.stripPrefix("#stats:")))
+    // Version-scoped consumers may ITERATE this map (CBO fold, branch
+    // merge), so scope it to the version's own files — a delta-chained
+    // sidecar ([[writeStatsDelta]]) is exact along pure-append chains
+    // by construction, but this keeps the contract independent of the
+    // writer's history.
+    val files = lines.filterNot(_.startsWith("#")).toSet
+    if (m.keysIterator.forall(files)) m
+    else m.filter { case (p, _) => files(p) }
   }
 
   /** Parsed-sidecar memo. Sidecar NAMES are writer-unique and their
@@ -909,20 +1067,111 @@ object GraftCatalog {
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
           finally in.close()
+        // A DELTA-CHAINED sidecar ([[writeStatsDelta]]) leads with
+        // `#depth:`/`#include:` meta lines; includes resolve
+        // recursively (depth-capped at write time) with local entries
+        // overriding included ones by path. The memo stores the
+        // RESOLVED map, so a chain's shared prefix is parsed once per
+        // session no matter how many heads reference it.
+        val (metaL, dataL) = lines.partition(_.startsWith("#"))
+        val base = metaL.filter(_.startsWith("#include:"))
+          .map(_.stripPrefix("#include:"))
+          .foldLeft(Map.empty[String, FileStat]) { (m, inc) =>
+            m ++ readStatsNamed(spark, fs, r, Some(inc))
+          }
         // driver-side parse ([[parseStatLine]]): a stats consult runs
         // before EVERY verb and read plan — it must never cost a
         // distributed json job
-        val parsed = lines.map(parseStatLine).map(fstat => fstat.path -> fstat).toMap
+        val parsed = base ++ dataL.map(parseStatLine).map(fstat => fstat.path -> fstat)
         statsCache.put(key, parsed)
         parsed
       }
   }
 
+  /** Chain-depth cap for delta stats sidecars: a deeper chain is
+    * FLATTENED at write time, bounding the per-consult GET fan-in.
+    * Package-visible so specs can drive the flatten on short chains. */
+  @volatile private[graft] var statsMaxDepth: Int = 32
+
+  /** Chain depth of a stats sidecar — its leading `#depth:` meta line
+    * (0 for a flat sidecar). Reads ONE line, never the body. */
+  private def statsChainDepth(fs: org.apache.hadoop.fs.FileSystem,
+      r: org.apache.hadoop.fs.Path, name: String): Int = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(manifestDir(r), name))
+    try {
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      val l = br.readLine()
+      if (l != null && l.startsWith("#depth:")) l.stripPrefix("#depth:").trim.toInt
+      else 0
+    } finally in.close()
+  }
+
+  /** Leading `#include:` pointers of a stats sidecar (empty for flat
+    * ones) — vacuum walks these to keep a kept version's whole chain. */
+  private def statsIncludesOf(fs: org.apache.hadoop.fs.FileSystem,
+      r: org.apache.hadoop.fs.Path, name: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(r), name)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    try {
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var l = br.readLine()
+      while (l != null && l.startsWith("#")) {
+        if (l.startsWith("#include:")) out += l.stripPrefix("#include:")
+        l = br.readLine()
+      }
+      out.toSeq
+    } finally in.close()
+  }
+
+  /** O(delta) stats commit: write ONLY the new batch's stat lines plus
+    * an `#include:` pointer at the base version's sidecar — the
+    * stats-side twin of the manifest segment carry. Along a pure
+    * append chain resolution is exact; a CoW link leaves its consumed
+    * files' entries behind as stale extras, which is safe because
+    * every map-iterating consumer goes through [[readStats]]'s
+    * version-file filter and the pruning path looks up per manifest
+    * file. Depth past [[statsMaxDepth]] FLATTENS, filtered to
+    * `liveAtFlatten` so stale extras never outlive a chain (amortized
+    * O(files/depth) per commit); a vanished base sidecar degrades to a
+    * flat write of the delta — consumers treat a missing entry as
+    * "cannot prune", never as an error. */
+  private def writeStatsDelta(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
+      prevName: Option[String], newStats: Seq[FileStat],
+      liveAtFlatten: => Set[String]): String =
+    prevName match {
+      case None => writeStatsFile(spark, fs, r, newStats.sortBy(_.path))
+      case Some(prev) =>
+        val d =
+          try statsChainDepth(fs, r, prev)
+          catch { case _: java.io.FileNotFoundException => -1 }
+        if (d < 0) writeStatsFile(spark, fs, r, newStats.sortBy(_.path))
+        else if (d + 1 > statsMaxDepth) {
+          val live = liveAtFlatten
+          val all = readStatsNamed(spark, fs, r, Some(prev))
+            .filter { case (p, _) => live(p) } ++
+            newStats.map(f => f.path -> f)
+          writeStatsFile(spark, fs, r, all.values.toSeq.sortBy(_.path))
+        } else {
+          val name = s"s-${System.nanoTime()}.stats"
+          val lines = Seq(s"#depth:${d + 1}", s"#include:$prev") ++
+            newStats.sortBy(_.path).map(statJsonLine)
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(manifestDir(r), name), false)
+          try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+          finally out.close()
+          name
+        }
+    }
+
   /** The committed schema recorded in a version's manifest (`#schema:`
     * meta line, schema JSON), if the version carries one. */
   private def readSchemaLine(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long): Option[org.apache.spark.sql.types.StructType] =
-    readManifestLines(fs, root, v).find(_.startsWith("#schema:"))
+    // meta lines never live inside segments — raw read skips resolution
+    readManifestRawLines(fs, root, v).find(_.startsWith("#schema:"))
       .map(s => org.apache.spark.sql.types.DataType.fromJson(s.stripPrefix("#schema:"))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
@@ -1183,21 +1432,42 @@ object GraftCatalog {
       // after a racing merge IS the serial (merge, overwrite) order.
       val next = expectedHead.fold(versions.lastOption.getOrElse(0L) + 1)(_ + 1)
       val baseV = expectedHead.orElse(versions.lastOption)
-      val carried =
-        if (append && baseV.nonEmpty) readManifest(fs, r, baseV.get) else Seq.empty
-      val carriedStats =
-        if (carried.nonEmpty)
-          readStats(spark, root, baseV.get).filter { case (p, _) => carried.contains(p) }
-        else Map.empty[String, FileStat]
-      val statsName = writeStatsFile(spark, fs, r,
-        (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
+      // ONE raw read of the base manifest serves the stats pointer,
+      // committed schema, delete-sidecar carry AND the unresolved data
+      // section below — the commit's metadata cost is O(meta+includes),
+      // never O(live files). Appending to a torn base must fail
+      // (strict); an overwrite over one proceeds with a clean slate.
+      val baseRaw: Seq[String] =
+        if (baseV.isEmpty) Seq.empty
+        else if (append) readManifestRawLines(fs, r, baseV.get)
+        else scala.util.Try(readManifestRawLines(fs, r, baseV.get))
+          .getOrElse(Seq.empty)
+      def baseSchemaLine: Option[org.apache.spark.sql.types.StructType] =
+        baseRaw.find(_.startsWith("#schema:"))
+          .map(s => org.apache.spark.sql.types.DataType
+            .fromJson(s.stripPrefix("#schema:"))
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+      // Appends chain a DELTA stats sidecar at the base's (O(delta)
+      // write, and no full sidecar parse per commit); overwrites and
+      // first commits write flat.
+      val statsName =
+        if (append && baseV.nonEmpty)
+          writeStatsDelta(spark, fs, r,
+            baseRaw.find(_.startsWith("#stats:")).map(_.stripPrefix("#stats:")),
+            newStats,
+            liveAtFlatten =
+              readManifest(fs, r, baseV.get).toSet ++ newFiles)
+        else writeStatsFile(spark, fs, r, newStats.sortBy(_.path))
       // Committed schema: an overwrite IS the batch's schema; an append
       // unions the prior committed schema (falling back to one carried
-      // footer on pre-schema-line tables) with the batch's.
+      // footer on pre-schema-line tables — only THAT legacy path pays
+      // the full manifest resolve) with the batch's.
       val priorSchema =
         if (append && baseV.nonEmpty)
-          readSchemaLine(fs, r, baseV.get)
-            .orElse(carried.headOption.map(f => spark.read.parquet(f).schema))
+          baseSchemaLine
+            .orElse(resolveIncludes(fs, r, baseRaw, strict = true)
+              .filterNot(_.startsWith("#")).headOption
+              .map(f => spark.read.parquet(f).schema))
         else None
       val merged = priorSchema.fold(df.schema)(p => unionSchema(p, df.schema))
       // Physical names are STICKY across overwrites (the Delta
@@ -1206,8 +1476,7 @@ object GraftCatalog {
       // files writeBatch just landed used exactly that translation.
       val headMap =
         if (baseV.isEmpty) Map.empty[String, String]
-        else scala.util.Try(readSchemaLine(fs, r, baseV.get)).toOption
-          .flatten.map(physicalMap).getOrElse(Map.empty)
+        else baseSchemaLine.map(physicalMap).getOrElse(Map.empty)
       val stamped =
         if (headMap.isEmpty) merged
         else org.apache.spark.sql.types.StructType(merged.fields.map { f =>
@@ -1223,12 +1492,17 @@ object GraftCatalog {
       // starts a clean file list
       val dvCarried =
         if (append && baseV.nonEmpty)
-          readManifestLines(fs, r, baseV.get).filter(l =>
-            l.startsWith("#dv:") || l.startsWith("#eqdel:"))
+          baseRaw.filter(l => l.startsWith("#dv:") || l.startsWith("#eqdel:"))
+        else Seq.empty
+      // the publish carries the base's UNRESOLVED data section — the
+      // O(delta) commit path
+      val carriedRaw =
+        if (append && baseV.nonEmpty)
+          baseRaw.filter(l => l.startsWith("#include:") || !l.startsWith("#"))
         else Seq.empty
       try {
         publishManifest(fs, r, next,
-          Seq(s"#stats:$statsName", schemaLine) ++ dvCarried ++ meta ++ carried ++ newFiles)
+          Seq(s"#stats:$statsName", schemaLine) ++ dvCarried ++ meta ++ carriedRaw ++ newFiles)
         return next
       } catch {
         case e: SnapshotConflictException =>
@@ -1318,16 +1592,19 @@ object GraftCatalog {
           !deleteLinesTouch(spark, r, (headDvEq -- baseDvEq).toSeq, consumed)
       if (!safe) throw original
       val carriedFiles = headFiles.filterNot(consumed)
-      val carriedStats = readStats(spark, r.toString, head)
-        .filter { case (p, _) => carriedFiles.contains(p) }
-      val statsName = writeStatsFile(spark, fs, r,
-        (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
+      // structural carry + chained stats, like commitCow: the
+      // re-publish only rewrites manifest text for segments the
+      // rewrite actually consumed files from
+      val statsName = writeStatsDelta(spark, fs, r,
+        readManifestRawLines(fs, r, head)
+          .find(_.startsWith("#stats:")).map(_.stripPrefix("#stats:")),
+        newStats, liveAtFlatten = carriedFiles.toSet ++ newFiles)
       val dvLines =
         (if (carriesLines) headDvEq else headDvEq -- baseDvEq).toSeq.sorted
       try {
         publishManifest(fs, r, head + 1,
           Seq(s"#stats:$statsName", schemaLine) ++ dvLines ++ meta ++
-            carriedFiles ++ newFiles)
+            carriedDataRawExcluding(fs, r, head, consumed) ++ newFiles)
         return head + 1
       } catch {
         case _: SnapshotConflictException =>
@@ -1901,7 +2178,8 @@ object GraftCatalog {
     * accumulating across MoR deletes until a compaction folds them). */
   private def readDvNames(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, v: Long): Seq[String] =
-    readManifestLines(fs, root, v).filter(_.startsWith("#dv:"))
+    // meta lines never live inside segments — raw read skips resolution
+    readManifestRawLines(fs, root, v).filter(_.startsWith("#dv:"))
       .map(_.stripPrefix("#dv:"))
 
   /** The union of a version's DV sidecars as (__path, __pos), or None
@@ -2099,7 +2377,8 @@ object GraftCatalog {
     try {
       val next = head + 1
       publishManifest(fs, r, next,
-        carriedMeta ++ (s"#eqdel:$name:${physPks.mkString(",")}" +: meta) ++ files)
+        carriedMeta ++ (s"#eqdel:$name:${physPks.mkString(",")}" +: meta) ++
+          carriedDataRaw(fs, r, head))
       next
     } catch {
       case e: SnapshotConflictException =>
@@ -2278,7 +2557,7 @@ object GraftCatalog {
     try {
       val next = head + 1
       publishManifest(fs, r, next,
-        carriedMeta ++ (s"#dv:$name" +: meta) ++ files)
+        carriedMeta ++ (s"#dv:$name" +: meta) ++ carriedDataRaw(fs, r, head))
       next
     } catch {
       case e: SnapshotConflictException =>
@@ -2407,7 +2686,7 @@ object GraftCatalog {
       try {
         publishManifest(fs, r, next,
           carriedMeta ++ extraDv.map(n => s"#dv:$n").toSeq ++
-            ("#rewrite:eqdels" +: meta) ++ files)
+            ("#rewrite:eqdels" +: meta) ++ carriedDataRaw(fs, r, head))
         next
       } catch {
         case e: SnapshotConflictException => cleanup; throw e
@@ -2654,8 +2933,29 @@ object GraftCatalog {
     val (batch, newFiles, newStatuses) = writeBatch(spark, fs, r, newData)
     val newStats = batchFileStats(spark, newFiles, fsMetaOf(newStatuses),
       readBloomConfAt(fs, r))
-    val statsName = writeStatsFile(spark, fs, r,
-      (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
+    // STRUCTURAL carry (Iceberg's manifest-level filtering): when the
+    // carried list is, as every CoW verb constructs it, "the head's
+    // files minus the consumed ones", republish the head's raw data
+    // section excluding the consumed files — untouched segments ride
+    // as pointers — and chain the stats sidecar at the head's. Both
+    // make the commit's METADATA cost ∝ touched files. Anything else
+    // (defensive: a caller whose carried list is not a head subset)
+    // falls back to the flat publish.
+    val headResolved = readManifest(fs, r, head)
+    val carriedSet = carried.toSet
+    val structural = carriedSet.subsetOf(headResolved.toSet)
+    val consumed = headResolved.toSet -- carriedSet
+    val statsName =
+      if (structural)
+        writeStatsDelta(spark, fs, r,
+          readManifestRawLines(fs, r, head)
+            .find(_.startsWith("#stats:")).map(_.stripPrefix("#stats:")),
+          newStats, liveAtFlatten = carriedSet ++ newFiles)
+      else writeStatsFile(spark, fs, r,
+        (carriedStats.values.toSeq ++ newStats).sortBy(_.path))
+    val carryLines =
+      if (structural) carriedDataRawExcluding(fs, r, head, consumed)
+      else carried
     // Committed schema: carried files are covered by the head's
     // recorded schema; the rewritten batch may add evolved columns.
     val priorSchema = readSchemaLine(fs, r, head)
@@ -2666,12 +2966,12 @@ object GraftCatalog {
     // may still have dead rows; rewritten files' DV rows and eqdel
     // coverage self-invalidate (both path-keyed — a new batch path is
     // in no covered set)
-    val dvCarried = readManifestLines(fs, r, head).filter(l =>
+    val dvCarried = readManifestRawLines(fs, r, head).filter(l =>
       l.startsWith("#dv:") || l.startsWith("#eqdel:"))
     try {
       val next = head + 1
       publishManifest(fs, r, next,
-        Seq(s"#stats:$statsName", schemaLine) ++ dvCarried ++ meta ++ carried ++ newFiles)
+        Seq(s"#stats:$statsName", schemaLine) ++ dvCarried ++ meta ++ carryLines ++ newFiles)
       next
     } catch {
       case e: SnapshotConflictException =>
@@ -2830,9 +3130,46 @@ object GraftCatalog {
     fs.mkdirs(md)
     val fin = new org.apache.hadoop.fs.Path(md, s"v$v.manifest")
     if (!claimExclusive(fs, fin,
-        ((files :+ "#eof").mkString("\n") + "\n").getBytes("UTF-8")))
+        ((segmentLines(fs, root, files) :+ "#eof").mkString("\n") + "\n")
+          .getBytes("UTF-8")))
       throw new SnapshotConflictException(
         s"snapshot commit conflict: version $v already published under $root")
+  }
+
+  /** Publish-time segmentation (see the segment notes above
+    * [[manifestInlineMax]]): seal every contiguous run of inline data
+    * lines longer than `manifestInlineMax` into an immutable side
+    * segment, splicing an `#include:` pointer in place — line ORDER is
+    * preserved exactly, so resolution reproduces the caller's list
+    * byte-for-byte. When the carried include chain exceeds
+    * `manifestMaxIncludes`, the whole data section is resolved once
+    * and resealed as a single segment (amortized O(1) per file). */
+  private def segmentLines(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, lines0: Seq[String]): Seq[String] = {
+    val lines =
+      if (lines0.count(_.startsWith("#include:")) <= manifestMaxIncludes) lines0
+      else resolveIncludes(fs, root, lines0, strict = true)
+    if (!lines.exists(_.startsWith("#include:")) &&
+        lines.count(!_.startsWith("#")) <= manifestInlineMax) return lines
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val run = scala.collection.mutable.ArrayBuffer.empty[String]
+    def seal(): Unit = {
+      if (run.length > manifestInlineMax) {
+        val name = s"seg-${System.nanoTime()}-${run.length}.segment"
+        val p = new org.apache.hadoop.fs.Path(manifestDir(root), name)
+        val outStream = fs.create(p, false)
+        try outStream.write(
+          ((run :+ "#eof").mkString("\n") + "\n").getBytes("UTF-8"))
+        finally outStream.close()
+        out += s"#include:$name"
+      } else out ++= run
+      run.clear()
+    }
+    lines.foreach { l =>
+      if (l.startsWith("#")) { seal(); out += l } else run += l
+    }
+    seal()
+    out.toSeq
   }
 
   /** Claim `fin` with a genuinely ATOMIC exclusive create and write
@@ -3426,7 +3763,7 @@ object GraftCatalog {
     val carriedMeta = readManifestLines(fs, r, to)
       .filter(l => l.startsWith("#stats:") || l.startsWith("#schema:") ||
         l.startsWith("#dv:") || l.startsWith("#eqdel:"))
-    publishManifest(fs, r, next, carriedMeta ++ readManifest(fs, r, to))
+    publishManifest(fs, r, next, carriedMeta ++ carriedDataRaw(fs, r, to))
     next
   }
 
@@ -3639,7 +3976,7 @@ object GraftCatalog {
         l.startsWith("#eqdel:"))
     val next = head + 1
     publishManifest(fs, r, next,
-      carried ++ Seq(schemaLineOf(evolved)) ++ readManifest(fs, r, head))
+      carried ++ Seq(schemaLineOf(evolved)) ++ carriedDataRaw(fs, r, head))
     next
   }
 
@@ -3989,7 +4326,7 @@ object GraftCatalog {
     val torn = snapshotVersions(spark, root).filter { v =>
       val p = new org.apache.hadoop.fs.Path(manifestDir(r), s"v$v.manifest")
       fs.getFileStatus(p).getModificationTime < horizon0 &&
-        !readManifestLines(fs, r, v, strict = false).lastOption.contains("#eof")
+        !readManifestRawLines(fs, r, v, strict = false).lastOption.contains("#eof")
     }
     // Tagged versions are pinned: a release tag outlives routine
     // retention no matter where the horizon sits.
@@ -4006,13 +4343,36 @@ object GraftCatalog {
     dead.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     old.foreach(v => fs.delete(
       new org.apache.hadoop.fs.Path(manifestDir(r), s"v$v.manifest"), false))
-    // Stats sidecars referenced by no surviving manifest.
-    val keepStats = kept.flatMap(v => readManifestLines(fs, r, v, strict = false)
-      .filter(_.startsWith("#stats:")).map(_.stripPrefix("#stats:"))).toSet
+    // Stats sidecars referenced by no surviving manifest — including
+    // TRANSITIVELY through delta-chain `#include:` pointers
+    // ([[writeStatsDelta]]): reaping a chain link under a kept head
+    // would silently blind its pruning.
+    val keepStats = {
+      val seen = scala.collection.mutable.Set.empty[String]
+      def walk(n: String): Unit =
+        if (seen.add(n)) statsIncludesOf(fs, r, n).foreach(walk)
+      kept.flatMap(v => readManifestRawLines(fs, r, v, strict = false)
+        .filter(_.startsWith("#stats:")).map(_.stripPrefix("#stats:")))
+        .foreach(walk)
+      seen.toSet
+    }
     val md = manifestDir(r)
     if (fs.exists(md)) fs.listStatus(md)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".stats"))
+      .filter(st => st.getModificationTime < horizon0)
       .filterNot(st => keepStats(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, false))
+    // Manifest SEGMENTS referenced by no surviving manifest — aged past
+    // the grace window so an in-flight publish (segment written,
+    // manifest claim still pending) is never reaped from under its
+    // commit. Kept manifests are read RAW: resolution would hide the
+    // very pointers this pass must preserve.
+    val keepSegs = kept.flatMap(v => readManifestRawLines(fs, r, v, strict = false)
+      .filter(_.startsWith("#include:")).map(_.stripPrefix("#include:"))).toSet
+    if (fs.exists(md)) fs.listStatus(md)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".segment"))
+      .filter(st => st.getModificationTime < horizon0)
+      .filterNot(st => keepSegs(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, false))
     // Deletion-vector sidecars referenced by no surviving manifest —
     // aged past the grace window so an in-flight MoR commit (sidecar
