@@ -1669,7 +1669,8 @@ object GraftCatalog {
     val it = snapshotVersions(spark, root).reverseIterator
     while (it.hasNext) {
       val v = it.next()
-      val lines = readManifestLines(fs, r, v)
+      // batch tags are meta lines — raw read, no segment resolution
+      val lines = readManifestRawLines(fs, r, v)
       if (lines.contains(tag)) return Some(v)
       if (lines.exists(l => l.startsWith(prefix) &&
           scala.util.Try(l.stripPrefix(prefix).toLong).toOption
@@ -3753,6 +3754,38 @@ object GraftCatalog {
     * versions stay inspectable and a concurrent reader of any version
     * is unaffected. The target's `#stats:` reference is carried, so
     * data skipping survives the rollback. */
+  /** Coalesce the head's commit METADATA — Iceberg's
+    * `rewrite_manifests`, manifest-side: resolve every `#include:`
+    * segment pointer and flatten the stats delta chain, publishing the
+    * SAME file list (bit-identical content, zero data I/O, zero CDC
+    * rows — the file diff is empty by construction) as the next
+    * version. Routine commits already amortize both structures
+    * (publish-time run sealing, chain-depth caps); this is the manual
+    * maintenance lever after a heavy churn phase: one metadata commit
+    * returns reads to a one-segment resolve and a depth-0 stats parse,
+    * and the next vacuum reaps the retired chain links. A lost publish
+    * race deletes the flat sidecar and aborts — pure metadata, the
+    * caller just reruns. SQL: `CALL graft.system.rewrite_manifests`. */
+  def rewriteManifests(spark: SparkSession, root: String): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val files = readManifest(fs, r, head)
+    val flatStats = writeStatsFile(spark, fs, r,
+      readStats(spark, root, head).values.toSeq.sortBy(_.path))
+    val keptMeta = readManifestRawLines(fs, r, head).filter(l =>
+      l.startsWith("#schema:") || l.startsWith("#dv:") ||
+        l.startsWith("#eqdel:"))
+    val next = head + 1
+    try publishManifest(fs, r, next,
+      Seq(s"#stats:$flatStats", "#rewrite:manifests") ++ keptMeta ++ files)
+    catch {
+      case e: SnapshotConflictException =>
+        fs.delete(new org.apache.hadoop.fs.Path(manifestDir(r), flatStats), false)
+        throw e
+    }
+    next
+  }
+
   def rollbackSnapshot(spark: SparkSession, root: String, to: Long): Long = {
     val (fs, r) = fsOf(spark, root)
     val next = snapshotVersions(spark, root).last + 1

@@ -43,6 +43,7 @@ object GraftProcedures {
     "compact_zorder" -> (c => compactZorder(c)),
     "compact_partitioned" -> (c => compactPartitioned(c)),
     "rewrite_eqdels" -> (c => rewriteEqdels(c)),
+    "rewrite_manifests" -> (c => rewriteManifestsProc(c)),
     "rollback" -> (c => rollback(c)),
     "tag" -> (c => tag(c)),
     "create_branch" -> (c => createBranch(c)),
@@ -151,6 +152,16 @@ object GraftProcedures {
         "vector (no data rewrite); reads get their sidecar-free plan back",
       Array(param("table", StringType))) { (t, in) =>
       val v = GraftCatalog.rewriteEqDeletesToDv(spark, c.resolveTableArg(t))
+      (versionOut, InternalRow(v))
+    }
+
+  private def rewriteManifestsProc(c: GraftTableCatalog): UnboundProcedure =
+    proc("rewrite_manifests",
+      "coalesce commit metadata: resolve manifest segment pointers and " +
+        "flatten the stats chain as one metadata-only commit (same file " +
+        "list, zero data I/O, zero CDC rows)",
+      Array(param("table", StringType))) { (t, in) =>
+      val v = GraftCatalog.rewriteManifests(spark, c.resolveTableArg(t))
       (versionOut, InternalRow(v))
     }
 

@@ -274,6 +274,67 @@ class ManifestSegmentSpec extends AnyFunSuite {
     } finally GraftCatalog.statsMaxDepth = d0
   }
 
+  test("rewrite_manifests coalesces pointers and flattens the stats chain; content identical") {
+    withTinyThresholds(inlineMax = 1, maxIncludes = 64) {
+      val root = s"$tmp/rwman_${System.nanoTime()}"
+      GraftCatalog.commitSnapshot(batch(1, 3).repartition(3), root, append = false)
+      (4 to 9).foreach(i =>
+        GraftCatalog.commitSnapshot(batch(i, i).coalesce(1), root, append = true))
+      val headBefore = GraftCatalog.snapshotVersions(spark, root).last
+      val pointersBefore = rawLines(root, headBefore)
+        .count(_.startsWith("#include:"))
+      assert(pointersBefore >= 3, s"churn phase should fragment, saw $pointersBefore")
+      val v = GraftCatalog.rewriteManifests(spark, root)
+      // ONE pointer (everything resealed), flat depth-0 stats, same rows
+      val raw = rawLines(root, v)
+      assert(raw.count(_.startsWith("#include:")) == 1,
+        "the rewrite must coalesce to a single segment")
+      val statsName = raw.find(_.startsWith("#stats:")).get.stripPrefix("#stats:")
+      val statsHead = scala.io.Source
+        .fromFile(s"$root/_manifests/$statsName", "UTF-8").getLines().toList
+      assert(!statsHead.exists(_.startsWith("#include:")),
+        "the rewrite must flatten the stats chain")
+      assert(ids(GraftCatalog.readSnapshot(spark, root)) ==
+        (1 to 9).map(_.toLong).toSet)
+      assert(GraftCatalog.readStats(spark, root, v).keySet ==
+        resolvedData(root, v).toSet)
+      // zero CDC rows: the rewrite is content-preserving metadata
+      assert(GraftCatalog.readChanges(spark, root, headBefore, v).count() == 0)
+      // time travel to the pre-rewrite head is undisturbed
+      assert(ids(GraftCatalog.readSnapshot(spark, root, Some(headBefore))) ==
+        (1 to 9).map(_.toLong).toSet)
+    }
+  }
+
+  test("concurrent appenders race cleanly over segmented manifests") {
+    withTinyThresholds(inlineMax = 2, maxIncludes = 3) {
+      val root = s"$tmp/segrace_${System.nanoTime()}"
+      GraftCatalog.commitSnapshot(batch(1, 4).repartition(4), root, append = false)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // 4 appenders × 3 commits each, every one retrying through the
+      // claim conflict — all 12 must land with their content intact
+      val writers = (0 until 4).map { w =>
+        Future {
+          (0 until 3).foreach { k =>
+            val lo = 100 + w * 10 + k
+            GraftCatalog.commitSnapshot(batch(lo, lo).coalesce(1), root,
+              append = true, maxRetries = 50)
+          }
+        }
+      }
+      Await.result(Future.sequence(writers), 120.seconds)
+      val expect = (1 to 4).map(_.toLong).toSet ++
+        (for (w <- 0 until 4; k <- 0 until 3) yield (100 + w * 10 + k).toLong)
+      assert(ids(GraftCatalog.readSnapshot(spark, root)) == expect)
+      val head = GraftCatalog.snapshotVersions(spark, root).last
+      assert(GraftCatalog.readStats(spark, root, head).keySet ==
+        resolvedData(root, head).toSet,
+        "every racer's stats chain link must survive the interleaving")
+    }
+  }
+
   test("rename rewrites paths inside segments; reads follow the new root") {
     withTinyThresholds() {
       val tok = System.nanoTime()

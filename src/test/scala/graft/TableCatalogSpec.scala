@@ -490,6 +490,11 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception](
       spark.sql("SELECT * FROM graft.db.mnt VERSION AS OF 1").collect())
     assert(e.getMessage.contains("1"))
+    // metadata-only manifest rewrite: a new version, identical rows
+    val rw = spark.sql("CALL graft.system.rewrite_manifests('db.mnt')")
+      .head().getLong(0)
+    assert(rw == 6L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.mnt").head().getLong(0) == 100L)
   }
 
   test("CALL graft.system: branch and fast-forward merge") {
