@@ -1075,7 +1075,59 @@ object SnapshotOps {
       |JOIN g ON o.o_custkey = g.o_custkey AND o.o_orderpriority = g.pr
       |GROUP BY g.pr ORDER BY g.pr""".stripMargin
 
+  /** q155 — the manifest-SEGMENT lifecycle on the driver gate: with
+    * spec-sized thresholds (inline seal at 2 lines, include coalesce at
+    * 3 pointers, stats chain depth 2 — restored in `finally`), orders
+    * lands as a sealed 4-file overwrite, three O(delta) appends chain
+    * segment pointers and stats deltas through a forced coalesce and a
+    * forced chain flatten, a CoW delete re-inlines only the touched
+    * segments' survivors, and `rewriteManifests` coalesces the lot back
+    * to one segment + depth-0 stats. The DuckDB oracle recomputes the
+    * end state straight from the raw parquet (union of all four modulo
+    * slices minus the deleted rows), so a hash match proves the ENTIRE
+    * segment machinery — carry, reseal, coalesce, chain, flatten,
+    * filter-down, manual rewrite — is content-exact end-to-end. */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    val orders = ordersDf(s, d)
+    val root = s"/tmp/graft-index/segments_${math.abs(d.hashCode.toLong)}"
+    wipe(s, root)
+    val (i0, m0, d0) = (GraftCatalog.manifestInlineMax,
+      GraftCatalog.manifestMaxIncludes, GraftCatalog.statsMaxDepth)
+    GraftCatalog.manifestInlineMax = 2
+    GraftCatalog.manifestMaxIncludes = 3
+    GraftCatalog.statsMaxDepth = 2
+    try {
+      GraftCatalog.commitSnapshot(
+        orders.where(col("o_orderkey") % 4 === 0)
+          .repartitionByRange(4, col("o_orderkey")), root, append = false)
+      (1 to 3).foreach { k =>
+        GraftCatalog.commitSnapshot(
+          orders.where(col("o_orderkey") % 4 === k)
+            .repartitionByRange(2, col("o_orderkey")), root, append = true)
+      }
+      GraftCatalog.deleteSnapshotWhere(s, root, col("price") < lit(1000.0))
+      GraftCatalog.rewriteManifests(s, root)
+      GraftCatalog.readSnapshot(s, root)
+        .groupBy("pr")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+        .orderBy("pr")
+    } finally {
+      GraftCatalog.manifestInlineMax = i0
+      GraftCatalog.manifestMaxIncludes = m0
+      GraftCatalog.statsMaxDepth = d0
+    }
+  }
+
+  private val q155Oracle: String =
+    """SELECT o_orderpriority AS pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE NOT (CAST(o_totalprice AS DOUBLE) < 1000.0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q155_segmented_commits", Some(q155Oracle), q155),
     Q("q151_spj_multifield", Some(q151Oracle), q151),
     Q("q117_merge_cow", Some(q117Oracle), q117),
     Q("q119_delete_cow", Some(q119Oracle), q119),
