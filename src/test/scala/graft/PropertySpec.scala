@@ -582,13 +582,38 @@ class PropertySpec extends AnyFunSuite {
     * schedule the OS picks varies, but every assertion is
     * schedule-independent, so the test cannot flake. */
   test("property: concurrent MERGE/DELETE/append histories are serializable") {
+    for (seed <- Seq(41L, 42L, 43L, 44L, 45L)) raceSeed(seed)
+  }
+
+  /** The same cross-verb race under SEGMENTED manifests + chained
+    * stats sidecars (spec-sized thresholds): the serializability
+    * contract, the replan guarantee, version contiguity and the
+    * no-orphan invariant must all be threshold-independent — the
+    * segment carry changes what commit METADATA is written, never
+    * which histories are admissible. */
+  test("property: the same histories serialize under segmented manifests") {
+    val cat = graft.sources.GraftCatalog
+    val (i0, m0, d0) =
+      (cat.manifestInlineMax, cat.manifestMaxIncludes, cat.statsMaxDepth)
+    cat.manifestInlineMax = 2
+    cat.manifestMaxIncludes = 3
+    cat.statsMaxDepth = 2
+    try for (seed <- Seq(46L, 47L)) raceSeed(seed)
+    finally {
+      cat.manifestInlineMax = i0
+      cat.manifestMaxIncludes = m0
+      cat.statsMaxDepth = d0
+    }
+  }
+
+  private def raceSeed(seed: Long): Unit = {
     import org.apache.spark.sql.functions._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     val cat = graft.sources.GraftCatalog
-    for (seed <- Seq(41L, 42L, 43L, 44L, 45L)) {
+    locally {
       val rnd = new scala.util.Random(seed)
       val root = s"/tmp/graft-index/proprace_${seed}_${System.nanoTime()}"
       cat.commitSnapshot(
