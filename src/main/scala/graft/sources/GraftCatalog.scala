@@ -487,8 +487,11 @@ object GraftCatalog {
   @volatile private[graft] var manifestMaxIncludes: Int = 64
 
   /** Segment cache, bounded by TOTAL CACHED LINES (entries are whole
-    * file lists — a count-bounded LRU could pin gigabytes). */
-  private val segCacheMaxLines = 4000000L
+    * file lists — a count-bounded LRU could pin gigabytes). 2M lines
+    * ≈ 300–400 MB of path strings worst case: two full manifests of a
+    * 1M-file table stay hot, and an ordinary driver heap never
+    * notices. */
+  private val segCacheMaxLines = 2000000L
   private val segCache =
     new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true)
   private var segCacheLines = 0L
@@ -1533,6 +1536,13 @@ object GraftCatalog {
             fs.delete(batch, true) // don't orphan the unpublished batch
             throw e
           }
+          // Jittered linear backoff before replanning against the new
+          // head: an immediate retry puts N racing appenders straight
+          // back into the same claim window — under real contention
+          // (many streaming sinks on one table) that is quadratic
+          // wasted work. Capped so a lone retry never stalls a commit.
+          Thread.sleep(math.min(200L, attempt * 20L) +
+            scala.util.Random.nextInt(20).toLong)
       }
     }
     -1L // unreachable
