@@ -486,6 +486,48 @@ object GraftCatalog {
     * per-read segment fan-in. */
   @volatile private[graft] var manifestMaxIncludes: Int = 64
 
+  /** Per-TABLE overrides of the three segment/chain thresholds —
+    * `_refs/manifest.conf`, the same create-exclusive immutable conf
+    * surface as `bloom.conf`/`sort.conf`, and clone-inherited like
+    * them. A hot CDC target can seal/coalesce far more aggressively
+    * than the engine default without touching any other table. */
+  def setSnapshotManifestConf(spark: SparkSession, root: String,
+      inlineMax: Option[Int] = None, maxIncludes: Option[Int] = None,
+      statsDepthMax: Option[Int] = None): Unit = {
+    require(inlineMax.forall(_ >= 1) && maxIncludes.forall(_ >= 1) &&
+      statsDepthMax.forall(_ >= 0), "manifest conf values must be positive")
+    val (fs, r) = fsOf(spark, root)
+    fs.mkdirs(refsDir(r))
+    val lines =
+      inlineMax.map(v => s"inline.max\t$v").toSeq ++
+        maxIncludes.map(v => s"include.max\t$v") ++
+        statsDepthMax.map(v => s"stats.depth.max\t$v")
+    require(lines.nonEmpty, "no manifest conf values given")
+    val p = new org.apache.hadoop.fs.Path(refsDir(r), "manifest.conf")
+    if (!claimExclusive(fs, p, lines.mkString("", "\n", "\n").getBytes("UTF-8")))
+      throw new IllegalStateException(s"manifest config already set on $root")
+  }
+
+  /** (inlineMax, maxIncludes, statsDepthMax) governing commits to this
+    * root: the table's own `manifest.conf` where set, the engine
+    * defaults otherwise. */
+  private def manifestConfAt(fs: org.apache.hadoop.fs.FileSystem,
+      r: org.apache.hadoop.fs.Path): (Int, Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(refsDir(r), "manifest.conf")
+    if (!fs.exists(p))
+      return (manifestInlineMax, manifestMaxIncludes, statsMaxDepth)
+    val in = fs.open(p)
+    val kv =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val Array(k, v) = l.split("\t", 2); k -> v.trim.toInt
+        }.toMap
+      finally in.close()
+    (kv.getOrElse("inline.max", manifestInlineMax),
+      kv.getOrElse("include.max", manifestMaxIncludes),
+      kv.getOrElse("stats.depth.max", statsMaxDepth))
+  }
+
   /** Segment cache, bounded by TOTAL CACHED LINES (entries are whole
     * file lists — a count-bounded LRU could pin gigabytes). 2M lines
     * ≈ 300–400 MB of path strings worst case: two full manifests of a
@@ -1147,11 +1189,12 @@ object GraftCatalog {
     prevName match {
       case None => writeStatsFile(spark, fs, r, newStats.sortBy(_.path))
       case Some(prev) =>
+        val depthMax = manifestConfAt(fs, r)._3
         val d =
           try statsChainDepth(fs, r, prev)
           catch { case _: java.io.FileNotFoundException => -1 }
         if (d < 0) writeStatsFile(spark, fs, r, newStats.sortBy(_.path))
-        else if (d + 1 > statsMaxDepth) {
+        else if (d + 1 > depthMax) {
           val live = liveAtFlatten
           val all = readStatsNamed(spark, fs, r, Some(prev))
             .filter { case (p, _) => live(p) } ++
@@ -3157,15 +3200,16 @@ object GraftCatalog {
     * and resealed as a single segment (amortized O(1) per file). */
   private def segmentLines(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, lines0: Seq[String]): Seq[String] = {
+    val (inlineMax, includesMax, _) = manifestConfAt(fs, root)
     val lines =
-      if (lines0.count(_.startsWith("#include:")) <= manifestMaxIncludes) lines0
+      if (lines0.count(_.startsWith("#include:")) <= includesMax) lines0
       else resolveIncludes(fs, root, lines0, strict = true)
     if (!lines.exists(_.startsWith("#include:")) &&
-        lines.count(!_.startsWith("#")) <= manifestInlineMax) return lines
+        lines.count(!_.startsWith("#")) <= inlineMax) return lines
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val run = scala.collection.mutable.ArrayBuffer.empty[String]
     def seal(): Unit = {
-      if (run.length > manifestInlineMax) {
+      if (run.length > inlineMax) {
         val name = s"seg-${System.nanoTime()}-${run.length}.segment"
         val p = new org.apache.hadoop.fs.Path(manifestDir(root), name)
         val outStream = fs.create(p, false)
@@ -5245,7 +5289,8 @@ object GraftCatalog {
       val cfg = sfs.listStatus(srd).filter(st => st.isFile && {
         val n = st.getPath.getName
         n.endsWith(".check") || n.startsWith("partition.spec") ||
-          n == "bloom.conf" || n == "sort.conf" || n == "write.mode"
+          n == "bloom.conf" || n == "sort.conf" || n == "write.mode" ||
+          n == "manifest.conf"
       })
       if (cfg.nonEmpty) dfs.mkdirs(refsDir(dr))
       cfg.foreach { st =>

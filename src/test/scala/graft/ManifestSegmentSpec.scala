@@ -335,6 +335,33 @@ class ManifestSegmentSpec extends AnyFunSuite {
     }
   }
 
+  test("per-table manifest.conf overrides the engine thresholds; clone inherits it") {
+    // GLOBAL thresholds stay at the engine defaults — only the table's
+    // own conf makes this tiny table take the segmented shape
+    val root = s"$tmp/tblconf_${System.nanoTime()}"
+    GraftCatalog.setSnapshotManifestConf(spark, root,
+      inlineMax = Some(2), maxIncludes = Some(3), statsDepthMax = Some(2))
+    GraftCatalog.commitSnapshot(batch(1, 6).repartition(6), root, append = false)
+    assert(segmentFiles(root).nonEmpty,
+      "the table conf must govern sealing with default globals")
+    GraftCatalog.commitSnapshot(batch(7, 7).coalesce(1), root, append = true)
+    val head = GraftCatalog.snapshotVersions(spark, root).last
+    assert(rawLines(root, head).exists(_.startsWith("#include:")))
+    assert(ids(GraftCatalog.readSnapshot(spark, root)) ==
+      (1 to 7).map(_.toLong).toSet)
+    // second set must refuse (create-exclusive, like bloom.conf)
+    assertThrows[IllegalStateException](
+      GraftCatalog.setSnapshotManifestConf(spark, root, inlineMax = Some(9)))
+    // a clone inherits the conf: its own commits seal the same way
+    val dst = s"$tmp/tblconf_clone_${System.nanoTime()}"
+    GraftCatalog.cloneSnapshot(spark, root, dst)
+    GraftCatalog.commitSnapshot(batch(100, 105).repartition(6), dst, append = false)
+    assert(segmentFiles(dst).nonEmpty,
+      "the cloned table must inherit manifest.conf")
+    assert(ids(GraftCatalog.readSnapshot(spark, dst)) ==
+      (100 to 105).map(_.toLong).toSet)
+  }
+
   test("rename rewrites paths inside segments; reads follow the new root") {
     withTinyThresholds() {
       val tok = System.nanoTime()
