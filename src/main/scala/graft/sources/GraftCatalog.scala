@@ -340,6 +340,20 @@ object GraftCatalog {
   private def manifestDir(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_manifests")
 
+  /** Writer-unique token for batch dirs and sidecar names.
+    * `System.nanoTime()` ALONE is not unique across threads: two
+    * barrier-aligned writers can observe the same value, name the same
+    * batch directory, and one job's commit then deletes the other's
+    * `_temporary` mid-task — a lost-batch race the 20-round barrier
+    * spec eventually caught in the wild. nanoTime keeps names humanly
+    * time-sortable; the process-wide counter makes them unique by
+    * construction. (Cross-PROCESS uniqueness still rests on nanoTime —
+    * two drivers sharing a table collide only if they draw the same
+    * nanosecond, the pre-existing and unobserved-in-practice bar.) */
+  private val writerSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def writerToken(): String =
+    s"${System.nanoTime()}x${writerSeq.incrementAndGet()}"
+
   private val ManifestName = raw"v(\d+)\.manifest".r
 
   private def fsOf(spark: SparkSession, root: String) = {
@@ -508,21 +522,32 @@ object GraftCatalog {
       throw new IllegalStateException(s"manifest config already set on $root")
   }
 
+  /** The table's OWN `manifest.conf` entries (empty when unset) — the
+    * SHOW TBLPROPERTIES surface; commit paths go through
+    * [[manifestConfAt]] which folds in the engine defaults. */
+  def snapshotManifestConf(spark: SparkSession, root: String): Map[String, Int] = {
+    val (fs, r) = fsOf(spark, root)
+    manifestConfKv(fs, r)
+  }
+
+  private def manifestConfKv(fs: org.apache.hadoop.fs.FileSystem,
+      r: org.apache.hadoop.fs.Path): Map[String, Int] = {
+    val p = new org.apache.hadoop.fs.Path(refsDir(r), "manifest.conf")
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val Array(k, v) = l.split("\t", 2); k -> v.trim.toInt
+      }.toMap
+    finally in.close()
+  }
+
   /** (inlineMax, maxIncludes, statsDepthMax) governing commits to this
     * root: the table's own `manifest.conf` where set, the engine
     * defaults otherwise. */
   private def manifestConfAt(fs: org.apache.hadoop.fs.FileSystem,
       r: org.apache.hadoop.fs.Path): (Int, Int, Int) = {
-    val p = new org.apache.hadoop.fs.Path(refsDir(r), "manifest.conf")
-    if (!fs.exists(p))
-      return (manifestInlineMax, manifestMaxIncludes, statsMaxDepth)
-    val in = fs.open(p)
-    val kv =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).map { l =>
-          val Array(k, v) = l.split("\t", 2); k -> v.trim.toInt
-        }.toMap
-      finally in.close()
+    val kv = manifestConfKv(fs, r)
     (kv.getOrElse("inline.max", manifestInlineMax),
       kv.getOrElse("include.max", manifestMaxIncludes),
       kv.getOrElse("stats.depth.max", statsMaxDepth))
@@ -897,8 +922,8 @@ object GraftCatalog {
     // batches encode their spec id so per-file pruning knows which
     // spec's fields a path tuple means (specIdOfPath)
     val batch = new org.apache.hadoop.fs.Path(r,
-      if (specId <= 1) s"data/b${System.nanoTime()}"
-      else s"data/s$specId-b${System.nanoTime()}")
+      if (specId <= 1) s"data/b${writerToken()}"
+      else s"data/s$specId-b${writerToken()}")
     // Declared sort order: applied within write tasks (after the
     // partition-tuple shuffle when one exists) so every file's row
     // groups carry tight sort-key envelopes.
@@ -1028,7 +1053,7 @@ object GraftCatalog {
   private def writeStatsFile(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       stats: Seq[FileStat]): String = {
-    val name = s"s-${System.nanoTime()}.stats"
+    val name = s"s-${writerToken()}.stats"
     val lines = stats.map(statJsonLine)
     val out = fs.create(new org.apache.hadoop.fs.Path(manifestDir(root), name), false)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -1201,7 +1226,7 @@ object GraftCatalog {
             newStats.map(f => f.path -> f)
           writeStatsFile(spark, fs, r, all.values.toSeq.sortBy(_.path))
         } else {
-          val name = s"s-${System.nanoTime()}.stats"
+          val name = s"s-${writerToken()}.stats"
           val lines = Seq(s"#depth:${d + 1}", s"#include:$prev") ++
             newStats.sortBy(_.path).map(statJsonLine)
           val out = fs.create(
@@ -2418,7 +2443,7 @@ object GraftCatalog {
         declared(c).fold(col(c))(t => col(c).cast(t)).as(c)): _*)
       .na.drop("any").distinct()
     if (dk.isEmpty) return head
-    val name = s"eq-${System.nanoTime()}"
+    val name = s"eq-${writerToken()}"
     val base = new org.apache.hadoop.fs.Path(deletesDir(r), name)
     dk.toDF(physPks: _*).write
       .parquet(new org.apache.hadoop.fs.Path(base, "keys").toString)
@@ -2522,7 +2547,7 @@ object GraftCatalog {
       dfs: org.apache.hadoop.fs.FileSystem,
       dr: org.apache.hadoop.fs.Path): Seq[String] = {
     val dvs = readDvNames(sfs, sr, v).map { n =>
-      val newName = s"dv-${System.nanoTime()}"
+      val newName = s"dv-${writerToken()}"
       org.apache.hadoop.fs.FileUtil.copy(
         sfs, new org.apache.hadoop.fs.Path(deletesDir(sr), n),
         dfs, new org.apache.hadoop.fs.Path(deletesDir(dr), newName),
@@ -2536,7 +2561,7 @@ object GraftCatalog {
     val eqs = readManifestLines(sfs, sr, v).filter(_.startsWith("#eqdel:"))
       .map(_.stripPrefix("#eqdel:")).map { l =>
         val (name, physPks) = parseEqDel(l)
-        val newName = s"eq-${System.nanoTime()}"
+        val newName = s"eq-${writerToken()}"
         org.apache.hadoop.fs.FileUtil.copy(
           sfs, new org.apache.hadoop.fs.Path(deletesDir(sr), name),
           dfs, new org.apache.hadoop.fs.Path(deletesDir(dr), newName),
@@ -2596,7 +2621,7 @@ object GraftCatalog {
     val prior = dvDf(spark, r, readDvNames(fs, r, head))
     val fresh = prior.fold(hits)(p =>
       hits.join(p, Seq("__path", "__pos"), "left_anti"))
-    val name = s"dv-${System.nanoTime()}"
+    val name = s"dv-${writerToken()}"
     fresh.write.parquet(new org.apache.hadoop.fs.Path(deletesDir(r), name).toString)
     // an empty DV (nothing matched, or everything already deleted) is
     // a no-op: drop the just-written empty sidecar, head unchanged
@@ -2750,7 +2775,7 @@ object GraftCatalog {
     val matched = hits.reduce(_ unionAll _).distinct()
     val fresh = dvDf(spark, r, priorDvNames)
       .fold(matched)(p => matched.join(p, Seq("__path", "__pos"), "left_anti"))
-    val name = s"dv-${System.nanoTime()}"
+    val name = s"dv-${writerToken()}"
     val dvPath = new org.apache.hadoop.fs.Path(deletesDir(r), name)
     fresh.write.parquet(dvPath.toString)
     if (spark.read.parquet(dvPath.toString).isEmpty) {
@@ -2842,7 +2867,7 @@ object GraftCatalog {
     val dvName: Option[String] =
       if (positions.isEmpty) None
       else {
-        val n = s"dv-${System.nanoTime()}"
+        val n = s"dv-${writerToken()}"
         positions.select(col("__path"), col("__pos"))
           .write.parquet(new org.apache.hadoop.fs.Path(deletesDir(r), n).toString)
         Some(n)
@@ -3210,7 +3235,7 @@ object GraftCatalog {
     val run = scala.collection.mutable.ArrayBuffer.empty[String]
     def seal(): Unit = {
       if (run.length > inlineMax) {
-        val name = s"seg-${System.nanoTime()}-${run.length}.segment"
+        val name = s"seg-${writerToken()}-${run.length}.segment"
         val p = new org.apache.hadoop.fs.Path(manifestDir(root), name)
         val outStream = fs.create(p, false)
         try outStream.write(
@@ -4347,7 +4372,7 @@ object GraftCatalog {
     val v = snapshotVersions(spark, root).last
     val files = readManifest(fs, r, v)
     val df = readSnapshot(spark, root, Some(v))
-    val batch = new org.apache.hadoop.fs.Path(r, s"data/b${System.nanoTime()}")
+    val batch = new org.apache.hadoop.fs.Path(r, s"data/b${writerToken()}")
     zOrderWriteN(df, cols, batch.toString, nFiles, rowGroupBytes)
     val newStatuses = fs.listStatus(batch)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq

@@ -162,6 +162,12 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       GraftCatalog.setSnapshotSortOrder(spark, rootStr, s.split(",").map(_.trim).toSeq))
     props.get("write.mode").foreach(m =>
       GraftCatalog.setSnapshotWriteMode(spark, rootStr, m))
+    // segment/chain thresholds land on the refs surface (manifest.conf)
+    val mc = Seq("manifest.inline.max", "manifest.include.max",
+      "manifest.stats.depth.max").map(k => props.get(k).map(_.trim.toInt))
+    if (mc.exists(_.nonEmpty))
+      GraftCatalog.setSnapshotManifestConf(spark, rootStr,
+        inlineMax = mc(0), maxIncludes = mc(1), statsDepthMax = mc(2))
     // Version 1 commits the schema through the one writer (an empty
     // single-task batch writes one schema-bearing parquet file), so a
     // freshly created table reads as empty instead of erroring, and
@@ -408,6 +414,9 @@ final case class GraftSnapshotTable(root: String, pinned: Option[Long],
     m.put("write.mode", GraftCatalog.snapshotWriteMode(spark, root))
     val sort = GraftCatalog.snapshotSortOrder(spark, root)
     if (sort.nonEmpty) m.put("sort.order", sort.mkString(","))
+    GraftCatalog.snapshotManifestConf(spark, root.toString).foreach {
+      case (k, v) => m.put(s"manifest.$k", v.toString)
+    }
     // CHECK constraints surface as check.<name> so SHOW TBLPROPERTIES
     // answers "what does this table enforce" without a Scala call
     GraftCatalog.listSnapshotChecks(spark, root).foreach { case (n, p) =>

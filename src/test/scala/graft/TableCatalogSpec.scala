@@ -497,6 +497,23 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft.db.mnt").head().getLong(0) == 100L)
   }
 
+  test("TBLPROPERTIES manifest.* set the table's segment conf and govern sealing") {
+    spark.sql("CREATE TABLE graft.db.segt (id BIGINT) TBLPROPERTIES(" +
+      "'manifest.inline.max'='2', 'manifest.include.max'='3')")
+    spark.sql("INSERT INTO graft.db.segt SELECT id FROM range(0, 50)")
+    val root = s"$warehouse/db/segt"
+    val segs = Option(new java.io.File(s"$root/_manifests").list())
+      .map(_.count(_.endsWith(".segment"))).getOrElse(0)
+    assert(segs >= 1,
+      "the table-property thresholds must govern sealing with default globals")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.db.segt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("manifest.inline.max").contains("2"))
+    assert(props.get("manifest.include.max").contains("3"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.segt").head().getLong(0) == 50L)
+    spark.sql("DROP TABLE graft.db.segt")
+  }
+
   test("CALL graft.system: branch and fast-forward merge") {
     spark.sql("CREATE TABLE graft.db.br (id BIGINT, v BIGINT)")
     spark.sql("INSERT INTO graft.db.br SELECT id, id AS v FROM range(0, 50)")
