@@ -1909,7 +1909,23 @@ object GraftCatalog {
       return readSnapshot(spark, root, Some(toV), mergeSchema = true)
         .where(lit(false))
         .withColumn("_change", lit("insert")).withColumn("_version", lit(toV))
-    val all = parts.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+    // BALANCED union, not reduceLeft: a left-deep chain over a long
+    // drain (a consumer a day behind a minute-cadence feed unions
+    // 1000+ versions) is quadratic to analyze and eventually blows the
+    // tree-walk stack; the balanced shape is depth log₂(n). Column
+    // order is then pinned to exactly what the left-deep fold produced
+    // (first-appearance order across parts) so the surface is
+    // byte-identical either way.
+    def treeUnion(ps: Seq[DataFrame]): DataFrame =
+      if (ps.size == 1) ps.head
+      else treeUnion(ps.grouped(2).map {
+        case scala.collection.Seq(a, b) =>
+          a.unionByName(b, allowMissingColumns = true)
+        case scala.collection.Seq(a) => a
+      }.toSeq)
+    val orderedCols = parts.foldLeft(Vector.empty[String])((acc, df) =>
+      acc ++ df.columns.filterNot(acc.contains))
+    val all = treeUnion(parts).select(orderedCols.map(col): _*)
     // the stream's raw file reads carry PHYSICAL names; serve the
     // consumer `toV`'s logical names (Delta-CDF's latest-schema contract)
     readSchemaLine(fs, r, toV).fold(all)(s => toLogicalDf(all, s))
