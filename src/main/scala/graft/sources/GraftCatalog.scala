@@ -4444,6 +4444,31 @@ object GraftCatalog {
     * manifest entries are dropped from the clone's manifests like any
     * dead file, but their bytes are left for their owning table's own
     * vacuum to govern. */
+  /** TIME-based retention (Delta's `RETAIN n HOURS`, Iceberg's
+    * `older_than`): vacuum every version whose COMMIT TIME is ≤
+    * `tsMillis` — except the head, which always survives (a retention
+    * window that empties the table is a config error, not a request),
+    * and tagged versions, which [[vacuumSnapshots]] pins as ever. The
+    * cut resolves by manifest mtime in ONE directory listing, then
+    * delegates. SQL: `CALL graft.system.vacuum(table,
+    * older_than_ts => '…')`. */
+  def vacuumSnapshotsOlderThan(spark: SparkSession, root: String,
+      tsMillis: Long, orphanGraceMs: Long = 10 * 60 * 1000L): Int = {
+    val (fs, r) = fsOf(spark, root)
+    val md = manifestDir(r)
+    val vs = versionsAt(fs, r)
+    if (vs.isEmpty) return 0
+    val mtimes: Map[Long, Long] =
+      if (!fs.exists(md)) Map.empty
+      else fs.listStatus(md).toSeq.flatMap(st => st.getPath.getName match {
+        case ManifestName(n) => Some(n.toLong -> st.getModificationTime)
+        case _ => None
+      }).toMap
+    val keepFrom = vs.find(v => mtimes.get(v).exists(_ > tsMillis))
+      .getOrElse(vs.last)
+    vacuumSnapshots(spark, root, keepFrom, orphanGraceMs)
+  }
+
   def vacuumSnapshots(spark: SparkSession, root: String, keepFrom: Long,
       orphanGraceMs: Long = 10 * 60 * 1000L): Int = {
     val (fs, r) = fsOf(spark, root)

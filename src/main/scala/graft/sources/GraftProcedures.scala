@@ -94,15 +94,24 @@ object GraftProcedures {
   private def vacuum(c: GraftTableCatalog): UnboundProcedure =
     proc("vacuum",
       "remove versions older than the keep_last newest (tags pinned), " +
-        "their unreferenced files, and aged orphans",
-      Array(param("table", StringType), paramD("keep_last", IntegerType, "3"))) {
+        "their unreferenced files, and aged orphans; older_than_ms > 0 " +
+        "switches to TIME retention (commit time <= the epoch-ms cut; " +
+        "the head always survives)",
+      Array(param("table", StringType), paramD("keep_last", IntegerType, "3"),
+        paramD("older_than_ms", LongType, "0L"))) {
       (t, in) =>
         val root = c.resolveTableArg(t)
-        val keepLast = in.getInt(1)
-        require(keepLast >= 1, s"keep_last must be >= 1, got $keepLast")
-        val vs = GraftCatalog.snapshotVersions(spark, root)
-        val keepFrom = vs.takeRight(keepLast).headOption.getOrElse(0L)
-        val removed = GraftCatalog.vacuumSnapshots(spark, root, keepFrom)
+        val olderThan = if (in.isNullAt(2)) 0L else in.getLong(2)
+        val removed =
+          if (olderThan > 0L)
+            GraftCatalog.vacuumSnapshotsOlderThan(spark, root, olderThan)
+          else {
+            val keepLast = in.getInt(1)
+            require(keepLast >= 1, s"keep_last must be >= 1, got $keepLast")
+            val vs = GraftCatalog.snapshotVersions(spark, root)
+            val keepFrom = vs.takeRight(keepLast).headOption.getOrElse(0L)
+            GraftCatalog.vacuumSnapshots(spark, root, keepFrom)
+          }
         (new StructType().add("removed_versions", IntegerType, false),
           InternalRow(removed))
     }

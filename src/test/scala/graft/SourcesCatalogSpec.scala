@@ -341,6 +341,29 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(GraftCatalog.readSnapshot(spark, root).count() == 1)
   }
 
+  test("time-based vacuum reaps versions committed before the cut; the head always survives") {
+    import spark.implicits._
+    val root = s"$tmp/snapvact_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 4).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = false)
+    GraftCatalog.commitSnapshot(
+      Seq((5L, "r5")).toDF("id", "v"), root, append = true)
+    Thread.sleep(60)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(60)
+    GraftCatalog.commitSnapshot(
+      Seq((6L, "r6")).toDF("id", "v"), root, append = true)
+    // v1/v2 predate the cut and reap; v3 (the post-cut commit) survives
+    GraftCatalog.vacuumSnapshotsOlderThan(spark, root, cut, orphanGraceMs = 0)
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(3L))
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 6)
+    // a cut in the FUTURE must still keep the head — never empty a table
+    GraftCatalog.vacuumSnapshotsOlderThan(spark, root,
+      System.currentTimeMillis() + 3600000L, orphanGraceMs = 0)
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(3L))
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 6)
+  }
+
   test("snapshot schema evolution: appended batches may add columns; mergeSchema unions them") {
     import spark.implicits._
     val root = s"$tmp/snapevo_${System.nanoTime()}"
