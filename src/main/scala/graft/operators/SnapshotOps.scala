@@ -1105,7 +1105,13 @@ object SnapshotOps {
           orders.where(col("o_orderkey") % 4 === k)
             .repartitionByRange(2, col("o_orderkey")), root, append = true)
       }
-      GraftCatalog.deleteSnapshotWhere(s, root, col("price") < lit(1000.0))
+      // key-range delete: orderkey envelopes are TIGHT under the
+      // range-partitioned writes, so only the files covering the first
+      // percentile rewrite — the untouched segments carry as pointers
+      // (the path the oracle then proves content-exact)
+      val mk = orders.agg(max("o_orderkey")).head().getLong(0)
+      GraftCatalog.deleteSnapshotWhere(s, root,
+        col("o_orderkey") <= lit(mk / 100L))
       GraftCatalog.rewriteManifests(s, root)
       GraftCatalog.readSnapshot(s, root)
         .groupBy("pr")
@@ -1123,7 +1129,7 @@ object SnapshotOps {
     """SELECT o_orderpriority AS pr, COUNT(*) AS n,
       |  CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders
-      |WHERE NOT (CAST(o_totalprice AS DOUBLE) < 1000.0)
+      |WHERE NOT (o_orderkey <= (SELECT MAX(o_orderkey) // 100 FROM orders))
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Seq[Q] = Seq(
