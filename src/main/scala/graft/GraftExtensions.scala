@@ -157,5 +157,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_snapshot_spj",
         "graft_snapshot_spj(root[, version]) - storage-partitioned read reporting the hidden bucket layout for shuffle-free joins"),
       graft.sources.GraftTvf.spjBuilder))
+    e.injectTableFunction((FunctionIdentifier("graft_vacuum_dry_run"),
+      info("graft_vacuum_dry_run",
+        "graft_vacuum_dry_run(root, keepFrom[, graceMs]) - everything a vacuum with these parameters WOULD reap, as (kind, item) rows, deleting nothing"),
+      graft.sources.GraftTvf.vacuumDryRunBuilder))
   }
 }

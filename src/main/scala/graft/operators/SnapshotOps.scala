@@ -1077,7 +1077,8 @@ object SnapshotOps {
 
   /** q155 — the manifest-SEGMENT lifecycle on the driver gate: with
     * spec-sized thresholds (inline seal at 2 lines, include coalesce at
-    * 3 pointers, stats chain depth 2 — restored in `finally`), orders
+    * 3 pointers, stats chain depth 2 — set per-table via
+    * `manifest.conf`, never the engine globals), orders
     * lands as a sealed 4-file overwrite, three O(delta) appends chain
     * segment pointers and stats deltas through a forced coalesce and a
     * forced chain flatten, a CoW delete re-inlines only the touched
@@ -1091,12 +1092,14 @@ object SnapshotOps {
     val orders = ordersDf(s, d)
     val root = s"/tmp/graft-index/segments_${math.abs(d.hashCode.toLong)}"
     wipe(s, root)
-    val (i0, m0, d0) = (GraftCatalog.manifestInlineMax,
-      GraftCatalog.manifestMaxIncludes, GraftCatalog.statsMaxDepth)
-    GraftCatalog.manifestInlineMax = 2
-    GraftCatalog.manifestMaxIncludes = 3
-    GraftCatalog.statsMaxDepth = 2
-    try {
+    // Spec-sized thresholds via the per-TABLE manifest.conf surface —
+    // scoped to this root only, so a commit to any other table running
+    // concurrently in the same driver (bench, parallel specs) never
+    // picks up segment-churning thresholds mid-flight. The engine
+    // globals stay reserved for single-threaded specs.
+    GraftCatalog.setSnapshotManifestConf(s, root,
+      inlineMax = Some(2), maxIncludes = Some(3), statsDepthMax = Some(2))
+    locally {
       GraftCatalog.commitSnapshot(
         orders.where(col("o_orderkey") % 4 === 0)
           .repartitionByRange(4, col("o_orderkey")), root, append = false)
@@ -1118,10 +1121,6 @@ object SnapshotOps {
         .agg(count(lit(1)).as("n"),
           expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
         .orderBy("pr")
-    } finally {
-      GraftCatalog.manifestInlineMax = i0
-      GraftCatalog.manifestMaxIncludes = m0
-      GraftCatalog.statsMaxDepth = d0
     }
   }
 
@@ -1132,7 +1131,137 @@ object SnapshotOps {
       |WHERE NOT (o_orderkey <= (SELECT MAX(o_orderkey) // 100 FROM orders))
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q156 — validation-based serializable retry on the driver gate: a
+    * MERGE loses its publish race to a PROVABLY key-disjoint append
+    * (injected deterministically between the merge's pin and its
+    * publish via the one-shot fault point) and, instead of aborting,
+    * re-validates — consumed files alive, schema unchanged, no new
+    * delete content, the racer's file outside the merge's key envelope
+    * by stats — and re-publishes its already-written batch
+    * metadata-only. The in-query `require` pins that the race really
+    * fired and the merge landed OVER it (one version later than its
+    * pin), and the DuckDB oracle recomputes the sequential
+    * (append ∥ merge) end state from raw parquet: a hash match proves
+    * the retried history is serializable, row-for-row. */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    val orders = ordersDf(s, d)
+    val (root, mk) = cloneBase(s, d, "snaprace")
+    val v0 = GraftCatalog.snapshotVersions(s, root).last
+    GraftCatalog.cowPublishFault.put(root, new Runnable {
+      def run(): Unit = {
+        GraftCatalog.commitSnapshot(
+          orders.where(col("o_orderkey") % 500 === 0)
+            .select((col("o_orderkey") + lit(200000000L)).as("o_orderkey"),
+              col("o_custkey"), col("price"), lit("8-RACE").as("pr")),
+          root, append = true)
+        ()
+      }
+    })
+    val updates = orders
+      .where(col("o_orderkey") % 10 === 0 && col("o_orderkey") <= mk / 4)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("price") + lit(100.0)).as("price"), lit("0-RUSH").as("pr"))
+    val landed = GraftCatalog.mergeSnapshot(s, root, updates, "o_orderkey")
+    require(landed == v0 + 2,
+      s"the merge must have lost the race AND re-published (expected v${v0 + 2}, " +
+        s"landed v$landed) — a plain success means the fault never fired")
+    GraftCatalog.readSnapshot(s, root)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("pr")
+  }
+
+  private val q156Oracle: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) + 100.0 AS price, '0-RUSH' AS pr
+      |  FROM orders, mk WHERE o_orderkey % 10 = 0 AND o_orderkey <= mk // 4),
+      |race AS (
+      |  SELECT o_orderkey + 200000000 AS o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, '8-RACE' AS pr
+      |  FROM orders WHERE o_orderkey % 500 = 0),
+      |base AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+      |    o_orderpriority AS pr
+      |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)),
+      |fin AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM race)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
+
+  /** q157 — multi-statement TRANSACTION on the driver gate: a MERGE
+    * (price bump on every 10th key in the first quartile), a DELETE
+    * (drop keys in the last percentile) and an INSERT (shifted-key
+    * block) run as ONE [[GraftCatalog.transactSnapshot]] body and land
+    * as ONE reader-visible version flip — the in-query `require` pins
+    * the single-flip contract (head == fork + 1). The DuckDB oracle
+    * recomputes the composed end state relationally from raw parquet,
+    * so a hash match proves BEGIN…COMMIT over three verbs equals the
+    * sequential application, row-for-row. */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    val orders = ordersDf(s, d)
+    val (root, mk) = cloneBase(s, d, "snaptxn")
+    val v0 = GraftCatalog.snapshotVersions(s, root).last
+    val landed = GraftCatalog.transactSnapshot(s, root) { br =>
+      GraftCatalog.mergeSnapshot(s, br,
+        orders.where(col("o_orderkey") % 10 === 0 && col("o_orderkey") <= mk / 4)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("price") + lit(100.0)).as("price"), lit("0-RUSH").as("pr")),
+        "o_orderkey")
+      GraftCatalog.deleteSnapshotWhere(s, br,
+        col("o_orderkey") > lit(mk - mk / 100L))
+      GraftCatalog.commitSnapshot(
+        orders.where(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + lit(300000000L)).as("o_orderkey"),
+            col("o_custkey"), col("price"), lit("9-TXN").as("pr")),
+        br, append = true)
+      ()
+    }
+    require(landed == v0 + 1,
+      s"three verbs must land as ONE flip (expected v${v0 + 1}, got v$landed)")
+    GraftCatalog.readSnapshot(s, root)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("pr")
+  }
+
+  private val q157Oracle: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) + 100.0 AS price, '0-RUSH' AS pr
+      |  FROM orders, mk WHERE o_orderkey % 10 = 0 AND o_orderkey <= mk // 4),
+      |ins AS (
+      |  SELECT o_orderkey + 300000000 AS o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, '9-TXN' AS pr
+      |  FROM orders WHERE o_orderkey % 1000 = 0),
+      |base AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+      |    o_orderpriority AS pr
+      |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)),
+      |merged AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM upd),
+      |afterdel AS (
+      |  SELECT m.* FROM merged m, mk
+      |  WHERE NOT (m.o_orderkey > mk - mk // 100)),
+      |fin AS (
+      |  SELECT * FROM afterdel UNION ALL SELECT * FROM ins)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q157_transaction", Some(q157Oracle), q157),
+    Q("q156_merge_race_serializable", Some(q156Oracle), q156),
     Q("q155_segmented_commits", Some(q155Oracle), q155),
     Q("q151_spj_multifield", Some(q151Oracle), q151),
     Q("q117_merge_cow", Some(q117Oracle), q117),

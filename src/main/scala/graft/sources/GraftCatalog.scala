@@ -13,9 +13,20 @@ import org.apache.spark.sql.functions._
   * columns whose per-file RANGE spans the domain (ids, hashes, UUIDs —
   * the case envelopes can never prune) skip files whose bloom provably
   * lacks the value. Absent on sidecars written before the column was
-  * bloom-enrolled — consumers keep the file. */
+  * bloom-enrolled — consumers keep the file.
+  *
+  * `ndv` is the file-LOCAL approximate distinct count; `hll` is the
+  * base64 Datasketches HLL sketch it came from (r16). The sketch is
+  * what makes table-level NDV honest: per-file COUNTS can only be
+  * summed, so a column with the same 100 values in each of 1,000 files
+  * reported NDV ≈ 100,000 — the union of the sketches reports ~100.
+  * Join-order and broadcast decisions at scale hinge on that number.
+  * Absent on pre-r16 sidecars and on the footer fast path (footers
+  * carry no sketch) — the merge falls back to the sum-clamp bracket. */
 final case class ColStat(col: String, typ: String, mn: String, mx: String, nc: Long,
-    bloom: Option[String] = None, ndv: Option[Long] = None)
+    bloom: Option[String] = None, ndv: Option[Long] = None,
+    hll: Option[String] = None,
+    al: Option[Long] = None, ml: Option[Long] = None)
 
 /** Manifest-level stats of one data file — the Iceberg/Delta idea that
   * makes a selective read of a 100 TB snapshot a METADATA operation:
@@ -347,12 +358,19 @@ object GraftCatalog {
     * `_temporary` mid-task — a lost-batch race the 20-round barrier
     * spec eventually caught in the wild. nanoTime keeps names humanly
     * time-sortable; the process-wide counter makes them unique by
-    * construction. (Cross-PROCESS uniqueness still rests on nanoTime —
-    * two drivers sharing a table collide only if they draw the same
-    * nanosecond, the pre-existing and unobserved-in-practice bar.) */
+    * construction. Cross-PROCESS uniqueness (two DRIVERS sharing a
+    * table — the multi-writer contract every lakehouse format signs)
+    * comes from a per-process random nonce: nanoTime is NOT unique
+    * across JVMs (two drivers can draw the same nanosecond under
+    * barrier-aligned streaming triggers), and a collision there is the
+    * same lost-batch race the counter fixed in-process. Token shape:
+    * `<nanoTime>x<nonce8>x<seq>` — leading digits keep the
+    * `b\d`-prefixed path matchers (specIdOfPath) working unchanged. */
   private val writerSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def writerToken(): String =
-    s"${System.nanoTime()}x${writerSeq.incrementAndGet()}"
+  private val processNonce =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+  private[graft] def writerToken(): String =
+    s"${System.nanoTime()}x${processNonce}x${writerSeq.incrementAndGet()}"
 
   private val ManifestName = raw"v(\d+)\.manifest".r
 
@@ -509,7 +527,8 @@ object GraftCatalog {
       inlineMax: Option[Int] = None, maxIncludes: Option[Int] = None,
       statsDepthMax: Option[Int] = None): Unit = {
     require(inlineMax.forall(_ >= 1) && maxIncludes.forall(_ >= 1) &&
-      statsDepthMax.forall(_ >= 0), "manifest conf values must be positive")
+      statsDepthMax.forall(_ >= 0),
+      "inline.max and include.max must be >= 1; stats.depth.max must be >= 0")
     val (fs, r) = fsOf(spark, root)
     fs.mkdirs(refsDir(r))
     val lines =
@@ -824,12 +843,18 @@ object GraftCatalog {
     // Per-column approx NDV (HLL++, default 5% rsd) rides the same
     // one-pass agg: the planning-time cardinality signal CBO-style
     // join sizing and "is this column key-like" questions need, at
-    // zero extra scans.
+    // zero extra scans. The MERGEABLE Datasketches HLL sketch (lgK=10,
+    // ~3% rse, ~0.7 KB base64) rides alongside (r16): the count alone
+    // can only be summed across files, which overstates table NDV by
+    // up to the file count. Sketch input is cast to string — injective
+    // for every statable type, and the only input family the sketch
+    // agg accepts beyond int/long/binary.
     val aggs = count(lit(1)).as("__rows") +: fields.flatMap { f => Seq(
       min(col(f.name)).cast("string"),
       max(col(f.name)).cast("string"),
       sum(when(col(f.name).isNull, 1L).otherwise(0L)),
-      approx_count_distinct(col(f.name)))
+      approx_count_distinct(col(f.name)),
+      hll_sketch_agg(col(f.name).cast("string"), 10))
     }
     // Bloom-enrolled columns add two bounded collect_sets per file (the
     // distinct BIT POSITIONS, capped at the filter width — never the
@@ -842,12 +867,19 @@ object GraftCatalog {
         collect_set(expr(
           s"pmod(shiftrightunsigned(xxhash64(`${f.name}`), 32), ${m}L)")))
     }
-    val allAggs = aggs ++ bloomAggs
+    // STRING columns also record avg/max length (r16): CBO's row-width
+    // and size estimation for string-heavy tables is garbage without
+    // them, and the same one-pass agg computes both for free.
+    val lenFields = fields.filter(_.dataType ==
+      org.apache.spark.sql.types.StringType)
+    val lenAggs = lenFields.flatMap(f =>
+      Seq(avg(length(col(f.name))), max(length(col(f.name)))))
+    val allAggs = aggs ++ bloomAggs ++ lenAggs
     df.groupBy(input_file_name().as("__path"))
       .agg(allAggs.head, allAggs.tail: _*).collect().toSeq.map { row =>
         val p = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
           new org.apache.hadoop.fs.Path(new java.net.URI(row.getString(0)))).toString
-        val bloomBase = 2 + fields.size * 4
+        val bloomBase = 2 + fields.size * 5
         val cols = fields.zipWithIndex.map { case (f, i) =>
           val bl = bloomConf.get(f.name).map { m =>
             val bi = bloomFields.indexWhere(_.name == f.name)
@@ -858,9 +890,24 @@ object GraftCatalog {
             }
             s"$m:" + java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
           }
+          // an all-NULL column yields a null sketch — record the empty
+          // sketch so the table-level union stays exact (None means
+          // "no sketch recorded", which forces the sum-clamp fallback)
+          val hs = Option(row.getAs[Array[Byte]](6 + i * 5))
+            .map(java.util.Base64.getEncoder.encodeToString)
+            .orElse(Some(emptyHllB64))
+          val lenBase = bloomBase + bloomFields.size * 2
+          val li = lenFields.indexWhere(_.name == f.name)
+          val (al, ml) =
+            if (li < 0) (None, None)
+            else (Option(row.get(lenBase + li * 2))
+                .map(v => math.round(v.asInstanceOf[java.lang.Number].doubleValue())),
+              Option(row.get(lenBase + li * 2 + 1))
+                .map(_.asInstanceOf[java.lang.Number].longValue()))
           ColStat(f.name, f.dataType.catalogString,
-            row.getString(2 + i * 4), row.getString(3 + i * 4),
-            row.getLong(4 + i * 4), bl, Some(row.getLong(5 + i * 4)))
+            row.getString(2 + i * 5), row.getString(3 + i * 5),
+            row.getLong(4 + i * 5), bl, Some(row.getLong(5 + i * 5)), hs,
+            al, ml)
         }
         FileStat(p, row.getLong(1), cols,
           fsMeta.get(p).map(_._1), fsMeta.get(p).map(_._2))
@@ -879,11 +926,19 @@ object GraftCatalog {
             .filterNot(have).map { p =>
               FileStat(p, 0L, fields.map(f =>
                 ColStat(f.name, f.dataType.catalogString, null, null, 0L,
-                  None, Some(0L))),
+                  None, Some(0L), Some(emptyHllB64))),
                 fsMeta.get(p).map(_._1), fsMeta.get(p).map(_._2))
             }
       }
   }
+
+  /** The empty Datasketches HLL sketch (lgK=10), base64 — stamped on
+    * zero-row and all-NULL file-columns so the table-level NDV union
+    * never loses the sketch path to a file that simply had nothing to
+    * enroll. */
+  private lazy val emptyHllB64: String =
+    java.util.Base64.getEncoder.encodeToString(
+      new org.apache.datasketches.hll.HllSketch(10).toCompactByteArray)
 
   /** (path → (len, mtime)) of a just-listed batch — the writer already
     * holds these `FileStatus`es; recording them in the sidecar is what
@@ -1015,6 +1070,9 @@ object GraftCatalog {
       sb.append(",\"nc\":").append(c.nc)
       c.bloom.foreach(b => sb.append(",\"bloom\":").append(jsonEsc(b)))
       c.ndv.foreach(n => sb.append(",\"ndv\":").append(n))
+      c.hll.foreach(h => sb.append(",\"hll\":").append(jsonEsc(h)))
+      c.al.foreach(v => sb.append(",\"al\":").append(v))
+      c.ml.foreach(v => sb.append(",\"ml\":").append(v))
       sb.append('}')
     }
     sb.append(']')
@@ -1042,7 +1100,8 @@ object GraftCatalog {
       case JArray(cs) => cs.map { c =>
         ColStat(str(c \ "col"), str(c \ "typ"), str(c \ "mn"), str(c \ "mx"),
           lng(c \ "nc").getOrElse(0L),
-          Option(str(c \ "bloom")), lng(c \ "ndv"))
+          Option(str(c \ "bloom")), lng(c \ "ndv"), Option(str(c \ "hll")),
+          lng(c \ "al"), lng(c \ "ml"))
       }
       case _ => Nil
     }
@@ -1645,17 +1704,36 @@ object GraftCatalog {
     * carries only lines the RACER added over non-consumed files.
     * Fresh conflicts during the re-publish revalidate against the
     * newer head, bounded; validation failure rethrows the ORIGINAL
-    * conflict so callers' replan contract is unchanged. */
+    * conflict so callers' replan contract is unchanged.
+    *
+    * `scopeDisjoint` extends the validation to NON-content-preserving
+    * verbs (MERGE/DELETE/UPDATE/replaceWhere/CDC apply — Iceberg's
+    * validation-based serializable retry): the verb's output is only
+    * serializable as (racer, verb) if the verb would have read and
+    * pinned EXACTLY the same inputs on the racer's head. Consumed
+    * files alive + no new delete content over them covers the pinned
+    * side; the predicate proves the racer's NEW data files hold no row
+    * in the verb's key/predicate scope — via the head's stats
+    * envelopes ([[mayContain]], bloom-backed for point sets) and
+    * hidden-partition tuples ([[tupleMayMatch]]), both conservative. A
+    * racer file with no stats entry, or whose envelope intersects the
+    * scope, is unprovable → the strict abort stands. Without this, a
+    * long-running backfill MERGE under steady ingest loses every race
+    * FOREVER and re-pays its full read+write each attempt — the verb-
+    * level starvation the r15 rewrite fix left one level down. */
   private def republishPinnedRewrite(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
       pinBase: Long, consumed: Set[String], newFiles: Seq[String],
       newStats: Seq[FileStat], schemaLine: String, meta: Seq[String],
-      carriesLines: Boolean, original: SnapshotConflictException): Long = {
+      carriesLines: Boolean, original: SnapshotConflictException,
+      scopeDisjoint: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None): Long = {
     def dvEq(lines: Seq[String]) =
       lines.filter(l => l.startsWith("#dv:") || l.startsWith("#eqdel:")).toSet
     val baseLines = readManifestLines(fs, r, pinBase)
     val baseSchema = baseLines.find(_.startsWith("#schema:"))
+    val baseFiles = baseLines.filterNot(_.startsWith("#")).toSet
     val baseDvEq = dvEq(baseLines)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
@@ -1669,6 +1747,23 @@ object GraftCatalog {
           baseDvEq.subsetOf(headDvEq) &&
           !deleteLinesTouch(spark, r, (headDvEq -- baseDvEq).toSeq, consumed)
       if (!safe) throw original
+      // Verb scope proof: every file the racer(s) ADDED since the pin
+      // base must be provably outside the verb's scope. Metadata-only:
+      // one stats-sidecar read + per-file envelope/tuple evaluation.
+      scopeDisjoint.foreach { scope =>
+        val racerNew = headFiles.filterNot(baseFiles).filterNot(newFiles.toSet)
+        if (racerNew.nonEmpty) {
+          val csHead = readSchemaLine(fs, r, head)
+          val consult = statsLogical(readStats(spark, r.toString, head), csHead)
+          val ptSpec = readPartitionSpecsAt(fs, r)
+          val ptSchema = if (ptSpec.isEmpty) None else csHead
+          val provablyOut = racerNew.forall { f =>
+            consult.get(f).exists(st => !mayContain(st, scope, tz)) ||
+              !tupleMayMatch(ptSpec, ptSchema, f, scope, tz)
+          }
+          if (!provablyOut) throw original
+        }
+      }
       val carriedFiles = headFiles.filterNot(consumed)
       // structural carry + chained stats, like commitCow: the
       // re-publish only rewrites manifest text for segments the
@@ -2048,8 +2143,11 @@ object GraftCatalog {
         }
       // Publish: new batch + carried files, via the standard commit path
       // but carrying OUR file list rather than blind-appending the head.
+      // A lost race re-validates against the merge's key envelope —
+      // disjoint concurrent ingest no longer starves a backfill MERGE.
       commitCow(spark, fs, r, head, carried,
-        stats.filter { case (p, _) => carried.contains(p) }, newData, meta)
+        stats.filter { case (p, _) => carried.contains(p) }, newData, meta,
+        scopePred = Some(() => keyScopeEnvelope(keys, pks)))
     } finally keys.unpersist()
   }
 
@@ -2172,7 +2270,8 @@ object GraftCatalog {
       val newData = survivors.unionByName(
         upserts.select(survivors.columns.toSeq.map(col): _*))
       commitCow(spark, fs, r, head, carried,
-        stats.filter { case (p, _) => carried.contains(p) }, newData, meta)
+        stats.filter { case (p, _) => carried.contains(p) }, newData, meta,
+        scopePred = Some(() => keyScopeEnvelope(keys, pks)))
     } finally { keys.unpersist(); pinned.unpersist() }
   }
 
@@ -2241,7 +2340,8 @@ object GraftCatalog {
     val survivors = readFilesDv(spark, fs, r, head, matchedFiles.toSeq.sorted)
       .where(!coalesce(pred, lit(false)))
     commitCow(spark, fs, r, head, carried,
-      stats.filter { case (p, _) => carried.contains(p) }, survivors, meta)
+      stats.filter { case (p, _) => carried.contains(p) }, survivors, meta,
+      scopePred = Some(() => Some(pred)))
   }
 
   // ---------------------------------------------------------------------
@@ -3003,6 +3103,22 @@ object GraftCatalog {
       new org.apache.hadoop.fs.Path(new java.net.URI(row.getString(0)))).toString)
       .toSet
 
+  /** Conservative key-scope envelope of a merge/CDC batch: per key
+    * column the `[min, max]` over the source's distinct key tuples,
+    * conjoined — the predicate [[republishPinnedRewrite]] uses to
+    * prove a racing commit's new files hold no row this verb could
+    * have touched. Evaluated only on the CONFLICT path (one agg over
+    * the already-persisted keys frame). None when any bound is NULL
+    * (all-null key column — no provable scope, strict abort). */
+  private def keyScopeEnvelope(keys: DataFrame, pks: Seq[String]): Option[Column] = {
+    val aggs = pks.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val row = keys.agg(aggs.head, aggs.tail: _*).head()
+    if ((0 until 2 * pks.size).exists(row.isNullAt)) None
+    else Some(pks.zipWithIndex.map { case (c, i) =>
+      col(c) >= lit(row.get(2 * i)) && col(c) <= lit(row.get(2 * i + 1))
+    }.reduce(_ && _))
+  }
+
   /** One `input_file_name` pass over the stats-nominated candidates:
     * the manifest paths of files with ≥1 row satisfying `pred` — the
     * PIN step shared by every copy-on-write verb. */
@@ -3019,12 +3135,20 @@ object GraftCatalog {
     * compute its stats, carry `carried`'s, publish `head + 1`. A lost
     * commit race deletes the unpublished batch and stats sidecar (no
     * orphans) and rethrows — the serializable contract all CoW verbs
-    * share (the caller replans against the new head). */
+    * share (the caller replans against the new head) — UNLESS the race
+    * is provably harmless: `rewriteOf` (content-preserving rewrites)
+    * or `scopePred` (verbs with a key/predicate scope) route through
+    * [[republishPinnedRewrite]] to land the already-written batch at
+    * metadata price. `scopePred` is a THUNK evaluated only on the
+    * conflict path (a merge's key envelope costs one agg over the
+    * source — never paid on the conflict-free fast path); `None` from
+    * the thunk means "no provable scope" and keeps the strict abort. */
   private def commitCow(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
       head: Long, carried: Seq[String], carriedStats: Map[String, FileStat],
       newData: DataFrame, meta: Seq[String],
-      rewriteOf: Option[Set[String]] = None): Long = {
+      rewriteOf: Option[Set[String]] = None,
+      scopePred: Option[() => Option[Column]] = None): Long = {
     val (batch, newFiles, newStatuses) = writeBatch(spark, fs, r, newData)
     val newStats = batchFileStats(spark, newFiles, fsMetaOf(newStatuses),
       readBloomConfAt(fs, r))
@@ -3065,6 +3189,7 @@ object GraftCatalog {
       l.startsWith("#dv:") || l.startsWith("#eqdel:"))
     try {
       val next = head + 1
+      Option(cowPublishFault.remove(r.toString)).foreach(_.run())
       publishManifest(fs, r, next,
         Seq(s"#stats:$statsName", schemaLine) ++ dvCarried ++ meta ++ carryLines ++ newFiles)
       next
@@ -3072,14 +3197,20 @@ object GraftCatalog {
       case e: SnapshotConflictException =>
         fs.delete(new org.apache.hadoop.fs.Path(manifestDir(r), statsName), false)
         // content-preserving rewrites (partitioned compaction) get the
-        // RewriteFiles re-validation; the CoW VERBS keep the strict
-        // abort+replan contract — their output is not content-
-        // preserving, so landing it over an unseen commit would not
-        // correspond to any serial order the caller certified.
-        if (rewriteOf.isDefined) {
+        // RewriteFiles re-validation unconditionally; the CoW VERBS get
+        // it iff they can prove the racer's new files are outside their
+        // key/predicate scope — the output of a verb is not content-
+        // preserving, so an UNPROVEN race keeps the strict abort+replan
+        // contract (landing it blind would correspond to no serial
+        // order the caller certified).
+        val verbScope: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+          if (rewriteOf.isDefined) None
+          else scopePred.flatMap(f => f())
+            .map(org.apache.spark.sql.GraftColumnBridge.expression)
+        if (rewriteOf.isDefined || verbScope.isDefined) {
           try return republishPinnedRewrite(spark, fs, r, head,
-            rewriteOf.get, newFiles, newStats, schemaLine, meta,
-            carriesLines = true, e)
+            rewriteOf.getOrElse(consumed), newFiles, newStats, schemaLine, meta,
+            carriesLines = true, e, scopeDisjoint = verbScope)
           catch {
             case e2: SnapshotConflictException =>
               fs.delete(batch, true)
@@ -3090,6 +3221,15 @@ object GraftCatalog {
         throw e
     }
   }
+
+  /** TEST-ONLY fault point: a one-shot action run immediately before a
+    * CoW publish claims its manifest for the given table ROOT — specs
+    * and the deterministic driver race query inject a racing commit
+    * here to exercise the conflict paths without timing luck. Keyed by
+    * root (never fires on another table) and consumed on first use;
+    * empty in production. */
+  private[graft] val cowPublishFault =
+    new java.util.concurrent.ConcurrentHashMap[String, Runnable]()
 
   /** COPY-ON-WRITE row-level UPDATE — `UPDATE t SET c = e, … WHERE
     * pred`, the third CoW verb beside [[mergeSnapshot]] and
@@ -3148,7 +3288,8 @@ object GraftCatalog {
     validateChecks(spark, root, marked.where(col(hitCol)).drop(hitCol))
     val updated = marked.drop(hitCol)
     commitCow(spark, fs, r, head, carried,
-      stats.filter { case (p, _) => carried.contains(p) }, updated, meta)
+      stats.filter { case (p, _) => carried.contains(p) }, updated, meta,
+      scopePred = Some(() => Some(pred)))
   }
 
   /** Atomic slice OVERWRITE — Delta's `replaceWhere`, the idempotent
@@ -3193,7 +3334,8 @@ object GraftCatalog {
     val newData = survivors.select(tableCols.map(col): _*)
       .unionByName(rows.select(tableCols.map(col): _*))
     commitCow(spark, fs, r, head, carried,
-      stats.filter { case (p, _) => carried.contains(p) }, newData, meta)
+      stats.filter { case (p, _) => carried.contains(p) }, newData, meta,
+      scopePred = Some(() => Some(pred)))
   }
 
   /** The commit point: an ATOMIC CREATE-EXCLUSIVE claim of the FINAL
@@ -4451,7 +4593,7 @@ object GraftCatalog {
     * and tagged versions, which [[vacuumSnapshots]] pins as ever. The
     * cut resolves by manifest mtime in ONE directory listing, then
     * delegates. SQL: `CALL graft.system.vacuum(table,
-    * older_than_ts => '…')`. */
+    * older_than_ms => <epoch millis>)`. */
   def vacuumSnapshotsOlderThan(spark: SparkSession, root: String,
       tsMillis: Long, orphanGraceMs: Long = 10 * 60 * 1000L): Int = {
     val (fs, r) = fsOf(spark, root)
@@ -4469,9 +4611,135 @@ object GraftCatalog {
     vacuumSnapshots(spark, root, keepFrom, orphanGraceMs)
   }
 
+  // ------------------------------------------------------------------
+  // STREAM CURSORS: retention floors vacuum respects like tags
+  // ------------------------------------------------------------------
+  //
+  // Detection of the vacuum/checkpoint race (the loud resume error) is
+  // an expensive error message at 100 TB: the stream's only recovery
+  // is a full reprocess. PREVENTION is a cursor file —
+  // `_refs/cursors/<streamId>` holding the oldest version the stream's
+  // checkpoint still needs — which [[vacuumSnapshots]] treats as a
+  // retention floor: no version at or above any registered cursor is
+  // reaped, whatever `keepFrom` says. The native stream source
+  // advances its cursor on every completed micro-batch; an ABANDONED
+  // stream's pin is reclaimed explicitly with [[dropStreamCursor]]
+  // (the override), after which the loud error is again the backstop.
+  // Cursors are per-table operational state: clones don't inherit
+  // them, and an unparseable cursor file pins EVERYTHING (failing
+  // toward retention, never toward data loss).
+
+  private def cursorsDir(r: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(refsDir(r), "cursors")
+
+  /** Register or ADVANCE a stream cursor: vacuum keeps every version
+    * `>= version`. Advance-only writes go through create-temp + rename
+    * (atomic replace on POSIX; HDFS gets delete-then-rename, whose
+    * tiny window fails toward a stale — more protective — pin). */
+  def setStreamCursor(spark: SparkSession, root: String, streamId: String,
+      version: Long): Unit = {
+    require(refName.matches(streamId), s"invalid stream cursor id '$streamId'")
+    val (fs, r) = fsOf(spark, root)
+    fs.mkdirs(cursorsDir(r))
+    val fin = new org.apache.hadoop.fs.Path(cursorsDir(r), streamId)
+    val tmp = new org.apache.hadoop.fs.Path(cursorsDir(r),
+      s".$streamId.${writerToken()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, fin)) {
+      fs.delete(fin, false)
+      if (!fs.rename(tmp, fin)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"could not advance stream cursor $streamId on $root")
+      }
+    }
+  }
+
+  /** The explicit override: reclaim an abandoned stream's retention
+    * pin. Returns false when no such cursor exists. */
+  def dropStreamCursor(spark: SparkSession, root: String,
+      streamId: String): Boolean = {
+    val (fs, r) = fsOf(spark, root)
+    fs.delete(new org.apache.hadoop.fs.Path(cursorsDir(r), streamId), false)
+  }
+
+  /** Registered cursors (streamId → pinned version). An unparseable
+    * file reports version 0 — pin everything, the protective
+    * direction. */
+  def listStreamCursors(spark: SparkSession, root: String): Map[String, Long] = {
+    val (fs, r) = fsOf(spark, root)
+    val d = cursorsDir(r)
+    if (!fs.exists(d)) return Map.empty
+    fs.listStatus(d).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val v =
+          try scala.util.Try(scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim.toLong).getOrElse(0L)
+          finally in.close()
+        st.getPath.getName -> v
+      }.toMap
+  }
+
+  /** Everything ONE vacuum invocation would reap — computed first,
+    * executed after (or not at all: [[vacuumSnapshotsDryRun]] returns
+    * this plan as rows). Every list is metadata-derived; nothing here
+    * touches data bytes. */
+  private final case class VacuumPlan(
+      oldVersions: Seq[Long],
+      deadFiles: Seq[String],
+      staleStats: Seq[org.apache.hadoop.fs.Path],
+      staleSegments: Seq[org.apache.hadoop.fs.Path],
+      staleDeletes: Seq[org.apache.hadoop.fs.Path],
+      orphanBatchDirs: Seq[org.apache.hadoop.fs.Path])
+
   def vacuumSnapshots(spark: SparkSession, root: String, keepFrom: Long,
       orphanGraceMs: Long = 10 * 60 * 1000L): Int = {
     val (fs, r) = fsOf(spark, root)
+    val p = vacuumPlanOf(spark, fs, r, root, keepFrom, orphanGraceMs)
+    p.deadFiles.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    p.oldVersions.foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(manifestDir(r), s"v$v.manifest"), false))
+    p.staleStats.foreach(fs.delete(_, false))
+    p.staleSegments.foreach(fs.delete(_, false))
+    p.staleDeletes.foreach(fs.delete(_, true))
+    p.orphanBatchDirs.foreach(fs.delete(_, true))
+    p.deadFiles.size
+  }
+
+  /** `VACUUM DRY RUN` — everything a vacuum with these parameters
+    * WOULD reap, as `(kind, item)` rows, from metadata only: operator
+    * confidence before the irreversible sweep. Kinds: `version`
+    * (manifest), `data_file`, `stats_sidecar`, `manifest_segment`,
+    * `delete_sidecar`, `orphan_batch_dir`. Also the TVF
+    * `graft_vacuum_dry_run(root, keepFrom)`. */
+  def vacuumSnapshotsDryRun(spark: SparkSession, root: String,
+      keepFrom: Long, orphanGraceMs: Long = 10 * 60 * 1000L): DataFrame = {
+    val (fs, r) = fsOf(spark, root)
+    val p = vacuumPlanOf(spark, fs, r, root, keepFrom, orphanGraceMs)
+    val rows: Seq[(String, String)] =
+      p.oldVersions.map(v => "version" -> s"v$v") ++
+        p.deadFiles.map("data_file" -> _) ++
+        p.staleStats.map(x => "stats_sidecar" -> x.getName) ++
+        p.staleSegments.map(x => "manifest_segment" -> x.getName) ++
+        p.staleDeletes.map(x => "delete_sidecar" -> x.getName) ++
+        p.orphanBatchDirs.map(x => "orphan_batch_dir" -> x.toString)
+    import spark.implicits._
+    rows.toDF("kind", "item")
+  }
+
+  private def vacuumPlanOf(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
+      root: String, keepFrom: Long, orphanGraceMs: Long): VacuumPlan = {
+    // Stream-cursor retention floor: never reap a version a registered
+    // live stream's checkpoint still needs (see the cursor notes
+    // above) — the caller's keepFrom is clamped, not overridden.
+    val cursorFloor = listStreamCursors(spark, root).values
+      .minOption.getOrElse(Long.MaxValue)
+    val keepFromEff = math.min(keepFrom, cursorFloor)
     val horizon0 = System.currentTimeMillis() - orphanGraceMs
     // Aged TORN manifests (no #eof — a publish that crashed mid-write)
     // are vacuumable at ANY version: strict readers refuse them anyway.
@@ -4485,17 +4753,20 @@ object GraftCatalog {
     // retention no matter where the horizon sits.
     val tagged = listSnapshotTags(spark, root).map(_._2).toSet
     val (old0, kept) = snapshotVersions(spark, root).filterNot(torn.contains)
-      .partition(v => v < keepFrom && !tagged(v))
+      .partition(v => v < keepFromEff && !tagged(v))
     val old = old0 ++ torn
-    val keepFiles = kept.flatMap(readManifest(fs, r, _, strict = false)).toSet
+    // The KEPT set feeds the destructive sweep's inverse: a kept
+    // version whose segment is unreadable must ABORT the vacuum, not
+    // silently contribute zero files (tolerant resolution would let
+    // the dead-file sweep delete data still live in that version).
+    // strict=false stays correct only on the OLD side, where a
+    // half-reaped version merely enumerates deletion candidates.
+    val keepFiles = kept.flatMap(readManifest(fs, r, _, strict = true)).toSet
     val rootPrefix = org.apache.hadoop.fs.Path
       .getPathWithoutSchemeAndAuthority(fs.makeQualified(r)).toString + "/"
     val dead = old.flatMap(readManifest(fs, r, _, strict = false))
       .distinct.filterNot(keepFiles)
       .filter(_.startsWith(rootPrefix)) // never delete clone/branch-carried foreign files
-    dead.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
-    old.foreach(v => fs.delete(
-      new org.apache.hadoop.fs.Path(manifestDir(r), s"v$v.manifest"), false))
     // Stats sidecars referenced by no surviving manifest — including
     // TRANSITIVELY through delta-chain `#include:` pointers
     // ([[writeStatsDelta]]): reaping a chain link under a kept head
@@ -4510,11 +4781,13 @@ object GraftCatalog {
       seen.toSet
     }
     val md = manifestDir(r)
-    if (fs.exists(md)) fs.listStatus(md)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".stats"))
-      .filter(st => st.getModificationTime < horizon0)
-      .filterNot(st => keepStats(st.getPath.getName))
-      .foreach(st => fs.delete(st.getPath, false))
+    val staleStats =
+      if (!fs.exists(md)) Seq.empty
+      else fs.listStatus(md).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".stats"))
+        .filter(st => st.getModificationTime < horizon0)
+        .filterNot(st => keepStats(st.getPath.getName))
+        .map(_.getPath)
     // Manifest SEGMENTS referenced by no surviving manifest — aged past
     // the grace window so an in-flight publish (segment written,
     // manifest claim still pending) is never reaped from under its
@@ -4522,11 +4795,13 @@ object GraftCatalog {
     // very pointers this pass must preserve.
     val keepSegs = kept.flatMap(v => readManifestRawLines(fs, r, v, strict = false)
       .filter(_.startsWith("#include:")).map(_.stripPrefix("#include:"))).toSet
-    if (fs.exists(md)) fs.listStatus(md)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".segment"))
-      .filter(st => st.getModificationTime < horizon0)
-      .filterNot(st => keepSegs(st.getPath.getName))
-      .foreach(st => fs.delete(st.getPath, false))
+    val staleSegments =
+      if (!fs.exists(md)) Seq.empty
+      else fs.listStatus(md).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".segment"))
+        .filter(st => st.getModificationTime < horizon0)
+        .filterNot(st => keepSegs(st.getPath.getName))
+        .map(_.getPath)
     // Deletion-vector sidecars referenced by no surviving manifest —
     // aged past the grace window so an in-flight MoR commit (sidecar
     // written, manifest not yet published) is never reaped from under
@@ -4539,23 +4814,27 @@ object GraftCatalog {
         case _ => None
       }).toSet
     val dd = deletesDir(r)
-    if (fs.exists(dd)) fs.listStatus(dd)
-      .filter(st => st.getModificationTime < horizon0)
-      .filterNot(st => keepDv(st.getPath.getName))
-      .foreach(st => fs.delete(st.getPath, true))
+    val staleDeletes =
+      if (!fs.exists(dd)) Seq.empty
+      else fs.listStatus(dd).toSeq
+        .filter(st => st.getModificationTime < horizon0)
+        .filterNot(st => keepDv(st.getPath.getName))
+        .map(_.getPath)
     // Orphan batch dirs: unreferenced by any surviving manifest, aged
     // past the in-flight-commit grace window.
     val dataDir = new org.apache.hadoop.fs.Path(r, "data")
     val horizon = System.currentTimeMillis() - orphanGraceMs
-    if (fs.exists(dataDir)) fs.listStatus(dataDir)
-      .filter(st => st.isDirectory && st.getModificationTime < horizon)
-      .filterNot { st =>
-        val prefix = org.apache.hadoop.fs.Path
-          .getPathWithoutSchemeAndAuthority(st.getPath).toString + "/"
-        keepFiles.exists(_.startsWith(prefix))
-      }
-      .foreach(st => fs.delete(st.getPath, true))
-    dead.size
+    val orphanDirs =
+      if (!fs.exists(dataDir)) Seq.empty
+      else fs.listStatus(dataDir).toSeq
+        .filter(st => st.isDirectory && st.getModificationTime < horizon)
+        .filterNot { st =>
+          val prefix = org.apache.hadoop.fs.Path
+            .getPathWithoutSchemeAndAuthority(st.getPath).toString + "/"
+          keepFiles.exists(_.startsWith(prefix))
+        }
+        .map(_.getPath)
+    VacuumPlan(old, dead, staleStats, staleSegments, staleDeletes, orphanDirs)
   }
 
   private def refsDir(root: org.apache.hadoop.fs.Path) =
@@ -5009,15 +5288,17 @@ object GraftCatalog {
     * bridge that lets join reordering and broadcast decisions see real
     * numbers instead of raw file bytes, at ZERO data I/O (the sidecar
     * is already parsed for skipping). Per column: exact null count,
-    * folded min/max (NUMERIC types only — their external-string form
+    * folded min/max for every type whose external-string form
     * round-trips through `CatalogColumnStat.fromExternalString`
-    * unambiguously; date/timestamp/string skip min/max but keep
-    * NDV + nulls, which equality-selectivity estimation needs most),
-    * and NDV = min(Σ per-file HLL, rowCount) — the `ndv_hi` bracket
-    * clamped by the row count. Columns are LOGICAL names (rename-
-    * proof), matching the read plan's attributes. None when any file
-    * lacks stats (pre-sidecar history) — CBO falls back to sizes
-    * rather than trusting a partial profile. */
+    * (numerics, date, timestamp, boolean — r16; strings have no
+    * catalog min/max form), avg/max string lengths (r16 — row-width
+    * estimation), and NDV from the UNION of the per-file HLL sketches
+    * (r16 — honest under cross-file repetition; the sum-clamp bracket
+    * only as fallback for sketchless legacy/footer entries). Columns
+    * are LOGICAL names (rename-proof), matching the read plan's
+    * attributes. None when any file lacks stats (pre-sidecar history)
+    * — CBO falls back to sizes rather than trusting a partial
+    * profile. */
   def snapshotCatalogStats(spark: SparkSession, root: String,
       version: Option[Long] = None):
       Option[org.apache.spark.sql.catalyst.catalog.CatalogStatistics] = {
@@ -5057,17 +5338,72 @@ object GraftCatalog {
         val es = entries.flatten
         val typ = es.head.typ
         val nulls = BigInt(es.map(_.nc).sum)
+        // HONEST table NDV (r16): union the per-file HLL sketches when
+        // every file carries one — a column repeating the same values
+        // across files no longer reports NDV ≈ values × files. Files
+        // without a sketch (pre-r16 sidecars, footer-path CoW batches)
+        // fall back to the sum-clamp bracket, still conservative.
         val ndv =
-          if (es.exists(_.ndv.isEmpty)) None
+          if (es.forall(_.hll.isDefined))
+            scala.util.Try {
+              val u = new org.apache.datasketches.hll.Union(12)
+              es.foreach(e => u.update(org.apache.datasketches.hll.HllSketch
+                .heapify(java.util.Base64.getDecoder.decode(e.hll.get))))
+              BigInt(math.min(math.round(u.getEstimate),
+                math.max(rowCount, 1L)))
+            }.toOption
+          else if (es.exists(_.ndv.isEmpty)) None
           else Some(BigInt(math.min(es.map(_.ndv.get).sum, math.max(rowCount, 1L))))
+        // min/max are served where CatalogColumnStat's EXTERNAL string
+        // form provably round-trips (fromExternalString): numerics,
+        // plus date/timestamp/boolean whose CAST-AS-STRING rendering is
+        // exactly the external format (r16) — range predicates on event
+        // time, the most common filter at 100 TB, stop getting default
+        // selectivity. Strings keep NDV+nulls+lengths (Spark's catalog
+        // stores no string min/max).
+        // Catalog timestamps parse back with a MANDATORY 6-digit
+        // fraction ("yyyy-MM-dd HH:mm:ss.SSSSSS"); CAST-AS-STRING drops
+        // a zero fraction — pad to the external form.
+        def external(s: String): String =
+          if (s == null || typ != "timestamp") s
+          else {
+            val i = s.indexOf('.')
+            if (i < 0) s + ".000000"
+            else if (s.length - i - 1 >= 6) s.take(i + 7)
+            else s + "0" * (6 - (s.length - i - 1))
+          }
         val (mn, mx) =
-          if (numericTyp.matches(typ))
-            (Option(es.map(_.mn).reduce((a, b) => better(a, b, typ, wantMin = true))),
-              Option(es.map(_.mx).reduce((a, b) => better(a, b, typ, wantMin = false))))
+          if (numericTyp.matches(typ) || typ == "date" || typ == "timestamp" ||
+              typ == "boolean")
+            (Option(es.map(_.mn).reduce((a, b) => better(a, b, typ, wantMin = true)))
+               .map(external),
+              Option(es.map(_.mx).reduce((a, b) => better(a, b, typ, wantMin = false)))
+                .map(external))
           else (None, None)
+        // avg/max length (string columns, r16): maxLen is the max over
+        // files; avgLen the non-null-row-weighted mean, which the
+        // sidecar's per-file rows/nulls make exact.
+        // files with zero non-null rows (a CREATE TABLE's schema file,
+        // all-null slices) legitimately record no lengths and must not
+        // veto the profile; any file with values but no lengths does.
+        val pairs = perFile.map(_.rows).zip(es)
+        val lenMissing = pairs.exists { case (rows, e) =>
+          rows - e.nc > 0 && (e.al.isEmpty || e.ml.isEmpty) }
+        val maxLen: Option[Long] =
+          if (lenMissing || es.forall(_.ml.isEmpty)) None
+          else Some(es.flatMap(_.ml).max)
+        val avgLen: Option[Long] = {
+          val weighted = pairs.collect {
+            case (rows, e) if e.al.isDefined && rows - e.nc > 0 =>
+              (e.al.get * (rows - e.nc), rows - e.nc)
+          }
+          val nn = weighted.map(_._2).sum
+          if (lenMissing || nn <= 0) None
+          else Some(math.max(1L, weighted.map(_._1).sum / nn))
+        }
         Some(c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
           distinctCount = ndv, min = mn, max = mx,
-          nullCount = Some(nulls), avgLen = None, maxLen = None))
+          nullCount = Some(nulls), avgLen = avgLen, maxLen = maxLen))
       }
     }.toMap
     Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
@@ -5595,6 +5931,48 @@ object GraftCatalog {
     val (fs, r) = fsOf(spark, root)
     deleteSnapshotTag(spark, root, branchBaseTag(name))
     fs.delete(new org.apache.hadoop.fs.Path(snapshotBranchRoot(root, name)), true)
+  }
+
+  /** Multi-statement TRANSACTION on one table — `BEGIN … COMMIT` over
+    * any number of verbs as ONE reader-visible manifest flip (r16
+    * stretch). `body` receives a PRIVATE fork of the head (a zero-copy
+    * branch) and runs ordinary verbs against it — MERGE, DELETE,
+    * UPDATE, appends, CDC applies — seeing its own intermediate
+    * states; readers of `root` see NOTHING until the commit, which is
+    * [[mergeSnapshotBranch]]'s pure-metadata fast-forward: the
+    * composed result lands as a single version, all-or-nothing. The
+    * segment + batch machinery keeps the composed commit cheap — the
+    * branch's data batches are referenced in place, no data moves.
+    *
+    * Isolation is strict snapshot-level: a concurrent commit to `root`
+    * between fork and commit aborts the transaction
+    * ([[SnapshotConflictException]]) with the fork dropped and NO
+    * trace; `maxRetries > 0` re-runs `body` on a fresh fork of the new
+    * head (body must therefore be a pure function of its branch — the
+    * same replan contract the verbs document). A `body` exception
+    * aborts and rethrows, root untouched. Returns the committed
+    * version. */
+  def transactSnapshot(spark: SparkSession, root: String,
+      maxRetries: Int = 0)(body: String => Unit): Long = {
+    var attempt = 0
+    while (true) {
+      val name = s"tx${writerToken()}"
+      val br = createSnapshotBranch(spark, root, name)
+      try body(br)
+      catch {
+        case e: Throwable =>
+          dropSnapshotBranch(spark, root, name)
+          throw e
+      }
+      try return mergeSnapshotBranch(spark, root, name)
+      catch {
+        case e: SnapshotConflictException =>
+          dropSnapshotBranch(spark, root, name)
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
   }
 
   /** The compaction two-rename swap (see [[compactParquet]]'s scope

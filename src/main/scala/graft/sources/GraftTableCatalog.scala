@@ -155,6 +155,19 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     }
     val root = tablePath(ident)
     val rootStr = root.toString
+    // Validate numeric TBLPROPERTIES BEFORE any ref is written: a bad
+    // value failing mid-create (after sort.conf/write.mode landed)
+    // would leave a partially-configured table dir behind.
+    val manifestProps = Seq("manifest.inline.max", "manifest.include.max",
+      "manifest.stats.depth.max").map { k =>
+      props.get(k).map { v =>
+        try v.trim.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"TBLPROPERTIES '$k' must be an integer, got '$v'")
+        }
+      }
+    }
     fs.mkdirs(root)
     val spec = partitions.toSeq.map(toPartitionField)
     if (spec.nonEmpty) GraftCatalog.setSnapshotPartitionSpec(spark, rootStr, spec)
@@ -163,11 +176,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     props.get("write.mode").foreach(m =>
       GraftCatalog.setSnapshotWriteMode(spark, rootStr, m))
     // segment/chain thresholds land on the refs surface (manifest.conf)
-    val mc = Seq("manifest.inline.max", "manifest.include.max",
-      "manifest.stats.depth.max").map(k => props.get(k).map(_.trim.toInt))
-    if (mc.exists(_.nonEmpty))
+    if (manifestProps.exists(_.nonEmpty))
       GraftCatalog.setSnapshotManifestConf(spark, rootStr,
-        inlineMax = mc(0), maxIncludes = mc(1), statsDepthMax = mc(2))
+        inlineMax = manifestProps(0), maxIncludes = manifestProps(1),
+        statsDepthMax = manifestProps(2))
     // Version 1 commits the schema through the one writer (an empty
     // single-task batch writes one schema-bearing parquet file), so a
     // freshly created table reads as empty instead of erroring, and

@@ -164,7 +164,27 @@ object GraftTvf {
       .queryExecution.logical
   }
 
+  /** `graft_vacuum_dry_run('<root>', keepFrom[, graceMs])` — everything
+    * a vacuum with these parameters WOULD reap, as (kind, item) rows,
+    * from metadata only: the operator-confidence probe before the
+    * irreversible sweep. Respects tags and stream cursors exactly like
+    * the real vacuum (it runs the same planner). */
+  private[graft] val vacuumDryRunBuilder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 2 || args.size == 3,
+      "graft_vacuum_dry_run(root, keepFrom[, graceMs]) takes 2 or 3 arguments")
+    require(args.forall(_.foldable),
+      "graft_vacuum_dry_run arguments must be literals")
+    GraftCatalog.vacuumSnapshotsDryRun(SparkSession.active,
+      rootArg(args.head),
+      String.valueOf(args(1).eval()).toLong,
+      args.lift(2).map(v => String.valueOf(v.eval()).toLong)
+        .getOrElse(10 * 60 * 1000L))
+      .queryExecution.logical
+  }
+
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_vacuum_dry_run", vacuumDryRunBuilder, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_snapshot_files", filesBuilder, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

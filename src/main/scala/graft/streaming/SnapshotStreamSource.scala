@@ -39,7 +39,8 @@ import graft.sources.GraftCatalog
   * (committed `#schema:` line when recorded): files evolved before the
   * pin read NULL for late columns, exactly like the batch readers. */
 final class GraftSnapshotSource(sqlContext: SQLContext, root: String,
-    startAfter: Long, maxVersionsPerBatch: Int) extends Source
+    startAfter: Long, maxVersionsPerBatch: Int,
+    cursorId: Option[String] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadLimit}
@@ -80,7 +81,10 @@ final class GraftSnapshotSource(sqlContext: SQLContext, root: String,
             "completed batch's START version, so that version must survive " +
             "too). Either restart from a fresh checkpoint (full reprocess), " +
             s"or keep retention at or below version $fromV: vacuum with " +
-            s"keepFrom <= $fromV, or pin it with a tag.")
+            s"keepFrom <= $fromV, pin it with a tag, or re-register the " +
+            s"stream cursor (setStreamCursor) that normally prevents this " +
+            "— it protects automatically unless dropped or started with " +
+            ".option(\"cursor\", \"off\").")
     }
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -118,10 +122,17 @@ final class GraftSnapshotSource(sqlContext: SQLContext, root: String,
     case other => other.json.trim.toLong // SerializedOffset from the checkpoint log
   }
 
+  // start version of each served batch, keyed by its end version — the
+  // retention pin commit() advances (a restart replays the last
+  // completed batch from its START, so that is what must survive).
+  private val batchStarts =
+    scala.collection.mutable.Map.empty[Long, Long]
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(versionOf).getOrElse(startAfter)
     val toV = versionOf(end)
     requireNotVacuumed(fromV)
+    batchStarts(toV) = fromV
     cursor = math.max(cursor, toV)
     val batch =
       if (toV <= fromV) GraftSnapshotStream.empty(spark, schema)
@@ -138,7 +149,21 @@ final class GraftSnapshotSource(sqlContext: SQLContext, root: String,
       spark, batch.queryExecution.toRdd, schema)
   }
 
-  override def commit(end: Offset): Unit = ()
+  /** PREVENTION of the vacuum/checkpoint race (the loud error above is
+    * only the backstop): each completed micro-batch advances this
+    * stream's retention cursor to the batch's START version — the
+    * version a restart re-reads — so [[GraftCatalog.vacuumSnapshots]]
+    * never reaps history the checkpoint still needs. Best-effort: a
+    * cursor write failure must not fail the batch (the loud error
+    * still guards correctness); an abandoned stream's pin is reclaimed
+    * with `dropStreamCursor` (the explicit operator override). */
+  override def commit(end: Offset): Unit = cursorId.foreach { id =>
+    val endV = versionOf(end)
+    val pin = batchStarts.getOrElse(endV, math.max(startAfter, endV - 1))
+    batchStarts.filterInPlace { case (e, _) => e > endV }
+    try GraftCatalog.setStreamCursor(spark, root, id, pin)
+    catch { case scala.util.control.NonFatal(_) => }
+  }
   override def stop(): Unit = ()
 }
 
@@ -210,10 +235,21 @@ final class GraftSnapshotStreamProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    // Retention-cursor identity: stable across restarts because the
+    // engine derives metadataPath from the CHECKPOINT location. An
+    // explicit .option("cursor", id) names it for operators; "off"
+    // opts out (the loud resume error is then the only guard).
+    val cursorId = parameters.get("cursor") match {
+      case Some("off") => None
+      case Some(id) => Some(id)
+      case None => Some("ck-" + java.lang.Integer.toHexString(metadataPath.hashCode))
+    }
     new GraftSnapshotSource(sqlContext, rootOf(parameters),
       parameters.get("startAfter").map(_.toLong).getOrElse(0L),
-      parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(1))
+      parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(1),
+      cursorId)
+  }
 }
 
 object GraftSnapshotStream {

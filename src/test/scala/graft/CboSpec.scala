@@ -133,6 +133,58 @@ class CboSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sidecar NDV merges HLL sketches: repeated value sets across files report ~true NDV") {
+    import org.apache.spark.sql.functions._
+    val cat = graft.sources.GraftCatalog
+    val root = s"/tmp/graft-cbo-ndv-${System.nanoTime()}"
+    // the same 100 k-values in each of 4 commits: a per-file-count SUM
+    // reports ~400 — the sketch union must report ~100
+    for (i <- 0 until 4)
+      cat.commitSnapshot(
+        spark.range(100).select((col("id") % 100).as("k"),
+          concat(lit("batch"), lit(i)).as("tag")),
+        root, append = i > 0)
+    val st = cat.snapshotCatalogStats(spark, root).get
+    assert(st.rowCount.contains(BigInt(400)))
+    val kNdv = st.colStats("k").distinctCount.get
+    assert(kNdv >= BigInt(85) && kNdv <= BigInt(115),
+      s"union NDV must be ~100, not the ~400 a per-file sum reports: $kNdv")
+    // string avg/max lengths ride the same sidecar ("batch0" = 6 chars)
+    val tagStats = st.colStats("tag")
+    assert(tagStats.avgLen.contains(6L), s"avgLen: ${tagStats.avgLen}")
+    assert(tagStats.maxLen.contains(6L), s"maxLen: ${tagStats.maxLen}")
+  }
+
+  test("date/timestamp min-max round-trip into plan stats; string equality gets NDV selectivity") {
+    import org.apache.spark.sql.functions._
+    val cat = graft.sources.GraftCatalog
+    val root = s"/tmp/graft-cbo-dt-${System.nanoTime()}"
+    cat.commitSnapshot(
+      spark.range(1000).select(
+        date_add(to_date(lit("2024-01-01")), (col("id") % 365).cast("int")).as("d"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          expr("make_interval(0, 0, 0, 0, 0, 0, id)")).as("ts"),
+        concat(lit("cat"), (col("id") % 10)).as("s")),
+      root, append = false)
+    val st = cat.snapshotCatalogStats(spark, root).get
+    val dcs = st.colStats("d")
+    assert(dcs.min.isDefined && dcs.max.isDefined, s"date min/max missing: $dcs")
+    // the round-trip PROOF: toPlanStat parses the external strings back
+    // to internal values (a non-parse would throw / yield None)
+    val dPlan = dcs.toPlanStat("d", org.apache.spark.sql.types.DateType)
+    assert(dPlan.min.isDefined && dPlan.max.isDefined,
+      s"date external form failed to round-trip: $dcs")
+    val tcs = st.colStats("ts")
+    val tPlan = tcs.toPlanStat("ts", org.apache.spark.sql.types.TimestampType)
+    assert(tPlan.min.isDefined && tPlan.max.isDefined,
+      s"timestamp external form failed to round-trip: $tcs")
+    // string column: no min/max (no catalog form), but NDV + lengths
+    val scs = st.colStats("s")
+    assert(scs.min.isEmpty && scs.max.isEmpty)
+    assert(scs.distinctCount.exists(n => n >= BigInt(9) && n <= BigInt(11)))
+    assert(scs.avgLen.contains(4L)) // "cat0".."cat9"
+  }
+
   test("graft catalog tables feed CBO from the stats sidecar - no ANALYZE needed") {
     val s = gspark
     // seed tables THROUGH the catalog: each commit writes its stats
@@ -174,6 +226,19 @@ class CboSpec extends AnyFunSuite with BeforeAndAfterAll {
       val after = s.sql(q).queryExecution.sparkPlan.toString
       assert(after.contains("BroadcastHashJoin"),
         s"sidecar column stats did not flip the join to broadcast:\n$after")
+    }
+    // a selective string-equality filter gets NDV-driven (non-default)
+    // selectivity from the sidecar — no ANALYZE ever ran (r16)
+    withConfOn(s)("spark.sql.cbo.enabled" -> "true") {
+      val full = s.sql("SELECT * FROM graft_cbo.db.cbo_ord")
+        .queryExecution.optimizedPlan.stats.rowCount
+      val est = s.sql(
+        "SELECT * FROM graft_cbo.db.cbo_ord WHERE o_orderpriority = '1-URGENT'")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(full.exists(_ > 0) && est.isDefined,
+        s"string-equality estimate missing: est=$est full=$full")
+      assert(est.get * 2 <= full.get,
+        s"string equality kept default selectivity: est=$est full=$full")
     }
     // 3-table reorder: written worst-first (fact ⋈ fact), the sidecar's
     // rowCounts + NDVs must move the selective customer join innermost

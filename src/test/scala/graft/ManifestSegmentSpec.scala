@@ -362,6 +362,36 @@ class ManifestSegmentSpec extends AnyFunSuite {
       (100 to 105).map(_.toLong).toSet)
   }
 
+  test("vacuum ABORTS when a kept version's segment is unreadable — live files never enter the dead sweep") {
+    withTinyThresholds() {
+      val root = s"$tmp/vacstrict_${System.nanoTime()}"
+      GraftCatalog.commitSnapshot(batch(1, 8).repartition(8), root, append = false)
+      GraftCatalog.commitSnapshot(batch(9, 9).coalesce(1), root, append = true)
+      val dataFiles = {
+        val d = new java.io.File(s"$root/data")
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(d).filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+      }
+      // simulate a lost/corrupt segment under the KEPT head: resolving
+      // the keep set tolerantly would report zero live files for v2 and
+      // the sweep would delete data still live there
+      segmentFiles(root).foreach(s =>
+        new java.io.File(s"$root/_manifests/$s").delete())
+      Thread.sleep(30)
+      assertThrows[Exception](
+        GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 2, orphanGraceMs = 0))
+      val after = {
+        val d = new java.io.File(s"$root/data")
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(d).filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+      }
+      assert(after == dataFiles,
+        "an aborted vacuum must not have deleted ANY data file")
+    }
+  }
+
   test("rename rewrites paths inside segments; reads follow the new root") {
     withTinyThresholds() {
       val tok = System.nanoTime()

@@ -585,6 +585,63 @@ class PropertySpec extends AnyFunSuite {
     for (seed <- Seq(41L, 42L, 43L, 44L, 45L)) raceSeed(seed)
   }
 
+  /** Verb-level serializable retry (r16): a MERGE that loses its
+    * publish race to a PROVABLY key-disjoint append must land by
+    * metadata re-publish — its batch written ONCE (file-level
+    * assertion), the history equal to the sequential model in the
+    * table's own commit order — across seeded random key ranges. The
+    * overlap side (racer inside the envelope → strict abort) is pinned
+    * by the deterministic SourcesCatalogSpec cases. */
+  test("property: serializable verb retry - MERGE losing to a disjoint append re-publishes without rewriting data") {
+    import org.apache.spark.sql.functions._
+    val cat = graft.sources.GraftCatalog
+    for (seed <- Seq(61L, 62L, 63L)) {
+      val rnd = new scala.util.Random(seed)
+      val root = s"/tmp/graft-index/verbrace_${seed}_${System.nanoTime()}"
+      cat.commitSnapshot(
+        spark.range(1000).select(col("id").as("k"), (col("id") * 10L).as("v"))
+          .repartitionByRange(4, col("k")),
+        root, append = false)
+      val lo = rnd.nextInt(800).toLong
+      val hi = lo + 50 + rnd.nextInt(150)
+      val ins = 50000L + seed * 1000L
+      // racer: an append strictly ABOVE the merge's key envelope
+      cat.cowPublishFault.put(root, new Runnable {
+        def run(): Unit = {
+          cat.commitSnapshot(
+            spark.range(ins + 500, ins + 600)
+              .select(col("id").as("k"), lit(0L).as("v")),
+            root, append = true)
+          ()
+        }
+      })
+      def batchDirs: Int = Option(new java.io.File(s"$root/data").listFiles())
+        .map(_.count(_.isDirectory)).getOrElse(0)
+      val before = batchDirs
+      val landed = cat.mergeSnapshot(spark, root,
+        spark.range(lo, hi + 1).select(col("id").as("k"), lit(-seed).as("v"))
+          .union(spark.range(ins, ins + 20)
+            .select(col("id").as("k"), lit(1L).as("v"))), "k")
+      assert(landed == 3L,
+        s"seed $seed: racer v2 then merge re-publish v3, got $landed")
+      assert(batchDirs - before == 2,
+        s"seed $seed: exactly racer batch + ONE merge batch (written once)")
+      // the head equals the sequential model (racer, merge) — which,
+      // scope-disjoint, equals (merge, racer) too
+      val st = scala.collection.mutable.Map.empty[Long, Long]
+      (0L until 1000L).foreach(k => st(k) = k * 10L)
+      (ins + 500 until ins + 600).foreach(st(_) = 0L)
+      (lo to hi).foreach(st(_) = -seed)
+      (ins until ins + 20).foreach(st(_) = 1L)
+      val head = cat.readSnapshot(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(head == st.toMap, s"seed $seed: head diverges from the serial model")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    }
+  }
+
   /** The same cross-verb race under SEGMENTED manifests + chained
     * stats sidecars (spec-sized thresholds): the serializability
     * contract, the replan guarantee, version contiguity and the

@@ -2679,6 +2679,148 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(head.where(col("k") === 10L).select("v").as[Long].head() == 999L)
   }
 
+  // ---- validation-based serializable retry for the CoW VERBS --------
+  // (the verb-level half of the rewrite race fix: a MERGE/DELETE that
+  // loses its publish race to a PROVABLY scope-disjoint commit lands
+  // its already-written batch metadata-only instead of aborting)
+
+  private def dataBatchDirs(root: String): Set[String] = {
+    val d = new java.io.File(s"$root/data")
+    Option(d.listFiles()).map(_.filter(_.isDirectory).map(_.getName).toSet)
+      .getOrElse(Set.empty)
+  }
+
+  test("MERGE racing a disjoint append RE-PUBLISHES: both land, merge batch written once") {
+    import spark.implicits._
+    val root = s"$tmp/verbrace_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartitionByRange(2, col("k")),
+      root, append = false)
+    val v1 = GraftCatalog.snapshotVersions(spark, root).last
+    // the racer fires BETWEEN the merge's read/pin and its publish:
+    // a disjoint append (keys 5000+, far outside the merge's [10,20]
+    // key envelope)
+    GraftCatalog.cowPublishFault.put(root, new Runnable {
+      def run(): Unit = GraftCatalog.commitSnapshot(
+        Seq((5000L, 1L), (5001L, 2L)).toDF("k", "v"), root, append = true)
+    })
+    val before = dataBatchDirs(root)
+    val upd = spark.range(10, 21).select(col("id").as("k"), lit(-7L).as("v"))
+    val landed = GraftCatalog.mergeSnapshot(spark, root, upd, "k")
+    // the racer took v2; the merge must land at v3 WITHOUT redoing data
+    assert(landed == v1 + 2, s"merge must re-publish at head+1, got $landed")
+    val after = dataBatchDirs(root)
+    assert((after -- before).size == 2,
+      s"exactly the racer's batch + ONE merge batch may appear, got ${after -- before}")
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.count() == 102)
+    assert(head.where(col("k") === 15L).select("v").as[Long].head() == -7L,
+      "the merge's update must be applied")
+    assert(head.where(col("k") === 5000L).count() == 1,
+      "the racing append must survive")
+    assert(GraftCatalog.snapshotVersions(spark, root) == (1L to landed))
+  }
+
+  test("MERGE racing an append INSIDE its key scope keeps the strict abort") {
+    import spark.implicits._
+    val root = s"$tmp/verbraceovl_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartitionByRange(2, col("k")),
+      root, append = false)
+    // racer appends k=15 — INSIDE the merge's key envelope: the merge
+    // would have treated it as MATCHED on the racer's head, so no
+    // serial order matches the already-written batch → abort + replan
+    GraftCatalog.cowPublishFault.put(root, new Runnable {
+      def run(): Unit = GraftCatalog.commitSnapshot(
+        Seq((15L, 999L)).toDF("k", "v"), root, append = true)
+    })
+    val upd = spark.range(10, 21).select(col("id").as("k"), lit(-7L).as("v"))
+    intercept[graft.sources.SnapshotConflictException](
+      GraftCatalog.mergeSnapshot(spark, root, upd, "k"))
+    // nothing erased, no orphan batch: the racer's row is at the head
+    assert(GraftCatalog.readSnapshot(spark, root)
+      .where(col("k") === 15L).count() == 2,
+      "base k=15 plus the racer's duplicate — the merge must NOT have landed")
+    // the documented contract: the replan lands and dedups
+    GraftCatalog.mergeSnapshot(spark, root, upd, "k")
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.where(col("k") === 15L).count() == 1)
+    assert(head.where(col("k") === 15L).select("v").as[Long].head() == -7L)
+  }
+
+  test("DELETE/UPDATE WHERE racing disjoint commits re-publish; overlapping UPDATE aborts") {
+    import spark.implicits._
+    val root = s"$tmp/verbracedel_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartitionByRange(2, col("k")),
+      root, append = false)
+    val v1 = GraftCatalog.snapshotVersions(spark, root).last
+    GraftCatalog.cowPublishFault.put(root, new Runnable {
+      def run(): Unit = GraftCatalog.commitSnapshot(
+        Seq((7000L, 1L)).toDF("k", "v"), root, append = true)
+    })
+    val vDel = GraftCatalog.deleteSnapshotWhere(spark, root, col("k") < 10L)
+    assert(vDel == v1 + 2, "delete must re-publish over the disjoint append")
+    val head1 = GraftCatalog.readSnapshot(spark, root)
+    assert(head1.count() == 91 && head1.where(col("k") === 7000L).count() == 1)
+    // UPDATE racing a disjoint append re-publishes too
+    GraftCatalog.cowPublishFault.put(root, new Runnable {
+      def run(): Unit = GraftCatalog.commitSnapshot(
+        Seq((8000L, 1L)).toDF("k", "v"), root, append = true)
+    })
+    val vUpd = GraftCatalog.updateSnapshotWhere(spark, root,
+      col("k").between(20L, 30L), Seq("v" -> lit(-1L)))
+    assert(vUpd == vDel + 2, "update must re-publish over the disjoint append")
+    assert(GraftCatalog.readSnapshot(spark, root)
+      .where(col("v") === -1L).count() == 11)
+    // but an update racing an IN-SCOPE append must abort
+    GraftCatalog.cowPublishFault.put(root, new Runnable {
+      def run(): Unit = GraftCatalog.commitSnapshot(
+        Seq((55L, 0L)).toDF("k", "v"), root, append = true)
+    })
+    intercept[graft.sources.SnapshotConflictException](
+      GraftCatalog.updateSnapshotWhere(spark, root,
+        col("k").between(50L, 60L), Seq("v" -> lit(-2L))))
+    assert(GraftCatalog.readSnapshot(spark, root)
+      .where(col("v") === -2L).count() == 0, "the aborted update left no trace")
+  }
+
+  test("CDC apply racing a disjoint append re-publishes; racer's delete content over consumed files aborts") {
+    import spark.implicits._
+    val root = s"$tmp/verbracecdc_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartitionByRange(2, col("k")),
+      root, append = false)
+    val v1 = GraftCatalog.snapshotVersions(spark, root).last
+    GraftCatalog.cowPublishFault.put(root, new Runnable {
+      def run(): Unit = GraftCatalog.commitSnapshot(
+        Seq((9000L, 1L)).toDF("k", "v"), root, append = true)
+    })
+    val batch = Seq((10L, 111L, "U"), (11L, 0L, "D"), (200L, 222L, "I"))
+      .toDF("k", "v", "_op")
+    val vCdc = GraftCatalog.applyCdcSnapshot(spark, root, batch, "k")
+    assert(vCdc == v1 + 2, "CDC apply must re-publish over the disjoint append")
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.count() == 101) // 100 - 1 deleted + 1 inserted + 1 racer
+    assert(head.where(col("k") === 11L).isEmpty)
+    assert(head.where(col("k") === 10L).select("v").as[Long].head() == 111L)
+    // a racer that lands a MoR DELETE over the verb's CONSUMED files
+    // is a genuine overlap — strict abort survives
+    GraftCatalog.cowPublishFault.put(root, new Runnable {
+      def run(): Unit =
+        { GraftCatalog.deleteSnapshotWhereMor(spark, root, col("k") === 40L); () }
+    })
+    intercept[graft.sources.SnapshotConflictException](
+      GraftCatalog.applyCdcSnapshot(spark, root,
+        Seq((41L, 1L, "U")).toDF("k", "v", "_op"), "k"))
+    assert(GraftCatalog.readSnapshot(spark, root).where(col("k") === 40L).isEmpty,
+      "the racer's MoR delete stands")
+  }
+
   test("partition-scoped compaction: OPTIMIZE WHERE rewrites only the hot partition") {
     import spark.implicits._
     val root = s"$tmp/snapptscope_${System.nanoTime()}"
@@ -2800,5 +2942,112 @@ class SourcesCatalogSpec extends AnyFunSuite {
     val head = GraftCatalog.snapshotVersions(spark, root).last
     assert(GraftCatalog.compactSnapshotPartitioned(spark, root) == head,
       "nothing to compact → head unchanged")
+  }
+
+  test("multi-statement transaction: N verbs land as ONE visible flip; abort leaves no trace; conflict replans") {
+    import spark.implicits._
+    val root = s"$tmp/txn_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartitionByRange(2, col("k")),
+      root, append = false)
+    val v0 = GraftCatalog.snapshotVersions(spark, root).last
+    // three verbs, one flip — and mid-transaction the MAIN line is
+    // bit-undisturbed (readers never see a partial state)
+    val landed = GraftCatalog.transactSnapshot(spark, root) { br =>
+      GraftCatalog.mergeSnapshot(spark, root = br,
+        spark.range(10, 20).select(col("id").as("k"), lit(-1L).as("v")), "k")
+      GraftCatalog.deleteSnapshotWhere(spark, br, col("k") >= 90L)
+      GraftCatalog.commitSnapshot(
+        Seq((500L, 5L)).toDF("k", "v"), br, append = true)
+      assert(GraftCatalog.snapshotVersions(spark, root).last == v0,
+        "main must not move mid-transaction")
+      assert(GraftCatalog.readSnapshot(spark, root).count() == 100,
+        "readers of main must see the pre-transaction state")
+    }
+    assert(landed == v0 + 1, "the whole transaction is ONE version flip")
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.count() == 91) // 100 - 10 deleted + 1 inserted
+    assert(head.where(col("k") === 15L).select("v").as[Long].head() == -1L)
+    assert(head.where(col("k") === 500L).count() == 1)
+    assert(head.where(col("k") === 95L).isEmpty)
+    // ABORT: a body failure drops the fork — no version, no branch, no trace
+    intercept[RuntimeException](
+      GraftCatalog.transactSnapshot(spark, root) { br =>
+        GraftCatalog.deleteSnapshotWhere(spark, br, col("k") < 50L)
+        throw new RuntimeException("boom")
+      })
+    assert(GraftCatalog.snapshotVersions(spark, root).last == landed)
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 91)
+    assert(GraftCatalog.listSnapshotBranches(spark, root).isEmpty,
+      "an aborted transaction must leave no branch behind")
+    // CONFLICT: a commit to main between fork and commit aborts the
+    // transaction; maxRetries re-runs the body on a fresh fork and lands
+    var runs = 0
+    val v2 = GraftCatalog.transactSnapshot(spark, root, maxRetries = 1) { br =>
+      runs += 1
+      if (runs == 1) // the racer, injected deterministically on round 1
+        GraftCatalog.commitSnapshot(
+          Seq((600L, 6L)).toDF("k", "v"), root, append = true)
+      GraftCatalog.updateSnapshotWhere(spark, br,
+        col("k") === 500L, Seq("v" -> lit(99L)))
+    }
+    assert(runs == 2, "the lost race must re-run the body on a fresh fork")
+    val head2 = GraftCatalog.readSnapshot(spark, root)
+    assert(head2.where(col("k") === 600L).count() == 1, "the racer survives")
+    assert(head2.where(col("k") === 500L).select("v").as[Long].head() == 99L)
+    assert(GraftCatalog.snapshotVersions(spark, root).last == v2)
+    assert(GraftCatalog.listSnapshotBranches(spark, root).isEmpty)
+  }
+
+  test("VACUUM DRY RUN lists exactly what the real vacuum reaps, deleting nothing") {
+    import spark.implicits._
+    val root = s"$tmp/vacdry_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = false)
+    GraftCatalog.commitSnapshot(
+      (11 to 12).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = true)
+    GraftCatalog.commitSnapshot(
+      (20 to 24).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = false)
+    Thread.sleep(30)
+    val plan = GraftCatalog.vacuumSnapshotsDryRun(spark, root, keepFrom = 3L,
+      orphanGraceMs = 0L).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(plan.count(_._1 == "version") == 2, s"v1+v2 reapable: ${plan.toSeq}")
+    assert(plan.count(_._1 == "data_file") > 0)
+    // the dry run DELETED nothing
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 2L, 3L))
+    assert(GraftCatalog.readSnapshot(spark, root, Some(1L)).count() == 10)
+    // the TVF spelling serves the same plan (registered by the
+    // session extensions)
+    val viaTvf = spark.sql(
+      s"SELECT kind, count(*) n FROM graft_vacuum_dry_run('$root', 3, 0) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaTvf.get("version").contains(2L), s"TVF plan: $viaTvf")
+    // the REAL vacuum then reaps exactly the planned data files
+    val deleted = GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 3L,
+      orphanGraceMs = 0L)
+    assert(deleted == plan.count(_._1 == "data_file"),
+      "executed sweep must match the dry-run plan")
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(3L))
+  }
+
+  test("writerToken: <nano>x<nonce8>x<seq> format, unique under a thread burst, nonce process-stable") {
+    // Cross-process uniqueness contract: two DRIVERS sharing a table
+    // must never name the same batch dir. In-process the atomic seq
+    // guarantees it; across JVMs the per-process random nonce does —
+    // nanoTime alone is NOT unique across barrier-aligned processes.
+    val shape = raw"\d+x[0-9a-f]{8}x\d+".r
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val burst =
+      try (1 to 64).map(_ => pool.submit(
+          new java.util.concurrent.Callable[String] {
+            def call(): String = GraftCatalog.writerToken()
+          })).map(_.get()).toList
+      finally pool.shutdown()
+    assert(burst.forall(t => shape.pattern.matcher(t).matches()),
+      s"token shape drifted: ${burst.take(3)}")
+    assert(burst.distinct.size == burst.size, "tokens must be unique under concurrency")
+    val nonces = burst.map(_.split("x")(1)).distinct
+    assert(nonces.size == 1, "the nonce is per-process, stable across tokens")
   }
 }

@@ -1184,18 +1184,29 @@ class StreamingSpec extends AnyFunSuite {
       got.toSet
     }
     assert(drain() == Set(1L, 2L, 3L)) // checkpoint cursor = version 3
+    // PREVENTION (r16): the source registered a retention cursor at or
+    // below the replay floor (the engine calls Source.commit lazily, so
+    // the pin may lag a batch — strictly MORE protective, never less),
+    // entirely on its own
+    val cursors = GraftCatalog.listStreamCursors(spark, root)
+    assert(cursors.size == 1 && cursors.values.head <= 2L,
+      s"expected an auto-registered cursor at or below v2, got $cursors")
     GraftCatalog.commitSnapshot(Seq((4L, "d")).toDF("id", "v"), root, append = true)
     GraftCatalog.commitSnapshot(Seq((5L, "e")).toDF("id", "v"), root, append = true)
-    // positive control: retention kept everything the checkpoint still
-    // references (the last completed batch was (2, 3] — a restart
-    // re-reads its START version, so keepFrom = 2 is the safe floor) →
-    // the stream resumes correctly, serving exactly the new versions
-    GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 2L, orphanGraceMs = 0L)
-    assert(drain() == Set(4L, 5L)) // cursor = 5
-    // now vacuum PAST the checkpoint: the cursor's version is reaped —
-    // resume must fail with the NAMED error, not skip to the survivor
+    // an OVER-AGGRESSIVE vacuum is clamped by the cursor: keepFrom = 5
+    // would reap everything the checkpoint still needs, but the pin
+    // keeps it and the stream RESUMES CORRECTLY — the real guarantee
+    GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 5L, orphanGraceMs = 0L)
+    assert(GraftCatalog.snapshotVersions(spark, root).head <= 2L,
+      "the cursor floor must clamp retention at or below the replay floor")
+    assert(drain() == Set(4L, 5L)) // the clamp preserved the resume path
+    assert(GraftCatalog.listStreamCursors(spark, root).values.head <= 4L)
+    // the EXPLICIT OVERRIDE reclaims an abandoned stream's pin — after
+    // which vacuum proceeds and the loud resume error is the backstop
     GraftCatalog.commitSnapshot(Seq((6L, "f")).toDF("id", "v"), root, append = true)
     GraftCatalog.commitSnapshot(Seq((7L, "g")).toDF("id", "v"), root, append = true)
+    GraftCatalog.listStreamCursors(spark, root).keys
+      .foreach(id => assert(GraftCatalog.dropStreamCursor(spark, root, id)))
     GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 7L, orphanGraceMs = 0L)
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
     def msgs(t: Throwable): Seq[String] =
