@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  * SPARK_GRAFT_SF_DIR and prints ONE detailed JSON line, then ONE
+  * compact `"metric":"phases"` line.
   *
   * Each query is fully materialized through the `noop` sink — a bare
   * count() would let Catalyst prune the query down to a metadata scan
@@ -12,12 +13,26 @@ import org.apache.spark.sql.SparkSession
   * to whichever query ran next (63 s of phantom regression). Failures
   * are reported explicitly in a "failed" list — a -1 can't silently
   * shrink the total.
+  *
+  * WHY TWO LINES (r16): the detailed line carries all 270+ per-query
+  * medians and is ~9 KB — any log tail shorter than that truncates it
+  * mid-object, which is exactly why BENCH_r15's recorded `parsed` was
+  * null and its 650→1,029 s wall delta was unexplainable. The compact
+  * line is printed LAST, fits any tail, and decomposes the run:
+  * in-JVM wall (everything OUTSIDE it is sbt launch/compile), session
+  * build, warm-up, index builds, fixture pre-warm, the 3-rep measured
+  * loop, and per-family median sums. A wall jump is then attributable
+  * to a specific phase instead of a guess.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val tJvm0 = System.nanoTime()
+    def secsSince(t0: Long): Double = (System.nanoTime() - t0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tSess0 = System.nanoTime()
     val spark: SparkSession = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
+    val tSession = secsSince(tSess0)
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -35,7 +50,9 @@ object Bench {
     // fresh JVM absorbs several seconds of classloading/codegen/JIT
     // that would otherwise masquerade as index-build cost (pair_cache
     // read 8.1 s cold vs ~3 s warm at sf0.1).
+    val tWarm0 = System.nanoTime()
     once(SparkEntry.queries("q05_agg"))
+    val tWarmFirst = secsSince(tWarm0)
 
     // Build-once/query-many index builds, timed EXPLICITLY and first:
     // each accessor eagerly builds (or opens, if the signature-keyed
@@ -57,15 +74,18 @@ object Bench {
       "pq_codebook" -> timedBuild(graft.operators.Similarity.pqIndex(spark, sfDir)),
       "ivfpq_layout" -> timedBuild(graft.operators.Similarity.ivfpqIndex(spark, sfDir)),
       "sq8_layout" -> timedBuild(graft.operators.Similarity.sq8Index(spark, sfDir)))
+    val tBuilds = builds.map(_._2).filter(_ >= 0).sum
 
     // JIT/codegen/session warm-up (not reported): one query per major
     // execution family — agg, window, join, regex/text, typed
     // Dataset/Aggregator encoders, iterative CC (localCheckpoint/RDD
     // machinery) — so the first reported member of each family doesn't
     // absorb its family's one-time codegen/JIT cost
+    val tFam0 = System.nanoTime()
     Seq("q05_agg", "q15_window", "q10_join_shuffle", "t02_quality",
       "q36_topn_agg", "d06_dedup_cluster")
       .foreach(q => once(SparkEntry.queries(q)))
+    val tWarmFamilies = secsSince(tFam0)
 
     // Snapshot fixture pre-warm (not reported): the pooled read-only
     // tables (q133/q134/q136/q137/q141/q142) and the clone base
@@ -74,12 +94,16 @@ object Bench {
     // one-time table build landing in whichever query ran first
     // (BENCHFOCUS_r10a showed q134 at 3.7 s of which ~3.2 s was the
     // fixture build).
+    val tFix0 = System.nanoTime()
     Seq("q117_merge_cow", "q133_hidden_partition", "q134_partition_describe",
       "q136_bloom_prune", "q137_partitions_tvf", "q141_spec_evolution",
       "q142_spj_join")
       .foreach(q => once(SparkEntry.queries(q)))
+    val tFixtures = secsSince(tFix0)
 
+    val tLoop0 = System.nanoTime()
     val results = SparkEntry.allQs.map(q => q.name -> median3(q.run))
+    val tLoop = secsSince(tLoop0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -88,6 +112,23 @@ object Bench {
     val buildJson = builds.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"build":$buildJson,"sf":"$sfDir"}""")
+
+    // Compact, tail-proof phase breakdown — printed LAST so a 2,000-char
+    // log tail still contains one complete parseable JSON object.
+    def fam(n: String): String =
+      if (n.startsWith("tpch")) "tpch" else n.take(1)
+    val famSums = results.filter(_._2 >= 0).groupBy(r => fam(r._1)).toSeq
+      .sortBy(_._1)
+      .map { case (f, rs) => "\"" + f + "\":" + f"${rs.map(_._2).sum}%.1f" }
+      .mkString("{", ",", "}")
+    val phases =
+      s""""session":${f"$tSession%.1f"},"warmup_first":${f"$tWarmFirst%.1f"},""" +
+        s""""builds":${f"$tBuilds%.1f"},"warmup_families":${f"$tWarmFamilies%.1f"},""" +
+        s""""fixtures":${f"$tFixtures%.1f"},"measure_loop_wall":${f"$tLoop%.1f"}"""
+    println(s"""{"metric":"phases","value":$total,"unit":"sec","phases":{$phases},""" +
+      s""""families_median_sum":$famSums,"reps_per_query":3,""" +
+      s""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},""" +
+      s""""jvm_wall":${f"${secsSince(tJvm0)}%.1f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
