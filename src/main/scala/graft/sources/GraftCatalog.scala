@@ -5338,22 +5338,36 @@ object GraftCatalog {
         val es = entries.flatten
         val typ = es.head.typ
         val nulls = BigInt(es.map(_.nc).sum)
-        // HONEST table NDV (r16): union the per-file HLL sketches when
-        // every file carries one — a column repeating the same values
-        // across files no longer reports NDV ≈ values × files. Files
-        // without a sketch (pre-r16 sidecars, footer-path CoW batches)
-        // fall back to the sum-clamp bracket, still conservative.
-        val ndv =
-          if (es.forall(_.hll.isDefined))
+        // HONEST table NDV (r16): union the per-file HLL sketches — a
+        // column repeating the same values across files no longer
+        // reports NDV ≈ values × files. Files without a sketch degrade
+        // gracefully instead of disabling the profile: a file with a
+        // recorded count contributes the count; a file with neither
+        // (footer-path CoW batches record no NDV at all — which under
+        // the pre-r16 rule silently erased the whole column's NDV
+        // after ANY verb) contributes its non-null row count. Every
+        // tier is a valid upper bound, each strictly tighter than the
+        // next, and the rowCount clamp holds the lot.
+        val ndvPairs = perFile.map(_.rows).zip(es)
+        val ndv = {
+          if (es.exists(_.hll.isDefined))
             scala.util.Try {
               val u = new org.apache.datasketches.hll.Union(12)
-              es.foreach(e => u.update(org.apache.datasketches.hll.HllSketch
-                .heapify(java.util.Base64.getDecoder.decode(e.hll.get))))
-              BigInt(math.min(math.round(u.getEstimate),
+              var extra = 0L
+              ndvPairs.foreach { case (rows, e) =>
+                e.hll match {
+                  case Some(h) => u.update(org.apache.datasketches.hll
+                    .HllSketch.heapify(java.util.Base64.getDecoder.decode(h)))
+                  case None =>
+                    extra += e.ndv.getOrElse(math.max(0L, rows - e.nc))
+                }
+              }
+              BigInt(math.min(math.round(u.getEstimate) + extra,
                 math.max(rowCount, 1L)))
             }.toOption
           else if (es.exists(_.ndv.isEmpty)) None
           else Some(BigInt(math.min(es.map(_.ndv.get).sum, math.max(rowCount, 1L))))
+        }
         // min/max are served where CatalogColumnStat's EXTERNAL string
         // form provably round-trips (fromExternalString): numerics,
         // plus date/timestamp/boolean whose CAST-AS-STRING rendering is
@@ -5951,9 +5965,25 @@ object GraftCatalog {
     * head (body must therefore be a pure function of its branch — the
     * same replan contract the verbs document). A `body` exception
     * aborts and rethrows, root untouched. Returns the committed
-    * version. */
+    * version.
+    *
+    * `scope` opts the transaction into the VERB-grade serializable
+    * retry (r16): on a lost race, if every file the racer(s) added is
+    * provably outside `scope` — and the race is otherwise harmless
+    * (consumed files alive, parent schema unchanged, no new delete
+    * content over consumed files) — the transaction's already-written
+    * result re-publishes against the new head METADATA-ONLY, without
+    * re-running the body: the difference between a nightly multi-verb
+    * backfill that lands under steady ingest and one that re-pays its
+    * whole body per racer. CALLER CONTRACT: `scope` must cover every
+    * key/predicate any verb in the body touches or reads — an
+    * under-scoped claim breaks serializability the same way a wrong
+    * `replaceWhere` predicate would. The fast path only engages for
+    * pure-CoW transactions (a body that added or dropped MoR
+    * delete-sidecar lines falls back to the strict abort/replan). */
   def transactSnapshot(spark: SparkSession, root: String,
-      maxRetries: Int = 0)(body: String => Unit): Long = {
+      maxRetries: Int = 0, scope: Option[Column] = None)(
+      body: String => Unit): Long = {
     var attempt = 0
     while (true) {
       val name = s"tx${writerToken()}"
@@ -5967,12 +5997,60 @@ object GraftCatalog {
       try return mergeSnapshotBranch(spark, root, name)
       catch {
         case e: SnapshotConflictException =>
+          scope.foreach { pred =>
+            try return commitBranchRevalidated(spark, root, name, pred, e)
+            catch { case _: SnapshotConflictException => /* fall through */ }
+          }
           dropSnapshotBranch(spark, root, name)
           if (attempt >= maxRetries) throw e
           attempt += 1
       }
     }
     -1L // unreachable
+  }
+
+  /** The transaction's verb-grade revalidated commit (see
+    * [[transactSnapshot]]'s `scope`): treat the WHOLE branch as one
+    * composite verb — consumed = fork files the branch dropped, new =
+    * files the branch wrote — and run the same
+    * [[republishPinnedRewrite]] validation the verbs use, pinned at
+    * the FORK version (which the branch base tag protects from
+    * vacuum). Pure-CoW transactions only: a branch whose delete-
+    * sidecar line set changed from its fork copy carries MoR content
+    * this composition cannot graft safely — strict abort. */
+  private def commitBranchRevalidated(spark: SparkSession, root: String,
+      name: String, scope: Column,
+      original: SnapshotConflictException): Long = {
+    val base = resolveSnapshotTag(spark, root, branchBaseTag(name))
+    val br = snapshotBranchRoot(root, name)
+    val (bfs, br2) = fsOf(spark, br)
+    val (fs, r) = fsOf(spark, root)
+    val bHead = snapshotVersions(spark, br).last
+    def dvAt(v: Long): Set[String] =
+      readManifestLines(bfs, br2, v).filter(l =>
+        l.startsWith("#dv:") || l.startsWith("#eqdel:")).toSet
+    if (dvAt(bHead) != dvAt(1L)) throw original
+    val schemaLine = readSchemaLine(bfs, br2, bHead).map(schemaLineOf)
+      .getOrElse(throw original)
+    val forkFiles = readManifest(fs, r, base).toSet
+    val bFiles = readManifest(bfs, br2, bHead)
+    val consumed = forkFiles -- bFiles.toSet
+    val newFiles = bFiles.filterNot(forkFiles)
+    val newStats = readStats(spark, br, bHead)
+      .collect { case (p, st) if newFiles.contains(p) => st }.toSeq
+    val v = republishPinnedRewrite(spark, fs, r, base, consumed, newFiles,
+      newStats, schemaLine, meta = Seq(s"#txn-merge:$name"),
+      carriesLines = true, original,
+      scopeDisjoint =
+        Some(org.apache.spark.sql.GraftColumnBridge.expression(scope)))
+    // same cleanup contract as the fast-forward: the branch's data
+    // batches are now REFERENCED by the parent's new version — drop
+    // only its manifest line, refs, and fork pin (a later parent
+    // compaction migrates the data into root/data).
+    deleteSnapshotTag(spark, root, branchBaseTag(name))
+    fs.delete(manifestDir(br2), true)
+    fs.delete(refsDir(br2), true)
+    v
   }
 
   /** The compaction two-rename swap (see [[compactParquet]]'s scope

@@ -153,6 +153,17 @@ class CboSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tagStats = st.colStats("tag")
     assert(tagStats.avgLen.contains(6L), s"avgLen: ${tagStats.avgLen}")
     assert(tagStats.maxLen.contains(6L), s"maxLen: ${tagStats.maxLen}")
+    // a CoW UPDATE rewrites files through the FOOTER fast path (no
+    // sketch, no count recorded) — the NDV profile must degrade
+    // gracefully (rewritten files contribute their non-null rows as an
+    // upper bound), never vanish for the whole column
+    cat.updateSnapshotWhere(spark, root, col("k") === 5L,
+      Seq("tag" -> lit("touched")))
+    val kNdv2 = cat.snapshotCatalogStats(spark, root).get
+      .colStats("k").distinctCount
+    assert(kNdv2.isDefined, "a verb must not erase the column's NDV profile")
+    assert(kNdv2.get <= BigInt(400) && kNdv2.get >= BigInt(85),
+      s"post-verb NDV stays a clamped honest bound: $kNdv2")
   }
 
   test("date/timestamp min-max round-trip into plan stats; string equality gets NDV selectivity") {

@@ -3000,6 +3000,63 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(GraftCatalog.listSnapshotBranches(spark, root).isEmpty)
   }
 
+  test("scoped transaction surviving a disjoint racer re-publishes WITHOUT re-running the body") {
+    import spark.implicits._
+    val root = s"$tmp/txnscope_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartitionByRange(2, col("k")),
+      root, append = false)
+    val v0 = GraftCatalog.snapshotVersions(spark, root).last
+    var runs = 0
+    // the caller declares the tx scope (k < 50); the racer appends far
+    // outside it — the lost fast-forward must re-publish the composed
+    // result metadata-only, body run ONCE
+    val landed = GraftCatalog.transactSnapshot(spark, root,
+      scope = Some(col("k") < 50L)) { br =>
+      runs += 1
+      GraftCatalog.commitSnapshot(
+        Seq((9000L, 1L)).toDF("k", "v"), root, append = true) // the racer
+      GraftCatalog.updateSnapshotWhere(spark, br,
+        col("k") < 10L, Seq("v" -> lit(-1L)))
+      GraftCatalog.deleteSnapshotWhere(spark, br, col("k").between(40L, 45L))
+      ()
+    }
+    assert(runs == 1, "a provably-disjoint race must NOT re-run the body")
+    assert(landed == v0 + 2, s"racer v${v0 + 1}, revalidated tx v${v0 + 2}; got $landed")
+    val head = GraftCatalog.readSnapshot(spark, root)
+    assert(head.count() == 95) // 100 - 6 deleted + 1 racer
+    assert(head.where(col("k") === 5L).select("v").as[Long].head() == -1L)
+    assert(head.where(col("k") === 9000L).count() == 1, "the racer survives")
+    assert(head.where(col("k") === 42L).isEmpty)
+    assert(GraftCatalog.listSnapshotBranches(spark, root).isEmpty)
+    // an IN-SCOPE racer still aborts (maxRetries 0 → throws)
+    intercept[graft.sources.SnapshotConflictException](
+      GraftCatalog.transactSnapshot(spark, root,
+        scope = Some(col("k") < 100000L)) { br =>
+        GraftCatalog.commitSnapshot(
+          Seq((9500L, 1L)).toDF("k", "v"), root, append = true)
+        GraftCatalog.updateSnapshotWhere(spark, br,
+          col("k") === 1L, Seq("v" -> lit(-2L)))
+        ()
+      })
+    assert(GraftCatalog.readSnapshot(spark, root)
+      .where(col("v") === -2L).count() == 0)
+    assert(GraftCatalog.listSnapshotBranches(spark, root).isEmpty)
+    // a tx that added MoR content keeps the strict abort even when the
+    // racer is disjoint (the pure-CoW gate)
+    intercept[graft.sources.SnapshotConflictException](
+      GraftCatalog.transactSnapshot(spark, root,
+        scope = Some(col("k") < 50L)) { br =>
+        GraftCatalog.commitSnapshot(
+          Seq((9600L, 1L)).toDF("k", "v"), root, append = true)
+        GraftCatalog.deleteSnapshotWhereMor(spark, br, col("k") === 3L)
+        ()
+      })
+    assert(GraftCatalog.readSnapshot(spark, root)
+      .where(col("k") === 3L).count() == 1, "the MoR tx must not have landed")
+  }
+
   test("VACUUM DRY RUN lists exactly what the real vacuum reaps, deleting nothing") {
     import spark.implicits._
     val root = s"$tmp/vacdry_${System.nanoTime()}"
