@@ -161,5 +161,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_vacuum_dry_run",
         "graft_vacuum_dry_run(root, keepFrom[, graceMs]) - everything a vacuum with these parameters WOULD reap, as (kind, item) rows, deleting nothing"),
       graft.sources.GraftTvf.vacuumDryRunBuilder))
+    e.injectTableFunction((FunctionIdentifier("graft_snapshot_cursors"),
+      info("graft_snapshot_cursors",
+        "graft_snapshot_cursors(root) - registered stream cursors (retention floors) as (cursor, pinned_version) rows"),
+      graft.sources.GraftTvf.cursorsBuilder))
   }
 }

@@ -52,6 +52,8 @@ object GraftProcedures {
     "clone" -> (c => cloneProc(c)),
     "set_check" -> (c => setCheck(c)),
     "drop_check" -> (c => dropCheck(c)),
+    "set_cursor" -> (c => setCursor(c)),
+    "drop_cursor" -> (c => dropCursor(c)),
     "rename" -> (c => renameProc(c)))
 
   private def spark: SparkSession = SparkSession.active
@@ -195,6 +197,33 @@ object GraftProcedures {
       GraftCatalog.tagSnapshot(spark, c.resolveTableArg(t),
         in.getUTF8String(1).toString, v)
       (new StructType().add("tagged_version", LongType, false), InternalRow(v))
+    }
+
+  private def setCursor(c: GraftTableCatalog): UnboundProcedure =
+    proc("set_cursor",
+      "register or advance a STREAM CURSOR: vacuum keeps every version " +
+        ">= the pinned one (the native stream source registers its own " +
+        "automatically; this is the manual spelling for external " +
+        "consumers)",
+      Array(param("table", StringType), param("cursor", StringType),
+        param("version", LongType))) { (t, in) =>
+      val v = in.getLong(2)
+      GraftCatalog.setStreamCursor(spark, c.resolveTableArg(t),
+        in.getUTF8String(1).toString, v)
+      (new StructType().add("pinned_version", LongType, false), InternalRow(v))
+    }
+
+  private def dropCursor(c: GraftTableCatalog): UnboundProcedure =
+    proc("drop_cursor",
+      "the explicit override: reclaim an abandoned stream's retention " +
+        "pin so vacuum can proceed (the loud resume error then guards " +
+        "the stream)",
+      Array(param("table", StringType), param("cursor", StringType))) {
+      (t, in) =>
+        val existed = GraftCatalog.dropStreamCursor(spark,
+          c.resolveTableArg(t), in.getUTF8String(1).toString)
+        (new StructType().add("dropped", BooleanType, false),
+          InternalRow(existed))
     }
 
   private def createBranch(c: GraftTableCatalog): UnboundProcedure =

@@ -164,6 +164,20 @@ object GraftTvf {
       .queryExecution.logical
   }
 
+  /** `graft_snapshot_cursors('<root>')` — the registered stream
+    * cursors (retention floors) as (cursor, pinned_version) rows: the
+    * operator view before a vacuum, and the input to
+    * `CALL graft.system.drop_cursor` for abandoned streams. */
+  private[graft] val cursorsBuilder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 1, "graft_snapshot_cursors(root) takes 1 argument")
+    require(args.forall(_.foldable),
+      "graft_snapshot_cursors arguments must be literals")
+    val spark = SparkSession.active
+    import spark.implicits._
+    GraftCatalog.listStreamCursors(spark, rootArg(args.head)).toSeq.sorted
+      .toDF("cursor", "pinned_version").queryExecution.logical
+  }
+
   /** `graft_vacuum_dry_run('<root>', keepFrom[, graceMs])` — everything
     * a vacuum with these parameters WOULD reap, as (kind, item) rows,
     * from metadata only: the operator-confidence probe before the
@@ -183,6 +197,8 @@ object GraftTvf {
   }
 
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_snapshot_cursors", cursorsBuilder, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_vacuum_dry_run", vacuumDryRunBuilder, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

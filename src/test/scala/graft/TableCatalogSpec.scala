@@ -497,6 +497,33 @@ class TableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft.db.mnt").head().getLong(0) == 100L)
   }
 
+  test("CALL graft.system: set_cursor clamps vacuum, cursors TVF lists, drop_cursor reclaims") {
+    spark.sql("CREATE TABLE graft.db.cur (id BIGINT)")
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO graft.db.cur SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    val root = s"$warehouse/db/cur"
+    // pin v2 as an external consumer's cursor via SQL
+    assert(spark.sql("CALL graft.system.set_cursor('db.cur', 'etl_feed', 2)")
+      .head().getLong(0) == 2L)
+    val listed = spark.sql(s"SELECT * FROM graft_snapshot_cursors('$root')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(listed == Seq(("etl_feed", 2L)), s"cursors TVF: $listed")
+    // an aggressive vacuum is clamped at the cursor's floor
+    spark.sql("CALL graft.system.vacuum(table => 'db.cur', keep_last => 1)")
+    assert(GraftCatalog.snapshotVersions(spark, root).head == 2L,
+      "vacuum must keep every version >= the cursor pin")
+    // the dry run agrees nothing below the pin is replanned for reaping
+    assert(spark.sql(s"SELECT * FROM graft_vacuum_dry_run('$root', 99, 0)")
+      .where(org.apache.spark.sql.functions.col("kind") === "version")
+      .count() == 0L, "dry run must honor the cursor floor")
+    // the explicit override reclaims; the next vacuum proceeds
+    assert(spark.sql("CALL graft.system.drop_cursor('db.cur', 'etl_feed')")
+      .head().getBoolean(0))
+    spark.sql("CALL graft.system.vacuum(table => 'db.cur', keep_last => 1)")
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(5L))
+    assert(spark.sql("SELECT count(*) FROM graft.db.cur").head().getLong(0) == 40L)
+  }
+
   test("TBLPROPERTIES manifest.* set the table's segment conf and govern sealing") {
     spark.sql("CREATE TABLE graft.db.segt (id BIGINT) TBLPROPERTIES(" +
       "'manifest.inline.max'='2', 'manifest.include.max'='3')")
