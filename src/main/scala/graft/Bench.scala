@@ -23,6 +23,20 @@ import org.apache.spark.sql.SparkSession
   * build, warm-up, index builds, fixture pre-warm, the 3-rep measured
   * loop, and per-family median sums. A wall jump is then attributable
   * to a specific phase instead of a guess.
+  *
+  * SELF-DIAGNOSING RECORD (r17): BENCH_r16 carried a t28 median of
+  * 82.7 s where the identical tree measures 2.5 s — and the record
+  * could neither confirm nor refute the obvious "sustained host event"
+  * explanation, because a bare median discards exactly that evidence.
+  * The detailed line now also carries, per query: the full rep array
+  * (`reps`), the wall-clock offset from JVM start at which the query's
+  * reps began (`t_start`, seconds — localizes a slow window in time),
+  * and the 1-minute system load average sampled at that moment
+  * (`load` — a loaded host indicts itself). The compact line adds the
+  * run's ambient index (the five frozen [[BenchControls]] queries
+  * measured IN the loop vs their r14 idle-host references) plus
+  * start/end/max load — so even a 2,000-char tail proves or clears a
+  * host event without re-running anything.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,9 +55,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def median3(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    /** (reps, median, t_start offset secs, loadavg at start) — the
+      * reps/offset/load ride into the record so an outlier median is
+      * diagnosable from the file alone (r17). */
+    def reps3(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Seq[Double], Double, Double, Double) = {
+      val off = secsSince(tJvm0)
+      val load = BenchControls.loadAvg()
       val ts = Seq.fill(3)(once(fn))
-      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
+      val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
+      (ts, med, off, load)
     }
 
     // One warm-up query BEFORE the build timers: the first job in a
@@ -102,16 +123,26 @@ object Bench {
     val tFixtures = secsSince(tFix0)
 
     val tLoop0 = System.nanoTime()
-    val results = SparkEntry.allQs.map(q => q.name -> median3(q.run))
+    val loadStart = BenchControls.loadAvg()
+    val detailed = SparkEntry.allQs.map(q => q.name -> reps3(q.run))
+    val loadEnd = BenchControls.loadAvg()
     val tLoop = secsSince(tLoop0)
+    val results = detailed.map { case (k, (_, med, _, _)) => k -> med }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val repsJson = detailed.map { case (k, (ts, _, _, _)) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val tStartJson = detailed.map { case (k, (_, _, off, _)) =>
+      "\"" + k + "\":" + f"$off%.1f" }.mkString("{", ",", "}")
+    val loadJson = detailed.map { case (k, (_, _, _, ld)) =>
+      "\"" + k + "\":" + f"$ld%.2f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val buildJson = builds.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"build":$buildJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"t_start":$tStartJson,"load":$loadJson,"failed":$failed,"build":$buildJson,"sf":"$sfDir"}""")
 
     // Compact, tail-proof phase breakdown — printed LAST so a 2,000-char
     // log tail still contains one complete parseable JSON object.
@@ -125,9 +156,21 @@ object Bench {
       s""""session":${f"$tSession%.1f"},"warmup_first":${f"$tWarmFirst%.1f"},""" +
         s""""builds":${f"$tBuilds%.1f"},"warmup_families":${f"$tWarmFamilies%.1f"},""" +
         s""""fixtures":${f"$tFixtures%.1f"},"measure_loop_wall":${f"$tLoop%.1f"}"""
+    // Ambient + host-load summary (r17): controls measured IN the loop
+    // above vs their frozen r14 refs; load sampled per query start.
+    val medOf = results.toMap
+    val ambient = BenchControls.ambientIndex(q => medOf.get(q).filter(_ >= 0))
+      .map(a => f"$a%.3f").getOrElse("null")
+    val loadMax = math.max(math.max(loadStart, loadEnd),
+      detailed.map(_._2._4).foldLeft(-1.0)(math.max))
+    val ctrlJson = BenchControls.refs.map { case (q, ref) =>
+      s""""$q":[${medOf.getOrElse(q, -1.0)},$ref]""" }.mkString("{", ",", "}")
     println(s"""{"metric":"phases","value":$total,"unit":"sec","phases":{$phases},""" +
       s""""families_median_sum":$famSums,"reps_per_query":3,""" +
       s""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},""" +
+      s""""ambient_index":$ambient,"ambient_ref":"${BenchControls.refSf}",""" +
+      s""""controls":$ctrlJson,""" +
+      s""""load":{"start":${f"$loadStart%.2f"},"end":${f"$loadEnd%.2f"},"max_seen":${f"$loadMax%.2f"}},""" +
       s""""jvm_wall":${f"${secsSince(tJvm0)}%.1f"},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -27,19 +27,9 @@ object BenchFocus {
       q -> ts
     }
     def med(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
-    // AMBIENT-NOISE CONTROLS (r15): five pinned queries whose code and
-    // plan are intentionally frozen across rounds. Their medians this
-    // run, against the recorded round-14 references, give the round's
-    // ambient index (geometric mean of ratios) — byte-untouched
-    // queries bounced 1.4-2.1x between r13 and r14 on pure machine
-    // noise, so a cross-round comparison is only meaningful as
-    // ratio-over-ambient. Update the references when (and only when)
-    // a control query's code legitimately changes.
-    val controlRef = Seq(
-      "q07_agg_distinct" -> 0.523, "q16_date_bin" -> 0.523,
-      "q100_regression" -> 2.831, "q58_listagg" -> 1.031,
-      "t04_fingerprint" -> 0.279)
-    val controls = controlRef.map { case (q, ref) =>
+    // AMBIENT-NOISE CONTROLS — see [[BenchControls]] (shared with the
+    // driver Bench since r17; references are r14 idle-host sf0.1).
+    val controls = BenchControls.refs.map { case (q, ref) =>
       val m = results.find(_._1 == q).map(r => med(r._2))
         .getOrElse(med(Seq.fill(3)(once(q))))
       (q, m, ref)
