@@ -1259,7 +1259,145 @@ object SnapshotOps {
       |  COUNT(DISTINCT o_custkey) AS nc
       |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
 
+  /** q158 — transaction carrying MERGE-ON-READ content across a race
+    * (r17): the body MoR-deletes a key band (deletion vector, no
+    * rewrite) and appends a block on its private fork while a
+    * deterministic disjoint racer commits to the parent mid-body. The
+    * fast-forward necessarily fails; the scope-proved revalidated
+    * commit GRAFTS the branch's DV sidecar onto the racer's head and
+    * lands the whole body as ONE flip over it — the in-query `require`
+    * pins exactly that shape (racer v+1, tx v+2). The DuckDB oracle
+    * recomputes the composed end state relationally: a hash match
+    * proves the grafted deletion vector is honored row-for-row in the
+    * serial (racer, tx) order. */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val orders = ordersDf(s, d)
+    val (root, mk) = cloneBase(s, d, "snaptxnmor")
+    val v0 = GraftCatalog.snapshotVersions(s, root).last
+    val landed = GraftCatalog.transactSnapshot(s, root,
+      scope = Some(col("o_orderkey") <= lit(mk / 2) ||
+        (col("o_orderkey") >= lit(300000000L) &&
+          col("o_orderkey") < lit(400000000L)))) { br =>
+      // deterministic disjoint racer: lands on the PARENT mid-body,
+      // strictly outside the transaction's declared scope
+      GraftCatalog.commitSnapshot(
+        orders.where(col("o_orderkey") % 500 === 0)
+          .select((col("o_orderkey") + lit(500000000L)).as("o_orderkey"),
+            col("o_custkey"), col("price"), lit("8-RACE").as("pr")),
+        root, append = true)
+      GraftCatalog.deleteSnapshotWhereMor(s, br,
+        col("o_orderkey") % 7 === 0 && col("o_orderkey") <= lit(mk / 2))
+      GraftCatalog.commitSnapshot(
+        orders.where(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + lit(300000000L)).as("o_orderkey"),
+            col("o_custkey"), col("price"), lit("9-TXM").as("pr")),
+        br, append = true)
+      ()
+    }
+    require(landed == v0 + 2,
+      s"racer v${v0 + 1} then ONE grafted tx flip v${v0 + 2}, got v$landed " +
+        "— a plain fast-forward means the race never fired")
+    GraftCatalog.readSnapshot(s, root)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("pr")
+  }
+
+  private val q158Oracle: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |ins AS (
+      |  SELECT o_orderkey + 300000000 AS o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, '9-TXM' AS pr
+      |  FROM orders WHERE o_orderkey % 1000 = 0),
+      |race AS (
+      |  SELECT o_orderkey + 500000000 AS o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price, '8-RACE' AS pr
+      |  FROM orders WHERE o_orderkey % 500 = 0),
+      |base AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+      |    o_orderpriority AS pr
+      |  FROM orders, mk
+      |  WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey <= mk // 2)),
+      |fin AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM ins
+      |  UNION ALL SELECT * FROM race)
+      |SELECT pr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS nc
+      |FROM fin GROUP BY pr ORDER BY pr""".stripMargin
+
+  /** q159 — CROSS-TABLE transaction on the driver gate: a CoW DELETE
+    * of a key band on table A and the band's audit summary appended to
+    * table B run as ONE [[GraftCatalog.transactSnapshotMulti]] body;
+    * both tables flip behind one marker create, each exactly one
+    * version (`require`d). The result unions both tables' end states;
+    * the DuckDB oracle recomputes the pair relationally from raw
+    * parquet, so a hash match proves the two flips carry exactly the
+    * composed (delete, audit) effect. */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val orders = ordersDf(s, d)
+    val (rootA, mk) = cloneBase(s, d, "snapmtxa")
+    val rootB = s"/tmp/graft-index/snapmtxb_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      s.range(1).select(lit("A-SEED").as("pr"), lit(0L).as("n"),
+        lit(0.0).as("total"), lit(0L).as("nc")),
+      rootB, append = false)
+    val vA = GraftCatalog.snapshotVersions(s, rootA).last
+    val band = col("o_orderkey") % 9 === 0 && col("o_orderkey") <= lit(mk / 3)
+    val landed = GraftCatalog.transactSnapshotMulti(s, Seq(rootA, rootB)) {
+      case Seq(ba, bb) =>
+        GraftCatalog.deleteSnapshotWhere(s, ba, band)
+        GraftCatalog.commitSnapshot(
+          orders.where(band).agg(
+            count(lit(1)).as("n"),
+            expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+            countDistinct(col("o_custkey")).as("nc"))
+            .select(lit("Z-AUDIT").as("pr"), col("n"), col("total"), col("nc")),
+          bb, append = true)
+        ()
+      case _ => throw new IllegalStateException("two branches expected")
+    }
+    require(landed(rootA) == vA + 1 && landed(rootB) == 2L,
+      s"both tables must flip exactly once, atomically: $landed")
+    GraftCatalog.readSnapshot(s, rootA)
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .unionByName(GraftCatalog.readSnapshot(s, rootB)
+        .where(col("pr") =!= "A-SEED")
+        .select(col("pr"), col("n"), col("total"), col("nc")))
+      .orderBy("pr")
+  }
+
+  private val q159Oracle: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |band AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+      |  FROM orders, mk WHERE o_orderkey % 9 = 0 AND o_orderkey <= mk // 3),
+      |rest AS (
+      |  SELECT o_orderpriority AS pr, o_custkey,
+      |    CAST(o_totalprice AS DOUBLE) AS price
+      |  FROM orders, mk
+      |  WHERE NOT (o_orderkey % 9 = 0 AND o_orderkey <= mk // 3)),
+      |agg_a AS (
+      |  SELECT pr, COUNT(*) AS n,
+      |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |    COUNT(DISTINCT o_custkey) AS nc
+      |  FROM rest GROUP BY pr),
+      |audit AS (
+      |  SELECT 'Z-AUDIT' AS pr, COUNT(*) AS n,
+      |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |    COUNT(DISTINCT o_custkey) AS nc
+      |  FROM band)
+      |SELECT * FROM agg_a UNION ALL SELECT * FROM audit ORDER BY pr"""
+      .stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q159_txn_multi", Some(q159Oracle), q159),
+    Q("q158_txn_mor", Some(q158Oracle), q158),
     Q("q157_transaction", Some(q157Oracle), q157),
     Q("q156_merge_race_serializable", Some(q156Oracle), q156),
     Q("q155_segmented_commits", Some(q155Oracle), q155),

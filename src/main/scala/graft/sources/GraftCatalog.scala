@@ -388,11 +388,57 @@ object GraftCatalog {
   private def versionsAt(fs: org.apache.hadoop.fs.FileSystem,
       r: org.apache.hadoop.fs.Path): Seq[Long] = {
     val md = manifestDir(r)
-    if (!fs.exists(md)) Seq.empty
-    else fs.listStatus(md).toSeq.flatMap(st => st.getPath.getName match {
-      case ManifestName(n) => Some(n.toLong)
+    if (!fs.exists(md)) return Seq.empty
+    val listed = fs.listStatus(md).toSeq.flatMap(st => st.getPath.getName match {
+      case ManifestName(n) => Some(n.toLong -> st.getModificationTime)
       case _ => None
-    }).sorted
+    }).sortBy(_._1)
+    // CROSS-TABLE TX visibility (r17): a trailing manifest carrying a
+    // `#txmarker:` line whose marker file does not (yet) exist is a
+    // PENDING multi-table flip — invisible to readers (so no reader
+    // ever sees table A flipped and table B not), while its claimed
+    // version slot keeps blocking concurrent writers until the marker
+    // lands or vacuum reaps the aged orphan. Only trailing versions
+    // can be pending (the claimed slot blocks successors), and a
+    // verdict of "visible" is PERMANENT for a given manifest file
+    // (markers are never deleted) — cached by (path, version, mtime)
+    // so steady-state heads pay the raw read once, not per listing.
+    var vs = listed
+    while (vs.nonEmpty && {
+      val (v, mtime) = vs.last
+      val key = s"$md#v$v@$mtime"
+      txVisibilityCache.get(key) match {
+        case java.lang.Boolean.TRUE => false
+        case _ =>
+          val pending = txPendingUnconfirmed(fs, r, v)
+          if (!pending) {
+            if (txVisibilityCache.size > 65536) txVisibilityCache.clear()
+            txVisibilityCache.put(key, java.lang.Boolean.TRUE)
+          }
+          pending
+      }
+    }) vs = vs.init
+    vs.map(_._1)
+  }
+
+  private val txVisibilityCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Does version `v` carry an UNCONFIRMED cross-table tx marker?
+    * Marker paths must live on the same FileSystem as the table —
+    * [[transactSnapshotMulti]] requires all roots share one. */
+  private def txPendingUnconfirmed(fs: org.apache.hadoop.fs.FileSystem,
+      r: org.apache.hadoop.fs.Path, v: Long): Boolean =
+    scala.util.Try(readManifestRawLines(fs, r, v, strict = false))
+      .getOrElse(Seq.empty)
+      .find(_.startsWith("#txmarker:"))
+      .exists(l => !fs.exists(txMarkerPathOf(l)))
+
+  /** `#txmarker:<txid>:<absolute marker path>` → the marker path
+    * (txids are [[writerToken]]s — never contain a colon). */
+  private def txMarkerPathOf(line: String): org.apache.hadoop.fs.Path = {
+    val rest = line.stripPrefix("#txmarker:")
+    new org.apache.hadoop.fs.Path(rest.substring(rest.indexOf(':') + 1))
   }
 
   /** TIME TRAVEL BY TIMESTAMP (Delta's `timestampAsOf`): the latest
@@ -417,7 +463,11 @@ object GraftCatalog {
         case ManifestName(n) => Some(n.toLong -> st.getModificationTime)
         case _ => None
       }).toMap
-    val at = mtimes.keys.toSeq.sorted.filter(v => mtimes(v) <= tsMillis)
+    // intersect with the VISIBLE versions: a pending cross-table flip
+    // must be as invisible to timestamp travel as to head reads (r17)
+    val visible = versionsAt(fs, r).toSet
+    val at = mtimes.keys.toSeq.sorted
+      .filter(v => visible(v) && mtimes(v) <= tsMillis)
     require(at.nonEmpty, s"no snapshot of $root existed at or before $tsMillis")
     at.last
   }
@@ -811,18 +861,32 @@ object GraftCatalog {
     }
   }
 
-  /** The footer fast path when it can serve — no bloom enrollment
-    * (bloom bit-sets need the value scan) and a batch small enough
-    * that a SEQUENTIAL driver loop over footers beats one distributed
-    * job (`spark.graft.stats.footerMaxFiles`, default 64: a verb's
-    * rewrite batch is a handful of files; a 10k-file compaction wants
-    * the scanning agg's parallelism). Else the scanning agg. */
+  /** Stats for a just-written batch. The SCANNING agg is the default
+    * (r17): it is the only path that records NDV sketches, and its
+    * cost is ∝ the batch the verb just wrote — for the batches verbs
+    * actually write, one small job. Without it, every CoW verb
+    * degraded the mutated columns' catalog NDV to the tiered upper
+    * bound until the next compaction, and broadcast decisions at
+    * scale hinge on that number. The FOOTER fast path (zero Spark
+    * jobs, but sketch-less) serves only batches big enough that
+    * re-scanning what was just written is a real tax:
+    * `spark.graft.stats.verbScanMaxBytes` (default 256 MiB) — and
+    * never more than `spark.graft.stats.footerMaxFiles` (default 64)
+    * files, past which the scanning agg's parallelism wins anyway.
+    * A footer-path batch leaves its sketch gap to
+    * `CALL graft.system.analyze` ([[analyzeSnapshot]]). */
   private[graft] def batchFileStats(spark: SparkSession, files: Seq[String],
       fsMeta: Map[String, (Long, Long)],
       bloomConf: Map[String, Int]): Seq[FileStat] = {
     val maxFiles = spark.conf.getOption("spark.graft.stats.footerMaxFiles")
       .map(_.toInt).getOrElse(64)
-    (if (bloomConf.isEmpty && files.size <= maxFiles)
+    val scanMax = spark.conf.getOption("spark.graft.stats.verbScanMaxBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val batchBytes = files.map(f => org.apache.hadoop.fs.Path
+        .getPathWithoutSchemeAndAuthority(
+          new org.apache.hadoop.fs.Path(f)).toString)
+      .flatMap(fsMeta.get).map(_._1).sum
+    (if (bloomConf.isEmpty && files.size <= maxFiles && batchBytes > scanMax)
        footerFileStats(spark, files, fsMeta)
      else None)
       .getOrElse(computeFileStats(spark, files, fsMeta, bloomConf))
@@ -846,15 +910,29 @@ object GraftCatalog {
     // zero extra scans. The MERGEABLE Datasketches HLL sketch (lgK=10,
     // ~3% rse, ~0.7 KB base64) rides alongside (r16): the count alone
     // can only be summed across files, which overstates table NDV by
-    // up to the file count. Sketch input is cast to string — injective
-    // for every statable type, and the only input family the sketch
-    // agg accepts beyond int/long/binary.
+    // up to the file count.
+    //
+    // Sketch INPUT FORM is pinned per declared type (r17): integral
+    // columns feed their widened long natively — the r16 string render
+    // materialized a per-row string per column on EVERY commit, a
+    // measurable tax on commit-heavy workloads for zero information —
+    // while every other statable type keeps the injective string cast
+    // (the sketch agg accepts int/long/string/binary only; float/
+    // double/decimal/date/timestamp have no native form there). The
+    // form rides the sidecar as an `l:` prefix on the base64, because
+    // a long-fed 5 and a string-fed "5" hash apart: the table-NDV
+    // merge must never union sketches of different forms — it falls
+    // off-form files back to their count tier instead (see
+    // [[unionNdvEstimate]]). Legacy bare-base64 sidecars read as
+    // string-form; empty sketches are form-agnostic by construction.
     val aggs = count(lit(1)).as("__rows") +: fields.flatMap { f => Seq(
       min(col(f.name)).cast("string"),
       max(col(f.name)).cast("string"),
       sum(when(col(f.name).isNull, 1L).otherwise(0L)),
       approx_count_distinct(col(f.name)),
-      hll_sketch_agg(col(f.name).cast("string"), 10))
+      hll_sketch_agg(
+        if (integralSketch(f.dataType)) col(f.name).cast("long")
+        else col(f.name).cast("string"), 10))
     }
     // Bloom-enrolled columns add two bounded collect_sets per file (the
     // distinct BIT POSITIONS, capped at the filter width — never the
@@ -893,8 +971,9 @@ object GraftCatalog {
           // an all-NULL column yields a null sketch — record the empty
           // sketch so the table-level union stays exact (None means
           // "no sketch recorded", which forces the sum-clamp fallback)
+          val tag = if (integralSketch(f.dataType)) "l:" else ""
           val hs = Option(row.getAs[Array[Byte]](6 + i * 5))
-            .map(java.util.Base64.getEncoder.encodeToString)
+            .map(b => tag + java.util.Base64.getEncoder.encodeToString(b))
             .orElse(Some(emptyHllB64))
           val lenBase = bloomBase + bloomFields.size * 2
           val li = lenFields.indexWhere(_.name == f.name)
@@ -939,6 +1018,57 @@ object GraftCatalog {
   private lazy val emptyHllB64: String =
     java.util.Base64.getEncoder.encodeToString(
       new org.apache.datasketches.hll.HllSketch(10).toCompactByteArray)
+
+  /** Columns whose NDV sketch is fed the NATIVE long (r17) instead of
+    * a per-row string render. Widening byte/short/int to long is a
+    * primitive cast inside codegen — allocation-free — and keeps one
+    * consistent sketch form across files whatever the declared width. */
+  private def integralSketch(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
+
+  /** Table-level NDV from per-file sidecar entries, FORM-AWARE (r17):
+    * sketches are unioned only within one input form (`l:`-tagged
+    * long-fed vs legacy/string-fed bare base64 — a long-fed 5 and a
+    * string-fed "5" hash apart, so a cross-form union double-counts
+    * every shared value). The form covering the most non-empty
+    * sketches wins; empty sketches union under any form; every
+    * off-form or sketchless file contributes its count tier (recorded
+    * NDV, else non-null rows) — each tier a valid upper bound, the
+    * rowCount clamp holding the lot. None only when the union path
+    * itself fails (corrupt sketch bytes). */
+  private[graft] def unionNdvEstimate(entries: Seq[(Long, ColStat)],
+      rowCount: Long): Option[BigInt] =
+    scala.util.Try {
+      val decoded = entries.map { case (rows, e) =>
+        (rows, e, e.hll.map { h =>
+          val (form, b64) =
+            if (h.startsWith("l:")) ("l", h.drop(2)) else ("s", h)
+          (form, org.apache.datasketches.hll.HllSketch.heapify(
+            java.util.Base64.getDecoder.decode(b64)))
+        })
+      }
+      val forms = decoded.flatMap(_._3).filter(_._2.getEstimate >= 0.5)
+        .map(_._1)
+      val chosen =
+        if (forms.isEmpty) "s"
+        else forms.groupBy(identity).toSeq.map { case (f, g) => (g.size, f) }
+          .max._2 // deterministic: count first, lexicographic tie-break
+      val u = new org.apache.datasketches.hll.Union(12)
+      var extra = 0L
+      decoded.foreach {
+        case (_, _, Some((form, sk)))
+            if form == chosen || sk.getEstimate < 0.5 => u.update(sk)
+        case (rows, e, _) =>
+          extra += e.ndv.getOrElse(math.max(0L, rows - e.nc))
+      }
+      BigInt(math.min(math.round(u.getEstimate) + extra,
+        math.max(rowCount, 1L)))
+    }.toOption
 
   /** (path → (len, mtime)) of a just-listed batch — the writer already
     * holds these `FileStatus`es; recording them in the sidecar is what
@@ -1721,12 +1851,21 @@ object GraftCatalog {
     * long-running backfill MERGE under steady ingest loses every race
     * FOREVER and re-pays its full read+write each attempt — the verb-
     * level starvation the r15 rewrite fix left one level down. */
+  /** `mustStayLive` (r17): files that must still be in the head's
+    * list for the re-publish to stand WITHOUT being swapped out —
+    * the targets of grafted MoR delete lines (`extraDvLines`), whose
+    * deletes would silently strand if a racer rewrote the file they
+    * cover. `extraDvLines` publish alongside the carried head lines;
+    * union application is idempotent, so overlap with racer sidecars
+    * is harmless. */
   private def republishPinnedRewrite(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, r: org.apache.hadoop.fs.Path,
       pinBase: Long, consumed: Set[String], newFiles: Seq[String],
       newStats: Seq[FileStat], schemaLine: String, meta: Seq[String],
       carriesLines: Boolean, original: SnapshotConflictException,
-      scopeDisjoint: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None): Long = {
+      scopeDisjoint: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+      mustStayLive: Set[String] = Set.empty,
+      extraDvLines: Seq[String] = Seq.empty): Long = {
     def dvEq(lines: Seq[String]) =
       lines.filter(l => l.startsWith("#dv:") || l.startsWith("#eqdel:")).toSet
     val baseLines = readManifestLines(fs, r, pinBase)
@@ -1742,7 +1881,7 @@ object GraftCatalog {
       val headFiles = headLines.filterNot(_.startsWith("#"))
       val headDvEq = dvEq(headLines)
       val safe =
-        consumed.subsetOf(headFiles.toSet) &&
+        (consumed ++ mustStayLive).subsetOf(headFiles.toSet) &&
           headLines.find(_.startsWith("#schema:")) == baseSchema &&
           baseDvEq.subsetOf(headDvEq) &&
           !deleteLinesTouch(spark, r, (headDvEq -- baseDvEq).toSeq, consumed)
@@ -1773,7 +1912,8 @@ object GraftCatalog {
           .find(_.startsWith("#stats:")).map(_.stripPrefix("#stats:")),
         newStats, liveAtFlatten = carriedFiles.toSet ++ newFiles)
       val dvLines =
-        (if (carriesLines) headDvEq else headDvEq -- baseDvEq).toSeq.sorted
+        ((if (carriesLines) headDvEq else headDvEq -- baseDvEq)
+          ++ extraDvLines).toSeq.distinct.sorted
       try {
         publishManifest(fs, r, head + 1,
           Seq(s"#stats:$statsName", schemaLine) ++ dvLines ++ meta ++
@@ -2662,30 +2802,61 @@ object GraftCatalog {
       sr: org.apache.hadoop.fs.Path, v: Long,
       dfs: org.apache.hadoop.fs.FileSystem,
       dr: org.apache.hadoop.fs.Path): Seq[String] = {
-    val dvs = readDvNames(sfs, sr, v).map { n =>
-      val newName = s"dv-${writerToken()}"
-      org.apache.hadoop.fs.FileUtil.copy(
-        sfs, new org.apache.hadoop.fs.Path(deletesDir(sr), n),
-        dfs, new org.apache.hadoop.fs.Path(deletesDir(dr), newName),
-        false, sfs.getConf)
-      s"#dv:$newName"
-    }
+    val dvLines = readDvNames(sfs, sr, v).map(n => s"#dv:$n")
     // equality-delete sidecars copy the same way (keys + cover dirs);
     // the covered paths reference the SOURCE's files, which the clone
     // carries by path — so coverage keeps meaning "files from before
     // the delete" on the cloned line too
-    val eqs = readManifestLines(sfs, sr, v).filter(_.startsWith("#eqdel:"))
-      .map(_.stripPrefix("#eqdel:")).map { l =>
-        val (name, physPks) = parseEqDel(l)
+    val eqLines = readManifestLines(sfs, sr, v).filter(_.startsWith("#eqdel:"))
+    migrateDeleteLines(sfs, sr, dvLines ++ eqLines, dfs, dr)
+  }
+
+  /** Copy SPECIFIC `#dv:`/`#eqdel:` sidecars from one table root's
+    * `_deletes/` into another's under fresh unique names, returning
+    * the destination manifest lines in input order. The path-migration
+    * primitive clones, branch fast-forwards, and the transaction's
+    * MoR graft (r17) all share. */
+  private def migrateDeleteLines(sfs: org.apache.hadoop.fs.FileSystem,
+      sr: org.apache.hadoop.fs.Path, lines: Seq[String],
+      dfs: org.apache.hadoop.fs.FileSystem,
+      dr: org.apache.hadoop.fs.Path): Seq[String] =
+    lines.map {
+      case l if l.startsWith("#dv:") =>
+        val newName = s"dv-${writerToken()}"
+        org.apache.hadoop.fs.FileUtil.copy(
+          sfs, new org.apache.hadoop.fs.Path(deletesDir(sr), l.stripPrefix("#dv:")),
+          dfs, new org.apache.hadoop.fs.Path(deletesDir(dr), newName),
+          false, sfs.getConf)
+        s"#dv:$newName"
+      case l =>
+        val (name, physPks) = parseEqDel(l.stripPrefix("#eqdel:"))
         val newName = s"eq-${writerToken()}"
         org.apache.hadoop.fs.FileUtil.copy(
           sfs, new org.apache.hadoop.fs.Path(deletesDir(sr), name),
           dfs, new org.apache.hadoop.fs.Path(deletesDir(dr), newName),
           false, sfs.getConf)
         s"#eqdel:$newName:${physPks.mkString(",")}"
-      }
-    dvs ++ eqs
-  }
+    }
+
+  /** Every data-file path a set of `#dv:`/`#eqdel:` lines still
+    * references — DV `__path` values, eqdel cover sets. Metadata-sized
+    * reads (sidecars are deleted-rows-sized by construction), used
+    * only on the transaction conflict path. */
+  private def deleteLineTargets(spark: SparkSession,
+      r: org.apache.hadoop.fs.Path, lines: Seq[String]): Set[String] =
+    lines.flatMap { l =>
+      val pathsDf =
+        if (l.startsWith("#dv:"))
+          spark.read.parquet(new org.apache.hadoop.fs.Path(
+            deletesDir(r), l.stripPrefix("#dv:")).toString)
+        else {
+          val (name, _) = parseEqDel(l.stripPrefix("#eqdel:"))
+          spark.read.parquet(new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(deletesDir(r), name), "cover").toString)
+        }
+      pathsDf.select(col("__path")).distinct().collect()
+        .map(_.getString(0))
+    }.toSet
 
   /** MERGE-ON-READ row-level DELETE: same statement semantics as
     * [[deleteSnapshotWhere]] (rows where `pred` is TRUE go; FALSE and
@@ -4023,6 +4194,50 @@ object GraftCatalog {
     next
   }
 
+  /** ANALYZE as a METADATA-plus-batch-scan commit: re-run the full
+    * scanning stats agg over exactly the head files whose sidecar
+    * entries lack an NDV sketch (footer-path CoW batches, pre-sketch
+    * history), republishing the SAME file list with the enriched
+    * sidecar. Restores sketch-tier table NDV — the number broadcast
+    * decisions hinge on — without paying a compaction's full data
+    * rewrite: cost ∝ the sketchless files only; a table whose files
+    * all carry sketches is a zero-read no-op returning the current
+    * head. A lost publish race deletes the fresh sidecar and aborts —
+    * pure metadata, the caller just reruns. SQL:
+    * `CALL graft.system.analyze(table)`. */
+  def analyzeSnapshot(spark: SparkSession, root: String): Long = {
+    val (fs, r) = fsOf(spark, root)
+    val head = snapshotVersions(spark, root).last
+    val files = readManifest(fs, r, head)
+    val existing = readStats(spark, root, head)
+    val need = files.filter(f => existing.get(f) match {
+      case None => true
+      case Some(st) => st.cols.exists(_.hll.isEmpty)
+    })
+    if (need.isEmpty) return head
+    val fsMeta = existing.collect {
+      case (p, st) if st.len.isDefined && st.mtime.isDefined =>
+        p -> (st.len.get, st.mtime.get)
+    }
+    val fresh = computeFileStats(spark, need, fsMeta, readBloomConfAt(fs, r))
+      .map(f => f.path -> f).toMap
+    val merged = files.map(f => fresh.getOrElse(f,
+      existing.getOrElse(f, FileStat(f, 0L, Seq.empty))))
+    val statsName = writeStatsFile(spark, fs, r, merged.sortBy(_.path))
+    val keptMeta = readManifestRawLines(fs, r, head).filter(l =>
+      l.startsWith("#schema:") || l.startsWith("#dv:") ||
+        l.startsWith("#eqdel:"))
+    val next = head + 1
+    try publishManifest(fs, r, next,
+      Seq(s"#stats:$statsName", "#analyze:stats") ++ keptMeta ++ files)
+    catch {
+      case e: SnapshotConflictException =>
+        fs.delete(new org.apache.hadoop.fs.Path(manifestDir(r), statsName), false)
+        throw e
+    }
+    next
+  }
+
   def rollbackSnapshot(spark: SparkSession, root: String, to: Long): Long = {
     val (fs, r) = fsOf(spark, root)
     val next = snapshotVersions(spark, root).last + 1
@@ -4693,7 +4908,8 @@ object GraftCatalog {
       staleStats: Seq[org.apache.hadoop.fs.Path],
       staleSegments: Seq[org.apache.hadoop.fs.Path],
       staleDeletes: Seq[org.apache.hadoop.fs.Path],
-      orphanBatchDirs: Seq[org.apache.hadoop.fs.Path])
+      orphanBatchDirs: Seq[org.apache.hadoop.fs.Path],
+      orphanCursorTmps: Seq[org.apache.hadoop.fs.Path])
 
   def vacuumSnapshots(spark: SparkSession, root: String, keepFrom: Long,
       orphanGraceMs: Long = 10 * 60 * 1000L): Int = {
@@ -4707,6 +4923,7 @@ object GraftCatalog {
     p.staleSegments.foreach(fs.delete(_, false))
     p.staleDeletes.foreach(fs.delete(_, true))
     p.orphanBatchDirs.foreach(fs.delete(_, true))
+    p.orphanCursorTmps.foreach(fs.delete(_, false))
     p.deadFiles.size
   }
 
@@ -4714,7 +4931,7 @@ object GraftCatalog {
     * WOULD reap, as `(kind, item)` rows, from metadata only: operator
     * confidence before the irreversible sweep. Kinds: `version`
     * (manifest), `data_file`, `stats_sidecar`, `manifest_segment`,
-    * `delete_sidecar`, `orphan_batch_dir`. Also the TVF
+    * `delete_sidecar`, `orphan_batch_dir`, `cursor_tmp`. Also the TVF
     * `graft_vacuum_dry_run(root, keepFrom)`. */
   def vacuumSnapshotsDryRun(spark: SparkSession, root: String,
       keepFrom: Long, orphanGraceMs: Long = 10 * 60 * 1000L): DataFrame = {
@@ -4726,7 +4943,8 @@ object GraftCatalog {
         p.staleStats.map(x => "stats_sidecar" -> x.getName) ++
         p.staleSegments.map(x => "manifest_segment" -> x.getName) ++
         p.staleDeletes.map(x => "delete_sidecar" -> x.getName) ++
-        p.orphanBatchDirs.map(x => "orphan_batch_dir" -> x.toString)
+        p.orphanBatchDirs.map(x => "orphan_batch_dir" -> x.toString) ++
+        p.orphanCursorTmps.map(x => "cursor_tmp" -> x.getName)
     import spark.implicits._
     rows.toDF("kind", "item")
   }
@@ -4743,16 +4961,58 @@ object GraftCatalog {
     val horizon0 = System.currentTimeMillis() - orphanGraceMs
     // Aged TORN manifests (no #eof — a publish that crashed mid-write)
     // are vacuumable at ANY version: strict readers refuse them anyway.
-    // The age check keeps a concurrent in-flight publish safe.
-    val torn = snapshotVersions(spark, root).filter { v =>
+    // The age check keeps a concurrent in-flight publish safe. Aged
+    // UNCONFIRMED cross-table pending manifests (r17: `#txmarker:`
+    // line, marker never created — a coordinator that died between
+    // publish and confirm) reap identically: readers never saw them,
+    // and reaping frees the claimed slot writers are blocked on. The
+    // listing is RAW — [[snapshotVersions]] hides pending heads, which
+    // is exactly why vacuum must not go through it here. The marker is
+    // re-checked at plan time, so a slow confirm racing this vacuum is
+    // saved by the age horizon, and a confirmed one by the re-check.
+    val rawVs: Seq[Long] = {
+      val md0 = manifestDir(r)
+      if (!fs.exists(md0)) Seq.empty
+      else fs.listStatus(md0).toSeq.flatMap(st => st.getPath.getName match {
+        case ManifestName(n) => Some(n.toLong)
+        case _ => None
+      }).sorted
+    }
+    val torn = rawVs.filter { v =>
       val p = new org.apache.hadoop.fs.Path(manifestDir(r), s"v$v.manifest")
       fs.getFileStatus(p).getModificationTime < horizon0 &&
-        !readManifestRawLines(fs, r, v, strict = false).lastOption.contains("#eof")
+        (!readManifestRawLines(fs, r, v, strict = false).lastOption.contains("#eof") ||
+          txPendingUnconfirmed(fs, r, v))
+    }
+    // NOT-YET-AGED torn manifests are a publish RACING this vacuum
+    // (freshly claimed, mid-write). They must not land in the kept
+    // set — strict resolution there would abort a routine vacuum
+    // under steady ingest — and must not be reaped either (too
+    // young). One short re-read settles each: a publish that
+    // completed in the beat joins kept normally; one still torn is
+    // EXCLUDED from both sides, which is safe because every file it
+    // carries forward comes from its base head (whose kept manifest
+    // protects it) and its own fresh batch dir sits inside the
+    // orphan grace window.
+    // Raw here too: a FRESH unconfirmed pending manifest must land in
+    // neither set (not reapable — the tx may yet confirm; not kept —
+    // its slot is self-protecting and its fresh batch dirs sit inside
+    // the orphan grace window, the same argument as fresh-torn).
+    val allVs = rawVs
+    val freshTorn = allVs.filter { v =>
+      !torn.contains(v) &&
+        (!readManifestRawLines(fs, r, v, strict = false).lastOption
+          .contains("#eof") || txPendingUnconfirmed(fs, r, v))
+    }.filter { v =>
+      Thread.sleep(50)
+      !readManifestRawLines(fs, r, v, strict = false).lastOption
+        .contains("#eof") || txPendingUnconfirmed(fs, r, v)
     }
     // Tagged versions are pinned: a release tag outlives routine
     // retention no matter where the horizon sits.
     val tagged = listSnapshotTags(spark, root).map(_._2).toSet
-    val (old0, kept) = snapshotVersions(spark, root).filterNot(torn.contains)
+    val (old0, kept) = allVs
+      .filterNot(torn.contains).filterNot(freshTorn.contains)
       .partition(v => v < keepFromEff && !tagged(v))
     val old = old0 ++ torn
     // The KEPT set feeds the destructive sweep's inverse: a kept
@@ -4834,7 +5094,21 @@ object GraftCatalog {
           keepFiles.exists(_.startsWith(prefix))
         }
         .map(_.getPath)
-    VacuumPlan(old, dead, staleStats, staleSegments, staleDeletes, orphanDirs)
+    // Orphaned cursor temp files: setStreamCursor's create-then-rename
+    // leaves a `.<id>.<token>.tmp` behind when a writer crashes between
+    // the two steps, and nothing else ever visits this directory — a
+    // crash-looping stream would accumulate them forever. Aged past the
+    // grace window so an in-flight advance is never swept mid-rename.
+    val cd = cursorsDir(r)
+    val cursorTmps =
+      if (!fs.exists(cd)) Seq.empty
+      else fs.listStatus(cd).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith(".") &&
+          st.getPath.getName.endsWith(".tmp"))
+        .filter(st => st.getModificationTime < horizon0)
+        .map(_.getPath)
+    VacuumPlan(old, dead, staleStats, staleSegments, staleDeletes,
+      orphanDirs, cursorTmps)
   }
 
   private def refsDir(root: org.apache.hadoop.fs.Path) =
@@ -5351,20 +5625,7 @@ object GraftCatalog {
         val ndvPairs = perFile.map(_.rows).zip(es)
         val ndv = {
           if (es.exists(_.hll.isDefined))
-            scala.util.Try {
-              val u = new org.apache.datasketches.hll.Union(12)
-              var extra = 0L
-              ndvPairs.foreach { case (rows, e) =>
-                e.hll match {
-                  case Some(h) => u.update(org.apache.datasketches.hll
-                    .HllSketch.heapify(java.util.Base64.getDecoder.decode(h)))
-                  case None =>
-                    extra += e.ndv.getOrElse(math.max(0L, rows - e.nc))
-                }
-              }
-              BigInt(math.min(math.round(u.getEstimate) + extra,
-                math.max(rowCount, 1L)))
-            }.toOption
+            unionNdvEstimate(ndvPairs, rowCount) // form-aware (r17)
           else if (es.exists(_.ndv.isEmpty)) None
           else Some(BigInt(math.min(es.map(_.ndv.get).sum, math.max(rowCount, 1L))))
         }
@@ -5774,7 +6035,18 @@ object GraftCatalog {
     * fast-forward contract. Drops the branch directory and its pin
     * tag on success. */
   def mergeSnapshotBranch(spark: SparkSession, root: String,
-      name: String): Long = {
+      name: String, meta: Seq[String] = Seq.empty): Long = {
+    val v = publishBranchFF(spark, root, name, meta)
+    branchCleanup(spark, root, name)
+    v
+  }
+
+  /** The fast-forward PUBLISH half of [[mergeSnapshotBranch]] — split
+    * (r17) so the cross-table transaction can flip N tables pending
+    * and confirm them with one marker create before any branch
+    * cleanup runs. */
+  private def publishBranchFF(spark: SparkSession, root: String,
+      name: String, meta: Seq[String]): Long = {
     val base = resolveSnapshotTag(spark, root, branchBaseTag(name))
     val head = snapshotVersions(spark, root).last
     if (head != base) throw new SnapshotConflictException(
@@ -5790,15 +6062,22 @@ object GraftCatalog {
     val schemaLine = readSchemaLine(bfs, br2, bHead).map(s => schemaLineOf(s)).toSeq
     val dvLines = copyDvSidecars(bfs, br2, bHead, fs, r)
     publishManifest(fs, r, head + 1,
-      Seq(s"#stats:$statsName", s"#branch-merge:$name") ++ schemaLine ++
-        dvLines ++ files)
+      Seq(s"#stats:$statsName", s"#branch-merge:$name") ++ meta ++
+        schemaLine ++ dvLines ++ files)
+    head + 1
+  }
+
+  /** Drop a merged branch's pin tag, manifests and refs. Its data
+    * batches are now referenced by the parent's new version and must
+    * survive (a later parent compaction migrates them into
+    * root/data). */
+  private def branchCleanup(spark: SparkSession, root: String,
+      name: String): Unit = {
+    val br = snapshotBranchRoot(root, name)
+    val (fs, br2) = fsOf(spark, br)
     deleteSnapshotTag(spark, root, branchBaseTag(name))
-    // Drop only the branch's MANIFEST line and refs: its data batches
-    // are now referenced by the parent's new version and must survive
-    // (a later parent compaction migrates them into root/data).
     fs.delete(manifestDir(br2), true)
     fs.delete(refsDir(br2), true)
-    head + 1
   }
 
   /** THREE-WAY branch merge — the diverged-parent case the
@@ -5978,11 +6257,17 @@ object GraftCatalog {
     * whole body per racer. CALLER CONTRACT: `scope` must cover every
     * key/predicate any verb in the body touches or reads — an
     * under-scoped claim breaks serializability the same way a wrong
-    * `replaceWhere` predicate would. The fast path only engages for
-    * pure-CoW transactions (a body that added or dropped MoR
-    * delete-sidecar lines falls back to the strict abort/replan). */
+    * `replaceWhere` predicate would. The fast path engages for
+    * pure-CoW bodies AND bodies that ADDED MoR delete sidecars (r17:
+    * the grafted lines path-migrate onto the racer's head exactly as
+    * the fast-forward migrates them, provided every file they still
+    * cover is alive there); a body that DROPPED sidecar lines from
+    * its fork copy (compacted/folded MoR content mid-transaction)
+    * keeps the strict abort/replan. `meta` lines stamp the final
+    * reader-visible flip, whichever commit path lands it. */
   def transactSnapshot(spark: SparkSession, root: String,
-      maxRetries: Int = 0, scope: Option[Column] = None)(
+      maxRetries: Int = 0, scope: Option[Column] = None,
+      meta: Seq[String] = Seq.empty)(
       body: String => Unit): Long = {
     var attempt = 0
     while (true) {
@@ -5994,11 +6279,11 @@ object GraftCatalog {
           dropSnapshotBranch(spark, root, name)
           throw e
       }
-      try return mergeSnapshotBranch(spark, root, name)
+      try return mergeSnapshotBranch(spark, root, name, meta)
       catch {
         case e: SnapshotConflictException =>
           scope.foreach { pred =>
-            try return commitBranchRevalidated(spark, root, name, pred, e)
+            try return commitBranchRevalidated(spark, root, name, pred, e, meta)
             catch { case _: SnapshotConflictException => /* fall through */ }
           }
           dropSnapshotBranch(spark, root, name)
@@ -6009,18 +6294,131 @@ object GraftCatalog {
     -1L // unreachable
   }
 
+  /** CROSS-TABLE TRANSACTION (r17 stretch) — N verbs over N tables as
+    * ONE atomically reader-visible event (the catalog-level commit a
+    * fact-table-plus-MV pipeline needs: no reader ever sees the fact
+    * flipped and the MV stale). Protocol, entirely in the manifest
+    * format's own primitives:
+    *
+    *  1. FORK every root (zero-copy branch, fork pinned by tag) in
+    *     sorted-root order; `body` receives the branch roots in the
+    *     CALLER's order and runs ordinary verbs against them.
+    *  2. PUBLISH PENDING: each root's fast-forward manifest lands in
+    *     its next version slot carrying a `#txmarker:<txid>:<path>`
+    *     line naming a marker file that does not exist yet. A pending
+    *     manifest CLAIMS its slot (concurrent writers keep losing the
+    *     create-exclusive race until the tx resolves — bounded by
+    *     their own maxRetries) but is INVISIBLE to every reader
+    *     ([[versionsAt]] hides a trailing unconfirmed head, timestamp
+    *     travel intersects with it).
+    *  3. CONFIRM: one atomic create of the marker file (under the
+    *     first sorted root's `_refs/tx/`). That single filesystem
+    *     event makes ALL N flips visible at once — there is no
+    *     instant at which a reader can observe a proper subset.
+    *  4. Branch cleanup (pins, manifests, refs — data batches are now
+    *     referenced by the parents).
+    *
+    * Any lost publish race deletes the already-published pending
+    * manifests (invisible, so the undo is unobservable), drops every
+    * fork, and — under `maxRetries` — re-runs `body` on fresh forks
+    * of the new heads; otherwise the [[SnapshotConflictException]]
+    * propagates with all N tables untouched. A COORDINATOR CRASH
+    * between publish and confirm leaves unconfirmed pending manifests
+    * behind: readers never see them, writers are told to retry, and
+    * vacuum reaps them like torn manifests once aged (the marker is
+    * re-checked at reap time, so a slow confirm is never mistaken for
+    * a dead one). All roots must live on one FileSystem (the marker
+    * existence check crosses roots). Returns root → committed
+    * version. */
+  def transactSnapshotMulti(spark: SparkSession, roots: Seq[String],
+      maxRetries: Int = 0)(body: Seq[String] => Unit): Map[String, Long] = {
+    require(roots.nonEmpty, "transactSnapshotMulti needs at least one root")
+    require(roots.distinct.size == roots.size,
+      s"duplicate roots in cross-table transaction: $roots")
+    val sorted = roots.sorted
+    var attempt = 0
+    while (true) {
+      val txid = writerToken()
+      val name = s"mtx$txid"
+      sorted.foreach(rt => createSnapshotBranch(spark, rt, name))
+      try body(roots.map(rt => snapshotBranchRoot(rt, name)))
+      catch {
+        case e: Throwable =>
+          sorted.foreach(rt => dropSnapshotBranch(spark, rt, name))
+          throw e
+      }
+      val (cfs, cr) = fsOf(spark, sorted.head)
+      val marker = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(refsDir(cr), "tx"), txid)
+      val markerLine = s"#txmarker:$txid:" + org.apache.hadoop.fs.Path
+        .getPathWithoutSchemeAndAuthority(cfs.makeQualified(marker))
+      val published = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      try {
+        sorted.foreach { rt =>
+          published += rt -> publishBranchFF(spark, rt, name,
+            Seq(markerLine, s"#mtx:$txid"))
+        }
+        Option(mtxConfirmFault.remove(sorted.head)).foreach(_.run())
+        cfs.mkdirs(marker.getParent)
+        val out = cfs.create(marker, false)
+        try out.write(s"${published.map { case (rt, v) => s"$rt@v$v" }
+          .mkString("\n")}\n".getBytes("UTF-8"))
+        finally out.close()
+        sorted.foreach(rt => branchCleanup(spark, rt, name))
+        return published.toMap
+      } catch {
+        case e: Throwable =>
+          // undo is unobservable: the pending manifests were invisible
+          published.foreach { case (rt, v) =>
+            val (fs2, r2) = fsOf(spark, rt)
+            fs2.delete(new org.apache.hadoop.fs.Path(
+              manifestDir(r2), s"v$v.manifest"), false)
+          }
+          sorted.foreach(rt => dropSnapshotBranch(spark, rt, name))
+          e match {
+            case _: SnapshotConflictException if attempt < maxRetries =>
+              attempt += 1
+            case _ => throw e
+          }
+      }
+    }
+    Map.empty // unreachable
+  }
+
+  /** TEST-ONLY one-shot fault point for the cross-table transaction:
+    * fires right BEFORE the marker create on the given coordinator
+    * (first sorted) root — the window in which all N flips are
+    * published but none is visible. Production-inert: an empty map
+    * costs one lock-free lookup per multi-tx commit. */
+  private[graft] val mtxConfirmFault =
+    new java.util.concurrent.ConcurrentHashMap[String, Runnable]()
+
   /** The transaction's verb-grade revalidated commit (see
     * [[transactSnapshot]]'s `scope`): treat the WHOLE branch as one
     * composite verb — consumed = fork files the branch dropped, new =
     * files the branch wrote — and run the same
     * [[republishPinnedRewrite]] validation the verbs use, pinned at
     * the FORK version (which the branch base tag protects from
-    * vacuum). Pure-CoW transactions only: a branch whose delete-
-    * sidecar line set changed from its fork copy carries MoR content
-    * this composition cannot graft safely — strict abort. */
+    * vacuum).
+    *
+    * MoR content the body ADDED grafts onto the racer's head (r17):
+    * the branch-local `#dv:`/`#eqdel:` sidecars path-migrate into the
+    * parent's `_deletes/` (the fast-forward's own migration) and
+    * publish alongside the head's carried lines. Serializable under
+    * the same proof the CoW side runs, plus one more obligation:
+    * every file a grafted line still covers must be ALIVE on the new
+    * head (a racer that rewrote it would strand those deletes — its
+    * rewritten file materialized the rows un-deleted). Racer sidecars
+    * over the same files are harmless — positional/equality delete
+    * application is a union, and unioning both sides' deletes IS the
+    * serial (racer, tx) result given the scope proof that the racer
+    * added no row in the tx's scope. A branch that DROPPED sidecar
+    * lines from its fork copy (folded MoR content mid-tx) has no safe
+    * graft — strict abort stands. */
   private def commitBranchRevalidated(spark: SparkSession, root: String,
       name: String, scope: Column,
-      original: SnapshotConflictException): Long = {
+      original: SnapshotConflictException,
+      meta: Seq[String] = Seq.empty): Long = {
     val base = resolveSnapshotTag(spark, root, branchBaseTag(name))
     val br = snapshotBranchRoot(root, name)
     val (bfs, br2) = fsOf(spark, br)
@@ -6029,7 +6427,10 @@ object GraftCatalog {
     def dvAt(v: Long): Set[String] =
       readManifestLines(bfs, br2, v).filter(l =>
         l.startsWith("#dv:") || l.startsWith("#eqdel:")).toSet
-    if (dvAt(bHead) != dvAt(1L)) throw original
+    val bDvFork = dvAt(1L)
+    val bDvHead = dvAt(bHead)
+    if ((bDvFork -- bDvHead).nonEmpty) throw original
+    val dvAdded = (bDvHead -- bDvFork).toSeq.sorted
     val schemaLine = readSchemaLine(bfs, br2, bHead).map(schemaLineOf)
       .getOrElse(throw original)
     val forkFiles = readManifest(fs, r, base).toSet
@@ -6038,11 +6439,28 @@ object GraftCatalog {
     val newFiles = bFiles.filterNot(forkFiles)
     val newStats = readStats(spark, br, bHead)
       .collect { case (p, st) if newFiles.contains(p) => st }.toSeq
-    val v = republishPinnedRewrite(spark, fs, r, base, consumed, newFiles,
-      newStats, schemaLine, meta = Seq(s"#txn-merge:$name"),
-      carriesLines = true, original,
-      scopeDisjoint =
-        Some(org.apache.spark.sql.GraftColumnBridge.expression(scope)))
+    // Targets a grafted line still covers = its referenced paths that
+    // are still in the BRANCH head's list (a path a later branch verb
+    // consumed is validated through `consumed`; one the branch itself
+    // wrote and kept is validated as alive like any fork target).
+    val liveTargets =
+      if (dvAdded.isEmpty) Set.empty[String]
+      else deleteLineTargets(spark, br2, dvAdded)
+        .intersect(bFiles.toSet) -- newFiles.toSet
+    val migrated = migrateDeleteLines(bfs, br2, dvAdded, fs, r)
+    def dropMigrated(): Unit = migrated.foreach { l =>
+      val n = if (l.startsWith("#dv:")) l.stripPrefix("#dv:")
+        else parseEqDel(l.stripPrefix("#eqdel:"))._1
+      fs.delete(new org.apache.hadoop.fs.Path(deletesDir(r), n), true)
+    }
+    val v =
+      try republishPinnedRewrite(spark, fs, r, base, consumed, newFiles,
+        newStats, schemaLine, meta = Seq(s"#txn-merge:$name") ++ meta,
+        carriesLines = true, original,
+        scopeDisjoint =
+          Some(org.apache.spark.sql.GraftColumnBridge.expression(scope)),
+        mustStayLive = liveTargets, extraDvLines = migrated)
+      catch { case e: Throwable => dropMigrated(); throw e }
     // same cleanup contract as the fast-forward: the branch's data
     // batches are now REFERENCED by the parent's new version — drop
     // only its manifest line, refs, and fork pin (a later parent

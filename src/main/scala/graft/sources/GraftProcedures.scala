@@ -44,6 +44,7 @@ object GraftProcedures {
     "compact_partitioned" -> (c => compactPartitioned(c)),
     "rewrite_eqdels" -> (c => rewriteEqdels(c)),
     "rewrite_manifests" -> (c => rewriteManifestsProc(c)),
+    "analyze" -> (c => analyzeProc(c)),
     "rollback" -> (c => rollback(c)),
     "tag" -> (c => tag(c)),
     "create_branch" -> (c => createBranch(c)),
@@ -173,6 +174,17 @@ object GraftProcedures {
         "list, zero data I/O, zero CDC rows)",
       Array(param("table", StringType))) { (t, in) =>
       val v = GraftCatalog.rewriteManifests(spark, c.resolveTableArg(t))
+      (versionOut, InternalRow(v))
+    }
+
+  private def analyzeProc(c: GraftTableCatalog): UnboundProcedure =
+    proc("analyze",
+      "re-scan exactly the head files whose sidecar entries lack an " +
+        "NDV sketch (footer-path verb batches, pre-sketch history) and " +
+        "republish the same file list with the enriched sidecar — " +
+        "restores sketch-tier table NDV without a compaction",
+      Array(param("table", StringType))) { (t, in) =>
+      val v = GraftCatalog.analyzeSnapshot(spark, c.resolveTableArg(t))
       (versionOut, InternalRow(v))
     }
 

@@ -159,10 +159,17 @@ final class GraftSnapshotSource(sqlContext: SQLContext, root: String,
     * with `dropStreamCursor` (the explicit operator override). */
   override def commit(end: Offset): Unit = cursorId.foreach { id =>
     val endV = versionOf(end)
-    val pin = batchStarts.getOrElse(endV, math.max(startAfter, endV - 1))
+    val pin = batchStarts.get(endV)
     batchStarts.filterInPlace { case (e, _) => e > endV }
-    try GraftCatalog.setStreamCursor(spark, root, id, pin)
-    catch { case scala.util.control.NonFatal(_) => }
+    // When the batch's true start is unknown (near-unreachable under
+    // the engine's getBatch-before-commit contract), advancing the pin
+    // on a GUESS could only err upward — and an upward error lets
+    // vacuum reap versions a restart still needs. Skip the advance and
+    // keep the old, lower pin: staleness fails toward retention.
+    pin.foreach { p =>
+      try GraftCatalog.setStreamCursor(spark, root, id, p)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
   }
   override def stop(): Unit = ()
 }
@@ -240,10 +247,17 @@ final class GraftSnapshotStreamProvider extends StreamSourceProvider
     // engine derives metadataPath from the CHECKPOINT location. An
     // explicit .option("cursor", id) names it for operators; "off"
     // opts out (the loud resume error is then the only guard).
+    // Derived id uses a real digest, not String.hashCode: two streams
+    // on one table whose checkpoint paths collide in 32 bits would
+    // silently SHARE a cursor file and overwrite each other's pin —
+    // re-exposing the vacuum/checkpoint race the cursor exists to
+    // prevent. 64 hex bits of SHA-256 make that a non-event.
     val cursorId = parameters.get("cursor") match {
       case Some("off") => None
       case Some(id) => Some(id)
-      case None => Some("ck-" + java.lang.Integer.toHexString(metadataPath.hashCode))
+      case None => Some("ck-" + java.security.MessageDigest
+        .getInstance("SHA-256").digest(metadataPath.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString)
     }
     new GraftSnapshotSource(sqlContext, rootOf(parameters),
       parameters.get("startAfter").map(_.toLong).getOrElse(0L),

@@ -153,17 +153,73 @@ class CboSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tagStats = st.colStats("tag")
     assert(tagStats.avgLen.contains(6L), s"avgLen: ${tagStats.avgLen}")
     assert(tagStats.maxLen.contains(6L), s"maxLen: ${tagStats.maxLen}")
-    // a CoW UPDATE rewrites files through the FOOTER fast path (no
-    // sketch, no count recorded) — the NDV profile must degrade
-    // gracefully (rewritten files contribute their non-null rows as an
-    // upper bound), never vanish for the whole column
+    // a small CoW UPDATE batch goes through the SCANNING stats agg
+    // (r17: footer fast path only above verbScanMaxBytes), so the
+    // rewritten files carry fresh sketches and the table NDV STAYS in
+    // the sketch tier with no compaction
     cat.updateSnapshotWhere(spark, root, col("k") === 5L,
       Seq("tag" -> lit("touched")))
     val kNdv2 = cat.snapshotCatalogStats(spark, root).get
       .colStats("k").distinctCount
     assert(kNdv2.isDefined, "a verb must not erase the column's NDV profile")
-    assert(kNdv2.get <= BigInt(400) && kNdv2.get >= BigInt(85),
-      s"post-verb NDV stays a clamped honest bound: $kNdv2")
+    assert(kNdv2.get >= BigInt(85) && kNdv2.get <= BigInt(115),
+      s"post-verb NDV must stay sketch-tier ~100 (no compaction needed): $kNdv2")
+  }
+
+  test("footer-path verb degrades NDV to the tiered bound; ANALYZE restores sketch tier") {
+    import org.apache.spark.sql.functions._
+    val cat = graft.sources.GraftCatalog
+    val root = s"/tmp/graft-cbo-anl-${System.nanoTime()}"
+    for (i <- 0 until 4)
+      cat.commitSnapshot(
+        spark.range(100).select((col("id") % 100).as("k"),
+          concat(lit("batch"), lit(i)).as("tag")),
+        root, append = i > 0)
+    // force the footer fast path for ANY batch size: the rewritten
+    // files then carry no sketch and no NDV count
+    spark.conf.set("spark.graft.stats.verbScanMaxBytes", "0")
+    try cat.updateSnapshotWhere(spark, root, col("k") === 5L,
+      Seq("tag" -> lit("touched")))
+    finally spark.conf.unset("spark.graft.stats.verbScanMaxBytes")
+    val kNdv = cat.snapshotCatalogStats(spark, root).get
+      .colStats("k").distinctCount
+    assert(kNdv.isDefined, "footer-path verb must not erase the NDV profile")
+    assert(kNdv.get > BigInt(115) && kNdv.get <= BigInt(400),
+      s"sketchless rewritten files degrade NDV to the count/row tier: $kNdv")
+    // CALL graft.system.analyze re-scans exactly the sketchless files
+    // and publishes a metadata-only version: sketch tier restored
+    val v1 = cat.analyzeSnapshot(spark, root)
+    val kNdv2 = cat.snapshotCatalogStats(spark, root).get
+      .colStats("k").distinctCount.get
+    assert(kNdv2 >= BigInt(85) && kNdv2 <= BigInt(115),
+      s"post-analyze NDV must be back in the sketch tier: $kNdv2")
+    assert(cat.readSnapshot(spark, root).count() == 400,
+      "analyze must not change table content")
+    // idempotent: a fully-sketched head is a zero-commit no-op
+    assert(cat.analyzeSnapshot(spark, root) == v1)
+  }
+
+  test("NDV union never crosses sketch input forms (long-fed vs legacy string-fed)") {
+    import graft.sources.ColStat
+    val cat = graft.sources.GraftCatalog
+    def b64(update: org.apache.datasketches.hll.HllSketch => Unit,
+        tag: String): String = {
+      val sk = new org.apache.datasketches.hll.HllSketch(10)
+      update(sk)
+      tag + java.util.Base64.getEncoder.encodeToString(sk.toCompactByteArray)
+    }
+    // the same 100 values, long-fed in one file and string-fed in the
+    // other: a naive cross-form union would report ~200
+    val longFed = b64(sk => (0L until 100L).foreach(sk.update), "l:")
+    val strFed = b64(sk => (0 until 100).foreach(i => sk.update(i.toString)), "")
+    val e1 = (100L, ColStat("k", "bigint", "0", "99", 0L, None, Some(100L), Some(longFed)))
+    val e2 = (100L, ColStat("k", "bigint", "0", "99", 0L, None, Some(100L), Some(strFed)))
+    val mixed = cat.unionNdvEstimate(Seq(e1, e2), rowCount = 200L).get
+    assert(mixed >= BigInt(170) && mixed <= BigInt(215),
+      s"off-form file must contribute its count tier (100+100), not union: $mixed")
+    // same-form sketches DO union to ~100
+    val same = cat.unionNdvEstimate(Seq(e1, e1), rowCount = 200L).get
+    assert(same >= BigInt(85) && same <= BigInt(115), s"same-form union: $same")
   }
 
   test("date/timestamp min-max round-trip into plan stats; string equality gets NDV selectivity") {

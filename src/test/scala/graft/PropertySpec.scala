@@ -547,6 +547,37 @@ class PropertySpec extends AnyFunSuite {
       (lo until lo + n).foreach(st.remove)
   }
 
+  /** Multi-statement TRANSACTION carrying MoR content (r17): a
+    * {MoR delete, append} body on a private fork racing every other
+    * verb. Lands by fast-forward (no race), by the scope-proved MoR
+    * graft (provably-disjoint racer), or aborts cleanly for phase-2
+    * replan — in every case ONE version whose effect is the body
+    * applied to the state just before it, which is exactly what the
+    * version-order model replay demands. */
+  private final case class TxMorOp(idx: Int, m: Long, r: Long,
+      hi: Long, insStart: Long) extends RaceOp {
+    def run(root: String): Long = {
+      val s = spark
+      import org.apache.spark.sql.functions._
+      graft.sources.GraftCatalog.transactSnapshot(s, root,
+        scope = Some(col("k") <= hi ||
+          (col("k") >= insStart && col("k") < insStart + 40)),
+        meta = Seq(s"#op:$idx")) { br =>
+        graft.sources.GraftCatalog.deleteSnapshotWhereMor(s, br,
+          col("k") % m === r && col("k") <= hi)
+        graft.sources.GraftCatalog.commitSnapshot(
+          s.range(insStart, insStart + 40)
+            .select(col("id").as("k"), (col("id") + 7L).as("v")),
+          br, append = true)
+        ()
+      }
+    }
+    def model(st: scala.collection.mutable.Map[Long, Long]): Unit = {
+      st.keys.filter(k => k % m == r && k <= hi).toSeq.foreach(st.remove)
+      (insStart until insStart + 40).foreach(k => st(k) = k + 7L)
+    }
+  }
+
   /** Compaction: a content-preserving rewrite racing the verbs — the
     * maintenance-vs-ingest race every live table runs. Its base is
     * PINNED (r14): publishing a stale version's rewrite over a
@@ -696,7 +727,11 @@ class PropertySpec extends AnyFunSuite {
         EqDeleteOp(8, 100L + rnd.nextInt(400), 60),
         // r14: maintenance compaction races ingest — its PINNED base
         // must abort rather than erase a concurrent commit
-        CompactOp(9)))
+        CompactOp(9),
+        // r17: a MoR-bearing TRANSACTION joins the race — fork,
+        // {DV delete, append}, one flip (fast-forward or MoR graft)
+        TxMorOp(10, 13L, rnd.nextInt(13).toLong, 300L + rnd.nextInt(700),
+          13000L)))
       // Phase 1: race. Every failure must be the clean serializable
       // abort — anything else (NPE, torn state, wrong exception) fails.
       val results = Await.result(

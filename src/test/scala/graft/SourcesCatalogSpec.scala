@@ -3043,18 +3043,140 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(GraftCatalog.readSnapshot(spark, root)
       .where(col("v") === -2L).count() == 0)
     assert(GraftCatalog.listSnapshotBranches(spark, root).isEmpty)
-    // a tx that added MoR content keeps the strict abort even when the
-    // racer is disjoint (the pure-CoW gate)
+    // a tx that ADDED MoR content now grafts over a disjoint racer
+    // (r17): the DV sidecar path-migrates onto the racer's head and
+    // the whole body lands metadata-only, one flip over the racer
+    val vPre = GraftCatalog.snapshotVersions(spark, root).last
+    val landedMor = GraftCatalog.transactSnapshot(spark, root,
+      scope = Some(col("k") < 50L)) { br =>
+      GraftCatalog.commitSnapshot(
+        Seq((9600L, 1L)).toDF("k", "v"), root, append = true)
+      GraftCatalog.deleteSnapshotWhereMor(spark, br, col("k") === 3L)
+      ()
+    }
+    assert(landedMor == vPre + 2,
+      s"racer v${vPre + 1}, MoR-grafted tx v${vPre + 2}; got $landedMor")
+    val headMor = GraftCatalog.readSnapshot(spark, root)
+    assert(headMor.where(col("k") === 3L).isEmpty,
+      "the grafted DV must be honored on the parent head")
+    assert(headMor.where(col("k") === 9600L).count() == 1, "the racer survives")
+    assert(GraftCatalog.listSnapshotBranches(spark, root).isEmpty)
+    // a tx whose body DROPPED sidecar lines from its fork copy (folded
+    // MoR content mid-tx via compaction) keeps the strict abort
+    GraftCatalog.deleteSnapshotWhereMor(spark, root, col("k") === 7L)
     intercept[graft.sources.SnapshotConflictException](
       GraftCatalog.transactSnapshot(spark, root,
         scope = Some(col("k") < 50L)) { br =>
         GraftCatalog.commitSnapshot(
-          Seq((9600L, 1L)).toDF("k", "v"), root, append = true)
-        GraftCatalog.deleteSnapshotWhereMor(spark, br, col("k") === 3L)
+          Seq((9700L, 1L)).toDF("k", "v"), root, append = true)
+        GraftCatalog.compactSnapshot(spark, br) // folds the fork DV away
         ()
       })
     assert(GraftCatalog.readSnapshot(spark, root)
-      .where(col("k") === 3L).count() == 1, "the MoR tx must not have landed")
+      .where(col("k") === 9700L).count() == 1, "the racer still lands")
+    assert(GraftCatalog.listSnapshotBranches(spark, root).isEmpty,
+      "the aborted tx must stay traceless")
+  }
+
+  test("cross-table transaction: N tables flip atomically behind ONE marker create") {
+    import spark.implicits._
+    val a = s"$tmp/mtxa_${System.nanoTime()}"
+    val b = s"$tmp/mtxb_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 10).map(i => (i.toLong, i.toLong)).toDF("k", "v"), a, append = false)
+    GraftCatalog.commitSnapshot(
+      Seq((0L, 0L)).toDF("k", "total"), b, append = false)
+    // THE atomicity probe: the fault point fires when every flip is
+    // PUBLISHED but none confirmed — a reader in that window must see
+    // both OLD heads (versions and content), or the "one marker
+    // create" claim is hollow
+    var window: Option[(Long, Long, Long, Long)] = None
+    GraftCatalog.mtxConfirmFault.put(Seq(a, b).min, new Runnable {
+      def run(): Unit = window = Some((
+        GraftCatalog.snapshotVersions(spark, a).last,
+        GraftCatalog.readSnapshot(spark, a).count(),
+        GraftCatalog.snapshotVersions(spark, b).last,
+        GraftCatalog.readSnapshot(spark, b).count()))
+    })
+    val landed = GraftCatalog.transactSnapshotMulti(spark, Seq(a, b)) {
+      case Seq(ba, bb) =>
+        GraftCatalog.deleteSnapshotWhere(spark, ba, col("k") <= 3L)
+        GraftCatalog.commitSnapshot(
+          Seq((1L, 7L)).toDF("k", "total"), bb, append = true)
+        ()
+      case _ => fail("two branch roots expected")
+    }
+    assert(window.contains((1L, 10L, 1L, 1L)),
+      s"mid-window reader must see both OLD heads, saw $window")
+    assert(landed == Map(a -> 2L, b -> 2L), s"one flip each: $landed")
+    assert(GraftCatalog.readSnapshot(spark, a).count() == 7)
+    assert(GraftCatalog.readSnapshot(spark, b).count() == 2)
+    assert(GraftCatalog.listSnapshotBranches(spark, a).isEmpty)
+    assert(GraftCatalog.listSnapshotBranches(spark, b).isEmpty)
+    // abort: a body failure leaves BOTH tables bit-untouched
+    intercept[RuntimeException](
+      GraftCatalog.transactSnapshotMulti(spark, Seq(a, b)) { brs =>
+        GraftCatalog.deleteSnapshotWhere(spark, brs.head, col("k") === 5L)
+        throw new RuntimeException("boom")
+      })
+    assert(GraftCatalog.snapshotVersions(spark, a).last == 2L)
+    assert(GraftCatalog.snapshotVersions(spark, b).last == 2L)
+    assert(GraftCatalog.readSnapshot(spark, a).count() == 7)
+    // lost race: a commit to EITHER table between fork and publish
+    // aborts the whole tx with both untouched; maxRetries reruns the
+    // body on fresh forks and lands
+    var bodyRuns = 0
+    val landed2 = GraftCatalog.transactSnapshotMulti(spark, Seq(a, b),
+      maxRetries = 1) { case Seq(ba, bb) =>
+      bodyRuns += 1
+      if (bodyRuns == 1) {
+        GraftCatalog.commitSnapshot( // racer on the PARENT b
+          Seq((99L, 99L)).toDF("k", "total"), b, append = true)
+        ()
+      }
+      GraftCatalog.deleteSnapshotWhere(spark, ba, col("k") === 10L)
+      GraftCatalog.commitSnapshot(
+        Seq((2L, 8L)).toDF("k", "total"), bb, append = true)
+      ()
+    }
+    assert(bodyRuns == 2, "lost race must re-run the body on fresh forks")
+    assert(landed2(a) == 3L && landed2(b) == 4L, s"$landed2")
+    assert(GraftCatalog.readSnapshot(spark, a).count() == 6)
+  }
+
+  test("cross-table tx crash recovery: unconfirmed pending manifest blocks writers, hides from readers, vacuums clean") {
+    import spark.implicits._
+    val root = s"$tmp/mtxcrash_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 5).map(i => (i.toLong, i.toLong)).toDF("k", "v"), root, append = false)
+    GraftCatalog.commitSnapshot(
+      Seq((6L, 6L)).toDF("k", "v"), root, append = true)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // a coordinator that died between publish and confirm: a COMPLETE
+    // pending manifest (has #eof) whose marker was never created
+    val pend = new org.apache.hadoop.fs.Path(root, "_manifests/v3.manifest")
+    val out = fs.create(pend, false)
+    try out.write(
+      s"#txmarker:1x00x1:$root/_refs/tx/never-created\n#mtx:1x00x1\n#eof\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+    // readers: the pending head is INVISIBLE end to end
+    assert(GraftCatalog.snapshotVersions(spark, root) == Seq(1L, 2L))
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 6)
+    // writers: the claimed slot makes them lose cleanly, not corrupt
+    intercept[graft.sources.SnapshotConflictException](
+      GraftCatalog.commitSnapshot(
+        Seq((7L, 7L)).toDF("k", "v"), root, append = true))
+    // vacuum: aged past the grace window, the orphan pending manifest
+    // reaps like a torn one, freeing the slot
+    fs.setTimes(pend, System.currentTimeMillis() - 2 * 60 * 60 * 1000L, -1)
+    GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 1L,
+      orphanGraceMs = 60 * 60 * 1000L)
+    assert(!fs.exists(pend), "aged unconfirmed pending manifest is reaped")
+    val v = GraftCatalog.commitSnapshot(
+      Seq((7L, 7L)).toDF("k", "v"), root, append = true)
+    assert(v == 3L && GraftCatalog.readSnapshot(spark, root).count() == 7)
   }
 
   test("VACUUM DRY RUN lists exactly what the real vacuum reaps, deleting nothing") {
@@ -3086,6 +3208,62 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(deleted == plan.count(_._1 == "data_file"),
       "executed sweep must match the dry-run plan")
     assert(GraftCatalog.snapshotVersions(spark, root) == Seq(3L))
+  }
+
+  test("vacuum tolerates a FRESH torn manifest (racing publish) and reaps it once aged") {
+    import spark.implicits._
+    val root = s"$tmp/vactorn_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = false)
+    GraftCatalog.commitSnapshot(
+      (11 to 12).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = true)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    // a racing publish: v3's manifest claimed and mid-write (no #eof),
+    // mtime = now, i.e. NOT yet aged into the torn set
+    val tornP = new org.apache.hadoop.fs.Path(mdir, "v3.manifest")
+    val out = fs.create(tornP, false)
+    try out.write("#schema:{}\n".getBytes("UTF-8")) finally out.close()
+    // r17 (ADVICE): this must neither abort the vacuum (strict kept-set
+    // resolution) nor reap the in-flight manifest
+    GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 2L,
+      orphanGraceMs = 60 * 60 * 1000L)
+    assert(fs.exists(tornP), "a fresh torn manifest must survive the sweep")
+    // the last COMPLETE version stays fully readable (strict readers
+    // refuse the torn head itself by design)
+    assert(GraftCatalog.readSnapshot(spark, root, Some(2L)).count() == 12)
+    // aged past the grace window, the same torn manifest is reapable
+    fs.setTimes(tornP, System.currentTimeMillis() - 2 * 60 * 60 * 1000L, -1)
+    GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 2L,
+      orphanGraceMs = 60 * 60 * 1000L)
+    assert(!fs.exists(tornP), "an aged torn manifest is swept")
+    assert(GraftCatalog.readSnapshot(spark, root).count() == 12)
+  }
+
+  test("vacuum reaps aged orphan cursor .tmp files, never the live cursor") {
+    import spark.implicits._
+    val root = s"$tmp/vaccur_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 5).map(i => (i.toLong, s"r$i")).toDF("id", "v"), root, append = false)
+    GraftCatalog.setStreamCursor(spark, root, "s1", 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val cdir = new org.apache.hadoop.fs.Path(root, "_refs/cursors")
+    // a crash between create and rename left this behind (ADVICE r17)
+    val orphan = new org.apache.hadoop.fs.Path(cdir, ".s1.123x00x1.tmp")
+    val out = fs.create(orphan, false)
+    try out.write("9\n".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(orphan, System.currentTimeMillis() - 2 * 60 * 60 * 1000L, -1)
+    val plan = GraftCatalog.vacuumSnapshotsDryRun(spark, root, keepFrom = 1L,
+      orphanGraceMs = 60 * 60 * 1000L).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(plan.contains(("cursor_tmp", ".s1.123x00x1.tmp")), s"plan: ${plan.toSeq}")
+    GraftCatalog.vacuumSnapshots(spark, root, keepFrom = 1L,
+      orphanGraceMs = 60 * 60 * 1000L)
+    assert(!fs.exists(orphan), "aged orphan tmp is reaped")
+    assert(GraftCatalog.listStreamCursors(spark, root) == Map("s1" -> 1L),
+      "the live cursor file must survive")
   }
 
   test("writerToken: <nano>x<nonce8>x<seq> format, unique under a thread burst, nonce process-stable") {

@@ -1191,6 +1191,11 @@ class StreamingSpec extends AnyFunSuite {
     val cursors = GraftCatalog.listStreamCursors(spark, root)
     assert(cursors.size == 1 && cursors.values.head <= 2L,
       s"expected an auto-registered cursor at or below v2, got $cursors")
+    // derived id shape (r17): 64 digest bits of the metadata path, not
+    // 32-bit hashCode — two streams on one table can't silently share
+    // (and clobber) one pin on a hash collision
+    assert(cursors.keys.head.matches("ck-[0-9a-f]{16}"),
+      s"derived cursor id should be ck-<16 hex>, got ${cursors.keys.head}")
     GraftCatalog.commitSnapshot(Seq((4L, "d")).toDF("id", "v"), root, append = true)
     GraftCatalog.commitSnapshot(Seq((5L, "e")).toDF("id", "v"), root, append = true)
     // an OVER-AGGRESSIVE vacuum is clamped by the cursor: keepFrom = 5
