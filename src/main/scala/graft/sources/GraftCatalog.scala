@@ -904,13 +904,15 @@ object GraftCatalog {
     if (files.isEmpty) return Seq.empty
     val df = spark.read.parquet(files: _*)
     val fields = df.schema.fields.filter(f => statable(f.dataType)).toSeq
-    // Per-column approx NDV (HLL++, default 5% rsd) rides the same
-    // one-pass agg: the planning-time cardinality signal CBO-style
-    // join sizing and "is this column key-like" questions need, at
-    // zero extra scans. The MERGEABLE Datasketches HLL sketch (lgK=10,
-    // ~3% rse, ~0.7 KB base64) rides alongside (r16): the count alone
-    // can only be summed across files, which overstates table NDV by
-    // up to the file count.
+    // Per-column NDV: ONE mergeable Datasketches HLL sketch (lgK=10,
+    // ~3% rse, ~0.7 KB base64) per column rides the one-pass agg; the
+    // per-file `ndv` COUNT is derived driver-side from that same
+    // sketch (r17 — the separate approx_count_distinct aggregation
+    // was a second HLL per column per row computing a strictly worse
+    // estimate of the same number; since every CoW verb now runs this
+    // agg, the redundant per-row work is a per-commit tax). The sketch
+    // is what makes table-level NDV honest: counts alone can only be
+    // summed across files, overstating by up to the file count.
     //
     // Sketch INPUT FORM is pinned per declared type (r17): integral
     // columns feed their widened long natively — the r16 string render
@@ -929,7 +931,6 @@ object GraftCatalog {
       min(col(f.name)).cast("string"),
       max(col(f.name)).cast("string"),
       sum(when(col(f.name).isNull, 1L).otherwise(0L)),
-      approx_count_distinct(col(f.name)),
       hll_sketch_agg(
         if (integralSketch(f.dataType)) col(f.name).cast("long")
         else col(f.name).cast("string"), 10))
@@ -957,7 +958,7 @@ object GraftCatalog {
       .agg(allAggs.head, allAggs.tail: _*).collect().toSeq.map { row =>
         val p = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
           new org.apache.hadoop.fs.Path(new java.net.URI(row.getString(0)))).toString
-        val bloomBase = 2 + fields.size * 5
+        val bloomBase = 2 + fields.size * 4
         val cols = fields.zipWithIndex.map { case (f, i) =>
           val bl = bloomConf.get(f.name).map { m =>
             val bi = bloomFields.indexWhere(_.name == f.name)
@@ -970,11 +971,17 @@ object GraftCatalog {
           }
           // an all-NULL column yields a null sketch — record the empty
           // sketch so the table-level union stays exact (None means
-          // "no sketch recorded", which forces the sum-clamp fallback)
+          // "no sketch recorded", which forces the sum-clamp fallback).
+          // The per-file ndv COUNT derives from the very same sketch,
+          // driver-side (r17) — one HLL per column instead of two.
           val tag = if (integralSketch(f.dataType)) "l:" else ""
-          val hs = Option(row.getAs[Array[Byte]](6 + i * 5))
+          val skBytes = Option(row.getAs[Array[Byte]](5 + i * 4))
+          val hs = skBytes
             .map(b => tag + java.util.Base64.getEncoder.encodeToString(b))
             .orElse(Some(emptyHllB64))
+          val ndvEst = skBytes.map(b => math.round(
+            org.apache.datasketches.hll.HllSketch.heapify(b).getEstimate))
+            .getOrElse(0L)
           val lenBase = bloomBase + bloomFields.size * 2
           val li = lenFields.indexWhere(_.name == f.name)
           val (al, ml) =
@@ -984,8 +991,8 @@ object GraftCatalog {
               Option(row.get(lenBase + li * 2 + 1))
                 .map(_.asInstanceOf[java.lang.Number].longValue()))
           ColStat(f.name, f.dataType.catalogString,
-            row.getString(2 + i * 5), row.getString(3 + i * 5),
-            row.getLong(4 + i * 5), bl, Some(row.getLong(5 + i * 5)), hs,
+            row.getString(2 + i * 4), row.getString(3 + i * 4),
+            row.getLong(4 + i * 4), bl, Some(ndvEst), hs,
             al, ml)
         }
         FileStat(p, row.getLong(1), cols,
