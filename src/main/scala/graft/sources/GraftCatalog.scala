@@ -6347,7 +6347,16 @@ object GraftCatalog {
     while (true) {
       val txid = writerToken()
       val name = s"mtx$txid"
-      sorted.foreach(rt => createSnapshotBranch(spark, rt, name))
+      // a fork failure on root k must not leak branches 1..k-1
+      val forked = scala.collection.mutable.ArrayBuffer.empty[String]
+      try sorted.foreach { rt =>
+        createSnapshotBranch(spark, rt, name); forked += rt
+      } catch {
+        case e: Throwable =>
+          forked.foreach(rt =>
+            scala.util.Try(dropSnapshotBranch(spark, rt, name)))
+          throw e
+      }
       try body(roots.map(rt => snapshotBranchRoot(rt, name)))
       catch {
         case e: Throwable =>
@@ -6360,6 +6369,13 @@ object GraftCatalog {
       val markerLine = s"#txmarker:$txid:" + org.apache.hadoop.fs.Path
         .getPathWithoutSchemeAndAuthority(cfs.makeQualified(marker))
       val published = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      // THE commit point is the marker CREATE. Everything after it —
+      // marker content, branch cleanup — is best-effort bookkeeping on
+      // a transaction that already durably committed: a failure there
+      // must NOT reach the undo below (which would delete CONFIRMED,
+      // reader-visible manifests) and must not tell the caller the tx
+      // failed (a replay would double-apply the body).
+      var confirmed = false
       try {
         sorted.foreach { rt =>
           published += rt -> publishBranchFF(spark, rt, name,
@@ -6368,14 +6384,24 @@ object GraftCatalog {
         Option(mtxConfirmFault.remove(sorted.head)).foreach(_.run())
         cfs.mkdirs(marker.getParent)
         val out = cfs.create(marker, false)
-        try out.write(s"${published.map { case (rt, v) => s"$rt@v$v" }
-          .mkString("\n")}\n".getBytes("UTF-8"))
-        finally out.close()
-        sorted.foreach(rt => branchCleanup(spark, rt, name))
+        confirmed = true
+        scala.util.Try { // content is diagnostic; existence is the bit
+          try out.write(s"${published.map { case (rt, v) => s"$rt@v$v" }
+            .mkString("\n")}\n".getBytes("UTF-8"))
+          finally out.close()
+        }
+        sorted.foreach(rt =>
+          scala.util.Try(branchCleanup(spark, rt, name)).failed.foreach(t =>
+            System.err.println(s"[graft] post-commit branch cleanup of " +
+              s"$rt#$name failed (tx $txid committed; clean up manually): $t")))
         return published.toMap
       } catch {
-        case e: Throwable =>
-          // undo is unobservable: the pending manifests were invisible
+        case e: Throwable if !confirmed =>
+          // undo is unobservable: the pending manifests were invisible.
+          // Defensive marker delete first — if create() threw AFTER
+          // materializing the file (fs edge), this returns the
+          // manifests to pending-invisible before they are removed.
+          scala.util.Try(cfs.delete(marker, false))
           published.foreach { case (rt, v) =>
             val (fs2, r2) = fsOf(spark, rt)
             fs2.delete(new org.apache.hadoop.fs.Path(
