@@ -131,12 +131,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val repsJson = detailed.map { case (k, (ts, _, _, _)) =>
-      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]" }
+      "\"" + k + "\":[" + ts.map(t => BenchControls.num(t, 3)).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val tStartJson = detailed.map { case (k, (_, _, off, _)) =>
-      "\"" + k + "\":" + f"$off%.1f" }.mkString("{", ",", "}")
+      "\"" + k + "\":" + BenchControls.num(off, 1) }.mkString("{", ",", "}")
     val loadJson = detailed.map { case (k, (_, _, _, ld)) =>
-      "\"" + k + "\":" + f"$ld%.2f" }.mkString("{", ",", "}")
+      "\"" + k + "\":" + BenchControls.num(ld, 2) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -150,17 +150,17 @@ object Bench {
       if (n.startsWith("tpch")) "tpch" else n.take(1)
     val famSums = results.filter(_._2 >= 0).groupBy(r => fam(r._1)).toSeq
       .sortBy(_._1)
-      .map { case (f, rs) => "\"" + f + "\":" + f"${rs.map(_._2).sum}%.1f" }
+      .map { case (fm, rs) => "\"" + fm + "\":" + BenchControls.num(rs.map(_._2).sum, 1) }
       .mkString("{", ",", "}")
     val phases =
-      s""""session":${f"$tSession%.1f"},"warmup_first":${f"$tWarmFirst%.1f"},""" +
-        s""""builds":${f"$tBuilds%.1f"},"warmup_families":${f"$tWarmFamilies%.1f"},""" +
-        s""""fixtures":${f"$tFixtures%.1f"},"measure_loop_wall":${f"$tLoop%.1f"}"""
+      s""""session":${BenchControls.num(tSession, 1)},"warmup_first":${BenchControls.num(tWarmFirst, 1)},""" +
+        s""""builds":${BenchControls.num(tBuilds, 1)},"warmup_families":${BenchControls.num(tWarmFamilies, 1)},""" +
+        s""""fixtures":${BenchControls.num(tFixtures, 1)},"measure_loop_wall":${BenchControls.num(tLoop, 1)}"""
     // Ambient + host-load summary (r17): controls measured IN the loop
     // above vs their frozen r14 refs; load sampled per query start.
     val medOf = results.toMap
     val ambient = BenchControls.ambientIndex(q => medOf.get(q).filter(_ >= 0))
-      .map(a => f"$a%.3f").getOrElse("null")
+      .map(a => BenchControls.num(a, 3)).getOrElse("null")
     val loadMax = math.max(math.max(loadStart, loadEnd),
       detailed.map(_._2._4).foldLeft(-1.0)(math.max))
     val ctrlJson = BenchControls.refs.map { case (q, ref) =>
@@ -170,8 +170,8 @@ object Bench {
       s""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},""" +
       s""""ambient_index":$ambient,"ambient_ref":"${BenchControls.refSf}",""" +
       s""""controls":$ctrlJson,""" +
-      s""""load":{"start":${f"$loadStart%.2f"},"end":${f"$loadEnd%.2f"},"max_seen":${f"$loadMax%.2f"}},""" +
-      s""""jvm_wall":${f"${secsSince(tJvm0)}%.1f"},"sf":"$sfDir"}""")
+      s""""load":{"start":${BenchControls.num(loadStart, 2)},"end":${BenchControls.num(loadEnd, 2)},"max_seen":${BenchControls.num(loadMax, 2)}},""" +
+      s""""jvm_wall":${BenchControls.num(secsSince(tJvm0), 1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,4 +36,10 @@ object BenchControls {
   def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
+
+  /** Locale-proof fixed-point render: `f"%.3f"` interpolators follow
+    * the JVM default locale, and a comma-decimal host would corrupt
+    * the bench record's JSON numbers. */
+  def num(d: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(d))
 }

@@ -37,11 +37,11 @@ object BenchFocus {
     val ambient = math.exp(
       controls.map { case (_, m, ref) => math.log(m / ref) }.sum / controls.size)
     val cJson = controls.map { case (q, m, ref) =>
-      s""""$q":{"median":${f"$m%.3f"},"ref_r14":$ref}""" }.mkString(",")
-    val qJson = results.map { case (q, ts) => s""""$q":[${ts.map(t => f"$t%.3f").mkString(",")}]""" }.mkString(",")
-    val mJson = results.map { case (q, ts) => s""""$q":${f"${med(ts)}%.3f"}""" }.mkString(",")
+      s""""$q":{"median":${BenchControls.num(m, 3)},"ref_r14":$ref}""" }.mkString(",")
+    val qJson = results.map { case (q, ts) => s""""$q":[${ts.map(t => BenchControls.num(t, 3)).mkString(",")}]""" }.mkString(",")
+    val mJson = results.map { case (q, ts) => s""""$q":${BenchControls.num(med(ts), 3)}""" }.mkString(",")
     println(s"""{"sf":"$sfDir","queries":{$qJson},"median":{$mJson},""" +
-      s""""controls":{$cJson,"ambient_index":${f"$ambient%.3f"}}}""")
+      s""""controls":{$cJson,"ambient_index":${BenchControls.num(ambient, 3)}}}""")
     spark.stop()
   }
 }

@@ -1274,22 +1274,29 @@ object SnapshotOps {
     val orders = ordersDf(s, d)
     val (root, mk) = cloneBase(s, d, "snaptxnmor")
     val v0 = GraftCatalog.snapshotVersions(s, root).last
+    // mk-RELATIVE bands: the insert block lands in [4(mk+1), 5(mk+1)),
+    // the racer in [8(mk+1), 9(mk+1)) — disjoint from the scope and
+    // from each other at ANY scale factor, so the declared scope
+    // covers exactly what the body touches whatever the data size
+    // (an absolute offset would under-scope the claim at large SFs).
+    val insOff = 4L * (mk + 1)
+    val raceOff = 8L * (mk + 1)
     val landed = GraftCatalog.transactSnapshot(s, root,
       scope = Some(col("o_orderkey") <= lit(mk / 2) ||
-        (col("o_orderkey") >= lit(300000000L) &&
-          col("o_orderkey") < lit(400000000L)))) { br =>
+        (col("o_orderkey") >= lit(insOff) &&
+          col("o_orderkey") < lit(insOff + mk + 1)))) { br =>
       // deterministic disjoint racer: lands on the PARENT mid-body,
       // strictly outside the transaction's declared scope
       GraftCatalog.commitSnapshot(
         orders.where(col("o_orderkey") % 500 === 0)
-          .select((col("o_orderkey") + lit(500000000L)).as("o_orderkey"),
+          .select((col("o_orderkey") + lit(raceOff)).as("o_orderkey"),
             col("o_custkey"), col("price"), lit("8-RACE").as("pr")),
         root, append = true)
       GraftCatalog.deleteSnapshotWhereMor(s, br,
         col("o_orderkey") % 7 === 0 && col("o_orderkey") <= lit(mk / 2))
       GraftCatalog.commitSnapshot(
         orders.where(col("o_orderkey") % 1000 === 0)
-          .select((col("o_orderkey") + lit(300000000L)).as("o_orderkey"),
+          .select((col("o_orderkey") + lit(insOff)).as("o_orderkey"),
             col("o_custkey"), col("price"), lit("9-TXM").as("pr")),
         br, append = true)
       ()
@@ -1308,13 +1315,13 @@ object SnapshotOps {
   private val q158Oracle: String =
     """WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
       |ins AS (
-      |  SELECT o_orderkey + 300000000 AS o_orderkey, o_custkey,
+      |  SELECT o_orderkey + 4 * (mk + 1) AS o_orderkey, o_custkey,
       |    CAST(o_totalprice AS DOUBLE) AS price, '9-TXM' AS pr
-      |  FROM orders WHERE o_orderkey % 1000 = 0),
+      |  FROM orders, mk WHERE o_orderkey % 1000 = 0),
       |race AS (
-      |  SELECT o_orderkey + 500000000 AS o_orderkey, o_custkey,
+      |  SELECT o_orderkey + 8 * (mk + 1) AS o_orderkey, o_custkey,
       |    CAST(o_totalprice AS DOUBLE) AS price, '8-RACE' AS pr
-      |  FROM orders WHERE o_orderkey % 500 = 0),
+      |  FROM orders, mk WHERE o_orderkey % 500 = 0),
       |base AS (
       |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
       |    o_orderpriority AS pr

@@ -403,6 +403,12 @@ object GraftCatalog {
     // verdict of "visible" is PERMANENT for a given manifest file
     // (markers are never deleted) — cached by (path, version, mtime)
     // so steady-state heads pay the raw read once, not per listing.
+    // A MID-WRITE head (no #eof yet) is NEVER decided or cached from
+    // the partial read — a marker line landing one write() after the
+    // peek must not be missed: re-read once after a short beat, and a
+    // still-torn head keeps the pre-r17 torn contract (visible, the
+    // strict reader's loud error is the handler) without polluting
+    // the cache.
     var vs = listed
     while (vs.nonEmpty && {
       val (v, mtime) = vs.last
@@ -410,8 +416,16 @@ object GraftCatalog {
       txVisibilityCache.get(key) match {
         case java.lang.Boolean.TRUE => false
         case _ =>
-          val pending = txPendingUnconfirmed(fs, r, v)
-          if (!pending) {
+          var lines = scala.util.Try(
+            readManifestRawLines(fs, r, v, strict = false)).getOrElse(Seq.empty)
+          if (!lines.lastOption.contains("#eof")) {
+            Thread.sleep(25)
+            lines = scala.util.Try(
+              readManifestRawLines(fs, r, v, strict = false)).getOrElse(Seq.empty)
+          }
+          val sealed0 = lines.lastOption.contains("#eof")
+          val pending = sealed0 && txPendingFromLines(fs, lines)
+          if (!pending && sealed0) {
             if (txVisibilityCache.size > 65536) txVisibilityCache.clear()
             txVisibilityCache.put(key, java.lang.Boolean.TRUE)
           }
@@ -424,14 +438,13 @@ object GraftCatalog {
   private val txVisibilityCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  /** Does version `v` carry an UNCONFIRMED cross-table tx marker?
-    * Marker paths must live on the same FileSystem as the table —
-    * [[transactSnapshotMulti]] requires all roots share one. */
-  private def txPendingUnconfirmed(fs: org.apache.hadoop.fs.FileSystem,
-      r: org.apache.hadoop.fs.Path, v: Long): Boolean =
-    scala.util.Try(readManifestRawLines(fs, r, v, strict = false))
-      .getOrElse(Seq.empty)
-      .find(_.startsWith("#txmarker:"))
+  /** Do these manifest lines carry an UNCONFIRMED cross-table tx
+    * marker? Marker paths must live on the same FileSystem as the
+    * table — [[transactSnapshotMulti]] enforces that all roots share
+    * one. */
+  private def txPendingFromLines(fs: org.apache.hadoop.fs.FileSystem,
+      lines: Seq[String]): Boolean =
+    lines.find(_.startsWith("#txmarker:"))
       .exists(l => !fs.exists(txMarkerPathOf(l)))
 
   /** `#txmarker:<txid>:<absolute marker path>` → the marker path
@@ -1872,7 +1885,8 @@ object GraftCatalog {
       carriesLines: Boolean, original: SnapshotConflictException,
       scopeDisjoint: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
       mustStayLive: Set[String] = Set.empty,
-      extraDvLines: Seq[String] = Seq.empty): Long = {
+      extraDvLines: Seq[String] = Seq.empty,
+      racerDeletesOutOfScope: Boolean = false): Long = {
     def dvEq(lines: Seq[String]) =
       lines.filter(l => l.startsWith("#dv:") || l.startsWith("#eqdel:")).toSet
     val baseLines = readManifestLines(fs, r, pinBase)
@@ -1898,6 +1912,32 @@ object GraftCatalog {
       // one stats-sidecar read + per-file envelope/tuple evaluation.
       scopeDisjoint.foreach { scope =>
         val racerNew = headFiles.filterNot(baseFiles).filterNot(newFiles.toSet)
+        // TRANSACTION bodies additionally demand the racer's new
+        // DELETE content be provably out of scope (r17): a verb's
+        // read-set is exactly its consumed files (a candidate holding
+        // a matching row would have been consumed, so a racer DV on a
+        // non-consumed file provably touches no row the verb cared
+        // about), but a tx body can READ in-scope rows from files it
+        // never rewrote (an audit aggregate) — a racer MoR delete on
+        // such a row makes the body's output match neither serial
+        // order. Proof obligation: every file a racer-added
+        // #dv:/#eqdel: line covers has a stats envelope provably
+        // DISJOINT from the scope (then the deleted rows are out of
+        // scope too). Unprovable → the strict abort stands.
+        val racerDvOk = !racerDeletesOutOfScope || {
+          val racerDvNew = (headDvEq -- baseDvEq).toSeq
+          racerDvNew.isEmpty || {
+            val csHead0 = readSchemaLine(fs, r, head)
+            val consult0 = statsLogical(readStats(spark, r.toString, head), csHead0)
+            val ptSpec0 = readPartitionSpecsAt(fs, r)
+            val ptSchema0 = if (ptSpec0.isEmpty) None else csHead0
+            deleteLineTargets(spark, r, racerDvNew).forall { f =>
+              consult0.get(f).exists(st => !mayContain(st, scope, tz)) ||
+                !tupleMayMatch(ptSpec0, ptSchema0, f, scope, tz)
+            }
+          }
+        }
+        if (!racerDvOk) throw original
         if (racerNew.nonEmpty) {
           val csHead = readSchemaLine(fs, r, head)
           val consult = statsLogical(readStats(spark, r.toString, head), csHead)
@@ -4985,11 +5025,25 @@ object GraftCatalog {
         case _ => None
       }).sorted
     }
-    val torn = rawVs.filter { v =>
+    // ONE raw read per version, shared by the torn and fresh-torn
+    // passes below: (aged, has #eof, pending-unconfirmed). The pending
+    // reclassification applies ONLY to the trailing version — by
+    // protocol a pending manifest blocks all successors, so any
+    // version WITH successors was necessarily confirmed; treating it
+    // as pending just because its marker no longer resolves (the
+    // coordinator table was dropped later) would reap kept and even
+    // tagged history of this table.
+    val vState: Map[Long, (Boolean, Boolean, Boolean)] = rawVs.map { v =>
       val p = new org.apache.hadoop.fs.Path(manifestDir(r), s"v$v.manifest")
-      fs.getFileStatus(p).getModificationTime < horizon0 &&
-        (!readManifestRawLines(fs, r, v, strict = false).lastOption.contains("#eof") ||
-          txPendingUnconfirmed(fs, r, v))
+      val aged = fs.getFileStatus(p).getModificationTime < horizon0
+      val lines = readManifestRawLines(fs, r, v, strict = false)
+      val sealed0 = lines.lastOption.contains("#eof")
+      val pending = v == rawVs.last && sealed0 && txPendingFromLines(fs, lines)
+      v -> (aged, sealed0, pending)
+    }.toMap
+    val torn = rawVs.filter { v =>
+      val (aged, sealed0, pending) = vState(v)
+      aged && (!sealed0 || pending)
     }
     // NOT-YET-AGED torn manifests are a publish RACING this vacuum
     // (freshly claimed, mid-write). They must not land in the kept
@@ -5004,16 +5058,18 @@ object GraftCatalog {
     // Raw here too: a FRESH unconfirmed pending manifest must land in
     // neither set (not reapable — the tx may yet confirm; not kept —
     // its slot is self-protecting and its fresh batch dirs sit inside
-    // the orphan grace window, the same argument as fresh-torn).
+    // the orphan grace window, the same argument as fresh-torn). The
+    // first pass reuses the shared per-version read; only the rare
+    // actual candidates pay the settle re-read.
     val allVs = rawVs
     val freshTorn = allVs.filter { v =>
-      !torn.contains(v) &&
-        (!readManifestRawLines(fs, r, v, strict = false).lastOption
-          .contains("#eof") || txPendingUnconfirmed(fs, r, v))
+      val (_, sealed0, pending) = vState(v)
+      !torn.contains(v) && (!sealed0 || pending)
     }.filter { v =>
       Thread.sleep(50)
-      !readManifestRawLines(fs, r, v, strict = false).lastOption
-        .contains("#eof") || txPendingUnconfirmed(fs, r, v)
+      val lines = readManifestRawLines(fs, r, v, strict = false)
+      !lines.lastOption.contains("#eof") ||
+        (v == rawVs.last && txPendingFromLines(fs, lines))
     }
     // Tagged versions are pinned: a release tag outlives routine
     // retention no matter where the horizon sits.
@@ -6342,6 +6398,12 @@ object GraftCatalog {
     require(roots.nonEmpty, "transactSnapshotMulti needs at least one root")
     require(roots.distinct.size == roots.size,
       s"duplicate roots in cross-table transaction: $roots")
+    // the marker existence check crosses roots — a root on a DIFFERENT
+    // FileSystem would never see the coordinator's marker and its
+    // confirmed flip would stay invisible forever; fail fast instead
+    val fsUris = roots.map(rt => fsOf(spark, rt)._1.getUri).distinct
+    require(fsUris.size == 1,
+      s"cross-table transaction roots must share one FileSystem, got $fsUris")
     val sorted = roots.sorted
     var attempt = 0
     while (true) {
@@ -6360,7 +6422,10 @@ object GraftCatalog {
       try body(roots.map(rt => snapshotBranchRoot(rt, name)))
       catch {
         case e: Throwable =>
-          sorted.foreach(rt => dropSnapshotBranch(spark, rt, name))
+          // best-effort per root: one failing drop must not leak the
+          // others' branches or mask the body's real failure
+          sorted.foreach(rt =>
+            scala.util.Try(dropSnapshotBranch(spark, rt, name)))
           throw e
       }
       val (cfs, cr) = fsOf(spark, sorted.head)
@@ -6382,6 +6447,21 @@ object GraftCatalog {
             Seq(markerLine, s"#mtx:$txid"))
         }
         Option(mtxConfirmFault.remove(sorted.head)).foreach(_.run())
+        // Re-verify every pending manifest still exists IMMEDIATELY
+        // before the commit point: a coordinator stalled past a
+        // concurrent vacuum's grace window could have had an aged
+        // pending reaped — confirming then would flip a proper subset
+        // and report success. The re-check bounds that staleness to
+        // the instants between here and the create (vs the age-based
+        // horizon bounding everything before).
+        published.foreach { case (rt, v) =>
+          val (fs2, r2) = fsOf(spark, rt)
+          if (!fs2.exists(new org.apache.hadoop.fs.Path(
+              manifestDir(r2), s"v$v.manifest")))
+            throw new SnapshotConflictException(
+              s"pending manifest v$v of $rt vanished before confirm " +
+                "(vacuum grace exceeded?) — cross-table tx aborted")
+        }
         cfs.mkdirs(marker.getParent)
         val out = cfs.create(marker, false)
         confirmed = true
@@ -6407,7 +6487,8 @@ object GraftCatalog {
             fs2.delete(new org.apache.hadoop.fs.Path(
               manifestDir(r2), s"v$v.manifest"), false)
           }
-          sorted.foreach(rt => dropSnapshotBranch(spark, rt, name))
+          sorted.foreach(rt =>
+            scala.util.Try(dropSnapshotBranch(spark, rt, name)))
           e match {
             case _: SnapshotConflictException if attempt < maxRetries =>
               attempt += 1
@@ -6492,7 +6573,8 @@ object GraftCatalog {
         carriesLines = true, original,
         scopeDisjoint =
           Some(org.apache.spark.sql.GraftColumnBridge.expression(scope)),
-        mustStayLive = liveTargets, extraDvLines = migrated)
+        mustStayLive = liveTargets, extraDvLines = migrated,
+        racerDeletesOutOfScope = true)
       catch { case e: Throwable => dropMigrated(); throw e }
     // same cleanup contract as the fast-forward: the branch's data
     // batches are now REFERENCED by the parent's new version — drop

@@ -255,9 +255,27 @@ final class GraftSnapshotStreamProvider extends StreamSourceProvider
     val cursorId = parameters.get("cursor") match {
       case Some("off") => None
       case Some(id) => Some(id)
-      case None => Some("ck-" + java.security.MessageDigest
-        .getInstance("SHA-256").digest(metadataPath.getBytes("UTF-8"))
-        .take(8).map(b => f"$b%02x").mkString)
+      case None =>
+        val id = "ck-" + java.security.MessageDigest
+          .getInstance("SHA-256").digest(metadataPath.getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString
+        // MIGRATE the pre-digest id this same checkpoint would have
+        // derived (ck-<32-bit hashCode>): left behind, its stale pin
+        // would clamp the table's vacuum retention FOREVER. Carry the
+        // old pin over only when this stream has no newer one (the
+        // protective direction), then drop the legacy file.
+        scala.util.Try {
+          val legacy = "ck-" + java.lang.Integer.toHexString(metadataPath.hashCode)
+          val spark = sqlContext.sparkSession
+          val root = rootOf(parameters)
+          val cursors = GraftCatalog.listStreamCursors(spark, root)
+          cursors.get(legacy).foreach { oldPin =>
+            if (!cursors.get(id).exists(_ >= oldPin))
+              GraftCatalog.setStreamCursor(spark, root, id, oldPin)
+            GraftCatalog.dropStreamCursor(spark, root, legacy)
+          }
+        }
+        Some(id)
     }
     new GraftSnapshotSource(sqlContext, rootOf(parameters),
       parameters.get("startAfter").map(_.toLong).getOrElse(0L),

@@ -3076,6 +3076,38 @@ class SourcesCatalogSpec extends AnyFunSuite {
       .where(col("k") === 9700L).count() == 1, "the racer still lands")
     assert(GraftCatalog.listSnapshotBranches(spark, root).isEmpty,
       "the aborted tx must stay traceless")
+    // r17 review fix: a racer that added IN-SCOPE DELETE CONTENT (a
+    // DV line, zero data files) aborts the tx — the body may have
+    // READ those rows from a file it never rewrote, so the composed
+    // output matches neither serial order. Deletions are not
+    // additions; the file-envelope proof must cover both.
+    intercept[graft.sources.SnapshotConflictException](
+      GraftCatalog.transactSnapshot(spark, root,
+        scope = Some(col("k") < 100L)) { br =>
+        GraftCatalog.deleteSnapshotWhereMor(spark, root, col("k") === 11L)
+        GraftCatalog.updateSnapshotWhere(spark, br,
+          col("k") === 60L, Seq("v" -> lit(-77L)))
+        ()
+      })
+    assert(GraftCatalog.readSnapshot(spark, root)
+      .where(col("v") === -77L).count() == 0, "the tx must not have landed")
+    assert(GraftCatalog.readSnapshot(spark, root)
+      .where(col("k") === 11L).isEmpty, "the racer's own delete stands")
+    // ...while a racer whose delete content is provably OUT of scope
+    // (file envelope disjoint) is harmless — the tx grafts and lands
+    val vOut = GraftCatalog.snapshotVersions(spark, root).last
+    val landedOut = GraftCatalog.transactSnapshot(spark, root,
+      scope = Some(col("k") < 100L)) { br =>
+      GraftCatalog.deleteSnapshotWhereMor(spark, root, col("k") === 9600L)
+      GraftCatalog.updateSnapshotWhere(spark, br,
+        col("k") === 60L, Seq("v" -> lit(-88L)))
+      ()
+    }
+    assert(landedOut == vOut + 2, s"racer then revalidated tx: $landedOut")
+    val endHead = GraftCatalog.readSnapshot(spark, root)
+    assert(endHead.where(col("k") === 60L).select("v").as[Long].head() == -88L)
+    assert(endHead.where(col("k") === 9600L).isEmpty,
+      "the out-of-scope racer delete is honored alongside the tx")
   }
 
   test("cross-table transaction: N tables flip atomically behind ONE marker create") {
