@@ -409,6 +409,16 @@ object GraftCatalog {
     // still-torn head keeps the pre-r17 torn contract (visible, the
     // strict reader's loud error is the handler) without polluting
     // the cache.
+    visibleOf(fs, r, md, listed).map(_._1)
+  }
+
+  /** The trailing-pending visibility filter over a listed
+    * (version, mtime) sequence — shared by [[versionsAt]] and
+    * [[snapshotVersionAsOf]] so the timestamp path pays ONE directory
+    * listing, not two. */
+  private def visibleOf(fs: org.apache.hadoop.fs.FileSystem,
+      r: org.apache.hadoop.fs.Path, md: org.apache.hadoop.fs.Path,
+      listed: Seq[(Long, Long)]): Seq[(Long, Long)] = {
     var vs = listed
     while (vs.nonEmpty && {
       val (v, mtime) = vs.last
@@ -418,13 +428,18 @@ object GraftCatalog {
         case _ =>
           var lines = scala.util.Try(
             readManifestRawLines(fs, r, v, strict = false)).getOrElse(Seq.empty)
-          if (!lines.lastOption.contains("#eof")) {
+          // settle-beat only for a YOUNG torn head (a live publish
+          // finishes in ms); an aged one is a crashed writer that will
+          // never seal — sleeping 25 ms on every listing until the
+          // next vacuum would throttle the whole table's traffic
+          if (!lines.lastOption.contains("#eof") &&
+              mtime > System.currentTimeMillis() - 60000L) {
             Thread.sleep(25)
             lines = scala.util.Try(
               readManifestRawLines(fs, r, v, strict = false)).getOrElse(Seq.empty)
           }
           val sealed0 = lines.lastOption.contains("#eof")
-          val pending = sealed0 && txPendingFromLines(fs, lines)
+          val pending = sealed0 && txPendingFromLines(fs, r, lines)
           if (!pending && sealed0) {
             if (txVisibilityCache.size > 65536) txVisibilityCache.clear()
             txVisibilityCache.put(key, java.lang.Boolean.TRUE)
@@ -432,7 +447,7 @@ object GraftCatalog {
           pending
       }
     }) vs = vs.init
-    vs.map(_._1)
+    vs
   }
 
   private val txVisibilityCache =
@@ -441,11 +456,37 @@ object GraftCatalog {
   /** Do these manifest lines carry an UNCONFIRMED cross-table tx
     * marker? Marker paths must live on the same FileSystem as the
     * table — [[transactSnapshotMulti]] enforces that all roots share
-    * one. */
+    * one.
+    *
+    * Confirmation is answered ROOT-LOCALLY when possible (r17 review
+    * fix): the commit writes an ECHO of the marker under every
+    * participant's own `_refs/tx/`, and a missing echo repairs itself
+    * here on the first read that still finds the coordinator's
+    * marker. Without the echo, a table whose head committed via a
+    * cross-table tx would depend FOREVER on the coordinator root's
+    * marker file — dropping that table later would silently revert
+    * the surviving table's confirmed head to pending-invisible (and,
+    * aged, vacuum-reapable). With it, the dependency ends at the
+    * first post-commit read of each participant. */
   private def txPendingFromLines(fs: org.apache.hadoop.fs.FileSystem,
-      lines: Seq[String]): Boolean =
-    lines.find(_.startsWith("#txmarker:"))
-      .exists(l => !fs.exists(txMarkerPathOf(l)))
+      r: org.apache.hadoop.fs.Path, lines: Seq[String]): Boolean =
+    lines.find(_.startsWith("#txmarker:")).exists { l =>
+      val txid = l.stripPrefix("#txmarker:").takeWhile(_ != ':')
+      val echo = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(refsDir(r), "tx"), txid)
+      if (fs.exists(echo)) false
+      else if (fs.exists(txMarkerPathOf(l))) {
+        // confirmed at the coordinator but not yet echoed here —
+        // repair on read so this root stops depending on the
+        // coordinator's continued existence
+        scala.util.Try {
+          fs.mkdirs(echo.getParent)
+          val out = fs.create(echo, false)
+          try out.write("confirmed\n".getBytes("UTF-8")) finally out.close()
+        }
+        false
+      } else true
+    }
 
   /** `#txmarker:<txid>:<absolute marker path>` → the marker path
     * (txids are [[writerToken]]s — never contain a colon). */
@@ -470,17 +511,16 @@ object GraftCatalog {
     // in the returned FileStatus array — not one getFileStatus RPC per
     // version, which on an object store is O(versions) round trips
     val md = manifestDir(r)
-    val mtimes: Map[Long, Long] =
-      if (!fs.exists(md)) Map.empty
+    val listed: Seq[(Long, Long)] =
+      if (!fs.exists(md)) Seq.empty
       else fs.listStatus(md).toSeq.flatMap(st => st.getPath.getName match {
         case ManifestName(n) => Some(n.toLong -> st.getModificationTime)
         case _ => None
-      }).toMap
-    // intersect with the VISIBLE versions: a pending cross-table flip
-    // must be as invisible to timestamp travel as to head reads (r17)
-    val visible = versionsAt(fs, r).toSet
-    val at = mtimes.keys.toSeq.sorted
-      .filter(v => visible(v) && mtimes(v) <= tsMillis)
+      }).sortBy(_._1)
+    // a pending cross-table flip must be as invisible to timestamp
+    // travel as to head reads (r17) — same filter, SAME single listing
+    val at = visibleOf(fs, r, md, listed)
+      .collect { case (v, mt) if mt <= tsMillis => v }
     require(at.nonEmpty, s"no snapshot of $root existed at or before $tsMillis")
     at.last
   }
@@ -1975,24 +2015,15 @@ object GraftCatalog {
   }
 
   /** Does any of these `#dv:`/`#eqdel:` manifest lines reference a
-    * file in `consumed`? Reads only the sidecars' path / cover
-    * columns — metadata-sized, and only ever on the conflict path. */
+    * file in `consumed`? One sidecar-layout reader ([[deleteLineTargets]])
+    * serves this and the tx-graft checks — two parsers of the same
+    * layout would drift. Per-line so the common single-line conflict
+    * still short-circuits; only ever on the conflict path. */
   private def deleteLinesTouch(spark: SparkSession,
       r: org.apache.hadoop.fs.Path, lines: Seq[String],
       consumed: Set[String]): Boolean =
-    lines.exists { l =>
-      val pathsDf =
-        if (l.startsWith("#dv:"))
-          spark.read.parquet(new org.apache.hadoop.fs.Path(
-            deletesDir(r), l.stripPrefix("#dv:")).toString)
-        else {
-          val (name, _) = parseEqDel(l.stripPrefix("#eqdel:"))
-          spark.read.parquet(new org.apache.hadoop.fs.Path(
-            new org.apache.hadoop.fs.Path(deletesDir(r), name), "cover").toString)
-        }
-      pathsDf.select(col("__path")).distinct().collect()
-        .exists(row => consumed.contains(row.getString(0)))
-    }
+    lines.exists(l =>
+      deleteLineTargets(spark, r, Seq(l)).exists(consumed.contains))
 
   /** EXACTLY-ONCE streaming commit: append `df` as the next version
     * tagged with its micro-batch id — and refuse to commit a batch id
@@ -5038,7 +5069,7 @@ object GraftCatalog {
       val aged = fs.getFileStatus(p).getModificationTime < horizon0
       val lines = readManifestRawLines(fs, r, v, strict = false)
       val sealed0 = lines.lastOption.contains("#eof")
-      val pending = v == rawVs.last && sealed0 && txPendingFromLines(fs, lines)
+      val pending = v == rawVs.last && sealed0 && txPendingFromLines(fs, r, lines)
       v -> (aged, sealed0, pending)
     }.toMap
     val torn = rawVs.filter { v =>
@@ -5069,7 +5100,7 @@ object GraftCatalog {
       Thread.sleep(50)
       val lines = readManifestRawLines(fs, r, v, strict = false)
       !lines.lastOption.contains("#eof") ||
-        (v == rawVs.last && txPendingFromLines(fs, lines))
+        (v == rawVs.last && txPendingFromLines(fs, r, lines))
     }
     // Tagged versions are pinned: a release tag outlives routine
     // retention no matter where the horizon sits.
@@ -6463,12 +6494,41 @@ object GraftCatalog {
                 "(vacuum grace exceeded?) — cross-table tx aborted")
         }
         cfs.mkdirs(marker.getParent)
-        val out = cfs.create(marker, false)
+        // The create IS the commit. If the client call throws but the
+        // file materialized server-side anyway (object-store retry
+        // edge), a reader may already have observed the commit — so
+        // on ANY create failure, consult existence before deciding:
+        // marker exists ⇒ committed, proceed; truly absent ⇒ the
+        // undo below stays unobservable.
+        val out =
+          try cfs.create(marker, false)
+          catch {
+            case e: Throwable =>
+              if (scala.util.Try(cfs.exists(marker)).getOrElse(false)) null
+              else throw e
+          }
         confirmed = true
-        scala.util.Try { // content is diagnostic; existence is the bit
-          try out.write(s"${published.map { case (rt, v) => s"$rt@v$v" }
-            .mkString("\n")}\n".getBytes("UTF-8"))
-          finally out.close()
+        if (out != null)
+          scala.util.Try { // content is diagnostic; existence is the bit
+            try out.write(s"${published.map { case (rt, v) => s"$rt@v$v" }
+              .mkString("\n")}\n".getBytes("UTF-8"))
+            finally out.close()
+          }
+        // ECHO the confirmation under every participant's own
+        // `_refs/tx/` (best-effort — txPendingFromLines repairs a
+        // missing echo on first read): after this, no table's
+        // visibility depends on the coordinator root still existing.
+        published.foreach { case (rt, _) =>
+          scala.util.Try {
+            val (fs2, r2) = fsOf(spark, rt)
+            val echo = new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(refsDir(r2), "tx"), txid)
+            if (!fs2.exists(echo)) {
+              fs2.mkdirs(echo.getParent)
+              val o2 = fs2.create(echo, false)
+              try o2.write("confirmed\n".getBytes("UTF-8")) finally o2.close()
+            }
+          }
         }
         sorted.foreach(rt =>
           scala.util.Try(branchCleanup(spark, rt, name)).failed.foreach(t =>

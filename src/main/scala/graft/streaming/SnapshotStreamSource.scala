@@ -277,6 +277,23 @@ final class GraftSnapshotStreamProvider extends StreamSourceProvider
         }
         Some(id)
     }
+    // Register the retention pin AT CREATION (r17 review fix): between
+    // source creation and the first completed micro-batch the stream
+    // was otherwise unpinned (only the loud resume error guarded it),
+    // and in a genuine 32-bit collision the migration above could
+    // leave the SECOND colliding stream pinless until its first
+    // commit. Pinning at startAfter — exactly what the first batch's
+    // commit() would pin — closes both windows; best-effort, never
+    // moves an existing pin, protective direction throughout.
+    cursorId.foreach { id =>
+      scala.util.Try {
+        val spark = sqlContext.sparkSession
+        val root = rootOf(parameters)
+        if (!GraftCatalog.listStreamCursors(spark, root).contains(id))
+          GraftCatalog.setStreamCursor(spark, root, id,
+            parameters.get("startAfter").map(_.toLong).getOrElse(0L))
+      }
+    }
     new GraftSnapshotSource(sqlContext, rootOf(parameters),
       parameters.get("startAfter").map(_.toLong).getOrElse(0L),
       parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(1),

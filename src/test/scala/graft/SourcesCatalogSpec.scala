@@ -3176,6 +3176,47 @@ class SourcesCatalogSpec extends AnyFunSuite {
     assert(GraftCatalog.readSnapshot(spark, a).count() == 6)
   }
 
+  test("cross-table confirmation survives the coordinator root being dropped (echo markers)") {
+    import spark.implicits._
+    val a = s"$tmp/mtxe_a_${System.nanoTime()}"
+    val b = s"$tmp/mtxe_b_${System.nanoTime()}"
+    GraftCatalog.commitSnapshot(
+      (1 to 5).map(i => (i.toLong, i.toLong)).toDF("k", "v"), a, append = false)
+    GraftCatalog.commitSnapshot(
+      (1 to 3).map(i => (i.toLong, i.toLong)).toDF("k", "v"), b, append = false)
+    val landed = GraftCatalog.transactSnapshotMulti(spark, Seq(a, b)) {
+      case Seq(ba, bb) =>
+        GraftCatalog.commitSnapshot(Seq((10L, 10L)).toDF("k", "v"), ba, append = true)
+        GraftCatalog.commitSnapshot(Seq((20L, 20L)).toDF("k", "v"), bb, append = true)
+        ()
+      case _ => fail("two branch roots expected")
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // the commit ECHOED its confirmation under BOTH participants
+    val bEcho = new org.apache.hadoop.fs.Path(b, "_refs/tx")
+    assert(fs.exists(bEcho) && fs.listStatus(bEcho).nonEmpty,
+      "the non-coordinator root must carry a confirmation echo")
+    // repair-on-read: delete b's echo while the coordinator is alive —
+    // the next cold-path consultation (vacuum plans without the
+    // visibility cache) restores it from the coordinator marker
+    fs.listStatus(bEcho).foreach(st => fs.delete(st.getPath, false))
+    GraftCatalog.vacuumSnapshotsDryRun(spark, b, keepFrom = 1L).collect()
+    assert(fs.listStatus(bEcho).nonEmpty, "a missing echo repairs on read")
+    // DROP the coordinator table entirely: b's committed head must
+    // stay visible and vacuum-proof on a completely cold path
+    fs.delete(new org.apache.hadoop.fs.Path(a), true)
+    assert(GraftCatalog.readSnapshot(spark, b).count() == 4)
+    val headMan = new org.apache.hadoop.fs.Path(b,
+      s"_manifests/v${landed(b)}.manifest")
+    fs.setTimes(headMan, System.currentTimeMillis() - 2 * 60 * 60 * 1000L, -1)
+    GraftCatalog.vacuumSnapshots(spark, b, keepFrom = 1L,
+      orphanGraceMs = 60 * 60 * 1000L)
+    assert(GraftCatalog.snapshotVersions(spark, b).last == landed(b),
+      "a CONFIRMED head must never reap because its coordinator vanished")
+    assert(GraftCatalog.readSnapshot(spark, b).count() == 4)
+  }
+
   test("cross-table tx crash recovery: unconfirmed pending manifest blocks writers, hides from readers, vacuums clean") {
     import spark.implicits._
     val root = s"$tmp/mtxcrash_${System.nanoTime()}"
